@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan, no
+driver-side collect of payload data) after one warm-up of the flagship to
+amortize JVM/session startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from kafka_stream_processing_spark import registry
+from kafka_stream_processing_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("kssp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = registry.all_specs()
+    names = registry.headline_names()
+
+    # Warm-up: JVM JIT, parquet footer caches, Python worker pool.
+    specs["unique_users_per_minute"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

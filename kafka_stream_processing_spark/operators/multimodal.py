@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction runs as Arrow-batched pandas
+iterators via ``mapInPandas`` (the only place Python touches rows, and it
+sees columnar batches, not rows).  The actual media decode is STUBBED —
+the container has no image/audio libraries — behind
+:func:`decode_media_stub`; the Spark-side plumbing (schema, batch shape,
+partitioning) is real and oracle-checked, because the stub's features are
+deterministic functions of the bytes that DuckDB can reproduce.
+
+Scale: mapInPandas is a narrow transformation — no shuffle; Arrow transfer
+is ~columnar memcpy.  Batch size is governed by
+spark.sql.execution.arrow.maxRecordsPerBatch (default 10k); at 100 TB the
+decode stage parallelizes per input split.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import table
+
+#: Output schema of the decode stage (what a real image decoder would emit).
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, fake_width int, fake_height int, "
+    "checksum string"
+)
+
+
+def decode_media_stub(payload: bytes) -> dict:
+    """Deterministic fake 'decode' of a media payload.
+
+    A real implementation would dispatch on magic bytes to PIL/libav and
+    raise NotImplementedError for unsupported codecs; here every derived
+    feature is a pure function of the bytes so the whole pipeline is
+    reproducible and oracle-checkable.
+    """
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "fake_width": n % 640,
+        "fake_height": (n * 7) % 480,
+        "checksum": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [decode_media_stub(buf) for buf in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@register(
+    "multimodal_decode_features",
+    # The stub's features are byte-deterministic, so even the pandas-UDF
+    # path gets a full DuckDB oracle: octet_length/md5 over the same bytes.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: pack text as a binary payload (standing in
+    for image bytes), run the decode stub via mapInPandas, emit typed
+    features.  Exercises the exact plumbing a real decoder needs: binary
+    column in, Arrow batches through Python, typed struct out."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_metadata_struct",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           source AS origin,
+           CAST(octet_length(encode(text)) > 256 AS BOOLEAN) AS is_large
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_metadata_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata pattern for opaque payloads: build the metadata
+    struct JVM-side, then flatten — the schema contract every multimodal
+    stage (decode, resize, frame-sample) consumes."""
+    d = table(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.lit("text/plain").alias("media_type"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("payload_bytes"),
+        F.col("source").alias("origin"),
+    )
+    return (
+        d.select("doc_id", F.encode("text", "utf-8").alias("payload"), meta.alias("meta"))
+        .select(
+            "doc_id",
+            F.col("meta.media_type").alias("media_type"),
+            F.col("meta.payload_bytes").alias("payload_bytes"),
+            F.col("meta.origin").alias("origin"),
+            (F.col("meta.payload_bytes") > 256).alias("is_large"),
+        )
+    )

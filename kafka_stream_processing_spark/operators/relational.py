@@ -1,0 +1,653 @@
+"""Relational core: scans, project/filter, aggregations, joins, analytic
+window functions, sorts/limits, set operations (SURVEY.md §7.1).
+
+The reference implements NONE of these (SURVEY.md §2.1 — no .filter(), no
+joins, no sorts anywhere in UniqueUsersCounter.java); they are required by
+the driver contract and are all built-in Spark, so each query here is a
+declarative plan Catalyst fully optimizes (predicate pushdown into the
+parquet scan, column pruning, broadcast join selection, partial
+aggregation).  Scale notes are per-query in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.functions.exact import dec, dec_avg, dec_sum
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import table
+
+# ---------------------------------------------------------------------------
+# Project / filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_events",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           value,
+           epoch_us(ts) AS ts_us
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+      AND value > 100.0
+      AND user_id % 2 = 0
+    """,
+)
+def filter_project_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate + projection.  Both the IN-filter and the column
+    selection reach the parquet scan (PushedFilters / ReadSchema) — the
+    optimization the reference hand-codes by projecting uid early
+    (UniqueUsersCounter.java:68)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .filter(
+            F.col("event_type").isin("purchase", "signup")
+            & (F.col("value") > 100.0)
+            & (F.col("user_id") % 2 == 0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan-heavy aggregation.  Scale: single shuffle on a
+    6-value grouping key after map-side partial aggregation; the dominant
+    cost is the parquet scan, which prunes to 7 of 11 columns and pushes
+    the shipdate filter into row-group statistics."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li
+        .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — Catalyst plans a single Expand + hash
+    aggregate, no extra passes over the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping combinations in one pass)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(dec_sum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two disjoint groupings, one scan)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_having_high_value_users",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING SUM(CAST(value AS DECIMAL(18,6))) > 1000
+    """,
+)
+def agg_having_high_value_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation predicate."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dec_sum("value", "total_value"),
+        )
+        .filter(F.col("total_value") > 1000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + agg + top-k.  Scale: customer (filtered
+    to one segment) is broadcast; orders⋈lineitem is the only shuffle and
+    both filters are pushed into the scans.  Top-k is a deterministic
+    (revenue, key) ordering so LIMIT is stable across engines."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join.  Scale: nation/region/supplier are
+    broadcast (they stay tiny at every SF); the only shuffles are
+    orders⋈lineitem and customer⋈orders on their join keys."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, "revenue"))
+    )
+
+
+@register(
+    "join_left_outer_nation_customer_count",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(c.c_custkey) AS n_customers
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_left_outer_nation_customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving empty nations (count=0 rows survive)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "join_semi_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+    )
+    """,
+)
+def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — emits each matching customer once."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+                FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+                FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           COALESCE(cn.n_customers, 0) AS n_customers,
+           COALESCE(sn.n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (customer vs supplier
+    presence per nation).  Pre-aggregating before the outer join keeps the
+    shuffled sides tiny at any scale."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_range_quantity_size",
+    oracle="""
+    SELECT p.p_partkey,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM part p
+    JOIN lineitem l
+      ON l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_returnflag = 'R'
+    GROUP BY p.p_partkey
+    """,
+)
+def join_range_quantity_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: lineitem quantity within ±2 of part
+    size.  Scale: the small side is filtered then broadcast, so Spark plans
+    BroadcastNestedLoopJoin instead of a cartesian shuffle."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cond = (F.col("l_quantity") >= F.col("p_size") - 2) & (
+        F.col("l_quantity") <= F.col("p_size") + 2
+    )
+    return (
+        li.join(F.broadcast(p), cond)
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dec_sum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+@register(
+    "join_asof_purchase_last_click",
+    oracle="""
+    SELECT p.event_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS last_click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase, the user's most recent click at or
+    before the purchase.  Spark lacks a native batch as-of join; the
+    scalable formulation is a tagged UNION + last(ignorenulls) running
+    window — one shuffle on user_id, no point-in-time self-join explosion."""
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+        F.lit(1).alias("kind"),
+    )
+    # At equal timestamps the click (kind=0) sorts before the purchase, so
+    # a click at exactly the purchase instant is included — matching ASOF's
+    # `p.ts >= c.ts`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("purchase_ts_us"),
+            F.unix_micros("last_click").alias("last_click_ts_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey,
+               o_orderkey,
+               o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderstatus) AS status_rank,
+               dense_rank() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderstatus) AS status_dense_rank
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    headline=True,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number + rank/dense_rank.  Scale: one
+    shuffle on the partition key; Spark 3.5+ pushes the rn<=3 limit into
+    the sort (WindowGroupLimit) so no group is fully materialized."""
+    o = table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    by_status = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(by_price).alias("rn"),
+            F.rank().over(by_status).alias("status_rank"),
+            F.dense_rank().over(by_status).alias("status_dense_rank"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_total_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame (exact decimal interior)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_lead_user_events",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           epoch_us(ts) AS ts_us,
+           epoch_us(lag(ts) OVER w) AS prev_ts_us,
+           epoch_us(lead(ts) OVER w) AS next_ts_us,
+           lag(event_type, 1, 'none') OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation within per-user event timelines."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.lag("ts").over(w)).alias("prev_ts_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("next_ts_us"),
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "window_ntile_customer_value",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing over a global deterministic ordering.  Note: a
+    global (unpartitioned) window serializes through one task — fine for a
+    1500-row dimension, never for a fact table; at scale bucket via
+    percent_rank over pre-aggregated keys instead."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orderby_limit_top_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate IS NULL AS ship_null
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 25
+    """,
+)
+def orderby_limit_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY + LIMIT.  Scale: Spark plans TakeOrderedAndProject
+    — each task keeps a 25-row heap; no global sort materializes."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.col("l_shipdate").isNull().alias("ship_null"),
+        )
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+                 F.col("l_linenumber").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "setops_nation_presence",
+    oracle="""
+    (SELECT 'both' AS side, c_nationkey AS nationkey FROM customer
+     INTERSECT
+     SELECT 'both', s_nationkey FROM supplier)
+    UNION ALL
+    (SELECT 'customer_only' AS side, c_nationkey AS nationkey FROM customer
+     EXCEPT
+     SELECT 'customer_only', s_nationkey FROM supplier)
+    """,
+)
+def setops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one query (ANSI distinct set
+    semantics, parenthesized explicitly)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = (
+        c.select(F.lit("both").alias("side"), "nationkey")
+        .intersect(s.select(F.lit("both").alias("side"), "nationkey"))
+    )
+    cust_only = (
+        c.select(F.lit("customer_only").alias("side"), "nationkey")
+        .subtract(s.select(F.lit("customer_only").alias("side"), "nationkey"))
+    )
+    return both.unionByName(cust_only)

@@ -1,0 +1,218 @@
+"""Text analysis operators over the documents table: token statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in string/array expressions (whole-stage codegen); no
+Python touches the row path.  These are the per-document featurizers a
+training-data pipeline runs before dedup/filtering at 100 TB — embarrassingly
+parallel, no shuffle at all (narrow transformations over the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import table
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
+#: Deliberately small and hard-coded so the Spark and SQL sides are
+#: literal-for-literal identical.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "los"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(col, " ")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           length(text) AS n_chars_computed,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                              w -> length(w)), 'sum') AS BIGINT)
+               AS total_token_chars,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, unique tokens, a BPE-ish regex
+    tokenizer (letter-runs / digit-runs / single punctuation)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_token_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .alias("n_bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                               w -> list_contains({list(_STOPWORDS)!r}, w)))
+                   AS n_stopwords,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           n_tokens,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 1 ELSE 0 END)
+               AS quality_score
+    FROM feats
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (Gopher-rules style): length band,
+    stopword density, punctuation density → integer score 0..3."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    feats = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).alias(
+            "n_stopwords"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).alias("n_punct"),
+    )
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (
+            F.when(F.col("n_tokens").between(10, 1000), 1).otherwise(0)
+            + F.when(stop_ratio > 0.05, 1).otherwise(0)
+            + F.when(punct_ratio < 0.1, 1).otherwise(0)
+        ).alias("quality_score"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({list(markers)!r}, w)))"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id,
+               lang,
+               {_lang_score_sql(_LANG_MARKERS['en'])} AS score_en,
+               {_lang_score_sql(_LANG_MARKERS['es'])} AS score_es,
+               {_lang_score_sql(_LANG_MARKERS['de'])} AS score_de,
+               {_lang_score_sql(_LANG_MARKERS['fr'])} AS score_fr
+        FROM documents
+    )
+    SELECT doc_id,
+           lang AS labeled_lang,
+           CASE
+               WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+               WHEN score_en >= greatest(score_es, score_de, score_fr) THEN 'en'
+               WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
+               WHEN score_de >= score_fr THEN 'de'
+               ELSE 'fr'
+           END AS predicted_lang
+    FROM scores
+    """,
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (stopword voting with a fixed precedence
+    order for ties; 'und' when no marker hits).  A real pipeline swaps the
+    marker lists for character-n-gram profiles — same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def score(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score(_LANG_MARKERS["en"]).alias("score_en"),
+        score(_LANG_MARKERS["es"]).alias("score_es"),
+        score(_LANG_MARKERS["de"]).alias("score_de"),
+        score(_LANG_MARKERS["fr"]).alias("score_fr"),
+    )
+    best = F.greatest("score_en", "score_es", "score_de", "score_fr")
+    return scores.select(
+        "doc_id",
+        "labeled_lang",
+        F.when(best == 0, "und")
+        .when(F.col("score_en") >= F.greatest("score_es", "score_de", "score_fr"), "en")
+        .when(F.col("score_es") >= F.greatest("score_de", "score_fr"), "es")
+        .when(F.col("score_de") >= F.col("score_fr"), "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint,
+           md5(text) AS exact_hash
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: bag-of-words canonical fingerprint (sorted
+    distinct tokens → md5, robust to token order) plus the exact-text hash.
+    Both engines md5 identical UTF-8 bytes → identical hex."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ").cast("binary")
+        ).alias("fingerprint"),
+        F.md5(F.col("text").cast("binary")).alias("exact_hash"),
+    )

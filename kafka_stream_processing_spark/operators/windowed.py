@@ -1,0 +1,211 @@
+"""Time-windowed aggregations — the reference's entire operator surface.
+
+The reference (UniqueUsersCounter.java:59-95) computes unique users per
+1-minute tumbling window by accumulating uids into a per-window HashSet
+(aggregate at :80-84, set→size at :88).  Spark-first re-expression: a
+declarative ``groupBy(window(ts)) .agg(countDistinct(...))`` — Catalyst
+plans a partial/final hash aggregate, so the reference's single-task
+constant-key bottleneck (groupBy((k,v)->"") at :74) and its unbounded
+Java-serialized set state (HashSetSerde at :26-45, the documented
+RecordTooLargeException at README.md:27-31) both disappear.
+
+Scale notes (100 TB): exact countDistinct shuffles each (window, uid) pair
+once (Spark rewrites it as a two-phase expand+agg); per-window parallelism
+comes from the window key, not a constant key.  For unbounded cardinality
+the ``approx_`` variant keeps per-window state at O(KB) (HyperLogLog++),
+which is the default we recommend at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import table
+
+
+@register(
+    "unique_users_per_minute",
+    oracle="""
+    SELECT CAST(date_trunc('minute', ts) AS VARCHAR) AS window_start,
+           count(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY 1
+    """,
+    headline=True,
+    tags=("reference-parity", "W1", "A1", "A2"),
+)
+def unique_users_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's whole topology (S1→P1→G1→W1→A1→A2→T1) in
+    one declarative plan.  Reference: UniqueUsersCounter.java:63-93."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.countDistinct("user_id").alias("unique_users"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "unique_users",
+        )
+    )
+
+
+@register(
+    "events_per_minute",
+    oracle="""
+    SELECT CAST(date_trunc('minute', ts) AS VARCHAR) AS window_start,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("reference-parity",),
+)
+def events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's abandoned first attempt ("Flawed counter", counts all
+    events not unique users — reference README.md:17-20), kept as a distinct
+    test point separating count(*) from count(DISTINCT)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "unique_users_per_minute_approx",
+    # DuckDB's approx_count_distinct uses a different HLL implementation, so
+    # exact value parity is impossible — driver records a rows-only check.
+    oracle=None,
+    tags=("reference-parity", "scale"),
+)
+def unique_users_per_minute_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe flagship: HyperLogLog++ sketch state (O(KB) per
+    window regardless of uid cardinality) — the fix for the reference's
+    RecordTooLargeException ceiling (README.md:27-31)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("unique_users_approx"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "unique_users_approx",
+        )
+    )
+
+
+@register(
+    "unique_users_sliding_window",
+    # Each event belongs to exactly two 60s/30s sliding windows: the one
+    # starting at floor(ts, 30s) and the one 30s earlier.
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 30000000) * 30000000) AS wstart
+        FROM events
+        UNION ALL
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 30000000) * 30000000 - 30000000)
+        FROM events
+    )
+    SELECT CAST(wstart AS VARCHAR) AS window_start,
+           count(DISTINCT user_id) AS unique_users
+    FROM assigned
+    GROUP BY 1
+    """,
+    tags=("streaming-windows",),
+)
+def unique_users_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 1-minute windows advancing every 30 s.
+    The reference configures size==advance (tumbling) at
+    UniqueUsersCounter.java:77; this exercises the size>advance case."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 minute", "30 seconds").alias("w"))
+        .agg(F.countDistinct("user_id").alias("unique_users"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "unique_users",
+        )
+    )
+
+
+@register(
+    "session_windows_per_user",
+    # Sessionization in SQL: a session break is a gap >= 5 minutes; session
+    # id is a running sum of break flags per user.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming-windows",),
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user — the dynamic
+    window type the reference lacks entirely (SURVEY.md §2.1).  Spark's
+    session_window merges events whose timestamps are < gap apart."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "unique_users_daily_by_type",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,
+           event_type,
+           count(DISTINCT user_id) AS unique_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("reference-parity",),
+)
+def unique_users_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed windowed distinct aggregation — the generalization the
+    reference's constant grouping key (UniqueUsersCounter.java:74-75)
+    deliberately avoided; in Spark extra keys add parallelism, not cost."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("unique_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "unique_users",
+            "n_events",
+        )
+    )
