@@ -12,6 +12,8 @@ and order-independent — Spark and DuckDB produce bit-identical cosines.
 
 from __future__ import annotations
 
+import numpy as _np
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -19,6 +21,16 @@ from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import table
 
 _DEC = "decimal(18,12)"
+
+#: Random-hyperplane LSH planes, generated once from a fixed seed and
+#: rounded to 4 decimals so the SAME literals are embedded in the Spark
+#: plan and the oracle SQL (both engines parse the decimal strings to
+#: identical doubles).
+_N_PLANES = 4
+LSH_PLANES: list[list[float]] = [
+    [float(x) for x in row]
+    for row in _np.round(_np.random.RandomState(7).randn(_N_PLANES, 64), 4)
+]
 
 
 def _as_double_array(col: str | Column) -> Column:
@@ -113,4 +125,125 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _plane_dot_sql(plane: list[float]) -> str:
+    lit = _sql_plane_literal(plane)
+    return (
+        f"CAST(list_aggregate(list_transform(range(1, 65), "
+        f"i -> CAST(emb[i] * ({lit})[i] AS DECIMAL(18,12))), 'sum') AS DOUBLE)"
+    )
+
+
+def _bucket_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(LSH_PLANES)
+    )
+    return f"({terms})"
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Random-hyperplane signature: bit i = sign(emb · plane_i).  Exact
+    decimal dots make the sign decision bit-identical across engines."""
+    bucket = None
+    for i, plane in enumerate(LSH_PLANES):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        term = F.when(dot_exact(emb, plane_col) > 0, 1 << i).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+@register(
+    "similarity_lsh_bucketed_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(emb[i] * emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm,
+               {_bucket_sql()} AS bucket
+        FROM v
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, q.bucket AS bucket,
+               CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(q.emb[i] * d.emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE) / (q.nrm * d.nrm) AS cosine
+        FROM n q
+        JOIN n d ON d.bucket = q.bucket AND d.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, bucket, cosine
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "scale"),
+)
+def similarity_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k with random-hyperplane LSH pre-filtering: candidates are
+    only vectors in the query's bucket (16 buckets from 4 planes), then
+    exact cosine re-ranking within the bucket.
+
+    Scale: the bucket join replaces the brute-force cross join — the
+    corpus shuffles once on bucket id and each query only scores ~1/2^P
+    of it.  More planes → smaller buckets → cheaper-but-lossier; the
+    production knob is (planes, multi-probe count)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    n = emb.select(
+        "vec_id",
+        "emb",
+        l2_norm_exact(F.col("emb")).alias("nrm"),
+        lsh_bucket(F.col("emb")).alias("bucket"),
+    )
+    queries = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = (
+        n.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket"),
+            cosine_exact(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", "bucket", "cosine")
     )

@@ -29,6 +29,10 @@ RUNTIME_CONF: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
     # read nanos as raw longs and convert in the loader (sources/tables.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Unadjusted-UTC parquet timestamps must come back as TIMESTAMP (LTZ,
+    # session tz pinned to UTC above), not TIMESTAMP_NTZ: watermarks/windows
+    # require LTZ, and LTZ@UTC matches DuckDB's naive-timestamp semantics.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
