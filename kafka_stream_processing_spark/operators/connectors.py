@@ -1,0 +1,95 @@
+"""File-format connectors beyond parquet: CSV and JSON-lines, exercised as
+full write→read round-trips (SURVEY.md §7.1 item 1; the reference has no
+file formats at all, §2.1).
+
+Each round-trip query writes a derived copy of `events` to /tmp in the
+target format and reads it back with an EXPLICIT schema (schema inference
+is banned in the engine: at 100 TB an inference pass is a full extra scan,
+and inferred types drift).  The oracle reads the original parquet — so the
+comparison proves end-to-end format fidelity, not just that a file
+appeared.  Timestamps travel as epoch micros (bigint): both CSV and JSON
+are type-poor formats and a lexical timestamp round-trip would be
+locale/precision-fragile.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import table
+
+_ROUNDTRIP_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, value double, ts_us bigint"
+)
+
+_ORACLE = """
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+"""
+
+
+def _export_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def _tmp_dir(sf_dir: str, fmt: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join("/tmp", "kssp_connectors", key, fmt)
+
+
+@register("connector_csv_roundtrip", oracle=_ORACLE, tags=("connectors",))
+def connector_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV (header, explicit schema) → DataFrame.  Spark's CSV
+    writer emits shortest-round-trip doubles, so `value` survives exactly."""
+    path = _tmp_dir(sf_dir, "csv")
+    _export_df(spark, sf_dir).write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).option("header", True).csv(path)
+
+
+@register("connector_json_roundtrip", oracle=_ORACLE, tags=("connectors",))
+def connector_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines → DataFrame with explicit schema (the batch
+    analog of the Kafka JSON source, sources/kafka.py)."""
+    path = _tmp_dir(sf_dir, "json")
+    _export_df(spark, sf_dir).write.mode("overwrite").json(path)
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).json(path)
+
+
+@register(
+    "connector_parquet_write_partitioned",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("connectors",),
+)
+def connector_parquet_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink: write events partitioned by event_type
+    (the layout that makes downstream `WHERE event_type = ...` a partition
+    prune instead of a scan), read back, aggregate.  At 100 TB partition
+    columns are the first line of defense before row-group statistics."""
+    path = _tmp_dir(sf_dir, "parquet_part")
+    (
+        table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type", F.date_trunc("day", "ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

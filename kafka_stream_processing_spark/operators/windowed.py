@@ -179,6 +179,40 @@ def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unique_user_set_per_minute",
+    oracle="""
+    SELECT CAST(date_trunc('minute', ts) AS VARCHAR) AS window_start,
+           array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',')
+               AS user_set,
+           count(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("reference-parity", "A1"),
+)
+def unique_user_set_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact parity with the reference's A1 state: the materialized
+    per-window uid SET itself (reference aggregates into HashSet<String>,
+    UniqueUsersCounter.java:80-84), emitted as a sorted comma-joined
+    string for deterministic comparison.  This is the operator whose state
+    blew the reference up at ~tens of thousands of uids/window
+    (README.md:27-31); Spark's collect_set state is UnsafeRow-encoded and
+    spill-safe, but the engine still treats this as a debugging operator —
+    production distinct-counting uses countDistinct/approx variants."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.collect_set(F.col("user_id").cast("string")).alias("uids"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            F.array_join(F.array_sort("uids"), ",").alias("user_set"),
+            F.size("uids").cast("long").alias("unique_users"),
+        )
+    )
+
+
+@register(
     "unique_users_daily_by_type",
     oracle="""
     SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,

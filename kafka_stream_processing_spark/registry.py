@@ -73,6 +73,7 @@ def _load() -> None:
         return
     # Imports are local to avoid circular imports at package import time.
     from kafka_stream_processing_spark.operators import (  # noqa: F401
+        connectors,
         dedup,
         multimodal,
         relational,

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale-critical properties of the
+headline queries (pushdown, pruning, broadcast, codegen) are pinned here —
+the engine's equivalent of asserting on the reference's
+topology.describe() output (UniqueUsersCounter.java:96), but checking the
+properties an optimizer must deliver rather than a topology shape.
+"""
+
+from __future__ import annotations
+
+from kafka_stream_processing_spark import registry
+from kafka_stream_processing_spark.operators.relational import (
+    filter_project_events,
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_region_revenue,
+)
+from kafka_stream_processing_spark.plans.explain import plan_asserts, plan_report
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_small):
+    # 5 columns selected of 6; IN/range filters must appear in PushedFilters.
+    plan_asserts(
+        filter_project_events(spark, sf_small),
+        pushed=True,
+        codegen=True,
+        max_scan_columns=5,
+    )
+
+
+def test_q1_prunes_scan_and_aggregates_map_side(spark, sf_small):
+    # Q1 touches 7 of 11 lineitem columns; shipdate filter pushed; partial
+    # (map-side) aggregation before the single exchange.  (Codegen ids are
+    # not rendered inside a non-finalized AdaptiveSparkPlan, so codegen is
+    # asserted on the shuffle-free filter_project plan above instead.)
+    rep = plan_asserts(
+        q1_pricing_summary(spark, sf_small),
+        pushed=True,
+        max_scan_columns=7,
+    )
+    assert "partial_sum" in rep.text, rep.text[:4000]
+    assert rep.n_exchanges == 1, rep.text[:4000]
+
+
+def test_q3_broadcasts_filtered_customer(spark, sf_small):
+    plan_asserts(q3_shipping_priority(spark, sf_small), pushed=True, broadcast=True)
+
+
+def test_q5_broadcasts_dimensions(spark, sf_small):
+    rep = plan_asserts(q5_region_revenue(spark, sf_small), broadcast=True)
+    # All three explicit broadcasts must survive planning.
+    assert rep.text.count("BroadcastHashJoin") >= 3, rep.text[:4000]
+
+
+def test_flagship_is_two_phase_aggregate(spark, sf_small):
+    rep = plan_report(registry.flagship(spark, sf_small))
+    # countDistinct plans partial + final HashAggregate pairs around hash
+    # exchanges keyed on (window[, uid]) — never the reference's
+    # single-task constant-key funnel (UniqueUsersCounter.java:74-75).
+    assert rep.text.count("HashAggregate") >= 2, rep.text[:4000]
+    assert "hashpartitioning(" in rep.text, rep.text[:4000]
+    assert rep.n_exchanges == 2, rep.text[:4000]
+
+
+def test_topk_shares_one_shuffle_across_windows(spark, sf_small):
+    rep = plan_report(
+        registry.all_specs()["window_topk_orders_per_customer"].fn(spark, sf_small)
+    )
+    # All three window functions partition on o_custkey: Catalyst must plan
+    # exactly ONE exchange, reused by both Window operators.
+    assert rep.n_exchanges == 1, rep.text[:4000]
+
+
+def test_orderby_limit_avoids_global_sort(spark, sf_small):
+    rep = plan_report(
+        registry.all_specs()["orderby_limit_top_lineitems"].fn(spark, sf_small)
+    )
+    assert "TakeOrderedAndProject" in rep.text, rep.text[:4000]
