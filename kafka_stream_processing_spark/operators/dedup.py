@@ -18,7 +18,7 @@ from kafka_stream_processing_spark.operators.similarity import (
     l2_norm_exact,
 )
 from kafka_stream_processing_spark.registry import register
-from kafka_stream_processing_spark.sources.tables import table
+from kafka_stream_processing_spark.sources.tables import fanout, table
 
 
 def hash64(col: Column) -> Column:
@@ -122,7 +122,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the shingle join's cost is sum over shingles of df² — bounded
     by dropping stop-shingles with df > MAX_SHINGLE_DF.  Shuffles on
     shingle then on (doc_a, doc_b): both narrow keys."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     sh = (
         d.select("doc_id", F.explode(_word_shingles(toks)).alias("sh"))
@@ -159,8 +159,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-MINHASH_K = 16  # signature length (seeds 0..15)
+MINHASH_K = 16  # signature length
 LSH_ROWS_PER_BAND = 2  # → 8 bands; P(candidate) = 1-(1-j^2)^8
+
+#: Universal-hash family h_i(x) = (A[i]*base(x) + B[i]) mod P over a single
+#: md5-derived base hash — ONE md5 per shingle instead of K (measured 7.7s
+#: → see BENCH.json history), and the affine step is pure int64 arithmetic.
+#: base is reduced mod P (< 2^31) so A[i]*base < 2^62 — no overflow in
+#: either engine (DuckDB raises on int64 overflow; Java would wrap).
+#: Constants from numpy RandomState(11), embedded as literals on both sides.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_A = [774252442, 293375680, 83645521, 707468380, 1989508434, 833720248,
+             966083854, 1830871373, 1804760738, 451723848, 2084893523,
+             969428761, 54893166, 1702270557, 2093245105, 1400938238]
+MINHASH_B = [1897545120, 398626605, 1506653420, 1673783933, 987689860,
+             918100514, 467017868, 76873601, 1691805514, 1225735205,
+             1533965813, 376521959, 709041620, 1017203793, 568370267,
+             740925848]
+
+
+def _minhash_band_structs_sql() -> str:
+    """DuckDB list-of-structs literal: one entry per band carrying the two
+    min-hash columns of that band."""
+    entries = ", ".join(
+        f"struct_pack(band := {band}, mh0 := m{2 * band}, mh1 := m{2 * band + 1})"
+        for band in range(MINHASH_K // LSH_ROWS_PER_BAND)
+    )
+    return f"[{entries}]"
 
 
 @register(
@@ -179,24 +204,21 @@ LSH_ROWS_PER_BAND = 2  # → 8 bands; P(candidate) = 1-(1-j^2)^8
             WHERE len(t) >= 3
         )
     ),
-    seeded AS (
-        SELECT doc_id, tok, s.seed
-        FROM toks, (SELECT unnest(range(0, {MINHASH_K})) AS seed) s
+    based AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+        FROM toks
     ),
     sig AS (
-        SELECT doc_id, seed,
-               min(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 15))
-                        AS BIGINT)) AS mh
-        FROM seeded
-        GROUP BY 1, 2
+        SELECT doc_id,
+               {", ".join(f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+                          for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+        FROM based
+        GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id,
-               seed // {LSH_ROWS_PER_BAND} AS band,
-               min(CASE WHEN seed % 2 = 0 THEN mh END) AS mh0,
-               min(CASE WHEN seed % 2 = 1 THEN mh END) AS mh1
-        FROM sig
-        GROUP BY 1, 2
+        SELECT doc_id, b.band AS band, b.mh0 AS mh0, b.mh1 AS mh1
+        FROM sig, unnest({_minhash_band_structs_sql()}) AS u(b)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
     FROM bands a
@@ -222,27 +244,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference README.md:27-31); the candidate join is an equi-join on
     (band, band-signature) — documents only meet if they collide, never
     all-pairs."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(_word_shingles(F.split("text", " "))).alias("tok")
     )
-    seeded = toks.select(
-        "doc_id",
-        "tok",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed"),
+    based = toks.select("doc_id", (hash64(F.col("tok")) % MINHASH_P).alias("h"))
+    sig = based.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
     )
-    h = hash64(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok")))
-    sig = seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("mh"))
-    bands = (
-        sig.groupBy(
-            "doc_id",
-            (F.col("seed") / LSH_ROWS_PER_BAND).cast("int").alias("band"),
-        )
-        .agg(
-            F.min(F.when(F.col("seed") % 2 == 0, F.col("mh"))).alias("mh0"),
-            F.min(F.when(F.col("seed") % 2 == 1, F.col("mh"))).alias("mh1"),
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"m{2 * band}").alias("mh0"),
+                F.col(f"m{2 * band + 1}").alias("mh1"),
+            )
+            for band in range(MINHASH_K // LSH_ROWS_PER_BAND)
+        ]
     )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", "b.band", "b.mh0", "b.mh1")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -331,7 +356,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path at 100 TB blocks on signature bytes (split the 16 bits
     into 4 nibbles; near pairs must share ≥1 exact nibble — same
     band-join shape as MinHash-LSH above)."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(_word_shingles(F.split("text", " "))).alias("tok")
     )
@@ -404,7 +429,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: written as the all-pairs formulation for oracle parity; the
     100 TB path prepends the random-hyperplane LSH bucketing from
     similarity.py so only same-bucket pairs are scored."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )
     n = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))

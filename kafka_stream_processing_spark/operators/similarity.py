@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.registry import register
-from kafka_stream_processing_spark.sources.tables import table
+from kafka_stream_processing_spark.sources.tables import fanout, table
 
 _DEC = "decimal(18,12)"
 
@@ -100,7 +100,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast (queries × corpus is a map-side nested loop, no shuffle of
     the corpus); top-k per query collapses via row_number — with millions
     of queries, switch to the LSH-bucketed variant below."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )
     with_norm = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
@@ -211,7 +211,7 @@ def similarity_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffles once on bucket id and each query only scores ~1/2^P
     of it.  More planes → smaller buckets → cheaper-but-lossier; the
     production knob is (planes, multi-probe count)."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )
     n = emb.select(

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.registry import register
-from kafka_stream_processing_spark.sources.tables import table
+from kafka_stream_processing_spark.sources.tables import fanout, table
 
 #: Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
 #: Deliberately small and hard-coded so the Spark and SQL sides are
@@ -51,7 +51,7 @@ def _tokens(col: str = "text") -> Column:
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, unique tokens, a BPE-ish regex
     tokenizer (letter-runs / digit-runs / single punctuation)."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = _tokens()
     return d.select(
         "doc_id",
@@ -99,7 +99,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (Gopher-rules style): length band,
     stopword density, punctuation density → integer score 0..3."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = _tokens()
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     feats = d.select(
@@ -164,7 +164,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID (stopword voting with a fixed precedence
     order for ties; 'und' when no marker hits).  A real pipeline swaps the
     marker lists for character-n-gram profiles — same plan shape."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = _tokens()
 
     def score(markers: tuple[str, ...]) -> Column:
@@ -228,7 +228,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations over the exploded token stream; df (vocabulary-sized) is
     broadcast back; ln() output rounded to 6 decimals for cross-libm
     determinism."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -268,7 +268,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: bag-of-words canonical fingerprint (sorted
     distinct tokens → md5, robust to token order) plus the exact-text hash.
     Both engines md5 identical UTF-8 bytes → identical hex."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = _tokens()
     return d.select(
         "doc_id",

@@ -60,6 +60,23 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+def fanout(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before a compute-heavy
+    pipeline (hashing, shingling, vector math).
+
+    The driver testdata is one single-row-group parquet file per table, so
+    Spark plans exactly ONE scan task no matter how many cores exist —
+    measured 3.5 s single-threaded for 260 k shingle+md5 rows that the
+    cluster could do in a fraction of that.  A real 100 TB table arrives
+    pre-split (many files / row groups) and this repartition collapses to
+    a no-op decision; it costs one shuffle of the raw rows, which only
+    pays off when downstream per-row work dominates — hence applied
+    selectively by the heavy operators, not in table()."""
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` can be used."""
     for name in TABLES:
