@@ -78,9 +78,10 @@ MAX_SHINGLE_DF = 100
 JACCARD_THRESHOLD = 0.3
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+#: Full oracle SELECT for the jaccard query — module-level so the
+#: connected-components oracle (operators/clustering.py) can embed it as a
+#: CTE body and cluster the exact same pair set.
+JACCARD_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -111,7 +112,12 @@ JACCARD_THRESHOLD = 0.3
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=JACCARD_ORACLE,
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

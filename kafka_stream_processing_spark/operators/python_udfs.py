@@ -1,0 +1,114 @@
+"""The Python UDF surface, used the way the engine prescribes it:
+
+- Arrow-batched ``pandas_udf`` for vectorized scalar work (10-100× faster
+  than row-at-a-time ``udf``, which this engine does not use anywhere);
+- ``applyInPandas`` for per-group logic that genuinely needs a dataframe
+  view of the group (the batch analog of the reference's custom
+  ``aggregate()`` callback, UniqueUsersCounter.java:80-84).
+
+Both queries here are deliberately ALSO expressible in SQL so the pandas
+path itself is oracle-checked: every arithmetic step is ordered
+identically on both sides (int64 sums first, one float division last), so
+even float outputs match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import fanout, table
+
+
+def _token_count_udf():
+    # Built lazily: pandas_udf parses its DDL return type against the
+    # active SparkSession, which doesn't exist at module-import time.
+    @pandas_udf("long")
+    def _token_count(text: pd.Series) -> pd.Series:
+        # Vectorized count of single-space-separated tokens; semantics
+        # match Spark split / DuckDB string_split (empty tokens included).
+        return text.str.count(" ").add(1).astype("int64")
+
+    return _token_count
+
+
+@register(
+    "pandas_udf_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens_udf
+    FROM documents
+    """,
+    tags=("udf",),
+)
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow batches, no per-row Python overhead).
+    The same quantity is computed JVM-side in text_token_stats — keeping
+    both proves the UDF path is semantics-identical to the built-in one."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    return d.select("doc_id", _token_count_udf()("text").alias("n_tokens_udf"))
+
+
+def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("ts_us", kind="mergesort")
+    gaps = pdf["ts_us"].diff().dropna()
+    n = len(pdf)
+    # Ordered identically to the SQL side: int64 sum, divide by count,
+    # then scale — float ops in the same sequence produce the same bits.
+    mean_gap_s = float(gaps.sum()) / float(n - 1) / 1e6
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [n],
+            "mean_gap_s": [mean_gap_s],
+            "first_us": [pdf["ts_us"].min()],
+            "last_us": [pdf["ts_us"].max()],
+        }
+    )
+
+
+@register(
+    "applyinpandas_user_gap_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) AS ts_us,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(SUM(gap_us) AS DOUBLE) / CAST(count(*) - 1 AS DOUBLE) / 1e6
+               AS mean_gap_s,
+           min(ts_us) AS first_us,
+           max(ts_us) AS last_us
+    FROM g
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+    tags=("udf",),
+)
+def applyinpandas_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-gap statistics via applyInPandas: each user's
+    timeline arrives as one pandas DataFrame (the engine's escape hatch
+    for group logic that doesn't decompose into aggregates).
+
+    Scale: one shuffle on user_id; group size is bounded by per-user
+    activity.  A power-user group that exceeds executor memory is the
+    known hazard of this operator class — the docstring contract is
+    'group must fit in memory', and the window-function formulation (the
+    oracle side) is the fallback when it doesn't."""
+    events = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = events.groupBy("user_id").applyInPandas(
+        _gap_stats,
+        schema="user_id bigint, n_events bigint, mean_gap_s double, "
+               "first_us bigint, last_us bigint",
+    )
+    return out.filter(F.col("n_events") >= 2)

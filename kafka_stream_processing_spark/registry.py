@@ -73,12 +73,15 @@ def _load() -> None:
         return
     # Imports are local to avoid circular imports at package import time.
     from kafka_stream_processing_spark.operators import (  # noqa: F401
+        clustering,
         connectors,
         dedup,
         multimodal,
+        python_udfs,
         relational,
         scalar,
         similarity,
+        subqueries,
         text,
         windowed,
     )
