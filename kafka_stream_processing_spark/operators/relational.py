@@ -574,6 +574,91 @@ def window_lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame_revenue",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           days,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY days
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_30d_spend,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+               AS price_pct_rank,
+           round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+               AS price_cume_dist
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days
+        FROM orders
+    )
+    """,
+)
+def window_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (trailing 30-day spend per customer — a value-based
+    frame, not a row count) plus percent_rank/cume_dist distribution
+    functions.  Range frames need a numeric ordering key, so the date is
+    projected to day-offset first — same trick both engines."""
+    o = table(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice", days.alias("days"))
+    trailing = (
+        Window.partitionBy("o_custkey")
+        .orderBy("days")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    by_price = Window.orderBy("o_totalprice", "o_orderkey")
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "days",
+        F.sum(dec("o_totalprice")).over(trailing).cast("double")
+        .alias("trailing_30d_spend"),
+        F.round(F.percent_rank().over(by_price), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(by_price), 6).alias("price_cume_dist"),
+    )
+
+
+@register(
+    "agg_salted_high_cardinality",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scale", "skew"),
+)
+def agg_salted_high_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation for skewed grouping keys: only 5
+    event_type values exist, so a naive groupBy funnels 100 TB into 5
+    reducers.  Phase 1 groups by (key, salt=user_id%32) — 32-way fan-out
+    per hot key; phase 2 re-aggregates the partial results (160 rows).
+    Decimal partials make the two-phase sum exactly equal the direct one,
+    which is what the oracle verifies."""
+    events = table(spark, sf_dir, "events")
+    salted = (
+        events
+        .withColumn("salt", (F.col("user_id") % 32).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("value")).alias("pv"),
+        )
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
     "window_ntile_customer_value",
     oracle="""
     SELECT c_custkey,

@@ -103,3 +103,48 @@ def stream_unique_users_per_minute(spark: SparkSession, sf_dir: str) -> DataFram
     )
     query.awaitTermination()
     return count_per_window(spark.table(name))
+
+
+@register(
+    "stream_unique_users_sliding",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 30000000) * 30000000) AS wstart
+        FROM events
+        UNION ALL
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 30000000) * 30000000 - 30000000)
+        FROM events
+    )
+    SELECT CAST(wstart AS VARCHAR) AS window_start,
+           count(DISTINCT user_id) AS unique_users
+    FROM assigned
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_unique_users_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1 min / 30 s hop) windowed distinct users computed by a
+    real Structured Streaming run — each event enters two windows'
+    dedup state; same oracle as the batch sliding query."""
+    path = _stream_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_sliding_{next(_run_counter)}"
+
+    stream = normalize_events(spark.readStream.schema(raw_schema).parquet(path))
+    deduped = (
+        stream
+        .withWatermark("ts", "5 seconds")
+        .select(F.window("ts", "1 minute", "30 seconds").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return count_per_window(spark.table(name))
