@@ -84,6 +84,62 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint, frame_hash string"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(buf)
+            n_frames = n % 5 + 1  # a real sampler reads container metadata
+            for idx in range(n_frames):
+                offset = (n * (idx + 1)) // (n_frames + 1)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": idx,
+                        "frame_offset": offset,
+                        "frame_hash": hashlib.md5(buf[offset : offset + 16]).hexdigest(),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_hash"])
+
+
+@register(
+    "multimodal_frame_sample",
+    # Frame positions/hashes are byte-deterministic → SQL-checkable even
+    # though the Spark side runs through Python.  DuckDB cannot slice
+    # BLOBs, so the oracle slices the text — sound because the synthetic
+    # docs are pure ASCII (byte slice == char slice).
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS n,
+               octet_length(encode(text)) % 5 + 1 AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(idx AS INT) AS frame_idx,
+           (n * (idx + 1)) // (n_frames + 1) AS frame_offset,
+           md5(substr(text, CAST((n * (idx + 1)) // (n_frames + 1) AS INT) + 1, 16))
+               AS frame_hash
+    FROM meta, unnest(range(0, n_frames)) AS t(idx)
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like payloads: a 1→N mapInPandas stage
+    (each payload yields a variable number of frame records with offsets
+    and content hashes).  The sampler itself is the stub — a real one
+    seeks container keyframes — but the engine-visible contract (binary
+    in, exploded typed frame rows out, narrow/no shuffle) is exactly what
+    production needs."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
 @register(
     "multimodal_metadata_struct",
     oracle="""

@@ -85,7 +85,10 @@ def _load() -> None:
         text,
         windowed,
     )
-    from kafka_stream_processing_spark.streaming import unique_users  # noqa: F401
+    from kafka_stream_processing_spark.streaming import (  # noqa: F401
+        joins,
+        unique_users,
+    )
 
     _LOADED = True
 

@@ -82,6 +82,10 @@ def unique_users_topology(
     )
     return (
         events.select(ts.alias("ts"), "uid")
+        # Engine policy for the reference's NPE case (missing uid,
+        # UniqueUsersCounter.java:68): null uids are not users — drop them
+        # before they become dedup-state keys.
+        .filter(F.col("uid").isNotNull())
         .withWatermark("ts", watermark)
         .select(F.window("ts", "1 minute").alias("w"), "uid")
         .dropDuplicates(["w", "uid"])

@@ -1,0 +1,88 @@
+"""Stream-stream joins — absent from the reference entirely (SURVEY.md
+§2.1) and one of the hardest things to retrofit onto a Kafka Streams-style
+topology; in Structured Streaming it's declarative: watermark both sides,
+join with an event-time range condition, state buffers only rows inside
+the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import normalize_events
+from kafka_stream_processing_spark.streaming.unique_users import _stream_source_dir
+
+_uniq = itertools.count()
+
+
+@register(
+    "stream_stream_join_click_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "joins"),
+)
+def stream_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: every (purchase, click) pair where the
+    same user clicked within the 10 minutes before the purchase — computed
+    by an ACTUAL streaming join of two watermarked streams over the same
+    source.
+
+    Scale/state: the range condition bounds the buffered state — each
+    side retains only rows within watermark + 10 min of event time, then
+    drops them; without the time bound a stream-stream join's state grows
+    forever (the same unbounded-state disease as the reference's HashSet,
+    in join form).  One shuffle per side on user_id."""
+    path = _stream_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"ssj_{next(_uniq)}"
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            normalize_events(spark.readStream.schema(raw_schema).parquet(path))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "5 seconds")
+        )
+
+    purchases = side("purchase", "purchase")
+    clicks = side("click", "click")
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        F.col("click_id"),
+        F.col("purchase_user").alias("user_id"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
