@@ -679,6 +679,104 @@ def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_event_type_daily",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type.  The pivot
+    values are ENUMERATED explicitly — at scale an implicit pivot triggers
+    an extra distinct-scan to discover them, and unbounded pivot width is
+    a schema hazard."""
+    events = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events
+        .groupBy(F.date_trunc("day", "ts").cast("string").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # Pivot leaves NULL for absent combinations; the oracle's FILTER
+    # counts yield 0 — align on 0.
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "unpivot_stats_long_form",
+    oracle="""
+    SELECT o_orderstatus, metric, value FROM (
+        SELECT o_orderstatus,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders GROUP BY 1
+    ) UNPIVOT (value FOR metric IN (n_orders, min_price, max_price))
+    """,
+)
+def unpivot_stats_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-status stats to long (status, metric,
+    value) form — the shape feature stores and plotting layers want."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "min_price", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "null_handling_order_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           coalesce(prev_price, 0.0) AS prev_price_filled,
+           prev_price IS NULL AS is_first_order,
+           nullif(coalesce(prev_price, 0.0), 0.0) IS NULL AS nullif_roundtrip
+    FROM g
+    """,
+)
+def null_handling_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: coalesce / IS NULL / nullif over the nulls
+    that lag() introduces at partition starts."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+    filled = F.coalesce("prev_price", F.lit(0.0))
+    return g.select(
+        "o_custkey",
+        "o_orderkey",
+        filled.alias("prev_price_filled"),
+        F.col("prev_price").isNull().alias("is_first_order"),
+        F.nullif(filled, F.lit(0.0)).isNull().alias("nullif_roundtrip"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / set ops
 # ---------------------------------------------------------------------------

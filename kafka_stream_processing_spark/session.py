@@ -67,6 +67,8 @@ def get_spark(app_name: str = "kafka_stream_processing_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/kssp_warehouse"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     for key, value in RUNTIME_CONF.items():
