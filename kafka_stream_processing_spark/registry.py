@@ -87,6 +87,7 @@ def _load() -> None:
     )
     from kafka_stream_processing_spark.streaming import (  # noqa: F401
         joins,
+        stateful,
         unique_users,
     )
 
