@@ -213,6 +213,60 @@ def unique_user_set_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dense_minutes_gap_filled",
+    oracle="""
+    WITH bounds AS (
+        SELECT make_timestamp((epoch_us(min(ts)) // 60000000) * 60000000) AS lo,
+               make_timestamp((epoch_us(max(ts)) // 60000000) * 60000000) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+        FROM bounds
+    ),
+    counts AS (
+        SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(g.minute AS VARCHAR) AS minute,
+           coalesce(c.n, 0) AS n_events,
+           c.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN counts c ON c.minute = g.minute
+    """,
+    tags=("timeseries",),
+)
+def dense_minutes_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: densify the per-minute event counts over the full
+    [min, max] minute grid, zero-filling empty minutes — the generator +
+    left-join pattern (Spark sequence() + explode as the table-valued
+    generator).  Scale: the grid is tiny relative to the data (minutes in
+    range), built from a 1-row bounds aggregate and exploded; the join is
+    broadcast."""
+    events = table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute")
+    )
+    counts = (
+        events.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(counts, "minute", "left")
+        .select(
+            F.col("minute").cast("string").alias("minute"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+@register(
     "unique_users_daily_by_type",
     oracle="""
     SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS window_start,

@@ -165,6 +165,53 @@ def test_append_mode_streaming_equals_batch(spark, staged_stream_dir, sf_small):
     assert got == truth
 
 
+def test_streaming_session_windows_match_batch_for_closed_sessions(spark, sf_small):
+    """Streaming session windows (append mode): every emitted session must
+    exist identically in the batch result; only sessions still OPEN at the
+    final watermark may be withheld (measured: exactly the tail sessions)."""
+    from kafka_stream_processing_spark.sources.tables import normalize_events, table
+    from kafka_stream_processing_spark.streaming.unique_users import _stream_source_dir
+
+    path = _stream_source_dir(sf_small)
+    raw = spark.read.parquet(path).schema
+    stream = normalize_events(spark.readStream.schema(raw).parquet(path))
+    name = f"sess_{next(_uniq)}"
+    agg = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.unix_micros("w.start").alias("start_us"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.start_us): r.n_events for r in spark.table(name).collect()
+    }
+
+    from kafka_stream_processing_spark import registry
+
+    batch = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in registry.all_specs()["session_windows_per_user"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    # Streamed sessions are exact.
+    for key, n in streamed.items():
+        assert batch.get(key) == n, (key, n, batch.get(key))
+    # Only tail sessions may be missing.
+    missing = set(batch) - set(streamed)
+    max_ts = table(spark, sf_small, "events").agg(F.max("ts")).collect()[0][0]
+    horizon_us = int(max_ts.timestamp() * 1e6) - (5 * 60 + 5) * 1_000_000
+    assert all(start_us >= horizon_us for _, start_us in missing), missing
+
+
 def test_streaming_survives_late_data_within_watermark(spark, tmp_path):
     """Events arriving out of order within the watermark still land in
     their event-time window (the reference, windowing on ingestion time,
