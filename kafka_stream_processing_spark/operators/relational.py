@@ -680,6 +680,54 @@ def window_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram_event_values",
+    oracle="""
+    SELECT CAST(least(floor(value / 10.0), 19) AS BIGINT) AS bucket,
+           count(*) AS n,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via portable floor-bucketing (clamped top
+    bucket) — one pass, one tiny aggregate; the building block behind
+    NDV/selectivity estimation at scale."""
+    events = table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 10.0), F.lit(19)).cast("bigint")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@register(
+    "setops_bag_semantics",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — each custkey appears min(n_open,
+    n_filled) times), complementing the distinct set ops above."""
+    o = table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    filled_keys = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_keys.intersectAll(filled_keys)
+
+
+@register(
     "pivot_event_type_daily",
     oracle="""
     SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,

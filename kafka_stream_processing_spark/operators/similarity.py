@@ -128,6 +128,61 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT t.i AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+    )
+    SELECT CAST(dim AS INT) - 1 AS dim,
+           count(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS mean,
+           round(sqrt((CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE)
+                       - CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                         * CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / count(*))
+                      / (count(*) - 1)), 6) AS stddev,
+           min(x) AS min_val,
+           max(x) AS max_val
+    FROM flat
+    GROUP BY 1
+    """,
+    tags=("similarity", "statistics"),
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution statistics of the embedding column
+    (posexplode → exact decimal moments) — the profiling step before
+    choosing LSH planes / normalization in a vector pipeline.  Scale: one
+    64x row expansion (pipelined, no shuffle) then a 64-group aggregate."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        F.posexplode(_as_double_array("embedding")).alias("dim", "x")
+    )
+    dx = F.col("x").cast(_DEC)
+    s = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
+        F.min("x").alias("min_val"),
+        F.max("x").alias("max_val"),
+    )
+    return s.select(
+        "dim",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("stddev"),
+        "min_val",
+        "max_val",
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (the 100 TB path)
 # ---------------------------------------------------------------------------

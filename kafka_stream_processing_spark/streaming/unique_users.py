@@ -106,6 +106,70 @@ def stream_unique_users_per_minute(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_chained_window_agg",
+    # Append mode only emits windows CLOSED by the final watermark
+    # (max(ts) - 5 s); the oracle reproduces that gate exactly, so the
+    # comparison pins the engine's emission semantics, not just values.
+    oracle="""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 5 SECOND AS w FROM events
+    ),
+    minutes AS (
+        SELECT date_trunc('minute', ts) AS m, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(CAST(date_trunc('hour', m) AS TIMESTAMP) AS VARCHAR) AS hour_start,
+           max(n) AS peak_minute_events,
+           CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS total_events
+    FROM minutes, wm
+    WHERE date_trunc('hour', m) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregation (Spark 3.4+): per-minute
+    event counts re-aggregated into per-hour peak/total — two stateful
+    operators in one streaming query, stitched with window_time().  The
+    reference's library cannot chain windowed aggregations without an
+    intermediate topic; here it's one plan with two state stores.
+
+    Scale/state: stage 1 holds open minute windows, stage 2 open hour
+    windows; both watermark-evicted."""
+    path = _stream_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"chained_{next(_run_counter)}"
+
+    stream = normalize_events(spark.readStream.schema(raw_schema).parquet(path))
+    per_minute = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("mw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_hour = (
+        per_minute
+        .groupBy(F.window(F.window_time("mw"), "1 hour").alias("hw"))
+        .agg(
+            F.max("n").alias("peak_minute_events"),
+            F.sum("n").alias("total_events"),
+        )
+    )
+    query = (
+        per_hour.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("hw.start").cast("string").alias("hour_start"),
+        "peak_minute_events",
+        F.col("total_events").cast("bigint").alias("total_events"),
+    )
+
+
+@register(
     "stream_unique_users_sliding",
     oracle="""
     WITH assigned AS (
