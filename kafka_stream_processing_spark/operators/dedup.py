@@ -353,7 +353,8 @@ def _simhash_oracle() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit signature (sign of per-bit vote sums over
-    word-3-gram shingle hashes), pairs within Hamming distance 3.
+    word-3-gram shingle hashes), pairs within Hamming distance
+    SIMHASH_MAX_HAMMING (=1; see the false-positive analysis above).
     Shingles rather than unigrams for the same degeneracy reason as
     MinHash above.
 

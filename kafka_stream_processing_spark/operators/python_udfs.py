@@ -31,7 +31,8 @@ def _token_count_udf():
     def _token_count(text: pd.Series) -> pd.Series:
         # Vectorized count of single-space-separated tokens; semantics
         # match Spark split / DuckDB string_split (empty tokens included).
-        return text.str.count(" ").add(1).astype("int64")
+        # Nullable Int64 so a NULL text yields NULL, not an astype crash.
+        return text.str.count(" ").add(1).astype("Int64")
 
     return _token_count
 
@@ -57,6 +58,18 @@ def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("ts_us", kind="mergesort")
     gaps = pdf["ts_us"].diff().dropna()
     n = len(pdf)
+    if n < 2:
+        # A singleton user has no gaps — emit nothing (the oracle's
+        # HAVING count(*) >= 2), instead of dividing by zero.
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "mean_gap_s": pd.Series([], dtype="float64"),
+                "first_us": pd.Series([], dtype="int64"),
+                "last_us": pd.Series([], dtype="int64"),
+            }
+        )
     # Ordered identically to the SQL side: int64 sum, divide by count,
     # then scale — float ops in the same sequence produce the same bits.
     mean_gap_s = float(gaps.sum()) / float(n - 1) / 1e6

@@ -104,7 +104,7 @@ def scalar_date_order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )
@@ -214,7 +214,7 @@ def array_word_explode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS n_long_tokens,
-           list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS total_chars,
+           CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS BIGINT) AS total_chars,
            array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 40), ' '))), ',') AS head_vocab
     FROM documents
     """,

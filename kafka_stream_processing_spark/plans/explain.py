@@ -56,12 +56,28 @@ class PlanReport:
         )
 
     def read_schema_columns(self) -> list[str]:
-        """Column list of the first scan's ReadSchema line (pruning check)."""
+        """TOP-LEVEL column list of the first scan's ReadSchema line
+        (pruning check).  Depth-aware parse: nested struct/array/map types
+        contain commas and colons that a naive split would miscount."""
         for line in self.text.splitlines():
             line = line.strip()
-            if line.startswith("ReadSchema:"):
-                inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
-                return [c.split(":")[0] for c in inner.split(",") if c]
+            if not line.startswith("ReadSchema:"):
+                continue
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            cols: list[str] = []
+            depth = 0
+            field_start = 0
+            for i, ch in enumerate(inner + ","):
+                if ch in "<([":
+                    depth += 1
+                elif ch in ">)]":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    field = inner[field_start:i]
+                    if field:
+                        cols.append(field.split(":", 1)[0].strip())
+                    field_start = i + 1
+            return cols
         return []
 
 

@@ -75,20 +75,25 @@ def unique_users_topology(
     ISO window start, value = count).  ``time_column`` selects ingestion
     time ('kafka_ts', the reference's behavior) or event time ('event_ts
     as timestamp', the reference README's unimplemented proposal)."""
+    # Null-uid policy (the reference's NPE case, UniqueUsersCounter.java:68)
+    # lives inside build_windowed_dedup — ONE topology shared by the Kafka
+    # path and the CI-covered file-source path, so they cannot drift.
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        build_windowed_dedup,
+    )
+
     ts = (
         F.col(time_column)
         if time_column == "kafka_ts"
         else F.timestamp_seconds(F.col(time_column))
     )
+    deduped = build_windowed_dedup(
+        events.select(ts.alias("ts"), "uid"),
+        watermark=watermark,
+        id_col="uid",
+    )
     return (
-        events.select(ts.alias("ts"), "uid")
-        # Engine policy for the reference's NPE case (missing uid,
-        # UniqueUsersCounter.java:68): null uids are not users — drop them
-        # before they become dedup-state keys.
-        .filter(F.col("uid").isNotNull())
-        .withWatermark("ts", watermark)
-        .select(F.window("ts", "1 minute").alias("w"), "uid")
-        .dropDuplicates(["w", "uid"])
+        deduped
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(

@@ -24,7 +24,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import normalize_events
-from kafka_stream_processing_spark.streaming.unique_users import _stream_source_dir
+from kafka_stream_processing_spark.streaming.unique_users import (
+    _stream_chunked_source_dir,
+)
 
 _uniq = itertools.count()
 
@@ -73,16 +75,22 @@ def _update_user_stats(
     tags=("streaming", "stateful"),
 )
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator via applyInPandasWithState, run as a real
-    multi-batch stream (maxFilesPerTrigger=1); the final emission per user
-    must equal the batch aggregate.  State is 3 integers per user —
-    bounded, checkpointed, and GC-able via timeouts at scale."""
-    path = _stream_source_dir(sf_dir)
+    """Custom stateful operator via applyInPandasWithState, run as a REAL
+    multi-batch stream: the source is staged as 3 time-ordered chunk files
+    fed one per trigger, so per-user state genuinely accumulates across
+    micro-batches and each batch re-emits the updated row; the final
+    emission per user must equal the batch aggregate.  State is 3 integers
+    per user — bounded, checkpointed, and GC-able via timeouts at scale."""
+    path = _stream_chunked_source_dir(sf_dir)
     raw_schema = spark.read.parquet(path).schema
     name = f"stateful_{next(_uniq)}"
 
     stream = (
-        normalize_events(spark.readStream.schema(raw_schema).parquet(path))
+        normalize_events(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
         .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
     )
     updated = stream.groupBy("user_id").applyInPandasWithState(

@@ -44,18 +44,63 @@ def _stream_source_dir(sf_dir: str) -> str:
     d = os.path.join("/tmp", "kssp_stream_src", key, "events")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # lexists, not exists: a dangling link (testdata moved) must be
+    # replaced, not tripped over with FileExistsError.
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     return d
 
 
-def build_windowed_dedup(events: DataFrame, watermark: str = "5 seconds") -> DataFrame:
+def _stream_chunked_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
+    """Stage events as N time-ordered parquet chunk files so that
+    ``maxFilesPerTrigger=1`` yields a genuine multi-batch stream (the
+    single-file staging above always collapses to one micro-batch)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join("/tmp", "kssp_stream_src", key, f"events_chunks{n_chunks}")
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    step = (n + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = t.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(d, f"chunk-{i}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+def build_windowed_dedup(
+    events: DataFrame,
+    watermark: str = "5 seconds",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    window: str = "1 minute",
+    slide: str | None = None,
+) -> DataFrame:
     """The streaming topology up to (but excluding) the final count —
-    shared by batch-parity tests and the Kafka entry point."""
+    shared by the registered streaming queries, the batch-parity tests and
+    the Kafka entry point (sources/kafka.py passes id_col='uid').
+
+    NULL ids are dropped BEFORE dedup: count-distinct semantics (batch
+    flagship and oracle both use count(DISTINCT ...)) never count NULL as
+    a user, and a (window, NULL) dedup-state entry would."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
     return (
         events
-        .withWatermark("ts", watermark)
-        .select(F.window("ts", "1 minute").alias("w"), "user_id")
+        .filter(F.col(id_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(win.alias("w"), F.col(id_col).alias("user_id"))
         .dropDuplicates(["w", "user_id"])
     )
 
@@ -197,12 +242,7 @@ def stream_unique_users_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sliding_{next(_run_counter)}"
 
     stream = normalize_events(spark.readStream.schema(raw_schema).parquet(path))
-    deduped = (
-        stream
-        .withWatermark("ts", "5 seconds")
-        .select(F.window("ts", "1 minute", "30 seconds").alias("w"), "user_id")
-        .dropDuplicates(["w", "user_id"])
-    )
+    deduped = build_windowed_dedup(stream, slide="30 seconds")
     query = (
         deduped.writeStream.format("memory")
         .queryName(name)
