@@ -66,6 +66,44 @@ def connector_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "connector_custom_datasource",
+    oracle="""
+    SELECT CAST(i % 16 AS INT) AS bucket,
+           count(*) AS n,
+           min(md5(CAST(i AS VARCHAR))) AS min_hash
+    FROM range(0, 4096) t(i)
+    GROUP BY 1
+    """,
+    tags=("connectors", "custom-source"),
+)
+def connector_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the engine's custom Python DataSource (format
+    'kssp_sequence', sources/synthetic.py) and aggregate — proving the
+    from-scratch connector plugs into the same planned, partitioned scan
+    path as built-in formats (8 independent input partitions, no driver
+    funnel)."""
+    from kafka_stream_processing_spark.sources.synthetic import (
+        FORMAT_NAME,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    seq = (
+        spark.read.format(FORMAT_NAME)
+        .option("n", 4096)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return (
+        seq.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("seq_hash").alias("min_hash"),
+        )
+    )
+
+
+@register(
     "connector_parquet_write_partitioned",
     oracle="""
     SELECT event_type,
