@@ -83,6 +83,7 @@ def _load() -> None:
         similarity,
         subqueries,
         text,
+        tpch_extra,
         windowed,
     )
     from kafka_stream_processing_spark.streaming import (  # noqa: F401
