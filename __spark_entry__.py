@@ -8,11 +8,19 @@ where SQL-expressible, a DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_stream_processing_spark import registry
+# The engine package lives next to this file; make the import robust to
+# whatever working directory the verification driver runs from.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from kafka_stream_processing_spark import registry  # noqa: E402
 
 SF0001_DIR = "/root/testdata/sf0.001"
 
