@@ -128,15 +128,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the shingle join's cost is sum over shingles of df² — bounded
     by dropping stop-shingles with df > MAX_SHINGLE_DF.  Shuffles on
     shingle then on (doc_a, doc_b): both narrow keys."""
+    from pyspark.sql import Window
+
     d = fanout(table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     sh = (
         d.select("doc_id", F.explode(_word_shingles(toks)).alias("sh"))
         .distinct()
     )
-    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency via an unordered window over sh: ONE shuffle on
+    # sh serves the df filter AND pre-partitions both sides of the
+    # self-join below (vs. a separate groupBy + join-back = two extra
+    # exchanges of the shingle set).
     filtered = (
-        sh.join(df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
         .select("doc_id", "sh")
     )
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

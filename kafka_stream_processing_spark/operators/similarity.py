@@ -32,6 +32,16 @@ LSH_PLANES: list[list[float]] = [
     for row in _np.round(_np.random.RandomState(7).randn(_N_PLANES, 64), 4)
 ]
 
+#: IVF coarse-quantizer centroids (fixed-seed stand-ins for k-means
+#: output; production would train them).  Scaled to the embedding
+#: distribution so cell occupancy is non-degenerate.
+_N_CELLS = 8
+IVF_NPROBE = 2
+IVF_CENTROIDS: list[list[float]] = [
+    [float(x) for x in row]
+    for row in _np.round(_np.random.RandomState(23).randn(_N_CELLS, 64) * 0.12, 4)
+]
+
 
 def _as_double_array(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -301,4 +311,172 @@ def similarity_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id", "bucket", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (coarse quantization + probed search)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_dot_sql(centroid: list[float]) -> str:
+    lit = _sql_plane_literal(centroid)
+    return (
+        f"CAST(list_aggregate(list_transform(range(1, 65), "
+        f"i -> CAST(emb[i] * ({lit})[i] AS DECIMAL(18,12))), 'sum') AS DOUBLE)"
+    )
+
+
+def _cell_score_sql(centroid: list[float]) -> str:
+    """-2*x·c + ||c||^2 — monotone in squared L2 distance to the centroid
+    (||x||^2 is constant per row, so it cancels in the argmin)."""
+    sq = sum(v * v for v in centroid)
+    return f"(-2.0 * {_centroid_dot_sql(centroid)} + {sq!r})"
+
+
+def _argmin_cell_sql() -> str:
+    # The argmin cell is the first element of the sorted (score, cell)
+    # list — same expression family as the probe list, and avoids a
+    # correlated scalar subquery (DuckDB can't correlate into a derived
+    # table).
+    return f"CAST(({_probe_cells_sql()})[1] AS INT)"
+
+
+def centroid_scores(emb: Column) -> list[Column]:
+    out = []
+    for centroid in IVF_CENTROIDS:
+        c_col = F.array(*[F.lit(x) for x in centroid])
+        sq = sum(v * v for v in centroid)
+        out.append(F.lit(-2.0) * dot_exact(emb, c_col) + F.lit(sq))
+    return out
+
+
+def ivf_cell(emb: Column) -> Column:
+    """Nearest-centroid assignment (deterministic: exact decimal dots;
+    ties resolve to the lowest cell index on both engines)."""
+    scores = centroid_scores(emb)
+    best = F.least(*scores)
+    cell = None
+    for i, s in enumerate(scores):
+        branch = F.when(s == best, i)
+        cell = branch if cell is None else cell.when(s == best, i)
+    # `when` chains evaluate in order, so the first (lowest-index) match
+    # wins — same as the SQL CASE.
+    return cell.cast("int")
+
+
+def _probe_cells_sql() -> str:
+    """The query's nprobe=2 cells: the argmin cell and the runner-up."""
+    scores = [_cell_score_sql(c) for c in IVF_CENTROIDS]
+    arr = "[" + ", ".join(scores) + "]"
+    # Plain list_sort: DuckDB (and Spark array_sort) order structs
+    # lexicographically by field order — (s, c) gives the score order with
+    # the cell index as deterministic tie-break.
+    return (
+        f"list_slice(list_transform(list_sort(list_transform(range(1, 9), "
+        f"j -> {{'s': ({arr})[j], 'c': j - 1}})), x -> x.c), 1, {IVF_NPROBE})"
+    )
+
+
+@register(
+    "similarity_ivf_probed_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(emb[i] * emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm,
+               {_argmin_cell_sql()} AS cell
+        FROM v
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+               unnest({_probe_cells_sql()}) AS probe_cell
+        FROM assigned
+        WHERE vec_id < 5
+    ),
+    pairs AS (
+        SELECT p.query_id, d.vec_id AS neighbor_id, d.cell AS cell,
+               CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(p.q_emb[i] * d.emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE) / (p.q_nrm * d.nrm) AS cosine
+        FROM probes p
+        JOIN assigned d ON d.cell = p.probe_cell AND d.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 10
+    """,
+    tags=("similarity", "scale"),
+)
+def similarity_ivf_probed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus coarse-quantized to 8 cells (nearest of 8
+    fixed centroids — stand-ins for trained k-means); each query probes
+    its nprobe=2 nearest cells and re-ranks exactly within them.
+
+    Scale: the index assignment is one narrow pass; search touches
+    ~nprobe/8 of the corpus per query via an equi-join on cell id —
+    the same plan shape as a real IVF index where cells are also the
+    physical partitioning (cluster-prunable scan)."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    assigned = emb.select(
+        "vec_id",
+        "emb",
+        l2_norm_exact(F.col("emb")).alias("nrm"),
+        ivf_cell(F.col("emb")).alias("cell"),
+    )
+    # nprobe=2: argmin cell + runner-up, via a sorted (score, idx) array.
+    score_structs = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(i).alias("c"))
+            for i, s in enumerate(centroid_scores(F.col("q_emb")))
+        ]
+    )
+    queries = (
+        assigned.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        .withColumn("probe_cells",
+                    F.slice(F.transform(F.array_sort(score_structs),
+                                        lambda x: x["c"]), 1, IVF_NPROBE))
+        .select("query_id", "q_emb", "q_nrm",
+                F.explode("probe_cells").alias("probe_cell"))
+    )
+    pairs = (
+        assigned.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            cosine_exact(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", "cell", "cosine")
     )
