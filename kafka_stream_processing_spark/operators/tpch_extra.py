@@ -1,7 +1,10 @@
 """Additional TPC-H-pattern queries adapted to the driver schema —
 conditional aggregation (Q12), ratio-of-sums (Q14), correlated scalar
-threshold (Q17), anti-join + scalar subquery (Q22).  Each exercises a
-de-correlation / rewrite pattern the previous queries don't.
+threshold (Q17), anti-join + scalar subquery (Q22), two-role dimension
+join (Q7), market-share ratio over a 6-table snowflake (Q8), group-top-k
+over a selective fact filter (Q10), disjunctive multi-attribute
+predicates (Q19).  Each exercises a de-correlation / rewrite pattern the
+previous queries don't.
 """
 
 from __future__ import annotations
@@ -172,4 +175,231 @@ def q22_idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dec_sum("c_acctbal", "totacctbal"),
         )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch",),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 pattern: the nation dimension joined in TWO roles
+    (supplier's and customer's) with a symmetric pair predicate.
+
+    Scale: both nation roles and supplier broadcast (tiny dims); the
+    nation-name filters are pushed THROUGH the broadcast joins so only
+    matching lineitem rows survive into the orders shuffle join — the
+    one big exchange is fact-to-fact on orderkey."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_sum(revenue, "revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n2.n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    tags=("tpch",),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 pattern: one nation's share of a region's market per
+    year — an 8-table snowflake where the numerator condition (supplier
+    nation) rides through the aggregate as a CASE, not a second scan.
+
+    Scale: part/supplier/nation/region broadcast; the region and p_type
+    filters prune the fact before the single orderkey shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_3", dec(revenue)).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(national).cast("double")
+                / F.sum(dec(revenue)).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch",),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 pattern: top-k customers by revenue lost to returns in
+    a quarter — selective fact filter, star join, global top-k.
+
+    Scale: LIMIT over ORDER BY plans as TakeOrderedAndProject (per-
+    partition top-20 then a 20-row driver merge — no full sort).  The
+    ordering key stays DECIMAL (exact) so ties break identically on both
+    engines before the custkey tiebreak."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(dec(revenue)).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("tpch",),
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 pattern: disjunction of conjunctive predicates spanning
+    both join sides.  Catalyst extracts the common join key and pushes
+    the brand/size disjunction below the join on the part side (and the
+    quantity bounds' union on the lineitem side) — the classic
+    'OR-predicate still gets an equi-join' test."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 30))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(disj).agg(
+        dec_sum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines")
     )
