@@ -89,6 +89,7 @@ def _load() -> None:
     from kafka_stream_processing_spark.streaming import (  # noqa: F401
         joins,
         stateful,
+        topk,
         unique_users,
     )
 
