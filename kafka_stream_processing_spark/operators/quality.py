@@ -1,0 +1,147 @@
+"""Data-quality operators for large-scale training-data pipelines:
+single-pass table profiling and declarative rule auditing.
+
+At 100 TB the cardinal rule is ONE pass: a profile that scans once per
+column (or a rule audit that scans once per rule) is unusable — every
+metric here rides one scan as conditional aggregates, so the plan is
+scan → partial agg → single exchange → final agg no matter how many
+metrics are attached.  The reference has no data-validation surface at
+all (its JSON input is unvalidated — a missing `uid` NPEs at
+UniqueUsersCounter.java:68); these operators are the engine-level answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import table
+
+
+@register(
+    "quality_profile_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(o_custkey) AS custkey_nonnull,
+           count(DISTINCT o_custkey) AS custkey_distinct,
+           count(DISTINCT o_orderstatus) AS status_distinct,
+           count(DISTINCT o_orderpriority) AS priority_distinct,
+           min(o_totalprice) AS price_min,
+           max(o_totalprice) AS price_max,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS price_nonpositive,
+           CAST(min(o_orderdate) AS VARCHAR) AS orderdate_min,
+           CAST(max(o_orderdate) AS VARCHAR) AS orderdate_max
+    FROM orders
+    """,
+    tags=("quality",),
+)
+def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of `orders`: row count, per-column
+    non-null / distinct counts, numeric ranges, a non-positive-price
+    violation counter, and the date span — the pre-training sanity scan.
+
+    Scale: every metric is a conditional aggregate over the SAME scan
+    (count-distinct plans as partial sets merged per key — here the
+    global key, so the exchange carries one partial state per partition,
+    not the data)."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("price_nonpositive"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("orderdate_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("orderdate_max"),
+    )
+
+
+@register(
+    "quality_rule_violations",
+    oracle="""
+    SELECT rule, CAST(violations AS BIGINT) AS violations, n_rows
+    FROM (
+        SELECT 'discount_out_of_range' AS rule,
+               SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                        THEN 1 ELSE 0 END) AS violations,
+               count(*) AS n_rows
+        FROM lineitem
+        UNION ALL
+        SELECT 'quantity_out_of_range',
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END),
+               count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'tax_negative',
+               SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END),
+               count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'ship_before_order',
+               SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END),
+               count(*)
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    """,
+    tags=("quality",),
+)
+def quality_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule audit: each business rule becomes one conditional
+    counter; same-table rules share ONE scan (a single aggregate emits
+    all three lineitem counters, then unpivots to rule rows), and the
+    cross-table rule (ship-before-order) is the only join.
+
+    Scale: rules-per-scan batching means auditing R same-table rules
+    costs one pass, not R; the unpivot to long form is a zero-shuffle
+    stack expression."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    li_counts = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).alias("discount_out_of_range"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("quantity_out_of_range"),
+        F.sum(F.when(F.col("l_tax") < 0, 1).otherwise(0)).alias("tax_negative"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    li_rules = li_counts.select(
+        F.expr(
+            "stack(3, "
+            "'discount_out_of_range', discount_out_of_range, "
+            "'quantity_out_of_range', quantity_out_of_range, "
+            "'tax_negative', tax_negative) AS (rule, violations)"
+        ),
+        "n_rows",
+    )
+    joined_rule = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.lit("ship_before_order").alias("rule"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return li_rules.select(
+        "rule", F.col("violations").cast("bigint").alias("violations"), "n_rows"
+    ).unionByName(
+        joined_rule.select(
+            "rule", F.col("violations").cast("bigint").alias("violations"), "n_rows"
+        )
+    )

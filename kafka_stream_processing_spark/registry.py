@@ -78,6 +78,7 @@ def _load() -> None:
         dedup,
         multimodal,
         python_udfs,
+        quality,
         relational,
         scalar,
         similarity,
