@@ -145,3 +145,40 @@ def quality_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rule", F.col("violations").cast("bigint").alias("violations"), "n_rows"
         )
     )
+
+
+@register(
+    "quality_approx_quantiles",
+    # approx_percentile sketches (Spark: variant of KLL/GK; DuckDB:
+    # t-digest) can never match across engines — rows-only check here;
+    # tests/test_properties.py bounds the rank error against the exact
+    # interpolated percentile instead.
+    oracle=None,
+    tags=("quality", "scale"),
+)
+def quality_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantile profile: p50/p90/p99 of order totals per
+    status via approx_percentile — O(sketch) state per group instead of
+    the full sort an exact percentile needs.
+
+    Scale: this is the 100 TB replacement for `agg_stats_orders`'s exact
+    median — mergeable sketch state flows through partial aggregation,
+    so the exchange carries KBs per group regardless of group size
+    (the same sketch-not-set principle as approx_count_distinct)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("pcts"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            F.col("pcts")[0].alias("p50_approx"),
+            F.col("pcts")[1].alias("p90_approx"),
+            F.col("pcts")[2].alias("p99_approx"),
+        )
+    )

@@ -77,3 +77,50 @@ def test_orderby_limit_avoids_global_sort(spark, sf_small):
         registry.all_specs()["orderby_limit_top_lineitems"].fn(spark, sf_small)
     )
     assert "TakeOrderedAndProject" in rep.text, rep.text[:4000]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
+    """With runtime bloom-filter injection on (thresholds scaled to the
+    testdata), a selective dimension predicate semi-join-reduces the fact
+    side BEFORE its shuffle: the lineitem scan gains a
+    might_contain(bloom) filter built from filtered orders keys.  This is
+    the 100 TB lever for selective star joins — shuffle only surviving
+    fact rows — and results must be byte-identical either way."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.sources.tables import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        li = table(spark, sf_small, "lineitem")
+        o = table(spark, sf_small, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = {tuple(r) for r in build().collect()}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = build()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:4000]
+        assert "bloom_filter_agg" in plan, plan[:4000]
+        assert {tuple(r) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

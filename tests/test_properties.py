@@ -139,3 +139,35 @@ def test_decimal_sum_is_order_independent(shared_spark, values):
 def shared_spark(spark):
     # hypothesis needs a non-function-scoped handle to the session fixture.
     return spark
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_small):
+    """approx_percentile(accuracy=10000) must sit within a small rank
+    neighborhood of the exact interpolated percentile per group."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.sources.tables import table
+
+    approx = {
+        r["o_orderstatus"]: (r["p50_approx"], r["p90_approx"], r["p99_approx"])
+        for r in SPECS["quality_approx_quantiles"].fn(spark, sf_small).collect()
+    }
+    exact_df = (
+        table(spark, sf_small, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+            ).alias("pcts"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .collect()
+    )
+    for r in exact_df:
+        spread = r["hi"] - r["lo"]
+        for got, want in zip(approx[r["o_orderstatus"]], r["pcts"]):
+            # rank error 1/accuracy translates to a value tolerance of a
+            # few % of the group's value spread on this distribution.
+            assert abs(got - want) <= 0.05 * spread + 1e-9, (
+                r["o_orderstatus"], got, want)
