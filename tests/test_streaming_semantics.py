@@ -267,3 +267,51 @@ def test_streaming_survives_late_data_within_watermark(spark, tmp_path):
     }
     assert counts["2024-01-01 00:00:00"] == 3  # users 1, 2 and LATE 4
     assert counts["2024-01-01 00:01:00"] == 1  # user 3 deduped across files
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark interval collapse EVEN IF their event times differ (retry
+    semantics — same event_id re-sent with a slightly later timestamp),
+    which plain dropDuplicates(["event_id"]) would keep unbounded state
+    for.  State per key is evicted once the watermark passes — the
+    bounded-state guarantee the reference's HashSet never had."""
+    import pandas as pd
+
+    src = str(tmp_path / "dupwm")
+    os.makedirs(src)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(path, ids, ts):
+        df = pd.DataFrame({"event_id": ids, "ts": ts})
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(path, index=False)
+
+    # Batch 1: events 1 and 2.
+    write(os.path.join(src, "a.parquet"), [1, 2],
+          [base, base + pd.Timedelta("1s")])
+    # Batch 2: event 2 re-delivered 3 s later (same id, later ts) plus a
+    # genuinely new event 3.
+    write(os.path.join(src, "b.parquet"), [2, 3],
+          [base + pd.Timedelta("4s"), base + pd.Timedelta("10s")])
+
+    raw_schema = spark.read.parquet(src).schema
+    name = f"dupwm_{next(_uniq)}"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "5 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).select("event_id").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3], ids  # the re-delivery of 2 was dropped
