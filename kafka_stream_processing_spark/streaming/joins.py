@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import normalize_events
-from kafka_stream_processing_spark.streaming.unique_users import _stream_source_dir
+from kafka_stream_processing_spark.streaming.unique_users import (
+    _stream_source_dir,
+    scoped_state_partitions,
+)
 
 _uniq = itertools.count()
 
@@ -71,14 +74,15 @@ def stream_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "inner",
     )
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_state_partitions(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name).select(
         "purchase_id",
         F.col("click_id"),

@@ -26,6 +26,7 @@ from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import normalize_events
 from kafka_stream_processing_spark.streaming.unique_users import (
     _stream_chunked_source_dir,
+    scoped_state_partitions,
 )
 
 _uniq = itertools.count()
@@ -100,14 +101,15 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    query = (
-        updated.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_state_partitions(spark):
+        query = (
+            updated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # The memory sink holds one emission per (user, batch); the final one
     # per user (max n_events — counts are monotone) is the answer.
     sink = spark.table(name)

@@ -35,6 +35,7 @@ from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import normalize_events
 from kafka_stream_processing_spark.streaming.unique_users import (
     _stream_chunked_source_dir,
+    scoped_state_partitions,
 )
 
 _uniq = itertools.count()
@@ -115,14 +116,15 @@ def stream_user_topk_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    query = (
-        updated.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_state_partitions(spark):
+        query = (
+            updated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     sink = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
     return (
@@ -174,12 +176,13 @@ def stream_global_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("event_id", "user_id", "value")
     )
-    query = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.createDataFrame(
         acc, schema="event_id bigint, user_id bigint, value double"
     )
