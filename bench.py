@@ -33,6 +33,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # Untimed warm pass: parquet footers, JIT, shuffle-file page cache
+        # for THIS query's tables (the flagship warm-up above only touches
+        # events.parquet — q1 etc. read lineitem cold otherwise).
+        specs[name].fn(spark, sf_dir).count()
         best = float("inf")
         # best-of-3: single-machine container timings jitter by 2-3x on
         # occasional scheduling/GC stalls; the minimum is the stable signal.

@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.operators.similarity import (
     _as_double_array,
+    _bucket_sql,
     cosine_exact,
     l2_norm_exact,
+    lsh_bucket,
 )
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import fanout, table
@@ -352,23 +354,9 @@ def _simhash_oracle() -> str:
     """
 
 
-@register(
-    "dedup_simhash",
-    oracle=_simhash_oracle(),
-    tags=("dedup",),
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit signature (sign of per-bit vote sums over
-    word-3-gram shingle hashes), pairs within Hamming distance
-    SIMHASH_MAX_HAMMING (=1; see the false-positive analysis above).
-    Shingles rather than unigrams for the same degeneracy reason as
-    MinHash above.
-
-    Scale: the signature reduces each document to one integer — the
-    pairwise stage here is a cross join for oracle-checkability; the
-    production path at 100 TB blocks on signature bytes (split the 16 bits
-    into 4 nibbles; near pairs must share ≥1 exact nibble — same
-    band-join shape as MinHash-LSH above)."""
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 16-bit signature: sign of per-bit vote sums
+    over word-3-gram shingle hashes."""
     d = fanout(table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(_word_shingles(F.split("text", " "))).alias("tok")
@@ -384,7 +372,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{b}") > 0, 1 << b).otherwise(0)
         simhash_col = term if simhash_col is None else simhash_col + term
-    sims = votes.select("doc_id", simhash_col.cast("bigint").alias("simhash"))
+    return votes.select("doc_id", simhash_col.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit signature, pairs within Hamming distance
+    SIMHASH_MAX_HAMMING (=1; see the false-positive analysis above).
+    Shingles rather than unigrams for the same degeneracy reason as
+    MinHash above.
+
+    This is the ALL-PAIRS exactness baseline (small-n oracle variant);
+    the registered scale path is ``dedup_simhash_banded`` below, which
+    produces the identical pair set via a nibble-band equi-join."""
+    sims = _simhash_signatures(spark, sf_dir)
     a, b = sims.alias("a"), sims.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -398,6 +403,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_N_BANDS = 4  # 16 bits → 4 nibbles
+
+
+def _simhash_banded_oracle() -> str:
+    """Same result set as the all-pairs oracle, via the nibble-band join
+    (kept as a distinct oracle so the driver checks the banded PLAN's
+    semantics, not just that banding is a no-op)."""
+    base = _simhash_oracle()
+    sims_cte, _ = base.rsplit("SELECT a.doc_id", 1)
+    return f"""{sims_cte.rstrip()},
+    bands AS (
+        SELECT doc_id, simhash, t.band AS band,
+               (simhash >> (CAST(t.band AS INT) * 4)) & 15 AS nibble
+        FROM sims, unnest(range(0, {SIMHASH_N_BANDS})) AS t(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.nibble = b.nibble
+               AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "dedup_simhash_banded",
+    oracle=_simhash_banded_oracle(),
+    tags=("dedup", "scale"),
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup via nibble banding — the 100 TB path and the
+    registered default.  The 16-bit signature splits into 4 nibbles; two
+    signatures within Hamming distance 1 differ in at most one bit, so
+    they MUST agree exactly on >= 3 of the 4 nibbles (pigeonhole) — the
+    candidate join is an equi-join on (band, nibble), never all-pairs,
+    and the exact Hamming re-check keeps only true near pairs.  Identical
+    result set to ``dedup_simhash``.
+
+    Scale: per-doc state is one int64; candidates shuffle on a narrow
+    (band, nibble) key; cost is sum over nibble-buckets of df² — the same
+    bounded-collision profile as MinHash-LSH banding above."""
+    sims = _simhash_signatures(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(band) for band in range(SIMHASH_N_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        # SQL shiftright (unlike the Python helper) takes a column shift.
+        "nibble", F.expr("shiftright(simhash, band * 4) & 15")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
@@ -405,9 +481,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.4
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
+_EMB_NORM_CTE = """
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -418,30 +492,87 @@ COSINE_DUP_THRESHOLD = 0.4
                sqrt(CAST(list_aggregate(
                    list_transform(range(1, 65),
                                   i -> CAST(emb[i] * emb[i] AS DECIMAL(18,12))),
-                   'sum') AS DOUBLE)) AS nrm
+                   'sum') AS DOUBLE)) AS nrm{extra}
         FROM v
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(list_aggregate(
+    )"""
+
+_PAIR_COSINE_SQL = """CAST(list_aggregate(
                list_transform(range(1, 65),
                               i -> CAST(a.emb[i] * b.emb[i] AS DECIMAL(18,12))),
-               'sum') AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+               'sum') AS DOUBLE) / (a.nrm * b.nrm)"""
+
+
+_BUCKET_EXTRA = ",\n               " + _bucket_sql() + " AS bucket"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""{_EMB_NORM_CTE.format(extra=_BUCKET_EXTRA)}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_PAIR_COSINE_SQL} AS cosine
+    FROM n a
+    JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
+    """,
+    tags=("dedup", "similarity", "scale"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed — the 100 TB path and the
+    registered default: random-hyperplane bucketing (similarity.lsh_bucket,
+    the same 4 fixed planes as similarity_lsh_bucketed_topk) pre-filters
+    candidates to same-bucket pairs, then exact decimal cosine scores the
+    survivors.  The oracle embeds the identical bucket expression, so the
+    driver checks the bucketed semantics (ANN recall profile and all).
+
+    Scale: the candidate stage is an equi-join on bucket id (plans as a
+    hash join, never BroadcastNestedLoopJoin) — the corpus shuffles once
+    on a 1-int key and only ~1/2^P of pairs are scored.  At cosine
+    threshold 0.4 near-dup vectors point the same way, so bucket-split
+    misses are the documented LSH recall trade-off; the exact all-pairs
+    formulation survives as dedup_embedding_cosine_allpairs."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    n = emb.select(
+        "vec_id",
+        "emb",
+        l2_norm_exact(F.col("emb")).alias("nrm"),
+        lsh_bucket(F.col("emb")).alias("bucket"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = cosine_exact(
+        F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_embedding_cosine_allpairs",
+    oracle=f"""{_EMB_NORM_CTE.format(extra="")}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_PAIR_COSINE_SQL} AS cosine
     FROM n a
     JOIN n b ON a.vec_id < b.vec_id
-    WHERE CAST(list_aggregate(
-              list_transform(range(1, 65),
-                             i -> CAST(a.emb[i] * b.emb[i] AS DECIMAL(18,12))),
-              'sum') AS DOUBLE) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    WHERE {_PAIR_COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
     """,
     tags=("dedup", "similarity"),
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine >= threshold (exact decimal
-    vector math, bit-identical across engines).
-
-    Scale: written as the all-pairs formulation for oracle parity; the
-    100 TB path prepends the random-hyperplane LSH bucketing from
-    similarity.py so only same-bucket pairs are scored."""
+def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-dup — the small-n exactness oracle
+    for the bucketed default above (recall baseline; O(n²), never the
+    plan to run at 100 TB)."""
     emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )

@@ -49,8 +49,11 @@ def _update_user_stats(
         n, sum_micro, last_us = 0, 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        # round-half-even at the 6th decimal is fine here: value has 2dp.
-        sum_micro += int(round(float(pdf["value"].sum()) * 1e6))
+        # Quantize PER ROW before summing: summing doubles first would let
+        # fp error grow with batch size and could cross the 0.5-micro
+        # rounding boundary at large scale, diverging from the oracle's
+        # per-row DECIMAL(18,6) sum (same discipline as topk.py).
+        sum_micro += int(pdf["value"].map(lambda v: round(v * 1e6)).sum())
         last_us = max(last_us, int(pdf["ts_us"].max()))
     state.update((n, sum_micro, last_us))
     yield pd.DataFrame(

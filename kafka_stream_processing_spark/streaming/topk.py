@@ -149,13 +149,19 @@ def stream_global_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFra
 
     Each micro-batch computes only its LOCAL top-10 (plans as
     TakeOrderedAndProject: per-partition heads merged at the driver) and
-    ``foreachBatch`` folds those 10 rows into a running accumulator —
-    so driver traffic is k rows per batch and no state store is needed.
-    Top-k is order-insensitive to how the stream is chunked, which the
-    oracle check proves."""
+    ``foreachBatch`` records those 10 rows under the batch's epoch id —
+    driver memory is k rows per batch, no state store, and an epoch
+    replayed after a transient failure overwrites rather than
+    double-counts.  The final merge of all per-batch heads happens once
+    at termination.  Top-k is order-insensitive to how the stream is
+    chunked, which the oracle check proves."""
     path = _stream_chunked_source_dir(sf_dir)
     raw_schema = spark.read.parquet(path).schema
-    acc: list[tuple] = []
+    # Keyed by batch_id so a replayed micro-batch (transient failure →
+    # Spark re-runs the epoch) OVERWRITES its prior contribution instead
+    # of double-merging — the same idempotence recipe
+    # tests/test_streaming_recovery.py demonstrates for file sinks.
+    per_batch: dict[int, list[tuple]] = {}
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         local = (
@@ -164,9 +170,9 @@ def stream_global_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFra
             .select("event_id", "user_id", "value")
             .collect()
         )
-        merged = acc + [(r["event_id"], r["user_id"], r["value"]) for r in local]
-        merged.sort(key=lambda t: (-t[2], t[0]))
-        acc[:] = merged[:10]
+        per_batch[batch_id] = [
+            (r["event_id"], r["user_id"], r["value"]) for r in local
+        ]
 
     stream = (
         normalize_events(
@@ -183,6 +189,8 @@ def stream_global_topk_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         query.awaitTermination()
+    merged = [t for rows in per_batch.values() for t in rows]
+    merged.sort(key=lambda t: (-t[2], t[0]))
     return spark.createDataFrame(
-        acc, schema="event_id bigint, user_id bigint, value double"
+        merged[:10], schema="event_id bigint, user_id bigint, value double"
     )

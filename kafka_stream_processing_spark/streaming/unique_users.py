@@ -27,6 +27,7 @@ from __future__ import annotations
 import contextlib
 import itertools
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,17 @@ from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import normalize_events
 
 _run_counter = itertools.count()
+
+#: scoped_state_partitions flips a SESSION-GLOBAL conf; this lock
+#: serializes the engine's own streaming runs so a concurrently planned
+#: streaming query can't inherit another query's partition count.  Batch
+#: queries planned by OTHER threads on a shared SparkSession during the
+#: scope would still see the streaming value — single-threaded driver use
+#: is the engine's documented assumption (the verification driver and
+#: bench both run queries sequentially); a cluster deployment wanting
+#: concurrent sessions should use a separate SparkSession per query
+#: (newSession()) whose confs are independent.
+_STATE_SCOPE_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -48,15 +60,17 @@ def scoped_state_partitions(spark: SparkSession, n: int | None = None):
     streams carry O(100) keys, so the batch default (32) just multiplies
     per-trigger task overhead ~4x (measured: chained window agg 3.3 s →
     1.7 s at 8).  On a cluster, size UP per expected keys instead — same
-    knob, opposite direction.  Restores the session conf on exit."""
+    knob, opposite direction.  Restores the session conf on exit;
+    serialized via _STATE_SCOPE_LOCK (see note above)."""
     n = n or int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with _STATE_SCOPE_LOCK:
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
 
 
 def _stream_source_dir(sf_dir: str) -> str:
@@ -78,9 +92,19 @@ def _stream_source_dir(sf_dir: str) -> str:
 def _stream_chunked_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
     """Stage events as N time-ordered parquet chunk files so that
     ``maxFilesPerTrigger=1`` yields a genuine multi-batch stream (the
-    single-file staging above always collapses to one micro-batch)."""
+    single-file staging above always collapses to one micro-batch).
+
+    The cache key includes the source file's (mtime, size) so regenerated
+    testdata invalidates stale chunks instead of silently feeding every
+    multi-batch streaming query (the single-file variant re-links each
+    call; this one must re-stage)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
     key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join("/tmp", "kssp_stream_src", key, f"events_chunks{n_chunks}")
+    d = os.path.join(
+        "/tmp", "kssp_stream_src", key,
+        f"events_chunks{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
+    )
     marker = os.path.join(d, "_STAGED")
     if os.path.exists(marker):
         return d

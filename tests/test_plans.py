@@ -79,6 +79,36 @@ def test_orderby_limit_avoids_global_sort(spark, sf_small):
     assert "TakeOrderedAndProject" in rep.text, rep.text[:4000]
 
 
+def test_embedding_dedup_buckets_not_nested_loop(spark, sf_small):
+    """The registered embedding dedup must candidate-join on the LSH
+    bucket (hash join on a 1-int key) — never the all-pairs
+    BroadcastNestedLoopJoin that r01 shipped (VERDICT.md item 2)."""
+    rep = plan_report(
+        registry.all_specs()["dedup_embedding_cosine"].fn(spark, sf_small)
+    )
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.text[:4000]
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]
+    assert "Join" in rep.text, rep.text[:4000]
+
+
+def test_simhash_banded_not_cartesian(spark, sf_small):
+    """The banded SimHash must candidate-join on (band, nibble) — no
+    cartesian/nested-loop stage (VERDICT.md item 3) — and produce the
+    exact pair set of the all-pairs formulation (hamming<=1 pairs share
+    >=3 of 4 nibbles, so banding loses nothing)."""
+    specs = registry.all_specs()
+    banded_df = specs["dedup_simhash_banded"].fn(spark, sf_small)
+    rep = plan_report(banded_df)
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.text[:4000]
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]
+
+    allpairs = {
+        tuple(r) for r in specs["dedup_simhash"].fn(spark, sf_small).collect()
+    }
+    banded = {tuple(r) for r in banded_df.collect()}
+    assert banded == allpairs
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
     """With runtime bloom-filter injection on (thresholds scaled to the
     testdata), a selective dimension predicate semi-join-reduces the fact
