@@ -35,6 +35,28 @@ REFERENCE_EVENT_SCHEMA = StructType(
 )
 
 
+def parse_event_payload(raw: DataFrame) -> DataFrame:
+    """S2: the JSON-deserialization stage, factored out of the Kafka read
+    so CI can execute it against batch rows shaped like Kafka's wire
+    schema (value binary/string + timestamp) — the container has no
+    broker or connector jar, but this keeps the parse logic itself (not
+    just its intent) test-covered.
+
+    Returns (uid string, event_ts long, kafka_ts timestamp).  Malformed
+    or field-missing payloads yield NULLs (from_json's PERMISSIVE mode)
+    instead of the reference's NPE (UniqueUsersCounter.java:68).
+    """
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), REFERENCE_EVENT_SCHEMA).alias("j"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    return parsed.select(
+        F.col("j.uid").alias("uid"),
+        F.col("j.ts").alias("event_ts"),
+        "kafka_ts",
+    )
+
+
 def read_event_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -55,15 +77,7 @@ def read_event_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), REFERENCE_EVENT_SCHEMA).alias("j"),
-        F.col("timestamp").alias("kafka_ts"),
-    )
-    return parsed.select(
-        F.col("j.uid").alias("uid"),
-        F.col("j.ts").alias("event_ts"),
-        "kafka_ts",
-    )
+    return parse_event_payload(raw)
 
 
 def unique_users_topology(

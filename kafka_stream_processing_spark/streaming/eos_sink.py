@@ -1,0 +1,158 @@
+"""Transactional foreachBatch sink — end-to-end exactly-once parity with
+the reference's EXACTLY_ONCE processing guarantee (Kafka transactions,
+UniqueUsersCounter.java:56).
+
+Structured Streaming gives exactly-once STATE via the checkpoint, but the
+Kafka sink is at-least-once: after a crash the restarted query REPLAYS the
+last uncommitted epoch, so a naive producer would emit that epoch's
+records twice.  The reference closes the same gap with a transactional
+producer (begin → send* → commit, readers in read_committed see all or
+nothing).  This module expresses that recipe as a ``foreachBatch``
+callable with a pluggable producer, in two-phase form:
+
+1. idempotence guard — if this epoch's commit marker exists, the epoch
+   already committed fully in a previous incarnation: skip it entirely;
+2. begin a transaction tagged with a transactional id derived from
+   (app id, epoch) — exactly how a Kafka transactional.id must be chosen
+   so zombie producers from the crashed run are fenced;
+3. send every record of the epoch inside the transaction;
+4. commit, then durably record the epoch marker.
+
+A crash anywhere before (4) leaves an aborted/unfinished transaction that
+read-committed consumers never observe, and the replayed epoch re-runs
+from (2).  A crash between commit and marker write re-commits the same
+records under the SAME transactional id — the fenced/idempotent case a
+real broker deduplicates; the file-backed producer used in CI models it
+by keying delivered batches on the transactional id.
+
+The container ships no broker or kafka client, so the default producer
+factory raises with instructions; ``FileTransactionLog`` is the CI
+implementation driven by tests/test_eos_sink.py, which crashes the query
+mid-epoch and asserts committed output equals the batch truth exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame
+
+
+class TransactionalProducer:
+    """Minimal transactional-producer protocol (the subset of
+    kafka.KafkaProducer the sink needs).  One instance per epoch attempt;
+    ``transactional_id`` fences replays of the same epoch."""
+
+    def begin(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def send(self, key: str, value: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def commit(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def abort(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class FileTransactionLog(TransactionalProducer):
+    """File-backed transactional producer: stages sends in a scratch file,
+    'commits' by atomically renaming it under the committed/ dir keyed by
+    transactional id.  Atomic rename = the commit point; a crashed attempt
+    leaves only the staging file, which read_committed() never reads —
+    the same all-or-nothing visibility a Kafka read_committed consumer
+    gets.  Re-committing under the same transactional id overwrites
+    byte-identical content (the broker's zombie-fencing dedup)."""
+
+    def __init__(self, log_dir: str, transactional_id: str) -> None:
+        self.log_dir = log_dir
+        self.txn_id = transactional_id
+        self._staging = os.path.join(log_dir, f".staging-{transactional_id}")
+        self._records: list[tuple[str, str]] = []
+        os.makedirs(os.path.join(log_dir, "committed"), exist_ok=True)
+
+    def begin(self) -> None:
+        self._records = []
+
+    def send(self, key: str, value: str) -> None:
+        self._records.append((key, value))
+
+    def commit(self) -> None:
+        with open(self._staging, "w") as fh:
+            json.dump(self._records, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(
+            self._staging,
+            os.path.join(self.log_dir, "committed", self.txn_id),
+        )
+
+    def abort(self) -> None:
+        self._records = []
+        if os.path.exists(self._staging):
+            os.remove(self._staging)
+
+    @staticmethod
+    def read_committed(log_dir: str) -> list[tuple[str, str]]:
+        """All records of committed transactions, in epoch order —
+        what a read_committed consumer of the output topic would see."""
+        cdir = os.path.join(log_dir, "committed")
+        if not os.path.isdir(cdir):
+            return []
+        out: list[tuple[str, str]] = []
+        for name in sorted(os.listdir(cdir), key=lambda n: int(n.rsplit("-", 1)[-1])):
+            with open(os.path.join(cdir, name)) as fh:
+                out.extend(tuple(r) for r in json.load(fh))
+        return out
+
+
+def _default_producer_factory(txn_id: str) -> TransactionalProducer:
+    raise NotImplementedError(
+        "No Kafka client library in this environment; pass "
+        "producer_factory= (e.g. wrapping kafka.KafkaProducer with "
+        "transactional.id=txn_id) to transactional_epoch_sink()."
+    )
+
+
+def transactional_epoch_sink(
+    app_id: str,
+    marker_dir: str,
+    producer_factory: Callable[[str], TransactionalProducer] = _default_producer_factory,
+    row_to_kv: Callable[[object], tuple[str, str]] = lambda r: (r["key"], r["value"]),
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch callable implementing the recipe above.
+
+    ``marker_dir`` holds per-epoch commit markers (lives NEXT TO the
+    query's checkpoint dir and shares its lifecycle — wiping the
+    checkpoint must wipe the markers, mirroring streams.cleanUp()).
+
+    Scale note: records flow driver-side here because foreachBatch hands
+    the driver the batch DataFrame — for cluster use the identical
+    begin/send/commit bracket moves into df.foreachPartition with one
+    producer per (partition, epoch) transactional id; the epoch-marker
+    idempotence guard is unchanged.
+    """
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"epoch-{epoch_id}")
+        if os.path.exists(marker):  # replayed epoch, already committed
+            return
+        txn_id = f"{app_id}-{epoch_id}"
+        producer = producer_factory(txn_id)
+        producer.begin()
+        try:
+            rows: Iterable = batch_df.collect()
+            for r in rows:
+                producer.send(*row_to_kv(r))
+            producer.commit()
+        except BaseException:
+            producer.abort()
+            raise
+        with open(marker, "w") as fh:
+            fh.write(txn_id)
+
+    return sink
