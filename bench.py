@@ -47,6 +47,23 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Streaming headliners, reported SEPARATELY so `value` stays
+    # apples-to-apples with BASELINE.md's 7-query batch total.  Each run
+    # executes a full availableNow Structured Streaming query (source
+    # staging, state store, sink) — wall here IS end-to-end trigger
+    # latency, so wins/regressions in streaming state sizing are
+    # measured, not anecdotal.
+    streaming: dict[str, float] = {}
+    for name in ("stream_unique_users_per_minute", "stream_chained_window_agg"):
+        specs[name].fn(spark, sf_dir).count()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        streaming[name] = round(best, 4)
+
     print(
         json.dumps(
             {
@@ -54,6 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
