@@ -109,6 +109,41 @@ def test_simhash_banded_not_cartesian(spark, sf_small):
     assert banded == allpairs
 
 
+def test_q6_is_pure_pushdown_single_exchange(spark, sf_small):
+    """Q6 is the pushdown benchmark: no join, all three predicates in
+    PushedFilters, only the 4 referenced lineitem columns read, and one
+    single-row exchange after the map-side partial aggregate."""
+    rep = plan_asserts(
+        registry.all_specs()["q6_forecast_revenue"].fn(spark, sf_small),
+        pushed=True,
+        max_scan_columns=4,
+    )
+    assert "partial_sum" in rep.text, rep.text[:4000]
+    assert rep.n_exchanges == 1, rep.text[:4000]
+
+
+def test_q21_single_orderkey_shuffle_and_topk(spark, sf_small):
+    """The de-correlated Q21 must scan lineitem ONCE (the textbook
+    double-EXISTS scans it three times; groupBy-and-join-back twice):
+    both collect_set windows share one l_orderkey partitioning, supplier
+    broadcasts, and the final top-20 is TakeOrderedAndProject."""
+    import re
+
+    rep = plan_report(
+        registry.all_specs()["q21_waiting_suppliers"].fn(spark, sf_small)
+    )
+    assert "TakeOrderedAndProject" in rep.text, rep.text[:4000]
+    assert "BroadcastHashJoin" in rep.text, rep.text[:4000]
+    # One scan per table: lineitem, orders, supplier.
+    scans = re.findall(r"^\(\d+\) Scan parquet", rep.text, re.M)
+    assert len(scans) == 3, rep.text[:4000]
+    # Both windows share ONE l_orderkey exchange (two Window operators,
+    # back to back, no exchange between them); the only other exchange is
+    # the final per-supplier aggregate.
+    assert len(re.findall(r"^\(\d+\) Window", rep.text, re.M)) <= 2, rep.text[:4000]
+    assert rep.n_exchanges <= 3, rep.text[:4000]
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
     """With runtime bloom-filter injection on (thresholds scaled to the
     testdata), a selective dimension predicate semi-join-reduces the fact
