@@ -1,0 +1,286 @@
+"""Training-data pipeline operators: deterministic splits, stratified
+sampling, quality-filter chains, PII scrubbing.
+
+These are the operations a 100 TB pretraining corpus actually needs
+between raw scrape and tokenizer, expressed as narrow single-pass
+DataFrame transforms:
+
+- splits/sampling hash the DOCUMENT KEY (never rand()) so assignment is
+  reproducible run to run, immune to partitioning, and consistent across
+  engines — rerunning the pipeline after adding data never moves an old
+  document to a different split;
+- quality rules compare integer cross-products (``n_top * 8 <= n_words``)
+  instead of float ratios, so keep/drop decisions are bit-identical on
+  any engine — no document flips sides over a 1-ulp division difference;
+- the PII scrub deterministically INJECTS synthetic emails/phones first
+  (the synthetic corpus contains none), so the regex path is genuinely
+  exercised and oracle-checked rather than trivially counting zeros.
+
+All pure built-in expressions (split/filter/transform/aggregate
+higher-order functions) — zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.operators.dedup import hash64
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import fanout, table
+
+
+def split_assign(key: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Deterministic split label from a key column: bucket = md5-derived
+    hash mod 100.  Stable under data growth (a doc's split never changes
+    when other docs arrive), engine-portable (md5, not xxhash/murmur),
+    and skew-free (md5 is uniform over keys)."""
+    bucket = hash64(key.cast("string")) % 100
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hashed doc_id, audited as
+    per-(split, lang) counts + payload volume.
+
+    Scale: the assignment is a stateless map over the scan — no shuffle,
+    no sampling pass, no driver coordination; only the audit aggregate
+    exchanges (split, lang)-partial rows.  Writing the actual splits is
+    ``df.write.partitionBy("split")`` on the same expression."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("split", split_assign(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "sample_stratified_topn",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT), doc_id
+               ) AS rank
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: 10 docs per language, selected by
+    hash order (a uniform 'random' order that is reproducible and
+    engine-portable, unlike rand(seed) which neither survives
+    repartitioning nor matches across engines).
+
+    Scale: one shuffle on the stratum key; rank<=10 cuts each partition
+    to k rows early.  For heavily skewed strata swap row_number for the
+    two-phase per-partition-top-k + merge that window_topk uses."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "lang", "rank")
+    )
+
+
+@register(
+    "quality_gopher_filters",
+    oracle="""
+    WITH feats AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                                  w -> length(w)), 'sum')
+                    AS BIGINT) AS total_chars,
+               list_max(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   w -> len(list_filter(string_split(text, ' '),
+                                        t -> t = w)))) AS n_top,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                   AS n_stop
+        FROM documents
+    ),
+    flagged AS (
+        SELECT lang,
+               (n_words >= 30)                                   AS ok_minlen,
+               (total_chars >= 3 * n_words
+                AND total_chars <= 8 * n_words)                  AS ok_meanlen,
+               (n_top * 8 <= n_words)                            AS ok_repetition,
+               (n_stop >= 1)                                     AS ok_stopword
+        FROM feats
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT ok_minlen THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_minlen,
+           CAST(SUM(CASE WHEN NOT ok_meanlen THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_meanlen,
+           CAST(SUM(CASE WHEN NOT ok_repetition THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_repetition,
+           CAST(SUM(CASE WHEN NOT ok_stopword THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_stopword,
+           CAST(SUM(CASE WHEN ok_minlen AND ok_meanlen AND ok_repetition
+                          AND ok_stopword THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep
+    FROM flagged
+    GROUP BY lang
+    """,
+    tags=("pipeline", "quality"),
+)
+def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rule chain (min length, mean word
+    length band, top-word repetition cap, stopword presence), audited per
+    language.  Every rule is an integer cross-product comparison —
+    ``n_top * 8 <= n_words`` not ``n_top/n_words <= 0.125`` — so the
+    keep/drop frontier is exact on both engines.
+
+    Scale: all four rules compute in ONE projection over the scan
+    (higher-order array functions, no explode, no join); the only
+    shuffle carries 6 counters per language.  The repetition rule is
+    O(unique_words x words) per doc — bounded by document length, not
+    corpus size."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    feats = d.select(
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda t: t == w)),
+            )
+        ).alias("n_top"),
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+        ).alias("n_stop"),
+    )
+    ok_minlen = F.col("n_words") >= 30
+    ok_meanlen = (F.col("total_chars") >= 3 * F.col("n_words")) & (
+        F.col("total_chars") <= 8 * F.col("n_words")
+    )
+    ok_repetition = F.col("n_top") * 8 <= F.col("n_words")
+    ok_stopword = F.col("n_stop") >= 1
+    fail = lambda ok: F.sum(F.when(~ok, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        fail(ok_minlen).alias("n_fail_minlen"),
+        fail(ok_meanlen).alias("n_fail_meanlen"),
+        fail(ok_repetition).alias("n_fail_repetition"),
+        fail(ok_stopword).alias("n_fail_stopword"),
+        F.sum(
+            F.when(ok_minlen & ok_meanlen & ok_repetition & ok_stopword, 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH augmented AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash,
+           length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_len
+    FROM augmented
+    """,
+    tags=("pipeline", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace email/phone patterns, emitting a
+    content hash of the scrubbed text as the audit trail.  The synthetic
+    corpus contains no PII, so a deterministic fraction of documents
+    (doc_id % 3 == 0) first gets a synthetic email+phone appended —
+    the scrubber is verified to find and redact EXACTLY those.
+
+    Regexes stay in the RE2-compatible subset (char classes, counted
+    repetition) so Spark (java.util.regex) and the DuckDB oracle (RE2)
+    match identical spans.  Scale: stateless per-row regexp — narrow
+    transform, no shuffle, whole-stage codegen."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    augmented = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(augmented, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(augmented, F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(augmented, F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_hash"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )

@@ -77,6 +77,7 @@ def _load() -> None:
         connectors,
         dedup,
         multimodal,
+        pipeline,
         python_udfs,
         quality,
         relational,
