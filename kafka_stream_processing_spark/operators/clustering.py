@@ -121,3 +121,65 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@register(
+    "dedup_pipeline_keep_stats",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {JACCARD_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r
+        FROM reach JOIN edges e ON e.b = reach.node
+    ),
+    clusters AS (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN cluster_id IS NOT NULL
+                          AND cluster_id <> doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN cluster_id IS NULL
+                          OR cluster_id = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM documents LEFT JOIN clusters ON node = doc_id
+    GROUP BY lang
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_pipeline_keep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup decision a corpus pipeline actually ships:
+    near-dup edges → connected components → one canonical survivor per
+    cluster (min doc_id) → per-language keep/drop audit over the WHOLE
+    corpus (singletons never enter the graph and are always kept).
+
+    Scale: the expensive part is the edge detection (inverted-index
+    shingle join, see dedup_ngram_jaccard); components run on the small
+    near-dup subgraph; the final audit joins the (doc_id, cluster_id)
+    labels — a table the size of the duplicate set, broadcastable at any
+    realistic dup rate — back to a single scan of documents."""
+    from kafka_stream_processing_spark.sources.tables import fanout, table
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(edges, "doc_a", "doc_b")
+    d = fanout(table(spark, sf_dir, "documents"))
+    labeled = d.join(
+        F.broadcast(comp.withColumnRenamed("node", "doc_id")),
+        "doc_id",
+        "left",
+    )
+    dropped = F.col("label").isNotNull() & (F.col("label") != F.col("doc_id"))
+    return labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(~dropped, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )

@@ -65,6 +65,18 @@ def connector_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(_ROUNDTRIP_SCHEMA).json(path)
 
 
+@register("connector_orc_roundtrip", oracle=_ORACLE, tags=("connectors",))
+def connector_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → DataFrame.  ORC is the third columnar format the
+    engine speaks natively (after parquet read/write); unlike CSV/JSON it
+    carries real types, so the explicit schema here asserts rather than
+    reconstructs.  ORC files get the same predicate-pushdown/column-
+    pruning scan path as parquet (ORC row-group statistics)."""
+    path = _tmp_dir(sf_dir, "orc")
+    _export_df(spark, sf_dir).write.mode("overwrite").orc(path)
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).orc(path)
+
+
 @register(
     "connector_custom_datasource",
     oracle="""
