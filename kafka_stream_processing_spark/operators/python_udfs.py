@@ -125,3 +125,56 @@ def applyinpandas_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                "first_us bigint, last_us bigint",
     )
     return out.filter(F.col("n_events") >= 2)
+
+
+def _exact_value_sum_udf():
+    # GROUPED_AGG pandas UDF — the engine's UDAF surface (PySpark has no
+    # row-at-a-time UDAF; the Arrow grouped-agg form IS the custom
+    # aggregate).  Exactness discipline: quantize PER ROW to integer
+    # micros, sum int64, divide once — matching the oracle's
+    # SUM(CAST(value AS DECIMAL(18,6))) bit for bit (same recipe as
+    # streaming/stateful.py's state accumulation).
+    @pandas_udf("double")
+    def _exact_value_sum(v: pd.Series) -> float:
+        return float(v.mul(1e6).round().astype("int64").sum()) / 1e6
+
+    return _exact_value_sum
+
+
+def _group_count_udf():
+    # Spark refuses to mix grouped-agg pandas UDFs with built-in
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count rides along as a second grouped-agg UDF.
+    @pandas_udf("long")
+    def _group_count(v: pd.Series) -> int:
+        return len(v)
+
+    return _group_count
+
+
+@register(
+    "pandas_grouped_agg_value_sum",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("udf", "udaf"),
+)
+def pandas_grouped_agg_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via GROUPED_AGG pandas UDFs — completing the UDF
+    surface (scalar pandas_udf, applyInPandas grouped-map,
+    applyInPandasWithState, mapInPandas, and now grouped-agg).
+
+    Scale: grouped-agg UDFs get Arrow-batched partial evaluation per
+    shuffle partition — but NO map-side combine (unlike built-in sums):
+    every row crosses the shuffle.  That's the documented cost of custom
+    aggregates; use them for semantics built-ins can't express, not for
+    sums (this one exists to pin the path's correctness)."""
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        _exact_value_sum_udf()("value").alias("total_value"),
+        _group_count_udf()("value").alias("n_events"),
+    )

@@ -297,3 +297,43 @@ def unique_users_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "agg_time_rollup_events",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY ROLLUP(CAST(year(ts) AS INT), CAST(month(ts) AS INT),
+                    CAST(day(ts) AS INT))
+    """,
+    tags=("rollup", "time-series"),
+)
+def agg_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: one pass produces
+    day-level, month-level, year-level, and grand-total aggregates
+    (year > month > day prefixes of ROLLUP), with distinct users at
+    every level — the materialized-rollup pattern time-series stores
+    build continuous aggregates from.
+
+    Scale: Spark plans rollup as an Expand (4 grouping sets x rows)
+    feeding ONE two-phase hash aggregate — no per-level rescan of the
+    fact.  countDistinct adds its usual per-set dedup phase; at 100 TB
+    swap in approx_count_distinct per level if exactness isn't required
+    (same plan, HLL state)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.rollup(
+            F.year("ts").cast("int").alias("y"),
+            F.month("ts").cast("int").alias("m"),
+            F.dayofmonth("ts").cast("int").alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )
