@@ -97,13 +97,18 @@ class FileTransactionLog(TransactionalProducer):
 
     @staticmethod
     def read_committed(log_dir: str) -> list[tuple[str, str]]:
-        """All records of committed transactions, in epoch order —
-        what a read_committed consumer of the output topic would see."""
+        """All records of committed transactions, ordered by the numeric
+        components of the transactional id (epoch, then partition for the
+        per-partition sink) — what a read_committed consumer of the
+        output topic would see."""
+        import re
+
         cdir = os.path.join(log_dir, "committed")
         if not os.path.isdir(cdir):
             return []
         out: list[tuple[str, str]] = []
-        for name in sorted(os.listdir(cdir), key=lambda n: int(n.rsplit("-", 1)[-1])):
+        key = lambda n: [int(x) for x in re.findall(r"\d+", n)]  # noqa: E731
+        for name in sorted(os.listdir(cdir), key=key):
             with open(os.path.join(cdir, name)) as fh:
                 out.extend(tuple(r) for r in json.load(fh))
         return out
@@ -154,5 +159,57 @@ def transactional_epoch_sink(
             raise
         with open(marker, "w") as fh:
             fh.write(txn_id)
+
+    return sink
+
+
+def transactional_partition_sink(
+    app_id: str,
+    marker_dir: str,
+    producer_factory: Callable[[str], TransactionalProducer] = _default_producer_factory,
+    row_to_kv: Callable[[object], tuple[str, str]] = lambda r: (r["key"], r["value"]),
+) -> Callable[[DataFrame, int], None]:
+    """The cluster-scale form of ``transactional_epoch_sink``: the
+    begin/send/commit bracket runs EXECUTOR-SIDE in ``foreachPartition``,
+    one producer per (epoch, partition) transactional id — no driver
+    collect, parallel produce, records never leave their executor.
+
+    Exactly-once holds through partial failure: a crash after SOME
+    partitions committed but before the epoch marker makes Spark replay
+    the WHOLE epoch (same source offsets ⇒ same partition contents);
+    already-committed partitions re-commit under their SAME transactional
+    id, which the broker (and the file log here) deduplicates by fencing,
+    while uncommitted ones commit for the first time.  The epoch marker
+    then short-circuits any later replay — identical recipe to the
+    driver-side sink, with the id space widened by partition.
+
+    Requires the producer_factory to be serializable (it ships to
+    executors) and the batch's partitioning to be deterministic for a
+    replayed epoch — true for Structured Streaming sources, which replay
+    exact offset ranges."""
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"epoch-{epoch_id}")
+        if os.path.exists(marker):
+            return
+
+        def write_partition(rows: Iterable) -> None:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            producer = producer_factory(f"{app_id}-{epoch_id}-{pid}")
+            producer.begin()
+            try:
+                for r in rows:
+                    producer.send(*row_to_kv(r))
+                producer.commit()
+            except BaseException:
+                producer.abort()
+                raise
+
+        batch_df.foreachPartition(write_partition)
+        with open(marker, "w") as fh:
+            fh.write(f"{app_id}-{epoch_id}")
 
     return sink
