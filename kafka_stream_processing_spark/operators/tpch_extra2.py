@@ -397,3 +397,63 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH nat_part AS (
+        SELECT n_name AS nation, l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        GROUP BY 1, 2
+    ),
+    nat_total AS (
+        SELECT nation, SUM(part_value) AS total_value
+        FROM nat_part GROUP BY 1
+    )
+    SELECT p.nation, p.l_partkey,
+           CAST(p.part_value AS DOUBLE) AS part_value
+    FROM nat_part p
+    JOIN nat_total t ON t.nation = p.nation
+    WHERE p.part_value > 0.005 * t.total_value
+    """,
+    tags=("tpch",),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 pattern: per-(nation, part) traded value filtered
+    against a FRACTION of the same aggregation at a coarser group level
+    (partsupp availability value adapted to lineitem traded value) — the
+    aggregate-reused-as-its-own-threshold shape.
+
+    The threshold comparison multiplies the exact DECIMAL total by the
+    fraction (one double multiply against a double-cast of an exact sum),
+    identical on both engines.  Scale: ONE shuffle builds nat_part
+    (map-side combined); nat_total re-aggregates its output (nation-
+    cardinality rows) and broadcasts back — the fact is scanned and
+    shuffled once."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    nat_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("part_value"))
+    )
+    nat_total = nat_part.groupBy("nation").agg(
+        F.sum("part_value").alias("total_value")
+    )
+    return (
+        nat_part.join(
+            F.broadcast(nat_total.withColumnRenamed("nation", "t_nation")),
+            F.col("nation") == F.col("t_nation"),
+        )
+        .filter(
+            F.col("part_value").cast("double")
+            > 0.005 * F.col("total_value").cast("double")
+        )
+        .select("nation", "l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )

@@ -337,3 +337,56 @@ def agg_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("unique_users"),
         )
     )
+
+
+@register(
+    "window_rank_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           round(percent_rank() OVER w, 9) AS pr,
+           round(cume_dist() OVER w, 9) AS cd,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_key,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("analytic-windows",),
+)
+def window_rank_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window surface in one query: percent_rank,
+    cume_dist (distribution functions), first_value / nth_value
+    (positional), rank / dense_rank (ranking with gaps/without) — all
+    over ONE (o_custkey, o_totalprice DESC) ordering.
+
+    percent_rank/cume_dist emit doubles from integer position ratios —
+    identical across engines for the same tie structure; the orderkey
+    tiebreak makes positions total, and round(..., 9) guards the one
+    division.  nth_value needs the full-partition frame (default frame
+    stops at CURRENT ROW, hiding row 2 from rows 1).
+
+    Scale: one shuffle on o_custkey; all six functions plan into a
+    single Window operator over one sort — adding functions to a shared
+    ordering is free."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
