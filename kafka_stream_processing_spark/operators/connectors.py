@@ -143,3 +143,56 @@ def connector_parquet_write_partitioned(spark: SparkSession, sf_dir: str) -> Dat
         back.groupBy("event_type", F.date_trunc("day", "ts").cast("string").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "connector_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(value * 2 AS DECIMAL(18,6))
+                         ELSE CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("connectors",),
+)
+def connector_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: a full partitioned write, then an
+    overwrite touching ONLY the 'click' partition (values doubled) —
+    with partitionOverwriteMode=dynamic the other four partitions keep
+    their original files.  The read-back aggregate proves it: 'click'
+    reflects the rewrite, everything else the first write.
+
+    This is the idempotent-backfill primitive at 100 TB: re-running a
+    day's pipeline replaces exactly that day's partitions, never
+    truncating the table (static mode's behavior) and never duplicating
+    (plain append's).  Conf is scoped and restored — the engine never
+    leaks write semantics into the session."""
+    path = _tmp_dir(sf_dir, "parquet_dyn_overwrite")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    try:
+        spark.conf.set(key, "dynamic")
+        (
+            ev.filter(F.col("event_type") == "click")
+            .withColumn("value", F.col("value") * 2)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, old)
+    back = spark.read.parquet(path)
+    from kafka_stream_processing_spark.functions.exact import dec
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
