@@ -83,6 +83,7 @@ def _load() -> None:
         relational,
         scalar,
         similarity,
+        sql_surface,
         subqueries,
         text,
         tpch_extra,

@@ -144,6 +144,18 @@ def test_q21_single_orderkey_shuffle_and_topk(spark, sf_small):
     assert rep.n_exchanges <= 3, rep.text[:4000]
 
 
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_small):
+    """The correlated LATERAL ... ORDER BY ... LIMIT 2 must de-correlate
+    into WindowGroupLimit (per-partition partial top-k) — never a
+    per-outer-row re-scan (nested-loop) of orders."""
+    rep = plan_report(
+        registry.all_specs()["sql_lateral_topk_per_customer"].fn(spark, sf_small)
+    )
+    assert "WindowGroupLimit" in rep.text, rep.text[:4000]
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.text[:4000]
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
     """With runtime bloom-filter injection on (thresholds scaled to the
     testdata), a selective dimension predicate semi-join-reduces the fact
