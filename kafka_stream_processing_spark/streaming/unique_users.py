@@ -382,3 +382,81 @@ def stream_unique_users_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return count_per_window(spark.table(name))
+
+
+def _stream_redelivery_source_dir(sf_dir: str) -> str:
+    """Chunked staging that REDELIVERS the first chunk as a fourth file —
+    the at-least-once arrival pattern of a Kafka source after a producer
+    retry / consumer-group rebalance.  Cache keyed like the plain chunked
+    variant (source mtime/size)."""
+    base = _stream_chunked_source_dir(sf_dir)
+    d = base + "_redelivered"
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    import shutil
+
+    for name in sorted(os.listdir(base)):
+        if name.startswith("chunk-"):
+            shutil.copy(os.path.join(base, name), os.path.join(d, name))
+    # chunk-3 sorts AFTER chunk-2: the duplicate batch arrives last.
+    shutil.copy(os.path.join(base, "chunk-0.parquet"),
+                os.path.join(d, "chunk-3.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+@register(
+    "stream_dedup_at_least_once",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT event_id) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "exactly-once"),
+)
+def stream_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once SEMANTICS on an at-least-once source: the staged
+    stream redelivers its entire first chunk as a later micro-batch (the
+    Kafka retry/rebalance duplicate pattern the reference's EXACTLY_ONCE
+    config exists to absorb, UniqueUsersCounter.java:56), and a keyed
+    ``dropDuplicates`` turns the duplicated delivery back into
+    exactly-once counts — the oracle sees only the original events.
+
+    State note: plain dropDuplicates keeps one state row per event_id
+    forever — correct for bounded replay windows; when duplicates are
+    known to arrive within a delay bound, dropDuplicatesWithinWatermark
+    (tests/test_streaming_semantics.py) bounds the state instead.  This
+    is the deliberate pairing: unbounded-correctness here, bounded-state
+    variant proven in tests."""
+    path = _stream_redelivery_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_alo_dedup_{next(_run_counter)}"
+
+    stream = (
+        normalize_events(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        .select("event_id", "user_id", "event_type")
+        .dropDuplicates(["event_id"])
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    sink = spark.table(name)
+    return sink.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
