@@ -91,6 +91,7 @@ def _load() -> None:
         windowed,
     )
     from kafka_stream_processing_spark.streaming import (  # noqa: F401
+        eos_sink,
         joins,
         stateful,
         topk,

@@ -213,3 +213,82 @@ def transactional_partition_sink(
             fh.write(f"{app_id}-{epoch_id}")
 
     return sink
+
+
+def _register_roundtrip_query() -> None:
+    """Registered-query form of the transactional sink so the EOS path
+    gets a driver-checked oracle row, not just crash tests."""
+    import shutil
+    import itertools
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from kafka_stream_processing_spark.registry import register
+    from kafka_stream_processing_spark.sources.tables import normalize_events
+
+    uniq = itertools.count()
+
+    @register(
+        "stream_eos_transactional_roundtrip",
+        oracle="""
+        SELECT event_id, user_id FROM events
+        """,
+        tags=("streaming", "exactly-once"),
+    )
+    def stream_eos_transactional_roundtrip(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """End-to-end exactly-once produce: a multi-batch stream of events
+        flows through the EXECUTOR-SIDE transactional sink (per-(epoch,
+        partition) transactional ids, commit markers), and the result is
+        what a read_committed consumer would see — which must equal the
+        source exactly once, byte for byte (the reference's EXACTLY_ONCE
+        end state, UniqueUsersCounter.java:56).
+
+        The committed log is parallelized back into a DataFrame for the
+        oracle comparison — driver-side ONLY because verification must
+        read the sink; production consumers read the topic directly."""
+        from kafka_stream_processing_spark.streaming.unique_users import (
+            _stream_chunked_source_dir,
+            scoped_state_partitions,
+        )
+
+        path = _stream_chunked_source_dir(sf_dir)
+        raw_schema = spark.read.parquet(path).schema
+        run = next(uniq)
+        base = os.path.join(
+            "/tmp", "kssp_eos_roundtrip", f"{os.getpid()}_{run}"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir = os.path.join(base, "txlog")
+        os.makedirs(log_dir, exist_ok=True)
+
+        sink = transactional_partition_sink(
+            f"eos-rt-{run}",
+            os.path.join(base, "markers"),
+            producer_factory=lambda txn_id: FileTransactionLog(log_dir, txn_id),
+            row_to_kv=lambda r: (str(r["event_id"]), str(r["user_id"])),
+        )
+        stream = (
+            normalize_events(
+                spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+            .select("event_id", "user_id")
+        )
+        with scoped_state_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        committed = FileTransactionLog.read_committed(log_dir)
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in committed],
+            schema="event_id bigint, user_id bigint",
+        )
+
+
+_register_roundtrip_query()
