@@ -137,6 +137,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_stateful_user_stats",
     "stream_user_topk_stateful",
     "stream_global_topk_foreachbatch",
+    "stream_eos_transactional_roundtrip",
     # -- TPC-H-pattern queries untested in r01 --
     "q7_volume_shipping",
     "q8_market_share",
@@ -163,7 +164,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "scalar_math_lineitem",
     "array_word_explode_stats",
     "array_higher_order_functions",
-    "agg_stats_orders",
     # -- changed this round: bucketed dedup defaults --
     "dedup_embedding_cosine",
     "dedup_simhash_banded",
