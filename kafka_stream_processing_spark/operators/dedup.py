@@ -590,3 +590,50 @@ def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+@register(
+    "dedup_fuzzy_blocked_names",
+    oracle="""
+    SELECT a.p_partkey AS key_a,
+           b.p_partkey AS key_b,
+           a.p_brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("dedup", "fuzzy"),
+)
+def dedup_fuzzy_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (the record-linkage primitive): candidate
+    pairs are generated ONLY within a blocking key (brand) via equi-join,
+    then scored with exact edit distance — never an all-pairs cross join.
+    Edit distance is integer-exact on both engines, so the match frontier
+    (<= 3) never drifts.
+
+    Scale: cost is Σ_block (block_size²) — governed by the blocking key's
+    granularity, the knob record linkage always exposes.  With skewed
+    blocks, AQE skew-join splitting handles the join side, and the
+    quadratic term is bounded by refining the key (brand → brand×size),
+    exactly like the stop-shingle df cap in the n-gram jaccard dedup."""
+    a = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "p_brand", "edit_dist")
+    )

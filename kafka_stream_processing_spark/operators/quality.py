@@ -182,3 +182,40 @@ def quality_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pcts")[2].alias("p99_approx"),
         )
     )
+
+
+@register(
+    "quality_exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("quality", "statistics"),
+)
+def quality_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolation percentiles per group (the counterpart
+    of quality_approx_quantiles' sketch: same statistic, exact algorithm,
+    so it IS cross-engine oracle-checkable — both engines interpolate
+    (1-g)*lo + g*hi over the sorted group; round(6) absorbs the last-ulp
+    of that one interpolation).
+
+    Scale: exact percentiles require the full sorted group — Spark's
+    `percentile` aggregates a per-group value buffer (memory ∝ group
+    size).  That's the documented cost of exactness: fine for bounded
+    groups (5 event types here), use the approx_percentile sketch
+    (mergeable, O(1/ε) state) when groups are unbounded — the engine
+    ships both deliberately."""
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
