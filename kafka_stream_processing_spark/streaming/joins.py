@@ -90,3 +90,103 @@ def stream_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
         F.unix_micros("click_ts").alias("click_ts_us"),
     )
+
+
+@register(
+    "stream_static_enrich_join",
+    oracle="""
+    WITH profile AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+    ),
+    tiered AS (
+        SELECT e.event_id, e.user_id,
+               CASE WHEN p.total_value >= 500 THEN 'high'
+                    WHEN p.total_value >= 100 THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM events e JOIN profile p ON p.user_id = e.user_id
+    )
+    SELECT tier,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM tiered
+    GROUP BY tier
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: each micro-batch of the event stream is
+    enriched against a BATCH-computed dimension (per-user lifetime value
+    tiers) — the dimension-enrichment pattern every streaming pipeline
+    needs and the reference cannot express (one topic in, no side
+    inputs).  The static side is planned once and broadcast into every
+    micro-batch; tier thresholds compare the exact decimal total so the
+    tier frontier is engine-stable.
+
+    Scale: the static side refreses per RESTART, not per batch — for
+    slowly-changing dims at 100 TB, periodically re-start the query or
+    move to a stream-stream join with a changelog topic
+    (stream_stream_join_click_purchase).  The aggregate runs in complete
+    mode: per-(tier) counters, 3 groups, trivially bounded state."""
+    from kafka_stream_processing_spark.functions.exact import dec
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+        scoped_state_partitions,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_static_{next(_uniq)}"
+
+    profile = (
+        normalize_events(spark.read.schema(raw_schema).parquet(path))
+        .groupBy("user_id")
+        .agg(F.sum(dec("value")).cast("double").alias("total_value"))
+        .withColumn(
+            "tier",
+            F.when(F.col("total_value") >= 500, "high")
+            .when(F.col("total_value") >= 100, "mid")
+            .otherwise("low"),
+        )
+        .select("user_id", "tier")
+    )
+    stream = (
+        normalize_events(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        .select("event_id", F.col("user_id").alias("ev_user"))
+    )
+    enriched = stream.join(
+        F.broadcast(profile), stream.ev_user == profile.user_id
+    )
+    # countDistinct is forbidden in streaming aggs: stream out enriched
+    # events and stateful-deduped (tier, user) pairs, count at the sink.
+    pairs = enriched.select("tier", "ev_user").dropDuplicates(["tier", "ev_user"])
+    with scoped_state_partitions(spark):
+        q1 = (
+            enriched.select("tier", "event_id")
+            .writeStream.format("memory")
+            .queryName(name + "_ev")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+        q2 = (
+            pairs.writeStream.format("memory")
+            .queryName(name + "_us")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    ev = spark.table(name + "_ev").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    us = spark.table(name + "_us").groupBy("tier").agg(
+        F.countDistinct("ev_user").alias("n_users")
+    )
+    return ev.join(us, "tier").select("tier", "n_events", "n_users")
