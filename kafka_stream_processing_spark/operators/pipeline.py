@@ -119,6 +119,31 @@ def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_feature_columns(text_col: str = "text") -> list[Column]:
+    """The four rule-chain feature expressions (word count, total token
+    chars, top-word count, stopword count) over a whitespace-tokenized
+    text column.  Exported so robustness tests exercise the operator's
+    OWN expressions against degenerate inputs."""
+    toks = F.split(text_col, " ")
+    return [
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda t: t == w)),
+            )
+        ).alias("n_top"),
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+        ).alias("n_stop"),
+    ]
+
+
 @register(
     "quality_gopher_filters",
     oracle="""
@@ -177,25 +202,7 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(unique_words x words) per doc — bounded by document length, not
     corpus size."""
     d = fanout(table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    feats = d.select(
-        "lang",
-        F.size(toks).alias("n_words"),
-        F.aggregate(
-            F.transform(toks, lambda w: F.length(w)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("total_chars"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda w: F.size(F.filter(toks, lambda t: t == w)),
-            )
-        ).alias("n_top"),
-        F.size(
-            F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
-        ).alias("n_stop"),
-    )
+    feats = d.select("lang", *gopher_feature_columns())
     ok_minlen = F.col("n_words") >= 30
     ok_meanlen = (F.col("total_chars") >= 3 * F.col("n_words")) & (
         F.col("total_chars") <= 8 * F.col("n_words")
@@ -220,6 +227,31 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
 _PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def pii_augmented() -> Column:
+    """The deterministic PII injection (docs with doc_id % 3 == 0 get a
+    synthetic email+phone appended).  Exported so tests assert on the
+    operator's OWN expression chain, not a copy that could go stale."""
+    return F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def pii_scrubbed(augmented: Column) -> Column:
+    """Email-then-phone redaction over the given text column."""
+    return F.regexp_replace(
+        F.regexp_replace(augmented, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
 
 
 @register(
@@ -257,21 +289,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     match identical spans.  Scale: stateless per-row regexp — narrow
     transform, no shuffle, whole-stage codegen."""
     d = fanout(table(spark, sf_dir, "documents"))
-    augmented = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1-555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        ),
-    ).otherwise(F.col("text"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(augmented, _EMAIL_RE, "<EMAIL>"),
-        _PHONE_RE,
-        "<PHONE>",
-    )
+    augmented = pii_augmented()
+    scrubbed = pii_scrubbed(augmented)
     return d.select(
         "doc_id",
         "lang",

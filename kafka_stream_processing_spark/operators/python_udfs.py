@@ -136,6 +136,10 @@ def _exact_value_sum_udf():
     # streaming/stateful.py's state accumulation).
     @pandas_udf("double")
     def _exact_value_sum(v: pd.Series) -> float:
+        # NULLs arrive as NaN in a grouped-agg series (built-in sums
+        # filter them before the UDAF would); drop them to match SQL
+        # SUM's skip-null semantics instead of crashing astype(int64).
+        v = v.dropna()
         return float(v.mul(1e6).round().astype("int64").sum()) / 1e6
 
     return _exact_value_sum

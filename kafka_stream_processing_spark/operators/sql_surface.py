@@ -14,20 +14,17 @@ DataFrame API cannot express directly:
   components keep the explicit min-label-propagation operator
   (operators/clustering.py) as their scale path.
 
-Temp views are registered per call with collision-free names and point
-at the same `table()` readers as every other operator.
+Tables are passed as ``spark.sql`` DataFrame TEMPLATE arguments
+(`{name}` placeholders) — no temp views, so repeated driver/bench
+invocations never accumulate catalog entries.
 """
 
 from __future__ import annotations
-
-import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import table
-
-_uniq = itertools.count()
 
 
 @register(
@@ -54,19 +51,20 @@ def sql_lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     per-row subquery, physically the same plan as the window top-k
     operator.  Customers with no orders produce no rows (inner lateral),
     matching the oracle."""
-    n = next(_uniq)
-    table(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_l{n}")
-    table(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_l{n}")
-    return spark.sql(f"""
+    return spark.sql(
+        """
         SELECT c_custkey, l.o_orderkey, l.o_totalprice
-        FROM customer_l{n}, LATERAL (
+        FROM {customer}, LATERAL (
             SELECT o_orderkey, o_totalprice
-            FROM orders_l{n}
+            FROM {orders}
             WHERE o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 2
         ) l
-    """)
+        """,
+        customer=table(spark, sf_dir, "customer"),
+        orders=table(spark, sf_dir, "orders"),
+    )
 
 
 @register(
@@ -98,11 +96,10 @@ def sql_recursive_user_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-dup clusters) recursive SQL is not yet expressible in Spark
     (UNION-distinct unsupported) — use
     operators/clustering.py::connected_components."""
-    n = next(_uniq)
-    table(spark, sf_dir, "events").createOrReplaceTempView(f"events_r{n}")
-    return spark.sql(f"""
+    return spark.sql(
+        """
         WITH RECURSIVE chain(user_id, anc) AS (
-            SELECT DISTINCT user_id, user_id FROM events_r{n}
+            SELECT DISTINCT user_id, user_id FROM {events}
             UNION ALL
             SELECT user_id, anc DIV 2 FROM chain WHERE anc > 1
         )
@@ -111,4 +108,6 @@ def sql_recursive_user_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(anc) AS BIGINT) AS chain_sum
         FROM chain
         GROUP BY user_id
-    """)
+        """,
+        events=table(spark, sf_dir, "events"),
+    )

@@ -373,8 +373,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_orderdate"),
         li.l_orderkey == F.col("o_orderkey"),
     ).withColumn(
+        # INTERVAL addition, not date_add: date_add truncates the
+        # timestamp to DATE, silently shifting the lateness threshold to
+        # midnight and diverging from the oracle's timestamp arithmetic
+        # for any non-midnight orderdate.
         "is_late",
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60),
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
     w = Window.partitionBy("l_orderkey")
     s = table(spark, sf_dir, "supplier")

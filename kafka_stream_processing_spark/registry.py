@@ -179,11 +179,15 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
 #: Rotation policy: flagship + §2 reference parity + streaming stay
 #: pinned; the remaining slots go to queries that are new, changed, or
 #: missing a green CORRECTNESS row from prior rounds.  Queries rotated
-#: OUT (r01-green, unchanged: the bench headline set q1/q3/q5/
+#: OUT with r01-green rows as evidence (the bench headline set q1/q3/q5/
 #: dedup_minhash_lsh/similarity_bruteforce_topk/
-#: window_topk_orders_per_customer, dedup_ngram_jaccard) keep their r01
-#: rows as evidence and remain covered by the identical differential
-#: check in tests/test_oracle_parity.py plus BENCH rows each round.
+#: window_topk_orders_per_customer, dedup_ngram_jaccard) remain covered
+#: by the identical differential check in tests/test_oracle_parity.py
+#: plus BENCH rows each round.  EXCEPTION without any driver row yet:
+#: agg_stats_orders, displaced this round by
+#: stream_eos_transactional_roundtrip — it and every r02-new query
+#: outside the first 50 are queued for the r03 rotation (list in
+#: HANDOFF.md).
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -10,20 +10,32 @@ producer (begin → send* → commit, readers in read_committed see all or
 nothing).  This module expresses that recipe as a ``foreachBatch``
 callable with a pluggable producer, in two-phase form:
 
-1. idempotence guard — if this epoch's commit marker exists, the epoch
-   already committed fully in a previous incarnation: skip it entirely;
+1. idempotence guard — ask the TRANSACTION LOG ITSELF whether a
+   transaction with this transactional id already committed
+   (``producer.committed()``); if so the epoch fully delivered in a
+   previous incarnation: skip it entirely;
 2. begin a transaction tagged with a transactional id derived from
-   (app id, epoch) — exactly how a Kafka transactional.id must be chosen
-   so zombie producers from the crashed run are fenced;
+   (app id, epoch) — the Kafka transactional.id convention that fences
+   zombie producers from the crashed run;
 3. send every record of the epoch inside the transaction;
-4. commit, then durably record the epoch marker.
+4. commit; a local marker file is then written as a fast-path CACHE of
+   the committed check, never as the source of truth.
 
-A crash anywhere before (4) leaves an aborted/unfinished transaction that
-read-committed consumers never observe, and the replayed epoch re-runs
-from (2).  A crash between commit and marker write re-commits the same
-records under the SAME transactional id — the fenced/idempotent case a
-real broker deduplicates; the file-backed producer used in CI models it
-by keying delivered batches on the transactional id.
+The guard in (1) must be atomic with the commit in (4) or exactly-once
+breaks: a side-file marker written after commit leaves a crash window
+between commit and marker in which a replay would re-deliver the epoch
+(transactional.id fences ZOMBIES — a broker never dedups a second,
+fully-committed transaction under the same id).  Hence ``committed()``
+reads the transaction log: for ``FileTransactionLog`` the committed
+file IS the transaction (one atomic rename); for a real Kafka producer,
+send one epoch-marker record to a compacted markers topic INSIDE each
+transaction and implement ``committed()`` as a read_committed lookup of
+that topic — marker and data then commit or vanish together.
+
+A crash anywhere before (4) leaves an aborted/unfinished transaction
+that read-committed consumers never observe, and the replayed epoch
+re-runs from (2) — finding ``committed()`` false — while a crash AFTER
+commit replays into a ``committed()`` == True guard and skips.
 
 The container ships no broker or kafka client, so the default producer
 factory raises with instructions; ``FileTransactionLog`` is the CI
@@ -55,6 +67,13 @@ class TransactionalProducer:
         raise NotImplementedError
 
     def abort(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def committed(self) -> bool:  # pragma: no cover - interface
+        """True iff a transaction with THIS transactional id already
+        committed — must be read from the transaction log itself (atomic
+        with commit), e.g. a read_committed lookup of an epoch-marker
+        record sent inside the transaction."""
         raise NotImplementedError
 
 
@@ -95,6 +114,13 @@ class FileTransactionLog(TransactionalProducer):
         if os.path.exists(self._staging):
             os.remove(self._staging)
 
+    def committed(self) -> bool:
+        # The committed/ file IS the transaction (atomic rename at
+        # commit), so this check is exactly-once-safe by construction.
+        return os.path.exists(
+            os.path.join(self.log_dir, "committed", self.txn_id)
+        )
+
     @staticmethod
     def read_committed(log_dir: str) -> list[tuple[str, str]]:
         """All records of committed transactions, ordered by the numeric
@@ -130,33 +156,40 @@ def transactional_epoch_sink(
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch callable implementing the recipe above.
 
-    ``marker_dir`` holds per-epoch commit markers (lives NEXT TO the
-    query's checkpoint dir and shares its lifecycle — wiping the
-    checkpoint must wipe the markers, mirroring streams.cleanUp()).
+    ``marker_dir`` holds per-epoch marker files as a FAST-PATH CACHE of
+    the committed check (lives NEXT TO the query's checkpoint dir and
+    shares its lifecycle — wiping the checkpoint must wipe the markers,
+    mirroring streams.cleanUp()).  The authoritative guard is
+    ``producer.committed()`` — atomic with the commit — so a crash
+    between commit and marker write replays into a skip, not a double
+    delivery.
 
     Scale note: records flow driver-side here because foreachBatch hands
-    the driver the batch DataFrame — for cluster use the identical
-    begin/send/commit bracket moves into df.foreachPartition with one
-    producer per (partition, epoch) transactional id; the epoch-marker
-    idempotence guard is unchanged.
+    the driver the batch DataFrame — for cluster use,
+    ``transactional_partition_sink`` moves the identical bracket into
+    df.foreachPartition with one producer per (partition, epoch)
+    transactional id.
     """
     os.makedirs(marker_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         marker = os.path.join(marker_dir, f"epoch-{epoch_id}")
-        if os.path.exists(marker):  # replayed epoch, already committed
-            return
         txn_id = f"{app_id}-{epoch_id}"
+        if os.path.exists(marker):  # fast path: known-committed epoch
+            return
         producer = producer_factory(txn_id)
-        producer.begin()
-        try:
-            rows: Iterable = batch_df.collect()
-            for r in rows:
-                producer.send(*row_to_kv(r))
-            producer.commit()
-        except BaseException:
-            producer.abort()
-            raise
+        if producer.committed():  # authoritative: crash after commit,
+            pass                  # before marker — deliver nothing twice
+        else:
+            producer.begin()
+            try:
+                rows: Iterable = batch_df.collect()
+                for r in rows:
+                    producer.send(*row_to_kv(r))
+                producer.commit()
+            except BaseException:
+                producer.abort()
+                raise
         with open(marker, "w") as fh:
             fh.write(txn_id)
 
@@ -177,11 +210,12 @@ def transactional_partition_sink(
     Exactly-once holds through partial failure: a crash after SOME
     partitions committed but before the epoch marker makes Spark replay
     the WHOLE epoch (same source offsets ⇒ same partition contents);
-    already-committed partitions re-commit under their SAME transactional
-    id, which the broker (and the file log here) deduplicates by fencing,
-    while uncommitted ones commit for the first time.  The epoch marker
-    then short-circuits any later replay — identical recipe to the
-    driver-side sink, with the id space widened by partition.
+    each partition's ``producer.committed()`` guard — atomic with its
+    own transaction — makes already-committed partitions SKIP while
+    uncommitted ones commit for the first time.  The epoch marker file
+    is only the fast path that short-circuits fully-complete epochs —
+    identical recipe to the driver-side sink, with the id space widened
+    by partition.
 
     Requires the producer_factory to be serializable (it ships to
     executors) and the batch's partitioning to be deterministic for a
@@ -199,6 +233,11 @@ def transactional_partition_sink(
 
             pid = TaskContext.get().partitionId()
             producer = producer_factory(f"{app_id}-{epoch_id}-{pid}")
+            if producer.committed():
+                # Epoch replay after a crash that landed between this
+                # partition's commit and the epoch marker: skip — the
+                # transaction log already holds these records.
+                return
             producer.begin()
             try:
                 for r in rows:

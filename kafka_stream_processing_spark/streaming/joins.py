@@ -124,11 +124,15 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch; tier thresholds compare the exact decimal total so the
     tier frontier is engine-stable.
 
-    Scale: the static side refreses per RESTART, not per batch — for
+    Scale: the static side refreshes per RESTART, not per batch — for
     slowly-changing dims at 100 TB, periodically re-start the query or
     move to a stream-stream join with a changelog topic
-    (stream_stream_join_click_purchase).  The aggregate runs in complete
-    mode: per-(tier) counters, 3 groups, trivially bounded state."""
+    (stream_stream_join_click_purchase).  ONE streaming pass writes the
+    enriched (tier, event_id, ev_user) rows; both audit aggregates run
+    batch-side over the sink (streaming aggregation forbids
+    countDistinct, and a second streaming query with stateful
+    dropDuplicates would just duplicate source reads and state for a
+    count the sink can compute)."""
     from kafka_stream_processing_spark.functions.exact import dec
     from kafka_stream_processing_spark.streaming.unique_users import (
         _stream_chunked_source_dir,
@@ -162,31 +166,21 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stream.join(
         F.broadcast(profile), stream.ev_user == profile.user_id
     )
-    # countDistinct is forbidden in streaming aggs: stream out enriched
-    # events and stateful-deduped (tier, user) pairs, count at the sink.
-    pairs = enriched.select("tier", "ev_user").dropDuplicates(["tier", "ev_user"])
     with scoped_state_partitions(spark):
-        q1 = (
-            enriched.select("tier", "event_id")
+        q = (
+            enriched.select("tier", "event_id", "ev_user")
             .writeStream.format("memory")
-            .queryName(name + "_ev")
+            .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
-        q1.awaitTermination()
-        q2 = (
-            pairs.writeStream.format("memory")
-            .queryName(name + "_us")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("ev_user").alias("n_users"),
         )
-        q2.awaitTermination()
-    ev = spark.table(name + "_ev").groupBy("tier").agg(
-        F.count(F.lit(1)).alias("n_events")
     )
-    us = spark.table(name + "_us").groupBy("tier").agg(
-        F.countDistinct("ev_user").alias("n_users")
-    )
-    return ev.join(us, "tier").select("tier", "n_events", "n_users")

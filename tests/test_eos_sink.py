@@ -114,26 +114,39 @@ def test_crash_inside_transaction_recovers_exactly_once(spark, tmp_path):
 
 
 def test_replayed_committed_epoch_is_skipped(spark, tmp_path):
-    """If the crash lands BETWEEN commit and marker write, the replay
-    re-commits under the same transactional id and the file log (like a
-    fenced broker) keeps one copy; if the marker was written, the replay
-    skips the epoch entirely.  Either way: exactly once."""
+    """The crash window BETWEEN commit and marker write is the case a
+    side-file guard alone gets wrong (a real broker never dedups a
+    second committed transaction under the same id — transactional.id
+    only fences zombies).  The authoritative producer.committed() guard
+    must SKIP the replay without producing, then restore the marker."""
     log_dir = str(tmp_path / "txlog")
     marker_dir = str(tmp_path / "markers")
+    produced = []
+
+    class _CountingLog(FileTransactionLog):
+        def commit(self) -> None:
+            produced.append(self.txn_id)
+            super().commit()
+
     sink = transactional_epoch_sink(
         "app",
         marker_dir,
-        producer_factory=lambda txn_id: FileTransactionLog(log_dir, txn_id),
+        producer_factory=lambda txn_id: _CountingLog(log_dir, txn_id),
         row_to_kv=lambda r: (r["k"], r["v"]),
     )
     batch = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")
     sink(batch, 0)
     sink(batch, 0)  # replay after full commit → marker short-circuits
     assert FileTransactionLog.read_committed(log_dir) == [("a", "1"), ("b", "2")]
+    assert produced == ["app-0"]
 
-    # Same-txn-id re-commit (marker lost): content overwritten, not doubled.
+    # Crash between commit and marker write (modeled: marker lost).  The
+    # replay must find committed()==True, produce NOTHING, and re-write
+    # the marker.
     os.remove(os.path.join(marker_dir, "epoch-0"))
     sink(batch, 0)
+    assert produced == ["app-0"]  # no second transaction committed
+    assert os.path.exists(os.path.join(marker_dir, "epoch-0"))
     assert FileTransactionLog.read_committed(log_dir) == [("a", "1"), ("b", "2")]
 
 

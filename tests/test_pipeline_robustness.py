@@ -20,7 +20,9 @@ def test_gopher_features_on_degenerate_text(spark):
     string (one empty token), single word, and NULL text all produce
     defined rows — NULL text yields NULL features, never a crash or a
     dropped row."""
-    from kafka_stream_processing_spark.operators import pipeline as P
+    from kafka_stream_processing_spark.operators.pipeline import (
+        gopher_feature_columns,
+    )
 
     d = _docs(
         spark,
@@ -31,22 +33,8 @@ def test_gopher_features_on_degenerate_text(spark):
             (4, "the the the the", "en", "s", 15),
         ],
     )
-    toks = F.split("text", " ")
-    feats = d.select(
-        "doc_id",
-        F.size(toks).alias("n_words"),
-        F.aggregate(
-            F.transform(toks, lambda w: F.length(w)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("total_chars"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda w: F.size(F.filter(toks, lambda t: t == w)),
-            )
-        ).alias("n_top"),
-    ).collect()
+    # The operator's own feature expressions — not a copy.
+    feats = d.select("doc_id", *gopher_feature_columns()).collect()
     by_id = {r.doc_id: r for r in feats}
     assert by_id[1].n_words == 1 and by_id[1].total_chars == 0  # [''] token
     assert by_id[2].n_words == 1 and by_id[2].total_chars == 4
@@ -111,3 +99,29 @@ def test_eos_sink_empty_batch_commits_empty_transaction(spark, tmp_path):
     sink(empty, 0)
     assert os.path.exists(os.path.join(marker_dir, "epoch-0"))
     assert FileTransactionLog.read_committed(log_dir) == []
+
+
+def test_grouped_agg_udaf_skips_nulls_like_sql_sum(spark):
+    """The exact-sum grouped-agg pandas UDF must skip NULL values the way
+    SQL SUM does (NULLs arrive as NaN in the Arrow series) — not crash
+    converting NaN to int64."""
+    from kafka_stream_processing_spark.operators.python_udfs import (
+        _exact_value_sum_udf,
+        _group_count_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", None), ("a", 2.25), ("b", None)],
+        "k string, value double",
+    )
+    rows = {
+        r.k: (r.total, r.n)
+        for r in df.groupBy("k")
+        .agg(
+            _exact_value_sum_udf()("value").alias("total"),
+            _group_count_udf()("value").alias("n"),
+        )
+        .collect()
+    }
+    assert rows["a"] == (3.75, 3)  # sum skips the NULL; count counts rows
+    assert rows["b"][0] == 0.0

@@ -243,24 +243,17 @@ def test_pii_scrub_leaves_no_matches(spark, sf_small):
         assert r.n_emails == expected, (r.doc_id, r.n_emails)
         assert r.n_phones == expected, (r.doc_id, r.n_phones)
     # Re-run the scrubber ON the scrubbed text: zero matches remain.
-    # (The registered query returns a hash, so recompute the scrubbed
-    # string through the same expression chain.)
+    # The expression chain comes from the operator module itself
+    # (pii_augmented/pii_scrubbed) so this assertion tracks the operator,
+    # not a copy that could go stale.
+    from kafka_stream_processing_spark.operators.pipeline import (
+        pii_augmented,
+        pii_scrubbed,
+    )
     from kafka_stream_processing_spark.sources.tables import table
 
     d = table(spark, sf_small, "documents")
-    augmented = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1-555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        ),
-    ).otherwise(F.col("text"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(augmented, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-    )
+    scrubbed = pii_scrubbed(pii_augmented())
     residue = d.select(
         (
             F.size(F.regexp_extract_all(scrubbed, F.lit(_EMAIL_RE), F.lit(0)))
