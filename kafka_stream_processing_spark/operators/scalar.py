@@ -238,3 +238,37 @@ def array_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("head_vocab"),
     )
+
+
+@register(
+    "scalar_try_error_policy",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(event_type AS INT) AS type_as_int,
+           value / nullif(CAST(event_id % 3 AS DOUBLE), 0) AS safe_ratio,
+           TRY_CAST(substr(props, 8, 2) AS BIGINT) AS prop_digits
+    FROM events
+    """,
+    tags=("scalar", "error-policy"),
+)
+def scalar_try_error_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar policy: `try_cast` and `try_divide` turn
+    malformed casts and division-by-zero into NULLs instead of runtime
+    failures — the row-level counterpart of the source-level
+    PERMISSIVE/DROPMALFORMED/FAILFAST modes (tests/test_malformed_input):
+    a 100 TB job must never die 6 hours in because one row divides by
+    zero.  The oracle spells the same policy in portable SQL
+    (`/ nullif(...)`, TRY_CAST).
+
+    `prop_digits` try-casts a substring of the JSON props that is
+    sometimes digits, sometimes `N}` garbage — NULLs exactly where
+    parsing fails, hash-checked."""
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.try_divide(
+            F.col("value"), (F.col("event_id") % 3).cast("double")
+        ).alias("safe_ratio"),
+        F.substring("props", 8, 2).try_cast("bigint").alias("prop_digits"),
+    )
