@@ -303,3 +303,54 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed.cast("binary")).alias("scrubbed_hash"),
         F.length(scrubbed).alias("scrubbed_len"),
     )
+
+
+@register(
+    "sample_mixture_weights",
+    oracle="""
+    WITH weighted AS (
+        SELECT source, lang,
+               CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 100 ELSE 25
+                    END AS keep_pct,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN bucket < keep_pct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
+    FROM weighted
+    GROUP BY source
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source gets an acceptance rate (here
+    100% for src0-9, 25% for src10-19 — the quality-tiered downsampling
+    every pretraining mixture does) applied via the SAME keyed-hash
+    acceptance test as the train/val split — deterministic, reproducible
+    under data growth, and uniform within each source.
+
+    Scale: stateless map + per-source counters; the actual sampled WRITE
+    is `df.filter(bucket < keep_pct)` on the same expression — no
+    sampling pass, no rand(), no driver coordination.  Changing the
+    mixture re-runs only the filter, and documents kept at rate p remain
+    kept at any rate >= p (nested samples: bucket is fixed per doc), so
+    mixture ablations are supersets of each other."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    keep_pct = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, 100
+    ).otherwise(25)
+    bucket = hash64(F.col("doc_id").cast("string")) % 100
+    return (
+        d.withColumn("keep_pct", keep_pct)
+        .withColumn("bucket", bucket)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("bucket") < F.col("keep_pct"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+    )
