@@ -76,6 +76,7 @@ def _load() -> None:
         clustering,
         connectors,
         dedup,
+        graph,
         multimodal,
         pipeline,
         python_udfs,
