@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_processing_spark.functions.exact import dec
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import table
 
@@ -389,4 +390,121 @@ def window_rank_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFram
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_activity_islands",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(date_trunc('minute', ts)) / 60000000 AS BIGINT)
+                   AS minute_idx
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, minute_idx,
+               minute_idx - row_number() OVER (
+                   PARTITION BY user_id ORDER BY minute_idx
+               ) AS island_key
+        FROM active
+    ),
+    islands AS (
+        SELECT user_id, island_key, count(*) AS run_len
+        FROM grouped GROUP BY user_id, island_key
+    )
+    SELECT user_id,
+           count(*) AS n_islands,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS active_minutes
+    FROM islands
+    GROUP BY user_id
+    """,
+    tags=("analytic-windows", "time-series"),
+)
+def window_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of active minutes per user via
+    the classic value-minus-row_number grouping key (consecutive values
+    share a constant difference), then island-level aggregation — the
+    inverse view of session windows (which group by GAP; islands group
+    by CONTIGUITY, a strictly calendar-aligned notion session_window
+    cannot express).
+
+    Scale: one shuffle on user_id shared by the distinct, the window and
+    both aggregations (AQE reuses the partitioning); integer minute
+    indices keep every comparison exact."""
+    events = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    active = events.select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("minute", "ts")) / 60000000)
+        .cast("bigint")
+        .alias("minute_idx"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("minute_idx")
+    islands = (
+        active.withColumn(
+            "island_key", F.col("minute_idx") - F.row_number().over(w)
+        )
+        .groupBy("user_id", "island_key")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        F.sum("run_len").cast("bigint").alias("active_minutes"),
+    )
+
+
+@register(
+    "window_mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                    AS VARCHAR) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) - 1, 9)
+               AS growth
+    FROM monthly
+    """,
+    tags=("analytic-windows", "time-series"),
+)
+def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: aggregate THEN window (lag over the
+    aggregated series) — the reporting composition where the window input
+    is already one row per month.  The growth ratio divides two
+    double-casts of exact decimal sums (identical operands both engines),
+    rounded once.
+
+    Scale: the window is a SINGLE partition by design (one global
+    monthly series) — safe only because the aggregate upstream reduced
+    cardinality to months-of-history; lag over a raw fact would funnel.
+    First month's growth is NULL (no predecessor), matching the oracle."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    monthly = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("string").alias("month")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    w = W.orderBy("month")
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.lag("rev").over(w).cast("double").alias("prev_revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double")
+            - 1,
+            9,
+        ).alias("growth"),
     )
