@@ -901,3 +901,54 @@ def setops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .subtract(s.select(F.lit("customer_only").alias("side"), "nationkey"))
     )
     return both.unionByName(cust_only)
+
+
+@register(
+    "join_null_safe_equality",
+    oracle="""
+    WITH cust AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nkey,
+               count(*) AS n_customers
+        FROM customer GROUP BY 1
+    ),
+    supp AS (
+        SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS nkey,
+               count(*) AS n_suppliers
+        FROM supplier GROUP BY 1
+    )
+    SELECT CAST(c.nkey AS INT) AS nkey, c.n_customers, s.n_suppliers
+    FROM cust c JOIN supp s ON c.nkey IS NOT DISTINCT FROM s.nkey
+    """,
+    tags=("joins", "null-semantics"),
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    delinquent-account rows of both sides collapse to a NULL key, and the
+    null-safe join matches the two NULL groups — where a plain `=` join
+    would silently drop them (NULL = NULL is NULL).  The join-key family
+    every data-cleaning pipeline eventually needs.
+
+    Scale: Spark plans `<=>` as a HASH join (EqualNullSafe is a valid
+    equi-join key, hashing NULL as a regular bucket) — not the
+    nested-loop fallback a theta-join would get, so null-safe keys cost
+    the same as plain keys."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cust = c.groupBy(
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nkey")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    supp = s.groupBy(
+        F.when(F.col("s_acctbal") < 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("skey")
+    ).agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        cust.join(supp, F.col("nkey").eqNullSafe(F.col("skey")))
+        .select(
+            F.col("nkey").cast("int").alias("nkey"),
+            "n_customers",
+            "n_suppliers",
+        )
+    )
