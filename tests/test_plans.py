@@ -156,6 +156,18 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_small):
     assert "CartesianProduct" not in rep.text, rep.text[:4000]
 
 
+def test_null_safe_join_plans_as_hash_join(spark, sf_small):
+    """EqualNullSafe is a legitimate equi-join key: the `<=>` join must
+    plan as a hash join (broadcast or shuffled), never the
+    nested-loop/cartesian fallback of a theta join."""
+    rep = plan_report(
+        registry.all_specs()["join_null_safe_equality"].fn(spark, sf_small)
+    )
+    assert "HashJoin" in rep.text, rep.text[:4000]
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.text[:4000]
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
     """With runtime bloom-filter injection on (thresholds scaled to the
     testdata), a selective dimension predicate semi-join-reduces the fact
