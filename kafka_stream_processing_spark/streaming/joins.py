@@ -184,3 +184,101 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("ev_user").alias("n_users"),
         )
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    # Append-mode outer semantics: matched pairs emit as they join;
+    # UNMATCHED purchases emit with NULL click columns only once the
+    # watermark passes the last instant a matching click could still
+    # arrive (click_ts <= purchase_ts, so that instant IS purchase_ts).
+    # The QUERY watermark is the MINIMUM across all watermarked inputs —
+    # here the click stream ends hours before the purchase stream, so
+    # late unmatched purchases are (correctly) withheld even though the
+    # purchase stream itself has moved far past them.  The oracle
+    # reproduces both rules, pinning the emission semantics exactly.
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+        ) - INTERVAL 5 SECOND AS w
+    ),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) AS purchase_ts_us
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    UNION ALL
+    SELECT p.event_id, NULL, p.user_id, epoch_us(p.ts)
+    FROM p, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 10 MINUTE
+          AND c.ts <= p.ts
+    )
+    AND p.ts < wm.w
+    """,
+    tags=("streaming", "joins"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, paired with each
+    click by the same user in the preceding 10 minutes, or NULL-extended
+    if no such click exists — the attribution query where 'no touchpoint'
+    is itself the answer.
+
+    The outer side makes watermarks LOAD-BEARING for correctness, not
+    just state GC: Spark can only emit a NULL-extended purchase once the
+    watermark proves no matching click can still arrive — and the query
+    watermark is the MIN across inputs, so a lagging click stream holds
+    back null emission for the whole join (observed on this data: the
+    click stream ends ~4 h before the purchases, withholding the final
+    unmatched purchase).  The oracle's `p.ts < least(side maxes) - 5 s`
+    gate checks both rules.  State bounds identical to the inner
+    variant."""
+    path = _stream_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"ssloj_{next(_uniq)}"
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            normalize_events(spark.readStream.schema(raw_schema).parquet(path))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "5 seconds")
+        )
+
+    purchases = side("purchase", "purchase")
+    clicks = side("click", "click")
+    joined = purchases.join(
+        clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        "click_id",
+        F.col("purchase_user").alias("user_id"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
