@@ -182,3 +182,47 @@ def pandas_grouped_agg_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_value_sum_udf()("value").alias("total_value"),
         _group_count_udf()("value").alias("n_events"),
     )
+
+
+@register(
+    "udtf_word_positions",
+    oracle="""
+    SELECT doc_id,
+           CAST(t.i - 1 AS INT) AS idx,
+           string_split(text, ' ')[t.i] AS word
+    FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) t(i)
+    WHERE doc_id < 50
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+ `@udtf`): one input
+    row expands to (word, position) rows via a lateral join — completing
+    the Python extension surface (scalar pandas UDF, grouped-agg UDAF,
+    grouped-map, mapInPandas, and now table functions).
+
+    The same expansion is expressible JVM-side as posexplode (see
+    array_word_explode_stats) — at 100 TB that is the production path;
+    the UDTF exists for logic that genuinely needs per-row Python
+    generators (parsers, tokenizers with state), and this query pins
+    that the two paths agree with the oracle.  Bounded to doc_id < 50
+    so the row-at-a-time Python cost stays out of the hot sweep."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                yield (i, w)
+
+    spark.udtf.register("kssp_split_words", SplitWords)
+    docs = fanout(table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 50)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.word
+        FROM {docs} d, LATERAL kssp_split_words(d.text) s
+        """,
+        docs=docs,
+    )
