@@ -196,3 +196,41 @@ def connector_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> D
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("value")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "connector_compact_small_files",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("connectors", "maintenance"),
+)
+def connector_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: a fragmented table (64 shards — the
+    output profile of a high-parallelism streaming job) rewritten to a
+    handful of right-sized files, byte-identical content proven by the
+    oracle aggregate over the compacted copy.
+
+    Scale: small files are the silent scan killer (per-file open/footer
+    cost, starved vectorized readers, NameNode/object-store pressure);
+    the fix is this exact pattern as a maintenance job — read, coalesce
+    to target-size partitions, overwrite.  `coalesce` (narrow, no
+    shuffle) is correct for pure compaction; use `repartition(cols)` only
+    when re-clustering is also wanted.  tests/test_compaction.py asserts
+    the file-count collapse itself."""
+    frag = _tmp_dir(sf_dir, "fragmented")
+    compact = _tmp_dir(sf_dir, "compacted")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    from kafka_stream_processing_spark.functions.exact import dec
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
