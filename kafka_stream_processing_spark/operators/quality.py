@@ -219,3 +219,32 @@ def quality_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "sketch_hll_daily_merge",
+    # No oracle: DuckDB's HLL implementation differs by design (same
+    # reason as quality_approx_quantiles); tests/test_properties.py
+    # asserts the estimates' error bounds and merge consistency.
+    tags=("sketch", "statistics"),
+)
+def sketch_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    UNION-merged into a whole-period estimate WITHOUT re-scanning the
+    facts — the pattern behind every incremental distinct-count dashboard
+    (store a sketch per partition; answer any date range by merging
+    sketches, never recounting).
+
+    Scale: this is the only way distinct-counting composes at 100 TB —
+    exact distinct is not mergeable across pre-aggregated partitions,
+    HLL union is (O(KB) state per day, associative, re-aggregable).  The
+    final row carries the merged estimate plus the day count it was
+    assembled from."""
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("string").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_unique_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

@@ -277,3 +277,24 @@ def test_gopher_filter_counts_are_consistent(spark, sf_small):
         for flag in ("n_fail_minlen", "n_fail_meanlen",
                      "n_fail_repetition", "n_fail_stopword"):
             assert 0 <= getattr(r, flag) <= r.n_docs - r.n_keep, (r, flag)
+
+
+def test_hll_daily_merge_is_consistent_and_bounded(spark, sf_small):
+    """The merged-daily-sketches estimate must (a) agree with a direct
+    whole-period sketch within HLL error bounds and (b) land within 5%
+    of the exact distinct count — the merge loses no more accuracy than
+    the sketch itself."""
+    from kafka_stream_processing_spark.sources.tables import table
+
+    merged = (
+        SPECS["sketch_hll_daily_merge"].fn(spark, sf_small).collect()[0]
+    )
+    events = table(spark, sf_small, "events")
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0].est
+    exact = events.select("user_id").distinct().count()
+    assert merged.n_days >= 2
+    assert abs(merged.merged_unique_users - exact) <= max(2, 0.05 * exact)
+    assert abs(direct - exact) <= max(2, 0.05 * exact)
+    assert abs(merged.merged_unique_users - direct) <= max(2, 0.05 * exact)
