@@ -234,3 +234,53 @@ def connector_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("value")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "connector_write_audit_publish",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE value IS NOT NULL AND event_id IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("connectors", "maintenance"),
+)
+def connector_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: data lands in a STAGING path, audit rules run
+    against the staged copy (row count > 0, no null keys, no null
+    payloads), and only on a clean audit does an atomic rename promote it
+    to the published path readers see.  A failed audit leaves the
+    published path untouched — bad data can never be half-visible.
+
+    This is the poor-table-format's transaction: without Iceberg/Delta
+    snapshot isolation, the directory swap IS the commit point (same
+    atomic-rename reasoning as the EOS sink's transaction log).  The
+    oracle checks the published copy's content exactly."""
+    import shutil
+
+    staging = _tmp_dir(sf_dir, "wap_staging")
+    published = _tmp_dir(sf_dir, "wap_published")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(staging)
+
+    audit = spark.read.parquet(staging).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id").isNull().cast("int")).alias("null_keys"),
+        F.sum(F.col("value").isNull().cast("int")).alias("null_vals"),
+    ).collect()[0]
+    if audit.n == 0 or audit.null_keys or audit.null_vals:
+        raise ValueError(f"audit failed, publish aborted: {audit}")
+
+    shutil.rmtree(published, ignore_errors=True)
+    os.replace(staging, published)  # the commit point
+
+    back = spark.read.parquet(published)
+    from kafka_stream_processing_spark.functions.exact import dec
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )

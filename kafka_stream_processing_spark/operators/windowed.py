@@ -508,3 +508,77 @@ def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("growth"),
     )
+
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               sum(is_change) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked
+    ),
+    hist AS (
+        SELECT user_id, event_type, run_id,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from)) AS valid_to_us,
+           n_events
+    FROM hist
+    """,
+    tags=("analytic-windows", "scd"),
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history derivation: collapse each user's event stream into
+    CHANGE rows (one per run of consecutive identical event_type) with
+    [valid_from, valid_to) intervals — the slowly-changing-dimension
+    type-2 build every warehouse runs, from raw facts with three window
+    passes (change flag → run id → interval close via lead).  The open
+    current row has NULL valid_to.
+
+    Scale: all three windows partition on user_id — one shuffle, one
+    sort, reused across the whole chain; output size is the number of
+    CHANGES, not events (the compression that makes SCD2 storable)."""
+    from pyspark.sql import Window as W
+
+    events = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "is_change",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("is_change").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    hist = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wh = W.partitionBy("user_id").orderBy("valid_from")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros(F.lead("valid_from").over(wh)).alias("valid_to_us"),
+        "n_events",
+    )
