@@ -952,3 +952,68 @@ def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppliers",
         )
     )
+
+
+@register(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH fc AS (
+        SELECT user_id, min(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    conv AS (
+        SELECT fc.user_id,
+               min(e.ts) AS first_purchase,
+               min(epoch_us(e.ts) - epoch_us(fc.first_click)) AS gap_us
+        FROM fc JOIN events e
+          ON e.user_id = fc.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > fc.first_click
+        GROUP BY fc.user_id
+    )
+    SELECT (SELECT count(*) FROM fc) AS n_clicked,
+           (SELECT count(*) FROM conv) AS n_converted,
+           CAST((SELECT SUM(CAST(gap_us AS DECIMAL(18,0))) FROM conv)
+                AS BIGINT) AS total_gap_us
+    """,
+    tags=("funnel", "behavioral"),
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users whose FIRST click is later followed by a
+    purchase — the conversion query behind every behavioral dashboard.
+    Step order matters (a purchase BEFORE the first click doesn't
+    convert), which plain joins/aggregations can't express without the
+    per-user first-event anchoring.
+
+    Scale: two shuffles on user_id (first-click agg, conversion agg) —
+    both map-side combined; the anchor join is user-keyed, never a time
+    cross join.  Gap total stays integer microseconds (exact)."""
+    events = table(spark, sf_dir, "events")
+    fc = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    conv = (
+        fc.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("first_click")),
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                F.min(F.unix_micros("p_ts") - F.unix_micros("first_click"))
+            ).alias("gap_us")
+        )
+    )
+    n_clicked = fc.agg(F.count(F.lit(1)).alias("n_clicked"))
+    n_conv = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.sum(F.col("gap_us").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("total_gap_us"),
+    )
+    return n_clicked.crossJoin(n_conv)

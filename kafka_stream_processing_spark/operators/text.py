@@ -277,3 +277,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
         F.md5(F.col("text").cast("binary")).alias("exact_hash"),
     )
+
+
+@register(
+    "text_bigram_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, unnest(range(1, len(t))) u(i)
+    )
+    SELECT bigram, count(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+    tags=("text", "ngram"),
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency (top 50, deterministic tiebreak) — the
+    n-gram language-model statistic underlying contamination checks,
+    boilerplate detection, and classic LM training.  Bigrams materialize
+    via a JVM-side transform over token arrays + explode; no Python.
+
+    Scale: the explode multiplies rows by ~tokens-per-doc before the
+    count — at 100 TB, pre-aggregate per document first
+    (aggregate-then-merge maps) or count on a hashed 64-bit bigram id
+    instead of the string; the top-50 is TakeOrderedAndProject either
+    way."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    bigrams = d.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
