@@ -248,3 +248,71 @@ def sketch_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_unique_users"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@register(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', count(*)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_partkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', count(*)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_suppkey IS NULL
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', count(*)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_nationkey IS NULL
+    UNION ALL
+    SELECT 'nation.n_regionkey->region', count(*)
+    FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_regionkey IS NULL
+    """,
+    tags=("quality", "referential-integrity"),
+)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: orphan
+    counts for every foreign-key edge, in one result — the pre-flight
+    check a pipeline runs before trusting joins (an orphan FK silently
+    DROPS rows from every inner join downstream).
+
+    Scale: each edge is a left-anti-shaped count; small dims broadcast,
+    the two fact edges shuffle once each on their key.  All six audits
+    share table scans where AQE can reuse them; orphan counts are the
+    only driver traffic."""
+    def orphans(child, child_key, parent, parent_key, label):
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(parent_key)
+        return (
+            c.join(p, c[child_key] == p[parent_key], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    checks = [
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem.l_orderkey->orders"),
+        orphans("orders", "o_custkey", "customer", "c_custkey",
+                "orders.o_custkey->customer"),
+        orphans("lineitem", "l_partkey", "part", "p_partkey",
+                "lineitem.l_partkey->part"),
+        orphans("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                "lineitem.l_suppkey->supplier"),
+        orphans("customer", "c_nationkey", "nation", "n_nationkey",
+                "customer.c_nationkey->nation"),
+        orphans("nation", "n_regionkey", "region", "r_regionkey",
+                "nation.n_regionkey->region"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
