@@ -316,3 +316,113 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "quality_snapshot_diff",
+    oracle="""
+    WITH now AS (
+        SELECT event_id, user_id, event_type, value FROM events
+    ),
+    prev AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id % 97 = 0 THEN value + 0.5 ELSE value END
+                   AS value
+        FROM events
+        WHERE event_id % 101 <> 0
+        UNION ALL
+        SELECT event_id + 10000000, user_id, event_type, value
+        FROM events WHERE event_id % 103 = 0
+    )
+    SELECT
+        CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_added,
+        CAST(SUM(CASE WHEN n.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_removed,
+        CAST(SUM(CASE WHEN n.event_id IS NOT NULL AND p.event_id IS NOT NULL
+                       AND md5(concat_ws('|', n.user_id, n.event_type, n.value))
+                           <> md5(concat_ws('|', p.user_id, p.event_type, p.value))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(SUM(CASE WHEN n.event_id IS NOT NULL AND p.event_id IS NOT NULL
+                       AND md5(concat_ws('|', n.user_id, n.event_type, n.value))
+                           = md5(concat_ws('|', p.user_id, p.event_type, p.value))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+    FROM now n FULL OUTER JOIN prev p ON p.event_id = n.event_id
+    """,
+    tags=("quality", "reconciliation"),
+)
+def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of a table by key —
+    added / removed / changed / identical counts — the migration and
+    backfill acceptance check (did the rewrite change anything it
+    shouldn't?).  The 'previous' snapshot is synthesized deterministically
+    (drop every 101st key, perturb every 97th value, add phantom rows
+    from every 103rd) so all four diff classes are non-empty and
+    hash-verified.
+
+    Row comparison goes through an md5 of the concatenated payload — at
+    100 TB you diff FINGERPRINTS, not columns (one hash per row beats N
+    column comparisons, and pre-computed row hashes make re-diffs
+    incremental).  Scale: one full-outer hash join on the key; counts
+    only to the driver."""
+    now = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = table(spark, sf_dir, "events")
+    prev = (
+        base.filter(F.col("event_id") % 101 != 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.when(F.col("event_id") % 97 == 0, F.col("value") + 0.5)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        .unionByName(
+            base.filter(F.col("event_id") % 103 == 0).select(
+                (F.col("event_id") + 10000000).alias("event_id"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+        )
+    )
+
+    def row_hash(side):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"{side}_user_id"),
+                F.col(f"{side}_event_type"),
+                F.col(f"{side}_value"),
+            ).cast("binary")
+        )
+
+    n = now.select(
+        F.col("event_id").alias("n_key"),
+        F.col("user_id").alias("n_user_id"),
+        F.col("event_type").alias("n_event_type"),
+        F.col("value").alias("n_value"),
+    )
+    p = prev.select(
+        F.col("event_id").alias("p_key"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_type").alias("p_event_type"),
+        F.col("value").alias("p_value"),
+    )
+    joined = n.join(p, F.col("n_key") == F.col("p_key"), "full_outer")
+    both = F.col("n_key").isNotNull() & F.col("p_key").isNotNull()
+    same = row_hash("n") == row_hash("p")
+    return joined.agg(
+        F.sum(F.when(F.col("p_key").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("n_key").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(both & ~same, 1).otherwise(0)).cast("bigint").alias("n_changed"),
+        F.sum(F.when(both & same, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_identical"),
+    )
