@@ -582,3 +582,51 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead("valid_from").over(wh)).alias("valid_to_us"),
         "n_events",
     )
+
+
+@register(
+    "incremental_daily_rollup",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("rollup", "incremental"),
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily rollup is
+    computed as HISTORY (all days but the last, the part a real pipeline
+    already has materialized) merged with a partial aggregate of ONLY the
+    newest day's slice — and the result must equal the full recompute
+    (the oracle).  This is the refresh pattern that turns an O(table)
+    nightly job into O(one partition): aggregate the new partition, merge
+    by key.
+
+    Correctness hinges on the merge being exact: counts add, DECIMAL
+    sums add associatively — the same per-row quantization that makes
+    results partition-independent makes them INCREMENT-independent.
+    Scale: with date-partitioned layout the history branch is read from
+    the materialized rollup (zero fact scan) and the new-day branch scans
+    one partition; here both derive from the same table to stay
+    self-contained."""
+    events = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("string")
+    )
+    last_day = events.agg(F.max("day")).collect()[0][0]
+    daily = lambda df: df.groupBy("day").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("total_dec"),
+    )
+    history = daily(events.filter(F.col("day") != last_day))
+    newest = daily(events.filter(F.col("day") == last_day))
+    merged = (
+        history.unionByName(newest)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_dec").cast("double").alias("total_value"),
+        )
+    )
+    return merged
