@@ -272,3 +272,38 @@ def scalar_try_error_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_ratio"),
         F.substring("props", 8, 2).try_cast("bigint").alias("prop_digits"),
     )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_joined,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+               AS k_mod10
+    FROM events
+    """,
+    tags=("scalar", "map-type"),
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: the JSON props column parsed into a real
+    map<string,bigint> (schema-on-read into a MAP, not a struct — the
+    right type when keys are open-ended), then map_keys / element_at /
+    size over it.  The reference deserializes JSON to fixed POJO fields
+    only (UniqueUsersCounter.java:20-24); open-keyed payloads need the
+    map form.
+
+    Scale: from_json to MapType is a streaming parse per row inside
+    codegen — no Python, no schema inference pass; map access is O(keys)
+    per row with tiny maps."""
+    events = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_joined"),
+        F.element_at(m, "k").alias("k_value"),
+        (F.element_at(m, "k") % 10).alias("k_mod10"),
+    )
