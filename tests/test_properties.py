@@ -298,3 +298,29 @@ def test_hll_daily_merge_is_consistent_and_bounded(spark, sf_small):
     assert abs(merged.merged_unique_users - exact) <= max(2, 0.05 * exact)
     assert abs(direct - exact) <= max(2, 0.05 * exact)
     assert abs(merged.merged_unique_users - direct) <= max(2, 0.05 * exact)
+
+
+def test_ann_variants_recall_bruteforce_topk(spark, sf_small):
+    """Structural-recall floors for the approximate similarity paths vs
+    the exact brute-force top-10.  Measured recall (deterministic, fixed
+    planes/centroids): LSH-bucketed 8/50 at sf0.001 (single-probe,
+    4 planes -> 1/16 of the corpus scored: cheap and proportionally
+    accurate; multi-probe or more bands is the recall knob), IVF
+    nprobe=2 of 8 cells: 26/50.  The floors below are set well under
+    the measured values — they catch structural regressions (wrong
+    bucket join, empty probe), not tuning drift."""
+    bf = {}
+    for r in SPECS["similarity_bruteforce_topk"].fn(spark, sf_small).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    floors = {
+        "similarity_lsh_bucketed_topk": 0.08,
+        "similarity_ivf_probed_topk": 0.25,
+    }
+    for variant, floor in floors.items():
+        approx = {}
+        for r in SPECS[variant].fn(spark, sf_small).collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert approx.keys() == bf.keys(), variant
+        total = sum(len(v) for v in bf.values())
+        hit = sum(len(bf[q] & approx[q]) for q in bf)
+        assert hit >= floor * total, (variant, hit, total)
