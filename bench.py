@@ -55,7 +55,11 @@ def main() -> None:
     # latency, so wins/regressions in streaming state sizing are
     # measured, not anecdotal.
     streaming: dict[str, float] = {}
-    for name in ("stream_unique_users_per_minute", "stream_chained_window_agg"):
+    for name in (
+        "stream_unique_users_per_minute",
+        "stream_chained_window_agg",
+        "stream_session_windows_per_user",
+    ):
         specs[name].fn(spark, sf_dir).count()
         best = float("inf")
         for _ in range(3):
