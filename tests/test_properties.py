@@ -324,3 +324,50 @@ def test_ann_variants_recall_bruteforce_topk(spark, sf_small):
         total = sum(len(v) for v in bf.values())
         hit = sum(len(bf[q] & approx[q]) for q in bf)
         assert hit >= floor * total, (variant, hit, total)
+
+
+def test_funnel_counts_are_monotonic(spark, sf_small):
+    """Conversions are a subset of the entry step, and the total gap is
+    positive only when conversions exist."""
+    r = SPECS["funnel_click_to_purchase"].fn(spark, sf_small).collect()[0]
+    assert 0 <= r.n_converted <= r.n_clicked
+    assert (r.total_gap_us or 0) >= 0
+    assert (r.n_converted == 0) == (r.total_gap_us is None or r.total_gap_us == 0)
+
+
+def test_mixture_samples_are_nested_supersets(spark, sf_small):
+    """The docstring's nested-sample claim, tested: a document accepted
+    at rate p stays accepted at every rate >= p (bucket is fixed per
+    doc), so mixture ablations are supersets of each other."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.sources.tables import table
+
+    d = table(spark, sf_small, "documents").select(
+        "doc_id", (hash64(F.col("doc_id").cast("string")) % 100).alias("bucket")
+    )
+    rows = d.collect()
+    at_25 = {r.doc_id for r in rows if r.bucket < 25}
+    at_50 = {r.doc_id for r in rows if r.bucket < 50}
+    at_100 = {r.doc_id for r in rows}
+    assert at_25 <= at_50 <= at_100
+    assert len(at_25) < len(at_50) < len(at_100)
+
+
+def test_snapshot_diff_classes_partition_both_sides(spark, sf_small):
+    """added + changed + identical == |now|;
+    removed + changed + identical == |prev| — the diff classes exactly
+    partition both snapshots."""
+    from kafka_stream_processing_spark.sources.tables import table
+
+    r = SPECS["quality_snapshot_diff"].fn(spark, sf_small).collect()[0]
+    n_events = table(spark, sf_small, "events").count()
+    n_now = n_events
+    # prev = events minus every-101st key plus every-103rd phantom.
+    ev = table(spark, sf_small, "events")
+    n_prev = (
+        ev.filter(F.col("event_id") % 101 != 0).count()
+        + ev.filter(F.col("event_id") % 103 == 0).count()
+    )
+    assert r.n_added + r.n_changed + r.n_identical == n_now
+    assert r.n_removed + r.n_changed + r.n_identical == n_prev
+    assert r.n_added > 0 and r.n_removed > 0 and r.n_changed > 0
