@@ -52,3 +52,16 @@ def test_every_registered_query_is_cited_in_coverage():
         if name not in cited and name not in text
     )
     assert not missing, f"registered queries absent from COVERAGE.md: {missing}"
+
+
+def test_driver_check_order_names_are_registered_and_fill_50():
+    """Every DRIVER_CHECK_ORDER entry must be a registered query (a typo
+    silently forfeits one of the driver's 50 CORRECTNESS slots) and the
+    table must fill exactly the 50-slot window the driver checks."""
+    names = registry.DRIVER_CHECK_ORDER
+    unknown = [n for n in names if n not in SPECS]
+    assert not unknown, f"DRIVER_CHECK_ORDER has unregistered names: {unknown}"
+    assert len(names) == len(set(names)) == 50, len(names)
+    # And the iteration order actually front-loads them.
+    first_50 = list(registry.queries())[:50]
+    assert first_50 == list(names)
