@@ -256,13 +256,20 @@ def connector_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
     published path untouched — bad data can never be half-visible.
 
     This is the poor-table-format's transaction: without Iceberg/Delta
-    snapshot isolation, the directory swap IS the commit point (same
+    snapshot isolation, the pointer swap IS the commit point (same
     atomic-rename reasoning as the EOS sink's transaction log).  The
-    oracle checks the published copy's content exactly."""
+    published path is a SYMLINK to an immutable versioned directory, and
+    publish is an atomic symlink replace — so re-publish never has a
+    reader-visible window where the published path is absent (a bare
+    rmtree+rename would).  Old versions are deleted only after the swap,
+    when no new reader can reach them.  The oracle checks the published
+    copy's content exactly."""
     import shutil
+    import uuid
 
     staging = _tmp_dir(sf_dir, "wap_staging")
     published = _tmp_dir(sf_dir, "wap_published")
+    versions = _tmp_dir(sf_dir, "wap_versions")
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     ev.write.mode("overwrite").parquet(staging)
 
@@ -274,8 +281,25 @@ def connector_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
     if audit.n == 0 or audit.null_keys or audit.null_vals:
         raise ValueError(f"audit failed, publish aborted: {audit}")
 
-    shutil.rmtree(published, ignore_errors=True)
-    os.replace(staging, published)  # the commit point
+    # Promote: staged dir becomes an immutable version, then an atomic
+    # symlink swap moves the published pointer (the commit point).
+    os.makedirs(versions, exist_ok=True)
+    version_dir = os.path.join(versions, f"v_{uuid.uuid4().hex}")
+    os.replace(staging, version_dir)
+    if os.path.isdir(published) and not os.path.islink(published):
+        # One-time migration from the pre-symlink layout (or a leftover
+        # real dir): remove it so the symlink can take its place.  This
+        # is the only publish with a visibility gap, by construction.
+        shutil.rmtree(published)
+    tmp_link = published + ".tmp"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(version_dir, tmp_link)
+    os.replace(tmp_link, published)  # the commit point
+    for stale in os.listdir(versions):  # GC unreachable versions
+        p = os.path.join(versions, stale)
+        if p != version_dir:
+            shutil.rmtree(p, ignore_errors=True)
 
     back = spark.read.parquet(published)
     from kafka_stream_processing_spark.functions.exact import dec

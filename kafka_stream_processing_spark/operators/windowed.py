@@ -514,7 +514,7 @@ def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_type_history",
     oracle="""
     WITH marked AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                CASE WHEN lag(event_type) OVER w IS NULL
                          OR lag(event_type) OVER w <> event_type
                     THEN 1 ELSE 0 END AS is_change
@@ -523,7 +523,8 @@ def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
         SELECT user_id, event_type, ts,
-               sum(is_change) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_change) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS run_id
         FROM marked
     ),
@@ -535,7 +536,8 @@ def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type,
            epoch_us(valid_from) AS valid_from_us,
            epoch_us(lead(valid_from) OVER (PARTITION BY user_id
-                                           ORDER BY valid_from)) AS valid_to_us,
+                                           ORDER BY valid_from, run_id))
+               AS valid_to_us,
            n_events
     FROM hist
     """,
@@ -574,7 +576,9 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = runs.groupBy("user_id", "event_type", "run_id").agg(
         F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
     )
-    wh = W.partitionBy("user_id").orderBy("valid_from")
+    # run_id tiebreak keeps lead() deterministic when two runs of a user
+    # share a min(ts) (identical-ts events of different types).
+    wh = W.partitionBy("user_id").orderBy("valid_from", "run_id")
     return hist.select(
         "user_id",
         "event_type",

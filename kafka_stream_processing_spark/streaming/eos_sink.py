@@ -104,10 +104,17 @@ class FileTransactionLog(TransactionalProducer):
             json.dump(self._records, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(
-            self._staging,
-            os.path.join(self.log_dir, "committed", self.txn_id),
-        )
+        cdir = os.path.join(self.log_dir, "committed")
+        os.replace(self._staging, os.path.join(cdir, self.txn_id))
+        # fsync the directory entry too: the rename is the commit point,
+        # so it must be durable across OS/power loss, not just process
+        # crash — otherwise a replay could find committed()==False for a
+        # transaction a consumer already observed, and re-deliver.
+        dfd = os.open(cdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def abort(self) -> None:
         self._records = []
@@ -154,7 +161,14 @@ def transactional_epoch_sink(
     producer_factory: Callable[[str], TransactionalProducer] = _default_producer_factory,
     row_to_kv: Callable[[object], tuple[str, str]] = lambda r: (r["key"], r["value"]),
 ) -> Callable[[DataFrame, int], None]:
-    """Build the foreachBatch callable implementing the recipe above.
+    """TEST-ONLY minimal form of the recipe above — do NOT use in
+    production: it ``collect()``s the whole micro-batch to the driver.
+    The production path is ``transactional_partition_sink`` (below),
+    which runs the identical begin/send/commit bracket EXECUTOR-SIDE
+    with one producer per (epoch, partition) transactional id, carries
+    the driver-checked oracle row, and has its own crash tests.  This
+    driver-side form exists only to pin the single-producer semantics in
+    tests/test_eos_sink.py with the smallest possible moving parts.
 
     ``marker_dir`` holds per-epoch marker files as a FAST-PATH CACHE of
     the committed check (lives NEXT TO the query's checkpoint dir and
@@ -163,12 +177,6 @@ def transactional_epoch_sink(
     ``producer.committed()`` — atomic with the commit — so a crash
     between commit and marker write replays into a skip, not a double
     delivery.
-
-    Scale note: records flow driver-side here because foreachBatch hands
-    the driver the batch DataFrame — for cluster use,
-    ``transactional_partition_sink`` moves the identical bracket into
-    df.foreachPartition with one producer per (partition, epoch)
-    transactional id.
     """
     os.makedirs(marker_dir, exist_ok=True)
 

@@ -53,7 +53,12 @@ def _update_user_stats(
         # fp error grow with batch size and could cross the 0.5-micro
         # rounding boundary at large scale, diverging from the oracle's
         # per-row DECIMAL(18,6) sum (same discipline as topk.py).
-        sum_micro += int(pdf["value"].map(lambda v: round(v * 1e6)).sum())
+        # dropna first (SQL SUM skips NULLs; count(*) still counts the
+        # row) and stay vectorized — a Python-level map is O(rows) and
+        # int(nan) raises.
+        sum_micro += int(
+            pdf["value"].dropna().mul(1e6).round().astype("int64").sum()
+        )
         last_us = max(last_us, int(pdf["ts_us"].max()))
     state.update((n, sum_micro, last_us))
     yield pd.DataFrame(

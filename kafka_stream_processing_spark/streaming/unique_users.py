@@ -45,8 +45,11 @@ _run_counter = itertools.count()
 #: is the engine's documented assumption (the verification driver and
 #: bench both run queries sequentially); a cluster deployment wanting
 #: concurrent sessions should use a separate SparkSession per query
-#: (newSession()) whose confs are independent.
-_STATE_SCOPE_LOCK = threading.Lock()
+#: (newSession()) whose confs are independent.  RLock, not Lock: a
+#: scoped query invoking another scoped query on the same thread (nested
+#: scopes) must not deadlock — the inner scope sets/restores around the
+#: outer's value, which composes correctly.
+_STATE_SCOPE_LOCK = threading.RLock()
 
 
 @contextlib.contextmanager

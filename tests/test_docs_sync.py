@@ -54,6 +54,17 @@ def test_every_registered_query_is_cited_in_coverage():
     assert not missing, f"registered queries absent from COVERAGE.md: {missing}"
 
 
+def test_bench_protocol_doc_and_harness_agree():
+    """BASELINE.md's stated metric must match what bench.py actually does
+    (r02 verdict nit: doc said median-of-3 while the harness ran
+    best-of-3).  Protocol of record: best (minimum) of 3 timed runs."""
+    baseline = open("BASELINE.md").read()
+    bench = open("bench.py").read()
+    assert "best (minimum) of 3" in baseline
+    assert "median of 3" not in baseline
+    assert "best-of-3" in bench and "best = min(best" in bench
+
+
 def test_driver_check_order_names_are_registered_and_fill_50():
     """Every DRIVER_CHECK_ORDER entry must be a registered query (a typo
     silently forfeits one of the driver's 50 CORRECTNESS slots) and the
