@@ -31,20 +31,27 @@ def main() -> None:
     # Warm-up: JVM JIT, parquet footer caches, Python worker pool.
     specs["unique_users_per_minute"].fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    # Untimed warm pass per query: parquet footers, JIT, shuffle-file page
+    # cache for THIS query's tables (the flagship warm-up above only
+    # touches events.parquet — q1 etc. read lineitem cold otherwise).
     for name in names:
-        # Untimed warm pass: parquet footers, JIT, shuffle-file page cache
-        # for THIS query's tables (the flagship warm-up above only touches
-        # events.parquet — q1 etc. read lineitem cold otherwise).
         specs[name].fn(spark, sf_dir).count()
-        best = float("inf")
-        # best-of-3: single-machine container timings jitter by 2-3x on
-        # occasional scheduling/GC stalls; the minimum is the stable signal.
-        for _ in range(3):
+
+    # best-of-3: single-machine container timings jitter by 2-3x on
+    # occasional scheduling/GC stalls; the minimum is the stable signal.
+    # The 3 timed runs are INTERLEAVED round-robin passes over the whole
+    # query set (pass 1 of every query, then pass 2, ...) so a sustained
+    # host stall lands on different queries in different passes instead
+    # of poisoning all 3 samples of whichever query it overlapped
+    # (measured on the r04 box: same-code totals swung 6 s → 62 s when
+    # one multi-minute stall covered one query's back-to-back runs).
+    best: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(3):
+        for name in names:
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(best[name], 4) for name in names}
 
     total = round(sum(timings.values()), 4)
 
@@ -54,19 +61,20 @@ def main() -> None:
     # staging, state store, sink) — wall here IS end-to-end trigger
     # latency, so wins/regressions in streaming state sizing are
     # measured, not anecdotal.
-    streaming: dict[str, float] = {}
-    for name in (
+    stream_names = (
         "stream_unique_users_per_minute",
         "stream_chained_window_agg",
         "stream_session_windows_per_user",
-    ):
+    )
+    for name in stream_names:
         specs[name].fn(spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(3):
+    sbest: dict[str, float] = {name: float("inf") for name in stream_names}
+    for _ in range(3):
+        for name in stream_names:
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        streaming[name] = round(best, 4)
+            sbest[name] = min(sbest[name], time.perf_counter() - t0)
+    streaming = {name: round(sbest[name], 4) for name in stream_names}
 
     print(
         json.dumps(

@@ -20,7 +20,7 @@ graph at all (at 100 TB that's a small fraction of the corpus).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.operators.dedup import (
@@ -182,4 +182,290 @@ def dedup_pipeline_keep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
         F.sum(F.when(~dropped, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+#: K-means geometry: 8 clusters over the 64-d embedding table, 2 Lloyd
+#: iterations from a deterministic seed (the 8 lowest vec_ids).  Two
+#: iterations keep the oracle SQL-expressible; the Spark loop is
+#: iteration-count-agnostic.
+KMEANS_K = 8
+KMEANS_DIM = 64
+_DEC = "decimal(18,12)"
+
+
+def _dist2_dec(a: Column, b: Column) -> Column:
+    """Exact (per-term decimal-quantized) squared L2 distance of two
+    double arrays — order-independent, so bit-identical across engines
+    (same convention as similarity.dot_exact)."""
+    terms = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC))
+    return F.aggregate(
+        terms, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    )
+
+
+@register(
+    "cluster_kmeans_embeddings",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cluster_id, emb AS cvec FROM v
+        WHERE vec_id < {KMEANS_K}
+    ),
+    d1 AS (
+        SELECT v.vec_id, c.cluster_id,
+               list_aggregate(list_transform(range(1, {KMEANS_DIM + 1}),
+                   i -> CAST((v.emb[i] - c.cvec[i]) * (v.emb[i] - c.cvec[i])
+                             AS DECIMAL(18,12))), 'sum') AS dist2
+        FROM v, c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cluster_id) AS rn
+        FROM d1
+    ),
+    m1 AS (
+        SELECT a.cluster_id, v.emb
+        FROM a1 a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1
+    ),
+    upd AS (
+        SELECT cluster_id, i,
+               CAST(SUM(CAST(emb[i] AS DECIMAL(18,12))) AS DOUBLE) / count(*)
+                   AS comp
+        FROM m1, unnest(generate_series(1, {KMEANS_DIM})) u(i)
+        GROUP BY cluster_id, i
+    ),
+    c1 AS (
+        SELECT cluster_id, list(comp ORDER BY i) AS cvec
+        FROM upd GROUP BY cluster_id
+    ),
+    d2 AS (
+        SELECT v.vec_id, c.cluster_id,
+               list_aggregate(list_transform(range(1, {KMEANS_DIM + 1}),
+                   i -> CAST((v.emb[i] - c.cvec[i]) * (v.emb[i] - c.cvec[i])
+                             AS DECIMAL(18,12))), 'sum') AS dist2
+        FROM v, c1 c
+    ),
+    a2 AS (
+        SELECT vec_id, cluster_id, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cluster_id) AS rn
+        FROM d2
+    )
+    SELECT cluster_id, count(*) AS n_vecs,
+           CAST(SUM(dist2) AS DOUBLE) AS total_dist2
+    FROM a2 WHERE rn = 1
+    GROUP BY cluster_id
+    """,
+    tags=("clustering", "embeddings", "iterative"),
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table — the clustering step
+    behind SemDeDup-style semantic dedup and IVF coarse-quantizer
+    training (similarity.IVF_CENTROIDS documents its centroids as
+    "production would train them"; this is that trainer).  Deterministic
+    seed (the KMEANS_K lowest vec_ids), 2 iterations, exact decimal
+    distance so assignment frontiers are bit-identical across engines.
+    Output: per-cluster membership count and total squared distance (the
+    k-means objective) after the second assignment.
+
+    Scale: each iteration is (a) a map-side nested loop of the corpus
+    against K broadcast centroids — no shuffle of the vectors, exactly
+    the IVF assignment pattern — and (b) a centroid update that shuffles
+    only (cluster_id, dim_index, component) triples, K×DIM groups
+    regardless of corpus size.  Driver never sees a vector; iterations
+    chain lazily (production would localCheckpoint per round like
+    connected_components above)."""
+    from kafka_stream_processing_spark.operators.similarity import (
+        _as_double_array,
+    )
+    from kafka_stream_processing_spark.sources.tables import fanout, table
+    from pyspark.sql import Window
+
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    cents0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cvec")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        """(vec_id, cluster_id, dist2) of each vector's nearest centroid."""
+        j = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cluster_id",
+            _dist2_dec(F.col("emb"), F.col("cvec")).alias("dist2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+        return j.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    members = assign(cents0).select("vec_id", "cluster_id").join(emb, "vec_id")
+    upd = (
+        members.select(
+            "cluster_id", F.posexplode("emb").alias("pos", "val")
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("comp")
+        )
+    )
+    cents1 = upd.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+            lambda s: s["comp"],
+        ).alias("cvec")
+    )
+    return (
+        assign(cents1)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("dist2").cast("double").alias("total_dist2"),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    """Assemble the SemDeDup oracle from dedup.py's shared norm/cosine SQL
+    fragments (single source of truth for the decimal-cosine convention)."""
+    from kafka_stream_processing_spark.operators.dedup import (
+        _EMB_NORM_CTE,
+        _PAIR_COSINE_SQL,
+        COSINE_DUP_THRESHOLD,
+    )
+
+    return f"""{_EMB_NORM_CTE.format(extra="")},
+    c0 AS (
+        SELECT vec_id AS cluster_id, emb AS cvec FROM v
+        WHERE vec_id < {KMEANS_K}
+    ),
+    d1 AS (
+        SELECT n.vec_id, c.cluster_id,
+               list_aggregate(list_transform(range(1, {KMEANS_DIM + 1}),
+                   i -> CAST((n.emb[i] - c.cvec[i]) * (n.emb[i] - c.cvec[i])
+                             AS DECIMAL(18,12))), 'sum') AS dist2
+        FROM n, c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cluster_id) AS rn
+        FROM d1
+    ),
+    m AS (
+        SELECT a1.cluster_id, n.vec_id, n.emb, n.nrm
+        FROM a1 JOIN n ON n.vec_id = a1.vec_id WHERE a1.rn = 1
+    ),
+    pairs AS (
+        SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM m a JOIN m b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE {_PAIR_COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_vecs FROM m GROUP BY 1),
+    drops AS (
+        SELECT cluster_id, count(*) AS n_dup_pairs,
+               count(DISTINCT vec_b) AS n_dropped
+        FROM pairs GROUP BY 1
+    )
+    SELECT s.cluster_id, s.n_vecs,
+           CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM sizes s LEFT JOIN drops d ON d.cluster_id = s.cluster_id
+    """
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "clustering", "embeddings"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    find semantic duplicates ONLY within each cluster — pairwise cosine
+    against every corpus vector is replaced by pairwise cosine within a
+    k-means cell.  One Lloyd assignment from the deterministic seed
+    (cluster_kmeans_embeddings' init), within-cluster pairs scored with
+    exact decimal cosine at dedup.COSINE_DUP_THRESHOLD, keep-lowest-vec_id
+    policy.  Output is the per-cluster audit a pipeline ships: members,
+    duplicate pairs, and distinct dropped vectors.
+
+    Scale: the quadratic term collapses from O(n²) to Σ_cell(size²) —
+    the knob is k, exactly like the blocking key in
+    dedup_fuzzy_blocked_names; assignment is the broadcast-centroid
+    map-side pattern (no vector shuffle), and the pair join is an
+    equi-join on cluster_id (hash join, AQE skew-split on hot cells).
+    This is the architecture the SemDeDup paper runs on its 100-cluster
+    LAION sweep, re-expressed as two Spark joins."""
+    from pyspark.sql import Window
+    from kafka_stream_processing_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+    )
+    from kafka_stream_processing_spark.operators.similarity import (
+        _as_double_array,
+        cosine_exact,
+        l2_norm_exact,
+    )
+    from kafka_stream_processing_spark.sources.tables import fanout, table
+
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    n = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+    members = (
+        n.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            "cluster_id",
+            _dist2_dec(F.col("emb"), F.col("cvec")).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "vec_id", "emb", "nrm")
+    )
+    a, b = members.alias("a"), members.alias("b")
+    cos = cosine_exact(
+        F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    drops = pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("vec_b").alias("n_dropped"),
+    )
+    return sizes.join(drops, "cluster_id", "left").select(
+        "cluster_id",
+        "n_vecs",
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
     )

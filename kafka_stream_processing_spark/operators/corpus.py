@@ -1,7 +1,7 @@
 """Corpus-assembly operators: the step between a filtered document pool
 and a tokenizer-ready training set.
 
-Four operations every large-scale pretraining pipeline runs that none of
+Operations every large-scale pretraining pipeline runs that none of
 the other modules cover:
 
 - **sequence packing** (``pack_sequences_token_budget``): concatenate
@@ -17,7 +17,13 @@ the other modules cover:
   top-single-word rule);
 - **incremental ingestion dedup** (``dedup_incremental_new_batch``):
   admit a new document batch against an existing corpus fingerprint set
-  — dedup as a streaming-ingest contract, not a one-shot batch job.
+  — dedup as a streaming-ingest contract, not a one-shot batch job;
+- **overlap chunking** (``corpus_chunk_overlap``): split documents into
+  fixed-token-budget chunks with stride overlap — the RAG / embedding-
+  indexing segmentation step;
+- **inverted index build** (``index_inverted_postings``): term →
+  (document frequency, occurrences, bounded postings sample) — the
+  retrieval-side index a corpus search layer is built on.
 
 The reference has no corpus surface at all (it processes one JSON event
 stream, UniqueUsersCounter.java:63-93); these operators are part of the
@@ -128,16 +134,13 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "contamination_ngram_overlap",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, source, sh FROM (
-            SELECT doc_id, source,
-                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                       AS sh
+            SELECT doc_id, source, unnest({_GRAMS_SQL}) AS sh
             FROM toks
             WHERE len(t) >= 3
         )
@@ -193,15 +196,12 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_dup_ngram_fraction",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     grams AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                   AS gram
+        SELECT doc_id, unnest({_GRAMS_SQL}) AS gram
         FROM toks
         WHERE len(t) >= 3
     ),
@@ -319,4 +319,152 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(F.col("in_corpus")).alias("n_dup_corpus"),
         flag(~F.col("in_corpus") & (F.col("rn") > 1)).alias("n_dup_batch"),
         flag(~F.col("in_corpus") & (F.col("rn") == 1)).alias("n_accepted"),
+    )
+
+
+#: Overlap-chunking geometry: 64-token chunks, stride 48 (16-token
+#: overlap) — the shape is a stand-in for an embedding model's input
+#: budget; the math is budget-agnostic.
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n,
+               1 + (greatest(len(t) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} AS n_chunks
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_SIZE}, n - k * {CHUNK_STRIDE}) AS BIGINT)
+               AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(t, k * {CHUNK_STRIDE} + 1,
+                          k * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+               AS chunk_hash
+    FROM sized, unnest(generate_series(0, n_chunks - 1)) u(k)
+    """,
+    tags=("corpus", "chunking"),
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / embedding-indexing segmentation: each document is cut into
+    CHUNK_SIZE-token chunks every CHUNK_STRIDE tokens (trailing chunks
+    may be short; consecutive chunks overlap by SIZE-STRIDE tokens so no
+    retrieval boundary splits a fact).  Emits one row per chunk with its
+    token offset, length, and an md5 content fingerprint — the payload an
+    embedding indexer consumes.
+
+    Scale: chunking is a narrow per-document transform (sequence →
+    transform → explode), zero shuffle — at 100 TB it pipelines straight
+    from the scan into the downstream embedding stage.  The explode
+    multiplies rows ~n/STRIDE-fold, which is why the fingerprint is
+    computed BEFORE any shuffle boundary: downstream exchanges move
+    32-char digests, not repeated body slices."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    t = F.split("text", " ")
+    sized = d.select("doc_id", t.alias("t"), F.size(t).alias("n")).withColumn(
+        "n_chunks",
+        1
+        + F.expr(
+            f"(greatest(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1) "
+            f"div {CHUNK_STRIDE}"
+        ),
+    )
+    return sized.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("k"),
+        "t",
+        "n",
+    ).select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("chunk_id"),
+        (F.col("k") * CHUNK_STRIDE + 1).cast("bigint").alias("start_tok"),
+        F.least(
+            F.lit(CHUNK_SIZE), F.col("n") - F.col("k") * CHUNK_STRIDE
+        ).cast("bigint").alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("k") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+            ).cast("binary")
+        ).alias("chunk_hash"),
+    )
+
+
+#: Postings-list cap and document-frequency floor for the inverted index.
+POSTINGS_CAP = 5
+MIN_DF = 3
+
+
+@register(
+    "index_inverted_postings",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    pairs AS (SELECT DISTINCT term, doc_id FROM occ),
+    stats AS (
+        SELECT term, count(*) AS n_occurrences
+        FROM occ GROUP BY term
+    ),
+    posts AS (
+        SELECT term, count(*) AS df,
+               array_to_string(
+                   list_slice(list_sort(list(doc_id)), 1, {POSTINGS_CAP}), ',')
+                   AS postings
+        FROM pairs GROUP BY term
+        HAVING count(*) >= {MIN_DF}
+    )
+    SELECT p.term, p.df, s.n_occurrences, p.postings
+    FROM posts p JOIN stats s ON s.term = p.term
+    """,
+    tags=("corpus", "indexing"),
+)
+def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total
+    occurrences, and the first POSTINGS_CAP doc_ids (ascending) as a
+    bounded postings sample; terms below MIN_DF documents are dropped
+    (they'd dominate the index with singletons).
+
+    Scale: the classic unbounded-state trap here is ``collect_set(doc_id)``
+    per term — a stopword's posting list is the whole corpus.  Instead the
+    capped sample comes from a streaming window rank over the distinct
+    (term, doc_id) pairs (state per group = POSTINGS_CAP rows, Spark plans
+    a WindowGroupLimit push-down), and df/occurrence counts are plain
+    two-level hash aggregates with map-side partials.  All three shuffles
+    ride the same ``term`` key, so AQE coalesces them into one exchange
+    reuse at scale."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    occ = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    pairs = occ.select("term", "doc_id").distinct()
+    dfs = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= MIN_DF)
+    )
+    stats = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    )
+    posts = (
+        ranked.filter(F.col("rn") <= POSTINGS_CAP)
+        .groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            )
+        )
+    )
+    return (
+        dfs.join(posts, "term")
+        .join(stats, "term")
+        .select("term", "df", "n_occurrences", "postings")
     )

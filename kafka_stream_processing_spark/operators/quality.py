@@ -426,3 +426,69 @@ def quality_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_identical"),
     )
+
+
+#: Hashed-feature space and weight granularity for the linear quality
+#: classifier.  4096 buckets is a stand-in for a fastText-style hashed
+#: vocabulary; weights are integer centi-units so scoring is bit-exact.
+MODEL_BUCKETS = 4096
+_WEIGHT_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+@register(
+    "quality_model_score_linear",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, len(t) AS n_tokens,
+               CAST(list_aggregate(list_transform(t, w ->
+                   (CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                    % {MODEL_BUCKETS}) * {_WEIGHT_MULT} % 2001 - 1000),
+                   'sum') AS BIGINT) AS score_centi
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, score_centi,
+           score_centi >= 0 AS keep
+    FROM scored
+    """,
+    tags=("quality", "model"),
+)
+def quality_model_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the GPT-3/CCNet classifier stage),
+    expressed as a hashed linear model: each lowercased token hashes into
+    one of MODEL_BUCKETS features, each bucket carries a deterministic
+    integer centi-weight ((bucket * Knuth) % 2001 - 1000 ∈ [-1000, 1000]),
+    and the document score is the sum over token OCCURRENCES — exactly the
+    dot product of a hashed bag-of-words with a dense weight vector.  The
+    weights here are hash-derived stand-ins; swapping in trained fastText
+    weights is a literal-table substitution, the dataflow is identical.
+
+    Scale: scoring is a narrow higher-order expression over the scan
+    (transform → aggregate, whole-stage codegen), zero shuffle and zero
+    Python — at 100 TB the classifier runs at scan speed, which is why
+    production pipelines run the cheap linear filter BEFORE any pairwise
+    dedup.  Integer arithmetic keeps the keep/drop frontier bit-exact
+    across engines (no float dot-product drift)."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    t = F.split(F.lower(F.col("text")), " ")
+    weight = lambda w: (  # noqa: E731
+        (hash64(w) % MODEL_BUCKETS) * _WEIGHT_MULT % 2001 - 1000
+    )
+    score = F.aggregate(
+        F.transform(t, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(t).alias("n_tokens"),
+        score.cast("bigint").alias("score_centi"),
+        (score >= 0).alias("keep"),
+    )

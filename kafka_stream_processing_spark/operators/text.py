@@ -329,3 +329,95 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+#: Winnowing parameters: word-3-gram hashes, window of 4 consecutive
+#: gram hashes (guarantee: any shared run of 3+4-1 = 6 words produces at
+#: least one shared fingerprint).
+_WINNOW_W = 4
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(range(1, greatest(len(t) - 1, 1)),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                   g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))
+                   AS h
+        FROM toks
+        WHERE len(t) >= 3
+    ),
+    fps AS (
+        SELECT doc_id, len(h) AS n_grams,
+               list_distinct(list_transform(
+                   range(1, len(h) - {_WINNOW_W} + 2),
+                   i -> list_aggregate(
+                       list_slice(h, i, i + {_WINNOW_W} - 1), 'min')))
+                   AS fp
+        FROM grams
+        WHERE len(h) >= {_WINNOW_W}
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fp) AS BIGINT) AS n_fingerprints,
+           list_aggregate(fp, 'min') AS min_fp,
+           list_aggregate(fp, 'max') AS max_fp,
+           CAST(list_aggregate(list_transform(fp, x -> x % 1000003), 'sum')
+                AS BIGINT) AS fp_checksum
+    FROM fps
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprinting
+    scheme): hash every word-3-gram, slide a window of _WINNOW_W
+    consecutive gram hashes, keep each window's minimum, dedupe — the
+    selected set is guaranteed to share a fingerprint with any document
+    that shares a 6-word run, at a ~2/(w+1) sampling rate instead of
+    all-grams.  Emits per-doc fingerprint-set stats plus an
+    order-insensitive checksum (sum of fps mod 1000003 — bounded, no
+    bigint overflow).  Docs with fewer than _WINNOW_W grams carry no
+    window and emit no row, matching the oracle's guard.
+
+    Scale: selection is a narrow higher-order expression chain over the
+    scan (no shuffle, whole-stage codegen) — the 100 TB fingerprint pass
+    runs at scan speed and downstream plagiarism/overlap joins operate
+    on the ~O(2n/w) selected hashes, never the raw grams.  Complements
+    dedup_minhash_lsh: minhash bounds the SET-level signature, winnowing
+    preserves LOCALITY (which passage matched)."""
+    from kafka_stream_processing_spark.operators.corpus import _word_grams_all
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    h = F.transform(_word_grams_all(F.split("text", " ")), hash64)
+    grams = d.select("doc_id", h.alias("h")).filter(
+        F.size("h") >= _WINNOW_W
+    )
+    win_min = lambda i: F.array_min(F.slice(F.col("h"), i, _WINNOW_W))  # noqa: E731
+    fps = grams.select(
+        "doc_id",
+        F.size("h").cast("bigint").alias("n_grams"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - (_WINNOW_W - 1)), win_min
+            )
+        ).alias("fp"),
+    )
+    return fps.select(
+        "doc_id",
+        "n_grams",
+        F.size("fp").cast("bigint").alias("n_fingerprints"),
+        F.array_min("fp").alias("min_fp"),
+        F.array_max("fp").alias("max_fp"),
+        F.aggregate(
+            F.transform(F.col("fp"), lambda x: x % 1000003),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("fp_checksum"),
+    )

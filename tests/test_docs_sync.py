@@ -62,7 +62,10 @@ def test_bench_protocol_doc_and_harness_agree():
     bench = open("bench.py").read()
     assert "best (minimum) of 3" in baseline
     assert "median of 3" not in baseline
-    assert "best-of-3" in bench and "best = min(best" in bench
+    assert "best-of-3" in bench and "best[name] = min(best[name]" in bench
+    # r04: the 3 timed runs are interleaved round-robin passes so one
+    # sustained host stall can't poison all 3 samples of one query.
+    assert "INTERLEAVED" in bench and "interleaved" in baseline
 
 
 def test_driver_check_order_names_are_registered_and_fill_50():
