@@ -282,3 +282,120 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("purchase_user").alias("user_id"),
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
     )
+
+
+def _stream_doc_batch_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
+    """Stage the 'new crawl batch' (every 5th doc_id) as N doc_id-ordered
+    parquet chunk files so maxFilesPerTrigger=1 yields a genuine
+    multi-batch ingest stream.  mtime/size-keyed like
+    _stream_chunked_source_dir so regenerated testdata re-stages."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(
+        "/tmp", "kssp_stream_src", key,
+        f"docbatch{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
+    )
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = duckdb.sql(
+        f"SELECT * FROM '{src}' WHERE doc_id % 5 = 0 ORDER BY doc_id"
+    ).arrow()
+    n = t.num_rows
+    step = max(1, (n + n_chunks - 1) // n_chunks)
+    for i in range(0, n, step):
+        pq.write_table(
+            t.slice(i, step), os.path.join(d, f"chunk-{i // step}.parquet")
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+@register(
+    "stream_ingest_dedup_static_corpus",
+    oracle="""
+    WITH batch AS (
+        SELECT DISTINCT md5(text) AS h
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+        SELECT DISTINCT md5(text) AS h
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    accepted AS (
+        SELECT h FROM batch
+        EXCEPT
+        SELECT h FROM corpus
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_accepted,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 1000003)
+                AS BIGINT) AS h_checksum
+    FROM accepted
+    """,
+    tags=("streaming", "dedup", "incremental"),
+)
+def stream_ingest_dedup_static_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``dedup_incremental_new_batch``: today's
+    crawl arrives as a multi-micro-batch STREAM (3 doc_id-ordered chunks,
+    one per trigger), is deduped against itself with stateful
+    ``dropDuplicates`` on the content hash (state spans micro-batches —
+    a text seen in chunk 0 is rejected in chunk 2), and admitted against
+    the existing corpus's fingerprint table with a stream-static LEFT
+    ANTI join.  The audit keys on the content hash alone (count +
+    md5-derived checksum), so the result is independent of which
+    duplicate row survived dedup — the property that makes a streaming
+    dedup auditable cross-engine at all.
+
+    Scale: dropDuplicates state is one row per distinct batch hash
+    (bounded by the DAY'S crawl, not the corpus — the corpus side is the
+    static anti-join table, hash-bucketed at 100 TB so each micro-batch
+    probes without shuffling it); this is exactly the Kafka-ingest
+    topology the reference's EXACTLY_ONCE config serves
+    (UniqueUsersCounter.java:56,63), with the dedup contract made
+    explicit instead of implicit in producer retries."""
+    path = _stream_doc_batch_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_ingest_dedup_{next(_uniq)}"
+
+    from kafka_stream_processing_spark.sources.tables import table
+
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .dropDuplicates(["h"])
+        .join(corpus, "h", "left_anti")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    sink = spark.table(name)
+    checksum = (
+        F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("bigint")
+        % 1000003
+    )
+    return sink.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_accepted"),
+        F.sum(checksum).cast("bigint").alias("h_checksum"),
+    )

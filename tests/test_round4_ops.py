@@ -195,3 +195,59 @@ def test_semdedup_audit_is_consistent(spark, sf_small):
         # canonical survivor); pairs bound drops from above.
         assert 0 <= r["n_dropped"] <= max(r["n_vecs"] - 1, 0)
         assert r["n_dropped"] <= r["n_dup_pairs"]
+
+
+def test_stream_ingest_dedup_state_spans_micro_batches(spark, sf_small, tmp_path):
+    """A text delivered in chunk 0 and re-delivered (different doc_id) in
+    chunk 2 must be admitted exactly once: dropDuplicates state crosses
+    micro-batch boundaries.  Built on a synthetic 3-chunk staging so the
+    cross-batch duplicate provably exists (the testdata may not contain
+    one)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        scoped_state_partitions,
+    )
+
+    chunks = [
+        [(0, "alpha beta"), (5, "gamma delta")],
+        [(10, "epsilon zeta")],
+        [(15, "alpha beta"), (20, "eta theta")],  # re-delivery of chunk-0 text
+    ]
+    src = tmp_path / "docbatch"
+    src.mkdir()
+    for i, rows in enumerate(chunks):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            str(src / f"chunk-{i}.parquet"),
+        )
+    corpus = spark.createDataFrame(
+        [("gamma delta",)], "text string"
+    ).select(F.md5(F.col("text").cast("binary")).alias("h"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .dropDuplicates(["h"])
+        .join(corpus, "h", "left_anti")
+    )
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_ingest_dedup_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    accepted = {r["h"] for r in spark.table("t_ingest_dedup_probe").collect()}
+    # alpha-beta admitted ONCE (chunk-2 redelivery suppressed by state);
+    # gamma-delta rejected by the static corpus; 3 distinct hashes total.
+    assert len(accepted) == 3
