@@ -354,3 +354,66 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sampled"),
         )
     )
+
+
+@register(
+    "sample_temperature_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, count(*) AS n_docs
+        FROM documents GROUP BY source, lang
+    ),
+    w AS (
+        SELECT source, lang, n_docs,
+               CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,12)) AS wdec
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(wdec) AS DOUBLE) AS wsum,
+               CAST(SUM(n_docs) AS BIGINT) AS n_total
+        FROM w
+    )
+    SELECT w.source, w.lang, w.n_docs,
+           CAST(w.wdec AS DOUBLE) / t.wsum AS temp_share,
+           (CAST(w.wdec AS DOUBLE) / t.wsum)
+               * t.n_total / w.n_docs AS epochs_at_budget
+    FROM w, tot t
+    """,
+    tags=("sampling", "mixture"),
+)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual/domain
+    balancing rule from the mT5/GPT-3 recipes, T=2 i.e. p ∝ n^(1/2)):
+    per (source, lang) cell, the sampling share is sqrt(n)/Σsqrt(n) —
+    upweighting small domains, damping head domains — and
+    ``epochs_at_budget`` is how many passes over the cell one corpus-
+    sized token budget implies under that share (>1 means the cell
+    repeats, the number a curator actually reads).  sqrt is IEEE
+    correctly-rounded on every engine (fractional pow() is NOT, which is
+    why the exponent is 1/2 and not 0.7 — a pow(n, 0.7) frontier can
+    drift a ulp between libms); the share denominator sums
+    decimal-quantized weights, so it is order-independent.
+
+    Scale: one two-level hash aggregate over the corpus (cells =
+    sources × langs, thousands at most) and a broadcast of the 1-row
+    total — the reweighting table is computed in one pass and THEN
+    drives the actual resampling via sample_mixture_weights' kernel."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    counts = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = counts.withColumn(
+        "wdec", F.sqrt(F.col("n_docs").cast("double")).cast("decimal(18,12)")
+    )
+    tot = w.agg(
+        F.sum("wdec").cast("double").alias("wsum"),
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+    )
+    share = F.col("wdec").cast("double") / F.col("wsum")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        share.alias("temp_share"),
+        (share * F.col("n_total") / F.col("n_docs")).alias("epochs_at_budget"),
+    )

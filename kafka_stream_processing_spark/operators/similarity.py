@@ -494,3 +494,89 @@ def similarity_ivf_probed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("query_id", "neighbor_id", "cell", "cosine")
     )
+
+
+@register(
+    "embedding_int8_quantize_audit",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, emb,
+               list_aggregate(list_transform(emb, x -> abs(x)), 'max')
+                   AS amax
+        FROM v
+    ),
+    coded AS (
+        SELECT vec_id, amax,
+               CASE WHEN amax = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(emb, x ->
+                        CAST(floor(x / (amax / 127)) AS BIGINT))
+               END AS codes,
+               CASE WHEN amax = 0 THEN
+                        list_transform(emb, x -> CAST(0 AS DECIMAL(18,12)))
+                    ELSE list_transform(emb, x ->
+                        CAST(abs(x - floor(x / (amax / 127)) * (amax / 127))
+                             AS DECIMAL(18,12)))
+               END AS errs
+        FROM scaled
+    )
+    SELECT vec_id, amax,
+           CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+           CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
+           CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_zero,
+           CAST(list_aggregate(errs, 'sum') AS DOUBLE) AS sum_abs_err
+    FROM coded
+    """,
+    tags=("embeddings", "quantization"),
+)
+def embedding_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the compression step an ANN/vector
+    store applies before indexing (4x memory cut vs float32): symmetric
+    per-vector scale amax/127, codes = floor(x/scale), per-vector audit of
+    code range, dead (zero) codes, and total absolute reconstruction
+    error.  floor (not round) keeps the code frontier bit-exact across
+    engines — IEEE division and floor are correctly-rounded everywhere,
+    while round-half ties differ by rounding mode; the error sum is
+    decimal-quantized per term, so order-independent.  All-zero vectors
+    quantize to all-zero codes with zero error (the amax=0 guard).
+
+    Scale: narrow per-vector expression chain over the scan (zero
+    shuffle, codegen) — quantization runs at scan speed and downstream
+    ANN operators move 64 bytes/vector instead of 256."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    amax = F.array_max(F.transform(F.col("emb"), F.abs))
+    scaled = emb.withColumn("amax", amax)
+    scale = F.col("amax") / F.lit(127.0)
+    code = lambda x: F.floor(x / scale).cast("bigint")  # noqa: E731
+    zero_codes = F.transform(F.col("emb"), lambda x: F.lit(0).cast("bigint"))
+    codes = F.when(F.col("amax") == 0, zero_codes).otherwise(
+        F.transform(F.col("emb"), code)
+    )
+    zero_errs = F.transform(
+        F.col("emb"), lambda x: F.lit(0).cast(_DEC)
+    )
+    errs = F.when(F.col("amax") == 0, zero_errs).otherwise(
+        F.transform(
+            F.col("emb"),
+            lambda x: F.abs(x - F.floor(x / scale).cast("double") * scale).cast(
+                _DEC
+            ),
+        )
+    )
+    coded = scaled.select("vec_id", "amax", codes.alias("codes"), errs.alias("errs"))
+    return coded.select(
+        "vec_id",
+        "amax",
+        F.array_min("codes").cast("bigint").alias("code_min"),
+        F.array_max("codes").cast("bigint").alias("code_max"),
+        F.size(F.filter("codes", lambda c: c == 0)).cast("bigint").alias("n_zero"),
+        F.aggregate(
+            F.col("errs"), F.lit(0).cast(_DEC), lambda a, x: (a + x).cast(_DEC)
+        ).cast("double").alias("sum_abs_err"),
+    )

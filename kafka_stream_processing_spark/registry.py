@@ -110,9 +110,10 @@ def _load() -> None:
 #: after r03, cumulative driver coverage is 136/140 — the only queries
 #: with no driver row are the 4 corpus.py ops registered mid-r03 AFTER
 #: the r03 table was frozen.  This table pins the 12 reference-parity
-#: (§2) slots, then (a) those 4 corpus ops, (b) the 7 operators new in
+#: (§2) slots, then (a) those 4 corpus ops, (b) the 9 operators new in
 #: r04 (chunking, inverted index, linear quality model, k-means,
-#: SemDeDup, winnowing, streaming ingest dedup), and (c) 27
+#: SemDeDup, winnowing, streaming ingest dedup, int8 quantization,
+#: temperature mixture), and (c) 25
 #: re-confirmation slots for queries whose only
 #: green row dates back to r01 (oldest evidence first: the bench
 #: headliners, the dedup/ANN families, multimodal, the join surface,
@@ -144,6 +145,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "dedup_semantic_semdedup",
     "text_winnowing_fingerprints",
     "stream_ingest_dedup_static_corpus",
+    "embedding_int8_quantize_audit",
+    "sample_temperature_weights",
     # -- re-confirmation: green row only in r01 (oldest evidence) --
     # bench headliners (perf-graded every round; keep correctness fresh)
     "q1_pricing_summary",
@@ -172,8 +175,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "join_left_outer_nation_customer_count",
     # multi-dimensional aggregates
     "agg_cube_orders",
-    "agg_grouping_sets_orders",
-    "agg_rollup_lineitem",
     "agg_salted_high_cardinality",
     # pandas-UDF surface
     "applyinpandas_user_gap_stats",
@@ -182,10 +183,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
 #: Rotation policy: flagship + §2 reference parity + the streaming
 #: topology/EOS runs stay pinned; remaining slots go first to queries
 #: with NO driver row, then to re-confirming the oldest green rows.
-#: After r04, 21 queries remain r01-only (connectors, pivot/unpivot,
+#: After r04, 23 queries remain r01-only (connectors, pivot/unpivot,
 #: set ops, analytic-window misc, quality profiling, histogram,
 #: null-handling, orderby-limit, scalar_string_part_features,
-#: embedding_dimension_stats, agg_having_high_value_users) — they are
+#: embedding_dimension_stats, agg_having_high_value_users,
+#: agg_grouping_sets_orders, agg_rollup_lineitem) — they are
 #: the r05 rotation's required re-confirmation entries.  Everything
 #: rotated out stays covered by the identical differential check in
 #: tests/test_oracle_parity.py each round.

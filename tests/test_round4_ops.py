@@ -251,3 +251,41 @@ def test_stream_ingest_dedup_state_spans_micro_batches(spark, sf_small, tmp_path
     # alpha-beta admitted ONCE (chunk-2 redelivery suppressed by state);
     # gamma-delta rejected by the static corpus; 3 distinct hashes total.
     assert len(accepted) == 3
+
+
+def test_int8_quantize_is_narrow_and_codes_in_range(spark, sf_small):
+    from kafka_stream_processing_spark.operators.similarity import (
+        embedding_int8_quantize_audit,
+    )
+
+    rep = plan_report(embedding_int8_quantize_audit(spark, sf_small))
+    assert rep.n_exchanges == 1, rep.text[:4000]  # fanout only
+    rows = embedding_int8_quantize_audit(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # floor-based symmetric quantization: codes live in [-128, 127]
+        # (floor sends -amax to -128 only at the exact boundary ulp).
+        assert -128 <= r["code_min"] <= r["code_max"] <= 127
+        assert r["sum_abs_err"] >= 0.0
+        assert r["n_zero"] >= 0
+
+
+def test_temperature_weights_sum_to_one_and_boost_tail(spark, sf_small):
+    from kafka_stream_processing_spark.operators.pipeline import (
+        sample_temperature_weights,
+    )
+
+    rows = sample_temperature_weights(spark, sf_small).collect()
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-9
+    n_total = sum(r["n_docs"] for r in rows)
+    # Temperature flattening: every below-mean cell is guaranteed a
+    # MORE-than-proportional share (N/Σ√n ≥ √mean by Cauchy-Schwarz, so
+    # √n_i < √mean ⟹ boost); the largest cell is guaranteed damped.
+    biggest = max(rows, key=lambda r: r["n_docs"])
+    for r in rows:
+        raw_share = r["n_docs"] / n_total
+        if r["n_docs"] * len(rows) < n_total:
+            assert r["temp_share"] > raw_share
+        assert r["epochs_at_budget"] > 0.0
+    if biggest["n_docs"] * len(rows) > n_total:
+        assert biggest["temp_share"] < biggest["n_docs"] / n_total
