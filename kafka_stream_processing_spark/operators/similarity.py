@@ -580,3 +580,149 @@ def embedding_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("errs"), F.lit(0).cast(_DEC), lambda a, x: (a + x).cast(_DEC)
         ).cast("double").alias("sum_abs_err"),
     )
+
+
+#: Product-quantization geometry: 64-d vectors split into 4 sub-spaces of
+#: 16 dims; each sub-space has an 8-entry codebook (codes = sub-vectors
+#: of the 8 lowest vec_ids — the deterministic stand-in for per-sub-space
+#: k-means output, trainable via clustering.cluster_kmeans_embeddings).
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 8
+PQ_TOPK = 5
+
+
+@register(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, m,
+               list_slice(emb, m * {PQ_SUBDIM} + 1,
+                          m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
+        FROM v, unnest(generate_series(0, {PQ_M - 1})) u(m)
+    ),
+    cb AS (
+        SELECT m, vec_id AS j, s AS c FROM sub WHERE vec_id < {PQ_K}
+    ),
+    d0 AS (
+        SELECT s.vec_id, s.m, c.j,
+               list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
+                   i -> CAST((s.s[i] - c.c[i]) * (s.s[i] - c.c[i])
+                             AS DECIMAL(18,12))), 'sum') AS dist2
+        FROM sub s JOIN cb c ON c.m = s.m
+    ),
+    asn AS (
+        SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist2, j) AS rn
+            FROM d0
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, c.m, c.j,
+               list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
+                   i -> CAST((q.s[i] - c.c[i]) * (q.s[i] - c.c[i])
+                             AS DECIMAL(18,12))), 'sum') AS ddec
+        FROM sub q JOIN cb c ON c.m = q.m
+        WHERE q.vec_id < 5
+    ),
+    cand AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               SUM(l.ddec) AS adist
+        FROM asn a JOIN lut l ON l.m = a.m AND l.j = a.code
+        WHERE a.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(adist AS DOUBLE) AS approx_dist2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM cand
+    )
+    WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("similarity", "quantization"),
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., the vector-store
+    compression standard): vectors are encoded as PQ_M codebook indices
+    (one byte per sub-space — 4 bytes/vector vs 256 for float32), and
+    queries rank candidates with Asymmetric Distance Computation: a
+    query×codebook lookup table of PQ_M×PQ_K exact sub-distances, summed
+    along each candidate's code word — the corpus's raw floats are never
+    touched at query time.  Codebooks here are the sub-vectors of the
+    PQ_K lowest vec_ids (deterministic, oracle-checkable); production
+    trains them per-sub-space with cluster_kmeans_embeddings.  Exact
+    decimal sub-distances make encode and rank frontiers bit-identical
+    across engines; ties break on neighbor_id.
+
+    Scale: encoding is the broadcast-codebook assignment pattern (PQ_M
+    small joins, vectors never shuffle); query-time state is the code
+    table (4 bytes/vector) plus a PQ_M×PQ_K LUT per query — the ADC join
+    is an equi-join on (sub-space, code), i.e. at 100 TB the ranking
+    never reads the embedding column at all.  This is the memory-bound →
+    compute-bound trade every billion-vector ANN service makes."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "s"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("m").alias("cm"), F.col("vec_id").alias("j"), F.col("s").alias("c")
+    )
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC)),
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + x).cast(_DEC),
+    )
+    d0 = sub.join(F.broadcast(cb), F.col("m") == F.col("cm")).select(
+        "vec_id", "m", "j", sq(F.col("s"), F.col("c")).alias("dist2")
+    )
+    w_asn = Window.partitionBy("vec_id", "m").orderBy("dist2", "j")
+    asn = (
+        d0.withColumn("rn", F.row_number().over(w_asn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("lm"),
+            "j",
+            sq(F.col("s"), F.col("c")).alias("ddec"),
+        )
+    )
+    cand = (
+        asn.join(
+            F.broadcast(lut),
+            (F.col("lm") == F.col("m")) & (F.col("j") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ddec").alias("adist"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(
+            "query_id", "neighbor_id", F.col("adist").cast("double").alias("approx_dist2")
+        )
+    )

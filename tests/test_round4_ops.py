@@ -289,3 +289,27 @@ def test_temperature_weights_sum_to_one_and_boost_tail(spark, sf_small):
         assert r["epochs_at_budget"] > 0.0
     if biggest["n_docs"] * len(rows) > n_total:
         assert biggest["temp_share"] < biggest["n_docs"] / n_total
+
+
+def test_pq_adc_broadcasts_codebooks_no_cartesian(spark, sf_small):
+    from kafka_stream_processing_spark.operators.similarity import (
+        PQ_TOPK,
+        similarity_pq_adc_topk,
+    )
+
+    df = similarity_pq_adc_topk(spark, sf_small)
+    rep = plan_report(df)
+    # Encode + LUT joins broadcast the tiny codebook/LUT sides; the ADC
+    # ranking never touches the embedding column of the corpus rows.
+    assert rep.broadcast_join, rep.text[:4000]
+    assert "CartesianProduct" not in rep.text
+    rows = df.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["approx_dist2"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r["approx_dist2"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for dists in by_q.values():
+        assert len(dists) == PQ_TOPK
+        assert dists == sorted(dists)
