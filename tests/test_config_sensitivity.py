@@ -25,6 +25,9 @@ QUERIES = (
     "sample_hash_split",
     "pandas_grouped_agg_value_sum",
     "sql_lateral_topk_per_customer",
+    # r04: PQ encode/rank — multi-codebook broadcast compose + ranking
+    # window; the decimal ADC sums must survive any join strategy.
+    "similarity_pq_adc_topk",
 )
 
 #: NOTE: no adaptive.enabled=false here — the registry wrapper
