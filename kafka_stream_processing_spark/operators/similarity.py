@@ -726,3 +726,168 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.col("adist").cast("double").alias("approx_dist2")
         )
     )
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, {_argmin_cell_sql()} AS cell FROM v
+    ),
+    sub AS (
+        SELECT vec_id, m,
+               list_slice(emb, m * {PQ_SUBDIM} + 1,
+                          m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
+        FROM v, unnest(generate_series(0, {PQ_M - 1})) u(m)
+    ),
+    cb AS (
+        SELECT m, vec_id AS j, s AS c FROM sub WHERE vec_id < {PQ_K}
+    ),
+    d0 AS (
+        SELECT s.vec_id, s.m, c.j,
+               list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
+                   i -> CAST((s.s[i] - c.c[i]) * (s.s[i] - c.c[i])
+                             AS DECIMAL(18,12))), 'sum') AS dist2
+        FROM sub s JOIN cb c ON c.m = s.m
+    ),
+    asn AS (
+        SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist2, j) AS rn
+            FROM d0
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, unnest({_probe_cells_sql()}) AS probe_cell
+        FROM v WHERE vec_id < 5
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, c.m, c.j,
+               list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
+                   i -> CAST((q.s[i] - c.c[i]) * (q.s[i] - c.c[i])
+                             AS DECIMAL(18,12))), 'sum') AS ddec
+        FROM sub q JOIN cb c ON c.m = q.m
+        WHERE q.vec_id < 5
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+        FROM probes p
+        JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.neighbor_id, any_value(c.cell) AS cell,
+               SUM(l.ddec) AS adist
+        FROM cand c
+        JOIN asn s ON s.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.m = s.m AND l.j = s.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cell,
+           CAST(adist AS DOUBLE) AS approx_dist2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM adc
+    )
+    WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("similarity", "quantization", "scale"),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the billion-vector index layout (FAISS's IVFPQ): the
+    coarse quantizer prunes the SEARCH SPACE (each query probes its
+    nprobe=2 nearest of 8 cells) and product quantization compresses the
+    RESIDENT DATA (candidates are ranked by 4-byte code words against the
+    query's ADC lookup table, never their raw floats).  Composes the two
+    registered single-technique operators: similarity_ivf_probed_topk's
+    cell probe and similarity_pq_adc_topk's ADC kernel, sharing their
+    exact-decimal determinism end to end.
+
+    Scale: the two index structures cut orthogonal costs — IVF makes
+    per-query work O(corpus·nprobe/cells), PQ makes per-candidate state
+    4 bytes — which is why the composition, not either alone, is what
+    serves at 10⁹ vectors: cells bound the candidate JOIN, codes bound
+    the candidate BYTES.  Both joins are broadcast/equi-joins (cell id;
+    (sub-space, code)); the corpus embedding column is read exactly once
+    at index-build time."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    assigned = emb.select("vec_id", ivf_cell(F.col("emb")).alias("cell"))
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "s"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("m").alias("cm"), F.col("vec_id").alias("j"), F.col("s").alias("c")
+    )
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC)),
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + x).cast(_DEC),
+    )
+    w_asn = Window.partitionBy("vec_id", "m").orderBy("dist2", "j")
+    asn = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "j", sq(F.col("s"), F.col("c")).alias("dist2"))
+        .withColumn("rn", F.row_number().over(w_asn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe_cells(F.col("emb"), IVF_NPROBE)).alias("probe_cell"),
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("lq"),
+            F.col("m").alias("lm"),
+            "j",
+            sq(F.col("s"), F.col("c")).alias("ddec"),
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cell")
+    adc = (
+        cand.join(asn, F.col("neighbor_id") == asn.vec_id)
+        .join(
+            F.broadcast(lut),
+            (F.col("lq") == F.col("query_id"))
+            & (F.col("lm") == F.col("m"))
+            & (F.col("j") == F.col("code")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.any_value(F.col("cell")).alias("cell"),
+            F.sum("ddec").alias("adist"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.col("adist").cast("double").alias("approx_dist2"),
+        )
+    )

@@ -313,3 +313,44 @@ def test_pq_adc_broadcasts_codebooks_no_cartesian(spark, sf_small):
     for dists in by_q.values():
         assert len(dists) == PQ_TOPK
         assert dists == sorted(dists)
+
+
+def test_ivfpq_prunes_candidates_to_probed_cells(spark, sf_small):
+    from kafka_stream_processing_spark.operators.similarity import (
+        IVF_NPROBE,
+        PQ_TOPK,
+        ivf_cell,
+        probe_cells,
+        similarity_ivfpq_topk,
+        _as_double_array,
+    )
+
+    df = similarity_ivfpq_topk(spark, sf_small)
+    rep = plan_report(df)
+    assert rep.broadcast_join, rep.text[:4000]
+    assert "CartesianProduct" not in rep.text
+    rows = df.collect()
+    emb = table(spark, sf_small, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select("vec_id", ivf_cell(F.col("emb")).alias("cell")).collect()
+    }
+    probed = {
+        r["vec_id"]: r["p"]
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", probe_cells(F.col("emb"), IVF_NPROBE).alias("p"))
+        .collect()
+    }
+    by_q: dict[int, int] = {}
+    for r in rows:
+        # Every returned neighbor must live in one of its query's probed
+        # cells (the IVF pruning contract), reported cell must match the
+        # index assignment, and ADC distances are non-negative.
+        assert r["cell"] == cells[r["neighbor_id"]]
+        assert r["cell"] in probed[r["query_id"]]
+        assert r["approx_dist2"] >= 0.0
+        by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(n <= PQ_TOPK for n in by_q.values())
