@@ -1,9 +1,11 @@
 """Round-4 operator tests: plan-shape pins and structural invariants for
-the corpus/indexing/clustering additions (overlap chunking, inverted
-index, hashed linear quality model, k-means, winnowing fingerprints).
-Value correctness is covered by the oracle-parity sweep; these tests pin
-the SCALE properties (shuffle counts, broadcast strategy, bounded window
-state) and the geometric invariants the oracle can't see."""
+the r04 additions (overlap chunking, inverted index, hashed linear
+quality model, k-means, SemDeDup, winnowing fingerprints, streaming
+ingest dedup, int8 quantization, temperature mixture weights, PQ-ADC
+and IVF+PQ ANN).  Value correctness is covered by the oracle-parity
+sweep; these tests pin the SCALE properties (shuffle counts, broadcast
+strategy, bounded window state) and the geometric/semantic invariants
+the oracle can't see."""
 
 from __future__ import annotations
 
