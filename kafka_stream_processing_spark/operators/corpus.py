@@ -132,9 +132,10 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "contamination_ngram_overlap",
-    oracle=f"""
+#: Shared with the streaming twin (streaming/joins.py
+#: ``stream_contamination_scan``): stream and batch provably compute the
+#: same drop-list, so they carry the same oracle.
+CONTAMINATION_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
     ),
@@ -155,7 +156,12 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id, t.n_shingles, s.n_shared
     FROM shared s JOIN totals t ON t.doc_id = s.doc_id
-    """,
+    """
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=CONTAMINATION_ORACLE,
     tags=("corpus", "contamination"),
 )
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

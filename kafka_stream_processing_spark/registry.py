@@ -110,10 +110,11 @@ def _load() -> None:
 #: after r03, cumulative driver coverage is 136/140 — the only queries
 #: with no driver row are the 4 corpus.py ops registered mid-r03 AFTER
 #: the r03 table was frozen.  This table pins the 12 reference-parity
-#: (§2) slots, then (a) those 4 corpus ops, (b) the 11 operators new in
+#: (§2) slots, then (a) those 4 corpus ops, (b) the 12 operators new in
 #: r04 (chunking, inverted index, linear quality model, k-means,
 #: SemDeDup, winnowing, streaming ingest dedup, int8 quantization,
-#: temperature mixture, PQ-ADC ANN, IVF+PQ ANN), and (c) 23
+#: temperature mixture, PQ-ADC ANN, IVF+PQ ANN, streaming
+#: contamination), and (c) 22
 #: re-confirmation slots for queries whose only
 #: green row dates back to r01 (oldest evidence first: the bench
 #: headliners, the dedup/ANN families, multimodal, the join surface,
@@ -149,6 +150,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "sample_temperature_weights",
     "similarity_pq_adc_topk",
     "similarity_ivfpq_topk",
+    "stream_contamination_scan",
     # -- re-confirmation: green row only in r01 (oldest evidence) --
     # bench headliners (perf-graded every round; keep correctness fresh)
     "q1_pricing_summary",
@@ -163,7 +165,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_cluster_components",
     "similarity_ivf_probed_topk",
-    "similarity_lsh_bucketed_topk",
     # multimodal
     "multimodal_decode_features",
     "multimodal_frame_sample",
@@ -183,12 +184,13 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
 #: Rotation policy: flagship + §2 reference parity + the streaming
 #: topology/EOS runs stay pinned; remaining slots go first to queries
 #: with NO driver row, then to re-confirming the oldest green rows.
-#: After r04, 25 queries remain r01-only (connectors, pivot/unpivot,
+#: After r04, 26 queries remain r01-only (connectors, pivot/unpivot,
 #: set ops, analytic-window misc, quality profiling, histogram,
 #: null-handling, orderby-limit, scalar_string_part_features,
 #: embedding_dimension_stats, agg_having_high_value_users,
 #: agg_grouping_sets_orders, agg_rollup_lineitem,
-#: join_left_outer_nation_customer_count, multimodal_metadata_struct)
+#: join_left_outer_nation_customer_count, multimodal_metadata_struct,
+#: similarity_lsh_bucketed_topk)
 #: — they are the r05 rotation's required re-confirmation entries.  Everything
 #: rotated out stays covered by the identical differential check in
 #: tests/test_oracle_parity.py each round.

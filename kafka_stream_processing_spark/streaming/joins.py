@@ -399,3 +399,104 @@ def stream_ingest_dedup_static_corpus(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).cast("bigint").alias("n_accepted"),
         F.sum(checksum).cast("bigint").alias("h_checksum"),
     )
+
+
+def _stream_train_docs_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
+    """Stage the training-pool documents (source <> 'src0') as N
+    doc_id-ordered parquet chunks for multi-batch streaming; mtime/size-
+    keyed like the other stagers."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(
+        "/tmp", "kssp_stream_src", key,
+        f"traindocs{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
+    )
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = duckdb.sql(
+        f"SELECT * FROM '{src}' WHERE source <> 'src0' ORDER BY doc_id"
+    ).arrow()
+    n = t.num_rows
+    step = max(1, (n + n_chunks - 1) // n_chunks)
+    for i in range(0, n, step):
+        pq.write_table(
+            t.slice(i, step), os.path.join(d, f"chunk-{i // step}.parquet")
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+from kafka_stream_processing_spark.operators.corpus import (  # noqa: E402
+    CONTAMINATION_ORACLE,
+)
+
+
+@register(
+    "stream_contamination_scan",
+    oracle=CONTAMINATION_ORACLE,
+    tags=("streaming", "contamination"),
+)
+def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination: training documents arrive as a
+    3-micro-batch stream and are scored against the STATIC benchmark
+    shingle set — which enters the stream as ONE broadcast row holding
+    the eval suite's distinct 3-gram array, so the per-document check is
+    a narrow ``array_intersect`` with ZERO streaming state (append mode,
+    no watermark, no aggregation): each doc's verdict is final the
+    moment it arrives.  Emits the same (doc_id, n_shingles, n_shared)
+    drop-list as the batch `contamination_ngram_overlap`, and the oracle
+    IS that query's oracle — stream and batch provably agree.
+
+    Scale: the stateless formulation is the point — a stateful
+    explode-join-agg would keep per-doc counts in the state store for no
+    reason when the bench set (a few MB for any real eval suite) fits in
+    a broadcast; this is the decontamination gate a streaming ingest
+    pipeline bolts between crawl and corpus-commit."""
+    from kafka_stream_processing_spark.operators.dedup import _word_shingles
+    from kafka_stream_processing_spark.sources.tables import table
+
+    bench_row = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(F.explode(_word_shingles(F.split("text", " "))).alias("sh"))
+        .agg(F.collect_set("sh").alias("bench_set"))
+    )
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_contamination_{next(_uniq)}"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select(
+            "doc_id", _word_shingles(F.split("text", " ")).alias("sh_arr")
+        )
+        .crossJoin(F.broadcast(bench_row))
+        .select(
+            "doc_id",
+            F.size("sh_arr").cast("bigint").alias("n_shingles"),
+            F.size(F.array_intersect("sh_arr", "bench_set"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 1)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select("doc_id", "n_shingles", "n_shared")

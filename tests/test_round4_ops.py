@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kafka_stream_processing_spark import registry
 from kafka_stream_processing_spark.operators.corpus import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
@@ -356,3 +355,25 @@ def test_ivfpq_prunes_candidates_to_probed_cells(spark, sf_small):
         by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
     assert set(by_q) == {0, 1, 2, 3, 4}
     assert all(n <= PQ_TOPK for n in by_q.values())
+
+
+def test_stream_contamination_matches_batch_scan(spark, sf_small):
+    """Stream and batch decontamination must produce the identical
+    drop-list (same docs, same counts) — the stream formulation is a
+    stateless re-plan, not a different algorithm."""
+    from kafka_stream_processing_spark.operators.corpus import (
+        contamination_ngram_overlap,
+    )
+    from kafka_stream_processing_spark.streaming.joins import (
+        stream_contamination_scan,
+    )
+
+    batch = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"])
+        for r in contamination_ngram_overlap(spark, sf_small).collect()
+    }
+    streamed = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"])
+        for r in stream_contamination_scan(spark, sf_small).collect()
+    }
+    assert streamed == batch
