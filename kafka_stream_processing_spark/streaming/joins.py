@@ -12,6 +12,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_processing_spark.operators.corpus import CONTAMINATION_ORACLE
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import normalize_events
 from kafka_stream_processing_spark.streaming.unique_users import (
@@ -284,11 +285,13 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _stream_doc_batch_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
-    """Stage the 'new crawl batch' (every 5th doc_id) as N doc_id-ordered
+def _stage_doc_chunks(sf_dir: str, where: str, label: str,
+                      n_chunks: int = 3) -> str:
+    """Stage a filtered slice of the documents table as N doc_id-ordered
     parquet chunk files so maxFilesPerTrigger=1 yields a genuine
-    multi-batch ingest stream.  mtime/size-keyed like
-    _stream_chunked_source_dir so regenerated testdata re-stages."""
+    multi-batch stream.  mtime/size-keyed like _stream_chunked_source_dir
+    so regenerated testdata re-stages.  ``where`` is a DuckDB predicate
+    over the documents columns (staging-side only, never query-side)."""
     import os
 
     import duckdb
@@ -299,14 +302,14 @@ def _stream_doc_batch_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(
         "/tmp", "kssp_stream_src", key,
-        f"docbatch{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
+        f"{label}{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
     )
     marker = os.path.join(d, "_STAGED")
     if os.path.exists(marker):
         return d
     os.makedirs(d, exist_ok=True)
     t = duckdb.sql(
-        f"SELECT * FROM '{src}' WHERE doc_id % 5 = 0 ORDER BY doc_id"
+        f"SELECT * FROM '{src}' WHERE {where} ORDER BY doc_id"
     ).arrow()
     n = t.num_rows
     step = max(1, (n + n_chunks - 1) // n_chunks)
@@ -317,6 +320,12 @@ def _stream_doc_batch_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return d
+
+
+def _stream_doc_batch_source_dir(sf_dir: str) -> str:
+    """The 'new crawl batch': every 5th doc_id (matches the incremental
+    dedup oracles' batch definition)."""
+    return _stage_doc_chunks(sf_dir, "doc_id % 5 = 0", "docbatch")
 
 
 @register(
@@ -401,43 +410,10 @@ def stream_ingest_dedup_static_corpus(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-def _stream_train_docs_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
-    """Stage the training-pool documents (source <> 'src0') as N
-    doc_id-ordered parquet chunks for multi-batch streaming; mtime/size-
-    keyed like the other stagers."""
-    import os
-
-    import duckdb
-    import pyarrow.parquet as pq
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(
-        "/tmp", "kssp_stream_src", key,
-        f"traindocs{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
-    )
-    marker = os.path.join(d, "_STAGED")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    t = duckdb.sql(
-        f"SELECT * FROM '{src}' WHERE source <> 'src0' ORDER BY doc_id"
-    ).arrow()
-    n = t.num_rows
-    step = max(1, (n + n_chunks - 1) // n_chunks)
-    for i in range(0, n, step):
-        pq.write_table(
-            t.slice(i, step), os.path.join(d, f"chunk-{i // step}.parquet")
-        )
-    with open(marker, "w") as fh:
-        fh.write("ok")
-    return d
-
-
-from kafka_stream_processing_spark.operators.corpus import (  # noqa: E402
-    CONTAMINATION_ORACLE,
-)
+def _stream_train_docs_source_dir(sf_dir: str) -> str:
+    """The training pool: every non-benchmark document (matches the
+    contamination oracles' train partition)."""
+    return _stage_doc_chunks(sf_dir, "source <> 'src0'", "traindocs")
 
 
 @register(
