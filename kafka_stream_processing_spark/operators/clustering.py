@@ -20,13 +20,14 @@ graph at all (at 100 TB that's a small fraction of the corpus).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.operators.dedup import (
     JACCARD_ORACLE,
     dedup_ngram_jaccard,
 )
+from kafka_stream_processing_spark.operators.similarity import dist2_exact
 from kafka_stream_processing_spark.registry import register
 
 MAX_ITERATIONS = 15
@@ -193,25 +194,12 @@ KMEANS_K = 8
 KMEANS_DIM = 64
 _DEC = "decimal(18,12)"
 
-
-def _dist2_dec(a: Column, b: Column) -> Column:
-    """Exact (per-term decimal-quantized) squared L2 distance of two
-    double arrays — order-independent, so bit-identical across engines
-    (same convention as similarity.dot_exact)."""
-    terms = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC))
-    return F.aggregate(
-        terms, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
-    )
-
-
-@register(
-    "cluster_kmeans_embeddings",
-    oracle=f"""
-    WITH v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings
-    ),
-    c0 AS (
+#: Shared oracle CTE block — the seed-centroid nearest-cluster
+#: assignment (c0 seed, d1 exact decimal distances, a1 argmin rank).
+#: Expects an upstream CTE ``v(vec_id, emb)``.  Interpolated by BOTH the
+#: k-means trainer and SemDeDup so the assignment frontier (seed choice,
+#: tie-break, quantization) has a single source of truth.
+_SEED_ASSIGN_CTES = f"""c0 AS (
         SELECT vec_id AS cluster_id, emb AS cvec FROM v
         WHERE vec_id < {KMEANS_K}
     ),
@@ -223,11 +211,39 @@ def _dist2_dec(a: Column, b: Column) -> Column:
         FROM v, c0 c
     ),
     a1 AS (
-        SELECT vec_id, cluster_id,
+        SELECT vec_id, cluster_id, dist2,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY dist2, cluster_id) AS rn
         FROM d1
+    )"""
+
+
+def assign_nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, the Spark twin of _SEED_ASSIGN_CTES:
+    ``vecs`` (vec_id, emb, *extras) against broadcast ``cents``
+    (cluster_id, cvec) → one row per vector carrying its extras plus
+    cluster_id and the exact-decimal dist2; ties to lowest cluster_id."""
+    from pyspark.sql import Window
+
+    j = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist2", dist2_exact(F.col("emb"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cvec")
+    )
+
+
+@register(
+    "cluster_kmeans_embeddings",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
     ),
+    {_SEED_ASSIGN_CTES},
     m1 AS (
         SELECT a.cluster_id, v.emb
         FROM a1 a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1
@@ -284,7 +300,6 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_double_array,
     )
     from kafka_stream_processing_spark.sources.tables import fanout, table
-    from pyspark.sql import Window
 
     emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
@@ -292,20 +307,7 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cvec")
     )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        """(vec_id, cluster_id, dist2) of each vector's nearest centroid."""
-        j = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "cluster_id",
-            _dist2_dec(F.col("emb"), F.col("cvec")).alias("dist2"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
-        return j.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        )
-
-    members = assign(cents0).select("vec_id", "cluster_id").join(emb, "vec_id")
+    members = assign_nearest(emb, cents0).select("vec_id", "cluster_id", "emb")
     upd = (
         members.select(
             "cluster_id", F.posexplode("emb").alias("pos", "val")
@@ -325,7 +327,7 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cvec")
     )
     return (
-        assign(cents1)
+        assign_nearest(emb, cents1)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -336,7 +338,8 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_oracle() -> str:
     """Assemble the SemDeDup oracle from dedup.py's shared norm/cosine SQL
-    fragments (single source of truth for the decimal-cosine convention)."""
+    fragments and this module's _SEED_ASSIGN_CTES — single source of truth
+    for both the decimal-cosine convention and the assignment frontier."""
     from kafka_stream_processing_spark.operators.dedup import (
         _EMB_NORM_CTE,
         _PAIR_COSINE_SQL,
@@ -344,23 +347,7 @@ def _semdedup_oracle() -> str:
     )
 
     return f"""{_EMB_NORM_CTE.format(extra="")},
-    c0 AS (
-        SELECT vec_id AS cluster_id, emb AS cvec FROM v
-        WHERE vec_id < {KMEANS_K}
-    ),
-    d1 AS (
-        SELECT n.vec_id, c.cluster_id,
-               list_aggregate(list_transform(range(1, {KMEANS_DIM + 1}),
-                   i -> CAST((n.emb[i] - c.cvec[i]) * (n.emb[i] - c.cvec[i])
-                             AS DECIMAL(18,12))), 'sum') AS dist2
-        FROM n, c0 c
-    ),
-    a1 AS (
-        SELECT vec_id, cluster_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dist2, cluster_id) AS rn
-        FROM d1
-    ),
+    {_SEED_ASSIGN_CTES},
     m AS (
         SELECT a1.cluster_id, n.vec_id, n.emb, n.nrm
         FROM a1 JOIN n ON n.vec_id = a1.vec_id WHERE a1.rn = 1
@@ -406,7 +393,6 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on cluster_id (hash join, AQE skew-split on hot cells).
     This is the architecture the SemDeDup paper runs on its 100-cluster
     LAION sweep, re-expressed as two Spark joins."""
-    from pyspark.sql import Window
     from kafka_stream_processing_spark.operators.dedup import (
         COSINE_DUP_THRESHOLD,
     )
@@ -424,19 +410,8 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cvec")
     )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
-    members = (
-        n.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "emb",
-            "nrm",
-            "cluster_id",
-            _dist2_dec(F.col("emb"), F.col("cvec")).alias("dist2"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cluster_id", "vec_id", "emb", "nrm")
+    members = assign_nearest(n, cents).select(
+        "cluster_id", "vec_id", "emb", "nrm"
     )
     a, b = members.alias("a"), members.alias("b")
     cos = cosine_exact(

@@ -62,6 +62,17 @@ def l2_norm_exact(a: Column) -> Column:
     return F.sqrt(dot_exact(a, a))
 
 
+def dist2_exact(a: Column, b: Column) -> Column:
+    """Exact (per-term decimal-quantized) squared L2 distance of two
+    double arrays, kept as DECIMAL for order-independent downstream sums
+    and bit-exact ordering — the single shared kernel behind k-means,
+    SemDeDup, and the PQ encode/ADC operators."""
+    terms = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC))
+    return F.aggregate(
+        terms, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    )
+
+
 def cosine_exact(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot_exact(a, b) / (norm_a * norm_b)
 
@@ -558,18 +569,16 @@ def embedding_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     codes = F.when(F.col("amax") == 0, zero_codes).otherwise(
         F.transform(F.col("emb"), code)
     )
-    zero_errs = F.transform(
-        F.col("emb"), lambda x: F.lit(0).cast(_DEC)
+    # floor() evaluated once per element: errors reconstruct from the
+    # CODES array (zip_with) instead of re-deriving floor(x/scale).  The
+    # amax=0 branch needs no error guard — all elements are 0 there, and
+    # 0 - 0*(0/127) = 0 with no division anywhere in the formula.
+    coded = scaled.select("vec_id", "amax", codes.alias("codes"), "emb")
+    errs = F.zip_with(
+        F.col("emb"),
+        F.col("codes"),
+        lambda x, c: F.abs(x - c.cast("double") * scale).cast(_DEC),
     )
-    errs = F.when(F.col("amax") == 0, zero_errs).otherwise(
-        F.transform(
-            F.col("emb"),
-            lambda x: F.abs(x - F.floor(x / scale).cast("double") * scale).cast(
-                _DEC
-            ),
-        )
-    )
-    coded = scaled.select("vec_id", "amax", codes.alias("codes"), errs.alias("errs"))
     return coded.select(
         "vec_id",
         "amax",
@@ -577,7 +586,7 @@ def embedding_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.array_max("codes").cast("bigint").alias("code_max"),
         F.size(F.filter("codes", lambda c: c == 0)).cast("bigint").alias("n_zero"),
         F.aggregate(
-            F.col("errs"), F.lit(0).cast(_DEC), lambda a, x: (a + x).cast(_DEC)
+            errs, F.lit(0).cast(_DEC), lambda a, x: (a + x).cast(_DEC)
         ).cast("double").alias("sum_abs_err"),
     )
 
@@ -591,16 +600,12 @@ PQ_SUBDIM = 16
 PQ_K = 8
 PQ_TOPK = 5
 
-
-@register(
-    "similarity_pq_adc_topk",
-    oracle=f"""
-    WITH v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings
-    ),
-    sub AS (
+#: Shared oracle CTE block — the PQ encode (sub-vectors, codebook,
+#: nearest-code assignment) and the 5 queries' ADC lookup table.
+#: Expects an upstream CTE ``v(vec_id, emb)``.  Single source of truth
+#: for the encode frontier: both PQ operators interpolate this verbatim,
+#: so a tie-break or quantization change can never drift between them.
+_PQ_CTES = f"""sub AS (
         SELECT vec_id, m,
                list_slice(emb, m * {PQ_SUBDIM} + 1,
                           m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
@@ -631,7 +636,68 @@ PQ_TOPK = 5
                              AS DECIMAL(18,12))), 'sum') AS ddec
         FROM sub q JOIN cb c ON c.m = q.m
         WHERE q.vec_id < 5
+    )"""
+
+
+def _pq_sub(emb_df: DataFrame) -> DataFrame:
+    """(vec_id, m, s): each vector split into its PQ_M sub-vectors."""
+    return emb_df.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "s"),
+    )
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(cm, j, c): per-sub-space codebooks from the PQ_K lowest vec_ids."""
+    return sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("m").alias("cm"), F.col("vec_id").alias("j"), F.col("s").alias("c")
+    )
+
+
+def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest-codebook-entry assignment per sub-space
+    (broadcast codebook, exact decimal distance, ties to lowest j)."""
+    w = Window.partitionBy("vec_id", "m").orderBy("dist2", "j")
+    return (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "j", dist2_exact(F.col("s"), F.col("c")).alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+
+
+def _pq_lut(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(lq, lm, j, ddec): each query's ADC lookup table — its exact
+    decimal sub-distance to every codebook entry."""
+    return (
+        sub.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("lq"),
+            F.col("m").alias("lm"),
+            "j",
+            dist2_exact(F.col("s"), F.col("c")).alias("ddec"),
+        )
+    )
+
+
+@register(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
     ),
+    {_PQ_CTES},
     cand AS (
         SELECT l.query_id, a.vec_id AS neighbor_id,
                SUM(l.ddec) AS adist
@@ -671,51 +737,19 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("m", "s"),
-    )
-    cb = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("m").alias("cm"), F.col("vec_id").alias("j"), F.col("s").alias("c")
-    )
-    sq = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC)),
-        F.lit(0).cast(_DEC),
-        lambda acc, x: (acc + x).cast(_DEC),
-    )
-    d0 = sub.join(F.broadcast(cb), F.col("m") == F.col("cm")).select(
-        "vec_id", "m", "j", sq(F.col("s"), F.col("c")).alias("dist2")
-    )
-    w_asn = Window.partitionBy("vec_id", "m").orderBy("dist2", "j")
-    asn = (
-        d0.withColumn("rn", F.row_number().over(w_asn))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("j").alias("code"))
-    )
-    lut = (
-        sub.filter(F.col("vec_id") < 5)
-        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("m").alias("lm"),
-            "j",
-            sq(F.col("s"), F.col("c")).alias("ddec"),
-        )
-    )
+    sub = _pq_sub(emb)
+    cb = _pq_codebook(sub)
+    asn = _pq_codes(sub, cb)
+    lut = _pq_lut(sub, cb)
     cand = (
         asn.join(
             F.broadcast(lut),
             (F.col("lm") == F.col("m")) & (F.col("j") == F.col("code")),
         )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("vec_id") != F.col("lq"))
+        .groupBy(
+            F.col("lq").alias("query_id"), F.col("vec_id").alias("neighbor_id")
+        )
         .agg(F.sum("ddec").alias("adist"))
     )
     w_top = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
@@ -739,41 +773,10 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned AS (
         SELECT vec_id, {_argmin_cell_sql()} AS cell FROM v
     ),
-    sub AS (
-        SELECT vec_id, m,
-               list_slice(emb, m * {PQ_SUBDIM} + 1,
-                          m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
-        FROM v, unnest(generate_series(0, {PQ_M - 1})) u(m)
-    ),
-    cb AS (
-        SELECT m, vec_id AS j, s AS c FROM sub WHERE vec_id < {PQ_K}
-    ),
-    d0 AS (
-        SELECT s.vec_id, s.m, c.j,
-               list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
-                   i -> CAST((s.s[i] - c.c[i]) * (s.s[i] - c.c[i])
-                             AS DECIMAL(18,12))), 'sum') AS dist2
-        FROM sub s JOIN cb c ON c.m = s.m
-    ),
-    asn AS (
-        SELECT vec_id, m, j AS code FROM (
-            SELECT vec_id, m, j,
-                   row_number() OVER (PARTITION BY vec_id, m
-                                      ORDER BY dist2, j) AS rn
-            FROM d0
-        ) WHERE rn = 1
-    ),
+    {_PQ_CTES},
     probes AS (
         SELECT vec_id AS query_id, unnest({_probe_cells_sql()}) AS probe_cell
         FROM v WHERE vec_id < 5
-    ),
-    lut AS (
-        SELECT q.vec_id AS query_id, c.m, c.j,
-               list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
-                   i -> CAST((q.s[i] - c.c[i]) * (q.s[i] - c.c[i])
-                             AS DECIMAL(18,12))), 'sum') AS ddec
-        FROM sub q JOIN cb c ON c.m = q.m
-        WHERE q.vec_id < 5
     ),
     cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
@@ -820,46 +823,13 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double_array("embedding").alias("emb")
     )
     assigned = emb.select("vec_id", ivf_cell(F.col("emb")).alias("cell"))
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("m", "s"),
-    )
-    cb = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("m").alias("cm"), F.col("vec_id").alias("j"), F.col("s").alias("c")
-    )
-    sq = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC)),
-        F.lit(0).cast(_DEC),
-        lambda acc, x: (acc + x).cast(_DEC),
-    )
-    w_asn = Window.partitionBy("vec_id", "m").orderBy("dist2", "j")
-    asn = (
-        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .select("vec_id", "m", "j", sq(F.col("s"), F.col("c")).alias("dist2"))
-        .withColumn("rn", F.row_number().over(w_asn))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("j").alias("code"))
-    )
+    sub = _pq_sub(emb)
+    cb = _pq_codebook(sub)
+    asn = _pq_codes(sub, cb)
+    lut = _pq_lut(sub, cb)
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.explode(probe_cells(F.col("emb"), IVF_NPROBE)).alias("probe_cell"),
-    )
-    lut = (
-        sub.filter(F.col("vec_id") < 5)
-        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .select(
-            F.col("vec_id").alias("lq"),
-            F.col("m").alias("lm"),
-            "j",
-            sq(F.col("s"), F.col("c")).alias("ddec"),
-        )
     )
     cand = assigned.join(
         F.broadcast(probes),

@@ -291,7 +291,10 @@ def _stage_doc_chunks(sf_dir: str, where: str, label: str,
     parquet chunk files so maxFilesPerTrigger=1 yields a genuine
     multi-batch stream.  mtime/size-keyed like _stream_chunked_source_dir
     so regenerated testdata re-stages.  ``where`` is a DuckDB predicate
-    over the documents columns (staging-side only, never query-side)."""
+    over the documents columns (staging-side only, never query-side); it
+    is part of the cache key, so editing a call site's predicate can
+    never silently reuse stale staged chunks."""
+    import hashlib
     import os
 
     import duckdb
@@ -300,9 +303,10 @@ def _stage_doc_chunks(sf_dir: str, where: str, label: str,
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = sf_dir.strip("/").replace("/", "_")
+    wkey = hashlib.md5(where.encode()).hexdigest()[:8]
     d = os.path.join(
         "/tmp", "kssp_stream_src", key,
-        f"{label}{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
+        f"{label}{n_chunks}_{wkey}_{int(st.st_mtime_ns)}_{st.st_size}",
     )
     marker = os.path.join(d, "_STAGED")
     if os.path.exists(marker):
@@ -312,6 +316,13 @@ def _stage_doc_chunks(sf_dir: str, where: str, label: str,
         f"SELECT * FROM '{src}' WHERE {where} ORDER BY doc_id"
     ).arrow()
     n = t.num_rows
+    if n == 0:
+        # A chunk-less directory would be cached by the marker and then
+        # fail every later schema inference with no hint why.
+        raise ValueError(
+            f"document slice {where!r} matched 0 rows in {src}; "
+            "refusing to stage an empty stream source"
+        )
     step = max(1, (n + n_chunks - 1) // n_chunks)
     for i in range(0, n, step):
         pq.write_table(
@@ -376,11 +387,15 @@ def stream_ingest_dedup_static_corpus(spark: SparkSession, sf_dir: str) -> DataF
 
     from kafka_stream_processing_spark.sources.tables import table
 
+    # persist(): a stream-static join re-plans the STATIC side every
+    # micro-batch — uncached, the full-corpus distinct would re-run once
+    # per trigger (3x here, every trigger at scale).
     corpus = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 != 0)
         .select(F.md5(F.col("text").cast("binary")).alias("h"))
         .distinct()
+        .persist()
     )
     stream = (
         spark.readStream.schema(raw_schema)
@@ -390,15 +405,18 @@ def stream_ingest_dedup_static_corpus(spark: SparkSession, sf_dir: str) -> DataF
         .dropDuplicates(["h"])
         .join(corpus, "h", "left_anti")
     )
-    with scoped_state_partitions(spark):
-        query = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+    try:
+        with scoped_state_partitions(spark):
+            query = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    finally:
+        corpus.unpersist()
     sink = spark.table(name)
     checksum = (
         F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("bigint")
@@ -440,11 +458,15 @@ def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_processing_spark.operators.dedup import _word_shingles
     from kafka_stream_processing_spark.sources.tables import table
 
+    # persist(): the static side of a stream-static join re-plans every
+    # micro-batch — uncached, the bench-set collect_set would re-run
+    # once per trigger instead of materializing "ONE broadcast row".
     bench_row = (
         table(spark, sf_dir, "documents")
         .filter(F.col("source") == "src0")
         .select(F.explode(_word_shingles(F.split("text", " "))).alias("sh"))
         .agg(F.collect_set("sh").alias("bench_set"))
+        .persist()
     )
     path = _stream_train_docs_source_dir(sf_dir)
     raw_schema = spark.read.parquet(path).schema
@@ -466,13 +488,16 @@ def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared") >= 1)
     )
-    with scoped_state_partitions(spark):
-        query = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+    try:
+        with scoped_state_partitions(spark):
+            query = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    finally:
+        bench_row.unpersist()
     return spark.table(name).select("doc_id", "n_shingles", "n_shared")
