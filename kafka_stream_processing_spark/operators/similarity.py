@@ -37,6 +37,12 @@ LSH_PLANES: list[list[float]] = [
 #: distribution so cell occupancy is non-degenerate.
 _N_CELLS = 8
 IVF_NPROBE = 2
+
+#: Size of the fixed evaluation query set (vec_id < N_QUERIES) shared by
+#: every ANN operator and its oracle.  Deliberately distinct from
+#: PQ_TOPK, which coincidentally also equals 5 — one selects WHICH
+#: vectors are queries, the other how many neighbors are returned.
+N_QUERIES = 5
 IVF_CENTROIDS: list[list[float]] = [
     [float(x) for x in row]
     for row in _np.round(_np.random.RandomState(23).randn(_N_CELLS, 64) * 0.12, 4)
@@ -79,7 +85,7 @@ def cosine_exact(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column
 
 @register(
     "similarity_bruteforce_topk",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -102,7 +108,7 @@ def cosine_exact(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column
                    'sum') AS DOUBLE) / (q.nrm * d.nrm) AS cosine
         FROM n q
         JOIN n d ON d.vec_id <> q.vec_id
-        WHERE q.vec_id < 5
+        WHERE q.vec_id < {N_QUERIES}
     )
     SELECT query_id, neighbor_id, cosine
     FROM (
@@ -125,7 +131,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double_array("embedding").alias("emb")
     )
     with_norm = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
-    queries = with_norm.filter(F.col("vec_id") < 5).select(
+    queries = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -265,7 +271,7 @@ def lsh_bucket(emb: Column) -> Column:
                    'sum') AS DOUBLE) / (q.nrm * d.nrm) AS cosine
         FROM n q
         JOIN n d ON d.bucket = q.bucket AND d.vec_id <> q.vec_id
-        WHERE q.vec_id < 5
+        WHERE q.vec_id < {N_QUERIES}
     )
     SELECT query_id, neighbor_id, bucket, cosine
     FROM (
@@ -296,7 +302,7 @@ def similarity_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm_exact(F.col("emb")).alias("nrm"),
         lsh_bucket(F.col("emb")).alias("bucket"),
     )
-    queries = n.filter(F.col("vec_id") < 5).select(
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -431,7 +437,7 @@ def _probe_cells_sql() -> str:
         SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
                unnest({_probe_cells_sql()}) AS probe_cell
         FROM assigned
-        WHERE vec_id < 5
+        WHERE vec_id < {N_QUERIES}
     ),
     pairs AS (
         SELECT p.query_id, d.vec_id AS neighbor_id, d.cell AS cell,
@@ -474,7 +480,7 @@ def similarity_ivf_probed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe=2: argmin cell + runner-up, same sorted-struct expression
     # family as the assignment above.
     queries = (
-        assigned.filter(F.col("vec_id") < 5)
+        assigned.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("q_emb"),
@@ -635,7 +641,7 @@ _PQ_CTES = f"""sub AS (
                    i -> CAST((q.s[i] - c.c[i]) * (q.s[i] - c.c[i])
                              AS DECIMAL(18,12))), 'sum') AS ddec
         FROM sub q JOIN cb c ON c.m = q.m
-        WHERE q.vec_id < 5
+        WHERE q.vec_id < {N_QUERIES}
     )"""
 
 
@@ -678,7 +684,7 @@ def _pq_lut(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """(lq, lm, j, ddec): each query's ADC lookup table — its exact
     decimal sub-distance to every codebook entry."""
     return (
-        sub.filter(F.col("vec_id") < 5)
+        sub.filter(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(cb), F.col("m") == F.col("cm"))
         .select(
             F.col("vec_id").alias("lq"),
@@ -776,7 +782,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_CTES},
     probes AS (
         SELECT vec_id AS query_id, unnest({_probe_cells_sql()}) AS probe_cell
-        FROM v WHERE vec_id < 5
+        FROM v WHERE vec_id < {N_QUERIES}
     ),
     cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
@@ -827,7 +833,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _pq_codebook(sub)
     asn = _pq_codes(sub, cb)
     lut = _pq_lut(sub, cb)
-    probes = emb.filter(F.col("vec_id") < 5).select(
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.explode(probe_cells(F.col("emb"), IVF_NPROBE)).alias("probe_cell"),
     )

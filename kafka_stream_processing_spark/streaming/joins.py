@@ -308,29 +308,29 @@ def _stage_doc_chunks(sf_dir: str, where: str, label: str,
         "/tmp", "kssp_stream_src", key,
         f"{label}{n_chunks}_{wkey}_{int(st.st_mtime_ns)}_{st.st_size}",
     )
-    marker = os.path.join(d, "_STAGED")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    t = duckdb.sql(
-        f"SELECT * FROM '{src}' WHERE {where} ORDER BY doc_id"
-    ).arrow()
-    n = t.num_rows
-    if n == 0:
-        # A chunk-less directory would be cached by the marker and then
-        # fail every later schema inference with no hint why.
-        raise ValueError(
-            f"document slice {where!r} matched 0 rows in {src}; "
-            "refusing to stage an empty stream source"
-        )
-    step = max(1, (n + n_chunks - 1) // n_chunks)
-    for i in range(0, n, step):
-        pq.write_table(
-            t.slice(i, step), os.path.join(d, f"chunk-{i // step}.parquet")
-        )
-    with open(marker, "w") as fh:
-        fh.write("ok")
-    return d
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        publish_staged_dir,
+    )
+
+    def build(tmp: str) -> None:
+        t = duckdb.sql(
+            f"SELECT * FROM '{src}' WHERE {where} ORDER BY doc_id"
+        ).arrow()
+        n = t.num_rows
+        if n == 0:
+            # A chunk-less directory would be cached by the marker and
+            # then fail every later schema inference with no hint why.
+            raise ValueError(
+                f"document slice {where!r} matched 0 rows in {src}; "
+                "refusing to stage an empty stream source"
+            )
+        step = max(1, (n + n_chunks - 1) // n_chunks)
+        for i in range(0, n, step):
+            pq.write_table(
+                t.slice(i, step), os.path.join(tmp, f"chunk-{i // step}.parquet")
+            )
+
+    return publish_staged_dir(d, build)
 
 
 def _stream_doc_batch_source_dir(sf_dir: str) -> str:

@@ -92,6 +92,39 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
+def publish_staged_dir(d: str, build) -> str:
+    """Stage a streaming source directory ATOMICALLY: if ``d`` is not yet
+    published (no ``_STAGED`` marker), run ``build(tmp)`` against a
+    private temp sibling, write the marker there, and publish with ONE
+    ``os.rename`` — atomic on the same filesystem.  A crash mid-build can
+    never leave a partial directory at the published path, and when two
+    sessions race, one wins the rename and the other discards its temp
+    copy; readers already streaming ``d`` never see files rewritten
+    underneath them.  Shared by every chunked-source stager (events,
+    redelivery, document slices in streaming/joins.py)."""
+    import shutil
+    import tempfile
+
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".staging_", dir=os.path.dirname(d))
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_STAGED"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            if not os.path.exists(marker):  # lost the race AND no winner
+                raise
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
 def _stream_chunked_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
     """Stage events as N time-ordered parquet chunk files so that
     ``maxFilesPerTrigger=1`` yields a genuine multi-batch stream (the
@@ -108,24 +141,21 @@ def _stream_chunked_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
         "/tmp", "kssp_stream_src", key,
         f"events_chunks{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
     )
-    marker = os.path.join(d, "_STAGED")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
-    n = t.num_rows
-    step = (n + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        chunk = t.slice(i * step, step)
-        if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(d, f"chunk-{i}.parquet"))
-    with open(marker, "w") as fh:
-        fh.write("ok")
-    return d
+    def build(tmp: str) -> None:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src)
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        n = t.num_rows
+        step = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = t.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(tmp, f"chunk-{i}.parquet"))
+
+    return publish_staged_dir(d, build)
 
 
 def build_windowed_dedup(
@@ -394,21 +424,18 @@ def _stream_redelivery_source_dir(sf_dir: str) -> str:
     variant (source mtime/size)."""
     base = _stream_chunked_source_dir(sf_dir)
     d = base + "_redelivered"
-    marker = os.path.join(d, "_STAGED")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    import shutil
 
-    for name in sorted(os.listdir(base)):
-        if name.startswith("chunk-"):
-            shutil.copy(os.path.join(base, name), os.path.join(d, name))
-    # chunk-3 sorts AFTER chunk-2: the duplicate batch arrives last.
-    shutil.copy(os.path.join(base, "chunk-0.parquet"),
-                os.path.join(d, "chunk-3.parquet"))
-    with open(marker, "w") as fh:
-        fh.write("ok")
-    return d
+    def build(tmp: str) -> None:
+        import shutil
+
+        for name in sorted(os.listdir(base)):
+            if name.startswith("chunk-"):
+                shutil.copy(os.path.join(base, name), os.path.join(tmp, name))
+        # chunk-3 sorts AFTER chunk-2: the duplicate batch arrives last.
+        shutil.copy(os.path.join(base, "chunk-0.parquet"),
+                    os.path.join(tmp, "chunk-3.parquet"))
+
+    return publish_staged_dir(d, build)
 
 
 @register(

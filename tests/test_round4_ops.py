@@ -248,10 +248,14 @@ def test_stream_ingest_dedup_state_spans_micro_batches(spark, sf_small, tmp_path
             .start()
         )
         q.awaitTermination()
-    accepted = {r["h"] for r in spark.table("t_ingest_dedup_probe").collect()}
+    accepted = [r["h"] for r in spark.table("t_ingest_dedup_probe").collect()]
     # alpha-beta admitted ONCE (chunk-2 redelivery suppressed by state);
-    # gamma-delta rejected by the static corpus; 3 distinct hashes total.
+    # gamma-delta rejected by the static corpus.  Assert on the sink ROW
+    # count, not a set of hashes: if dropDuplicates state failed to span
+    # micro-batches the redelivered row would appear TWICE in the sink
+    # (4 rows), which a set would silently collapse back to 3.
     assert len(accepted) == 3
+    assert len(set(accepted)) == len(accepted), "duplicate rows reached sink"
 
 
 def test_int8_quantize_is_narrow_and_codes_in_range(spark, sf_small):
