@@ -417,3 +417,145 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("temp_share"),
         (share * F.col("n_total") / F.col("n_docs")).alias("epochs_at_budget"),
     )
+
+
+#: DoReMi hyper-parameters: iteration count, multiplicative step on the
+#: excess loss, and the uniform-smoothing mix — module constants so the
+#: Spark loop and the unrolled oracle CTEs can never disagree.
+DOREMI_T = 5
+DOREMI_ETA = 2.0
+DOREMI_SMOOTH = 0.1
+_DEC12 = "decimal(18,12)"
+
+
+def _doremi_iter_sql(k: int, prev: str) -> str:
+    """One unrolled DoReMi update as an oracle CTE: reference loss under
+    the current weights (decimal-summed, order-independent), clipped
+    excess, multiplicative reweight, normalize, mix with uniform.  Every
+    sum is over decimal-quantized terms and every division is DOUBLE /
+    DOUBLE, so both engines walk bit-identical weight trajectories."""
+    return f"""it{k} AS (
+        SELECT source, n_docs, loss,
+               CAST({1.0 - DOREMI_SMOOTH} *
+                        (CAST(rawdec AS DOUBLE)
+                         / CAST(SUM(rawdec) OVER () AS DOUBLE))
+                    + {DOREMI_SMOOTH} / (COUNT(*) OVER ())
+                    AS DECIMAL(18,12)) AS alpha
+        FROM (
+            SELECT source, n_docs, loss,
+                   CAST(CAST(alpha AS DOUBLE) * (1.0 + {DOREMI_ETA}
+                        * GREATEST(0.0, loss
+                            - CAST(SUM(CAST(CAST(alpha AS DOUBLE) * loss
+                                            AS DECIMAL(18,12))) OVER ()
+                                   AS DOUBLE)))
+                        AS DECIMAL(18,12)) AS rawdec
+            FROM {prev}
+        )
+    )"""
+
+
+def _doremi_oracle() -> str:
+    its = ",\n    ".join(
+        _doremi_iter_sql(k, f"it{k - 1}" if k > 1 else "a0")
+        for k in range(1, DOREMI_T + 1)
+    )
+    return f"""
+    WITH d0 AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) / 1000.0 AS loss
+        FROM documents GROUP BY source
+    ),
+    a0 AS (
+        SELECT source, n_docs, loss,
+               CAST(1.0 / (COUNT(*) OVER ()) AS DECIMAL(18,12)) AS alpha
+        FROM d0
+    ),
+    {its}
+    SELECT source, n_docs, loss AS proxy_loss,
+           CAST(alpha AS DOUBLE) AS doremi_weight,
+           CAST(alpha AS DOUBLE) * (SUM(n_docs) OVER ()) / n_docs
+               AS epochs_at_budget
+    FROM it{DOREMI_T}
+    """
+
+
+@register(
+    "sample_doremi_domain_weights",
+    oracle=_doremi_oracle(),
+    tags=("sampling", "mixture", "iterative"),
+)
+def sample_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style iterative domain reweighting (Xie et al. 2023): the
+    mixture weights a pretraining run gives each source domain are not
+    set by size (temperature sampling's rule) but LEARNED by iterating —
+    domains whose proxy loss exceeds the current mixture's reference
+    loss get multiplicatively upweighted, then weights renormalize and
+    mix with uniform smoothing.  Five multiplicative-weights rounds of
+    ``α ∝ α·(1 + η·max(0, ℓ_d − Σ α ℓ))``, the paper's Group-DRO update
+    with the exp() replaced by its first-order form so both engines walk
+    a bit-identical trajectory (exp is libm-dependent; +,*,/ are IEEE
+    correctly-rounded).  The per-domain proxy loss here is a
+    deterministic corpus statistic (mean n_chars/1000) standing in for
+    the proxy model's per-domain log-loss — the swap-in dataflow, like
+    quality_model_score_linear's hashed weights.  Composes with
+    sample_temperature_weights: that rule is the closed form this one
+    replaces when a proxy loss is available.
+
+    Scale: ONE distributed aggregate over the corpus (per-domain count +
+    decimal loss sum); the T iterations then run on the D-row domain
+    table — window sums over ~dozens of rows, zero further corpus
+    passes.  At 100 TB the cost is the single groupBy(source); the
+    reweighting itself is free, exactly why DoReMi is a cheap pre-step
+    before the real training run."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    wall = Window.partitionBy()
+    cur = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000.0)
+            ).alias("loss"),
+        )
+        .withColumn(
+            "alpha",
+            (F.lit(1.0) / F.count(F.lit(1)).over(wall)).cast(_DEC12),
+        )
+    )
+    for _ in range(DOREMI_T):
+        ref = (
+            F.sum(
+                (F.col("alpha").cast("double") * F.col("loss")).cast(_DEC12)
+            )
+            .over(wall)
+            .cast("double")
+        )
+        rawdec = (
+            F.col("alpha").cast("double")
+            * (
+                F.lit(1.0)
+                + F.lit(DOREMI_ETA)
+                * F.greatest(F.lit(0.0), F.col("loss") - ref)
+            )
+        ).cast(_DEC12)
+        cur = cur.withColumn("rawdec", rawdec)
+        z = F.sum("rawdec").over(wall).cast("double")
+        alpha = (
+            F.lit(1.0 - DOREMI_SMOOTH)
+            * (F.col("rawdec").cast("double") / z)
+            + F.lit(DOREMI_SMOOTH) / F.count(F.lit(1)).over(wall)
+        ).cast(_DEC12)
+        cur = cur.withColumn("alpha", alpha).drop("rawdec")
+    weight = F.col("alpha").cast("double")
+    return cur.select(
+        "source",
+        "n_docs",
+        F.col("loss").alias("proxy_loss"),
+        weight.alias("doremi_weight"),
+        (weight * F.sum("n_docs").over(wall) / F.col("n_docs")).alias(
+            "epochs_at_budget"
+        ),
+    )

@@ -32,9 +32,10 @@ LSH_PLANES: list[list[float]] = [
     for row in _np.round(_np.random.RandomState(7).randn(_N_PLANES, 64), 4)
 ]
 
-#: IVF coarse-quantizer centroids (fixed-seed stand-ins for k-means
-#: output; production would train them).  Scaled to the embedding
-#: distribution so cell occupancy is non-degenerate.
+#: IVF coarse-quantizer centroids — TRAINED: output of the k-means
+#: trainer (tools/train_codebooks.py runs cluster_kmeans_embeddings'
+#: Lloyd iteration over the embedding table and pins the result;
+#: tests/test_properties.py re-trains and asserts the literals match).
 _N_CELLS = 8
 IVF_NPROBE = 2
 
@@ -43,10 +44,13 @@ IVF_NPROBE = 2
 #: PQ_TOPK, which coincidentally also equals 5 — one selects WHICH
 #: vectors are queries, the other how many neighbors are returned.
 N_QUERIES = 5
-IVF_CENTROIDS: list[list[float]] = [
-    [float(x) for x in row]
-    for row in _np.round(_np.random.RandomState(23).randn(_N_CELLS, 64) * 0.12, 4)
-]
+from kafka_stream_processing_spark.operators._codebooks import (  # noqa: E402
+    IVF_CENTROIDS,
+    OPQ_CODEBOOKS,
+    OPQ_DIM_ALLOC,
+    PQ_CODEBOOKS,
+    RPQ_CODEBOOKS,
+)
 
 
 def _as_double_array(col: str | Column) -> Column:
@@ -598,27 +602,43 @@ def embedding_int8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 #: Product-quantization geometry: 64-d vectors split into 4 sub-spaces of
-#: 16 dims; each sub-space has an 8-entry codebook (codes = sub-vectors
-#: of the 8 lowest vec_ids — the deterministic stand-in for per-sub-space
-#: k-means output, trainable via clustering.cluster_kmeans_embeddings).
+#: 16 dims; each sub-space has an 8-entry codebook — TRAINED per-sub-space
+#: k-means output from tools/train_codebooks.py (pinned literals in
+#: _codebooks.py, reproduction-tested), embedded identically in the Spark
+#: plan and the oracle SQL.
 PQ_M = 4
 PQ_SUBDIM = 16
 PQ_K = 8
 PQ_TOPK = 5
 
-#: Shared oracle CTE block — the PQ encode (sub-vectors, codebook,
-#: nearest-code assignment) and the 5 queries' ADC lookup table.
-#: Expects an upstream CTE ``v(vec_id, emb)``.  Single source of truth
-#: for the encode frontier: both PQ operators interpolate this verbatim,
-#: so a tie-break or quantization change can never drift between them.
-_PQ_CTES = f"""sub AS (
+#: Oracle CTE fragment: the PQ sub-vector split.  Expects an upstream
+#: CTE ``v(vec_id, emb)``.
+_PQ_SUB_CTE = f"""sub AS (
         SELECT vec_id, m,
                list_slice(emb, m * {PQ_SUBDIM} + 1,
                           m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
         FROM v, unnest(generate_series(0, {PQ_M - 1})) u(m)
-    ),
-    cb AS (
-        SELECT m, vec_id AS j, s AS c FROM sub WHERE vec_id < {PQ_K}
+    )"""
+
+
+def _cb_values_sql(codebooks: list[list[list[float]]]) -> str:
+    """A trained codebook as a VALUES literal: (m, j, c) rows."""
+    rows = ", ".join(
+        f"({m}, {j}, [{', '.join(repr(x) for x in codebooks[m][j])}])"
+        for m in range(len(codebooks))
+        for j in range(len(codebooks[m]))
+    )
+    return f"SELECT * FROM (VALUES {rows}) t(m, j, c)"
+
+
+def _pq_encode_ctes(codebooks: list[list[list[float]]]) -> str:
+    """Oracle CTE block — codebook literal and nearest-code assignment.
+    Expects an upstream ``sub`` CTE.  Single source of truth for the
+    encode frontier: the PQ, IVF+PQ, OPQ, and residual-PQ operators all
+    interpolate this, so a tie-break or quantization change can never
+    drift between them."""
+    return f"""cb AS (
+        {_cb_values_sql(codebooks)}
     ),
     d0 AS (
         SELECT s.vec_id, s.m, c.j,
@@ -634,8 +654,10 @@ _PQ_CTES = f"""sub AS (
                                       ORDER BY dist2, j) AS rn
             FROM d0
         ) WHERE rn = 1
-    ),
-    lut AS (
+    )"""
+
+
+_PQ_LUT_CTE = f"""lut AS (
         SELECT q.vec_id AS query_id, c.m, c.j,
                list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
                    i -> CAST((q.s[i] - c.c[i]) * (q.s[i] - c.c[i])
@@ -643,6 +665,16 @@ _PQ_CTES = f"""sub AS (
         FROM sub q JOIN cb c ON c.m = q.m
         WHERE q.vec_id < {N_QUERIES}
     )"""
+
+
+def _pq_core_ctes(codebooks: list[list[list[float]]]) -> str:
+    """Encode block plus the queries' whole-vector ADC lookup table."""
+    return f"""{_pq_encode_ctes(codebooks)},
+    {_PQ_LUT_CTE}"""
+
+
+_PQ_CTES = f"""{_PQ_SUB_CTE},
+    {_pq_core_ctes(PQ_CODEBOOKS)}"""
 
 
 def _pq_sub(emb_df: DataFrame) -> DataFrame:
@@ -660,10 +692,20 @@ def _pq_sub(emb_df: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codebook(sub: DataFrame) -> DataFrame:
-    """(cm, j, c): per-sub-space codebooks from the PQ_K lowest vec_ids."""
-    return sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("m").alias("cm"), F.col("vec_id").alias("j"), F.col("s").alias("c")
+def _pq_codebook(
+    spark: SparkSession, codebooks: list[list[list[float]]] | None = None
+) -> DataFrame:
+    """(cm, j, c): the trained per-sub-space codebooks as a local
+    relation — the Spark twin of _cb_values_sql.  32 rows; always
+    broadcast at the join."""
+    codebooks = codebooks if codebooks is not None else PQ_CODEBOOKS
+    return spark.createDataFrame(
+        [
+            (m, j, [float(x) for x in codebooks[m][j]])
+            for m in range(len(codebooks))
+            for j in range(len(codebooks[m]))
+        ],
+        "cm int, j int, c array<double>",
     )
 
 
@@ -728,9 +770,10 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries rank candidates with Asymmetric Distance Computation: a
     query×codebook lookup table of PQ_M×PQ_K exact sub-distances, summed
     along each candidate's code word — the corpus's raw floats are never
-    touched at query time.  Codebooks here are the sub-vectors of the
-    PQ_K lowest vec_ids (deterministic, oracle-checkable); production
-    trains them per-sub-space with cluster_kmeans_embeddings.  Exact
+    touched at query time.  Codebooks are TRAINED per-sub-space
+    k-means output (tools/train_codebooks.py, pinned + reproduction-
+    tested in _codebooks.py), embedded as identical literals in the
+    Spark plan and the oracle.  Exact
     decimal sub-distances make encode and rank frontiers bit-identical
     across engines; ties break on neighbor_id.
 
@@ -744,7 +787,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double_array("embedding").alias("emb")
     )
     sub = _pq_sub(emb)
-    cb = _pq_codebook(sub)
+    cb = _pq_codebook(spark)
     asn = _pq_codes(sub, cb)
     lut = _pq_lut(sub, cb)
     cand = (
@@ -830,7 +873,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = emb.select("vec_id", ivf_cell(F.col("emb")).alias("cell"))
     sub = _pq_sub(emb)
-    cb = _pq_codebook(sub)
+    cb = _pq_codebook(spark)
     asn = _pq_codes(sub, cb)
     lut = _pq_lut(sub, cb)
     probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -847,6 +890,302 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(lut),
             (F.col("lq") == F.col("query_id"))
+            & (F.col("lm") == F.col("m"))
+            & (F.col("j") == F.col("code")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.any_value(F.col("cell")).alias("cell"),
+            F.sum("ddec").alias("adist"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.col("adist").cast("double").alias("approx_dist2"),
+        )
+    )
+
+
+def _adc_topk(asn: DataFrame, lut: DataFrame) -> DataFrame:
+    """Shared ADC ranking tail: sum each candidate's per-sub-space LUT
+    entries along its code word, keep the PQ_TOPK nearest per query
+    (ties to lowest neighbor_id).  Used by the plain-PQ and OPQ
+    operators; the IVF-pruned variants fold the same join into their
+    cell-candidate frames."""
+    cand = (
+        asn.join(
+            F.broadcast(lut),
+            (F.col("lm") == F.col("m")) & (F.col("j") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != F.col("lq"))
+        .groupBy(
+            F.col("lq").alias("query_id"), F.col("vec_id").alias("neighbor_id")
+        )
+        .agg(F.sum("ddec").alias("adist"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adist").cast("double").alias("approx_dist2"),
+        )
+    )
+
+
+_OPQ_ORDER = [d for _dims in OPQ_DIM_ALLOC for d in _dims]
+
+
+def _opq_gather_sql() -> str:
+    """The OPQ dimension allocation as a DuckDB gather literal."""
+    return "[" + ", ".join(f"emb[{d + 1}]" for d in _OPQ_ORDER) + "]"
+
+
+def opq_permute(emb: Column) -> Column:
+    """Gather the embedding's dims in OPQ allocation order, so the plain
+    contiguous sub-vector split downstream realizes the allocation."""
+    return F.array(*[emb[d] for d in _OPQ_ORDER])
+
+
+@register(
+    "similarity_opq_rotated_pq_topk",
+    oracle=f"""
+    WITH v0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, {_opq_gather_sql()} AS emb FROM v0
+    ),
+    {_PQ_SUB_CTE},
+    {_pq_core_ctes(OPQ_CODEBOOKS)},
+    cand AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               SUM(l.ddec) AS adist
+        FROM asn a JOIN lut l ON l.m = a.m AND l.j = a.code
+        WHERE a.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(adist AS DOUBLE) AS approx_dist2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM cand
+    )
+    WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("similarity", "quantization"),
+)
+def similarity_opq_rotated_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated product quantization (Ge et al. 2014, CVPR — FAISS's
+    OPQ pre-transform): apply an orthogonal transform BEFORE the PQ
+    sub-vector split so the sub-spaces carry balanced information, then
+    encode/rank exactly as similarity_pq_adc_topk.  The transform here is
+    the paper's permutation-restricted variant — the trainer ranks dims
+    by total energy (exact decimal Σx²) and deals them to sub-spaces in
+    snake order (tools/train_codebooks.opq_dim_allocation), and the
+    codebooks are re-trained in the permuted space (OPQ_CODEBOOKS).  A
+    permutation is an orthogonal matrix that both engines can apply
+    EXACTLY (a gather, no float multiply), which a dense learned rotation
+    could not guarantee bit-identical — distances in the permuted space
+    equal raw-space distances exactly, so ADC error comes only from
+    quantization, now spread evenly across sub-spaces.
+
+    Scale: the gather is free (narrow projection, codegen); everything
+    downstream is byte-identical in cost to plain PQ-ADC — same 4-byte
+    codes, same broadcast LUT join.  OPQ is how a production index buys
+    recall at zero query-time cost."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    v = emb.select("vec_id", opq_permute(F.col("emb")).alias("emb"))
+    sub = _pq_sub(v)
+    cb = _pq_codebook(spark, OPQ_CODEBOOKS)
+    asn = _pq_codes(sub, cb)
+    lut = _pq_lut(sub, cb)
+    return _adc_topk(asn, lut)
+
+
+def _cents_values_sql() -> str:
+    """The trained IVF centroids as a VALUES literal: (cell, cvec)."""
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"SELECT * FROM (VALUES {rows}) t(cell, cvec)"
+
+
+@register(
+    "similarity_residual_pq_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    cents AS (
+        {_cents_values_sql()}
+    ),
+    assigned AS (
+        SELECT vec_id, emb, {_argmin_cell_sql()} AS cell FROM v
+    ),
+    r AS (
+        SELECT a.vec_id,
+               list_transform(range(1, 65),
+                              i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM assigned a JOIN cents c ON c.cell = a.cell
+    ),
+    sub AS (
+        SELECT vec_id, m,
+               list_slice(emb, m * {PQ_SUBDIM} + 1,
+                          m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
+        FROM r, unnest(generate_series(0, {PQ_M - 1})) u(m)
+    ),
+    {_pq_encode_ctes(RPQ_CODEBOOKS)},
+    probes AS (
+        SELECT vec_id AS query_id, emb AS q_emb,
+               unnest({_probe_cells_sql()}) AS probe_cell
+        FROM v WHERE vec_id < {N_QUERIES}
+    ),
+    qres AS (
+        SELECT p.query_id, p.probe_cell,
+               list_transform(range(1, 65),
+                              i -> p.q_emb[i] - c.cvec[i]) AS emb
+        FROM probes p JOIN cents c ON c.cell = p.probe_cell
+    ),
+    qsub AS (
+        SELECT query_id, probe_cell, m,
+               list_slice(emb, m * {PQ_SUBDIM} + 1,
+                          m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
+        FROM qres, unnest(generate_series(0, {PQ_M - 1})) u(m)
+    ),
+    lut AS (
+        SELECT q.query_id, q.probe_cell, c.m, c.j,
+               list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
+                   i -> CAST((q.s[i] - c.c[i]) * (q.s[i] - c.c[i])
+                             AS DECIMAL(18,12))), 'sum') AS ddec
+        FROM qsub q JOIN cb c ON c.m = q.m
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+        FROM probes p
+        JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.neighbor_id, any_value(c.cell) AS cell,
+               SUM(l.ddec) AS adist
+        FROM cand c
+        JOIN asn s ON s.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.probe_cell = c.cell
+                  AND l.m = s.m AND l.j = s.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cell,
+           CAST(adist AS DOUBLE) AS approx_dist2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM adc
+    )
+    WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("similarity", "quantization", "scale"),
+)
+def similarity_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual (two-level) product quantization — FAISS IVFPQ's
+    encode_residual layout: level 1 is the trained coarse quantizer
+    (each vector's cell centroid), level 2 PQ-encodes the RESIDUAL
+    x − c_cell with codebooks trained on residuals (RPQ_CODEBOOKS).
+    Residuals are far smaller in magnitude than raw vectors, so the same
+    4-byte code budget quantizes a tighter distribution — the standard
+    recall win over raw-vector IVFPQ.  Queries probe nprobe cells and
+    build ONE ADC LUT PER PROBED CELL (the query's residual differs per
+    cell), then candidates in a cell rank against that cell's LUT; all
+    arithmetic is the shared exact-decimal kernel, ties to lowest
+    neighbor_id.
+
+    Scale: identical join shape to similarity_ivfpq_topk — cells bound
+    the candidate JOIN, codes bound the candidate BYTES — plus an
+    nprobe× LUT cost per query (PQ_M×PQ_K×nprobe entries, still
+    broadcastable at millions of queries).  The residual subtraction is
+    a narrow zip_with at encode time; the corpus floats are read once,
+    at index build."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    cents_lit = F.lit([[float(x) for x in c] for c in IVF_CENTROIDS])
+    assigned = emb.select(
+        "vec_id", "emb", ivf_cell(F.col("emb")).alias("cell")
+    )
+    r = assigned.select(
+        "vec_id",
+        F.zip_with(
+            F.col("emb"),
+            F.element_at(cents_lit, F.col("cell") + 1),
+            lambda x, c: x - c,
+        ).alias("emb"),
+    )
+    sub = _pq_sub(r)
+    cb = _pq_codebook(spark, RPQ_CODEBOOKS)
+    asn = _pq_codes(sub, cb)
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.explode(probe_cells(F.col("emb"), IVF_NPROBE)).alias(
+                "probe_cell"
+            ),
+        )
+    )
+    qres = probes.select(
+        "query_id",
+        "probe_cell",
+        F.zip_with(
+            F.col("q_emb"),
+            F.element_at(cents_lit, F.col("probe_cell") + 1),
+            lambda x, c: x - c,
+        ).alias("emb"),
+    )
+    qsub = qres.select(
+        "query_id",
+        "probe_cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("emb"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "s"),
+    )
+    lut = qsub.join(F.broadcast(cb), F.col("m") == F.col("cm")).select(
+        F.col("query_id").alias("lq"),
+        F.col("probe_cell").alias("lcell"),
+        F.col("m").alias("lm"),
+        "j",
+        dist2_exact(F.col("s"), F.col("c")).alias("ddec"),
+    )
+    cand = assigned.select("vec_id", "cell").join(
+        F.broadcast(probes.select("query_id", "probe_cell")),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cell")
+    adc = (
+        cand.join(asn, F.col("neighbor_id") == asn.vec_id)
+        .join(
+            F.broadcast(lut),
+            (F.col("lq") == F.col("query_id"))
+            & (F.col("lcell") == F.col("cell"))
             & (F.col("lm") == F.col("m"))
             & (F.col("j") == F.col("code")),
         )

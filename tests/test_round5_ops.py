@@ -1,0 +1,147 @@
+"""Round-5 operator pins: trained-codebook reproduction, PQ-family
+recall vs exact ground truth, OPQ allocation structure, residual-PQ cell
+containment, DoReMi weight invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark import registry
+from kafka_stream_processing_spark.operators import _codebooks as cbmod
+
+SPECS = registry.all_specs()
+
+
+def test_trained_codebooks_reproduce(spark):
+    """The pinned index literals ARE the trainer's output: re-train at
+    TRAIN_SF and assert bit-equality.  This is the trainer→index loop —
+    the constant the serve path broadcasts can never drift from the
+    k-means that claims to produce it."""
+    from kafka_stream_processing_spark.tools.train_codebooks import train_all
+
+    trained = train_all(spark, cbmod.TRAIN_SF)
+    assert trained["IVF_CENTROIDS"] == cbmod.IVF_CENTROIDS
+    assert trained["PQ_CODEBOOKS"] == cbmod.PQ_CODEBOOKS
+    assert trained["OPQ_DIM_ALLOC"] == cbmod.OPQ_DIM_ALLOC
+    assert trained["OPQ_CODEBOOKS"] == cbmod.OPQ_CODEBOOKS
+    assert trained["RPQ_CODEBOOKS"] == cbmod.RPQ_CODEBOOKS
+
+
+def _exact_l2_top5(sf_dir: str) -> dict[int, list[int]]:
+    """Exact squared-L2 top-5 per query vector (ties to lowest id) —
+    numpy ground truth, independent of every Spark/SQL code path under
+    test."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    gt: dict[int, list[int]] = {}
+    for q in range(5):
+        d2 = ((x - x[q]) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))
+        gt[q] = [int(ids[i]) for i in order if ids[i] != q][:5]
+    return gt
+
+
+def test_pq_family_recall_exact_l2(spark, sf_small):
+    """recall@5 floors for the quantized ANN family against exact-L2
+    ground truth (the metric PQ approximates; the brute-force query ranks
+    by cosine, so it is the wrong referee here).  Measured with the
+    trained codebooks at sf0.001: pq_adc 7/25, ivfpq 7/25, opq 4/25,
+    residual 7/25 — honest numbers for 12-bit codes (4 sub-spaces × 8
+    entries) over near-isotropic synthetic embeddings; real corpora have
+    cluster structure these codes exploit.  Floors sit well under the
+    measured values: they catch structural regressions (wrong codebook
+    join, LUT keyed off the wrong cell, empty probe), not tuning drift
+    after a retrain."""
+    gt = _exact_l2_top5("/root/testdata/sf0.001")
+    floors = {
+        "similarity_pq_adc_topk": 4,
+        "similarity_ivfpq_topk": 4,
+        "similarity_opq_rotated_pq_topk": 2,
+        "similarity_residual_pq_topk": 4,
+    }
+    for name, floor in floors.items():
+        approx: dict[int, set[int]] = {}
+        for r in SPECS[name].fn(spark, sf_small).collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert approx.keys() == gt.keys(), name
+        hits = sum(len(set(gt[q]) & approx[q]) for q in gt)
+        assert hits >= floor, (name, hits)
+
+
+def test_opq_alloc_balances_energy(spark):
+    """The OPQ dimension allocation is a permutation of 0..63 giving
+    each sub-space exactly SUBDIM dims, and the snake deal balances
+    energy: every sub-space's total energy is within 2x of every
+    other's (raw contiguous split has no such guarantee)."""
+    alloc = cbmod.OPQ_DIM_ALLOC
+    flat = sorted(d for dims in alloc for d in dims)
+    assert flat == list(range(64))
+    assert all(len(dims) == 16 for dims in alloc)
+    con = duckdb.connect()
+    e = con.execute(
+        "SELECT i - 1 AS dim, SUM(CAST(x * x AS DECIMAL(18,12))) AS e "
+        "FROM (SELECT unnest(embedding) AS x, "
+        "unnest(generate_series(1, 64)) AS i "
+        f"FROM '{cbmod.TRAIN_SF}/embeddings.parquet') GROUP BY 1"
+    ).fetchall()
+    energy = {int(d): float(v) for d, v in e}
+    totals = [sum(energy[d] for d in dims) for dims in alloc]
+    assert max(totals) <= 2.0 * min(totals), totals
+
+
+def test_residual_pq_neighbors_live_in_probed_cells(spark, sf_small):
+    """Every residual-PQ neighbor must sit in one of its query's probed
+    IVF cells — the containment invariant that distinguishes the pruned
+    search from an accidental full scan."""
+    from kafka_stream_processing_spark.operators.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        _as_double_array,
+        probe_cells,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    emb = table(spark, sf_small, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    probed = {
+        r.vec_id: set(r.cells)
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", probe_cells(F.col("emb"), IVF_NPROBE).alias("cells"))
+        .collect()
+    }
+    rows = SPECS["similarity_residual_pq_topk"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.cell in probed[r.query_id], (r.query_id, r.cell)
+
+
+def test_doremi_weights_invariants(spark, sf_small):
+    """DoReMi output: weights form a distribution (Σ=1 up to the
+    per-domain decimal quantum), every weight respects the uniform
+    smoothing floor s/D, and the highest-proxy-loss domain ends
+    upweighted relative to uniform — the direction the multiplicative
+    update must push."""
+    from kafka_stream_processing_spark.operators.pipeline import (
+        DOREMI_SMOOTH,
+    )
+
+    rows = SPECS["sample_doremi_domain_weights"].fn(spark, sf_small).collect()
+    d = len(rows)
+    assert d >= 2
+    assert abs(sum(r.doremi_weight for r in rows) - 1.0) < d * 1e-11
+    floor = DOREMI_SMOOTH / d
+    for r in rows:
+        assert r.doremi_weight >= floor - 1e-12
+    top = max(rows, key=lambda r: r.proxy_loss)
+    assert top.doremi_weight > 1.0 / d
+    # epochs_at_budget is the weight-implied repeat factor
+    for r in rows:
+        assert r.epochs_at_budget > 0.0
