@@ -15,8 +15,79 @@ import json
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from kafka_stream_processing_spark import registry
 from kafka_stream_processing_spark.session import get_spark
+
+# ---------------------------------------------------------------------------
+# Host calibration (same-box normalization of the 2x gate)
+#
+# The container host changes per round and its speed varies wildly
+# (BASELINE.md: the r02 tree re-benched on the r04 box scored 18.3-62.3 s
+# against the 3.46 s it recorded on the r02 box — same commit, same data).
+# Raw cross-round ratios against the frozen BENCH.json are therefore not
+# interpretable on their own.  To make them interpretable, every bench run
+# first times a FIXED pure-synthetic Spark workload (no parquet, no tree
+# code — spark.range -> md5 expression chain -> hash-shuffle agg -> sort)
+# under the identical best-of-3-after-warm protocol.  Its score measures
+# the box, not the tree.
+#
+# Reference constants, both measured on the round-5 box in one quiet
+# session (no concurrent load):
+#   CALIBRATION_REF_SEC        — the calibration workload's score there.
+#   BASELINE_SAME_BOX          — the frozen-baseline tree (commit c31115b,
+#     the one that produced BENCH.json) re-benched THERE, per query.
+# A later box's expected-baseline cost is then
+#   BASELINE_SAME_BOX * (calibration_now / CALIBRATION_REF_SEC)
+# and the reported `host_norm.ratio_total` is the tree's total against
+# that expectation — the number the 2x gate should read.
+# ---------------------------------------------------------------------------
+
+BASELINE_REF_COMMIT = "c31115b"
+#: Calibration score measured on the round-5 box (quiet session,
+#: 2026-08-14).  The frozen-baseline tree re-benched on that SAME box in
+#: the same conditions scored the totals below — within 5% of the 4.58 s
+#: it recorded on the r01 box, i.e. the r05 box is a faithful stand-in
+#: for the box that froze BENCH.json.
+CALIBRATION_REF_SEC = 0.6399
+BASELINE_SAME_BOX: dict[str, float] = {
+    "similarity_bruteforce_topk": 0.7931,
+    "dedup_minhash_lsh": 1.4433,
+    "q1_pricing_summary": 0.3372,
+    "q3_shipping_priority": 0.7389,
+    "q5_region_revenue": 0.8364,
+    "window_topk_orders_per_customer": 0.3806,
+    "unique_users_per_minute": 0.2505,
+}
+
+_CAL_N = 8_000_000
+_CAL_BUCKETS = 9973
+
+
+def _calibration_run(spark) -> None:
+    (
+        spark.range(_CAL_N)
+        .select(
+            (F.col("id") % _CAL_BUCKETS).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("c"), F.max("h").alias("m"))
+        .orderBy("k")
+        .count()
+    )
+
+
+def calibration_seconds(spark) -> float:
+    """Best-of-3 (after one warm pass) of the fixed synthetic workload."""
+    _calibration_run(spark)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration_run(spark)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -30,6 +101,10 @@ def main() -> None:
 
     # Warm-up: JVM JIT, parquet footer caches, Python worker pool.
     specs["unique_users_per_minute"].fn(spark, sf_dir).count()
+
+    # Host calibration BEFORE the tree bench, same protocol, pure
+    # synthetic — see module docstring block above.
+    cal_sec = calibration_seconds(spark)
 
     # Untimed warm pass per query: parquet footers, JIT, shuffle-file page
     # cache for THIS query's tables (the flagship warm-up above only
@@ -76,18 +151,38 @@ def main() -> None:
             sbest[name] = min(sbest[name], time.perf_counter() - t0)
     streaming = {name: round(sbest[name], 4) for name in stream_names}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "streaming": streaming,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "streaming": streaming,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": cal_sec,
+    }
+    if CALIBRATION_REF_SEC is not None and BASELINE_SAME_BOX is not None:
+        # Host-normalized gate numbers: scale the same-box baseline by
+        # how much slower/faster THIS box is than the reference box,
+        # then compare the tree against that expectation.
+        scale = cal_sec / CALIBRATION_REF_SEC
+        expected = {
+            q: round(s * scale, 4) for q, s in BASELINE_SAME_BOX.items()
+        }
+        expected_total = round(sum(expected.values()), 4)
+        payload["host_norm"] = {
+            "baseline_commit": BASELINE_REF_COMMIT,
+            "calibration_ref_sec": CALIBRATION_REF_SEC,
+            "host_scale": round(scale, 4),
+            "expected_baseline_queries": expected,
+            "expected_baseline_total_sec": expected_total,
+            "ratio_total": round(total / expected_total, 4),
+            "ratio_queries": {
+                q: round(timings[q] / expected[q], 4)
+                for q in timings
+                if q in expected and expected[q] > 0
+            },
+        }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

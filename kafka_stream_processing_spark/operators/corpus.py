@@ -185,9 +185,27 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_word_shingles`` (array_distinct inside the row), so NO global
     distinct ever shuffles raw shingle strings — measured at sf0.1 the
     exploded-then-``.distinct()`` formulation cost 19 s against 3 s for
-    this one; per-doc totals are a narrow ``size()`` over the same
-    arrays, so the only wide operations are the bench-side distinct
-    (eval-suite-sized) and the matched-pair count."""
+    this one.  The per-doc total rides THROUGH the explode as a constant
+    column instead of being computed in a second train-side pass and
+    re-attached with a shuffle join (the r04 formulation): one scan of
+    the training side, one broadcast probe, one count shuffle.  Together
+    with the engine-wide InferFiltersFromGenerate exclusion (session.py
+    — the inferred `size(sh_arr)>0` filter inlined the whole shingle
+    chain below the fanout exchange and re-ran it single-threaded),
+    measured 61.3 s → 2.91 s at the 10x probe and 7.94 s → 1.27 s at
+    sf0.1 (SCALE.md).
+
+    A doc-level bloom/bitmap pre-gate before the explode (keep a doc
+    only if some shingle hash hits the bench bucket set) is the right
+    NEXT stage at production contamination ratios (<1% of a crawl hits
+    an eval suite, so the explode volume drops ~100x); on this synthetic
+    corpus it is measurably a pessimization — 4748 of 4750 train docs at
+    sf0.1 share ≥1 shingle with the bench source (vocabulary is small),
+    so the gate would add a full hash pass over every shingle and filter
+    0.04% of rows.  The explode+broadcast-join form keeps the bench hash
+    relation built once per TASK (vs per-ROW for an array_intersect
+    against a broadcast bench array), which is why it wins at any
+    contamination ratio."""
     d = fanout(table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id",
@@ -200,17 +218,19 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = docs.filter(F.col("source") != "src0")
-    totals = train.select(
-        "doc_id", F.size("sh_arr").cast("bigint").alias("n_shingles")
-    )
-    shared = (
-        train.select("doc_id", F.explode("sh_arr").alias("sh"))
+    return (
+        train.select(
+            "doc_id",
+            F.size("sh_arr").cast("bigint").alias("n_shingles"),
+            F.explode("sh_arr").alias("sh"),
+        )
         .join(F.broadcast(bench), "sh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return shared.join(totals, "doc_id").select(
-        "doc_id", "n_shingles", "n_shared"
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .select("doc_id", "n_shingles", "n_shared")
     )
 
 

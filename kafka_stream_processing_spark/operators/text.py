@@ -396,18 +396,50 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fanout(table(spark, sf_dir, "documents"))
     h = F.transform(_word_grams_all(F.split("text", " ")), hash64)
-    grams = d.select("doc_id", h.alias("h")).filter(
-        F.size("h") >= _WINNOW_W
-    )
-    win_min = lambda i: F.array_min(F.slice(F.col("h"), i, _WINNOW_W))  # noqa: E731
-    fps = grams.select(
+    # Filter on the RAW word count, not size(h): a predicate on the
+    # computed column would inline the whole md5+transform chain and
+    # Catalyst pushes filters below the fanout exchange — the heavy
+    # expression would then run single-threaded in the scan task AND
+    # again in the parallel project (measured 3.7 s of the sf0.1 wall).
+    # n_grams = words - 2, so size(h) >= W  <=>  words >= W + 2.
+    grams = d.filter(
+        F.size(F.split("text", " ")) >= _WINNOW_W + 2
+    ).select("doc_id", h.alias("h"))
+    # Sliding-window minimum by log-doubling (sparse-table rows): level k
+    # holds pairwise mins at stride 2^(k-1), so each level is one O(n)
+    # transform of O(1) element_at lookups — no per-position
+    # slice-allocate + array_min rescan.  For W=4 that is two cheap
+    # passes instead of O(n*W) work+allocation (with the cheap-filter
+    # fix below: 34.1 s → 0.90 s at the 10x probe, SCALE.md); any window
+    # min is then the min of (at most) two level-K entries:
+    # min(p[i], p[i + W - 2^K]).
+    def _pair_min(col, stride):
+        # closure factory: F.transform inspects the lambda's arity, so
+        # the captured stride/column can't ride in as default args
+        return lambda i: F.least(
+            F.element_at(col, i), F.element_at(col, i + stride)
+        )
+
+    cur, span = grams, 1  # current level column is named "p", span 2^k
+    lvl = F.col("h")
+    while span * 2 <= _WINNOW_W:
+        nxt = F.transform(
+            F.sequence(F.lit(1), F.size("h") - (span * 2 - 1)),
+            _pair_min(lvl, span),
+        )
+        cur = cur.select("doc_id", "h", nxt.alias("p"))
+        lvl, span = F.col("p"), span * 2
+    if span == _WINNOW_W:  # power-of-two window: level K IS the answer
+        win = lvl
+    else:
+        win = F.transform(
+            F.sequence(F.lit(1), F.size("h") - (_WINNOW_W - 1)),
+            _pair_min(lvl, _WINNOW_W - span),
+        )
+    fps = cur.select(
         "doc_id",
         F.size("h").cast("bigint").alias("n_grams"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("h") - (_WINNOW_W - 1)), win_min
-            )
-        ).alias("fp"),
+        F.array_distinct(win).alias("fp"),
     )
     return fps.select(
         "doc_id",

@@ -33,6 +33,19 @@ RUNTIME_CONF: dict[str, str] = {
     # session tz pinned to UTC above), not TIMESTAMP_NTZ: watermarks/windows
     # require LTZ, and LTZ@UTC matches DuckDB's naive-timestamp semantics.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull(arr)`
+    # below every explode(arr).  When arr is a computed column (shingle/
+    # gram/hash arrays here), the inferred filter INLINES the whole
+    # generating expression and pushdown then drags it below the nearest
+    # exchange — so the md5+transform chain runs once in the filter and
+    # again in the project above (measured: contamination_ngram_overlap
+    # spent ~7 s of its 7.6 s at sf0.1 evaluating shingles single-threaded
+    # below the fanout repartition).  The rule only saves a per-row empty
+    # generate, which explode handles for free; excluding it removes a
+    # ~2x expression double-evaluation on every explode-after-compute
+    # pipeline at any scale.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

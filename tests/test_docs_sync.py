@@ -66,6 +66,24 @@ def test_bench_protocol_doc_and_harness_agree():
     # r04: the 3 timed runs are interleaved round-robin passes so one
     # sustained host stall can't poison all 3 samples of one query.
     assert "INTERLEAVED" in bench and "interleaved" in baseline
+    # r05: every bench run carries a host-calibration score plus
+    # host-normalized ratios against the same-box baseline re-bench, and
+    # doc + harness agree on the anchor commit.
+    assert "calibration_sec" in bench and "calibration_sec" in baseline
+    assert "host_norm" in bench and "host_norm" in baseline
+    assert 'BASELINE_REF_COMMIT = "c31115b"' in bench
+    assert "c31115b" in baseline
+
+
+def test_bench_calibration_constants_are_pinned():
+    """The host-normalization only means something if the reference
+    constants are real measurements: both must be set (not None) and the
+    same-box baseline must cover exactly the headline query set."""
+    import bench
+
+    assert isinstance(bench.CALIBRATION_REF_SEC, float)
+    assert set(bench.BASELINE_SAME_BOX) == set(registry.headline_names())
+    assert all(v > 0 for v in bench.BASELINE_SAME_BOX.values())
 
 
 def test_driver_check_order_names_are_registered_and_fill_50():
