@@ -637,3 +637,97 @@ def dedup_fuzzy_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("key_a", "key_b", "p_brand", "edit_dist")
     )
+
+
+@register(
+    "dedup_exact_substring_runs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.i AS pos,
+               CAST(('0x' || substr(md5(t[u.i] || ' ' || t[u.i+1] || ' '
+                                        || t[u.i+2]), 1, 15)) AS BIGINT) AS h
+        FROM toks, unnest(generate_series(1, len(t) - 2)) u(i)
+        WHERE len(t) >= 3
+    ),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+    hits AS (
+        SELECT g.doc_id, g.pos,
+               g.pos - row_number() OVER (PARTITION BY g.doc_id
+                                          ORDER BY g.pos) AS island
+        FROM grams g JOIN dup d USING (h)
+    ),
+    spans AS (
+        SELECT doc_id, island, count(*) AS run_len
+        FROM hits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(run_len) AS BIGINT) AS n_dup_grams,
+           CAST(max(run_len) AS BIGINT) AS max_run,
+           CAST(max(run_len) + 2 AS BIGINT) AS max_run_tokens
+    FROM spans
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "substring"),
+)
+def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans — the Spark-native form of the
+    suffix-array substring dedup from "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022).  A position is
+    "duplicated" when its word-3-gram (60-bit md5 hash) occurs >= 2
+    times anywhere in the corpus; per document, ADJACENT duplicated
+    positions merge into maximal runs via the classic gaps-and-islands
+    rewrite (pos - row_number), and the emitted span stats
+    (n_spans / n_dup_grams / max_run / max_run_tokens) are exactly what
+    the cut-or-keep policy thresholds on (the paper removes spans of
+    >= 50 shared tokens; max_run_tokens is that length for n=3 grams).
+
+    The reference has no dedup surface at all (it counts distinct users,
+    UniqueUsersCounter.java:80-84); this extends the training-data dedup
+    family (exact / minhash / simhash / semantic) with LOCALITY: which
+    exact passage is shared, not just that two docs look alike.
+
+    Scale: a suffix array is a global sorted structure Spark cannot
+    build incrementally, but the gram-hash formulation is
+    shuffle-native: positions shuffle ONCE on an 8-byte hash for the
+    duplicate count (AQE splits hot stop-gram keys), the hits join is
+    hash-partitioned on the same key, and island detection is a per-doc
+    window bounded by document length.  Nothing quadratic, nothing
+    collected: the 100 TB cost is two hash shuffles of (doc, pos, h)
+    triples plus a doc-bounded sort."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    from kafka_stream_processing_spark.operators.corpus import _word_grams_all
+    from pyspark.sql import Window
+
+    g = (
+        d.select(
+            "doc_id",
+            F.posexplode(_word_grams_all(F.split("text", " "))).alias(
+                "p0", "gram"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            hash64(F.col("gram")).alias("h"),
+        )
+    )
+    dup = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = g.join(dup.select("h"), "h").select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("island")
+    )
+    spans = hits.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("run_len").cast("bigint").alias("n_dup_grams"),
+        F.max("run_len").cast("bigint").alias("max_run"),
+        (F.max("run_len") + 2).cast("bigint").alias("max_run_tokens"),
+    )

@@ -559,3 +559,98 @@ def sample_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_at_budget"
         ),
     )
+
+
+#: RHO-loss selection keeps the top 1/RHO_KEEP_FRAC of each domain by
+#: excess (reducible) loss; salts distinguish the two proxy models.
+#: The proxy kernel (buckets x Knuth-hash centi-weights) is
+#: quality_model_score_linear's — imported so the two stay one model.
+from kafka_stream_processing_spark.operators.quality import (  # noqa: E402
+    MODEL_BUCKETS as _RHO_BUCKETS,
+    _WEIGHT_MULT as _RHO_MULT,
+)
+
+RHO_KEEP_FRAC = 5
+
+
+@register(
+    "sample_rho_loss_selection",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(list_aggregate(list_transform(t, w ->
+                   (CAST(('0x' || substr(md5(w || 'h'), 1, 15)) AS BIGINT)
+                    % {_RHO_BUCKETS}) * {_RHO_MULT} % 2001 - 1000),
+                   'sum') AS BIGINT)
+               - CAST(list_aggregate(list_transform(t, w ->
+                   (CAST(('0x' || substr(md5(w || 't'), 1, 15)) AS BIGINT)
+                    % {_RHO_BUCKETS}) * {_RHO_MULT} % 2001 - 1000),
+                   'sum') AS BIGINT) AS excess_centi
+        FROM toks
+    ),
+    ranked AS (
+        SELECT doc_id, source, excess_centi,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY excess_centi DESC, doc_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM scored
+    )
+    SELECT doc_id, source, excess_centi,
+           (rn - 1) * {RHO_KEEP_FRAC} < n AS selected
+    FROM ranked
+    """,
+    tags=("sampling", "rho-loss"),
+)
+def sample_rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss-style learnability selection (Mindermann et al. 2022,
+    "Prioritized Training on Points that are Learnable, Worth Learning,
+    and Not Yet Learnt"): each doc gets two hashed-linear loss proxies —
+    a TRAINING-model loss and a HOLDOUT-model loss (same kernel as
+    quality_model_score_linear, token salt 't' / 'h' selects the weight
+    table) — and the selection score is the REDUCIBLE loss
+    ``holdout - train``: points the current model gets wrong but a
+    held-out model finds predictable.  The top 20% per source domain is
+    selected (deterministic doc_id tiebreak); swapping real per-example
+    losses for the proxies is a column substitution, the selection
+    dataflow is identical.
+
+    Scale: both proxies are narrow higher-order expressions at scan
+    speed (zero Python, zero shuffle); the only wide operation is ONE
+    shuffle on the domain key for the rank/count window — the same
+    shape as sample_stratified_topn, and the window state per domain is
+    a counter, not a buffer."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    t = F.split(F.lower(F.col("text")), " ")
+
+    def proxy(salt: str) -> Column:
+        weight = lambda w: (  # noqa: E731
+            (hash64(F.concat(w, F.lit(salt))) % _RHO_BUCKETS)
+            * _RHO_MULT % 2001 - 1000
+        )
+        return F.aggregate(
+            F.transform(t, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
+        )
+
+    scored = d.select(
+        "doc_id",
+        "source",
+        (proxy("h") - proxy("t")).cast("bigint").alias("excess_centi"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("excess_centi").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        "excess_centi",
+        (
+            (F.row_number().over(w) - 1) * RHO_KEEP_FRAC
+            < F.count(F.lit(1)).over(wc)
+        ).alias("selected"),
+    )

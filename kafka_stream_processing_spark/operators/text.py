@@ -453,3 +453,107 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("fp_checksum"),
     )
+
+
+#: Hashed-embedding geometry: tokens feature-hash into HASHED_EMB_DIM
+#: buckets; weights are integer tf x scaled-idf so the vector is
+#: bit-exact across engines (float log-idf would drift at the ulp).
+HASHED_EMB_DIM = 16
+_IDF_SCALE = 1000
+
+
+@register(
+    "text_hashed_tfidf_embedding",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    weighted AS (
+        SELECT t.doc_id,
+               CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT)
+                   % {HASHED_EMB_DIM} AS bucket,
+               t.tf * ((n.n_docs * {_IDF_SCALE}) // d.df) AS w
+        FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN n
+    ),
+    vec AS (
+        SELECT doc_id, bucket, CAST(SUM(w) AS BIGINT) AS v
+        FROM weighted GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY bucket) AS emb_csv,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(SUM(v) AS BIGINT) AS l1
+    FROM vec
+    GROUP BY doc_id
+    """,
+    tags=("text", "embedding"),
+)
+def text_hashed_tfidf_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed tf-idf document embedding (the hashing trick of
+    Weinberger et al. 2009, the fastText/vowpal-wabbit input layer):
+    every token hashes into one of 16 buckets, each (doc, bucket)
+    accumulates ``tf x scaled_idf`` with integer idf
+    (``n_docs*1000 // df`` — a float log-idf would drift at the ulp and
+    break the cross-engine hash), and the per-doc sparse vector is
+    emitted as an ordered CSV plus nnz/l1 audits (arrays serialize to
+    strings for the comparator, package convention).  This bridges the
+    text family to the similarity family: the output is a drop-in
+    corpus for the cosine/ANN operators when no neural embedding
+    exists.
+
+    Scale: tf is one shuffle on (doc, token); df one more on token —
+    both hashed keys with map-side partial aggregation; the df join
+    rides the token shuffle already paid (no broadcast needed, the
+    vocabulary is corpus-sized); bucket folding re-shuffles only
+    (doc, bucket) pairs, at most 16 per doc.  No stage touches more
+    than hashed-size keys; document bodies never shuffle."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    weighted = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (hash64(F.col("tok")) % HASHED_EMB_DIM).alias("bucket"),
+            (
+                F.col("tf")
+                * F.expr(f"(n_docs * {_IDF_SCALE}) div df")
+            ).alias("w"),
+        )
+    )
+    vec = weighted.groupBy("doc_id", "bucket").agg(
+        F.sum("w").cast("bigint").alias("v")
+    )
+    return (
+        vec.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "v"))
+                    ),
+                    lambda s: s["v"].cast("string"),
+                ),
+                ",",
+            ).alias("emb_csv"),
+            F.count(F.lit(1)).cast("bigint").alias("nnz"),
+            F.sum("v").cast("bigint").alias("l1"),
+        )
+    )

@@ -78,6 +78,7 @@ def _load() -> None:
         corpus,
         dedup,
         graph,
+        layout,
         multimodal,
         pipeline,
         python_udfs,
@@ -168,16 +169,16 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "sample_doremi_domain_weights",
     "similarity_opq_rotated_pq_topk",
     "similarity_residual_pq_topk",
+    "dedup_exact_substring_runs",
+    "corpus_bloom_prefilter",
+    "layout_zorder_lineitem",
+    "sample_rho_loss_selection",
+    "text_hashed_tfidf_embedding",
     # -- re-confirmation: oldest remaining evidence (r02) --
     "dedup_simhash_banded",
     "dedup_embedding_cosine",
     "text_token_stats",
     "text_tfidf_top_terms",
-    "stream_stream_join_click_purchase",
-    "stream_stateful_user_stats",
-    "stream_global_topk_foreachbatch",
-    "subquery_q18_large_volume_customers",
-    "q9_nation_profit",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -213,3 +213,37 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exact_substring_runs_plan_is_hash_joined(spark, sf_small):
+    """The duplicate-gram join must be an equi-join on the 8-byte hash
+    (SMJ or shuffled-hash; AQE may also broadcast the small dup side at
+    this SF) — never a nested-loop/cartesian pairing of positions."""
+    rep = plan_report(
+        registry.all_specs()["dedup_exact_substring_runs"].fn(spark, sf_small)
+    )
+    assert "CartesianProduct" not in rep.text
+    assert "BroadcastNestedLoopJoin" not in rep.text
+
+
+def test_bloom_prefilter_probe_side_broadcasts(spark, sf_small):
+    """The probe must join the <=2048-row packed-word table as a
+    BroadcastHashJoin: the bitmap is the thing that stays small at any
+    corpus size, and a shuffle here would defeat the operator."""
+    rep = plan_report(
+        registry.all_specs()["corpus_bloom_prefilter"].fn(spark, sf_small)
+    )
+    assert "BroadcastHashJoin" in rep.text, rep.text[:4000]
+    assert "CartesianProduct" not in rep.text
+
+
+def test_zorder_morton_code_is_codegen_arithmetic(spark, sf_small):
+    """The interleave must fold into plain projected arithmetic (no
+    Python eval in the plan) and the only wide operator is the 128-group
+    aggregate plus the 1-row domain broadcast."""
+    rep = plan_report(
+        registry.all_specs()["layout_zorder_lineitem"].fn(spark, sf_small)
+    )
+    assert "shiftright" in rep.text or "SHIFTRIGHT" in rep.text
+    assert "BatchEvalPython" not in rep.text
+    assert "ArrowEvalPython" not in rep.text

@@ -145,3 +145,73 @@ def test_doremi_weights_invariants(spark, sf_small):
     # epochs_at_budget is the weight-implied repeat factor
     for r in rows:
         assert r.epochs_at_budget > 0.0
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_small):
+    """The defining Bloom property: a doc whose fingerprint IS in the
+    corpus must always get bloom_maybe=true — (false, true) rows are a
+    broken filter, at any geometry.  Also sanity: both verdict values
+    occur at this saturation (all-true would mean the probe ignores the
+    bitmap)."""
+    rows = SPECS["corpus_bloom_prefilter"].fn(spark, sf_small).collect()
+    assert rows
+    assert not [r for r in rows if r.is_dup and not r.bloom_maybe]
+    assert {r.bloom_maybe for r in rows} == {True, False} or all(
+        not r.is_dup for r in rows
+    )
+
+
+def test_exact_substring_runs_vs_handbuilt_doc(spark, tmp_path):
+    """Hand-built corpus: doc 0 and doc 1 share the 6-word run
+    'a b c d e f' (=> 4 consecutive shared 3-grams, one span of
+    max_run_tokens 6); doc 2 shares nothing.  Pins the island merge —
+    a per-position formulation without the gaps-and-islands step would
+    report 4 spans instead of 1."""
+    import os
+
+    from kafka_stream_processing_spark.operators.dedup import (
+        dedup_exact_substring_runs,
+    )
+
+    docs = [
+        (0, "a b c d e f x1 y1 z1"),
+        (1, "p q a b c d e f r s"),
+        (2, "m n o u v w k l t"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    tmp = str(tmp_path / "sf")
+    os.makedirs(tmp)
+    df.write.parquet(f"{tmp}/documents.parquet")
+    rows = {
+        r.doc_id: r for r in dedup_exact_substring_runs(spark, tmp).collect()
+    }
+    assert set(rows) == {0, 1}
+    for d in (0, 1):
+        assert rows[d].n_spans == 1, rows[d]
+        assert rows[d].n_dup_grams == 4
+        assert rows[d].max_run == 4
+        assert rows[d].max_run_tokens == 6
+
+
+def test_zorder_buckets_tile_the_plane(spark, sf_small):
+    """Z-order pruning argument, asserted: the per-bucket 2-D bounding
+    boxes must cover a small fraction of the key plane EACH — on
+    average at most ~4 quadtree cells' worth (the max straddle of a
+    contiguous Morton range), against the full-plane boxes a
+    single-dimension layout yields for the second column.  Also pins
+    the bucket id arithmetic: every bucket must be a 7-bit value."""
+    from kafka_stream_processing_spark.operators.layout import (
+        ZORDER_BUCKET_BITS,
+    )
+
+    rows = SPECS["layout_zorder_lineitem"].fn(spark, sf_small).collect()
+    assert len(rows) > 8  # normalization must spread tiny key domains
+    px = max(r.x_max for r in rows) + 1
+    py = max(r.y_max for r in rows) + 1
+    plane = px * py
+    covers = [
+        (r.x_max - r.x_min + 1) * (r.y_max - r.y_min + 1) / plane
+        for r in rows
+    ]
+    assert all(0 <= r.bucket < (1 << ZORDER_BUCKET_BITS) for r in rows)
+    assert sum(covers) / len(covers) < 0.5, covers
