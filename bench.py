@@ -60,6 +60,15 @@ BASELINE_SAME_BOX: dict[str, float] = {
     "window_topk_orders_per_customer": 0.3806,
     "unique_users_per_minute": 0.2505,
 }
+#: Streaming baselines were frozen from BENCH_r02.json (commit f8725e6
+#: — streaming queries did not exist at c31115b); that tree re-benched
+#: on the r05 box in the same quiet session scored these.
+STREAMING_REF_COMMIT = "f8725e6"
+STREAMING_SAME_BOX: dict[str, float] = {
+    "stream_unique_users_per_minute": 1.4526,
+    "stream_chained_window_agg": 1.3483,
+    "stream_session_windows_per_user": 1.6986,
+}
 
 _CAL_N = 8_000_000
 _CAL_BUCKETS = 9973
@@ -80,7 +89,12 @@ def _calibration_run(spark) -> None:
 
 
 def calibration_seconds(spark) -> float:
-    """Best-of-3 (after one warm pass) of the fixed synthetic workload."""
+    """Best-of-3 (after one warm pass) of the fixed synthetic workload.
+    Standalone form — the bench proper instead interleaves one
+    calibration sample into each timed round-robin pass so the
+    calibration sees the same host phases as the queries it normalizes
+    (measured: start-of-session samples swung 0.42-0.64 s while the
+    query section ran in a different stall phase)."""
     _calibration_run(spark)
     best = float("inf")
     for _ in range(3):
@@ -101,10 +115,7 @@ def main() -> None:
 
     # Warm-up: JVM JIT, parquet footer caches, Python worker pool.
     specs["unique_users_per_minute"].fn(spark, sf_dir).count()
-
-    # Host calibration BEFORE the tree bench, same protocol, pure
-    # synthetic — see module docstring block above.
-    cal_sec = calibration_seconds(spark)
+    _calibration_run(spark)  # warm the calibration path too
 
     # Untimed warm pass per query: parquet footers, JIT, shuffle-file page
     # cache for THIS query's tables (the flagship warm-up above only
@@ -120,13 +131,21 @@ def main() -> None:
     # of poisoning all 3 samples of whichever query it overlapped
     # (measured on the r04 box: same-code totals swung 6 s → 62 s when
     # one multi-minute stall covered one query's back-to-back runs).
+    # One calibration sample rides INSIDE each pass so the host-speed
+    # measurement covers the same wall-clock window (and stall phases)
+    # as the queries it will normalize.
     best: dict[str, float] = {name: float("inf") for name in names}
+    cal_best = float("inf")
     for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration_run(spark)
+        cal_best = min(cal_best, time.perf_counter() - t0)
         for name in names:
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
             best[name] = min(best[name], time.perf_counter() - t0)
     timings = {name: round(best[name], 4) for name in names}
+    cal_sec = round(cal_best, 4)
 
     total = round(sum(timings.values()), 4)
 
@@ -180,6 +199,12 @@ def main() -> None:
                 q: round(timings[q] / expected[q], 4)
                 for q in timings
                 if q in expected and expected[q] > 0
+            },
+            "streaming_baseline_commit": STREAMING_REF_COMMIT,
+            "ratio_streaming": {
+                q: round(streaming[q] / (STREAMING_SAME_BOX[q] * scale), 4)
+                for q in streaming
+                if q in STREAMING_SAME_BOX
             },
         }
     print(json.dumps(payload))

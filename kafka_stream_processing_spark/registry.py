@@ -174,11 +174,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "layout_zorder_lineitem",
     "sample_rho_loss_selection",
     "text_hashed_tfidf_embedding",
+    "layout_hilbert_lineitem",
     # -- re-confirmation: oldest remaining evidence (r02) --
     "dedup_simhash_banded",
     "dedup_embedding_cosine",
     "text_token_stats",
-    "text_tfidf_top_terms",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -247,3 +247,15 @@ def test_zorder_morton_code_is_codegen_arithmetic(spark, sf_small):
     assert "shiftright" in rep.text or "SHIFTRIGHT" in rep.text
     assert "BatchEvalPython" not in rep.text
     assert "ArrowEvalPython" not in rep.text
+
+
+def test_hilbert_walk_is_codegen_arithmetic(spark, sf_small):
+    """Eight unrolled rotate/flip iterations must stay pure projected
+    arithmetic — no Python evaluators, no shuffle beyond the 128-group
+    aggregate and the 1-row domain broadcast."""
+    rep = plan_report(
+        registry.all_specs()["layout_hilbert_lineitem"].fn(spark, sf_small)
+    )
+    assert "BatchEvalPython" not in rep.text
+    assert "ArrowEvalPython" not in rep.text
+    assert "CartesianProduct" not in rep.text

@@ -215,3 +215,94 @@ def test_zorder_buckets_tile_the_plane(spark, sf_small):
     ]
     assert all(0 <= r.bucket < (1 << ZORDER_BUCKET_BITS) for r in rows)
     assert sum(covers) / len(covers) < 0.5, covers
+
+
+def _xy2d_ref(order_cells: int, x: int, y: int) -> int:
+    """Independent pure-Python Hilbert xy2d (the classic C routine) —
+    the triple-check against a shared Spark/oracle bug: both engine
+    sides are generated from the operator module's walk, this one is
+    written from the textbook algorithm."""
+    d = 0
+    s = order_cells // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_reference_is_a_space_filling_curve():
+    """The Python reference itself must be a true Hilbert curve on the
+    operator's 256x256 grid: a bijection onto 0..65535 whose
+    consecutive positions are always GRID NEIGHBOURS (|dx|+|dy| = 1) —
+    the locality property Morton codes lack (Z jumps across the
+    plane)."""
+    n = 256
+    pos = {}
+    for x in range(n):
+        for y in range(n):
+            pos[_xy2d_ref(n, x, y)] = (x, y)
+    assert len(pos) == n * n
+    assert set(pos) == set(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
+
+
+def test_hilbert_operator_matches_reference(spark):
+    """The operator's unrolled Column chain must agree with the
+    independent reference on a spread of cells."""
+    from kafka_stream_processing_spark.operators.layout import (
+        _CELLS,
+        hilbert_index,
+    )
+
+    cells = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 23)]
+    df = spark.createDataFrame(cells, "cx int, cy int")
+    got = {(r.cx, r.cy): r.hd for r in hilbert_index(df).collect()}
+    for x, y in cells:
+        assert got[(x, y)] == _xy2d_ref(_CELLS, x, y), (x, y)
+
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_hilbert_clusters_less_than_morton_on_range_queries():
+    """The reason to offer Hilbert next to Z-order, asserted on the
+    metric where the advantage actually lives (Moon et al. 2001,
+    "Analysis of the clustering properties of the Hilbert space-filling
+    curve"): over a sample of rectangular query regions, the mean
+    number of MAXIMAL CONTIGUOUS CURVE RUNS covering the region (= how
+    many separate file ranges a reader must touch) is lower for Hilbert
+    than for the Morton curve.  NB bounding boxes of top-bit BUCKETS
+    are the one metric Morton wins by construction — its buckets are
+    exactly axis-aligned quadtree rectangles — which is why the pin is
+    on query clustering, not bucket boxes (measured: bucket bbox mean
+    cover 0.0011 Hilbert vs 0.0005 Morton on lineitem)."""
+
+    def runs(curve, x0, y0, w, h):
+        idx = sorted(
+            curve(x, y) for x in range(x0, x0 + w) for y in range(y0, y0 + h)
+        )
+        return 1 + sum(
+            1 for a, b in zip(idx, idx[1:]) if b != a + 1
+        )
+
+    hilbert = lambda x, y: _xy2d_ref(256, x, y)  # noqa: E731
+    rects = [
+        (x0, y0, 20, 20) for x0 in range(3, 230, 31) for y0 in range(5, 230, 37)
+    ]
+    h_runs = sum(runs(hilbert, *r) for r in rects) / len(rects)
+    z_runs = sum(runs(_morton_ref, *r) for r in rects) / len(rects)
+    assert h_runs < z_runs, (h_runs, z_runs)
