@@ -811,63 +811,11 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ivfpq_topk",
-    oracle=f"""
-    WITH v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings
-    ),
-    assigned AS (
-        SELECT vec_id, {_argmin_cell_sql()} AS cell FROM v
-    ),
-    {_PQ_CTES},
-    probes AS (
-        SELECT vec_id AS query_id, unnest({_probe_cells_sql()}) AS probe_cell
-        FROM v WHERE vec_id < {N_QUERIES}
-    ),
-    cand AS (
-        SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
-        FROM probes p
-        JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
-    ),
-    adc AS (
-        SELECT c.query_id, c.neighbor_id, any_value(c.cell) AS cell,
-               SUM(l.ddec) AS adist
-        FROM cand c
-        JOIN asn s ON s.vec_id = c.neighbor_id
-        JOIN lut l ON l.query_id = c.query_id AND l.m = s.m AND l.j = s.code
-        GROUP BY 1, 2
-    )
-    SELECT query_id, neighbor_id, cell,
-           CAST(adist AS DOUBLE) AS approx_dist2
-    FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY adist, neighbor_id) AS rn
-        FROM adc
-    )
-    WHERE rn <= {PQ_TOPK}
-    """,
-    tags=("similarity", "quantization", "scale"),
-)
-def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ — the billion-vector index layout (FAISS's IVFPQ): the
-    coarse quantizer prunes the SEARCH SPACE (each query probes its
-    nprobe=2 nearest of 8 cells) and product quantization compresses the
-    RESIDENT DATA (candidates are ranked by 4-byte code words against the
-    query's ADC lookup table, never their raw floats).  Composes the two
-    registered single-technique operators: similarity_ivf_probed_topk's
-    cell probe and similarity_pq_adc_topk's ADC kernel, sharing their
-    exact-decimal determinism end to end.
-
-    Scale: the two index structures cut orthogonal costs — IVF makes
-    per-query work O(corpus·nprobe/cells), PQ makes per-candidate state
-    4 bytes — which is why the composition, not either alone, is what
-    serves at 10⁹ vectors: cells bound the candidate JOIN, codes bound
-    the candidate BYTES.  Both joins are broadcast/equi-joins (cell id;
-    (sub-space, code)); the corpus embedding column is read exactly once
-    at index-build time."""
+def _ivfpq_adc(spark: SparkSession, sf_dir: str):
+    """Stage-1 of the IVF+PQ search, shared by similarity_ivfpq_topk and
+    the two-stage reranker (mirror of the shared _IVFPQ_ADC_CTES oracle
+    prefix): returns (emb, adc) where adc holds every cell-probed
+    candidate with its ADC approximate squared distance."""
     emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )
@@ -899,6 +847,73 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ddec").alias("adist"),
         )
     )
+    return emb, adc
+
+
+#: The IVF+PQ candidate-and-ADC oracle prefix (CTEs v .. adc) — shared
+#: verbatim by similarity_ivfpq_topk and the two-stage reranker so the
+#: stage-1 semantics cannot drift between them.
+_IVFPQ_ADC_CTES = f"""v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, {_argmin_cell_sql()} AS cell FROM v
+    ),
+    {_PQ_CTES},
+    probes AS (
+        SELECT vec_id AS query_id, unnest({_probe_cells_sql()}) AS probe_cell
+        FROM v WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+        FROM probes p
+        JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.neighbor_id, any_value(c.cell) AS cell,
+               SUM(l.ddec) AS adist
+        FROM cand c
+        JOIN asn s ON s.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id AND l.m = s.m AND l.j = s.code
+        GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_ADC_CTES}
+    SELECT query_id, neighbor_id, cell,
+           CAST(adist AS DOUBLE) AS approx_dist2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS rn
+        FROM adc
+    )
+    WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("similarity", "quantization", "scale"),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the billion-vector index layout (FAISS's IVFPQ): the
+    coarse quantizer prunes the SEARCH SPACE (each query probes its
+    nprobe=2 nearest of 8 cells) and product quantization compresses the
+    RESIDENT DATA (candidates are ranked by 4-byte code words against the
+    query's ADC lookup table, never their raw floats).  Composes the two
+    registered single-technique operators: similarity_ivf_probed_topk's
+    cell probe and similarity_pq_adc_topk's ADC kernel, sharing their
+    exact-decimal determinism end to end.
+
+    Scale: the two index structures cut orthogonal costs — IVF makes
+    per-query work O(corpus·nprobe/cells), PQ makes per-candidate state
+    4 bytes — which is why the composition, not either alone, is what
+    serves at 10⁹ vectors: cells bound the candidate JOIN, codes bound
+    the candidate BYTES.  Both joins are broadcast/equi-joins (cell id;
+    (sub-space, code)); the corpus embedding column is read exactly once
+    at index-build time."""
+    emb, adc = _ivfpq_adc(spark, sf_dir)
     w_top = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
         adc.withColumn("rn", F.row_number().over(w_top))
@@ -1203,6 +1218,100 @@ def similarity_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "cell",
+            F.col("adist").cast("double").alias("approx_dist2"),
+        )
+    )
+
+
+#: Stage-1 shortlist width for the two-stage reranker: top-20 by ADC
+#: enter the exact rerank, top PQ_TOPK leave it.
+RERANK_SHORTLIST = 20
+
+
+@register(
+    "similarity_rerank_two_stage",
+    oracle=f"""
+    WITH {_IVFPQ_ADC_CTES},
+    short AS (
+        SELECT query_id, neighbor_id, adist
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adist, neighbor_id) AS rn
+            FROM adc
+        )
+        WHERE rn <= {RERANK_SHORTLIST}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id, s.adist,
+               list_aggregate(
+                   list_transform(range(1, 65),
+                       i -> CAST((q.emb[i] - d.emb[i]) * (q.emb[i] - d.emb[i])
+                                 AS DECIMAL(18,12))),
+                   'sum') AS ed
+        FROM short s
+        JOIN v q ON q.vec_id = s.query_id
+        JOIN v d ON d.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ed AS DOUBLE) AS exact_dist2,
+           CAST(adist AS DOUBLE) AS approx_dist2
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ed, neighbor_id) AS rn
+        FROM rer
+    )
+    WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("similarity", "rerank", "scale"),
+)
+def similarity_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production search architecture
+    (bi-encoder ANN retrieve, then exact/cross-encoder rerank): stage 1
+    is the IVF+PQ index (shared verbatim with similarity_ivfpq_topk via
+    _ivfpq_adc / _IVFPQ_ADC_CTES) producing a top-{RERANK_SHORTLIST}
+    shortlist per query by 4-byte-code ADC distance; stage 2 re-scores
+    ONLY the shortlist against the raw 64-d vectors with the exact
+    decimal kernel and emits the final top-{PQ_TOPK} by true squared
+    L2.  Both distances are emitted so the audit shows what the rerank
+    corrected.  Swapping the exact kernel for a cross-encoder model
+    score is a column substitution — the shortlist-then-rescore
+    dataflow is the deliverable.
+
+    Scale: this is WHY two stages exist — the expensive scorer touches
+    shortlist x queries rows (hundreds), never corpus x queries; the
+    corpus's raw vectors are fetched for the shortlist by a broadcast
+    semi-join (shortlist ids are tiny), so the full-vector column is
+    read but never shuffled, and stage 1's costs are the IVF+PQ
+    operator's own (cells bound the join, codes bound the bytes)."""
+    emb, adc = _ivfpq_adc(spark, sf_dir)
+    w_adc = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= RERANK_SHORTLIST)
+        .select("query_id", "neighbor_id", "adist")
+    )
+    nbr = emb.join(
+        F.broadcast(short), emb.vec_id == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", "adist", F.col("emb").alias("n_emb"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    rer = nbr.join(
+        F.broadcast(q), F.col("query_id") == F.col("q_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "adist",
+        dist2_exact(F.col("q_emb"), F.col("n_emb")).alias("ed"),
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("ed", "neighbor_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("ed").cast("double").alias("exact_dist2"),
             F.col("adist").cast("double").alias("approx_dist2"),
         )
     )

@@ -175,10 +175,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "sample_rho_loss_selection",
     "text_hashed_tfidf_embedding",
     "layout_hilbert_lineitem",
+    "similarity_rerank_two_stage",
     # -- re-confirmation: oldest remaining evidence (r02) --
     "dedup_simhash_banded",
     "dedup_embedding_cosine",
-    "text_token_stats",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

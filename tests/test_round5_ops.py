@@ -306,3 +306,24 @@ def test_hilbert_clusters_less_than_morton_on_range_queries():
     h_runs = sum(runs(hilbert, *r) for r in rects) / len(rects)
     z_runs = sum(runs(_morton_ref, *r) for r in rects) / len(rects)
     assert h_runs < z_runs, (h_runs, z_runs)
+
+
+def test_two_stage_rerank_lifts_recall_over_ivfpq(spark, sf_small):
+    """The rerank stage must measurably correct ADC quantization error:
+    recall@5 vs exact-L2 ground truth for the two-stage operator
+    (measured 16/25 at sf0.001) must beat plain IVF+PQ's (measured
+    7/25) and clear an absolute floor of 10 — both well under measured
+    so only structural regressions (rerank reading the wrong vectors,
+    shortlist mis-keyed) trip them."""
+    gt = _exact_l2_top5("/root/testdata/sf0.001")
+
+    def recall(name):
+        got: dict[int, set[int]] = {}
+        for r in SPECS[name].fn(spark, sf_small).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(set(gt[q]) & got.get(q, set())) for q in gt)
+
+    two = recall("similarity_rerank_two_stage")
+    ivfpq = recall("similarity_ivfpq_topk")
+    assert two >= 10, two
+    assert two > ivfpq, (two, ivfpq)
