@@ -510,6 +510,32 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_bloom_bits():
+    """k=2 bloom bit positions of the fingerprint column ``h``, exploded
+    to one row each (column name ``bit``)."""
+    return F.explode(
+        F.array(
+            F.col("h") % BLOOM_BITS,
+            F.shiftright("h", 16) % BLOOM_BITS,
+        )
+    ).alias("bit")
+
+
+def _bloom_mask() -> Column:
+    return F.expr("shiftleft(cast(1 as bigint), cast(bit & 31 as int))")
+
+
+def _bloom_words(fps: DataFrame) -> DataFrame:
+    """Fold a fingerprint frame (column ``h``) into the packed bitmap:
+    one row per touched word, bit_or of the 32-bit-wide masks."""
+    return (
+        fps.select(_two_bloom_bits())
+        .select(F.shiftright("bit", 5).alias("word"), _bloom_mask().alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("w"))
+    )
+
+
 #: Bloom prefilter geometry: 2^16 bits packed into 2048 32-bit-wide
 #: BIGINT words, k = 2 bit positions per fingerprint (low 16 bits and
 #: bits 16-31 of the 60-bit md5 hash).  At production scale M is the
@@ -585,21 +611,10 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0).select("h").distinct()
     batch = docs.filter(F.col("doc_id") % 5 == 0)
 
-    two_bits = lambda: F.explode(  # noqa: E731
-        F.array(
-            F.col("h") % BLOOM_BITS,
-            F.shiftright("h", 16) % BLOOM_BITS,
-        )
-    ).alias("bit")
-    mask = F.expr("shiftleft(cast(1 as bigint), cast(bit & 31 as int))")
-    words = (
-        corpus.select(two_bits())
-        .select(F.shiftright("bit", 5).alias("word"), mask.alias("m"))
-        .groupBy("word")
-        .agg(F.bit_or("m").alias("w"))
-    )
+    mask = _bloom_mask()
+    words = _bloom_words(corpus)
     hits = (
-        batch.select("doc_id", two_bits())
+        batch.select("doc_id", _two_bloom_bits())
         .withColumn("word", F.shiftright("bit", 5))
         .join(F.broadcast(words), "word", "left")
         .select(
@@ -624,4 +639,70 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_maybe",
             F.coalesce(F.col("in_c"), F.lit(False)).alias("is_dup"),
         )
+    )
+
+
+@register(
+    "corpus_bloom_incremental_merge",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, doc_id % 3 AS day, {_BLOOM_H} AS h FROM documents
+    ),
+    bits AS (
+        SELECT day, u.b >> 5 AS word,
+               CAST(1 AS BIGINT) << CAST(u.b & 31 AS INT) AS m
+        FROM docs, unnest([h % {BLOOM_BITS}, (h >> 16) % {BLOOM_BITS}]) u(b)
+    ),
+    partials AS (
+        SELECT day, word, bit_or(m) AS w FROM bits GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT word, bit_or(w) AS w_merged FROM partials GROUP BY 1
+    ),
+    full_build AS (
+        SELECT word, bit_or(m) AS w_full FROM bits GROUP BY 1
+    )
+    SELECT m.word, m.w_merged, f.w_full,
+           m.w_merged = f.w_full AS consistent
+    FROM merged m JOIN full_build f ON f.word = m.word
+    """,
+    tags=("corpus", "bloom", "incremental"),
+)
+def corpus_bloom_incremental_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-bloom maintenance contract: the corpus is ingested in
+    daily partitions (day = doc_id % 3 here), each day folds its OWN
+    partial bitmap, and the serving bitmap is the bit_or MERGE of the
+    partials — never a corpus rescan.  The operator emits, per touched
+    word, the merged word, the full-rebuild word, and their equality:
+    bit_or is associative/commutative/idempotent, so ``consistent`` must
+    be true on every row (pinned), which is the property that makes the
+    bloom filter maintainable incrementally at all — the same contract
+    the HLL rollup (sketch_hll_daily_merge) pins for distinct counts.
+
+    Scale: each day's delta costs one scan of THAT DAY plus a <=2048-
+    group bit_or; the merge costs <=2048 rows per day regardless of
+    corpus size.  At 100 TB the partial bitmaps are a tiny bucketed
+    table keyed on word, and yesterday's serving bitmap never needs the
+    raw corpus again."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        (F.col("doc_id") % 3).alias("day"), hash64(F.col("text")).alias("h")
+    )
+    bits = docs.select("day", _two_bloom_bits()).select(
+        "day",
+        F.shiftright("bit", 5).alias("word"),
+        _bloom_mask().alias("m"),
+    )
+    partials = bits.groupBy("day", "word").agg(F.bit_or("m").alias("w"))
+    merged = partials.groupBy("word").agg(F.bit_or("w").alias("w_merged"))
+    full_build = bits.groupBy("word").agg(F.bit_or("m").alias("w_full"))
+    return merged.join(full_build, "word").select(
+        "word",
+        "w_merged",
+        "w_full",
+        (F.col("w_merged") == F.col("w_full")).alias("consistent"),
     )

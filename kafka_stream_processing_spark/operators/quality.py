@@ -492,3 +492,87 @@ def quality_model_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("score_centi"),
         (score >= 0).alias("keep"),
     )
+
+
+@register(
+    "quality_ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(list_aggregate(list_transform(t, w ->
+                   (CAST(('0x' || substr(md5(w || 'p'), 1, 15)) AS BIGINT)
+                    % {MODEL_BUCKETS}) * {_WEIGHT_MULT} % 2001),
+                   'sum') AS BIGINT) // len(t) AS ppl_centi
+        FROM toks
+        WHERE len(t) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, lang, ppl_centi,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY ppl_centi, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM scored
+    )
+    SELECT doc_id, lang, ppl_centi,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    tags=("quality", "ccnet"),
+)
+def quality_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): score every
+    document with a language-model perplexity proxy, then split EACH
+    LANGUAGE into equal head/middle/tail terciles by rank — head is the
+    cleanest third of that language's crawl, the slice CCNet keeps for
+    pretraining.  The per-token loss here is the hashed stand-in (salt
+    'p' on the shared quality-model kernel, non-negative 0..2000
+    centi-nats, per-doc integer mean); swapping a real KenLM/GPT
+    per-token NLL in is a column substitution.  Rank bucketing uses the
+    integer frontier ``rn*3 <= k*n`` with a doc_id tiebreak so the
+    tercile edges are bit-exact cross-engine (quantile thresholds on
+    float scores are not).
+
+    Scale: scoring is a narrow higher-order expression at scan speed;
+    the tercile split is ONE shuffle on the language key — and language
+    is the natural shard key of a multilingual crawl, so the window
+    parallelizes across languages exactly as CCNet's per-language
+    pipelines do.  State per language is a counter, not a buffer."""
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    t = F.split(F.lower(F.col("text")), " ")
+    loss = lambda w: (  # noqa: E731
+        (hash64(F.concat(w, F.lit("p"))) % MODEL_BUCKETS) * _WEIGHT_MULT % 2001
+    )
+    total = F.aggregate(
+        F.transform(t, loss), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    scored = d.filter(F.size(t) > 0).select(
+        "doc_id",
+        "lang",
+        (total / F.size(t)).cast("bigint").alias("ppl_centi"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("ppl_centi", "doc_id")
+    w_n = Window.partitionBy("lang")
+    rn = F.row_number().over(w_rank)
+    n = F.count(F.lit(1)).over(w_n)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "ppl_centi",
+        F.when(rn * 3 <= n, "head")
+        .when(rn * 3 <= 2 * n, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -176,9 +176,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "text_hashed_tfidf_embedding",
     "layout_hilbert_lineitem",
     "similarity_rerank_two_stage",
+    "quality_ccnet_perplexity_buckets",
     # -- re-confirmation: oldest remaining evidence (r02) --
     "dedup_simhash_banded",
-    "dedup_embedding_cosine",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

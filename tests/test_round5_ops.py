@@ -327,3 +327,24 @@ def test_two_stage_rerank_lifts_recall_over_ivfpq(spark, sf_small):
     ivfpq = recall("similarity_ivfpq_topk")
     assert two >= 10, two
     assert two > ivfpq, (two, ivfpq)
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark, sf_small):
+    """Per language, head/middle/tail must each hold n/3 (+-1) docs and
+    head must have the lowest perplexity range — the CCNet contract."""
+    rows = SPECS["quality_ccnet_perplexity_buckets"].fn(
+        spark, sf_small
+    ).collect()
+    by_lang: dict[str, dict[str, list]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(
+            r.ppl_centi
+        )
+    assert by_lang
+    for lang, buckets in by_lang.items():
+        sizes = {b: len(v) for b, v in buckets.items()}
+        n = sum(sizes.values())
+        assert set(sizes) == {"head", "middle", "tail"}, (lang, sizes)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        assert max(buckets["head"]) <= min(buckets["middle"]), lang
+        assert max(buckets["middle"]) <= min(buckets["tail"]), lang
