@@ -1,0 +1,410 @@
+"""Sparse and hybrid retrieval over the documents corpus: BM25 ranking
+and reciprocal-rank fusion of sparse (BM25) and dense (embedding-cosine)
+result lists.
+
+The reference has no retrieval at all (it is a windowed counter,
+UniqueUsersCounter.java:63-93); these operators belong to the
+training-data extension surface: curating a corpus at scale needs
+query-able retrieval — for decontamination lookups, for hard-negative
+mining, and as the candidate generator in front of a reranker.  The
+dense stage-1 (IVF+PQ shortlist -> exact rerank) already exists in
+``operators/similarity.py``; this module adds the SPARSE side and the
+standard way to combine the two (Cormack et al., "Reciprocal Rank
+Fusion outperforms Condorcet and individual rank learning methods",
+SIGIR 2009).
+
+Scale design (100 TB):
+
+- BM25 is two aggregations over the exploded postings stream (tf per
+  (query, doc, term); df per term) — the same shape as the TF-IDF
+  operator.  The QUERY side is tiny and broadcast; the corpus tokens
+  shuffle once on term for df and once on (doc, term) for tf.  Document
+  length is carried THROUGH the postings (max(dl) inside the tf
+  aggregate) so no corpus-sized join is ever needed.
+- The idf/length-normalization arithmetic runs in whole-stage codegen;
+  per-term score components are quantized to DECIMAL(18,6) before the
+  per-doc SUM (order-independent, exact — the engine-wide float
+  convention, functions/exact.py).
+- RRF fuses two top-K lists per query — K rows per query per side, a
+  join between two (n_queries x K)-row frames: negligible at any scale;
+  the cost lives entirely in the stage-1 retrievers, which are the
+  operators already audited for scale (broadcast-query dense scan,
+  postings-join sparse scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_stream_processing_spark.functions.exact import dec
+from kafka_stream_processing_spark.operators.similarity import (
+    _as_double_array,
+    cosine_exact,
+    l2_norm_exact,
+)
+from kafka_stream_processing_spark.registry import register
+from kafka_stream_processing_spark.sources.tables import fanout, table
+
+#: Okapi BM25 constants (the textbook defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+#: Reciprocal-rank-fusion damping constant (Cormack et al. 2009 use 60)
+#: and the stage-1 list depth each retriever feeds into the fusion.
+RRF_K = 60
+RRF_LIST_K = 20
+RRF_TOPK = 10
+
+#: Documents used as queries by the hybrid operator (their embeddings
+#: drive the dense list, their token sets the sparse list).  Matches the
+#: similarity module's convention of a small fixed evaluation query set.
+HYBRID_N_QUERIES = 3
+
+#: Fixed evaluation queries for the standalone BM25 operator — small
+#: multi-term queries over the synthetic documents vocabulary.
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("spark", "window")),
+    (1, ("hash", "merge", "join")),
+    (2, ("customer", "query")),
+)
+
+
+def _bm25_component(
+    tf: Column, df_: Column, dl: Column, avgdl: Column, n_docs: Column
+) -> Column:
+    """One term's BM25 contribution, quantized to DECIMAL(18,6) so the
+    per-document SUM is order-independent.  Association mirrors the
+    oracle SQL exactly: idf * ((tf * (k1+1)) / (tf + k1 * (...)))."""
+    idf = F.log(
+        F.lit(1.0) + (n_docs - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+    )
+    tfn = (tf * F.lit(BM25_K1 + 1.0)) / (
+        tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avgdl)
+    )
+    return dec(F.round(idf * tfn, 6))
+
+
+#: The identical component for the DuckDB oracle — generated from the
+#: same constants, same operator association, same quantization.
+_BM25_COMPONENT_SQL = (
+    f"CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+    f"((tf * {BM25_K1 + 1.0}) / "
+    f"(tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))), 6) "
+    f"AS DECIMAL(18,6))"
+)
+
+#: Shared corpus-statistics CTEs (doc lengths, corpus stats, postings).
+_BM25_BASE_CTES = """dls AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dls
+    ),
+    toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )"""
+
+
+def _bm25_values_sql() -> str:
+    rows = [
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    ]
+    return ", ".join(rows)
+
+
+def _sparse_scored(
+    toks: DataFrame, queries: DataFrame, stats: DataFrame,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 score per (query_id, doc_id).  ``queries`` is a small
+    (query_id, term) frame — broadcast; ``toks`` is the exploded
+    (doc_id, dl, term) postings stream."""
+    df_ = (
+        toks.join(F.broadcast(queries.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    tf = toks.join(F.broadcast(queries), "term")
+    if exclude_self:
+        tf = tf.filter(F.col("doc_id") != F.col("query_id"))
+    tf = tf.groupBy("query_id", "doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            _bm25_component(
+                F.col("tf"), F.col("df"), F.col("dl"),
+                F.col("avgdl"), F.col("n_docs"),
+            ).alias("comp"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("comp").cast("double").alias("bm25"))
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    stats = d.select(F.size(F.split("text", " ")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return toks, stats
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH queries(query_id, term) AS (VALUES {_bm25_values_sql()}),
+    {_BM25_BASE_CTES},
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM toks
+        WHERE term IN (SELECT term FROM queries)
+        GROUP BY 1
+    ),
+    tf AS (
+        SELECT q.query_id, t.doc_id, t.term,
+               count(*) AS tf, max(t.dl) AS dl
+        FROM toks t JOIN queries q ON q.term = t.term
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum({_BM25_COMPONENT_SQL}) AS DOUBLE) AS bm25
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, bm25
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {BM25_TOPK}
+    """,
+    tags=("retrieval", "text"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed set of multi-term queries.
+
+    Scale: the query table (a handful of rows) broadcasts to the
+    postings stream; tf and df are the only shuffles (both keyed
+    aggregations over matched postings only — non-matching tokens are
+    dropped by the broadcast semi-join before any exchange).  Document
+    length rides inside the tf aggregate (max(dl)), so the corpus-sized
+    doc-length table is never joined; corpus stats (n_docs, avgdl) are
+    one broadcast row.  Per-term components quantize to DECIMAL(18,6)
+    before the per-doc sum — order-independent, exact, and inside
+    whole-stage codegen."""
+    toks, stats = _doc_tokens(spark, sf_dir)
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("int").alias("query_id"),
+                F.lit(t).alias("term"),
+            )
+            for qid, terms in BM25_QUERIES
+            for t in terms
+        ]
+    )
+    queries = spark.range(1).select(F.inline(qarr))
+    scored = _sparse_scored(toks, queries, stats)
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .select("query_id", "doc_id", "bm25")
+    )
+
+
+def _rrf_term(rnk: Column) -> Column:
+    """One list's RRF contribution: round(1/(RRF_K + rank), 6) as exact
+    decimal; NULL rank (doc absent from that list) contributes 0."""
+    return F.coalesce(
+        dec(F.round(F.lit(1.0) / (F.lit(RRF_K) + rnk), 6)),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+
+
+@register(
+    "similarity_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(emb[i] * emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm
+        FROM v
+    ),
+    dense_pairs AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(q.emb[i] * d.emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE) / (q.nrm * d.nrm) AS cosine
+        FROM n q JOIN n d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < {HYBRID_N_QUERIES}
+    ),
+    dense_k AS (
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, doc_id) AS rnk
+            FROM dense_pairs
+        ) WHERE rnk <= {RRF_LIST_K}
+    ),
+    {_BM25_BASE_CTES},
+    qterms AS (
+        SELECT DISTINCT doc_id AS query_id, term
+        FROM toks WHERE doc_id < {HYBRID_N_QUERIES}
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM toks
+        WHERE term IN (SELECT term FROM qterms)
+        GROUP BY 1
+    ),
+    tf AS (
+        SELECT q.query_id, t.doc_id, t.term,
+               count(*) AS tf, max(t.dl) AS dl
+        FROM toks t JOIN qterms q ON q.term = t.term
+        WHERE t.doc_id <> q.query_id
+        GROUP BY 1, 2, 3
+    ),
+    sparse_scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum({_BM25_COMPONENT_SQL}) AS DOUBLE) AS bm25
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY 1, 2
+    ),
+    sparse_k AS (
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM sparse_scored
+        ) WHERE rnk <= {RRF_LIST_K}
+    ),
+    fused AS (
+        SELECT coalesce(d.query_id, s.query_id) AS query_id,
+               coalesce(d.doc_id, s.doc_id) AS doc_id,
+               CAST(coalesce(CAST(round(1.0 / ({RRF_K} + d.rnk), 6)
+                                  AS DECIMAL(18,6)),
+                             CAST(0 AS DECIMAL(18,6)))
+                    + coalesce(CAST(round(1.0 / ({RRF_K} + s.rnk), 6)
+                                    AS DECIMAL(18,6)),
+                               CAST(0 AS DECIMAL(18,6)))
+                    AS DOUBLE) AS rrf
+        FROM dense_k d FULL OUTER JOIN sparse_k s
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused
+    )
+    WHERE rn <= {RRF_TOPK}
+    """,
+    tags=("retrieval", "similarity", "hybrid"),
+)
+def similarity_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval: for each of the first
+    HYBRID_N_QUERIES documents (used as more-like-this queries), take
+    the top-20 neighbors by embedding cosine (dense) and the top-20 by
+    BM25 over the query document's token set (sparse), then fuse the two
+    rankings with reciprocal-rank fusion rrf = sum 1/(60 + rank) and
+    return the fused top-10.  Documents and embeddings are row-aligned
+    by id in the synthetic corpus (doc_id == vec_id), which is what
+    makes the fusion join well-defined.
+
+    Scale: the dense list is the audited broadcast-query scan from
+    similarity_bruteforce_topk (swap in the IVF+PQ shortlist for
+    billion-row corpora — same list schema, the fusion does not care);
+    the sparse list is the BM25 postings pipeline above; the fusion
+    itself joins two K-rows-per-query frames — constant work per query,
+    independent of corpus size."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    with_norm = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
+    dense_q = with_norm.filter(F.col("vec_id") < HYBRID_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dense_pairs = (
+        with_norm.crossJoin(F.broadcast(dense_q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine_exact(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    dense_k = (
+        dense_pairs.withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= RRF_LIST_K)
+        .select("query_id", "doc_id", "rnk")
+    )
+
+    toks, stats = _doc_tokens(spark, sf_dir)
+    qterms = (
+        toks.filter(F.col("doc_id") < HYBRID_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    sparse_scored = _sparse_scored(toks, qterms, stats, exclude_self=True)
+    ws = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    sparse_k = (
+        sparse_scored.withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= RRF_LIST_K)
+        .select("query_id", "doc_id", "rnk")
+    )
+
+    fused = (
+        dense_k.alias("d")
+        .join(
+            sparse_k.alias("s"),
+            (F.col("s.query_id") == F.col("d.query_id"))
+            & (F.col("s.doc_id") == F.col("d.doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("d.query_id"), F.col("s.query_id")).alias("query_id"),
+            F.coalesce(F.col("d.doc_id"), F.col("s.doc_id")).alias("doc_id"),
+            (_rrf_term(F.col("d.rnk")) + _rrf_term(F.col("s.rnk")))
+            .cast("double")
+            .alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= RRF_TOPK)
+        .select("query_id", "doc_id", "rrf")
+    )

@@ -84,8 +84,10 @@ def _load() -> None:
         python_udfs,
         quality,
         relational,
+        retrieval,
         scalar,
         similarity,
+        tokenizer,
         sql_surface,
         subqueries,
         text,
@@ -177,7 +179,13 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "layout_hilbert_lineitem",
     "similarity_rerank_two_stage",
     "quality_ccnet_perplexity_buckets",
-    # -- re-confirmation: oldest remaining evidence (r02) --
+    "similarity_hybrid_rrf_fusion",
+    # -- entries below rank 50 still order ahead of unlisted queries but
+    # -- get no driver row this round; they head the r06 rotation
+    # -- together with the remaining r02-era evidence.
+    "text_bm25_topk",
+    "corpus_bpe_token_packing",
+    "layout_zorder3_lineitem",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

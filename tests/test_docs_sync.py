@@ -93,7 +93,9 @@ def test_driver_check_order_names_are_registered_and_fill_50():
     names = registry.DRIVER_CHECK_ORDER
     unknown = [n for n in names if n not in SPECS]
     assert not unknown, f"DRIVER_CHECK_ORDER has unregistered names: {unknown}"
-    assert len(names) == len(set(names)) == 50, len(names)
-    # And the iteration order actually front-loads them.
+    # The table may carry >50 names (the tail orders ahead of unlisted
+    # queries as the staged r06 rotation) but the 50-slot driver window
+    # must be exactly its head.
+    assert len(names) == len(set(names)) >= 50, len(names)
     first_50 = list(registry.queries())[:50]
-    assert first_50 == list(names)
+    assert first_50 == list(names)[:50]
