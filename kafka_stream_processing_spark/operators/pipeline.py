@@ -654,3 +654,250 @@ def sample_rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.count(F.lit(1)).over(wc)
         ).alias("selected"),
     )
+
+
+# -------------------------------------------------------- end-to-end audit
+
+#: Leading-words fingerprint width for the boilerplate-dedup stage and
+#: the contamination drop threshold (drop when shared shingles reach
+#: 1/CONTAM_DENOM of the doc's shingles — an integer cross-product, no
+#: float frontier).
+ATTRITION_PREFIX_W = 8
+ATTRITION_CONTAM_DENOM = 10
+
+
+def _attrition_oracle() -> str:
+    # corpus is imported before this module in registry._load, and
+    # tokenizer has no import edge back to pipeline, so both fragments
+    # resolve at registration time.
+    from kafka_stream_processing_spark.operators.corpus import _GRAMS_SQL
+    from kafka_stream_processing_spark.operators.tokenizer import (
+        _BPE_COUNT_SQL,
+    )
+
+    stage_sums = "\n".join(
+        f"""           CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {p}_docs,
+           CAST(sum(CASE WHEN {cond} THEN n_words ELSE 0 END) AS BIGINT) AS {p}_ws,
+           CAST(sum(CASE WHEN {cond} THEN n_bpe ELSE 0 END) AS BIGINT) AS {p}_bpe{"," if p != "c" else ""}"""
+        for cond, p in (
+            ("TRUE", "raw"), ("q_ok", "q"), ("d_ok", "d"), ("c_ok", "c"),
+        )
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                                  w -> length(w)), 'sum')
+                    AS BIGINT) AS total_chars,
+               list_max(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   w -> len(list_filter(string_split(text, ' '),
+                                        x -> x = w)))) AS n_top,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                   AS n_stop,
+               {_BPE_COUNT_SQL} AS n_bpe,
+               md5(array_to_string(string_split(text, ' ')[1:{ATTRITION_PREFIX_W}],
+                                   ' ')) AS fp
+        FROM documents
+        WHERE source <> 'src0'
+    ),
+    flags1 AS (
+        SELECT *, (n_words >= 30
+                   AND total_chars BETWEEN 3 * n_words AND 8 * n_words
+                   AND n_top * 8 <= n_words
+                   AND n_stop >= 1) AS q_ok
+        FROM base
+    ),
+    flags2 AS (
+        SELECT *, q_ok AND coalesce(
+                   sum(CASE WHEN q_ok THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY fp ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) = 0 AS d_ok
+        FROM flags1
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest({_GRAMS_SQL}) AS sh
+            FROM flags1 WHERE len(t) >= 3
+        )
+    ),
+    bench AS (
+        SELECT DISTINCT sh FROM (
+            SELECT unnest({_GRAMS_SQL}) AS sh
+            FROM (SELECT string_split(text, ' ') AS t FROM documents
+                  WHERE source = 'src0')
+            WHERE len(t) >= 3
+        )
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    shr AS (
+        SELECT s.doc_id, count(*) AS n_shared
+        FROM sh s JOIN bench b USING (sh) GROUP BY 1
+    ),
+    flags AS (
+        SELECT f.*,
+               f.d_ok AND (CASE WHEN tot.n_sh IS NULL THEN TRUE
+                                WHEN coalesce(shr.n_shared, 0)
+                                     * {ATTRITION_CONTAM_DENOM} >= tot.n_sh
+                                     THEN FALSE
+                                ELSE TRUE END) AS c_ok
+        FROM flags2 f
+        LEFT JOIN tot USING (doc_id)
+        LEFT JOIN shr USING (doc_id)
+    ),
+    wide AS (
+        SELECT
+{stage_sums}
+        FROM flags
+    )
+    SELECT 0 AS stage_id, 'raw' AS stage, raw_docs AS n_docs,
+           raw_ws AS n_ws_tokens, raw_bpe AS n_bpe_tokens FROM wide
+    UNION ALL
+    SELECT 1, 'quality', q_docs, q_ws, q_bpe FROM wide
+    UNION ALL
+    SELECT 2, 'dedup_prefix', d_docs, d_ws, d_bpe FROM wide
+    UNION ALL
+    SELECT 3, 'decontaminated', c_docs, c_ws, c_bpe FROM wide
+    """
+
+
+@register(
+    "pipeline_attrition_audit",
+    oracle=_attrition_oracle(),
+    tags=("pipeline", "audit"),
+)
+def pipeline_attrition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation attrition audit: the document pool (every
+    source except the benchmark source src0) flows through the
+    pipeline's stages — Gopher quality rules -> leading-8-words
+    fingerprint dedup (crawl boilerplate collapse, first-doc-wins by
+    doc_id) -> n-gram decontamination against src0 (drop when shared
+    shingles reach 10% of the doc's shingles) — and the audit reports,
+    per stage, surviving documents, whitespace tokens, and BPE tokens
+    (the trained merge-table tokenizer), i.e. exactly the numbers a
+    data-curation run reports to decide whether a 100 TB crawl still
+    yields the token budget after cleaning.
+
+    Scale: ONE pass computes every per-doc flag — quality rules are
+    narrow expressions; the dedup winner is a window over the 16-byte
+    fingerprint (bodies never shuffle; the md5 key does); the
+    contamination counts are the audited inverted-shingle join from
+    contamination_ngram_overlap joined back by doc_id.  The four stage
+    rows come from ONE aggregate over the flags (12 conditional sums)
+    exploded via inline — no re-scan per stage, no driver loop.
+    Survival is cumulative (a doc counts for stage k only if it passed
+    1..k-1), matching how a real pipeline's stages compose."""
+    from kafka_stream_processing_spark.operators.dedup import _word_shingles
+    from kafka_stream_processing_spark.operators.tokenizer import (
+        bpe_token_count,
+    )
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    pool = d.filter(F.col("source") != "src0").select(
+        "doc_id",
+        toks.alias("t"),
+        bpe_token_count("text").alias("n_bpe"),
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, ATTRITION_PREFIX_W)).cast(
+                "binary"
+            )
+        ).alias("fp"),
+        *gopher_feature_columns(),
+    )
+    q_ok = (
+        (F.col("n_words") >= 30)
+        & (F.col("total_chars") >= 3 * F.col("n_words"))
+        & (F.col("total_chars") <= 8 * F.col("n_words"))
+        & (F.col("n_top") * 8 <= F.col("n_words"))
+        & (F.col("n_stop") >= 1)
+    )
+    flags1 = pool.withColumn("q_ok", q_ok)
+    w_prev = (
+        Window.partitionBy("fp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flags2 = flags1.withColumn(
+        "d_ok",
+        F.col("q_ok")
+        & (
+            F.coalesce(
+                F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).over(w_prev),
+                F.lit(0),
+            )
+            == 0
+        ),
+    )
+    sh = flags1.select(
+        "doc_id", F.explode(_word_shingles(F.col("t"))).alias("sh")
+    )
+    bench = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode(_word_shingles(toks)).alias("sh"))
+        .distinct()
+    )
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shr = (
+        sh.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    flags = (
+        flags2.join(tot, "doc_id", "left")
+        .join(shr, "doc_id", "left")
+        .withColumn(
+            "c_ok",
+            F.col("d_ok")
+            & F.when(F.col("n_sh").isNull(), F.lit(True))
+            .when(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                * ATTRITION_CONTAM_DENOM
+                >= F.col("n_sh"),
+                F.lit(False),
+            )
+            .otherwise(F.lit(True)),
+        )
+    )
+
+    def _sums(flag: Column | None, prefix: str) -> list[Column]:
+        cond = F.lit(True) if flag is None else flag
+        return [
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}_docs"),
+            F.sum(F.when(cond, F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}_ws"),
+            F.sum(F.when(cond, F.col("n_bpe")).otherwise(0))
+            .cast("bigint")
+            .alias(f"{prefix}_bpe"),
+        ]
+
+    wide = flags.agg(
+        *_sums(None, "raw"),
+        *_sums(F.col("q_ok"), "q"),
+        *_sums(F.col("d_ok"), "d"),
+        *_sums(F.col("c_ok"), "c"),
+    )
+    stages = [(0, "raw", "raw"), (1, "quality", "q"),
+              (2, "dedup_prefix", "d"), (3, "decontaminated", "c")]
+    return wide.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sid).alias("stage_id"),
+                        F.lit(name).alias("stage"),
+                        F.col(f"{p}_docs").alias("n_docs"),
+                        F.col(f"{p}_ws").alias("n_ws_tokens"),
+                        F.col(f"{p}_bpe").alias("n_bpe_tokens"),
+                    )
+                    for sid, name, p in stages
+                ]
+            )
+        )
+    )

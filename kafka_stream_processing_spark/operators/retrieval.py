@@ -408,3 +408,4 @@ def similarity_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RRF_TOPK)
         .select("query_id", "doc_id", "rrf")
     )
+

@@ -462,10 +462,11 @@ HASHED_EMB_DIM = 16
 _IDF_SCALE = 1000
 
 
-@register(
-    "text_hashed_tfidf_embedding",
-    oracle=f"""
-    WITH toks AS (
+#: The toks->tf->df->weighted->vec CTE chain producing the sparse
+#: (doc_id, bucket, v) vectors — shared verbatim by this operator's
+#: oracle and the sparse-retrieval operator in retrieval.py, so the
+#: index build and the query path can never diverge.
+_HASHED_VEC_CTES = f"""toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents
     ),
@@ -486,7 +487,45 @@ _IDF_SCALE = 1000
     vec AS (
         SELECT doc_id, bucket, CAST(SUM(w) AS BIGINT) AS v
         FROM weighted GROUP BY 1, 2
+    )"""
+
+
+def hashed_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse hashed tf-idf vectors as (doc_id, bucket, v) rows —
+    the Spark twin of _HASHED_VEC_CTES, shared by the embedding
+    exporter below and the sparse-retrieval operator."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
     )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    weighted = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (hash64(F.col("tok")) % HASHED_EMB_DIM).alias("bucket"),
+            (
+                F.col("tf")
+                * F.expr(f"(n_docs * {_IDF_SCALE}) div df")
+            ).alias("w"),
+        )
+    )
+    return weighted.groupBy("doc_id", "bucket").agg(
+        F.sum("w").cast("bigint").alias("v")
+    )
+
+
+@register(
+    "text_hashed_tfidf_embedding",
+    oracle=f"""
+    WITH {_HASHED_VEC_CTES}
     SELECT doc_id,
            string_agg(CAST(v AS VARCHAR), ',' ORDER BY bucket) AS emb_csv,
            CAST(count(*) AS BIGINT) AS nnz,
@@ -515,34 +554,8 @@ def text_hashed_tfidf_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary is corpus-sized); bucket folding re-shuffles only
     (doc, bucket) pairs, at most 16 per doc.  No stage touches more
     than hashed-size keys; document bodies never shuffle."""
-    from kafka_stream_processing_spark.operators.dedup import hash64
-    from kafka_stream_processing_spark.sources.tables import fanout
-
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
-    weighted = (
-        tf.join(df, "tok")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            (hash64(F.col("tok")) % HASHED_EMB_DIM).alias("bucket"),
-            (
-                F.col("tf")
-                * F.expr(f"(n_docs * {_IDF_SCALE}) div df")
-            ).alias("w"),
-        )
-    )
-    vec = weighted.groupBy("doc_id", "bucket").agg(
-        F.sum("w").cast("bigint").alias("v")
-    )
     return (
-        vec.groupBy("doc_id")
+        hashed_vec(spark, sf_dir).groupBy("doc_id")
         .agg(
             F.array_join(
                 F.transform(
@@ -556,4 +569,72 @@ def text_hashed_tfidf_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("nnz"),
             F.sum("v").cast("bigint").alias("l1"),
         )
+    )
+
+
+#: Documents whose hashed tf-idf vectors serve as sparse queries, and
+#: the list depth of the sparse retriever.
+SPARSE_N_QUERIES = 3
+SPARSE_TOPK = 10
+
+
+@register(
+    "similarity_sparse_tfidf_topk",
+    oracle=f"""
+    WITH {_HASHED_VEC_CTES},
+    q AS (
+        SELECT doc_id AS query_id, bucket, v AS qv
+        FROM vec WHERE doc_id < {SPARSE_N_QUERIES}
+    ),
+    dots AS (
+        SELECT q.query_id, d.doc_id, CAST(sum(q.qv * d.v) AS BIGINT) AS dot
+        FROM vec d JOIN q ON q.bucket = d.bucket
+        WHERE d.doc_id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, dot
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, doc_id) AS rn
+        FROM dots
+    )
+    WHERE rn <= {SPARSE_TOPK}
+    """,
+    tags=("retrieval", "similarity", "sparse"),
+)
+def similarity_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector retrieval over the feature-hashed tf-idf index: the
+    first SPARSE_N_QUERIES documents' sparse vectors are the queries,
+    scored against every document by INTEGER dot product over the shared
+    hash buckets — exact on any engine (no float norm, no ulp frontier)
+    — ranked descending with doc_id tie-break.  The index side is the
+    same (doc_id, bucket, v) kernel text_hashed_tfidf_embedding exports
+    (one shared Spark function + one shared SQL fragment), so this IS
+    the query path of that operator's index build: embedding-free
+    retrieval for corpora with no neural encoder.
+
+    Scale: the query vectors (<= HASHED_EMB_DIM rows each) broadcast;
+    the index joins on bucket — at production dimensionality the bucket
+    join is the classic impact-ordered postings scan, and the rank cap
+    bounds per-query output.  No float appears anywhere: scores are
+    exact BIGINTs end to end."""
+    from pyspark.sql import Window
+
+    vec = hashed_vec(spark, sf_dir)
+    q = vec.filter(F.col("doc_id") < SPARSE_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        "bucket",
+        F.col("v").alias("qv"),
+    )
+    dots = (
+        vec.join(F.broadcast(q), "bucket")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qv") * F.col("v")).cast("bigint").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), "doc_id")
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SPARSE_TOPK)
+        .select("query_id", "doc_id", "dot")
     )

@@ -186,6 +186,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "text_bm25_topk",
     "corpus_bpe_token_packing",
     "layout_zorder3_lineitem",
+    "pipeline_attrition_audit",
+    "layout_hilbert3_lineitem",
+    "similarity_sparse_tfidf_topk",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

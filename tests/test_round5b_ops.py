@@ -217,3 +217,126 @@ def test_rrf_fusion_lifts_intersection(spark, sf_small):
     out = SPECS["similarity_hybrid_rrf_fusion"].fn(spark, sf_small).collect()
     single_max = round(1.0 / (RRF_K + 1), 6)
     assert any(r["rrf"] > single_max + 1e-12 for r in out)
+
+
+# ------------------------------------------------------------ Hilbert-3D
+
+
+def _py_hilbert3(x: int, y: int, z: int) -> int:
+    """Independent pure-Python Skilling transform (axes -> transposed ->
+    interleaved index), written directly from the published algorithm,
+    sharing no code with the operator."""
+    X = [x, y, z]
+    m = 1 << (ZORDER3_DIM_BITS - 1)
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(3):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, 3):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = m
+    while q > 1:
+        if X[2] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(3):
+        X[i] ^= t
+    d = 0
+    for j in range(ZORDER3_DIM_BITS):
+        d |= ((X[0] >> j) & 1) << (3 * j + 2)
+        d |= ((X[1] >> j) & 1) << (3 * j + 1)
+        d |= ((X[2] >> j) & 1) << (3 * j)
+    return d
+
+
+def test_hilbert3_python_bijection_and_adjacency():
+    """The 3-D curve is bijective over the full 64^3 grid AND every
+    consecutive pair of curve positions is a unit grid step — the
+    defining Hilbert property (Morton fails this everywhere a Z jump
+    occurs)."""
+    n = 1 << ZORDER3_DIM_BITS
+    inv = [None] * (n ** 3)
+    for x in range(n):
+        for y in range(n):
+            for z in range(n):
+                d = _py_hilbert3(x, y, z)
+                assert inv[d] is None
+                inv[d] = (x, y, z)
+    assert all(v is not None for v in inv)
+    for d in range(1, n ** 3):
+        a, b = inv[d - 1], inv[d]
+        assert sum(abs(p - q) for p, q in zip(a, b)) == 1, (d, a, b)
+
+
+def test_hilbert3_spark_matches_python(spark):
+    from kafka_stream_processing_spark.operators.layout import hilbert3_index
+
+    n = 1 << ZORDER3_DIM_BITS
+    triples = [(x, y, z) for x in (0, 1, 22, n - 1)
+               for y in (0, 9, n - 1) for z in (0, 37, n - 1)]
+    df = spark.createDataFrame(triples, "cx int, cy int, cz int")
+    for r in hilbert3_index(df).collect():
+        assert r["hd"] == _py_hilbert3(r["cx"], r["cy"], r["cz"])
+
+
+# ------------------------------------------------------- attrition audit
+
+
+def test_attrition_stages_monotone(spark, sf_small):
+    """Stage survival is cumulative: docs/tokens never increase down the
+    pipeline, the raw row equals the src0-excluded pool, and BPE tokens
+    dominate whitespace tokens at every stage."""
+    import duckdb
+
+    out = {r["stage_id"]: r
+           for r in SPECS["pipeline_attrition_audit"].fn(spark, sf_small).collect()}
+    assert [out[i]["stage"] for i in range(4)] == [
+        "raw", "quality", "dedup_prefix", "decontaminated"]
+    con = duckdb.connect()
+    pool = con.execute(
+        f"SELECT count(*) FROM '{sf_small}/documents.parquet' "
+        "WHERE source <> 'src0'"
+    ).fetchone()[0]
+    assert out[0]["n_docs"] == pool
+    for i in range(1, 4):
+        for c in ("n_docs", "n_ws_tokens", "n_bpe_tokens"):
+            assert out[i][c] <= out[i - 1][c]
+    for i in range(4):
+        assert out[i]["n_bpe_tokens"] >= out[i]["n_ws_tokens"]
+        assert out[i]["n_docs"] > 0  # pipeline never annihilates the pool
+
+
+# ------------------------------------------------- sparse tf-idf retrieval
+
+
+def test_sparse_tfidf_dot_is_integer_exact(spark, sf_small):
+    """Scores are exact BIGINT dot products recomputable from the
+    embedding operator's own CSV export — pins that the retrieval op
+    and the index op share one kernel."""
+    emb = {
+        r["doc_id"]: [int(x) for x in r["emb_csv"].split(",")]
+        for r in SPECS["text_hashed_tfidf_embedding"].fn(spark, sf_small).collect()
+    }
+    # emb_csv is nnz values ordered by bucket — rebuild the dense vector
+    # via the kernel instead (bucket ids matter); use hashed_vec directly.
+    from kafka_stream_processing_spark.operators.text import hashed_vec
+
+    dense: dict[int, dict[int, int]] = {}
+    for r in hashed_vec(spark, sf_small).collect():
+        dense.setdefault(r["doc_id"], {})[r["bucket"]] = r["v"]
+    out = SPECS["similarity_sparse_tfidf_topk"].fn(spark, sf_small).collect()
+    assert out
+    for r in out:
+        q, d = dense[r["query_id"]], dense[r["doc_id"]]
+        want = sum(v * d.get(b, 0) for b, v in q.items())
+        assert r["dot"] == want
+        assert r["dot"] > 0
+    assert set(emb) == set(dense)
