@@ -739,3 +739,115 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("max_run"),
         (F.max("run_len") + 2).cast("bigint").alias("max_run_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup audit
+# ---------------------------------------------------------------------------
+
+#: Boundary mask: a chunk ends after any word whose hash ≡ 0 (mod 8) —
+#: expected chunk length 8 words, the FastCDC/rsync divisor analogue.
+CDC_MASK = 8
+
+
+@register(
+    "dedup_cdc_chunk_audit",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, t[k + 1] AS w, k AS pos,
+               CASE WHEN CAST(('0x' || substr(md5(t[k + 1]), 1, 15))
+                         AS BIGINT) % {CDC_MASK} = 0 THEN 1 ELSE 0 END AS bf
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL unnest(generate_series(0, len(t) - 1)) u(k)
+    ),
+    numbered AS (
+        SELECT doc_id, w, pos,
+               coalesce(SUM(bf) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_id
+        FROM words
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+               count(*) AS cw
+        FROM numbered GROUP BY 1, 2
+    ),
+    freq AS (
+        SELECT h, count(*) AS k FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.k >= 2 THEN c.cw ELSE 0 END) AS BIGINT)
+               AS dup_chunk_words
+    FROM chunks c JOIN freq f ON c.h = f.h
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "cdc"),
+)
+def dedup_cdc_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS/FastCDC family):
+    chunk boundaries are declared by CONTENT — a chunk ends after any
+    word whose hash falls in 1/CDC_MASK of the hash space (expected
+    length 8 words) — so an insertion near a document's head shifts
+    every byte offset yet reproduces identical chunks one boundary
+    later, exactly the resynchronization property fixed-size chunking
+    (corpus_chunk_overlap) lacks.  Each chunk is keyed by md5 of its
+    joined words; a chunk instance counts as duplicated when its hash
+    occurs ≥2 times corpus-wide.  Output: per-doc chunk count, dup-chunk
+    count, and dup words — the storage-dedup savings estimate.
+
+    Scale: the boundary flag is a per-word expression (no state); chunk
+    assembly is ONE shuffle on doc_id (the window), and the follow-up
+    groupBy(doc_id, chunk_id) reuses that partitioning (doc_id clusters
+    every chunk's rows — no second exchange; pinned in
+    tests/test_round5c_ops.py); chunk-hash frequency is ONE shuffle of
+    md5 digests, never chunk bodies twice (the md5 collapses each chunk
+    to 32 bytes before the wide exchange).  At 100 TB the digest table
+    is the dedup index a storage tier would persist."""
+    from pyspark.sql import Window
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).withColumn(
+        "bf", (hash64(F.col("w")) % CDC_MASK == 0).cast("bigint")
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    numbered = words.withColumn(
+        "chunk_id", F.coalesce(F.sum("bf").over(wprev), F.lit(0))
+    )
+    chunks = numbered.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).cast("binary")
+        ).alias("h"),
+        F.count(F.lit(1)).alias("cw"),
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("k"))
+    dup = F.col("k") >= 2
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(dup.cast("bigint")).cast("bigint").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("cw")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chunk_words"),
+        )
+    )

@@ -901,3 +901,138 @@ def pipeline_attrition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: Hashed n-gram feature space for the DSIR importance estimator.  Small
+#: enough that the per-bucket log-ratio table is a broadcast literal at
+#: any corpus size (the paper uses 10k buckets at CommonCrawl scale —
+#: the table is O(buckets), never O(corpus)).
+DSIR_BUCKETS = 256
+
+#: Keep fraction: the top 1/5 of the raw pool by importance weight.
+DSIR_KEEP_DEN = 5
+
+_DSIR_HASH = "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source, {_DSIR_HASH} % {DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+    ),
+    buckets AS (
+        SELECT b,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+        FROM words GROUP BY b
+    ),
+    lr AS (
+        SELECT b,
+               CAST(round(
+                   ln((CAST(ct AS DOUBLE) + 1)
+                      / (SUM(ct) OVER () + {DSIR_BUCKETS}))
+                 - ln((CAST(cr AS DOUBLE) + 1)
+                      / (SUM(cr) OVER () + {DSIR_BUCKETS})), 6)
+               AS DECIMAL(18,6)) AS lr
+        FROM buckets
+    ),
+    scored AS (
+        SELECT w.doc_id, w.source,
+               count(*) AS n_words, SUM(lr.lr) AS lw
+        FROM words w JOIN lr ON w.b = lr.b
+        WHERE w.source <> 'src0'
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_words, lw,
+               row_number() OVER (ORDER BY lw DESC, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+           CAST(lw AS DOUBLE) AS log_weight,
+           rn * {DSIR_KEEP_DEN} <= n AS selected
+    FROM ranked
+    """,
+    tags=("pipeline", "sampling", "dsir"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): select raw-pool documents whose hashed-unigram distribution
+    looks like a trusted target domain.  The target here is the ``src0``
+    slice (the same held-out convention contamination_ngram_overlap
+    uses for its benchmark split); every other source is the raw pool.
+    Per feature bucket b the estimator is the smoothed bag-of-words
+    log-ratio  ln p_target(b) − ln p_raw(b)  (add-one over
+    DSIR_BUCKETS); a document's importance log-weight is the sum of its
+    word occurrences' bucket ratios, and the keep rule is the integer
+    rank frontier ``rn * 5 <= n`` (top 20% by weight, doc_id tiebreak)
+    — the deterministic analogue of the paper's Gumbel resample.
+    Cross-engine exactness: each bucket's ln() is rounded to 6 decimals
+    and cast DECIMAL(18,6) (the round-ln convention of
+    text_tfidf_top_terms), so the per-doc sum is exact decimal
+    arithmetic — order-independent and bit-identical on both engines.
+
+    Scale: two passes over the exploded words — ONE groupBy(bucket)
+    producing a 256-row table (map-side combine does nearly all of it),
+    then a broadcast join of that table back onto the words and ONE
+    groupBy(doc_id).  Bodies never shuffle; the only wide exchange is
+    doc_id-keyed partial sums.  The global rank window is the sf-scale
+    stand-in for what production does with a quantile cut: at 100 TB
+    you'd take the weight threshold from approx-quantiles instead of
+    row_number — the scored table layout is identical either way."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id", "source", (hash64(F.col("w")) % DSIR_BUCKETS).alias("b")
+    )
+    is_t = (F.col("source") == "src0").cast("bigint")
+    buckets = words.groupBy("b").agg(
+        F.sum(is_t).alias("ct"),
+        F.sum(1 - is_t).alias("cr"),
+    )
+    wall = Window.partitionBy()
+    lr = buckets.select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("ct").cast("double") + 1)
+                / (F.sum("ct").over(wall) + DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("cr").cast("double") + 1)
+                / (F.sum("cr").over(wall) + DSIR_BUCKETS)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    scored = (
+        words.filter(F.col("source") != "src0")
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("lr").alias("lw"),
+        )
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("lw"), "doc_id"))
+    n = F.count(F.lit(1)).over(wall)
+    return scored.select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("lw").cast("double").alias("log_weight"),
+        (rn * DSIR_KEEP_DEN <= n).alias("selected"),
+    )

@@ -1315,3 +1315,165 @@ def similarity_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adist").cast("double").alias("approx_dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization + Hamming shortlist + exact rerank
+# ---------------------------------------------------------------------------
+
+#: Stage-1 shortlist depth and final top-k of the binary-hamming ANN.
+HAMMING_SHORTLIST = 20
+HAMMING_TOPK = 5
+
+
+def _sign_pack(col: Column, half: int) -> Column:
+    """Pack dims [half*32, half*32+32) sign bits into one BIGINT
+    (bit i set iff the component is >= 0)."""
+    acc: Column = F.lit(0).cast("bigint")
+    for i in range(32):
+        acc = acc + F.when(
+            F.element_at(col, half * 32 + i + 1) >= 0,
+            F.lit(1 << i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def _sign_pack_sql(var: str, half: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {var}[{half * 32 + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "similarity_binary_hamming_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(emb[i] * emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm
+        FROM v
+    ),
+    packed AS (
+        SELECT vec_id, emb, nrm,
+               {_sign_pack_sql('emb', 0)} AS b0,
+               {_sign_pack_sql('emb', 1)} AS b1
+        FROM n
+    ),
+    ham AS (
+        SELECT q.vec_id AS query_id,
+               d.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.b0, d.b0))
+                    + bit_count(xor(q.b1, d.b1)) AS INT) AS hamming,
+               CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(q.emb[i] * d.emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE) / (q.nrm * d.nrm) AS cosine
+        FROM packed q
+        JOIN packed d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    short AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS hrn
+        FROM ham
+    )
+    SELECT query_id, neighbor_id, hamming, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM short WHERE hrn <= {HAMMING_SHORTLIST}
+    )
+    WHERE rn <= {HAMMING_TOPK}
+    """,
+    tags=("similarity", "ann", "binary"),
+)
+def similarity_binary_hamming_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-quantized ANN (sign hashing / binary codes, Charikar 2002
+    SRP at 1 bit per dimension): each 64-d float vector collapses to a
+    64-bit sign code packed into two BIGINT halves; stage 1 ranks the
+    corpus by Hamming distance ``bit_count(xor)`` — 16 bytes of integer
+    state per vector, a 16x memory cut over the floats and the cheapest
+    distance a CPU can evaluate — and keeps a 20-deep shortlist; stage 2
+    reranks only the survivors with the exact decimal cosine kernel
+    (shared with similarity_bruteforce_topk) and emits top-5.  This is
+    the third compression point in the engine's ANN family — float
+    (bruteforce) / 4-byte PQ codes (ADC) / 2-word binary codes (here) —
+    the standard memory-tier ladder of a production vector store.
+
+    Scale: packing is a zero-shuffle codegen expression; stage 1
+    broadcasts the 5 packed QUERY codes so the corpus floats never
+    shuffle and the scan is integer-only (the float columns aren't even
+    read until rerank — column pruning keeps them out of stage 1's
+    scan); stage 2 touches shortlist x 64 floats.  The cosine is
+    computed ONLY for shortlist survivors — at 100 TB that is the
+    entire point (recall floor vs exact ground truth pinned in
+    tests/test_round5c_ops.py)."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    packed = emb.select(
+        "vec_id",
+        _sign_pack(F.col("emb"), 0).alias("b0"),
+        _sign_pack(F.col("emb"), 1).alias("b1"),
+    )
+    q_codes = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    ham = (
+        packed.crossJoin(F.broadcast(q_codes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qb0").bitwiseXOR(F.col("b0")))
+                + F.bit_count(F.col("qb1").bitwiseXOR(F.col("b1")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    hw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    short = ham.withColumn("hrn", F.row_number().over(hw)).filter(
+        F.col("hrn") <= HAMMING_SHORTLIST
+    )
+    with_norm = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
+    q_vecs = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    reranked = (
+        short.join(
+            with_norm.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            cosine_exact(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HAMMING_TOPK)
+        .select("query_id", "neighbor_id", "hamming", "cosine")
+    )

@@ -153,3 +153,64 @@ def corpus_bpe_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ws").cast("bigint").alias("seq_ws_tokens"),
         )
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH counted AS (
+        SELECT lang,
+               {_BPE_COUNT_SQL} AS n_bpe,
+               len(string_split(text, ' ')) AS n_ws,
+               len(text) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS fertility,
+           CAST(SUM(n_bpe) * 100 AS DOUBLE) / SUM(n_chars)
+               AS bpe_per_100_chars
+    FROM counted
+    GROUP BY lang
+    """,
+    tags=("tokenizer", "quality"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: BPE tokens per whitespace word and per
+    100 characters, by language.  Fertility is THE go/no-go metric for a
+    tokenizer on a multilingual corpus — a vocabulary trained on one
+    language's pair statistics fragments the others (higher
+    tokens/word), which silently taxes their effective context length
+    and compute share; production pipelines gate tokenizer rollouts on
+    exactly this per-language table (e.g. the fertility comparisons in
+    the XLM-R and BLOOM tokenizer analyses).  Uses the TRAINED merge
+    table (corpus_bpe_token_packing's kernel, one source for both
+    engines), so the audit measures the very tokenizer the packer ships.
+    Ratios are one IEEE double division of identical integer sums —
+    bit-exact cross-engine.
+
+    Scale: the BPE count is the same zero-shuffle codegen expression
+    chain the packer uses; the audit aggregate is ONE groupBy(lang) over
+    integer partials (map-side combine leaves ~languages×partitions
+    rows), so the whole audit costs one corpus scan and a exchange of a
+    few dozen rows."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    counted = d.select(
+        "lang",
+        bpe_token_count("text").alias("n_bpe"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.length("text").alias("n_chars"),
+    )
+    return counted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("fertility"),
+        ((F.sum("n_bpe") * 100).cast("double") / F.sum("n_chars")).alias(
+            "bpe_per_100_chars"
+        ),
+    )
