@@ -189,6 +189,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "pipeline_attrition_audit",
     "layout_hilbert3_lineitem",
     "similarity_sparse_tfidf_topk",
+    "sample_dsir_importance",
+    "quality_unigram_lm_surprisal",
+    "tokenizer_fertility_by_lang",
+    "similarity_binary_hamming_topk",
+    "dedup_cdc_chunk_audit",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
