@@ -226,3 +226,105 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         docs=docs,
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (bounded-memory sketch + exact verify)
+# ---------------------------------------------------------------------------
+
+#: Misra-Gries sketch capacity / heavy-hitter denominator: the operator
+#: reports items with frequency > n/HH_K, and each partition's sketch
+#: holds at most HH_K counters.
+HH_K = 16
+
+#: Synthetic skew injection: the driver's events table is deliberately
+#: uniform (150 users x ~67 events — no natural heavy hitter), so the
+#: item column maps users < 36 onto three hot keys (~8% of traffic
+#: each, above the 1/16 threshold) and everyone else onto their unique
+#: event id (a singleton long tail ~9.7k items wide, far beyond the
+#: 16-counter sketch) — the same inject-then-exercise convention as the
+#: PII scrub, making the sketch path genuinely decrement-heavy rather
+#: than trivially complete.
+_HH_ITEM_SQL = (
+    "CASE WHEN user_id < 36 THEN 'hot_' || CAST(user_id % 3 AS VARCHAR) "
+    "ELSE 'cold_' || CAST(event_id AS VARCHAR) END"
+)
+
+
+def _mg_sketch_partition(batches):
+    """Per-partition Misra-Gries: at most HH_K counters survive; any
+    item with local frequency > local_n/HH_K is guaranteed a counter,
+    so the union over partitions is a superset of every GLOBAL
+    heavy hitter (pigeonhole over the partition sums)."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for item in pdf["item"]:
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < HH_K:
+                counters[item] = 1
+            else:
+                dead = [k for k, v in counters.items() if v == 1]
+                for k in counters:
+                    counters[k] -= 1
+                for k in dead:
+                    del counters[k]
+    if counters:
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+
+@register(
+    "sketch_heavy_hitters_mg",
+    oracle=f"""
+    WITH items AS (
+        SELECT {_HH_ITEM_SQL} AS item FROM events
+    )
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt
+    FROM items
+    GROUP BY item
+    HAVING count(*) * {HH_K} > (SELECT count(*) FROM items)
+    """,
+    tags=("sketch", "python", "heavy-hitters"),
+)
+def sketch_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a two-pass Misra-Gries sketch: pass 1 runs a
+    16-counter MG summary per partition inside ``mapInPandas`` (the
+    bounded-memory candidate generator a full groupBy cannot be at
+    stream/ingest scale — state is O(HH_K) per task no matter how many
+    distinct items flow through), pass 2 exactly counts ONLY the
+    surviving candidates and keeps items with cnt·K > n.  The MG
+    guarantee makes this exact: any item with global frequency > n/K
+    must exceed its local threshold in ≥1 partition (pigeonhole), so
+    the candidate union is a provable superset of the true heavy-hitter
+    set and the verified output equals the oracle's full groupBy —
+    approximation in the plumbing, exactness in the result.
+
+    Scale: pass 1 reads n rows and emits ≤ K rows per partition (the
+    wide exchange it replaces would carry every distinct item); the
+    collected candidate set (≤ K × partitions, a few KB) broadcasts
+    into pass 2's semi-filter, so the only aggregation shuffle carries
+    hot-item rows.  This is the engine's first first-class use of the
+    Arrow-batched Python path for an algorithm Column expressions
+    genuinely cannot express (data-dependent counter eviction).
+    Python-side cost is one dict op per row, Arrow-batched in and out."""
+    ev = fanout(table(spark, sf_dir, "events"))
+    item = F.when(
+        F.col("user_id") < 36,
+        F.concat(F.lit("hot_"), (F.col("user_id") % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+    items = ev.select(item.alias("item"))
+    candidates = [
+        r["item"]
+        for r in items.mapInPandas(
+            _mg_sketch_partition, "item string"
+        ).collect()
+    ]
+    n_total = items.count()
+    return (
+        items.filter(F.col("item").isin(candidates))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * HH_K > F.lit(n_total))
+    )

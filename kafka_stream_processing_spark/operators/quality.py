@@ -665,3 +665,142 @@ def quality_unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal"),
         )
     )
+
+
+#: Interpolation weight on the bigram term (Jelinek-Mercer smoothing);
+#: the unigram back-off carries the rest.  A literal so both engines
+#: fold the identical double.
+LM_LAMBDA = 0.7
+
+#: Beginning-of-document sentinel context ('<' never occurs in the
+#: corpus vocabulary, so it cannot collide with a real word).
+LM_BOS = "<s>"
+
+
+@register(
+    "quality_bigram_lm_interpolated",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, list_prepend('{LM_BOS}', string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, lang, t[k] AS w1, t[k + 1] AS w2
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) u(k)
+    ),
+    uni AS (
+        SELECT w2 AS w, count(*) AS c FROM bi GROUP BY w2
+    ),
+    cb AS (
+        SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT w1, SUM(c) AS c FROM cb GROUP BY w1
+    ),
+    lm AS (
+        SELECT cb.w1, cb.w2,
+               CAST(round(-ln(
+                   {LM_LAMBDA} * (CAST(cb.c AS DOUBLE) / ctx.c)
+                 + {1 - LM_LAMBDA} * (CAST(uni.c AS DOUBLE)
+                                      / (SELECT SUM(c) FROM uni))), 6)
+               AS DECIMAL(18,6)) AS surp
+        FROM cb
+        JOIN ctx ON cb.w1 = ctx.w1
+        JOIN uni ON cb.w2 = uni.w
+    ),
+    doc_bi AS (
+        SELECT doc_id, lang, w1, w2, count(*) AS k
+        FROM bi GROUP BY 1, 2, 3, 4
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.k * lm.surp) AS DOUBLE) / SUM(d.k)
+               AS mean_surprisal
+    FROM doc_bi d
+    JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+    GROUP BY 1, 2
+    """,
+    tags=("quality", "lm"),
+)
+def quality_bigram_lm_interpolated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interpolated bigram language model (Jelinek-Mercer smoothing):
+    p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N, trained on the corpus
+    and scoring every token in context — the first model in this engine
+    family that penalizes IMPROBABLE SEQUENCES of common words, not just
+    rare vocabulary (quality_unigram_lm_surprisal's blind spot; shuffled
+    boilerplate scores identically there, higher here).  A '<s>'
+    sentinel prepended per document gives the first token a real
+    conditioning context (its ctx count = the document count), so every
+    whitespace token is scored exactly once by one rule.  Cross-engine
+    exactness: both probability terms are IEEE double divisions of
+    identical integers, the λ-mix is two exact multiply-adds, and the
+    single ln rounds to 6 decimals into DECIMAL(18,6) — the engine's
+    round-ln convention — before the exact per-doc decimal sum.
+
+    Scale: training is two groupBys (bigram, unigram) with map-side
+    combine; the bigram table is O(distinct bigrams) — Heaps-law
+    sublinear but bigger than vocab, so the scoring join is a SHUFFLE
+    join on (w₁,w₂) by design (no forced broadcast; AQE picks broadcast
+    while it fits).  Scoring pre-aggregates per-doc DISTINCT bigrams so
+    join input is bounded by doc distinctness, then ONE groupBy(doc_id).
+    Bodies never shuffle."""
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    t = F.concat(F.array(F.lit(LM_BOS)), F.split("text", " "))
+    toks = d.select("doc_id", "lang", t.alias("t"))
+    pairs = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = pairs.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = cb.groupBy("w1").agg(F.sum("cb").alias("cc"))
+    n_total = F.sum("c").over(Window.partitionBy())
+    uni_p = uni.select(
+        "w", (F.col("c").cast("double") / n_total).alias("pu")
+    )
+    lm = (
+        cb.join(ctx, "w1")
+        .join(uni_p, F.col("w2") == F.col("w"))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    F.lit(LM_LAMBDA)
+                    * (F.col("cb").cast("double") / F.col("cc"))
+                    + F.lit(1 - LM_LAMBDA) * F.col("pu")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("surp"),
+        )
+    )
+    doc_bi = pairs.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        doc_bi.join(lm, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("k") * F.col("surp")).cast("double")
+                / F.sum("k")
+            ).alias("mean_surprisal"),
+        )
+    )

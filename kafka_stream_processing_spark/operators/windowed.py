@@ -634,3 +634,73 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+@register(
+    "window_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY 1
+    ),
+    cells AS (
+        SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
+               count(*) AS n_active
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cells.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS INT) AS day_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(sizes.cohort_size AS BIGINT) AS cohort_size,
+           CAST(n_active AS DOUBLE) / sizes.cohort_size AS retention
+    FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
+    """,
+    tags=("windowed", "analytics"),
+)
+def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the canonical product-analytics rollup:
+    users are cohorted by first-active day, and each (cohort, day-offset)
+    cell counts how many of that cohort came back N days later, with the
+    retention fraction against cohort size.  Day-0 cells are the cohort
+    sizes themselves (retention 1.0), an internal consistency the tests
+    pin.  The fraction is one IEEE double division of identical
+    integers — bit-exact cross-engine.
+
+    Scale: the distinct (user, day) activity set is the only large
+    intermediate — ONE shuffle on user_id serves both the per-user min
+    (cohort assignment) and the activity⋈cohort join (co-partitioned,
+    no second exchange of the big side); cells and sizes are
+    days×offsets-bounded aggregates.  At 100 TB the activity distinct
+    is the dominant cost and is exactly the pre-aggregated daily-active
+    table a warehouse materializes anyway."""
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

@@ -194,6 +194,12 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "tokenizer_fertility_by_lang",
     "similarity_binary_hamming_topk",
     "dedup_cdc_chunk_audit",
+    "quality_bigram_lm_interpolated",
+    "sketch_heavy_hitters_mg",
+    "stream_lm_surprisal_scores",
+    "graph_triangle_count",
+    "window_retention_cohorts",
+    "dedup_entity_resolution_parts",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
