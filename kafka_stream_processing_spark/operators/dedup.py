@@ -637,7 +637,18 @@ def dedup_fuzzy_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("p_brand") == F.col("brand_b"))
-            & (F.col("key_a") < F.col("key_b")),
+            & (F.col("key_a") < F.col("key_b"))
+            # Sound length prefilter: |len(a)-len(b)| <= d is necessary
+            # for edit distance <= d, and the length compare costs
+            # nothing next to the banded DP — results provably
+            # unchanged, so the oracle needs no mirror.  On this
+            # synthetic catalog it prunes only 3.3% (names are
+            # near-uniform length); on real name/address data the
+            # length histogram is wide and this is the standard first
+            # gate.
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(3)
+            ),
         )
         .withColumn(
             "edit_dist", F.levenshtein("name_a", "name_b", 3).cast("int")
@@ -849,5 +860,126 @@ def dedup_cdc_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(dup, F.col("cw")).otherwise(0))
             .cast("bigint")
             .alias("dup_chunk_words"),
+        )
+    )
+
+
+#: Containment keep frontier: |A∩B| / |A| >= 4/5 flags A as contained.
+CONTAINMENT_NUM = 4
+CONTAINMENT_DEN = 5
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS sh
+            FROM toks
+            WHERE len(t) >= 3
+        )
+    ),
+    filtered AS (
+        SELECT doc_id, sh FROM sh
+        QUALIFY count(*) OVER (PARTITION BY sh) <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM filtered GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM filtered a
+        JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT doc_a AS inner_doc, doc_b AS outer_doc, c FROM inter
+        UNION ALL
+        SELECT doc_b, doc_a, c FROM inter
+    )
+    SELECT d.inner_doc, d.outer_doc,
+           CAST(s.n AS BIGINT) AS n_inner,
+           CAST(d.c AS BIGINT) AS n_shared,
+           CAST(d.c AS DOUBLE) / s.n AS containment
+    FROM directed d JOIN sizes s ON s.doc_id = d.inner_doc
+    WHERE d.c * {CONTAINMENT_DEN} >= s.n * {CONTAINMENT_NUM}
+    """,
+    tags=("dedup",),
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| ≥ 0.8 flags
+    document A as (near-)contained in B — the quote-expansion /
+    boilerplate-wrapper case Jaccard structurally misses: a 50-shingle
+    doc fully embedded in a 500-shingle doc has containment 1.0 but
+    Jaccard 0.1, far under any symmetric threshold (Broder 1997 defines
+    both measures for exactly this reason; modern crawl dedup keeps the
+    SUPERSET and drops contained fragments).  Candidate pairs, the
+    stop-shingle df cap, and the intersect counts reuse
+    dedup_ngram_jaccard's inverted-index kernel verbatim; each unordered
+    pair then fans into its two directed containment rows, keeping the
+    expensive join symmetric (computed once) while the measure is not.
+    The keep frontier is the integer cross-product c·5 ≥ n·4 — bit-exact
+    on both engines.
+
+    Scale: identical to the Jaccard operator — Σ df² join cost bounded
+    by MAX_SHINGLE_DF, shuffles on shingle then (doc_a, doc_b); the
+    directed fan-out doubles only the (tiny) post-threshold row set's
+    input, not the join."""
+    from pyspark.sql import Window
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    sh = (
+        d.select("doc_id", F.explode(_word_shingles(toks)).alias("sh"))
+        .distinct()
+    )
+    filtered = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "sh")
+    )
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    directed = inter.select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        "c",
+    ).unionByName(
+        inter.select(
+            F.col("doc_b").alias("inner_doc"),
+            F.col("doc_a").alias("outer_doc"),
+            "c",
+        )
+    )
+    return (
+        directed.join(
+            sizes.withColumnRenamed("doc_id", "inner_doc"), "inner_doc"
+        )
+        .filter(
+            F.col("c") * CONTAINMENT_DEN >= F.col("n") * CONTAINMENT_NUM
+        )
+        .select(
+            "inner_doc",
+            "outer_doc",
+            F.col("n").cast("bigint").alias("n_inner"),
+            F.col("c").cast("bigint").alias("n_shared"),
+            (F.col("c").cast("double") / F.col("n")).alias("containment"),
         )
     )

@@ -676,18 +676,43 @@ LM_LAMBDA = 0.7
 #: corpus vocabulary, so it cannot collide with a real word).
 LM_BOS = "<s>"
 
-
-@register(
-    "quality_bigram_lm_interpolated",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, lang, list_prepend('{LM_BOS}', string_split(text, ' ')) AS t
+#: Shared oracle CTEs: BOS-prefixed bigram occurrences (doc_id, lang,
+#: w1, w2) — the single source both bigram LMs build on (interpolated
+#: and Kneser-Ney), mirrored Spark-side by ``_bos_bigrams``.
+_BI_CTES = f"""toks AS (
+        SELECT doc_id, lang,
+               list_prepend('{LM_BOS}', string_split(text, ' ')) AS t
         FROM documents
     ),
     bi AS (
         SELECT doc_id, lang, t[k] AS w1, t[k + 1] AS w2
         FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) u(k)
-    ),
+    )"""
+
+
+def _bos_bigrams(d: DataFrame) -> DataFrame:
+    """BOS-prefixed bigram occurrences (doc_id, lang, w1, w2) — the
+    Spark mirror of ``_BI_CTES``."""
+    t = F.concat(F.array(F.lit(LM_BOS)), F.split("text", " "))
+    toks = d.select("doc_id", "lang", t.alias("t"))
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+@register(
+    "quality_bigram_lm_interpolated",
+    oracle=f"""
+    WITH {_BI_CTES},
     uni AS (
         SELECT w2 AS w, count(*) AS c FROM bi GROUP BY w2
     ),
@@ -751,18 +776,7 @@ def quality_bigram_lm_interpolated(
     from kafka_stream_processing_spark.sources.tables import fanout
 
     d = fanout(table(spark, sf_dir, "documents"))
-    t = F.concat(F.array(F.lit(LM_BOS)), F.split("text", " "))
-    toks = d.select("doc_id", "lang", t.alias("t"))
-    pairs = toks.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.arrays_zip(
-                F.slice("t", 1, F.size("t") - 1).alias("w1"),
-                F.slice("t", 2, F.size("t") - 1).alias("w2"),
-            )
-        ).alias("p"),
-    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = _bos_bigrams(d)
     uni = pairs.groupBy(F.col("w2").alias("w")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -803,4 +817,211 @@ def quality_bigram_lm_interpolated(
                 / F.sum("k")
             ).alias("mean_surprisal"),
         )
+    )
+
+
+#: Absolute discount for Kneser-Ney smoothing — the textbook constant;
+#: a literal so both engines fold the identical double.
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "quality_bigram_kneser_ney",
+    oracle=f"""
+    WITH {_BI_CTES},
+    cb AS (
+        SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT w1, SUM(c) AS total, count(*) AS n1fwd FROM cb GROUP BY w1
+    ),
+    bwd AS (
+        SELECT w2, count(*) AS n1bwd FROM cb GROUP BY w2
+    ),
+    lm AS (
+        SELECT cb.w1, cb.w2,
+               CAST(round(-ln(
+                   ((CAST(cb.c AS DOUBLE) - {KN_DISCOUNT}) / ctx.total)
+                 + (({KN_DISCOUNT} * ctx.n1fwd) / ctx.total)
+                   * (CAST(bwd.n1bwd AS DOUBLE)
+                      / (SELECT count(*) FROM cb))), 6)
+               AS DECIMAL(18,6)) AS surp
+        FROM cb
+        JOIN ctx ON cb.w1 = ctx.w1
+        JOIN bwd ON cb.w2 = bwd.w2
+    ),
+    doc_bi AS (
+        SELECT doc_id, lang, w1, w2, count(*) AS k
+        FROM bi GROUP BY 1, 2, 3, 4
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.k * lm.surp) AS DOUBLE) / SUM(d.k)
+               AS mean_surprisal
+    FROM doc_bi d
+    JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+    GROUP BY 1, 2
+    """,
+    tags=("quality", "lm"),
+)
+def quality_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM (Kneser & Ney 1995; the Chen &
+    Goodman 1999 benchmark winner and KenLM's default — the smoothing a
+    CCNet-style quality filter actually runs): absolute discounting
+    p(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · p_cont(w₂),
+    where the CONTINUATION probability p_cont(w₂) = N₁₊(·w₂)/N₁₊(··)
+    counts how many distinct contexts a word follows rather than how
+    often it occurs — the insight that 'francisco' is frequent but only
+    ever follows 'san', so its back-off mass should be tiny.  That
+    continuation-vs-frequency distinction is exactly what the
+    interpolated model above cannot express; the three LMs (unigram /
+    JM-interpolated / KN) form the standard smoothing ladder.  Every
+    scored bigram is in-vocabulary (self-trained), so c ≥ 1 > D and the
+    max() truncation never binds.  Cross-engine exactness: the
+    probability is a fixed parenthesized chain of IEEE ops on
+    integer-derived doubles, then one round(ln, 6) into DECIMAL(18,6)
+    before the exact per-doc sum — the shared LM convention.
+
+    Scale: identical dataflow to the interpolated model (one BOS-bigram
+    kernel, _bos_bigrams, shared verbatim): two training groupBys plus
+    one distinct-context groupBy, a shuffle join of per-doc DISTINCT
+    bigrams against the O(distinct bigrams) LM table, ONE
+    groupBy(doc_id).  Bodies never shuffle."""
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    pairs = _bos_bigrams(d)
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cb.groupBy("w1").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    bwd = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bwd"))
+    from pyspark.sql import Window
+
+    n1tot = F.count(F.lit(1)).over(Window.partitionBy())
+    cb_tot = cb.withColumn("n1tot", n1tot)
+    lm = (
+        cb_tot.join(ctx, "w1")
+        .join(bwd, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    (
+                        (F.col("c").cast("double") - F.lit(KN_DISCOUNT))
+                        / F.col("total")
+                    )
+                    + (
+                        (F.lit(KN_DISCOUNT) * F.col("n1fwd"))
+                        / F.col("total")
+                    )
+                    * (F.col("n1bwd").cast("double") / F.col("n1tot"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("surp"),
+        )
+    )
+    doc_bi = pairs.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        doc_bi.join(lm, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("k") * F.col("surp")).cast("double")
+                / F.sum("k")
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+@register(
+    "quality_length_outlier_mad",
+    oracle="""
+    WITH x AS (
+        SELECT doc_id, n_chars FROM documents
+    ),
+    med AS (
+        SELECT n_chars AS m FROM (
+            SELECT n_chars, doc_id,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM x
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT x.doc_id, x.n_chars, abs(x.n_chars - med.m) AS ad, med.m
+        FROM x, med
+    ),
+    mad AS (
+        SELECT ad AS mad FROM (
+            SELECT ad, doc_id,
+                   row_number() OVER (ORDER BY ad, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.doc_id, dev.n_chars,
+           CAST(dev.m AS BIGINT) AS median_chars,
+           CAST(dev.ad AS BIGINT) AS abs_dev,
+           CAST(mad.mad AS BIGINT) AS mad,
+           dev.ad > 3 * mad.mad AS is_outlier
+    FROM dev, mad
+    """,
+    tags=("quality", "robust"),
+)
+def quality_length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier detection via median absolute deviation:
+    flag documents with |len − median| > 3·MAD — the robust-statistics
+    replacement for mean±3σ, whose mean and σ are themselves dragged by
+    the very outliers being hunted (one 10 GB concatenation artifact
+    shifts a mean; it cannot shift a median).  Both the median and the
+    MAD use the lower-median integer rank frontier rn = (n+1)÷2 with a
+    doc_id tiebreak — ENTIRELY integer arithmetic end to end, the only
+    operator family where even the threshold compare (ad > 3·mad) never
+    touches a float.
+
+    Scale: two rank frontiers = two total-order sorts of a NARROW
+    (value, id) projection — at 100 TB swap each for the approx-quantile
+    sketch (quality_approx_quantiles' machinery) and the operator shape
+    is unchanged; the per-doc flagging pass broadcasts the two scalars.
+    Spark side computes each median by sort + limit-style frontier
+    (window), then cross-joins the 1-row medians — broadcast by size."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    x = d.select("doc_id", "n_chars")
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.orderBy(col, "doc_id")
+        wn = Window.partitionBy()
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(F.col(col).alias("m"))
+        )
+
+    med = lower_median(x, "n_chars")
+    dev = x.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "n_chars",
+        F.col("m"),
+        F.abs(F.col("n_chars") - F.col("m")).alias("ad"),
+    )
+    mad = lower_median(
+        dev.select("doc_id", F.col("ad").alias("admc")), "admc"
+    ).select(F.col("m").alias("mad"))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "doc_id",
+        "n_chars",
+        F.col("m").cast("bigint").alias("median_chars"),
+        F.col("ad").cast("bigint").alias("abs_dev"),
+        F.col("mad").cast("bigint").alias("mad"),
+        (F.col("ad") > 3 * F.col("mad")).alias("is_outlier"),
     )

@@ -407,8 +407,8 @@ def ivf_cell(emb: Column) -> Column:
     return F.element_at(probe_cells(emb, 1), 1).cast("int")
 
 
-def _probe_cells_sql() -> str:
-    """The query's nprobe=2 cells: the argmin cell and the runner-up."""
+def _probe_cells_sql(nprobe: int = IVF_NPROBE) -> str:
+    """The query's first `nprobe` cells by ascending (score, index)."""
     scores = [_cell_score_sql(c) for c in IVF_CENTROIDS]
     arr = "[" + ", ".join(scores) + "]"
     # Plain list_sort: DuckDB (and Spark array_sort) order structs
@@ -416,7 +416,7 @@ def _probe_cells_sql() -> str:
     # the cell index as deterministic tie-break.
     return (
         f"list_slice(list_transform(list_sort(list_transform(range(1, 9), "
-        f"j -> {{'s': ({arr})[j], 'c': j - 1}})), x -> x.c), 1, {IVF_NPROBE})"
+        f"j -> {{'s': ({arr})[j], 'c': j - 1}})), x -> x.c), 1, {nprobe})"
     )
 
 
@@ -1476,4 +1476,202 @@ def similarity_binary_hamming_topk(
         reranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= HAMMING_TOPK)
         .select("query_id", "neighbor_id", "hamming", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation harness: recall-vs-nprobe sweep as a first-class query
+# ---------------------------------------------------------------------------
+
+RECALL_SWEEP_NPROBES = (1, 2, 4, 8)
+RECALL_TOPK = 10
+
+
+def _recall_branch_sql(nprobe: int) -> str:
+    return f"""
+    probes{nprobe} AS (
+        SELECT vec_id AS query_id,
+               unnest({_probe_cells_sql(nprobe)}) AS probe_cell
+        FROM assigned WHERE vec_id < {N_QUERIES}
+    ),
+    ranked{nprobe} AS (
+        SELECT p.query_id, d.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY cos.cosine DESC, d.vec_id) AS rn,
+               count(*) OVER (PARTITION BY p.query_id) AS n_candidates
+        FROM probes{nprobe} p
+        JOIN assigned d ON d.cell = p.probe_cell AND d.vec_id <> p.query_id
+        JOIN cospairs cos ON cos.query_id = p.query_id
+                         AND cos.neighbor_id = d.vec_id
+    ),
+    eval{nprobe} AS (
+        SELECT r.query_id,
+               {nprobe} AS nprobe,
+               max(r.n_candidates) AS n_candidates,
+               SUM(CASE WHEN r.rn <= {RECALL_TOPK}
+                         AND e.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS hits
+        FROM ranked{nprobe} r
+        LEFT JOIN exact e ON e.query_id = r.query_id
+                         AND e.neighbor_id = r.neighbor_id
+        GROUP BY r.query_id
+    )"""
+
+
+def _recall_sweep_full_oracle() -> str:
+    branches = ",".join(_recall_branch_sql(n) for n in RECALL_SWEEP_NPROBES)
+    unions = " UNION ALL ".join(
+        f"SELECT query_id, nprobe, n_candidates, hits FROM eval{n}"
+        for n in RECALL_SWEEP_NPROBES
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(emb[i] * emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm,
+               {_argmin_cell_sql()} AS cell
+        FROM v
+    ),
+    cospairs AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(q.emb[i] * d.emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE) / (q.nrm * d.nrm) AS cosine
+        FROM assigned q
+        JOIN assigned d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM cospairs
+        ) WHERE rn <= {RECALL_TOPK}
+    ),
+    {branches}
+    SELECT CAST(nprobe AS INT) AS nprobe, query_id,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(hits AS DOUBLE) / {RECALL_TOPK} AS recall
+    FROM ({unions})
+    """
+
+
+@register(
+    "similarity_ann_recall_eval",
+    oracle=_recall_sweep_full_oracle(),
+    tags=("similarity", "ann", "evaluation"),
+)
+def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness as a first-class query: sweep the IVF
+    probe budget (nprobe ∈ 1,2,4,8) and report per-query recall@10
+    against the exact cosine ground truth plus the candidate count the
+    budget paid for — the recall-vs-cost curve an index operator tunes
+    nprobe on BEFORE committing a 100 TB build (FAISS ships this sweep
+    as a CLI; here it is a query so the curve itself is oracle-checked
+    and can run on any corpus sample).  All stages share the engine's
+    exact decimal kernels, so recall numbers are bit-identical across
+    engines — an evaluation you can regression-pin, not eyeball.
+
+    Scale: ground truth is the brute-force pass (this op runs on an
+    evaluation SAMPLE, never the full corpus — the whole point of the
+    harness is to extrapolate before the big build); the four probe
+    branches share one cell-assigned table and differ only in the
+    probe-slice width.  n_candidates growth vs recall growth across the
+    sweep IS the operator's output."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    assigned = emb.select(
+        "vec_id",
+        "emb",
+        l2_norm_exact(F.col("emb")).alias("nrm"),
+        ivf_cell(F.col("emb")).alias("cell"),
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES)
+    cospairs = (
+        assigned.crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("emb").alias("q_emb"),
+                    F.col("nrm").alias("q_nrm"),
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_exact(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    exact = (
+        cospairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_TOPK)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_exact", F.lit(1))
+    )
+    evals = []
+    for nprobe in RECALL_SWEEP_NPROBES:
+        probes = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe_cells(F.col("emb"), nprobe)).alias("probe_cell"),
+        )
+        cands = (
+            probes.join(
+                assigned.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("cell").alias("probe_cell"),
+                ),
+                "probe_cell",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        ranked = cands.join(cospairs, ["query_id", "neighbor_id"]).select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("query_id"))
+            .alias("n_candidates"),
+        )
+        ev = (
+            ranked.join(exact, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.max("n_candidates").alias("n_candidates"),
+                F.sum(
+                    F.when(
+                        (F.col("rn") <= RECALL_TOPK)
+                        & F.col("in_exact").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("hits"),
+            )
+        )
+        evals.append(ev)
+    out = evals[0]
+    for ev in evals[1:]:
+        out = out.unionByName(ev)
+    return out.select(
+        "nprobe",
+        "query_id",
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        (F.col("hits").cast("double") / RECALL_TOPK).alias("recall"),
     )

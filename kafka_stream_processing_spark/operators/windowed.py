@@ -704,3 +704,82 @@ def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+#: Funnel pattern over per-user event-type sequences: view → click →
+#: purchase with no error in between.  Lazy quantifiers so both regex
+#: engines (Java util.regex / DuckDB RE2) walk the identical
+#: leftmost-first, non-overlapping scan.
+SEQ_PATTERN = "v[^e]*?c[^e]*?p"
+
+
+@register(
+    "window_sequence_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, '{SEQ_PATTERN}')) AS BIGINT)
+               AS n_funnels,
+           len(regexp_extract_all(seq, '{SEQ_PATTERN}')) > 0 AS has_funnel
+    FROM seqs
+    """,
+    tags=("windowed", "pattern"),
+)
+def window_sequence_pattern_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence pattern matching over per-user event histories — the
+    MATCH_RECOGNIZE emulation: each user's events collapse (in strict
+    (ts, event_id) order) to a one-char-per-event string, and the funnel
+    'view, then click, then purchase, with no error in between' becomes
+    the regex ``v[^e]*?c[^e]*?p`` counted non-overlapping.  This
+    subsumes the fixed three-step funnel join (funnel_click_to_purchase)
+    the way regex subsumes substring search: negations ("no error
+    between"), bounded gaps (``[^e]{{0,5}}?``), and alternations are
+    pattern edits, not new query plans.  Lazy quantifiers keep Java
+    regex and RE2 on the identical leftmost-first scan, so counts are
+    bit-equal cross-engine.
+
+    Scale: ONE shuffle on user_id builds the sequence strings (sorted
+    collect per key — bounded by events-per-user, the same state bound
+    every sessionization op carries), then the regex is a narrow
+    per-row scan.  At 100 TB this is the cheap alternative to
+    self-joining the event table once per funnel step — k-step patterns
+    cost the same single pass as 3-step ones."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    # Sorted-struct collect: array_sort on (ts, event_id) structs gives
+    # the deterministic per-user order without a window sort.
+    seqs = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq"),
+    )
+    n_funnels = F.size(F.regexp_extract_all("seq", F.lit(SEQ_PATTERN), 0))
+    return seqs.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        n_funnels.cast("bigint").alias("n_funnels"),
+        (n_funnels > 0).alias("has_funnel"),
+    )

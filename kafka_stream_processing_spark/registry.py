@@ -200,6 +200,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "graph_triangle_count",
     "window_retention_cohorts",
     "dedup_entity_resolution_parts",
+    "quality_bigram_kneser_ney",
+    "dedup_shingle_containment",
+    "quality_length_outlier_mad",
+    "window_sequence_pattern_match",
+    "similarity_ann_recall_eval",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
