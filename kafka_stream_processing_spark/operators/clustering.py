@@ -527,3 +527,127 @@ def dedup_entity_resolution_parts(
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         (F.col("p_partkey") == F.col("canonical_key")).alias("is_canonical"),
     )
+
+
+#: Greedy k-center (farthest-first) coreset size; seeded at vec_id 0 so
+#: the trajectory is deterministic.
+KCENTER_K = 8
+
+_D2_SQL = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST((v.emb[i] - c.emb[i]) * (v.emb[i] - c.emb[i]) "
+    "AS DECIMAL(18,12))), 'sum')"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled farthest-first traversal: cent_j = cent_{j-1} + the
+    point maximizing min-distance-to-centers (decimal-exact, vec_id
+    tiebreak); pick_j.md IS the coverage radius after cent_{j-1}."""
+    ctes = [
+        "cent0 AS (SELECT CAST(0 AS INT) AS k, vec_id, emb FROM v "
+        "WHERE vec_id = 0)"
+    ]
+    for j in range(1, KCENTER_K + 1):
+        ctes.append(f"""mind{j} AS (
+        SELECT v.vec_id, MIN({_D2_SQL}) AS md
+        FROM v, cent{j - 1} c GROUP BY v.vec_id
+    )""")
+        ctes.append(f"""pick{j} AS (
+        SELECT vec_id, md FROM mind{j}
+        QUALIFY row_number() OVER (ORDER BY md DESC, vec_id) = 1
+    )""")
+        if j < KCENTER_K:
+            ctes.append(f"""cent{j} AS (
+        SELECT * FROM cent{j - 1} UNION ALL
+        SELECT {j}, p.vec_id, v.emb FROM pick{j} p JOIN v USING (vec_id)
+    )""")
+    radii = " UNION ALL ".join(
+        f"SELECT c.k, c.vec_id AS center_id, CAST(p.md AS DOUBLE) AS radius2 "
+        f"FROM cent{KCENTER_K - 1} c, pick{k + 1} p WHERE c.k = {k}"
+        for k in range(KCENTER_K)
+    )
+    blocks = ",\n    ".join(ctes)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    {blocks}
+    {radii}
+    """
+
+
+@register(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("sampling", "embeddings", "iterative", "coreset"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-first traversal —
+    Gonzalez 1985; the active-learning / data-pruning selection of
+    Sener & Savarese 2018): starting from vec_id 0, repeatedly add the
+    point FARTHEST from the chosen set, emitting each center with the
+    coverage radius (max-min squared distance) the set achieves once
+    that center joins.  Farthest-first is the 2-approximation to the
+    optimal k-center cover, and the radius column is the quantity a
+    data-pruning run watches: where it plateaus, additional coreset
+    points stop buying coverage — diversity-based selection's
+    diminishing-returns curve, oracle-checked.  Exactness: distances
+    are the engine's decimal dist2 kernel, the argmax frontier is
+    (md DESC, vec_id) on DECIMAL — every engine walks the identical
+    trajectory.
+
+    Scale: K passes over the vector table, each a broadcast of ≤K
+    centers + a map-side min + ONE argmax reduction (the same
+    driver-loop shape as graph_pagerank_trade; K is single digits for
+    coreset seeding, and each pass's shuffle carries one row per
+    partition after partial max).  The K collected rows are scalars —
+    no data returns to the driver beyond the chosen ids."""
+    from kafka_stream_processing_spark.sources.tables import fanout, table
+
+    v = (
+        fanout(table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .persist()
+    )
+    seed = v.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("k"), "vec_id", F.col("emb").alias("cvec")
+    )
+    centers = [(0, seed)]
+    rows = []  # (k, center_id, radius2-after-k)
+    try:
+        for j in range(1, KCENTER_K + 1):
+            cents = centers[0][1]
+            for _, c in centers[1:]:
+                cents = cents.unionByName(c)
+            mind = (
+                v.crossJoin(F.broadcast(cents.select("cvec")))
+                .withColumn("d2", dist2_exact(F.col("emb"), F.col("cvec")))
+                .groupBy("vec_id")
+                .agg(F.min("d2").alias("md"))
+            )
+            pick = mind.orderBy(F.desc("md"), "vec_id").limit(1).collect()[0]
+            rows.append((j - 1, pick["md"]))
+            if j < KCENTER_K:
+                nxt = v.filter(F.col("vec_id") == pick["vec_id"]).select(
+                    F.lit(j).alias("k"),
+                    "vec_id",
+                    F.col("emb").alias("cvec"),
+                )
+                centers.append((j, nxt))
+        ids = [
+            c.select("k", "vec_id").collect()[0] for _, c in centers
+        ]
+    finally:
+        v.unpersist()
+    out = [
+        (int(ids[k]["k"]), int(ids[k]["vec_id"]), float(md))
+        for k, md in rows
+    ]
+    return spark.createDataFrame(
+        out, "k int, center_id bigint, radius2 double"
+    )

@@ -308,3 +308,84 @@ def connector_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("value")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "connector_schema_evolution_merge",
+    oracle="""
+    WITH v1 AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               NULL AS event_type, NULL AS value
+        FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM events WHERE event_id % 2 = 1
+    ),
+    merged AS (
+        SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+    )
+    SELECT count(*) AS n_rows,
+           count(event_type) AS type_nonnull,
+           count(value) AS value_nonnull,
+           CAST(count(*) - count(event_type) AS BIGINT) AS type_backfilled,
+           CAST(SUM(CAST(user_id AS DECIMAL(18,6))) AS DOUBLE) AS user_sum,
+           CAST(SUM(CASE WHEN event_type IS NOT NULL
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS value_sum
+    FROM merged
+    """,
+    tags=("connectors", "schema-evolution"),
+)
+def connector_schema_evolution_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution on read: a dataset written in two generations —
+    v1 files carry (event_id, user_id, ts_us), v2 files add
+    (event_type, value) — is read back as ONE table via
+    ``mergeSchema``, with v1 rows NULL-backfilled in the added columns.
+    This is the table-format capability every long-lived ingest needs
+    (a 100 TB dataset is never rewritten when a column lands); the
+    audit profiles exactly what evolution did: total rows, non-null
+    counts per added column, and backfill count, plus decimal-exact
+    sums proving no v2 value was lost or duplicated by the merge.
+    The oracle rebuilds the same two generations relationally
+    (UNION ALL BY NAME), so the parquet round-trip is checked against
+    engine-independent semantics.
+
+    Scale: mergeSchema unions FOOTERS, not data — the read remains one
+    pruned columnar scan; writers never rewrite old files.  The v1/v2
+    split keys on event_id parity so both generations exist at every
+    scale factor."""
+    base = _export_df(spark, sf_dir)
+    path = _tmp_dir(sf_dir, "schema_evolution")
+    v1 = base.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts_us"
+    )
+    v2 = base.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts_us", "event_type", "value"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("event_type").alias("type_nonnull"),
+        F.count("value").alias("value_nonnull"),
+        (F.count(F.lit(1)) - F.count("event_type"))
+        .cast("bigint")
+        .alias("type_backfilled"),
+        F.sum(F.col("user_id").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("user_sum"),
+        F.sum(
+            F.when(
+                F.col("event_type").isNotNull(),
+                F.col("value").cast("decimal(18,6)"),
+            )
+        )
+        .cast("double")
+        .alias("value_sum"),
+    )

@@ -205,6 +205,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_length_outlier_mad",
     "window_sequence_pattern_match",
     "similarity_ann_recall_eval",
+    "sample_kcenter_coreset",
+    "connector_schema_evolution_merge",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

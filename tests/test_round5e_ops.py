@@ -132,3 +132,72 @@ def test_entity_resolution_matches_union_find(spark, sf_small):
         assert got[k].is_canonical == (k == want[k])
     n_canonical = sum(1 for r in rows if r.is_canonical)
     assert n_canonical == len(sizes)
+
+
+# ------------------------------------------------- k-center coreset
+
+
+def test_kcenter_matches_numpy_greedy(spark, sf_small):
+    """Farthest-first trajectory recomputed in numpy float64 (the
+    decimal quantization's 1e-12 perturbations cannot flip argmax gaps
+    on this data) picks the identical center sequence, and radii are
+    non-increasing."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_small}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    chosen = [0]
+    md = ((x - x[0]) ** 2).sum(axis=1)
+    want_radii = []
+    for _ in range(7):
+        order = sorted(range(len(ids)), key=lambda i: (-md[i], ids[i]))
+        nxt = order[0]
+        want_radii.append(md[nxt])
+        chosen.append(nxt)
+        md = np.minimum(md, ((x - x[nxt]) ** 2).sum(axis=1))
+    want_radii.append(md.max())
+    got = sorted(
+        SPECS["sample_kcenter_coreset"].fn(spark, sf_small).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.center_id for r in got] == [ids[i] for i in chosen]
+    radii = [r.radius2 for r in got]
+    for a, b in zip(radii, radii[1:]):
+        assert b <= a + 1e-9
+    for r, w in zip(radii, want_radii):
+        assert abs(r - w) < 1e-6
+
+
+# -------------------------------------------- schema evolution merge
+
+
+def test_schema_evolution_is_real(spark, sf_small):
+    """The merged read must expose all five columns while a single v1
+    generation alone has only three — proving mergeSchema actually
+    unified two different on-disk schemas."""
+    import os
+
+    from kafka_stream_processing_spark.operators.connectors import _tmp_dir
+
+    SPECS["connector_schema_evolution_merge"].fn(spark, sf_small).collect()
+    path = _tmp_dir(sf_small, "schema_evolution")
+    v1_cols = set(spark.read.parquet(os.path.join(path, "gen=1")).columns)
+    merged_cols = set(
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(path, "gen=1"), os.path.join(path, "gen=2"))
+        .columns
+    )
+    assert v1_cols == {"event_id", "user_id", "ts_us"}
+    assert merged_cols == {"event_id", "user_id", "ts_us", "event_type", "value"}
+    con = duckdb.connect()
+    n_even = con.execute(
+        f"SELECT count(*) FROM '{sf_small}/events.parquet' "
+        "WHERE event_id % 2 = 0"
+    ).fetchone()[0]
+    row = SPECS["connector_schema_evolution_merge"].fn(spark, sf_small).collect()[0]
+    assert row.type_backfilled == n_even
