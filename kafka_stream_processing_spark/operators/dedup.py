@@ -983,3 +983,177 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c").cast("double") / F.col("n")).alias("containment"),
         )
     )
+
+
+@register(
+    "dedup_minhash_estimate_eval",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, sh AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS sh
+            FROM t
+            WHERE len(t) >= 3
+        )
+    ),
+    based AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+                          for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+        FROM based
+        GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, b.band AS band, b.mh0 AS mh0, b.mh1 AS mh1
+        FROM sig, unnest({_minhash_band_structs_sql()}) AS u(b)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+                   AND a.doc_id < b.doc_id
+    ),
+    matches AS (
+        SELECT c.doc_a, c.doc_b,
+               {" + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+                           for i in range(MINHASH_K))} AS n_match
+        FROM cands c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cands c
+        JOIN toks a ON a.doc_id = c.doc_a
+        JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+        GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.n_match AS INT) AS n_match,
+           CAST(m.n_match AS DOUBLE) / {MINHASH_K} AS jaccard_est,
+           CAST(coalesce(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard_exact,
+           abs(CAST(m.n_match AS DOUBLE) / {MINHASH_K}
+               - CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.i, 0))) AS abs_err
+    FROM matches m
+    LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    """,
+    tags=("dedup", "evaluation"),
+)
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash sketch — the second
+    evaluation harness (with similarity_ann_recall_eval): for every LSH
+    candidate pair, the signature-agreement estimate
+    n_match/K (Broder's unbiased Jaccard estimator) sits next to the
+    EXACT shingle Jaccard it approximates, with the absolute error — the
+    table that justifies K=16 (std err ≈ √(J(1−J)/K) ≈ 0.12 worst-case)
+    or argues for K=64 before a 100 TB dedup run commits to a
+    signature width.  Exact Jaccard here is UNCAPPED (no stop-shingle
+    df filter): the estimator approximates raw set resemblance, so the
+    referee must compute exactly that.
+
+    Scale: the exact-Jaccard side is the expensive referee — computed
+    ONLY for LSH candidates (the sketch's own output), never all pairs;
+    the signature-match count is K integer compares per candidate.
+    Run on a corpus sample, read the error distribution, then trust the
+    sketch at full scale — the same extrapolation contract as the ANN
+    recall sweep."""
+    from pyspark.sql import Window  # noqa: F401
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(_word_shingles(F.split("text", " "))).alias("tok")
+    )
+    based = toks.select(
+        "doc_id", (hash64(F.col("tok")) % MINHASH_P).alias("h")
+    )
+    sig = based.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"m{2 * band}").alias("mh0"),
+                F.col(f"m{2 * band + 1}").alias("mh1"),
+            )
+            for band in range(MINHASH_K // LSH_ROWS_PER_BAND)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.mh0", "b.mh1"
+    )
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh0") == F.col("b.mh0"))
+            & (F.col("a.mh1") == F.col("b.mh1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    matches = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    est = F.col("n_match").cast("double") / MINHASH_K
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    exact = i0.cast("double") / (F.col("na") + F.col("nb") - i0)
+    return (
+        matches.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_match").cast("int").alias("n_match"),
+            est.alias("jaccard_est"),
+            exact.alias("jaccard_exact"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

@@ -207,6 +207,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "similarity_ann_recall_eval",
     "sample_kcenter_coreset",
     "connector_schema_evolution_merge",
+    "dedup_minhash_estimate_eval",
+    "stream_cdc_last_writer_wins",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

@@ -620,3 +620,99 @@ def stream_lm_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         lm_row.unpersist()
     return spark.table(name)
+
+
+@register(
+    "stream_cdc_last_writer_wins",
+    oracle="""
+    SELECT user_id,
+           epoch_us(ts) AS last_ts_us,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("streaming", "cdc"),
+)
+def stream_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — streaming upserts merged into a versioned table with
+    last-writer-wins semantics: keyed updates (user_id, versioned by
+    (ts, event_id)) arrive over 3 micro-batches, and each batch MERGEs
+    into the materialized target inside ``foreachBatch`` — read current
+    generation, union the batch, keep the max-version row per key,
+    write generation N+1 — the poor-man's MERGE INTO every lakehouse
+    table format implements natively, expressed on plain parquet with
+    atomic generation swap (new dir per epoch, last one wins).  The
+    final table provably equals the batch answer "latest row per key
+    over all events", which is the oracle — so replaying the CDC stream
+    reconstructs the same table a batch rebuild would, the core CDC
+    correctness contract.
+
+    Scale: each merge touches the TARGET (keys-sized, not stream-sized)
+    plus one batch — at 100 TB the target is partitioned by key-hash
+    and the union+rank rewrites only matching partitions (what MERGE
+    INTO's file-pruning does); versions give time-travel and crash
+    atomicity for free (a failed epoch leaves the previous generation
+    intact).  Per-key state lives in the table, NOT the state store —
+    restarting the stream needs no state recovery, only the last
+    generation pointer."""
+    import os
+
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join("/tmp", "kssp_cdc_target", key)
+    os.makedirs(root, exist_ok=True)
+    # mkdtemp, not a session counter: the counter restarts per process,
+    # and a reused path would silently resume on a stale generation.
+    base = tempfile.mkdtemp(prefix="run_", dir=root)
+    state = {"gen": -1}
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts_us"), F.desc("last_event_id")
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        updates = batch_df.select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        if state["gen"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(base, f"gen={state['gen']}")
+            )
+            updates = prev.unionByName(updates)
+        merged = (
+            updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base, f"gen={state['gen'] + 1}")
+        )
+        state["gen"] += 1
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(os.path.join(base, f"gen={state['gen']}"))

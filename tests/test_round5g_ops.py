@@ -1,0 +1,100 @@
+"""Round-5g operator pins: MinHash estimator audit vs a pure-Python
+signature recomputation, and CDC last-writer-wins merge — stream==batch
+table equality plus proof the merge really ran once per micro-batch."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+
+from kafka_stream_processing_spark import registry
+from kafka_stream_processing_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_K,
+    MINHASH_P,
+)
+
+SPECS = registry.all_specs()
+
+
+# ---------------------------------------------------- MinHash estimate
+
+
+def _py_sig(shingles: set[str]) -> list[int]:
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+        for s in shingles
+    ]
+    return [
+        min((a * h + b) % MINHASH_P for h in hs)
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+
+
+def test_minhash_estimate_eval_matches_python(spark, sf_small):
+    """For every emitted candidate pair: the signature-match count, the
+    exact Jaccard, and the error recomputed from scratch in Python agree
+    with the operator; the estimator's mean absolute error stays inside
+    the K=16 theory envelope."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    sets = {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        sets[doc_id] = (
+            {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+            if len(t) >= 3
+            else set()
+        )
+    sigs = {d: _py_sig(s) for d, s in sets.items() if s}
+    rows = SPECS["dedup_minhash_estimate_eval"].fn(spark, sf_small).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        sa, sb = sigs[r.doc_a], sigs[r.doc_b]
+        want_match = sum(1 for x, y in zip(sa, sb) if x == y)
+        assert r.n_match == want_match, (r.doc_a, r.doc_b)
+        inter = len(sets[r.doc_a] & sets[r.doc_b])
+        union = len(sets[r.doc_a] | sets[r.doc_b])
+        assert abs(r.jaccard_exact - inter / union) < 1e-12
+        assert abs(r.jaccard_est - want_match / MINHASH_K) < 1e-12
+        assert abs(r.abs_err - abs(r.jaccard_est - r.jaccard_exact)) < 1e-12
+        errs.append(r.abs_err)
+    # Broder estimator std err <= sqrt(0.25/K) ~ 0.125; the LSH-candidate
+    # population is high-Jaccard so the mean error sits well under it.
+    assert sum(errs) / len(errs) < 0.2
+
+
+# ------------------------------------------------------------- CDC
+
+
+def test_cdc_equals_batch_rebuild_and_merged_per_batch(spark, sf_small):
+    key = sf_small.strip("/").replace("/", "_")
+    root = os.path.join("/tmp", "kssp_cdc_target", key)
+    before = set(os.listdir(root)) if os.path.isdir(root) else set()
+    got = {
+        r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
+        for r in SPECS["stream_cdc_last_writer_wins"].fn(spark, sf_small).collect()
+    }
+    after = set(os.listdir(root))
+    new_dirs = after - before
+    assert len(new_dirs) == 1
+    gens = sorted(os.listdir(os.path.join(root, new_dirs.pop())))
+    # one generation per micro-batch: the merge ran 3 times, not once.
+    assert gens == ["gen=0", "gen=1", "gen=2"]
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT user_id, epoch_us(ts), event_id, value "
+            f"FROM '{sf_small}/events.parquet' "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1"
+        ).fetchall()
+    }
+    assert got == want
