@@ -1675,3 +1675,147 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_candidates").cast("bigint").alias("n_candidates"),
         (F.col("hits").cast("double") / RECALL_TOPK).alias("recall"),
     )
+
+
+#: Shortlist depths swept by the rerank-depth evaluation.
+RERANK_DEPTHS = (5, 10, 20, 40)
+
+
+def _rerank_depth_oracle() -> str:
+    branches = []
+    for L in RERANK_DEPTHS:
+        branches.append(f"""
+    short{L} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adist, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {L}
+    ),
+    final{L} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT s.query_id, s.neighbor_id,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY e.ed, s.neighbor_id) AS rn
+            FROM short{L} s
+            JOIN ed e ON e.query_id = s.query_id
+                     AND e.neighbor_id = s.neighbor_id
+        ) WHERE rn <= {PQ_TOPK}
+    ),
+    eval{L} AS (
+        SELECT f.query_id, {L} AS depth,
+               SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS hits
+        FROM final{L} f
+        LEFT JOIN gt g ON g.query_id = f.query_id
+                      AND g.neighbor_id = f.neighbor_id
+        GROUP BY f.query_id
+    )""")
+        # fall through — branches joined below
+    unions = " UNION ALL ".join(
+        f"SELECT query_id, depth, hits FROM eval{L}" for L in RERANK_DEPTHS
+    )
+    return f"""
+    WITH {_IVFPQ_ADC_CTES},
+    ed AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               list_aggregate(
+                   list_transform(range(1, 65),
+                       i -> CAST((q.emb[i] - d.emb[i]) * (q.emb[i] - d.emb[i])
+                                 AS DECIMAL(18,12))),
+                   'sum') AS ed
+        FROM v q
+        JOIN v d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ed, neighbor_id) AS rn
+            FROM ed
+        ) WHERE rn <= {PQ_TOPK}
+    ),
+    {",".join(b for b in branches)}
+    SELECT CAST(depth AS INT) AS depth, query_id,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(hits AS DOUBLE) / {PQ_TOPK} AS recall
+    FROM ({unions})
+    """
+
+
+@register(
+    "similarity_rerank_depth_eval",
+    oracle=_rerank_depth_oracle(),
+    tags=("similarity", "rerank", "evaluation"),
+)
+def similarity_rerank_depth_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rerank-depth sweep — the two-stage retriever's tuning knob as an
+    oracle-checked curve (completing the evaluation-harness trio with
+    the nprobe sweep and the MinHash error audit): for shortlist depths
+    L ∈ 5..40, rerank the top-L ADC candidates exactly and measure
+    final recall@5 against exact-L2 ground truth.  Deep shortlists pay
+    L exact scorings per query for recall the 4-byte codes mis-ranked;
+    the curve plateaus at the CANDIDATE-SET recall (what nprobe=2 cell
+    pruning admits) — seeing both regimes on one curve is precisely how
+    production picks (nprobe, L) pairs before a 100 TB index build.
+    Stage 1 is shared verbatim with similarity_ivfpq_topk and the
+    two-stage reranker (_ivfpq_adc / _IVFPQ_ADC_CTES).
+
+    Scale: same contract as the other harnesses — ground truth is a
+    queries×sample exact pass (5×N, never N²); the four depth branches
+    share one ADC table and differ only in a rank cutoff."""
+    emb, adc = _ivfpq_adc(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    ed = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist2_exact(F.col("q_emb"), F.col("emb")).alias("ed"),
+        )
+    )
+    w_ed = Window.partitionBy("query_id").orderBy("ed", "neighbor_id")
+    gt = (
+        ed.withColumn("rn", F.row_number().over(w_ed))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_gt", F.lit(1))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    ranked_adc = adc.withColumn("arn", F.row_number().over(w_adc))
+    evals = []
+    for L in RERANK_DEPTHS:
+        short = ranked_adc.filter(F.col("arn") <= L).select(
+            "query_id", "neighbor_id"
+        )
+        final = (
+            short.join(ed, ["query_id", "neighbor_id"])
+            .withColumn("rn", F.row_number().over(w_ed))
+            .filter(F.col("rn") <= PQ_TOPK)
+            .select("query_id", "neighbor_id")
+        )
+        evals.append(
+            final.join(gt, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.lit(L).cast("int").alias("depth"),
+                F.sum(
+                    F.when(F.col("in_gt").isNotNull(), 1).otherwise(0)
+                ).alias("hits"),
+            )
+        )
+    out = evals[0]
+    for ev in evals[1:]:
+        out = out.unionByName(ev)
+    return out.select(
+        "depth",
+        "query_id",
+        F.col("hits").cast("bigint").alias("hits"),
+        (F.col("hits").cast("double") / PQ_TOPK).alias("recall"),
+    )

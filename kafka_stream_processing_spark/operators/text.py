@@ -135,9 +135,10 @@ def _lang_score_sql(markers: tuple[str, ...]) -> str:
     )
 
 
-@register(
-    "text_language_id",
-    oracle=f"""
+#: Full oracle SELECT for the language-ID query — module-level so the
+#: classifier-evaluation op below can embed it as a CTE and score the
+#: exact same predictions.
+_LANGID_ORACLE = f"""
     WITH scores AS (
         SELECT doc_id,
                lang,
@@ -157,7 +158,12 @@ def _lang_score_sql(markers: tuple[str, ...]) -> str:
                ELSE 'fr'
            END AS predicted_lang
     FROM scores
-    """,
+    """
+
+
+@register(
+    "text_language_id",
+    oracle=_LANGID_ORACLE,
     tags=("text",),
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,4 +643,78 @@ def similarity_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= SPARSE_TOPK)
         .select("query_id", "doc_id", "dot")
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH preds AS ({_LANGID_ORACLE}),
+    cells AS (
+        SELECT labeled_lang, predicted_lang, count(*) AS n
+        FROM preds GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT labeled_lang, SUM(n) AS support FROM cells GROUP BY 1
+    ),
+    col_tot AS (
+        SELECT predicted_lang, SUM(n) AS predicted_n FROM cells GROUP BY 1
+    )
+    SELECT c.labeled_lang, c.predicted_lang,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(r.support AS BIGINT) AS support,
+           CASE WHEN c.labeled_lang = c.predicted_lang
+                THEN CAST(c.n AS DOUBLE) / r.support END AS recall,
+           CASE WHEN c.labeled_lang = c.predicted_lang
+                THEN CAST(c.n AS DOUBLE) / p.predicted_n END AS precision
+    FROM cells c
+    JOIN row_tot r ON r.labeled_lang = c.labeled_lang
+    JOIN col_tot p ON p.predicted_lang = c.predicted_lang
+    """,
+    tags=("text", "evaluation"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation table for the language identifier: the
+    full confusion matrix (labeled × predicted counts) with per-class
+    precision and recall on the diagonal cells — the audit a curation
+    pipeline runs before trusting a language filter to partition a
+    multilingual crawl (misrouted documents silently poison per-language
+    fertility, LM training, and mixture weights downstream).  Notably
+    'zh' has no marker list, so it can NEVER appear on the diagonal —
+    its support scatters into the other classes' columns, and the table
+    turns that blind spot into visible rows (on this shared-vocabulary
+    synthetic corpus it mostly misroutes to 'en') rather than silent
+    attrition.  Predictions are the registered
+    text_language_id query verbatim (shared oracle CTE, shared Spark
+    callable), so this evaluates exactly what the filter ships.
+
+    Scale: one groupBy over (label, prediction) pairs — a cells table
+    bounded by languages², joined to its own margins; the expensive part
+    is the lang-ID scan itself, already measured linear."""
+    preds = text_language_id(spark, sf_dir)
+    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cells.groupBy("labeled_lang").agg(
+        F.sum("n").alias("support")
+    )
+    col_tot = cells.groupBy("predicted_lang").agg(
+        F.sum("n").alias("predicted_n")
+    )
+    diag = F.col("labeled_lang") == F.col("predicted_lang")
+    return (
+        cells.join(row_tot, "labeled_lang")
+        .join(col_tot, "predicted_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("support").cast("bigint").alias("support"),
+            F.when(diag, F.col("n").cast("double") / F.col("support")).alias(
+                "recall"
+            ),
+            F.when(
+                diag, F.col("n").cast("double") / F.col("predicted_n")
+            ).alias("precision"),
+        )
     )

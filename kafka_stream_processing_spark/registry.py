@@ -209,6 +209,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "connector_schema_evolution_merge",
     "dedup_minhash_estimate_eval",
     "stream_cdc_last_writer_wins",
+    "similarity_rerank_depth_eval",
+    "text_langid_confusion",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

@@ -98,3 +98,59 @@ def test_cdc_equals_batch_rebuild_and_merged_per_batch(spark, sf_small):
         ).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------ rerank depth sweep
+
+
+def test_rerank_depth_recall_monotone(spark, sf_small):
+    """Deeper shortlists can only help: per-query recall is
+    non-decreasing in depth, and every (depth, query) cell exists."""
+    from kafka_stream_processing_spark.operators.similarity import (
+        N_QUERIES,
+        RERANK_DEPTHS,
+    )
+
+    rows = SPECS["similarity_rerank_depth_eval"].fn(spark, sf_small).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.depth] = r.recall
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, curve in by_q.items():
+        assert set(curve) == set(RERANK_DEPTHS), q
+        vals = [curve[d] for d in sorted(curve)]
+        for a, b in zip(vals, vals[1:]):
+            assert b >= a - 1e-12, q
+
+
+# ---------------------------------------------- lang-id confusion
+
+
+def test_langid_confusion_margins_and_blind_spot(spark, sf_small):
+    """Cell counts reconcile with the corpus, diagonal carries
+    precision/recall in (0, 1], off-diagonal cells carry NULLs, and the
+    zh blind spot (no marker list) lands entirely in 'und'."""
+    import duckdb as _duck
+
+    rows = SPECS["text_langid_confusion"].fn(spark, sf_small).collect()
+    con = _duck.connect()
+    totals = dict(
+        con.execute(
+            f"SELECT lang, count(*) FROM '{sf_small}/documents.parquet' "
+            "GROUP BY lang"
+        ).fetchall()
+    )
+    assert sum(r.n for r in rows) == sum(totals.values())
+    for r in rows:
+        assert r.support == totals[r.labeled_lang]
+        if r.labeled_lang == r.predicted_lang:
+            assert r.recall is not None and 0 < r.recall <= 1
+            assert r.precision is not None and 0 < r.precision <= 1
+        else:
+            assert r.recall is None and r.precision is None
+    # the blind spot: no zh class exists, so zh never hits the diagonal
+    # (its support scatters into other classes' columns).
+    zh = [r for r in rows if r.labeled_lang == "zh"]
+    assert zh
+    assert all(r.predicted_lang != "zh" for r in zh)
+    assert sum(r.n for r in zh) == totals["zh"]
