@@ -1025,3 +1025,165 @@ def quality_length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").cast("bigint").alias("mad"),
         (F.col("ad") > 3 * F.col("mad")).alias("is_outlier"),
     )
+
+
+#: Shared oracle CTEs for the trigram KN model: double-BOS-prefixed
+#: trigram occurrences (doc_id, lang, w1, w2, w3).
+_TRI_CTES = f"""toks3 AS (
+        SELECT doc_id, lang,
+               list_prepend('{LM_BOS}',
+                   list_prepend('{LM_BOS}', string_split(text, ' '))) AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, lang, t[k] AS w1, t[k + 1] AS w2, t[k + 2] AS w3
+        FROM toks3, LATERAL unnest(generate_series(1, len(t) - 2)) u(k)
+    )"""
+
+
+@register(
+    "quality_trigram_kneser_ney",
+    oracle=f"""
+    WITH {_TRI_CTES},
+    c3 AS (
+        SELECT w1, w2, w3, count(*) AS c FROM tri GROUP BY 1, 2, 3
+    ),
+    ctx3 AS (
+        SELECT w1, w2, SUM(c) AS total, count(*) AS n1 FROM c3 GROUP BY 1, 2
+    ),
+    c2 AS (
+        SELECT w2, w3, count(DISTINCT w1) AS c FROM tri GROUP BY 1, 2
+    ),
+    ctx2 AS (
+        SELECT w2, SUM(c) AS total, count(*) AS n1 FROM c2 GROUP BY 1
+    ),
+    c1 AS (
+        SELECT w3, count(*) AS c FROM c2 GROUP BY w3
+    ),
+    lm AS (
+        SELECT c3.w1, c3.w2, c3.w3,
+               CAST(round(-ln(
+                   ((CAST(c3.c AS DOUBLE) - {KN_DISCOUNT}) / ctx3.total)
+                 + (({KN_DISCOUNT} * ctx3.n1) / ctx3.total)
+                   * (((CAST(c2.c AS DOUBLE) - {KN_DISCOUNT}) / ctx2.total)
+                      + (({KN_DISCOUNT} * ctx2.n1) / ctx2.total)
+                        * (CAST(c1.c AS DOUBLE)
+                           / (SELECT SUM(c) FROM c1)))), 6)
+               AS DECIMAL(18,6)) AS surp
+        FROM c3
+        JOIN ctx3 ON ctx3.w1 = c3.w1 AND ctx3.w2 = c3.w2
+        JOIN c2 ON c2.w2 = c3.w2 AND c2.w3 = c3.w3
+        JOIN ctx2 ON ctx2.w2 = c3.w2
+        JOIN c1 ON c1.w3 = c3.w3
+    ),
+    doc_tri AS (
+        SELECT doc_id, lang, w1, w2, w3, count(*) AS k
+        FROM tri GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.k * lm.surp) AS DOUBLE) / SUM(d.k)
+               AS mean_surprisal
+    FROM doc_tri d
+    JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2 AND d.w3 = lm.w3
+    GROUP BY 1, 2
+    """,
+    tags=("quality", "lm"),
+)
+def quality_trigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Kneser-Ney with the FULL two-level backoff recursion
+    (Chen & Goodman 1999's interpolated form — the construction KenLM
+    generalizes to 5-grams): the highest order discounts RAW trigram
+    counts; the bigram level below it is built from CONTINUATION counts
+    N₁₊(·w₂w₃) (how many distinct left-contexts attest the bigram —
+    counted from the order above, never raw bigrams); the unigram floor
+    counts distinct middles per word over that same table.  A double
+    '<s>' prefix gives every token a full trigram context, so each
+    whitespace token is scored exactly once by one three-level rule.
+    This completes the n-gram ladder (unigram MLE → JM bigram → KN
+    bigram → KN trigram) at the order where context genuinely
+    disambiguates ('hash join build' vs 'hash join probe').
+    Cross-engine exactness: a fixed parenthesized chain of IEEE ops on
+    integer-derived doubles, one round(ln, 6) into DECIMAL(18,6), exact
+    per-doc decimal sums — the LM family convention.
+
+    Scale: four training groupBys (trigram, trigram-context, bigram
+    continuation — a count-distinct over left contexts, plans as
+    partial-distinct then count — and its margins); the scoring join
+    keys on (w₁,w₂,w₃) against the O(distinct trigrams) LM table —
+    Heaps-sublinear but the largest table in the family, so the join is
+    a shuffle join by design with per-doc DISTINCT trigrams as probe
+    input.  Bodies never shuffle."""
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    t = F.concat(
+        F.array(F.lit(LM_BOS), F.lit(LM_BOS)), F.split("text", " ")
+    )
+    toks = d.select("doc_id", "lang", t.alias("t"))
+    n = F.size("t")
+    tri = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 2).alias("w1"),
+                F.slice("t", 2, n - 2).alias("w2"),
+                F.slice("t", 3, n - 2).alias("w3"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx3 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("t3"), F.count(F.lit(1)).alias("n13")
+    )
+    c2 = tri.groupBy("w2", "w3").agg(F.countDistinct("w1").alias("c2"))
+    ctx2 = c2.groupBy("w2").agg(
+        F.sum("c2").alias("t2"), F.count(F.lit(1)).alias("n12")
+    )
+    c1 = c2.groupBy("w3").agg(F.count(F.lit(1)).alias("c1"))
+    total1 = F.sum("c1").over(Window.partitionBy())
+    c1t = c1.withColumn("tot1", total1)
+    D = KN_DISCOUNT
+    p2 = (
+        (F.col("c2").cast("double") - F.lit(D)) / F.col("t2")
+    ) + ((F.lit(D) * F.col("n12")) / F.col("t2")) * (
+        F.col("c1").cast("double") / F.col("tot1")
+    )
+    p3 = (
+        (F.col("c3").cast("double") - F.lit(D)) / F.col("t3")
+    ) + ((F.lit(D) * F.col("n13")) / F.col("t3")) * p2
+    lm = (
+        c3.join(ctx3, ["w1", "w2"])
+        .join(c2, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(c1t, "w3")
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(-F.log(p3), 6).cast("decimal(18,6)").alias("surp"),
+        )
+    )
+    doc_tri = tri.groupBy("doc_id", "lang", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        doc_tri.join(lm, ["w1", "w2", "w3"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("k") * F.col("surp")).cast("double")
+                / F.sum("k")
+            ).alias("mean_surprisal"),
+        )
+    )

@@ -211,6 +211,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_cdc_last_writer_wins",
     "similarity_rerank_depth_eval",
     "text_langid_confusion",
+    "quality_trigram_kneser_ney",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

@@ -280,10 +280,14 @@ def test_cdc_plan_reuses_doc_partitioning(spark, sf_small):
     """The groupBy(doc_id, chunk_id) chunk assembly must reuse the
     window's hashpartitioning(doc_id) — an exchange keyed on
     (doc_id, chunk_id) in the plan means Spark re-shuffled chunk rows
-    it already had co-located."""
+    it already had co-located.  And the whole audit must assemble
+    chunks ONCE: a second parquet scan means the dup-frequency side
+    re-ran the explode→window→md5 pipeline (the pre-rewrite plan did
+    exactly that; measured 2.1x slower)."""
     rep = plan_report(SPECS["dedup_cdc_chunk_audit"].fn(spark, sf_small))
     assert "chunk_id" not in _exchange_keys(rep.text)
     assert "PythonUDF" not in rep.text
+    assert rep.text.count("Location: InMemoryFileIndex") == 1
 
 
 def _exchange_keys(plan_text: str) -> str:

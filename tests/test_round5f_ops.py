@@ -229,3 +229,56 @@ def test_recall_sweep_monotone_and_exhaustive_at_full_probe(spark, sf_small):
             assert c2 >= c1, q
             assert r2 >= r1 - 1e-12, q
         assert curve[8][1] == 1.0, q
+
+
+def test_trigram_kneser_ney_matches_numpy_reference(spark, sf_small):
+    """Full two-level KN recursion recomputed independently in Python
+    (raw trigram counts at the top, continuation counts below, double
+    BOS) matches the operator for every document."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    c3: dict[tuple[str, str, str], int] = {}
+    for _, text in docs:
+        t = [LM_BOS, LM_BOS] + text.split(" ")
+        for tri in zip(t, t[1:], t[2:]):
+            c3[tri] = c3.get(tri, 0) + 1
+    t3: dict[tuple[str, str], int] = {}
+    n13: dict[tuple[str, str], int] = {}
+    lefts: dict[tuple[str, str], set[str]] = {}
+    for (w1, w2, w3), c in c3.items():
+        t3[(w1, w2)] = t3.get((w1, w2), 0) + c
+        n13[(w1, w2)] = n13.get((w1, w2), 0) + 1
+        lefts.setdefault((w2, w3), set()).add(w1)
+    c2 = {bg: len(ws) for bg, ws in lefts.items()}
+    t2: dict[str, int] = {}
+    n12: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for (w2, w3), c in c2.items():
+        t2[w2] = t2.get(w2, 0) + c
+        n12[w2] = n12.get(w2, 0) + 1
+        c1[w3] = c1.get(w3, 0) + 1
+    tot1 = sum(c1.values())
+    D = KN_DISCOUNT
+
+    def surp(w1: str, w2: str, w3: str) -> float:
+        p2 = ((c2[(w2, w3)] - D) / t2[w2]) + ((D * n12[w2]) / t2[w2]) * (
+            c1[w3] / tot1
+        )
+        p3 = ((c3[(w1, w2, w3)] - D) / t3[(w1, w2)]) + (
+            (D * n13[(w1, w2)]) / t3[(w1, w2)]
+        ) * p2
+        return round(float(-np.log(p3)), 6)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_surprisal)
+        for r in SPECS["quality_trigram_kneser_ney"].fn(spark, sf_small).collect()
+    }
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        t = [LM_BOS, LM_BOS] + text.split(" ")
+        surps = [surp(*tri) for tri in zip(t, t[1:], t[2:])]
+        n_tokens, mean = got[doc_id]
+        assert n_tokens == len(surps)
+        assert abs(mean - sum(surps) / len(surps)) < 1e-9, doc_id
