@@ -1187,3 +1187,111 @@ def quality_trigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal"),
         )
     )
+
+
+#: Kolmogorov-Smirnov critical coefficient at alpha = 0.05.
+KS_C005 = 1.358
+
+
+@register(
+    "quality_ks_drift_nchars",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS is_b
+        FROM documents
+    ),
+    hist AS (
+        SELECT v, SUM(is_a) AS ca_i, SUM(is_b) AS cb_i
+        FROM rows_t GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(ca_i) OVER (ORDER BY v) AS ca,
+               SUM(cb_i) OVER (ORDER BY v) AS cb
+        FROM hist
+    ),
+    tot AS (
+        SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM rows_t
+    )
+    SELECT CAST(tot.na AS BIGINT) AS na,
+           CAST(tot.nb AS BIGINT) AS nb,
+           CAST(count(*) AS BIGINT) AS n_values,
+           max(abs(CAST(cum.ca AS DOUBLE) / tot.na
+                   - CAST(cum.cb AS DOUBLE) / tot.nb)) AS ks_d,
+           {KS_C005} * sqrt((CAST(tot.na AS DOUBLE) + tot.nb)
+                            / (CAST(tot.na AS DOUBLE) * tot.nb))
+               AS critical_005,
+           max(abs(CAST(cum.ca AS DOUBLE) / tot.na
+                   - CAST(cum.cb AS DOUBLE) / tot.nb))
+             > {KS_C005} * sqrt((CAST(tot.na AS DOUBLE) + tot.nb)
+                                / (CAST(tot.na AS DOUBLE) * tot.nb))
+               AS drift
+    FROM cum, tot
+    GROUP BY tot.na, tot.nb
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test — distribution
+    monitoring as a query: D = max |ECDF_A − ECDF_B| between the src0
+    slice and the rest of the corpus over document length, against the
+    α=0.05 critical value 1.358·√((n_a+n_b)/(n_a·n_b)).  This is the
+    statistical complement to quality_snapshot_diff's row-level
+    reconciliation: a backfill can leave every row hash intact while a
+    NEW ingest source silently shifts the length distribution — exactly
+    the change a KS gate on each arriving batch catches before the
+    corpus drifts.  Exactness: ECDFs are double divisions of exact
+    cumulative integers, max is order-free, and IEEE sqrt is correctly
+    rounded — every output bit matches cross-engine with zero
+    quantization needed.
+
+    Scale: the per-value histogram is ONE groupBy (map-side combined to
+    distinct-values rows); the cumulative window runs over the
+    VALUE-DISTINCT histogram, not raw rows — for a discrete or binned
+    column that is thousands of rows regardless of corpus size (bin
+    continuous columns first, the standard KS-on-big-data move)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    is_a = (F.col("source") == "src0").cast("bigint")
+    rows_t = d.select(
+        F.col("n_chars").alias("v"),
+        is_a.alias("is_a"),
+        (1 - is_a).alias("is_b"),
+    )
+    hist = rows_t.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"), F.sum("is_b").alias("cb_i")
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        F.sum("ca_i").over(w).alias("ca"),
+        F.sum("cb_i").over(w).alias("cb"),
+    )
+    tot = rows_t.agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    crit = F.lit(KS_C005) * F.sqrt(
+        (F.col("na").cast("double") + F.col("nb"))
+        / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return j.groupBy("na", "nb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.max(diff).alias("ks_d"),
+        F.any_value(crit).alias("critical_005"),
+        (F.max(diff) > F.any_value(crit)).alias("drift"),
+    ).select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        "n_values",
+        "ks_d",
+        "critical_005",
+        "drift",
+    )

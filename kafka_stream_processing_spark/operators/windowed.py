@@ -783,3 +783,119 @@ def window_sequence_pattern_match(
         n_funnels.cast("bigint").alias("n_funnels"),
         (n_funnels > 0).alias("has_funnel"),
     )
+
+
+@register(
+    "window_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS c_custkey,
+               datediff('day', max(o_orderdate),
+                        (SELECT max(o_orderdate) FROM orders))
+                   AS recency_days,
+               count(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY recency_days, c_custkey) AS rr,
+               row_number() OVER (ORDER BY frequency DESC, c_custkey) AS rf,
+               row_number() OVER (ORDER BY monetary DESC, c_custkey) AS rm,
+               count(*) OVER () AS n
+        FROM base
+    )
+    SELECT c_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           CAST(CASE WHEN rr * 3 <= n THEN 1
+                     WHEN rr * 3 <= 2 * n THEN 2 ELSE 3 END AS INT)
+               AS r_bucket,
+           CAST(CASE WHEN rf * 3 <= n THEN 1
+                     WHEN rf * 3 <= 2 * n THEN 2 ELSE 3 END AS INT)
+               AS f_bucket,
+           CAST(CASE WHEN rm * 3 <= n THEN 1
+                     WHEN rm * 3 <= 2 * n THEN 2 ELSE 3 END AS INT)
+               AS m_bucket,
+           'R' || CASE WHEN rr * 3 <= n THEN 1
+                       WHEN rr * 3 <= 2 * n THEN 2 ELSE 3 END
+               || 'F' || CASE WHEN rf * 3 <= n THEN 1
+                              WHEN rf * 3 <= 2 * n THEN 2 ELSE 3 END
+               || 'M' || CASE WHEN rm * 3 <= n THEN 1
+                              WHEN rm * 3 <= 2 * n THEN 2 ELSE 3 END
+               AS segment
+    FROM ranked
+    """,
+    tags=("windowed", "analytics"),
+)
+def window_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    rollup: per customer, Recency (days since last order, measured from
+    the dataset's own horizon), Frequency (order count), and Monetary
+    (exact-decimal spend), each cut into terciles by the engine's
+    integer rank frontier (rn·3 ≤ k·n with key tiebreak — the same
+    bit-exact bucketing quality_ccnet_perplexity_buckets uses, because
+    quantile thresholds on floats are not cross-engine stable), and the
+    composite 'R1F2M1'-style segment label.  Completes the
+    behavioral-analytics family (cohorts, funnels, sessions, patterns)
+    with the per-entity scoring the others aggregate over.
+
+    Scale: one groupBy(custkey) over orders builds the base (map-side
+    combined); three global rank windows over the CUSTOMER table (not
+    orders) — at 100 TB customers are ~5 orders of magnitude smaller
+    than facts, and each window is the same sort-once pattern
+    window_rank_distribution_funcs pins; at true billion-customer scale
+    swap frontiers for approx-quantile cuts, identical table shape."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "c_custkey",
+            F.datediff("h", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    rr = F.row_number().over(W.orderBy("recency_days", "c_custkey"))
+    rf = F.row_number().over(W.orderBy(F.desc("frequency"), "c_custkey"))
+    rm = F.row_number().over(W.orderBy(F.desc("monetary"), "c_custkey"))
+    n = F.count(F.lit(1)).over(W.partitionBy())
+    ranked = base.select(
+        "*", rr.alias("rr"), rf.alias("rf"), rm.alias("rm"), n.alias("n")
+    )
+
+    def bucket(rn: str) -> F.Column:
+        return (
+            F.when(F.col(rn) * 3 <= F.col("n"), 1)
+            .when(F.col(rn) * 3 <= 2 * F.col("n"), 2)
+            .otherwise(3)
+        )
+
+    return ranked.select(
+        "c_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        bucket("rr").cast("int").alias("r_bucket"),
+        bucket("rf").cast("int").alias("f_bucket"),
+        bucket("rm").cast("int").alias("m_bucket"),
+        F.concat(
+            F.lit("R"), bucket("rr").cast("string"),
+            F.lit("F"), bucket("rf").cast("string"),
+            F.lit("M"), bucket("rm").cast("string"),
+        ).alias("segment"),
+    )

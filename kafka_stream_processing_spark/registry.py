@@ -212,6 +212,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "similarity_rerank_depth_eval",
     "text_langid_confusion",
     "quality_trigram_kneser_ney",
+    "quality_ks_drift_nchars",
+    "window_rfm_segmentation",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

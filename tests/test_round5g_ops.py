@@ -154,3 +154,78 @@ def test_langid_confusion_margins_and_blind_spot(spark, sf_small):
     assert zh
     assert all(r.predicted_lang != "zh" for r in zh)
     assert sum(r.n for r in zh) == totals["zh"]
+
+
+# ------------------------------------------------------- KS drift
+
+
+def test_ks_drift_matches_python_ecdf(spark, sf_small):
+    import math
+
+    from kafka_stream_processing_spark.operators.quality import KS_C005
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT n_chars, source FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    a = sorted(v for v, s in rows if s == "src0")
+    b = sorted(v for v, s in rows if s != "src0")
+    values = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in values
+    )
+    crit = KS_C005 * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+    r = SPECS["quality_ks_drift_nchars"].fn(spark, sf_small).collect()[0]
+    assert r.na == len(a) and r.nb == len(b)
+    assert r.n_values == len(values)
+    assert abs(r.ks_d - d) < 1e-12
+    assert abs(r.critical_005 - crit) < 1e-12
+    assert r.drift == (d > crit)
+
+
+# --------------------------------------------------------------- RFM
+
+
+def test_rfm_segmentation_matches_python_frontiers(spark, sf_small):
+    con = duckdb.connect()
+    base = con.execute(
+        f"""
+        SELECT o_custkey,
+               datediff('day', max(o_orderdate),
+                        (SELECT max(o_orderdate)
+                         FROM '{sf_small}/orders.parquet')) AS r,
+               count(*) AS f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS m
+        FROM '{sf_small}/orders.parquet'
+        GROUP BY o_custkey
+        """
+    ).fetchall()
+    n = len(base)
+
+    def buckets(order):
+        ranks = {key: i + 1 for i, (key, *_rest) in enumerate(order)}
+        return {
+            k: (1 if rn * 3 <= n else 2 if rn * 3 <= 2 * n else 3)
+            for k, rn in ranks.items()
+        }
+
+    rb = buckets(sorted(((c, r) for c, r, f, m in base), key=lambda t: (t[1], t[0])))
+    fb = buckets(sorted(((c, f) for c, r, f, m in base), key=lambda t: (-t[1], t[0])))
+    mb = buckets(sorted(((c, m) for c, r, f, m in base), key=lambda t: (-t[1], t[0])))
+    got = {
+        r.c_custkey: r
+        for r in SPECS["window_rfm_segmentation"].fn(spark, sf_small).collect()
+    }
+    assert len(got) == n
+    for c, r, f, m in base:
+        row = got[c]
+        assert (row.r_bucket, row.f_bucket, row.m_bucket) == (rb[c], fb[c], mb[c]), c
+        assert row.segment == f"R{rb[c]}F{fb[c]}M{mb[c]}"
+        assert row.recency_days == r and row.frequency == f
+        assert abs(row.monetary - m) < 1e-9
