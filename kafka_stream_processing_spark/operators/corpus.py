@@ -706,3 +706,88 @@ def corpus_bloom_incremental_merge(
         "w_full",
         (F.col("w_merged") == F.col("w_full")).alias("consistent"),
     )
+
+
+@register(
+    "corpus_data_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               md5(text) AS h
+        FROM documents
+    ),
+    dup AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT h) AS n_unique_texts,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(min(n_words) AS BIGINT) AS min_words,
+               CAST(max(n_words) AS BIGINT) AS max_words
+        FROM base
+    )
+    SELECT n_docs, n_unique_texts,
+           CAST(n_docs - n_unique_texts AS BIGINT) AS n_exact_dups,
+           n_langs, n_sources, total_chars, total_words,
+           min_words, max_words,
+           CAST(total_words AS DOUBLE) / n_docs AS mean_words,
+           CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs AS dup_rate
+    FROM dup
+    """,
+    tags=("corpus", "reporting"),
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data card — the one-row summary a dataset release
+    ships (Gebru et al.'s datasheets, the model-card convention applied
+    to data): document/unique-text/language/source counts, exact-dup
+    rate (md5 identity, the same fingerprint dedup_exact_documents
+    keys on), size totals, and length extremes — every number
+    downstream docs quote, produced by the engine that produced the
+    corpus so the card can never drift from the data.
+
+    Scale: ONE scan with conditional/distinct aggregates (the
+    quality_profile_orders single-pass discipline); the distinct-text
+    count rides the same md5 fingerprint the dedup pass computes, so a
+    pipeline that already deduped gets the card for one narrow
+    aggregate over digests."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    base = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.min("n_words").cast("bigint").alias("min_words"),
+        F.max("n_words").cast("bigint").alias("max_words"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_unique_texts",
+        (F.col("n_docs") - F.col("n_unique_texts"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "total_words",
+        "min_words",
+        "max_words",
+        (F.col("total_words").cast("double") / F.col("n_docs")).alias(
+            "mean_words"
+        ),
+        (
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_rate"),
+    )

@@ -214,6 +214,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_trigram_kneser_ney",
     "quality_ks_drift_nchars",
     "window_rfm_segmentation",
+    "stream_ks_drift_monitor",
+    "corpus_data_card",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

@@ -716,3 +716,160 @@ def stream_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.read.parquet(os.path.join(base, f"gen={state['gen']}"))
+
+
+@register(
+    "stream_ks_drift_monitor",
+    oracle="""
+    WITH train AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, n_chars, rn // ((n + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    ref AS (SELECT n_chars AS v FROM documents WHERE source = 'src0'),
+    hist_a AS (SELECT v, count(*) AS ca_i FROM ref GROUP BY v),
+    hist_b AS (
+        SELECT chunk_id, n_chars AS v, count(*) AS cb_i
+        FROM chunked GROUP BY 1, 2
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id, count(*) AS nb
+        FROM chunked GROUP BY chunk_id
+    ),
+    allv AS (
+        SELECT DISTINCT chunk_id, v FROM (
+            SELECT chunk_id, v FROM hist_b
+            UNION ALL
+            SELECT k.chunk_id, a.v FROM keys k, hist_a a
+        )
+    ),
+    cum AS (
+        SELECT allv.chunk_id, allv.v,
+               SUM(coalesce(hb.cb_i, 0)) OVER (PARTITION BY allv.chunk_id
+                                               ORDER BY allv.v) AS cb,
+               SUM(coalesce(ha.ca_i, 0)) OVER (PARTITION BY allv.chunk_id
+                                               ORDER BY allv.v) AS ca
+        FROM allv
+        LEFT JOIN hist_b hb ON hb.chunk_id = allv.chunk_id AND hb.v = allv.v
+        LEFT JOIN hist_a ha ON ha.v = allv.v
+    )
+    SELECT k.chunk_min_doc_id,
+           CAST(k.nb AS BIGINT) AS n_batch,
+           max(abs(CAST(cum.ca AS DOUBLE) / (SELECT count(*) FROM ref)
+                   - CAST(cum.cb AS DOUBLE) / k.nb)) AS ks_d,
+           1.358 * sqrt((CAST((SELECT count(*) FROM ref) AS DOUBLE) + k.nb)
+                        / (CAST((SELECT count(*) FROM ref) AS DOUBLE) * k.nb))
+               AS critical_005,
+           max(abs(CAST(cum.ca AS DOUBLE) / (SELECT count(*) FROM ref)
+                   - CAST(cum.cb AS DOUBLE) / k.nb))
+             > 1.358 * sqrt((CAST((SELECT count(*) FROM ref) AS DOUBLE) + k.nb)
+                            / (CAST((SELECT count(*) FROM ref) AS DOUBLE) * k.nb))
+               AS drift
+    FROM cum JOIN keys k ON k.chunk_id = cum.chunk_id
+    GROUP BY k.chunk_min_doc_id, k.nb
+    """,
+    tags=("streaming", "drift", "quality"),
+)
+def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch distribution monitoring: every arriving ingest
+    batch is KS-tested against the trusted src0 reference distribution
+    (document length), emitting the batch's exact KS statistic, the
+    α=0.05 critical value, and the drift verdict — the streaming
+    deployment of quality_ks_drift_nchars, and what a production intake
+    actually runs: the reference histogram is computed ONCE before the
+    stream starts, each batch folds against it, and a drifting source
+    pages before it pollutes the corpus.  Batches are identified by
+    their min doc_id (a data-derived key), so the result is
+    batch-ORDER-independent and the oracle reconstructs the same three
+    ingest slices relationally.  Per-batch KS runs on the collected
+    VALUE-DISTINCT histograms in the driver (the bounded-state argument
+    of the MG sketch and the global-top-k fold: distinct lengths are
+    histogram-sized, never corpus-sized; Python doubles are the same
+    IEEE divisions both engines execute).
+
+    Scale: the stream side aggregates each batch to its length
+    histogram (map-side combine; one tiny collect per trigger); the
+    reference histogram is O(distinct values) broadcast state.  Nothing
+    in the streaming state store — a restart re-reads the reference,
+    verdicts are per-batch final."""
+    import bisect
+
+    from kafka_stream_processing_spark.sources.tables import table
+
+    KS_C = 1.358
+    ref_rows = sorted(
+        (r["n_chars"], r["c"])
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    ref_vals = [v for v, _ in ref_rows]
+    ref_cum = []
+    tot = 0
+    for _, c in ref_rows:
+        tot += c
+        ref_cum.append(tot)
+    na = tot
+
+    def ref_le(v: int) -> int:
+        i = bisect.bisect_right(ref_vals, v)
+        return ref_cum[i - 1] if i else 0
+
+    results: list[tuple[int, int, float, float, bool]] = []
+
+    def test_batch(batch_df, batch_id: int) -> None:
+        import math
+
+        hist = sorted(
+            (r["n_chars"], r["c"])
+            for r in batch_df.groupBy("n_chars")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        if not hist:
+            return
+        min_doc = batch_df.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+        nb = sum(c for _, c in hist)
+        vals = sorted(set(ref_vals) | {v for v, _ in hist})
+        bvals = [v for v, _ in hist]
+        bcum = []
+        t = 0
+        for _, c in hist:
+            t += c
+            bcum.append(t)
+
+        def b_le(v: int) -> int:
+            i = bisect.bisect_right(bvals, v)
+            return bcum[i - 1] if i else 0
+
+        d = max(abs(ref_le(v) / na - b_le(v) / nb) for v in vals)
+        crit = KS_C * math.sqrt((na + nb) / (na * nb))
+        results.append((min_doc, nb, d, crit, d > crit))
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(test_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.createDataFrame(
+        results,
+        "chunk_min_doc_id bigint, n_batch bigint, ks_d double, "
+        "critical_005 double, drift boolean",
+    )

@@ -229,3 +229,45 @@ def test_rfm_segmentation_matches_python_frontiers(spark, sf_small):
         assert row.segment == f"R{rb[c]}F{fb[c]}M{mb[c]}"
         assert row.recency_days == r and row.frequency == f
         assert abs(row.monetary - m) < 1e-9
+
+
+# ------------------------------------------------ streaming KS monitor
+
+
+def test_stream_ks_monitor_three_batches_consistent(spark, sf_small):
+    """One verdict row per micro-batch (keyed by data-derived min
+    doc_id, not batch order), batch sizes reconcile with the train
+    slice, and each row's drift flag is consistent with its own
+    statistic and critical value."""
+    rows = SPECS["stream_ks_drift_monitor"].fn(spark, sf_small).collect()
+    assert len(rows) == 3
+    assert len({r.chunk_min_doc_id for r in rows}) == 3
+    con = duckdb.connect()
+    n_train = con.execute(
+        f"SELECT count(*) FROM '{sf_small}/documents.parquet' "
+        "WHERE source <> 'src0'"
+    ).fetchone()[0]
+    assert sum(r.n_batch for r in rows) == n_train
+    for r in rows:
+        assert 0 <= r.ks_d <= 1
+        assert r.drift == (r.ks_d > r.critical_005)
+
+
+# --------------------------------------------------------- data card
+
+
+def test_data_card_reconciles_with_corpus(spark, sf_small):
+    r = SPECS["corpus_data_card"].fn(spark, sf_small).collect()[0]
+    con = duckdb.connect()
+    n_docs, n_uniq, total_words = con.execute(
+        "SELECT count(*), count(DISTINCT md5(text)), "
+        "SUM(len(string_split(text, ' '))) "
+        f"FROM '{sf_small}/documents.parquet'"
+    ).fetchone()
+    assert r.n_docs == n_docs
+    assert r.n_unique_texts == n_uniq
+    assert r.n_exact_dups == n_docs - n_uniq
+    assert r.total_words == total_words
+    assert r.n_langs == 5
+    assert abs(r.mean_words - total_words / n_docs) < 1e-12
+    assert 0 <= r.dup_rate < 1
