@@ -1295,3 +1295,109 @@ def quality_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "critical_005",
         "drift",
     )
+
+
+#: Upper-tail chi-squared critical values at alpha = 0.05 by degrees of
+#: freedom (literals, so both engines compare against identical doubles).
+CHI2_CRIT_005 = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+                 6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919}
+
+_CHI2_CRIT_SQL = "CASE " + " ".join(
+    f"WHEN dof = {k} THEN {v}" for k, v in CHI2_CRIT_005.items()
+) + " END"
+
+
+@register(
+    "quality_chi2_categorical_drift",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT lang AS cat,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ),
+    cells AS (
+        SELECT cat,
+               SUM(is_a) AS oa,
+               SUM(1 - is_a) AS ob
+        FROM rows_t GROUP BY cat
+    ),
+    tot AS (
+        SELECT SUM(oa) AS na, SUM(ob) AS nb, count(*) AS k FROM cells
+    ),
+    terms AS (
+        SELECT c.cat,
+               CAST(c.oa AS DOUBLE) AS oa, CAST(c.ob AS DOUBLE) AS ob,
+               (CAST(c.oa + c.ob AS DOUBLE) * t.na) / (t.na + t.nb) AS ea,
+               (CAST(c.oa + c.ob AS DOUBLE) * t.nb) / (t.na + t.nb) AS eb
+        FROM cells c, tot t
+    ),
+    stat AS (
+        SELECT SUM(CAST((oa - ea) * (oa - ea) / ea
+                        + (ob - eb) * (ob - eb) / eb
+                        AS DECIMAL(18,12))) AS chi2,
+               count(*) - 1 AS dof
+        FROM terms
+    )
+    SELECT CAST(dof AS INT) AS dof,
+           CAST(chi2 AS DOUBLE) AS chi2,
+           {_CHI2_CRIT_SQL} AS critical_005,
+           CAST(chi2 AS DOUBLE) > {_CHI2_CRIT_SQL} AS drift
+    FROM stat
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_chi2_categorical_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-squared homogeneity test — the CATEGORICAL drift gate pairing
+    the KS test's continuous one: does the language distribution of the
+    src0 slice match the rest of the corpus?  χ² = Σ (O−E)²/E over the
+    2×k contingency table with expected counts from pooled marginals,
+    compared to the α=0.05 critical value for k−1 degrees of freedom
+    (a literal table — the incomplete-gamma p-value is libm-dependent,
+    the decision threshold is not).  Per-cell terms are quantized to
+    DECIMAL(18,12) before the sum so the statistic is order-independent
+    and bit-identical cross-engine.
+
+    Scale: one groupBy(category) with map-side combine → a k-row cell
+    table; everything after runs on k rows.  This is the gate for
+    source/language/format mix shift — the drifts a KS on a single
+    numeric column cannot see."""
+    d = table(spark, sf_dir, "documents")
+    is_a = (F.col("source") == "src0").cast("bigint")
+    cells = d.select(F.col("lang").alias("cat"), is_a.alias("is_a")).groupBy(
+        "cat"
+    ).agg(
+        F.sum("is_a").alias("oa"),
+        F.sum(1 - F.col("is_a")).alias("ob"),
+    )
+    tot = cells.agg(
+        F.sum("oa").alias("na"),
+        F.sum("ob").alias("nb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    t = cells.crossJoin(F.broadcast(tot))
+    ea = ((F.col("oa") + F.col("ob")).cast("double") * F.col("na")) / (
+        F.col("na") + F.col("nb")
+    )
+    eb = ((F.col("oa") + F.col("ob")).cast("double") * F.col("nb")) / (
+        F.col("na") + F.col("nb")
+    )
+    oa = F.col("oa").cast("double")
+    ob = F.col("ob").cast("double")
+    term = (
+        (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+    ).cast("decimal(18,12)")
+    stat = t.agg(
+        F.sum(term).alias("chi2"),
+        (F.count(F.lit(1)) - 1).alias("dof"),
+    )
+    crit = F.lit(None).cast("double")
+    for k, v in CHI2_CRIT_005.items():
+        crit = F.when(F.col("dof") == k, F.lit(v)).otherwise(crit)
+    return stat.select(
+        F.col("dof").cast("int").alias("dof"),
+        F.col("chi2").cast("double").alias("chi2"),
+        crit.alias("critical_005"),
+        (F.col("chi2").cast("double") > crit).alias("drift"),
+    )

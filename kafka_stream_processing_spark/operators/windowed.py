@@ -754,7 +754,6 @@ def window_sequence_pattern_match(
     per-row scan.  At 100 TB this is the cheap alternative to
     self-joining the event table once per funnel step — k-step patterns
     cost the same single pass as 3-step ones."""
-    from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events")
     # Sorted-struct collect: array_sort on (ts, event_id) structs gives

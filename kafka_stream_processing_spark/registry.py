@@ -216,6 +216,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_rfm_segmentation",
     "stream_ks_drift_monitor",
     "corpus_data_card",
+    "quality_chi2_categorical_drift",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

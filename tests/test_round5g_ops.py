@@ -271,3 +271,30 @@ def test_data_card_reconciles_with_corpus(spark, sf_small):
     assert r.n_langs == 5
     assert abs(r.mean_words - total_words / n_docs) < 1e-12
     assert 0 <= r.dup_rate < 1
+
+
+# ----------------------------------------------------- chi2 drift
+
+
+def test_chi2_drift_matches_python(spark, sf_small):
+    from kafka_stream_processing_spark.operators.quality import CHI2_CRIT_005
+
+    con = duckdb.connect()
+    cells = con.execute(
+        "SELECT lang, SUM(CASE WHEN source='src0' THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN source='src0' THEN 0 ELSE 1 END) "
+        f"FROM '{sf_small}/documents.parquet' GROUP BY lang"
+    ).fetchall()
+    na = sum(r[1] for r in cells)
+    nb = sum(r[2] for r in cells)
+    chi2 = 0.0
+    for _, oa, ob in cells:
+        ea = (oa + ob) * na / (na + nb)
+        eb = (oa + ob) * nb / (na + nb)
+        chi2 += round((oa - ea) ** 2 / ea + (ob - eb) ** 2 / eb, 12)
+    dof = len(cells) - 1
+    r = SPECS["quality_chi2_categorical_drift"].fn(spark, sf_small).collect()[0]
+    assert r.dof == dof
+    assert abs(r.chi2 - chi2) < 1e-9
+    assert r.critical_005 == CHI2_CRIT_005[dof]
+    assert r.drift == (r.chi2 > r.critical_005)
