@@ -718,3 +718,95 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+#: Number of corpus-prefix checkpoints for the vocabulary-growth curve.
+HEAPS_DECILES = 10
+
+
+@register(
+    "text_vocab_growth_heaps",
+    oracle=f"""
+    WITH ranked_docs AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY doc_id) AS dr,
+               count(*) OVER () AS n_docs
+        FROM documents
+    ),
+    deciled AS (
+        SELECT doc_id, text,
+               CAST((dr * {HEAPS_DECILES} + n_docs - 1) // n_docs AS INT)
+                   AS decile
+        FROM ranked_docs
+    ),
+    occ AS (
+        SELECT decile, unnest(string_split(text, ' ')) AS w
+        FROM deciled
+    ),
+    tokens_per AS (
+        SELECT decile, count(*) AS toks FROM occ GROUP BY decile
+    ),
+    first_seen AS (
+        SELECT w, min(decile) AS decile FROM occ GROUP BY w
+    ),
+    new_types AS (
+        SELECT decile, count(*) AS new_w FROM first_seen GROUP BY decile
+    )
+    SELECT t.decile,
+           CAST(SUM(t2.toks) AS BIGINT) AS cum_tokens,
+           CAST(SUM(coalesce(n2.new_w, 0)) AS BIGINT) AS vocab_size
+    FROM tokens_per t
+    JOIN tokens_per t2 ON t2.decile <= t.decile
+    LEFT JOIN new_types n2 ON n2.decile = t2.decile
+    GROUP BY t.decile
+    """,
+    tags=("text", "statistics"),
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law V ≈ K·nᵝ): distinct word
+    types vs cumulative tokens at ten corpus-prefix checkpoints (docs
+    in doc_id = ingest order) — the curve behind every 'vocab is
+    Heaps-sublinear, so broadcast it' argument this engine's LM and
+    tf-idf operators make; a release measures it rather than assumes
+    it, and a flattening curve is also the classic signal the crawl
+    has started re-reading itself.  Computed without any per-prefix
+    rescan: each word contributes to vocab growth exactly at its
+    FIRST-occurrence decile (min over an integer frontier), and the
+    cumulative rollup is a decile×decile triangular join over ten rows.
+
+    Scale: one groupBy(word) for first-occurrence deciles (map-side
+    combined), one decile histogram — the corpus is scanned ONCE; the
+    checkpoints table is K rows regardless of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    deciled = d.select(
+        "text",
+        F.expr(
+            f"(row_number() OVER (ORDER BY doc_id) * {HEAPS_DECILES} "
+            "+ count(*) OVER () - 1) div count(*) OVER ()"
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    occ = deciled.select(
+        "decile", F.explode(F.split("text", " ")).alias("w")
+    )
+    tokens_per = occ.groupBy("decile").agg(F.count(F.lit(1)).alias("toks"))
+    first_seen = occ.groupBy("w").agg(F.min("decile").alias("decile"))
+    new_types = first_seen.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("new_w")
+    )
+    t2 = tokens_per.select(
+        F.col("decile").alias("d2"), F.col("toks").alias("toks2")
+    )
+    n2 = new_types.select(
+        F.col("decile").alias("d2"), F.col("new_w").alias("new_w2")
+    )
+    tri = (
+        tokens_per.select("decile")
+        .join(t2, F.col("d2") <= F.col("decile"))
+        .join(n2, "d2", "left")
+    )
+    return tri.groupBy("decile").agg(
+        F.sum("toks2").cast("bigint").alias("cum_tokens"),
+        F.sum(F.coalesce("new_w2", F.lit(0))).cast("bigint").alias("vocab_size"),
+    )

@@ -217,6 +217,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_ks_drift_monitor",
     "corpus_data_card",
     "quality_chi2_categorical_drift",
+    "text_vocab_growth_heaps",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

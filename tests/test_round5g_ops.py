@@ -298,3 +298,34 @@ def test_chi2_drift_matches_python(spark, sf_small):
     assert abs(r.chi2 - chi2) < 1e-9
     assert r.critical_005 == CHI2_CRIT_005[dof]
     assert r.drift == (r.chi2 > r.critical_005)
+
+
+# ------------------------------------------------- Heaps vocab growth
+
+
+def test_vocab_growth_matches_python_and_is_monotone(spark, sf_small):
+    from kafka_stream_processing_spark.operators.text import HEAPS_DECILES
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    n = len(docs)
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int]] = {}
+    toks = 0
+    for i, (_, text) in enumerate(docs, start=1):
+        words = text.split(" ")
+        toks += len(words)
+        seen.update(words)
+        decile = (i * HEAPS_DECILES + n - 1) // n
+        want[decile] = (toks, len(seen))
+    got = {
+        r.decile: (r.cum_tokens, r.vocab_size)
+        for r in SPECS["text_vocab_growth_heaps"].fn(spark, sf_small).collect()
+    }
+    assert got == want
+    ordered = [got[d] for d in sorted(got)]
+    for (t1, v1), (t2, v2) in zip(ordered, ordered[1:]):
+        assert t2 > t1 and v2 >= v1
