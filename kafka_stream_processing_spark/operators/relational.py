@@ -1017,3 +1017,125 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_gap_us"),
     )
     return n_clicked.crossJoin(n_conv)
+
+
+#: Interval-join bucket width (epoch micros): one hour.
+_IVL_BUCKET_US = 3_600_000_000
+
+
+@register(
+    "join_interval_overlap_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid,
+               ts
+        FROM flagged
+    ),
+    ivl AS (
+        SELECT user_id, sid,
+               epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM ivl a
+    JOIN ivl b ON a.user_id < b.user_id
+              AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1, 2
+    """,
+    tags=("joins", "interval"),
+)
+def join_interval_overlap_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-overlap join — the θ-join family's last member (after
+    range and as-of): which user pairs had CONCURRENT sessions, counted
+    per pair.  Sessions are the 5-minute-gap islands the sessionization
+    oracle defines; two intervals overlap iff a.start ≤ b.end ∧
+    b.start ≤ a.end.  The scalable plan turns the θ-predicate into an
+    EQUI-join: each interval explodes into the hour buckets it spans,
+    candidate pairs meet inside a bucket (never all-pairs), are
+    deduplicated on the session-pair key, and the exact predicate
+    re-verifies — generate-superset-then-filter, the same discipline as
+    every LSH operator here, applied to time.  The oracle runs the
+    direct θ-join, so the bucketed plan is checked against the naive
+    semantics it replaces.
+
+    Scale: bucket fan-out is interval_len/bucket + 1 rows per session;
+    the join cost is Σ per-bucket concurrency² — bounded by true
+    temporal concurrency (the thing being measured), not table size;
+    bucket width is the knob (too narrow: fan-out; too wide:
+    false candidates — the classic interval-index trade)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lag = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            lag.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(lag) >= 300_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ivl = sess.groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts")).alias("s"),
+        F.unix_micros(F.max("ts")).alias("e"),
+    )
+    buckets = ivl.select(
+        "user_id",
+        "sid",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_IVL_BUCKET_US}"),
+                F.expr(f"e div {_IVL_BUCKET_US}"),
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sid").alias("sid_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        "bucket",
+    )
+    b = buckets.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sid").alias("sid_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        "bucket",
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "sid_a", "sa", "ea", "user_b", "sid_b", "sb", "eb")
+        .distinct()
+    )
+    return (
+        cand.filter(
+            (F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"))
+    )

@@ -218,6 +218,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "corpus_data_card",
     "quality_chi2_categorical_drift",
     "text_vocab_growth_heaps",
+    "join_interval_overlap_sessions",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

@@ -329,3 +329,43 @@ def test_vocab_growth_matches_python_and_is_monotone(spark, sf_small):
     ordered = [got[d] for d in sorted(got)]
     for (t1, v1), (t2, v2) in zip(ordered, ordered[1:]):
         assert t2 > t1 and v2 >= v1
+
+
+# --------------------------------------------- interval overlap join
+
+
+def test_interval_overlap_matches_python_theta_join(spark, sf_small):
+    """Overlap-pair counts recomputed by a brute-force Python θ-join
+    over independently sessionized intervals equal the bucketed
+    operator — proving generate-superset-then-filter loses and invents
+    nothing."""
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) FROM "
+        f"'{sf_small}/events.parquet' ORDER BY user_id, ts"
+    ).fetchall()
+    GAP = 300_000_000
+    ivls: list[tuple[int, int, int]] = []
+    cur_u, cur_s, cur_e = None, None, None
+    for u, t in rows:
+        if u != cur_u or t - cur_e >= GAP:
+            if cur_u is not None:
+                ivls.append((cur_u, cur_s, cur_e))
+            cur_u, cur_s, cur_e = u, t, t
+        else:
+            cur_e = t
+    ivls.append((cur_u, cur_s, cur_e))
+    want: dict[tuple[int, int], int] = {}
+    for i, (ua, sa, ea) in enumerate(ivls):
+        for ub, sb, eb in ivls[i + 1 :]:
+            if ua < ub and sa <= eb and sb <= ea:
+                want[(ua, ub)] = want.get((ua, ub), 0) + 1
+            elif ub < ua and sb <= ea and sa <= eb:
+                want[(ub, ua)] = want.get((ub, ua), 0) + 1
+    got = {
+        (r.user_a, r.user_b): r.n_overlaps
+        for r in SPECS["join_interval_overlap_sessions"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert got == want
