@@ -1401,3 +1401,129 @@ def quality_chi2_categorical_drift(
         crit.alias("critical_005"),
         (F.col("chi2").cast("double") > crit).alias("drift"),
     )
+
+
+@register(
+    "quality_js_divergence_sources",
+    oracle="""
+    WITH occ AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (
+        SELECT source, w, count(*) AS c FROM occ GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, SUM(c) AS n FROM cnt GROUP BY source
+    ),
+    p AS (
+        SELECT cnt.source, cnt.w, CAST(cnt.c AS DOUBLE) / tot.n AS p
+        FROM cnt JOIN tot USING (source)
+    ),
+    prs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM tot a, tot b WHERE a.source < b.source
+    ),
+    vocab AS (SELECT DISTINCT w FROM cnt),
+    grid AS (
+        SELECT prs.sa, prs.sb, v.w,
+               coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+        FROM prs
+        CROSS JOIN vocab v
+        LEFT JOIN p pa ON pa.source = prs.sa AND pa.w = v.w
+        LEFT JOIN p pb ON pb.source = prs.sb AND pb.w = v.w
+    ),
+    terms AS (
+        SELECT sa, sb,
+               CASE WHEN pa > 0
+                    THEN CAST(round(pa * ln(pa / ((pa + pb) / 2)), 6)
+                         AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END AS ta,
+               CASE WHEN pb > 0
+                    THEN CAST(round(pb * ln(pb / ((pa + pb) / 2)), 6)
+                         AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END AS tb
+        FROM grid
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           0.5 * (CAST(SUM(ta) AS DOUBLE) + CAST(SUM(tb) AS DOUBLE))
+               AS js_divergence
+    FROM terms
+    GROUP BY 1, 2
+    """,
+    tags=("quality", "statistics", "mixture"),
+)
+def quality_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source-domain word
+    distributions — the information-theoretic domain-similarity matrix
+    mixture design actually consults (DoReMi-style reweighting and
+    dedup-across-sources both assume you know WHICH domains are
+    near-duplicates in distribution; JS is the symmetric, bounded
+    [0, ln 2] measure for that, vs chi2's same/different verdict).
+    JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M) with M the even mixture; each
+    p·ln(p/m) term is round-6-quantized into DECIMAL(18,6) (the LM
+    family's ln convention) so the per-pair sum is exact and
+    order-free; zero-probability terms contribute exactly 0 by the KL
+    convention.
+
+    Scale: one groupBy(source, word) builds every distribution in a
+    single pass; the pair grid is sources²·vocab rows — vocab is
+    Heaps-sublinear and sources are dozens, so the matrix costs less
+    than one corpus scan regardless of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    occ = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    cnt = occ.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = cnt.join(tot, "source").select(
+        "source", "w", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    ta = tot.select(F.col("source").alias("sa"))
+    tb = tot.select(F.col("source").alias("sb"))
+    prs = ta.crossJoin(tb).filter(F.col("sa") < F.col("sb"))
+    vocab = cnt.select("w").distinct()
+    pa = p.select(
+        F.col("source").alias("sa"), F.col("w"), F.col("p").alias("pa")
+    )
+    pb = p.select(
+        F.col("source").alias("sb"), F.col("w"), F.col("p").alias("pb")
+    )
+    grid = (
+        prs.crossJoin(F.broadcast(vocab))
+        .join(pa, ["sa", "w"], "left")
+        .join(pb, ["sb", "w"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    zero = F.lit(0).cast("decimal(18,6)")
+    term_a = F.when(
+        F.col("pa") > 0,
+        F.round(F.col("pa") * F.log(F.col("pa") / m), 6).cast("decimal(18,6)"),
+    ).otherwise(zero)
+    term_b = F.when(
+        F.col("pb") > 0,
+        F.round(F.col("pb") * F.log(F.col("pb") / m), 6).cast("decimal(18,6)"),
+    ).otherwise(zero)
+    return (
+        grid.select("sa", "sb", term_a.alias("ta"), term_b.alias("tb"))
+        .groupBy("sa", "sb")
+        .agg(
+            (
+                F.lit(0.5)
+                * (
+                    F.sum("ta").cast("double")
+                    + F.sum("tb").cast("double")
+                )
+            ).alias("js_divergence")
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "js_divergence",
+        )
+    )

@@ -219,6 +219,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_chi2_categorical_drift",
     "text_vocab_growth_heaps",
     "join_interval_overlap_sessions",
+    "quality_js_divergence_sources",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

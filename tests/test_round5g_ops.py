@@ -369,3 +369,45 @@ def test_interval_overlap_matches_python_theta_join(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- JS divergence
+
+
+def test_js_divergence_matches_python_and_bounds(spark, sf_small):
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    dist: dict[str, dict[str, int]] = {}
+    for src, text in rows:
+        d = dist.setdefault(src, {})
+        for w in text.split(" "):
+            d[w] = d.get(w, 0) + 1
+    vocab = sorted({w for d in dist.values() for w in d})
+    got = {
+        (r.source_a, r.source_b): r.js_divergence
+        for r in SPECS["quality_js_divergence_sources"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    sources = sorted(dist)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(sources) for b in sources[i + 1 :]
+    }
+    for (a, b), js in got.items():
+        na, nb = sum(dist[a].values()), sum(dist[b].values())
+        sa = sb = 0.0
+        for w in vocab:
+            pa = dist[a].get(w, 0) / na
+            pb = dist[b].get(w, 0) / nb
+            m = (pa + pb) / 2
+            if pa > 0:
+                sa += round(pa * math.log(pa / m), 6)
+            if pb > 0:
+                sb += round(pb * math.log(pb / m), 6)
+        want = 0.5 * (sa + sb)
+        assert abs(js - want) < 1e-9, (a, b)
+        assert -1e-6 <= js <= math.log(2) + 1e-6
