@@ -810,3 +810,89 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks2").cast("bigint").alias("cum_tokens"),
         F.sum(F.coalesce("new_w2", F.lit(0))).cast("bigint").alias("vocab_size"),
     )
+
+
+@register(
+    "text_zipf_rank_frequency",
+    oracle="""
+    WITH cnt AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY w
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n
+               AS zipf_intercept
+    FROM s
+    """,
+    tags=("text", "statistics"),
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit — the rank-frequency power law that pairs with the
+    Heaps vocabulary-growth curve (the two are mathematically linked;
+    together they are THE two corpus-statistics sanity plots a dataset
+    release shows): OLS slope and intercept of ln(freq) on ln(rank)
+    over the full vocabulary, rank tie-broken by word so the regression
+    inputs are a total order.  Natural text sits near slope −1;
+    machine-generated or template-heavy corpora flatten it — a cheap
+    generated-content tripwire at corpus granularity.  Exactness:
+    ln values round-6 into DECIMAL(18,6) (the engine's ln convention),
+    Σx/Σy/Σxy/Σx² are exact decimal sums (products stay decimal), and
+    the closed-form OLS runs as a fixed chain of IEEE double ops on
+    those exact sums.
+
+    Scale: one groupBy(word) (map-side combined, Heaps-sublinear
+    output), one rank window over the vocabulary — never the corpus —
+    and a single scalar aggregate of four moments."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = cnt.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), "w")).alias("r")
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_types"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - F.col("sx") * slope) / F.col("n")).alias(
+            "zipf_intercept"
+        ),
+    )

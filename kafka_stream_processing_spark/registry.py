@@ -220,6 +220,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "text_vocab_growth_heaps",
     "join_interval_overlap_sessions",
     "quality_js_divergence_sources",
+    "text_zipf_rank_frequency",
     "dedup_simhash_banded",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;

@@ -411,3 +411,32 @@ def test_js_divergence_matches_python_and_bounds(spark, sf_small):
         want = 0.5 * (sa + sb)
         assert abs(js - want) < 1e-9, (a, b)
         assert -1e-6 <= js <= math.log(2) + 1e-6
+
+
+# ------------------------------------------------------ Zipf fit
+
+
+def test_zipf_fit_matches_python_ols(spark, sf_small):
+    import math
+
+    con = duckdb.connect()
+    counts: dict[str, int] = {}
+    for (text,) in con.execute(
+        f"SELECT text FROM '{sf_small}/documents.parquet'"
+    ).fetchall():
+        for w in text.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [round(math.log(r), 6) for r in range(1, len(ranked) + 1)]
+    ys = [round(math.log(c), 6) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - sx * slope) / n
+    r = SPECS["text_zipf_rank_frequency"].fn(spark, sf_small).collect()[0]
+    assert r.n_types == n
+    assert abs(r.zipf_slope - slope) < 1e-9
+    assert abs(r.zipf_intercept - intercept) < 1e-9
+    assert r.zipf_slope < 0  # frequency decreases with rank
