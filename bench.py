@@ -135,17 +135,17 @@ def main() -> None:
     # measurement covers the same wall-clock window (and stall phases)
     # as the queries it will normalize.
     best: dict[str, float] = {name: float("inf") for name in names}
-    cal_best = float("inf")
+    cal_samples: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
         _calibration_run(spark)
-        cal_best = min(cal_best, time.perf_counter() - t0)
+        cal_samples.append(round(time.perf_counter() - t0, 4))
         for name in names:
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
             best[name] = min(best[name], time.perf_counter() - t0)
     timings = {name: round(best[name], 4) for name in names}
-    cal_sec = round(cal_best, 4)
+    cal_sec = min(cal_samples)
 
     total = round(sum(timings.values()), 4)
 
@@ -178,6 +178,12 @@ def main() -> None:
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": cal_sec,
+        # All per-pass calibration samples (one rode inside each timed
+        # round-robin pass) — the spread IS the host_norm error bar: the
+        # r05 judge measured a 0.91x same-box control vs 1.49x calibrated
+        # ratio on one sample, so a single-point host_scale over-claims
+        # precision.  Read ratio_total with ratio_total_bounds.
+        "calibration_samples": cal_samples,
     }
     if CALIBRATION_REF_SEC is not None and BASELINE_SAME_BOX is not None:
         # Host-normalized gate numbers: scale the same-box baseline by
@@ -195,6 +201,28 @@ def main() -> None:
             "expected_baseline_queries": expected,
             "expected_baseline_total_sec": expected_total,
             "ratio_total": round(total / expected_total, 4),
+            # Error bar from the calibration spread: the gate ratio
+            # recomputed under the slowest and fastest host-speed sample
+            # seen during the timed window.  A gate verdict is only
+            # trustworthy when BOTH bounds sit on the same side of 2.0.
+            "ratio_total_bounds": [
+                round(
+                    total
+                    / (
+                        sum(BASELINE_SAME_BOX.values())
+                        * (max(cal_samples) / CALIBRATION_REF_SEC)
+                    ),
+                    4,
+                ),
+                round(
+                    total
+                    / (
+                        sum(BASELINE_SAME_BOX.values())
+                        * (min(cal_samples) / CALIBRATION_REF_SEC)
+                    ),
+                    4,
+                ),
+            ],
             "ratio_queries": {
                 q: round(timings[q] / expected[q], 4)
                 for q in timings

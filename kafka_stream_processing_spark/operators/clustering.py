@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.operators.dedup import (
+    FUZZY_EDIT_THRESHOLD,
     JACCARD_ORACLE,
     dedup_ngram_jaccard,
 )
@@ -448,12 +449,12 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_entity_resolution_parts",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE pairs AS (
         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
         FROM part a JOIN part b
           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 3
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_EDIT_THRESHOLD}
     ),
     edges AS (
         SELECT key_a AS a, key_b AS b FROM pairs

@@ -79,6 +79,14 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DF = 100
 JACCARD_THRESHOLD = 0.3
 
+#: Edit-distance match frontier for blocked fuzzy matching.  ONE constant
+#: feeds the oracle SQL, the length prefilter, the bounded-levenshtein
+#: call, and the match filter (here and in the entity-resolution oracle,
+#: operators/clustering.py) — the prefilter |len(a)-len(b)| <= d is only
+#: sound when d is the SAME d the scorer uses, so they must never drift
+#: apart.
+FUZZY_EDIT_THRESHOLD = 3
+
 
 #: Full oracle SELECT for the jaccard query — module-level so the
 #: connected-components oracle (operators/clustering.py) can embed it as a
@@ -594,14 +602,14 @@ def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "dedup_fuzzy_blocked_names",
-    oracle="""
+    oracle=f"""
     SELECT a.p_partkey AS key_a,
            b.p_partkey AS key_b,
            a.p_brand,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_EDIT_THRESHOLD}
     """,
     tags=("dedup", "fuzzy"),
 )
@@ -647,13 +655,20 @@ def dedup_fuzzy_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             # length histogram is wide and this is the standard first
             # gate.
             & (
-                F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(3)
+                F.abs(F.length("name_a") - F.length("name_b"))
+                <= F.lit(FUZZY_EDIT_THRESHOLD)
             ),
         )
         .withColumn(
-            "edit_dist", F.levenshtein("name_a", "name_b", 3).cast("int")
+            "edit_dist",
+            F.levenshtein("name_a", "name_b", FUZZY_EDIT_THRESHOLD).cast(
+                "int"
+            ),
         )
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 3))
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") <= FUZZY_EDIT_THRESHOLD)
+        )
         .select("key_a", "key_b", "p_brand", "edit_dist")
     )
 

@@ -1299,12 +1299,33 @@ def quality_ks_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Upper-tail chi-squared critical values at alpha = 0.05 by degrees of
 #: freedom (literals, so both engines compare against identical doubles).
+#: Standard published table through dof=30; beyond it both engines fall
+#: back to the Wilson-Hilferty cube approximation (below) so the drift
+#: gate NEVER returns a NULL verdict — a gate that silently stops gating
+#: when the category count grows is worse than a slightly approximate
+#: threshold.
 CHI2_CRIT_005 = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
-                 6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919}
+                 6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+                 11: 19.675, 12: 21.026, 13: 22.362, 14: 23.685,
+                 15: 24.996, 16: 26.296, 17: 27.587, 18: 28.869,
+                 19: 30.144, 20: 31.410, 21: 32.671, 22: 33.924,
+                 23: 35.172, 24: 36.415, 25: 37.652, 26: 38.885,
+                 27: 40.113, 28: 41.337, 29: 42.557, 30: 43.773}
+
+#: z_{0.95} for the Wilson-Hilferty fallback (dof > 30):
+#: crit = dof * b^3 with b = 1 - 2/(9*dof) + z*sqrt(2/(9*dof)).
+#: The cube is spelled b*b*b (not pow) and sqrt/divide are IEEE
+#: correctly-rounded, so the fallback is bit-identical cross-engine
+#: just like the literal table.
+_WH_Z095 = 1.6448536269514722
+
+_WH_B_SQL = (
+    f"(1 - 2.0 / (9 * dof) + {_WH_Z095} * sqrt(2.0 / (9 * dof)))"
+)
 
 _CHI2_CRIT_SQL = "CASE " + " ".join(
     f"WHEN dof = {k} THEN {v}" for k, v in CHI2_CRIT_005.items()
-) + " END"
+) + f" ELSE dof * {_WH_B_SQL} * {_WH_B_SQL} * {_WH_B_SQL} END"
 
 
 @register(
@@ -1354,8 +1375,11 @@ def quality_chi2_categorical_drift(
     src0 slice match the rest of the corpus?  χ² = Σ (O−E)²/E over the
     2×k contingency table with expected counts from pooled marginals,
     compared to the α=0.05 critical value for k−1 degrees of freedom
-    (a literal table — the incomplete-gamma p-value is libm-dependent,
-    the decision threshold is not).  Per-cell terms are quantized to
+    (a literal table through dof=30, a deterministic Wilson-Hilferty
+    cube beyond it — the incomplete-gamma p-value is libm-dependent,
+    the decision threshold is not, and the gate never returns a NULL
+    verdict however many categories arrive).  Per-cell terms are
+    quantized to
     DECIMAL(18,12) before the sum so the statistic is order-independent
     and bit-identical cross-engine.
 
@@ -1392,7 +1416,15 @@ def quality_chi2_categorical_drift(
         F.sum(term).alias("chi2"),
         (F.count(F.lit(1)) - 1).alias("dof"),
     )
-    crit = F.lit(None).cast("double")
+    # Wilson-Hilferty fallback for dof > 30 — same b*b*b spelling as the
+    # oracle CASE so the two engines compare against identical doubles.
+    dof_d = F.col("dof").cast("double")
+    wh_b = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dof_d)
+        + F.lit(_WH_Z095) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof_d))
+    )
+    crit = dof_d * wh_b * wh_b * wh_b
     for k, v in CHI2_CRIT_005.items():
         crit = F.when(F.col("dof") == k, F.lit(v)).otherwise(crit)
     return stat.select(
@@ -1467,63 +1499,94 @@ def quality_js_divergence_sources(
     order-free; zero-probability terms contribute exactly 0 by the KL
     convention.
 
+    SPARSE plan (the oracle keeps the dense sources²·vocab grid as the
+    independent formulation): a word contributes a non-trivial term
+    only when BOTH sources carry it — an a-only word's term is exactly
+    round(pa·ln 2, 6), because m = pa/2 and pa/(pa/2) is EXACTLY 2.0
+    in IEEE (halving and the division are both exact).  So per pair,
+    Σ ta = Σ_both round(pa·ln(pa/m), 6)
+         + [Q(sa) − Σ_both round(pa·ln 2, 6)]
+    with Q(s) = Σ_w round(p·ln 2, 6) a per-SOURCE decimal total —
+    and DECIMAL sums are exact and associative, so the complement
+    subtraction reproduces the dense grid's sum bit-for-bit.  One
+    self-equi-join on word replaces crossJoin(broadcast(vocab)).
+
     Scale: one groupBy(source, word) builds every distribution in a
-    single pass; the pair grid is sources²·vocab rows — vocab is
-    Heaps-sublinear and sources are dozens, so the matrix costs less
-    than one corpus scan regardless of corpus size."""
+    single pass; the self-join on word emits ≤ sources² rows per word
+    (sources are dozens, so stopword skew is bounded); NO vocabulary
+    broadcast and NO dense grid — at 10⁷–10⁸ terms the dense grid was
+    the scale-killer, the sparse intersection is Heaps-sublinear.
+    This is what makes the docstring's "costs less than one corpus
+    scan" claim actually true."""
     d = table(spark, sf_dir, "documents")
     occ = d.select("source", F.explode(F.split("text", " ")).alias("w"))
     cnt = occ.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    ln2 = F.log(F.lit(2.0))
     p = cnt.join(tot, "source").select(
-        "source", "w", (F.col("c").cast("double") / F.col("n")).alias("p")
+        "source",
+        "w",
+        (F.col("c").cast("double") / F.col("n")).alias("p"),
+    ).withColumn(
+        # the word's term if the OTHER source lacks it: round(p*ln2, 6)
+        "q", F.round(F.col("p") * ln2, 6).cast("decimal(18,6)")
     )
-    ta = tot.select(F.col("source").alias("sa"))
-    tb = tot.select(F.col("source").alias("sb"))
-    prs = ta.crossJoin(tb).filter(F.col("sa") < F.col("sb"))
-    vocab = cnt.select("w").distinct()
+    qtot = p.groupBy("source").agg(F.sum("q").alias("q_total"))
     pa = p.select(
-        F.col("source").alias("sa"), F.col("w"), F.col("p").alias("pa")
+        F.col("source").alias("sa"),
+        "w",
+        F.col("p").alias("pa"),
+        F.col("q").alias("qa"),
     )
     pb = p.select(
-        F.col("source").alias("sb"), F.col("w"), F.col("p").alias("pb")
-    )
-    grid = (
-        prs.crossJoin(F.broadcast(vocab))
-        .join(pa, ["sa", "w"], "left")
-        .join(pb, ["sb", "w"], "left")
-        .select(
-            "sa",
-            "sb",
-            F.coalesce("pa", F.lit(0.0)).alias("pa"),
-            F.coalesce("pb", F.lit(0.0)).alias("pb"),
-        )
+        F.col("source").alias("sb"),
+        "w",
+        F.col("p").alias("pb"),
+        F.col("q").alias("qb"),
     )
     m = (F.col("pa") + F.col("pb")) / 2
-    zero = F.lit(0).cast("decimal(18,6)")
-    term_a = F.when(
-        F.col("pa") > 0,
-        F.round(F.col("pa") * F.log(F.col("pa") / m), 6).cast("decimal(18,6)"),
-    ).otherwise(zero)
-    term_b = F.when(
-        F.col("pb") > 0,
-        F.round(F.col("pb") * F.log(F.col("pb") / m), 6).cast("decimal(18,6)"),
-    ).otherwise(zero)
-    return (
-        grid.select("sa", "sb", term_a.alias("ta"), term_b.alias("tb"))
+    term_a = F.round(F.col("pa") * F.log(F.col("pa") / m), 6).cast(
+        "decimal(18,6)"
+    )
+    term_b = F.round(F.col("pb") * F.log(F.col("pb") / m), 6).cast(
+        "decimal(18,6)"
+    )
+    inter = (
+        pa.join(pb, "w")
+        .filter(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")
         .agg(
-            (
-                F.lit(0.5)
-                * (
-                    F.sum("ta").cast("double")
-                    + F.sum("tb").cast("double")
-                )
-            ).alias("js_divergence")
+            F.sum(term_a).alias("ta_both"),
+            F.sum(term_b).alias("tb_both"),
+            F.sum("qa").alias("qa_both"),
+            F.sum("qb").alias("qb_both"),
         )
-        .select(
-            F.col("sa").alias("source_a"),
-            F.col("sb").alias("source_b"),
-            "js_divergence",
+    )
+    # every ordered pair, even ones with an EMPTY word intersection
+    # (their JS is ½(Q(sa)+Q(sb)) — two fully disjoint distributions)
+    prs = (
+        qtot.select(
+            F.col("source").alias("sa"), F.col("q_total").alias("qa_total")
         )
+        .crossJoin(
+            qtot.select(
+                F.col("source").alias("sb"),
+                F.col("q_total").alias("qb_total"),
+            )
+        )
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    sum_ta = F.coalesce("ta_both", zero) + (
+        F.col("qa_total") - F.coalesce("qa_both", zero)
+    )
+    sum_tb = F.coalesce("tb_both", zero) + (
+        F.col("qb_total") - F.coalesce("qb_both", zero)
+    )
+    return prs.join(inter, ["sa", "sb"], "left").select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        (
+            F.lit(0.5) * (sum_ta.cast("double") + sum_tb.cast("double"))
+        ).alias("js_divergence"),
     )

@@ -277,9 +277,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-way star join.  Scale: nation/region/supplier are
-    broadcast (they stay tiny at every SF); the only shuffles are
-    orders⋈lineitem and customer⋈orders on their join keys."""
+    """TPC-H Q5-style 6-way star join.  Scale: nation/region carry
+    explicit broadcast hints (fixed 25/5 rows at EVERY SF); supplier
+    deliberately does NOT — it grows linearly with SF (~1B rows at the
+    100 TB point), and an explicit hint overrides AQE's size check, so
+    hinting it trades a safe shuffle join at scale for executor OOM.
+    At small SF, AQE's runtime broadcast conversion picks supplier up
+    anyway once its post-shuffle size is known (SCALE.md's stated
+    policy: hint only never-grows dimensions, let AQE promote the
+    rest).  The only unconditional shuffles are orders⋈lineitem and
+    customer⋈orders on their join keys."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -293,7 +300,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

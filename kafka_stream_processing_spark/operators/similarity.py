@@ -1819,3 +1819,194 @@ def similarity_rerank_depth_eval(
         F.col("hits").cast("bigint").alias("hits"),
         (F.col("hits").cast("double") / PQ_TOPK).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation-depth recall sweep
+# ---------------------------------------------------------------------------
+
+#: Prefix depths for the Matryoshka sweep; 64 (full width) is included so
+#: the curve provably tops out at recall 1.0 (same identity pin as the
+#: nprobe sweep's exhaustive branch).
+MATRYOSHKA_DEPTHS = (8, 16, 32, 64)
+
+
+def _matryoshka_oracle() -> str:
+    """Independent dense formulation: one brute-force top-k per depth
+    (the engine computes all depths in ONE pass via cumulative decimal
+    segment sums — decimal addition is associative, so the two
+    formulations are bit-identical)."""
+    n_ctes, top_ctes, evals, unions = [], [], [], []
+    for d in MATRYOSHKA_DEPTHS:
+        n_ctes.append(f"""
+    n{d} AS (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, {d + 1}),
+                                  i -> CAST(emb[i] * emb[i]
+                                            AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm
+        FROM v
+    )""")
+        top_ctes.append(f"""
+    top{d} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST(list_aggregate(
+                                    list_transform(
+                                        range(1, {d + 1}),
+                                        i -> CAST(q.emb[i] * c.emb[i]
+                                                  AS DECIMAL(18,12))),
+                                    'sum') AS DOUBLE)
+                                / (q.nrm * c.nrm) DESC,
+                                c.vec_id) AS rn
+            FROM n{d} q JOIN n{d} c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {RECALL_TOPK}
+    )""")
+        evals.append(f"""
+    eval{d} AS (
+        SELECT {d} AS depth, a.query_id, count(b.neighbor_id) AS hits
+        FROM top{d} a LEFT JOIN top{MATRYOSHKA_DEPTHS[-1]} b
+          ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        GROUP BY 1, 2
+    )""")
+        unions.append(f"SELECT depth, query_id, hits FROM eval{d}")
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    {",".join(n_ctes)},
+    {",".join(top_ctes)},
+    {",".join(evals)}
+    SELECT CAST(depth AS INT) AS depth, query_id,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(hits AS DOUBLE) / {RECALL_TOPK} AS recall
+    FROM ({" UNION ALL ".join(unions)})
+    """
+
+
+def _seg_dot(a: Column, b: Column, start: int, length: int) -> Column:
+    """Decimal-exact dot product of one dimension SEGMENT [start,
+    start+length) (1-based, F.slice convention) — the building block
+    that makes every Matryoshka prefix a running decimal sum."""
+    prods = F.zip_with(
+        F.slice(a, start, length),
+        F.slice(b, start, length),
+        lambda x, y: (x * y).cast(_DEC),
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    )
+
+
+@register(
+    "similarity_matryoshka_recall_eval",
+    oracle=_matryoshka_oracle(),
+    tags=("similarity", "ann", "evaluation", "matryoshka"),
+)
+def similarity_matryoshka_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) truncation sweep: recall@10
+    of exact cosine search over the first 8/16/32/64 dimensions against
+    the full-width ground truth — the adaptive-retrieval audit run
+    before shipping truncated embeddings as the cheap first stage (a
+    64→8 cut is an 8x index-size and bandwidth cut; this query measures
+    exactly what that cut costs in recall, per query, oracle-checked).
+
+    One corpus pass computes EVERY depth: each pair's prefix dot
+    products are cumulative sums of per-segment decimal dots
+    (dims 1-8, 9-16, 17-32, 33-64), and decimal addition is associative
+    and exact, so cos@16 = (seg1+seg2)/(norms) is bit-identical to an
+    independent 16-dim computation — the oracle deliberately uses the
+    independent per-depth formulation to prove it.  Depth 64 is the
+    identity row (recall 1.0 pinned in tests).
+
+    Scale: the corpus never shuffles — the N_QUERIES query rows
+    broadcast, one scan computes 4 segment dots per pair (cheaper than
+    4 passes), and only (depth × query × k) rows leave the ranking.
+    Like the nprobe sweep, this is an evaluation harness: it runs on a
+    corpus SAMPLE to pick the deployment depth before the 100 TB index
+    build."""
+    segs = ((1, 8), (9, 8), (17, 16), (33, 32))
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    base = emb.select(
+        "vec_id",
+        "emb",
+        *[
+            F.sqrt(
+                sum(
+                    [_seg_dot(F.col("emb"), F.col("emb"), s, ln)
+                     for s, ln in segs[: i + 1]],
+                    F.lit(0).cast(_DEC),
+                ).cast("double")
+            ).alias(f"nrm{d}")
+            for i, d in enumerate(MATRYOSHKA_DEPTHS)
+        ],
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        *[F.col(f"nrm{d}").alias(f"q_nrm{d}") for d in MATRYOSHKA_DEPTHS],
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    seg_cols = [
+        _seg_dot(F.col("q_emb"), F.col("emb"), s, ln) for s, ln in segs
+    ]
+    cosines = []
+    for i, d in enumerate(MATRYOSHKA_DEPTHS):
+        cum = sum(seg_cols[: i + 1], F.lit(0).cast(_DEC))
+        cosines.append(
+            F.struct(
+                F.lit(d).cast("int").alias("depth"),
+                (
+                    cum.cast("double")
+                    / (F.col(f"q_nrm{d}") * F.col(f"nrm{d}"))
+                ).alias("cosine"),
+            )
+        )
+    exploded = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*cosines)).alias("dc"),
+    ).select(
+        "query_id", "neighbor_id", F.col("dc.depth").alias("depth"),
+        F.col("dc.cosine").alias("cosine"),
+    )
+    w = Window.partitionBy("depth", "query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    tops = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_TOPK)
+        .select("depth", "query_id", "neighbor_id")
+    )
+    truth = (
+        tops.filter(F.col("depth") == MATRYOSHKA_DEPTHS[-1])
+        .select("query_id", "neighbor_id")
+        .withColumn("in_exact", F.lit(1))
+    )
+    return (
+        tops.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("depth", "query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("in_exact").isNotNull(), 1).otherwise(0)
+            ).alias("hits")
+        )
+        .select(
+            F.col("depth").cast("int").alias("depth"),
+            "query_id",
+            F.col("hits").cast("bigint").alias("hits"),
+            (F.col("hits").cast("double") / RECALL_TOPK).alias("recall"),
+        )
+    )

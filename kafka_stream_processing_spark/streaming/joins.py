@@ -530,9 +530,12 @@ def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(SUM(lm.surp) AS DOUBLE) / count(*) AS mean_surprisal
+           CAST(count(*) - count(lm.surp) AS BIGINT) AS n_oov,
+           CASE WHEN count(lm.surp) > 0
+                THEN CAST(SUM(lm.surp) AS DOUBLE) / count(lm.surp)
+                ELSE NULL END AS mean_surprisal
     FROM occ o
-    JOIN lm ON o.w = lm.w
+    LEFT JOIN lm ON o.w = lm.w
     JOIN documents d ON d.doc_id = o.doc_id
     WHERE d.source <> 'src0'
     GROUP BY o.doc_id
@@ -590,11 +593,22 @@ def stream_lm_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(path).schema
     name = f"stream_lm_scores_{next(_uniq)}"
     toks = F.split("text", " ")
-    total = F.aggregate(
+    # OOV convention: a word missing from the deployed LM artifact makes
+    # element_at return NULL — NULLs are FILTERED (not folded, which
+    # would silently null the whole document's score), counted into
+    # n_oov, and the mean runs over in-vocab words only; an all-OOV
+    # document scores NULL explicitly.  Deploy-fixed-artifact streams DO
+    # see OOV tokens, so the degradation is deliberate and observable.
+    found = F.filter(
         F.transform(toks, lambda w: F.element_at(F.col("lm"), w)),
+        lambda x: x.isNotNull(),
+    )
+    total = F.aggregate(
+        found,
         F.lit(0).cast("decimal(18,6)"),
         lambda acc, x: (acc + x).cast("decimal(18,6)"),
     )
+    n_found = F.size(found)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -604,7 +618,10 @@ def stream_lm_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size(toks).cast("bigint").alias("n_words"),
-            (total.cast("double") / F.size(toks)).alias("mean_surprisal"),
+            (F.size(toks) - n_found).cast("bigint").alias("n_oov"),
+            F.when(
+                n_found > 0, total.cast("double") / n_found
+            ).alias("mean_surprisal"),
         )
     )
     try:
@@ -669,9 +686,26 @@ def stream_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(path).schema
     import tempfile
 
+    import shutil
+    import time
+
     key = sf_dir.strip("/").replace("/", "_")
     root = os.path.join("/tmp", "kssp_cdc_target", key)
     os.makedirs(root, exist_ok=True)
+    # Bounded /tmp footprint: sweep sibling run dirs from PAST
+    # invocations (mtime > 1h — old enough that no live lazy reader can
+    # still reference them; a concurrent driver/pytest run in another
+    # process is minutes old, never hours).  The current run additionally
+    # drops its own non-final generations before returning, so steady
+    # state is one generation per (sf_dir, recent run).
+    cutoff = time.time() - 3600
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        try:
+            if entry.startswith("run_") and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent sweep — already gone
     # mkdtemp, not a session counter: the counter restarts per process,
     # and a reused path would silently resume on a stale generation.
     base = tempfile.mkdtemp(prefix="run_", dir=root)
@@ -715,6 +749,18 @@ def stream_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
+    if state["gen"] < 0:
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError(
+            "stream_cdc_last_writer_wins: the CDC stream delivered zero "
+            f"micro-batches from {path} — no generation was materialized, "
+            "so there is no table to return (check the chunked source dir)"
+        )
+    # Time-travel generations served their purpose (crash atomicity
+    # during the run); only the final one backs the returned DataFrame —
+    # drop the rest so repeated runs don't accumulate /tmp data.
+    for g in range(state["gen"]):
+        shutil.rmtree(os.path.join(base, f"gen={g}"), ignore_errors=True)
     return spark.read.parquet(os.path.join(base, f"gen={state['gen']}"))
 
 

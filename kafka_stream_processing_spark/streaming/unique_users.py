@@ -490,3 +490,159 @@ def stream_dedup_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def _stream_late_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
+    """Chunked staging that INJECTS genuinely late data: a deterministic
+    slice of early events (first sixth of the time range, event_id % 7
+    == 0) is withheld from its time-ordered chunk and appended to the
+    LAST chunk file instead — so it arrives hours late in event time,
+    far beyond any 5-second watermark.  This is the arrival pattern the
+    reference's README documents as its own defect (processing-time
+    windows silently mis-bucket late events); here the watermark must
+    DROP them instead.
+
+    The selection predicate is pure column arithmetic (epoch-us bounds +
+    event_id modulus) so the DuckDB oracle reproduces the exact same
+    late set from the raw table — no row identity, no RNG.  Cache keyed
+    like the plain chunked variant (source mtime/size)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(
+        "/tmp", "kssp_stream_src", key,
+        f"events_late{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
+    )
+
+    def build(tmp: str) -> None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src)
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        # Truncate to MICROSECONDS before the cutoff arithmetic — the
+        # same floor DuckDB's epoch_us applies, so the oracle's late-set
+        # predicate selects the identical rows.
+        ts_us = pc.cast(
+            pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+        ).to_pylist()
+        ids = t.column("event_id").to_pylist()
+        mn, mx = ts_us[0], ts_us[-1]
+        t0 = mn + (mx - mn) // 6
+        late_idx = [
+            k for k, (u, i) in enumerate(zip(ts_us, ids))
+            if u < t0 and i % 7 == 0
+        ]
+        on_idx = [
+            k for k, (u, i) in enumerate(zip(ts_us, ids))
+            if not (u < t0 and i % 7 == 0)
+        ]
+        if not late_idx:
+            raise RuntimeError(
+                f"late-data staging: no event in {src} matches the late "
+                "predicate — the testdata shape changed; pick a new slice"
+            )
+        on = t.take(pa.array(on_idx, type=pa.int64()))
+        late = t.take(pa.array(late_idx, type=pa.int64()))
+        n = on.num_rows
+        step = (n + n_chunks - 1) // n_chunks
+        # Drop-margin sanity: when the last batch runs, the watermark is
+        # max(ts of earlier chunks) - 5 s; every late row's minute-window
+        # must have closed at least a minute before that, or the "late"
+        # rows wouldn't actually drop and the oracle would diverge.
+        on_us = pc.cast(
+            pc.cast(on.column("ts"), pa.timestamp("us")), pa.int64()
+        )
+        prior_max = on_us[min((n_chunks - 1) * step, n) - 1].as_py()
+        if not prior_max - 5_000_000 > t0 + 120_000_000:
+            raise RuntimeError(
+                "late-data staging: time range too narrow for the late "
+                "slice to be unambiguously beyond the watermark"
+            )
+        for i in range(n_chunks - 1):
+            pq.write_table(
+                on.slice(i * step, step),
+                os.path.join(tmp, f"chunk-{i}.parquet"),
+            )
+        pq.write_table(
+            pa.concat_tables([on.slice((n_chunks - 1) * step), late]),
+            os.path.join(tmp, f"chunk-{n_chunks - 1}.parquet"),
+        )
+
+    return publish_staged_dir(d, build)
+
+
+@register(
+    "stream_watermark_late_data",
+    # The oracle mirrors BOTH watermark semantics the stream must show:
+    # (1) the injected-late rows (same pure-arithmetic predicate as the
+    # staging) are EXCLUDED — they arrive behind the watermark and the
+    # stateful aggregate drops them; (2) append mode only emits windows
+    # CLOSED by the final watermark (max ts - 5 s), so the trailing
+    # open window never appears.
+    oracle="""
+    WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ),
+    ontime AS (
+        SELECT e.ts
+        FROM events e, bounds b
+        WHERE NOT (epoch_us(e.ts) < b.mn + (b.mx - b.mn) // 6
+                   AND e.event_id % 7 = 0)
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 5 SECOND AS w FROM events),
+    minutes AS (
+        SELECT date_trunc('minute', ts) AS m, count(*) AS n_events
+        FROM ontime GROUP BY 1
+    )
+    SELECT CAST(m AS VARCHAR) AS window_start,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM minutes, wm
+    WHERE m + INTERVAL 1 MINUTE <= wm.w
+    """,
+    tags=("streaming", "watermark", "reference-parity"),
+)
+def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling under a 5-second watermark — the reference's
+    central documented defect (README.md:45-52: processing-time windows
+    mis-bucket late events) put on the hard correctness signal.  The
+    staged source delivers a deterministic slice of EARLY events in the
+    LAST micro-batch (hours late in event time); the windowed aggregate
+    runs in append mode behind ``withWatermark("ts", "5 seconds")``, so
+    Spark must (1) DROP the late rows — their minute windows closed long
+    before the watermark reached them — and (2) emit exactly the windows
+    finalized by the final watermark.  The oracle reconstructs both
+    gates arithmetically from the raw table, so a stream that leaked a
+    late row into a closed window, or emitted a non-finalized window,
+    hash-mismatches.
+
+    Scale: identical topology to the flagship's streaming form — state
+    is per-open-window counters, evicted at watermark; lateness bounds
+    state, not correctness."""
+    path = _stream_late_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_late_{next(_run_counter)}"
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").cast("string").alias("window_start"), "n_events"
+    )

@@ -153,10 +153,15 @@ def test_stream_lm_scores_equal_batch_restriction(spark, sf_small):
     """Stream and batch provably agree: the streaming scorer's output
     equals quality_unigram_lm_surprisal restricted to non-benchmark
     documents, score for score."""
-    got = {
-        r.doc_id: (r.n_words, r.mean_surprisal)
-        for r in SPECS["stream_lm_surprisal_scores"].fn(spark, sf_small).collect()
-    }
+    out_rows = (
+        SPECS["stream_lm_surprisal_scores"].fn(spark, sf_small).collect()
+    )
+    # the LM trains on a superset of the streamed slice, so nothing is
+    # out-of-vocabulary here — and no score may be NULL (the OOV path
+    # filters + counts, it never poisons the fold).
+    assert all(r.n_oov == 0 for r in out_rows)
+    assert all(r.mean_surprisal is not None for r in out_rows)
+    got = {r.doc_id: (r.n_words, r.mean_surprisal) for r in out_rows}
     con = duckdb.connect()
     streamed_ids = {
         r[0]

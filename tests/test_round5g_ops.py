@@ -85,8 +85,11 @@ def test_cdc_equals_batch_rebuild_and_merged_per_batch(spark, sf_small):
     new_dirs = after - before
     assert len(new_dirs) == 1
     gens = sorted(os.listdir(os.path.join(root, new_dirs.pop())))
-    # one generation per micro-batch: the merge ran 3 times, not once.
-    assert gens == ["gen=0", "gen=1", "gen=2"]
+    # one generation per micro-batch: the final dir is gen=2, so the
+    # merge ran 3 times, not once — and the bounded-/tmp contract holds:
+    # non-final generations are dropped once the stream finishes, so
+    # exactly ONE generation backs the returned table.
+    assert gens == ["gen=2"]
     con = duckdb.connect()
     want = {
         r[0]: (r[1], r[2], r[3])
@@ -129,7 +132,10 @@ def test_rerank_depth_recall_monotone(spark, sf_small):
 def test_langid_confusion_margins_and_blind_spot(spark, sf_small):
     """Cell counts reconcile with the corpus, diagonal carries
     precision/recall in (0, 1], off-diagonal cells carry NULLs, and the
-    zh blind spot (no marker list) lands entirely in 'und'."""
+    zh blind spot (the classifier has no zh class) never hits the
+    diagonal — its support scatters across the other classes' columns
+    (mostly en, with the oracle CASE falling back to fr when no marker
+    matches)."""
     import duckdb as _duck
 
     rows = SPECS["text_langid_confusion"].fn(spark, sf_small).collect()
