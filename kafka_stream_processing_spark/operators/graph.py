@@ -302,3 +302,191 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+_TR_DAMPING = 0.85
+_TR_TELEPORT = 0.15  # original TextRank uses (1-d), NOT (1-d)/N
+_TR_ITERATIONS = 8
+_TR_WINDOW = 2
+_TR_TOPK = 20
+
+
+def _textrank_oracle() -> str:
+    """Chained-CTE unroll of the fixed-iteration power method — the same
+    per-iteration DECIMAL(18,12) quantization discipline as
+    graph_pagerank_trade, over the word co-occurrence graph (positional
+    self-join; the engine builds the same edges shuffle-free with
+    in-row zip_with pairs)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _TR_ITERATIONS + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT n.node,
+               {_TR_TELEPORT} + {_TR_DAMPING} * CAST(coalesce(SUM(
+                   CAST(p.r * e.frac AS DECIMAL(18,12))
+               ), 0) AS DOUBLE) AS r
+        FROM nodes n
+        LEFT JOIN frac e ON e.dst = n.node
+        LEFT JOIN {prev} p ON p.node = e.src
+        GROUP BY n.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, u.i AS p, t[u.i] AS w
+        FROM toks, unnest(generate_series(1, len(t))) u(i)
+    ),
+    co AS (
+        SELECT a.w AS src, b.w AS dst
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id
+                  AND b.p > a.p AND b.p <= a.p + {_TR_WINDOW}
+        WHERE a.w <> b.w
+    ),
+    edges AS (
+        SELECT src, dst, count(*) AS w FROM (
+            SELECT src, dst FROM co
+            UNION ALL
+            SELECT dst, src FROM co
+        ) GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT DISTINCT w AS node FROM pos
+    ),
+    outw AS (
+        SELECT src, SUM(w) AS total FROM edges GROUP BY 1
+    ),
+    frac AS (
+        SELECT e.src, e.dst,
+               CAST(e.w AS DOUBLE) / CAST(o.total AS DOUBLE) AS frac
+        FROM edges e JOIN outw o ON o.src = e.src
+    ),
+    r0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes
+    ),{",".join(steps)}
+    SELECT CAST(rank AS INT) AS rank, node AS word,
+           round(r, 9) AS score
+    FROM (
+        SELECT node, r,
+               row_number() OVER (ORDER BY r DESC, node) AS rank
+        FROM {prev}
+    )
+    WHERE rank <= {_TR_TOPK}
+    """
+
+
+@register(
+    "text_keyword_textrank",
+    oracle=_textrank_oracle(),
+    tags=("text", "graph", "iterative"),
+)
+def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) at corpus
+    scope: words are nodes, co-occurrence within a ±2-token window is an
+    undirected weighted edge, and 8 damped power iterations rank
+    corpus-level keyword salience — the graph-centrality
+    alternative to tf-idf (a word scores high for KEEPING high-scoring
+    company, not for raw frequency).
+
+    Edge construction is shuffle-free: each document's pairs come from
+    in-row ``zip_with`` of the token array against its own 1- and
+    2-shifted slices — no positional self-join, no explode-then-join;
+    only the (src, dst) pair stream shuffles once into the weighted
+    edge aggregate.  Iterations follow graph_pagerank_trade's exactness
+    discipline: per-edge contributions multiply in DOUBLE, quantize to
+    DECIMAL(18,12) before the per-node sum, damp back in DOUBLE — so 8
+    compounding iterations stay bit-identical to the oracle's unrolled
+    CTE chain.
+
+    Scale: per-iteration state is one rank row per VOCABULARY word
+    (Heaps-sublinear); the edges⋈ranks join keys on the word, and
+    localCheckpoint truncates the 8-step lineage exactly like the
+    components/PageRank kernels.  Cited reference scope: the reference
+    engine has no iterative operators at all (SURVEY.md §2.1)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shifted = [
+        F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        for k in range(1, _TR_WINDOW + 1)
+    ]
+    pair_arrays = [
+        F.zip_with(
+            toks,
+            sh,
+            lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+        )
+        for sh in shifted
+    ]
+    co = (
+        d.select(F.explode(F.concat(*pair_arrays)).alias("pr"))
+        .select(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    edges = (
+        co.unionAll(
+            co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
+    frac = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (
+                F.col("w").cast("double") / F.col("total").cast("double")
+            ).alias("frac"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        d.select(F.explode(toks).alias("node")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("r", F.lit(1.0).cast("double"))
+    for _ in range(_TR_ITERATIONS):
+        contrib = (
+            frac.join(ranks, frac.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("r") * F.col("frac")).cast(_DEC).alias("term"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("term").alias("sum_dec"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(_TR_TELEPORT)
+                    + F.lit(_TR_DAMPING)
+                    * F.coalesce(
+                        F.col("sum_dec").cast("double"), F.lit(0.0)
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.desc("r"), "node")
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TR_TOPK)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("node").alias("word"),
+            F.round("r", 9).alias("score"),
+        )
+    )

@@ -1530,7 +1530,10 @@ def quality_js_divergence_sources(
     ).withColumn(
         # the word's term if the OTHER source lacks it: round(p*ln2, 6)
         "q", F.round(F.col("p") * ln2, 6).cast("decimal(18,6)")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ three consumers (pa, pb, qtot) would each replay the corpus
+    # explode+groupBy without this; the checkpoint pins "one corpus
+    # scan" physically — p itself is vocab×sources (Heaps-sublinear).
     qtot = p.groupBy("source").agg(F.sum("q").alias("q_total"))
     pa = p.select(
         F.col("source").alias("sa"),
@@ -1589,4 +1592,362 @@ def quality_js_divergence_sources(
         (
             F.lit(0.5) * (sum_ta.cast("double") + sum_tb.cast("double"))
         ).alias("js_divergence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+#: Number of bootstrap replicates.
+BOOT_B = 64
+#: Poisson(1) CDF literals (P(X <= k) for k = 0..6; k = 7 absorbs the
+#: tail, P ~ 1e-5) — written as exact double literals so both engines
+#: threshold on identical bits.
+BOOT_POISSON_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+#: 2^60 as a double — hash64 yields 60-bit integers; h / 2^60 is the
+#: uniform variate.
+_BOOT_SCALE = 1152921504606846976.0
+#: Percentile-method ranks for a 95% interval over 64 sorted replicate
+#: means: rank 2 (~2.5th pct) and rank 63 (~97.5th pct).  Stated as the
+#: convention, not interpolated — interpolation rules differ by engine.
+BOOT_LO_RANK = 2
+BOOT_HI_RANK = 63
+
+
+def _boot_weight_sql() -> str:
+    branches = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(BOOT_POISSON_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "quality_bootstrap_mean_ci",
+    oracle=f"""
+    WITH rep AS (
+        SELECT d.doc_id, d.n_chars, u.b
+        FROM documents d, unnest(generate_series(0, {BOOT_B - 1})) u(b)
+    ),
+    weighted AS (
+        SELECT b, n_chars,
+               {_boot_weight_sql().replace("u", f"(CAST(('0x' || substr(md5(doc_id || '_boot_' || b), 1, 15)) AS BIGINT) / {_BOOT_SCALE})")} AS w
+        FROM rep
+    ),
+    means AS (
+        SELECT b,
+               CAST(round(CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w), 6)
+                    AS DECIMAL(18,6)) AS m
+        FROM weighted GROUP BY b
+    ),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m) AS rk FROM means
+    ),
+    stats AS (
+        SELECT CAST(SUM(m) AS DOUBLE) AS s1,
+               CAST(SUM(m * m) AS DOUBLE) AS s2
+        FROM means
+    ),
+    point AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / count(*) AS point_mean
+        FROM documents
+    )
+    SELECT CAST(p.n_docs AS BIGINT) AS n_docs,
+           p.point_mean,
+           s.s1 / {BOOT_B} AS boot_mean,
+           sqrt((s.s2 - s.s1 * s.s1 / {BOOT_B}) / {BOOT_B - 1}) AS boot_se,
+           CAST((SELECT m FROM ranked WHERE rk = {BOOT_LO_RANK}) AS DOUBLE)
+               AS ci_lo,
+           CAST((SELECT m FROM ranked WHERE rk = {BOOT_HI_RANK}) AS DOUBLE)
+               AS ci_hi
+    FROM point p, stats s
+    """,
+    tags=("quality", "statistics", "bootstrap"),
+)
+def quality_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012 — the bootstrap Google
+    built for MapReduce) on the corpus mean document length: each of
+    64 replicates gives every document an independent Poisson(1)
+    multiplicity, so a "resample with replacement" of N docs never
+    materializes — ONE pass computes every replicate's weighted sum,
+    and the 2.5/97.5-percentile replicate means are the 95% CI.  This
+    is how a 100 TB pipeline puts an error bar on any corpus statistic
+    (dedup rate, mean quality score, token count) without a second
+    pass, and the whole construction is DETERMINISTIC: the multiplicity
+    comes from inverse-CDF lookup on a 60-bit md5 uniform, so reruns —
+    and the DuckDB oracle — reproduce the interval bit-for-bit.
+
+    Exactness: per-replicate sums are INTEGER (weight x n_chars);
+    replicate means quantize to DECIMAL(18,6) before the cross-replicate
+    moments, so s1/s2 are order-free; se/CI derive from those exact
+    aggregates in identical double arithmetic.
+
+    Scale: the explode is map-side (B rows per input row, combined to B
+    partial sums per task before the one shuffle); cross-replicate state
+    is B rows total.  B=64 trades +/-9% CI-endpoint noise for a 64x
+    replication factor — raise B, not passes, when tighter intervals
+    are needed."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    d = table(spark, sf_dir, "documents")
+    rep = d.select("doc_id", "n_chars").select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = hash64(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("_boot_"),
+            F.col("b").cast("string"),
+        )
+    ) / F.lit(_BOOT_SCALE)
+    w = F.lit(7)
+    for k in range(len(BOOT_POISSON_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(BOOT_POISSON_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("b", "n_chars", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_b"),
+            F.sum(F.col("w") * F.col("n_chars")).alias("s_b"),
+        )
+        .select(
+            "b",
+            F.round(
+                F.col("s_b").cast("double") / F.col("n_b"), 6
+            ).cast("decimal(18,6)").alias("m"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = means.withColumn(
+        "rk", F.row_number().over(_W.orderBy("m"))
+    )
+    stats = means.agg(
+        F.sum("m").cast("double").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("s2"),
+    )
+    point = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1))
+        ).alias("point_mean"),
+    )
+    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK).select(
+        F.col("m").cast("double").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK).select(
+        F.col("m").cast("double").alias("ci_hi")
+    )
+    b_lit = float(BOOT_B)
+    return (
+        point.crossJoin(stats)
+        .crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            "n_docs",
+            "point_mean",
+            (F.col("s1") / F.lit(b_lit)).alias("boot_mean"),
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.lit(b_lit))
+                / F.lit(float(BOOT_B - 1))
+            ).alias("boot_se"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+#: Shared oracle CTEs for the 4-gram KN model: triple-BOS-prefixed
+#: 4-gram occurrences (doc_id, lang, w1..w4).
+_QUAD_CTES = f"""toks4 AS (
+        SELECT doc_id, lang,
+               list_prepend('{LM_BOS}', list_prepend('{LM_BOS}',
+                   list_prepend('{LM_BOS}', string_split(text, ' ')))) AS t
+        FROM documents
+    ),
+    quad AS (
+        SELECT doc_id, lang,
+               t[k] AS w1, t[k + 1] AS w2, t[k + 2] AS w3, t[k + 3] AS w4
+        FROM toks4, LATERAL unnest(generate_series(1, len(t) - 3)) u(k)
+    )"""
+
+
+@register(
+    "quality_fourgram_kneser_ney",
+    oracle=f"""
+    WITH {_QUAD_CTES},
+    c4 AS (
+        SELECT w1, w2, w3, w4, count(*) AS c FROM quad GROUP BY 1, 2, 3, 4
+    ),
+    ctx4 AS (
+        SELECT w1, w2, w3, SUM(c) AS total, count(*) AS n1
+        FROM c4 GROUP BY 1, 2, 3
+    ),
+    c3k AS (
+        SELECT w2, w3, w4, count(DISTINCT w1) AS c FROM quad GROUP BY 1, 2, 3
+    ),
+    ctx3k AS (
+        SELECT w2, w3, SUM(c) AS total, count(*) AS n1 FROM c3k GROUP BY 1, 2
+    ),
+    c2k AS (
+        SELECT w3, w4, count(*) AS c FROM c3k GROUP BY 1, 2
+    ),
+    ctx2k AS (
+        SELECT w3, SUM(c) AS total, count(*) AS n1 FROM c2k GROUP BY 1
+    ),
+    c1k AS (
+        SELECT w4, count(*) AS c FROM c2k GROUP BY w4
+    ),
+    lm AS (
+        SELECT c4.w1, c4.w2, c4.w3, c4.w4,
+               CAST(round(-ln(
+                   ((CAST(c4.c AS DOUBLE) - {KN_DISCOUNT}) / ctx4.total)
+                 + (({KN_DISCOUNT} * ctx4.n1) / ctx4.total)
+                   * (((CAST(c3k.c AS DOUBLE) - {KN_DISCOUNT}) / ctx3k.total)
+                      + (({KN_DISCOUNT} * ctx3k.n1) / ctx3k.total)
+                        * (((CAST(c2k.c AS DOUBLE) - {KN_DISCOUNT})
+                            / ctx2k.total)
+                           + (({KN_DISCOUNT} * ctx2k.n1) / ctx2k.total)
+                             * (CAST(c1k.c AS DOUBLE)
+                                / (SELECT SUM(c) FROM c1k))))), 6)
+               AS DECIMAL(18,6)) AS surp
+        FROM c4
+        JOIN ctx4 ON ctx4.w1 = c4.w1 AND ctx4.w2 = c4.w2 AND ctx4.w3 = c4.w3
+        JOIN c3k ON c3k.w2 = c4.w2 AND c3k.w3 = c4.w3 AND c3k.w4 = c4.w4
+        JOIN ctx3k ON ctx3k.w2 = c4.w2 AND ctx3k.w3 = c4.w3
+        JOIN c2k ON c2k.w3 = c4.w3 AND c2k.w4 = c4.w4
+        JOIN ctx2k ON ctx2k.w3 = c4.w3
+        JOIN c1k ON c1k.w4 = c4.w4
+    ),
+    doc_quad AS (
+        SELECT doc_id, lang, w1, w2, w3, w4, count(*) AS k
+        FROM quad GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(d.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.k * lm.surp) AS DOUBLE) / SUM(d.k)
+               AS mean_surprisal
+    FROM doc_quad d
+    JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+           AND d.w3 = lm.w3 AND d.w4 = lm.w4
+    GROUP BY 1, 2
+    """,
+    tags=("quality", "lm"),
+)
+def quality_fourgram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-gram interpolated Kneser-Ney — the ladder's production order
+    (KenLM's default for web-corpus quality scoring is 4- or 5-gram):
+    raw counts at the top, then THREE levels of continuation counts,
+    each derived from the distinct n-gram TYPES of the level above
+    (N₁₊(·w₂w₃w₄) from raw 4-gram types, N₁₊(·w₃w₄) from those
+    continuation trigram types, N₁₊(·w₄) from the continuation bigram
+    types) — the Chen & Goodman recursion quality_trigram_kneser_ney
+    documents, one level deeper.  A triple '<s>' prefix gives every
+    token a full 4-gram context, so each token is scored exactly once.
+    Cross-engine exactness: same fixed IEEE parenthesization chain,
+    one round(ln, 6) into DECIMAL(18,6), exact per-doc decimal sums.
+
+    Scale: five training groupBys, all map-side-combined; the LM table
+    is O(distinct 4-grams) — the largest in the family and the reason
+    production LMs prune singletons; the scoring join shuffles on
+    (w1..w4) with per-doc DISTINCT 4-grams as probe input.  Bodies
+    never shuffle."""
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    t = F.concat(
+        F.array(F.lit(LM_BOS), F.lit(LM_BOS), F.lit(LM_BOS)),
+        F.split("text", " "),
+    )
+    toks = d.select("doc_id", "lang", t.alias("t"))
+    n = F.size("t")
+    quad = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 3).alias("w1"),
+                F.slice("t", 2, n - 3).alias("w2"),
+                F.slice("t", 3, n - 3).alias("w3"),
+                F.slice("t", 4, n - 3).alias("w4"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+        F.col("p.w4").alias("w4"),
+    )
+    c4 = quad.groupBy("w1", "w2", "w3", "w4").agg(
+        F.count(F.lit(1)).alias("c4")
+    )
+    ctx4 = c4.groupBy("w1", "w2", "w3").agg(
+        F.sum("c4").alias("t4"), F.count(F.lit(1)).alias("n14")
+    )
+    c3k = quad.groupBy("w2", "w3", "w4").agg(
+        F.countDistinct("w1").alias("c3k")
+    )
+    ctx3k = c3k.groupBy("w2", "w3").agg(
+        F.sum("c3k").alias("t3"), F.count(F.lit(1)).alias("n13")
+    )
+    c2k = c3k.groupBy("w3", "w4").agg(F.count(F.lit(1)).alias("c2k"))
+    ctx2k = c2k.groupBy("w3").agg(
+        F.sum("c2k").alias("t2"), F.count(F.lit(1)).alias("n12")
+    )
+    c1k = c2k.groupBy("w4").agg(F.count(F.lit(1)).alias("c1k"))
+    c1t = c1k.withColumn("tot1", F.sum("c1k").over(Window.partitionBy()))
+    D = KN_DISCOUNT
+    p1 = F.col("c1k").cast("double") / F.col("tot1")
+    p2 = (
+        (F.col("c2k").cast("double") - F.lit(D)) / F.col("t2")
+    ) + ((F.lit(D) * F.col("n12")) / F.col("t2")) * p1
+    p3 = (
+        (F.col("c3k").cast("double") - F.lit(D)) / F.col("t3")
+    ) + ((F.lit(D) * F.col("n13")) / F.col("t3")) * p2
+    p4 = (
+        (F.col("c4").cast("double") - F.lit(D)) / F.col("t4")
+    ) + ((F.lit(D) * F.col("n14")) / F.col("t4")) * p3
+    lm = (
+        c4.join(ctx4, ["w1", "w2", "w3"])
+        .join(c3k, ["w2", "w3", "w4"])
+        .join(ctx3k, ["w2", "w3"])
+        .join(c2k, ["w3", "w4"])
+        .join(ctx2k, "w3")
+        .join(c1t, "w4")
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "w4",
+            F.round(-F.log(p4), 6).cast("decimal(18,6)").alias("surp"),
+        )
+    )
+    doc_quad = quad.groupBy("doc_id", "lang", "w1", "w2", "w3", "w4").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        doc_quad.join(lm, ["w1", "w2", "w3", "w4"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("k") * F.col("surp")).cast("double")
+                / F.sum("k")
+            ).alias("mean_surprisal"),
+        )
     )

@@ -187,6 +187,12 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # re-confirmations listed after them.
     "sketch_heavy_hitters_mg",
     "dedup_minhash_estimate_eval",
+    # -- new in r06 (pytest + sweep evidence this round) --
+    "similarity_matryoshka_recall_eval",
+    "text_keyword_textrank",
+    "quality_bootstrap_mean_ci",
+    "quality_fourgram_kneser_ney",
+    "stream_update_mode_running_counts",
     # -- r02-stale evidence (newest driver row r02), for r07/r08 --
     "q2_min_price_supplier",
     "q6_forecast_revenue",

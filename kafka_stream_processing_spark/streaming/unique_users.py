@@ -646,3 +646,84 @@ def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("w.start").cast("string").alias("window_start"), "n_events"
     )
+
+
+@register(
+    "stream_update_mode_running_counts",
+    # The oracle reconstructs BOTH update-mode facts arithmetically:
+    # n_events (the final count per key — the LAST update wins) and
+    # n_updates (one update per micro-batch containing the key; chunk
+    # assignment is deterministic because the staging sorts by a
+    # tie-free ts and splits into ceil(n/3)-row chunks, the exact rule
+    # mirrored here — the same reconstruction stream_ks_drift_monitor
+    # pins).
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY ts) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_type, rn // ((n + 2) // 3) AS chunk_id FROM ordered
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_updates
+    FROM chunked
+    GROUP BY 1
+    """,
+    tags=("streaming", "reference-parity"),
+)
+def stream_update_mode_running_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UPDATE output mode on the hard signal — the reference's actual
+    emission semantics (its KTable changelog re-emits a key's count on
+    every arriving event, UniqueUsersCounter.java:91-93; §2 T1): an
+    UNWINDOWED running count per event_type runs in update mode over a
+    genuine 3-micro-batch stream, so the memory sink receives one
+    UPDATED row per (key, touching batch) instead of append's single
+    finalized row — the exact groupBy().count() KTable shape.  The
+    returned table proves both halves: max(update) per key equals the
+    batch ground truth (the changelog CONVERGES — last update wins),
+    and n_updates counts exactly the micro-batches containing the key
+    (every type appears in every chunk here, so the changelog's
+    intermediate emissions are REAL and pinned at 3, not an append-mode
+    lookalike).
+
+    Scale: state is one counter per KEY (5 types; bounded by key
+    cardinality, not stream length — the unwindowed aggregate a KTable
+    materializes); update mode trades sink traffic (one row per touched
+    key per batch — the changelog volume a Kafka-backed KTable carries)
+    for zero emission latency, exactly the trade the reference made."""
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_update_counts_{next(_run_counter)}"
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_updates"),
+        )
+        .select("event_type", "n_events", "n_updates")
+    )
