@@ -791,3 +791,160 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs")
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch as relational algebra
+# ---------------------------------------------------------------------------
+
+#: Count-Min geometry: D independent hash rows x W buckets.  Error bound:
+#: overcount <= e*N/W with probability 1 - (1/e)^D; W is the memory knob,
+#: D the confidence knob.  D*W = 2048 cells regardless of stream size.
+CM_D = 4
+CM_W = 512
+
+#: The same synthetic skew injection as sketch_heavy_hitters_mg
+#: (operators/python_udfs.py): three hot keys over a ~10k-item singleton
+#: long tail, so estimates face genuine collision mass.
+_CM_ITEM_SQL = (
+    "CASE WHEN user_id < 36 THEN 'hot_' || CAST(user_id % 3 AS VARCHAR) "
+    "ELSE 'cold_' || CAST(event_id AS VARCHAR) END"
+)
+
+
+@register(
+    "sketch_countmin_freq",
+    oracle=f"""
+    WITH items AS (
+        SELECT {_CM_ITEM_SQL} AS item FROM events
+    ),
+    cells AS (
+        SELECT u.r AS r,
+               CAST(('0x' || substr(md5(item || '#' || u.r), 1, 15))
+                    AS BIGINT) % {CM_W} AS b,
+               count(*) AS c
+        FROM items, unnest(generate_series(0, {CM_D - 1})) u(r)
+        GROUP BY 1, 2
+    ),
+    qkeys AS (
+        SELECT 'hot_' || CAST(u.i AS VARCHAR) AS item
+        FROM unnest(generate_series(0, 2)) u(i)
+        UNION ALL
+        SELECT 'cold_' || CAST(u.i AS VARCHAR)
+        FROM unnest(generate_series(0, 19)) u(i)
+    ),
+    truth AS (
+        SELECT q.item, count(i.item) AS true_count
+        FROM qkeys q LEFT JOIN items i ON i.item = q.item
+        GROUP BY 1
+    ),
+    probes AS (
+        SELECT q.item, u.r,
+               CAST(('0x' || substr(md5(q.item || '#' || u.r), 1, 15))
+                    AS BIGINT) % {CM_W} AS b
+        FROM qkeys q, unnest(generate_series(0, {CM_D - 1})) u(r)
+    ),
+    est AS (
+        SELECT p.item, min(coalesce(cells.c, 0)) AS est_count
+        FROM probes p
+        LEFT JOIN cells ON cells.r = p.r AND cells.b = p.b
+        GROUP BY 1
+    )
+    SELECT t.item,
+           CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(e.est_count - t.true_count AS BIGINT) AS overcount
+    FROM truth t JOIN est e ON e.item = t.item
+    """,
+    tags=("sketch", "frequency"),
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) expressed as PURE
+    relational algebra — no custom state, no Python: the sketch IS a
+    (row, bucket) -> count table built by one explode(D hashes) +
+    groupBy, because counting is linear; point-query estimates are a
+    broadcast join of the query keys to their D cells and a min.  By
+    construction est >= true (pinned): collisions only ADD.  Beside
+    Misra-Gries (which keeps candidate IDENTITY, Arrow mapInPandas) this
+    is the other classic frequency sketch, and the relational form is
+    the one that scales: the cell table is D*W rows whatever the stream
+    size, and — like the engine's bloom bitmaps — MERGEABLE across
+    shards/days by cell-wise SUM, so incremental maintenance is a
+    union+groupBy, never a rebuild.  Absent keys are queried too: their
+    estimate is pure collision mass (the honest CM answer), never NULL.
+
+    Query set: the 3 injected hot keys + 20 fixed cold ids (present or
+    absent) — the same inject-then-exercise convention as
+    sketch_heavy_hitters_mg, sharing its item mapping verbatim."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    item = F.when(
+        F.col("user_id") < 36,
+        F.concat(F.lit("hot_"), (F.col("user_id") % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+    items = ev.select(item.alias("item"))
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(CM_D - 1))
+    ).alias("r")
+    cells = (
+        items.select("item", rows)
+        .select(
+            "r",
+            (
+                hash64(
+                    F.concat(
+                        F.col("item"), F.lit("#"), F.col("r").cast("string")
+                    )
+                )
+                % CM_W
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qkeys = spark.range(0, 3).select(
+        F.concat(F.lit("hot_"), F.col("id").cast("string")).alias("item")
+    ).unionAll(
+        spark.range(0, 20).select(
+            F.concat(F.lit("cold_"), F.col("id").cast("string")).alias("item")
+        )
+    )
+    truth = qkeys.join(
+        items.groupBy("item").agg(F.count(F.lit(1)).alias("tc")),
+        "item",
+        "left",
+    ).select(
+        "item",
+        F.coalesce("tc", F.lit(0)).cast("bigint").alias("true_count"),
+    )
+    probes = qkeys.select(
+        "item",
+        rows,
+    ).select(
+        "item",
+        "r",
+        (
+            hash64(
+                F.concat(F.col("item"), F.lit("#"), F.col("r").cast("string"))
+            )
+            % CM_W
+        ).alias("b"),
+    )
+    est = (
+        probes.join(cells, ["r", "b"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
+    )
+    return (
+        truth.join(est, "item")
+        .select(
+            "item",
+            "true_count",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            (F.col("est_count") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )

@@ -210,9 +210,10 @@ def _minhash_band_structs_sql() -> str:
     return f"[{entries}]"
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+#: Full oracle SELECT for the MinHash+LSH candidate pairs — module-level
+#: so the split-leakage audit (operators/pipeline.py) can wrap it as a
+#: subquery and classify the exact same pair set.
+MINHASH_PAIRS_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -247,7 +248,12 @@ def _minhash_band_structs_sql() -> str:
     JOIN bands b ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
                AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=MINHASH_PAIRS_ORACLE,
     headline=True,
     tags=("dedup",),
 )

@@ -1036,3 +1036,82 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lw").cast("double").alias("log_weight"),
         (rn * DSIR_KEEP_DEN <= n).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split leakage audit (near-dup pairs straddling train/val/test)
+# ---------------------------------------------------------------------------
+
+from kafka_stream_processing_spark.operators.dedup import (  # noqa: E402
+    MINHASH_PAIRS_ORACLE,
+    dedup_minhash_lsh,
+)
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "pipeline_split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT * FROM ({MINHASH_PAIRS_ORACLE})
+    ),
+    labeled AS (
+        SELECT LEAST({_SPLIT_SQL.format(k="doc_a")},
+                     {_SPLIT_SQL.format(k="doc_b")}) AS split_lo,
+               GREATEST({_SPLIT_SQL.format(k="doc_a")},
+                        {_SPLIT_SQL.format(k="doc_b")}) AS split_hi,
+               doc_a, doc_b
+        FROM pairs
+    )
+    SELECT split_lo, split_hi,
+           split_lo <> split_hi AS is_leak,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b)
+                AS BIGINT) AS n_doc_slots
+    FROM labeled
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "dedup", "decontamination"),
+)
+def pipeline_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-leakage audit — the dedup-×-split composition every LLM
+    eval pipeline needs and exact-match decontamination misses: a
+    near-duplicate pair with one member in train and the other in
+    val/test leaks the held-out answer into training (Lee et al. 2022
+    measure exactly this inflation).  The audit classifies EVERY
+    MinHash+LSH candidate pair (dedup_minhash_lsh's kernel, reused
+    verbatim) by the canonical split of its two members
+    (sample_hash_split's md5 rule, reused verbatim) and reports the
+    split×split pair matrix with leak flags — release gate: rows with
+    is_leak=true and n_pairs>0 mean dedup must run BEFORE splitting, or
+    the straddling docs move/drop.
+
+    Scale: the pair set costs what the banded LSH join costs (collision
+    groups, never all-pairs); labeling is two stateless hash maps; the
+    audit aggregate is a <=6-row matrix.  n_doc_slots counts pair
+    endpoints distinctly per side (a doc in many leaky pairs is the
+    usual offender — a boilerplate template)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sa = split_assign(F.col("doc_a"))
+    sb = split_assign(F.col("doc_b"))
+    labeled = pairs.select(
+        F.least(sa, sb).alias("split_lo"),
+        F.greatest(sa, sb).alias("split_hi"),
+        "doc_a",
+        "doc_b",
+    )
+    return labeled.groupBy("split_lo", "split_hi").agg(
+        (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+        .cast("bigint")
+        .alias("n_doc_slots"),
+    )

@@ -1951,3 +1951,157 @@ def quality_fourgram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy and skew audits
+# ---------------------------------------------------------------------------
+
+#: k-anonymity bands: a group's size k determines its re-identification
+#: risk class.  Frontiers are the conventional k=5 / k=20 policy cuts.
+KANON_BUCKET_CHARS = 100
+
+
+@register(
+    "quality_k_anonymity_audit",
+    oracle=f"""
+    WITH groups AS (
+        SELECT lang, source, n_chars // {KANON_BUCKET_CHARS} AS len_bucket,
+               count(*) AS k
+        FROM documents
+        GROUP BY 1, 2, 3
+    )
+    SELECT CASE WHEN k = 1 THEN 'k=1 unique'
+                WHEN k < 5 THEN 'k=2-4'
+                WHEN k < 20 THEN 'k=5-19'
+                ELSE 'k>=20' END AS band,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM groups
+    GROUP BY 1
+    """,
+    tags=("quality", "privacy"),
+)
+def quality_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (lang, source, length bucket): every row whose QI group has size
+    k=1 is uniquely re-identifiable from those attributes alone — the
+    check a training-data release runs BEFORE publication (Sweeney
+    2002), complementing the PII scrub (text_pii_scrub removes direct
+    identifiers; k-anonymity measures the quasi-identifier risk that
+    scrubbing cannot).  Output is the band histogram a release gate
+    thresholds on: rows in k=1/k<5 bands either generalize (coarser
+    buckets), suppress, or block the release.
+
+    Scale: ONE groupBy over the QI tuple (map-side combined) to a
+    groups table bounded by the QI domain product, then a 4-row band
+    aggregate — corpus-size-independent state, the same shape at
+    100 TB."""
+    d = table(spark, sf_dir, "documents")
+    groups = d.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / KANON_BUCKET_CHARS).cast("bigint").alias(
+            "len_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    band = (
+        F.when(F.col("k") == 1, F.lit("k=1 unique"))
+        .when(F.col("k") < 5, F.lit("k=2-4"))
+        .when(F.col("k") < 20, F.lit("k=5-19"))
+        .otherwise(F.lit("k>=20"))
+    )
+    return groups.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+@register(
+    "quality_key_skew_gini",
+    oracle="""
+    WITH freq AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c, user_id) AS i,
+               count(*) OVER () AS n,
+               SUM(c) OVER () AS total
+        FROM freq
+    ),
+    topf AS (
+        SELECT SUM(c) AS top_events
+        FROM ranked
+        WHERE i > n - (n + 99) // 100
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           CAST(total AS BIGINT) AS total_events,
+           CAST(max(c) AS BIGINT) AS max_count,
+           CAST((SELECT top_events FROM topf) AS DOUBLE) / total
+               AS top1pct_share,
+           (2.0 * SUM(i * c)) / (CAST(n AS DOUBLE) * total)
+               - (CAST(n AS DOUBLE) + 1) / n AS gini
+    FROM ranked
+    GROUP BY n, total
+    """,
+    tags=("quality", "skew", "statistics"),
+)
+def quality_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics — the numbers that DECIDE the engine's own
+    salting/AQE-skew-join knobs: the Gini coefficient of the per-key
+    frequency distribution (0 = perfectly uniform keys, →1 = one key
+    owns the stream), the top-1% key share, and the max single-key
+    count.  Computed with the exact rank formula
+    G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n over ascending (count, key) ranks —
+    integer sums until two final IEEE divisions, so the score is
+    bit-stable cross-engine.  agg_salted_high_cardinality is the
+    treatment; this operator is the diagnosis that says when to apply
+    it (run it on the join/group key BEFORE choosing a partitioning).
+
+    Scale: one groupBy(key) (map-side combined), one total-order rank
+    over the KEY-frequency table (keys-sized, not stream-sized —
+    at billions of keys swap row_number for a quantile-sketch Lorenz
+    approximation), one scalar aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy("c", "user_id")
+    w_all = Window.partitionBy()
+    ranked = freq.select(
+        "c",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    # top-1% frontier by integer rank: (n + 99) // 100 == ceil(n / 100)
+    topf = ranked.filter(
+        F.col("i")
+        > F.col("n") - ((F.col("n") + 99) / 100).cast("bigint")
+    ).agg(F.sum("c").alias("top_events"))
+    return (
+        ranked.groupBy("n", "total")
+        .agg(
+            F.max("c").cast("bigint").alias("max_count"),
+            F.sum(F.col("i") * F.col("c")).alias("sic"),
+        )
+        .crossJoin(F.broadcast(topf))
+        .select(
+            F.col("n").cast("bigint").alias("n_keys"),
+            F.col("total").cast("bigint").alias("total_events"),
+            "max_count",
+            (
+                F.col("top_events").cast("double") / F.col("total")
+            ).alias("top1pct_share"),
+            (
+                (F.lit(2.0) * F.col("sic"))
+                / (F.col("n").cast("double") * F.col("total"))
+                - (F.col("n").cast("double") + 1) / F.col("n")
+            ).alias("gini"),
+        )
+    )

@@ -193,6 +193,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_bootstrap_mean_ci",
     "quality_fourgram_kneser_ney",
     "stream_update_mode_running_counts",
+    "sketch_countmin_freq",
+    "quality_k_anonymity_audit",
+    "quality_key_skew_gini",
+    "pipeline_split_leakage_audit",
     # -- r02-stale evidence (newest driver row r02), for r07/r08 --
     "q2_min_price_supplier",
     "q6_forecast_revenue",

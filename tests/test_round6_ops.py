@@ -335,3 +335,154 @@ def test_update_mode_emits_real_intermediate_updates(spark, sf_small):
     )
     got = {r.event_type: r.n_events for r in rows}
     assert got == want
+
+
+# ------------------------------------------------- Count-Min sketch
+
+
+def test_countmin_never_undercounts_and_is_tight_on_hot_keys(
+    spark, sf_small, sf_medium
+):
+    for sf in (sf_small, sf_medium):
+        rows = SPECS["sketch_countmin_freq"].fn(spark, sf).collect()
+        by_item = {r.item: r for r in rows}
+        # the full query set is present, including absent cold keys
+        assert {f"hot_{i}" for i in range(3)} <= set(by_item)
+        assert len(rows) == 23
+        for r in rows:
+            assert r.overcount >= 0, r.item  # CM can only overcount
+            assert r.est_count == r.true_count + r.overcount
+        # hot keys dominate their cells; collision mass stays small
+        # relative to their true counts
+        for i in range(3):
+            r = by_item[f"hot_{i}"]
+            assert r.true_count > 0
+            assert r.overcount <= r.true_count, r.item
+
+
+def test_countmin_sketch_is_mergeable_by_cellwise_sum(spark, sf_small):
+    """Counting is linear: the cell table built on the full stream
+    equals the cell-wise SUM of the tables built on two disjoint
+    halves — the property that makes incremental maintenance a
+    union+groupBy instead of a rebuild (same contract as the bloom
+    bitmap merge)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.operators.corpus import CM_D, CM_W
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.sources.tables import table
+
+    ev = table(spark, sf_small, "events")
+    item = F.when(
+        F.col("user_id") < 36,
+        F.concat(F.lit("hot_"), (F.col("user_id") % 3).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("cold_"), F.col("event_id").cast("string"))
+    )
+
+    def cells(df):
+        return (
+            df.select(item.alias("item"))
+            .select(
+                "item",
+                F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("r"),
+            )
+            .select(
+                "r",
+                (
+                    hash64(
+                        F.concat(
+                            F.col("item"),
+                            F.lit("#"),
+                            F.col("r").cast("string"),
+                        )
+                    )
+                    % CM_W
+                ).alias("b"),
+            )
+            .groupBy("r", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    full = {(r.r, r.b): r.c for r in cells(ev).collect()}
+    lo = cells(ev.filter(F.col("event_id") % 2 == 0))
+    hi = cells(ev.filter(F.col("event_id") % 2 == 1))
+    merged: dict[tuple[int, int], int] = {}
+    for r in lo.collect() + hi.collect():
+        merged[(r.r, r.b)] = merged.get((r.r, r.b), 0) + r.c
+    assert merged == full
+
+
+# --------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_bands_reconcile(spark, sf_small):
+    rows = SPECS["quality_k_anonymity_audit"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    (n_docs,) = con.execute(
+        f"SELECT count(*) FROM '{sf_small}/documents.parquet'"
+    ).fetchone()
+    assert sum(r.n_rows for r in rows) == n_docs
+    for r in rows:
+        assert r.min_k <= r.max_k
+        assert r.n_groups <= r.n_rows
+        if r.band == "k=1 unique":
+            assert r.min_k == r.max_k == 1
+            assert r.n_groups == r.n_rows
+
+
+# ----------------------------------------------------- Gini skew
+
+
+def test_gini_matches_python_and_uniform_bound(spark, sf_small):
+    row = SPECS["quality_key_skew_gini"].fn(spark, sf_small).collect()[0]
+    con = duckdb.connect()
+    counts = [
+        c
+        for (c,) in con.execute(
+            f"SELECT count(*) FROM '{sf_small}/events.parquet' GROUP BY user_id"
+        ).fetchall()
+    ]
+    counts.sort()
+    n, total = len(counts), sum(counts)
+    want = (
+        2.0 * sum((i + 1) * c for i, c in enumerate(counts))
+    ) / (n * total) - (n + 1) / n
+    assert abs(row.gini - want) < 1e-12
+    assert 0.0 <= row.gini < 1.0
+    assert row.n_keys == n and row.total_events == total
+    assert row.max_count == counts[-1]
+    top = sum(counts[n - (n + 99) // 100 :])
+    assert abs(row.top1pct_share - top / total) < 1e-12
+
+
+# ------------------------------------------- split leakage audit
+
+
+def test_split_leakage_matrix_reconciles_with_candidate_pairs(
+    spark, sf_small
+):
+    """The split×split matrix partitions the LSH candidate-pair set
+    exactly (Σ n_pairs == |pairs|), leak flags are consistent with the
+    labels, and the labels themselves replay sample_hash_split's md5
+    rule."""
+    import hashlib
+
+    rows = SPECS["pipeline_split_leakage_audit"].fn(spark, sf_small).collect()
+    pairs = SPECS["dedup_minhash_lsh"].fn(spark, sf_small).collect()
+    assert sum(r.n_pairs for r in rows) == len(pairs)
+    for r in rows:
+        assert r.is_leak == (r.split_lo != r.split_hi)
+        assert r.split_lo <= r.split_hi
+
+    def split(doc_id: int) -> str:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        b = h % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    want: dict[tuple[str, str], int] = {}
+    for p in pairs:
+        k = tuple(sorted((split(p.doc_a), split(p.doc_b))))
+        want[k] = want.get(k, 0) + 1
+    got = {(r.split_lo, r.split_hi): r.n_pairs for r in rows}
+    assert got == want
