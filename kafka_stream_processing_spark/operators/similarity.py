@@ -2010,3 +2010,112 @@ def similarity_matryoshka_recall_eval(
             (F.col("hits").cast("double") / RECALL_TOPK).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (positives + semi-hard negatives)
+# ---------------------------------------------------------------------------
+
+#: Contrastive mining bands: ranks 1..POS are positives (potential
+#: near-dups/paraphrases), ranks POS+1..POS+NEG are the SEMI-HARD
+#: negative band — similar enough to carry gradient, far enough to be
+#: genuinely negative (the FaceNet/SimCSE mining heuristic).
+CONTRASTIVE_POS = 5
+CONTRASTIVE_NEG = 10
+
+
+@register(
+    "sample_contrastive_pairs",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(emb[i] * emb[i]
+                                            AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm
+        FROM v
+    ),
+    ranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS pair_id,
+               CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(q.emb[i] * c.emb[i]
+                                            AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE) / (q.nrm * c.nrm) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY CAST(list_aggregate(
+                                list_transform(range(1, 65),
+                                               i -> CAST(q.emb[i] * c.emb[i]
+                                                         AS DECIMAL(18,12))),
+                                'sum') AS DOUBLE) / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, pair_id, CAST(rank AS INT) AS rank,
+           CASE WHEN rank <= {CONTRASTIVE_POS} THEN 'positive'
+                ELSE 'hard_negative' END AS role,
+           cosine
+    FROM ranked
+    WHERE rank <= {CONTRASTIVE_POS + CONTRASTIVE_NEG}
+    """,
+    tags=("sampling", "similarity", "contrastive"),
+)
+def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining over the embedding corpus: for
+    each anchor, the exact-cosine ranking is cut into a POSITIVE band
+    (top 5 — near-dups/paraphrases, the rows a contrastive loss
+    pulls together or a dedup would drop) and a SEMI-HARD NEGATIVE band
+    (ranks 6..15 — the FaceNet/SimCSE heuristic: random
+    negatives are too easy to carry gradient, the very top is
+    positive-contaminated, the band just below is where the loss
+    learns).  Deterministic by construction (exact decimal cosine,
+    vec_id tiebreak), so the mined pair set is reproducible — the
+    property batch miners need for resumable epoch builds.
+
+    Scale: anchors broadcast (the corpus never shuffles — the
+    bruteforce kernel's plan, shared verbatim); at production scale the
+    exact ranking swaps for the IVF+PQ shortlist + exact rerank
+    (similarity_rerank_two_stage) with the same band cut — this
+    operator IS the band-cut contract the ANN variant must honor."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    with_norm = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
+    q = with_norm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        with_norm.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("pair_id"),
+            cosine_exact(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "pair_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CONTRASTIVE_POS + CONTRASTIVE_NEG)
+        .select(
+            "query_id",
+            "pair_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.when(
+                F.col("rank") <= CONTRASTIVE_POS, F.lit("positive")
+            ).otherwise(F.lit("hard_negative")).alias("role"),
+            "cosine",
+        )
+    )

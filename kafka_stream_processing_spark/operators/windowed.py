@@ -898,3 +898,76 @@ def window_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), bucket("rm").cast("string"),
         ).alias("segment"),
     )
+
+
+#: Point-in-time probe shift: features are read 30 minutes after the
+#: event that anchors the probe (a training-set label time).
+PIT_SHIFT_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "join_point_in_time_scd2",
+    # Independent formulation: the oracle answers each probe with a
+    # direct AS-OF lookup (latest event at or before the probe time) —
+    # it never builds intervals — while the engine routes through the
+    # SCD2 validity-interval table.  Agreement proves the interval
+    # derivation AND the containment join at once.
+    oracle=f"""
+    WITH probes AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) + {PIT_SHIFT_US} AS probe_us
+        FROM events WHERE event_id % 17 = 0
+    )
+    SELECT user_id, probe_us, as_of_type FROM (
+        SELECT p.user_id, p.probe_us,
+               e.event_type AS as_of_type,
+               row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM probes p
+        JOIN events e ON e.user_id = p.user_id
+                     AND epoch_us(e.ts) <= p.probe_us
+    ) WHERE rn = 1
+    """,
+    tags=("joins", "scd", "feature-store"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup — THE correctness contract
+    of a feature store (and of any training-set builder): for a probe
+    at time t, return the dimension state that was valid AT t, never a
+    later value (future leakage) and never an earlier one once a change
+    intervened (staleness).  The engine path composes two existing
+    kernels: scd2_user_type_history builds the validity-interval table,
+    and each probe (every 17th event, read 30 minutes later) joins on
+    user_id + interval containment [valid_from, valid_to) with the open
+    current row catching the tail.  SCD2 intervals PARTITION each
+    user's timeline, so exactly one row matches per probe — the oracle
+    proves it by answering the same probes with a direct as-of scan.
+
+    Scale: the interval table is CHANGES-sized (the SCD2 compression),
+    so the lookup is a hash equi-join on user_id with a per-user
+    interval filter — broadcastable when the dimension is small, and
+    the bucketed interval-overlap kernel (join_interval_overlap_sessions)
+    is the general form when it isn't.  Probes never self-join the raw
+    fact stream — that is the oracle's job, quadratic and deliberately
+    oracle-only."""
+    events = table(spark, sf_dir, "events")
+    hist = scd2_user_type_history(spark, sf_dir)
+    probes = events.filter(F.col("event_id") % 17 == 0).select(
+        "user_id",
+        (F.unix_micros("ts") + F.lit(PIT_SHIFT_US)).alias("probe_us"),
+    )
+    return (
+        probes.join(hist, "user_id")
+        .filter(
+            (F.col("valid_from_us") <= F.col("probe_us"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("probe_us") < F.col("valid_to_us"))
+            )
+        )
+        .select(
+            "user_id",
+            "probe_us",
+            F.col("event_type").alias("as_of_type"),
+        )
+    )

@@ -486,3 +486,64 @@ def test_split_leakage_matrix_reconciles_with_candidate_pairs(
         want[k] = want.get(k, 0) + 1
     got = {(r.split_lo, r.split_hi): r.n_pairs for r in rows}
     assert got == want
+
+
+# ----------------------------------------- point-in-time SCD2 join
+
+
+def test_point_in_time_never_leaks_future_state(spark, sf_small):
+    """Every probe answer must be the type of some event at-or-before
+    the probe time, with NO later change intervening — the feature-store
+    no-leakage/no-staleness contract, replayed in pure Python."""
+    rows = SPECS["join_point_in_time_scd2"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    events = con.execute(
+        "SELECT user_id, epoch_us(ts), event_id, event_type "
+        f"FROM '{sf_small}/events.parquet' ORDER BY user_id, 2, 3"
+    ).fetchall()
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for uid, us, eid, et in events:
+        by_user.setdefault(uid, []).append((us, eid, et))
+    n_probes = con.execute(
+        f"SELECT count(*) FROM '{sf_small}/events.parquet' "
+        "WHERE event_id % 17 = 0"
+    ).fetchone()[0]
+    assert len(rows) == n_probes  # exactly one interval matched each
+    for r in rows:
+        hist = by_user[r.user_id]
+        latest = max(
+            ((us, eid, et) for us, eid, et in hist if us <= r.probe_us),
+            key=lambda x: (x[0], x[1]),
+        )
+        assert r.as_of_type == latest[2], (r.user_id, r.probe_us)
+
+
+# ------------------------------------------- contrastive mining
+
+
+def test_contrastive_bands_are_disjoint_and_ordered(spark, sf_small):
+    from kafka_stream_processing_spark.operators.similarity import (
+        CONTRASTIVE_NEG,
+        CONTRASTIVE_POS,
+    )
+
+    rows = SPECS["sample_contrastive_pairs"].fn(spark, sf_small).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(
+            range(1, CONTRASTIVE_POS + CONTRASTIVE_NEG + 1)
+        )
+        # cosine non-increasing with rank; roles split exactly at POS
+        for a, b in zip(rs, rs[1:]):
+            assert a.cosine >= b.cosine - 1e-12
+        for r in rs:
+            want = "positive" if r.rank <= CONTRASTIVE_POS else "hard_negative"
+            assert r.role == want
+        # positives strictly more similar than every hard negative
+        pos_min = min(r.cosine for r in rs if r.role == "positive")
+        neg_max = max(r.cosine for r in rs if r.role == "hard_negative")
+        assert pos_min >= neg_max - 1e-12
