@@ -811,10 +811,11 @@ _CM_ITEM_SQL = (
     "ELSE 'cold_' || CAST(event_id AS VARCHAR) END"
 )
 
-
-@register(
-    "sketch_countmin_freq",
-    oracle=f"""
+#: Full CM audit oracle — module-level so the streaming incremental
+#: variant (streaming/joins.py) registers the SAME oracle: a correctly
+#: merged stream-built sketch must equal the batch-built one exactly
+#: (counting is linear).
+CM_AUDIT_ORACLE = f"""
     WITH items AS (
         SELECT {_CM_ITEM_SQL} AS item FROM events
     ),
@@ -855,7 +856,12 @@ _CM_ITEM_SQL = (
            CAST(e.est_count AS BIGINT) AS est_count,
            CAST(e.est_count - t.true_count AS BIGINT) AS overcount
     FROM truth t JOIN est e ON e.item = t.item
-    """,
+    """
+
+
+@register(
+    "sketch_countmin_freq",
+    oracle=CM_AUDIT_ORACLE,
     tags=("sketch", "frequency"),
 )
 def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,34 +882,47 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Query set: the 3 injected hot keys + 20 fixed cold ids (present or
     absent) — the same inject-then-exercise convention as
     sketch_heavy_hitters_mg, sharing its item mapping verbatim."""
-    from kafka_stream_processing_spark.operators.dedup import hash64
     from kafka_stream_processing_spark.sources.tables import table
 
     ev = table(spark, sf_dir, "events")
-    item = F.when(
+    items = ev.select(cm_item_col().alias("item"))
+    return cm_report(spark, cm_cells(items), items)
+
+
+def cm_item_col() -> Column:
+    """Spark mirror of ``_CM_ITEM_SQL`` (shared with the streaming
+    incremental variant)."""
+    return F.when(
         F.col("user_id") < 36,
         F.concat(F.lit("hot_"), (F.col("user_id") % 3).cast("string")),
     ).otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
-    items = ev.select(item.alias("item"))
-    rows = F.explode(
-        F.sequence(F.lit(0), F.lit(CM_D - 1))
-    ).alias("r")
-    cells = (
+
+
+def _cm_bucket(item: Column, r: Column) -> Column:
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    return hash64(F.concat(item, F.lit("#"), r.cast("string"))) % CM_W
+
+
+def cm_cells(items: DataFrame) -> DataFrame:
+    """Fold an item frame (column ``item``) into the (r, b) -> c cell
+    table — the sketch itself.  Linear, hence mergeable by cell-wise
+    sum across batches/shards/days."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("r")
+    return (
         items.select("item", rows)
-        .select(
-            "r",
-            (
-                hash64(
-                    F.concat(
-                        F.col("item"), F.lit("#"), F.col("r").cast("string")
-                    )
-                )
-                % CM_W
-            ).alias("b"),
-        )
+        .select("r", _cm_bucket(F.col("item"), F.col("r")).alias("b"))
         .groupBy("r", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def cm_report(
+    spark: SparkSession, cells: DataFrame, items: DataFrame
+) -> DataFrame:
+    """Estimate the fixed query-key set against a cell table and audit
+    each estimate against the exact count from ``items``."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("r")
     qkeys = spark.range(0, 3).select(
         F.concat(F.lit("hot_"), F.col("id").cast("string")).alias("item")
     ).unionAll(
@@ -919,32 +938,19 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item",
         F.coalesce("tc", F.lit(0)).cast("bigint").alias("true_count"),
     )
-    probes = qkeys.select(
-        "item",
-        rows,
-    ).select(
-        "item",
-        "r",
-        (
-            hash64(
-                F.concat(F.col("item"), F.lit("#"), F.col("r").cast("string"))
-            )
-            % CM_W
-        ).alias("b"),
+    probes = qkeys.select("item", rows).select(
+        "item", "r", _cm_bucket(F.col("item"), F.col("r")).alias("b")
     )
     est = (
         probes.join(cells, ["r", "b"], "left")
         .groupBy("item")
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
     )
-    return (
-        truth.join(est, "item")
-        .select(
-            "item",
-            "true_count",
-            F.col("est_count").cast("bigint").alias("est_count"),
-            (F.col("est_count") - F.col("true_count"))
-            .cast("bigint")
-            .alias("overcount"),
-        )
+    return truth.join(est, "item").select(
+        "item",
+        "true_count",
+        F.col("est_count").cast("bigint").alias("est_count"),
+        (F.col("est_count") - F.col("true_count"))
+        .cast("bigint")
+        .alias("overcount"),
     )

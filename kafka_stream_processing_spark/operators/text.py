@@ -896,3 +896,95 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+@register(
+    "text_bigram_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, t[k] AS w1, t[k + 1] AS w2
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) u(k)
+        WHERE len(t) >= 2
+    ),
+    c12 AS (
+        SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3
+    ),
+    c1 AS (
+        SELECT doc_id, w1, SUM(c) AS c1 FROM c12 GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT doc_id, SUM(c) AS n FROM c12 GROUP BY 1
+    ),
+    terms AS (
+        SELECT c12.doc_id,
+               CAST(round((CAST(c12.c AS DOUBLE) / n.n)
+                          * ln(CAST(c12.c AS DOUBLE) / c1.c1), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM c12
+        JOIN c1 ON c1.doc_id = c12.doc_id AND c1.w1 = c12.w1
+        JOIN n ON n.doc_id = c12.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(n.n AS BIGINT) AS n_bigrams,
+           -CAST(SUM(t.term) AS DOUBLE) AS bigram_entropy
+    FROM terms t JOIN n ON n.doc_id = t.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram CONDITIONAL entropy H(w₂|w₁) — the
+    information-theoretic repetitiveness score complementing the
+    dup-n-gram-fraction gate (quality_dup_ngram_fraction counts verbatim
+    repeats; entropy also catches low-diversity text that never repeats
+    a long n-gram exactly, e.g. template rotations — machine-generated
+    spam scores LOW here while genuine prose scores near the corpus
+    ceiling).  H = −Σ p(w₁,w₂)·ln p(w₂|w₁) over the document's OWN
+    bigram distribution; each term is integer-count-derived, round-6
+    decimal-quantized (the LM family convention), so the score is
+    bit-stable cross-engine.
+
+    Scale: one explode + three groupBys, ALL keyed by doc_id — a single
+    hash partitioning reused across the chain (bigram counts, w₁
+    margins, doc totals); no cross-document state whatsoever, so the
+    operator is embarrassingly parallel at any corpus size."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n_col = F.size("t")
+    bi = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n_col - 1).alias("w1"),
+                    F.slice("t", 2, n_col - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("doc_id", "w1").agg(F.sum("c").alias("c1"))
+    n = c12.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("c").cast("double") / F.col("c1")),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        c12.join(c1, ["doc_id", "w1"])
+        .join(n, "doc_id")
+        .select("doc_id", F.col("n"), term.alias("term"))
+        .groupBy("doc_id", "n")
+        .agg((-F.sum("term").cast("double")).alias("bigram_entropy"))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_bigrams"),
+            "bigram_entropy",
+        )
+    )

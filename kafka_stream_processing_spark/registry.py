@@ -199,6 +199,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "pipeline_split_leakage_audit",
     "join_point_in_time_scd2",
     "sample_contrastive_pairs",
+    "stream_countmin_incremental",
+    "text_bigram_entropy",
     # -- r02-stale evidence (newest driver row r02), for r07/r08 --
     "q2_min_price_supplier",
     "q6_forecast_revenue",

@@ -12,7 +12,10 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_stream_processing_spark.operators.corpus import CONTAMINATION_ORACLE
+from kafka_stream_processing_spark.operators.corpus import (
+    CM_AUDIT_ORACLE,
+    CONTAMINATION_ORACLE,
+)
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import normalize_events
 from kafka_stream_processing_spark.streaming.unique_users import (
@@ -919,3 +922,79 @@ def stream_ks_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_min_doc_id bigint, n_batch bigint, ks_d double, "
         "critical_005 double, drift boolean",
     )
+
+
+@register(
+    "stream_countmin_incremental",
+    # SAME oracle as the batch sketch_countmin_freq: counting is linear,
+    # so a correctly merged stream-built sketch must equal the
+    # batch-built one CELL FOR CELL — the comparison pins the merge, not
+    # just the estimates.
+    oracle=CM_AUDIT_ORACLE,
+    tags=("streaming", "sketch"),
+)
+def stream_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Count-Min maintenance over a real 3-micro-batch
+    stream: each ``foreachBatch`` folds its batch's (r, b) -> c cell
+    table into a driver-held accumulator by CELL-WISE SUM — the
+    mergeability that makes CM the sketch you can maintain per
+    day/shard/topic and union later (the streaming twin of the
+    bloom-bitmap incremental merge).  The final sketch answers the same
+    23-key audit as the batch operator, against the same oracle: stream
+    and batch sketches are provably IDENTICAL, not merely close.
+
+    Scale: per-batch driver traffic is bounded by D*W = 2048 cells
+    (collecting a SKETCH is the legal form of driver folding — same
+    contract as stream_global_topk_foreachbatch's k rows); per-batch
+    executor work is one explode + map-side-combined groupBy.  State
+    lives in the accumulator, not the state store — restart recovery is
+    re-folding from the last persisted sketch, exactly how a daily
+    sketch pipeline resumes."""
+    from kafka_stream_processing_spark.operators.corpus import (
+        cm_cells,
+        cm_item_col,
+        cm_report,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    acc: dict[tuple[int, int], int] = {}
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        cells = cm_cells(
+            batch_df.select(cm_item_col().alias("item"))
+        ).collect()  # <= D*W = 2048 rows per batch, by construction
+        for row in cells:
+            key = (row["r"], row["b"])
+            acc[key] = acc.get(key, 0) + row["c"]
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    if not acc:
+        raise RuntimeError(
+            "stream_countmin_incremental: zero micro-batches delivered "
+            f"from {path} — no sketch to report"
+        )
+    merged = spark.createDataFrame(
+        [(r, b, c) for (r, b), c in sorted(acc.items())],
+        schema="r int, b bigint, c bigint",
+    )
+    items = table(spark, sf_dir, "events").select(
+        cm_item_col().alias("item")
+    )
+    return cm_report(spark, merged, items)
+

@@ -547,3 +547,60 @@ def test_contrastive_bands_are_disjoint_and_ordered(spark, sf_small):
         pos_min = min(r.cosine for r in rs if r.role == "positive")
         neg_max = max(r.cosine for r in rs if r.role == "hard_negative")
         assert pos_min >= neg_max - 1e-12
+
+
+# ------------------------------------------ streaming Count-Min
+
+
+def test_stream_countmin_equals_batch_sketch(spark, sf_small):
+    """Linearity on the hard signal's own terms: the stream-folded
+    sketch answers the 23-key audit identically to the batch-built one,
+    row for row."""
+    batch = {
+        r.item: (r.true_count, r.est_count)
+        for r in SPECS["sketch_countmin_freq"].fn(spark, sf_small).collect()
+    }
+    streamed = {
+        r.item: (r.true_count, r.est_count)
+        for r in SPECS["stream_countmin_incremental"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert streamed == batch
+
+
+# --------------------------------------------- bigram entropy
+
+
+def test_bigram_entropy_matches_python_and_bounds(spark, sf_small):
+    """Pure-Python recomputation matches per doc, and the score is
+    bounded by ln(distinct successors per context) <= ln(vocab)."""
+    import math
+
+    rows = SPECS["text_bigram_entropy"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    got = {r.doc_id: (r.n_bigrams, r.bigram_entropy) for r in rows}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        if len(t) < 2:
+            assert doc_id not in got
+            continue
+        c12: dict[tuple[str, str], int] = {}
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+        c1: dict[str, int] = {}
+        for (a, _), c in c12.items():
+            c1[a] = c1.get(a, 0) + c
+        n = sum(c12.values())
+        h = -sum(
+            round((c / n) * math.log(c / c1[a]), 6)
+            for (a, _), c in c12.items()
+        )
+        n_b, got_h = got[doc_id]
+        assert n_b == n
+        assert abs(got_h - h) < 1e-9, doc_id
+        vocab = len({w for w in t})
+        assert -1e-9 <= got_h <= math.log(max(vocab, 2)) + 1e-9
