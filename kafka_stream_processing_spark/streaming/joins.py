@@ -998,3 +998,134 @@ def stream_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cm_report(spark, merged, items)
 
+
+
+def _stream_embeddings_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
+    """Stage embeddings as N vec_id-ordered parquet chunks — the
+    vector-ingest stream for index-maintenance queries.  Cache keyed on
+    the source file's (mtime, size), same contract as the events
+    staging."""
+    import os
+
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        publish_staged_dir,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(
+        "/tmp", "kssp_stream_src", key,
+        f"embeddings_chunks{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
+    )
+
+    def build(tmp: str) -> None:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src)
+        t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+        n = t.num_rows
+        step = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = t.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk, os.path.join(tmp, f"chunk-{i}.parquet")
+                )
+
+    return publish_staged_dir(d, build)
+
+
+def _ivf_hist_oracle() -> str:
+    from kafka_stream_processing_spark.operators.similarity import (
+        _argmin_cell_sql,
+    )
+
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, {_argmin_cell_sql()} AS cell FROM v
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           min(vec_id) AS min_vec_id,
+           max(vec_id) AS max_vec_id
+    FROM assigned
+    GROUP BY cell
+    """
+
+
+@register(
+    "stream_ivf_index_maintenance",
+    # Oracle: the batch IVF cell histogram — streaming ingest must land
+    # every vector in the same cell the batch build would (assignment is
+    # a pure function of the vector and the FIXED centroid artifact).
+    oracle=_ivf_hist_oracle(),
+    tags=("streaming", "similarity", "ann"),
+)
+def stream_ivf_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming vector-index maintenance: embeddings arrive over a
+    3-micro-batch stream and each batch is assigned to its IVF cell by
+    the TRAINED coarse quantizer (the reproduction-pinned centroid
+    artifact) as a stateless map, appended to the index.  The final
+    per-cell histogram (count + vec_id range) must equal the batch
+    index build exactly — the contract that lets a production vector
+    store ingest continuously and still serve the same cells a bulk
+    rebuild would (FAISS's add() vs train() separation, expressed as a
+    stream).
+
+    Scale: assignment is whole-stage-codegen arithmetic against a
+    broadcast literal centroid table — no state store, no shuffle
+    inside the stream; the per-cell histogram is the only aggregate and
+    runs batch-side over the sink.  Cell files at 100 TB are the
+    partition key (cells partition-prune ANN probes — the
+    similarity_ivf* family's layout story, maintained incrementally
+    here)."""
+    from kafka_stream_processing_spark.operators.similarity import ivf_cell
+
+    path = _stream_embeddings_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_ivf_{next(_uniq)}"
+
+    from kafka_stream_processing_spark.session import default_parallelism
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        # one chunk file = one input split; without the fan-out the whole
+        # batch's quantizer arithmetic runs on a single core (real vector
+        # ingest arrives as many files/offsets and would not need this)
+        .repartition(default_parallelism())
+        .select(
+            "vec_id",
+            ivf_cell(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("cell"),
+        )
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+    )

@@ -604,3 +604,33 @@ def test_bigram_entropy_matches_python_and_bounds(spark, sf_small):
         assert abs(got_h - h) < 1e-9, doc_id
         vocab = len({w for w in t})
         assert -1e-9 <= got_h <= math.log(max(vocab, 2)) + 1e-9
+
+
+# ------------------------------------------ streaming IVF ingest
+
+
+def test_stream_ivf_index_equals_batch_assignment(spark, sf_small):
+    """Streaming ingest must land every vector in the batch build's
+    cell: per-cell histograms agree, and totals cover the corpus."""
+    rows = SPECS["stream_ivf_index_maintenance"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    (n_vecs,) = con.execute(
+        f"SELECT count(*) FROM '{sf_small}/embeddings.parquet'"
+    ).fetchone()
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    from kafka_stream_processing_spark.operators.similarity import (
+        _as_double_array,
+        ivf_cell,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+    import pyspark.sql.functions as F
+
+    batch = {
+        (r.cell, r.n_vectors)
+        for r in table(spark, sf_small, "embeddings")
+        .select(ivf_cell(_as_double_array("embedding")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .collect()
+    }
+    assert {(r.cell, r.n_vectors) for r in rows} == batch
