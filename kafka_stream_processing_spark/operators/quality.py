@@ -2105,3 +2105,118 @@ def quality_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+#: Benford first-significant-digit proportions log10(1 + 1/d), written
+#: as exact double literals so both engines compute identical expected
+#: counts.
+BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+_BENFORD_P_SQL = "CASE " + " ".join(
+    f"WHEN digit = {d + 1} THEN {p}" for d, p in enumerate(BENFORD_P)
+) + " END"
+
+
+@register(
+    "quality_benford_digit_drift",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM lineitem
+        WHERE l_extendedprice >= 1
+    ),
+    obs AS (
+        SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n_obs) AS n FROM obs),
+    terms AS (
+        SELECT o.digit, o.n_obs, t.n,
+               {_BENFORD_P_SQL} AS p_benford,
+               CAST((CAST(o.n_obs AS DOUBLE) - {_BENFORD_P_SQL} * t.n)
+                    * (CAST(o.n_obs AS DOUBLE) - {_BENFORD_P_SQL} * t.n)
+                    / ({_BENFORD_P_SQL} * t.n)
+                    AS DECIMAL(18,12)) AS term
+        FROM obs o, tot t
+    ),
+    stat AS (
+        SELECT CAST(SUM(term) AS DOUBLE) AS chi2 FROM terms
+    )
+    SELECT t.digit,
+           CAST(t.n_obs AS BIGINT) AS n_obs,
+           t.p_benford,
+           CAST(t.n_obs AS DOUBLE) / t.n AS p_obs,
+           s.chi2,
+           s.chi2 > {CHI2_CRIT_005[8]} AS drift
+    FROM terms t, stat s
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_benford_digit_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law first-digit gate — the synthetic-data tripwire
+    (naturally occurring multi-scale amounts follow
+    P(d) = log10(1+1/d); uniform or fabricated generators don't, which
+    is why auditors and data-quality teams chi-square against Benford):
+    first significant digits come from the INTEGER part as a string
+    (floor → BIGINT → substr — deterministic on both engines; no
+    log10/pow on doubles, whose boundary behavior is libm-dependent),
+    χ² against the literal Benford proportions with the dof=8 critical
+    value from the shared CHI2_CRIT_005 table.  On TPC-H-style uniform
+    prices the gate correctly FIRES (p_obs ≈ 1/9 per digit) — the
+    tripwire pays for itself by flagging generated data, and the
+    per-digit rows show exactly which digits deviate.
+
+    Scale: one scan → 9-row digit histogram (map-side combined);
+    everything after runs on 9 rows.  Pairs with Zipf/Heaps as the
+    numeric-column member of the generated-content tripwire family."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    from pyspark.sql import Window
+
+    n = F.sum("n_obs").over(Window.partitionBy())
+    p_benford = F.lit(None).cast("double")
+    for d, p in enumerate(BENFORD_P):
+        p_benford = F.when(F.col("digit") == d + 1, F.lit(p)).otherwise(
+            p_benford
+        )
+    terms = obs.select(
+        "digit",
+        "n_obs",
+        n.alias("n"),
+        p_benford.alias("p_benford"),
+    ).withColumn(
+        "term",
+        (
+            (F.col("n_obs").cast("double") - F.col("p_benford") * F.col("n"))
+            * (F.col("n_obs").cast("double") - F.col("p_benford") * F.col("n"))
+            / (F.col("p_benford") * F.col("n"))
+        ).cast("decimal(18,12)"),
+    )
+    chi2 = F.sum("term").over(Window.partitionBy()).cast("double")
+    return terms.select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        "p_benford",
+        (F.col("n_obs").cast("double") / F.col("n")).alias("p_obs"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(CHI2_CRIT_005[8])).alias("drift"),
+    )

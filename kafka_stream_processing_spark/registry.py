@@ -202,6 +202,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_countmin_incremental",
     "text_bigram_entropy",
     "stream_ivf_index_maintenance",
+    "quality_benford_digit_drift",
     # -- r02-stale evidence (newest driver row r02), for r07/r08 --
     "q2_min_price_supplier",
     "q6_forecast_revenue",

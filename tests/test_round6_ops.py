@@ -634,3 +634,28 @@ def test_stream_ivf_index_equals_batch_assignment(spark, sf_small):
         .collect()
     }
     assert {(r.cell, r.n_vectors) for r in rows} == batch
+
+
+# ----------------------------------------------- Benford gate
+
+
+def test_benford_gate_fires_on_uniform_prices(spark, sf_small):
+    """TPC-H-style uniform prices are NOT Benford — the tripwire must
+    fire; proportions must sum to 1 and chi2 must match a pure-Python
+    recomputation."""
+    import math
+
+    rows = SPECS["quality_benford_digit_drift"].fn(spark, sf_small).collect()
+    assert {r.digit for r in rows} == set(range(1, 10))
+    assert all(r.drift for r in rows)  # uniform prices trip the gate
+    assert abs(sum(r.p_obs for r in rows) - 1.0) < 1e-12
+    n = sum(r.n_obs for r in rows)
+    chi2 = sum(
+        round(
+            (r.n_obs - r.p_benford * n) ** 2 / (r.p_benford * n), 12
+        )
+        for r in rows
+    )
+    assert abs(rows[0].chi2 - chi2) < 1e-6
+    for r in rows:
+        assert abs(r.p_benford - math.log10(1 + 1 / r.digit)) < 1e-12
