@@ -480,13 +480,15 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from pyspark.sql import Window as _W
 
+    # Top-k via orderBy().limit(k) → TakeOrderedAndProject (a per-
+    # partition k-row heap + driver merge), NOT a global row_number
+    # window (single-task total-order sort at vocab scale; VERDICT r06
+    # item 3).  The rank column is re-derived by a window over the
+    # k-row result only — bounded by the constant _TR_TOPK.
+    top = ranks.orderBy(F.desc("r"), "node").limit(_TR_TOPK)
     w = _W.orderBy(F.desc("r"), "node")
-    return (
-        ranks.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TR_TOPK)
-        .select(
-            F.col("rank").cast("int").alias("rank"),
-            F.col("node").alias("word"),
-            F.round("r", 9).alias("score"),
-        )
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("node").alias("word"),
+        F.round("r", 9).alias("score"),
     )

@@ -963,7 +963,9 @@ _DSIR_HASH = "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)"
     """,
     tags=("pipeline", "sampling", "dsir"),
 )
-def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sample_dsir_importance(
+    spark: SparkSession, sf_dir: str, frontier: str = "exact"
+) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023): select raw-pool documents whose hashed-unigram distribution
     looks like a trusted target domain.  The target here is the ``src0``
@@ -985,9 +987,10 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a broadcast join of that table back onto the words and ONE
     groupBy(doc_id).  Bodies never shuffle; the only wide exchange is
     doc_id-keyed partial sums.  The global rank window is the sf-scale
-    stand-in for what production does with a quantile cut: at 100 TB
-    you'd take the weight threshold from approx-quantiles instead of
-    row_number — the scored table layout is identical either way."""
+    oracle form; ``frontier="approx"`` is the IMPLEMENTED 100 TB path
+    (operators.frontier.quantile_cuts → percentile_approx threshold,
+    broadcast 1-row cut, no total-order sort) — identical table
+    layout, keep-set agreement pinned in tests/test_frontier.py."""
     from kafka_stream_processing_spark.operators.dedup import hash64
 
     d = fanout(table(spark, sf_dir, "documents"))
@@ -1027,6 +1030,29 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr").alias("lw"),
         )
     )
+    if frontier == "approx":
+        # Production path (VERDICT r06): the keep threshold comes from
+        # a percentile_approx sketch instead of a global rank — no
+        # total-order sort; ties AT the cut are all kept (value
+        # semantics), which is the only place the keep-set can differ
+        # from the exact rank form (pinned in tests/test_frontier.py).
+        from kafka_stream_processing_spark.operators.frontier import (
+            quantile_cuts,
+        )
+
+        cut = quantile_cuts(
+            scored,
+            "lw",
+            [(DSIR_KEEP_DEN - 1, DSIR_KEEP_DEN)],
+            mode="approx",
+        )
+        return scored.crossJoin(F.broadcast(cut)).select(
+            "doc_id",
+            "source",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("lw").cast("double").alias("log_weight"),
+            (F.col("lw") >= F.col("cut_0")).alias("selected"),
+        )
     rn = F.row_number().over(Window.orderBy(F.desc("lw"), "doc_id"))
     n = F.count(F.lit(1)).over(wall)
     return scored.select(

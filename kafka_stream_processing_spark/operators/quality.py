@@ -975,7 +975,9 @@ def quality_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("quality", "robust"),
 )
-def quality_length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_length_outlier_mad(
+    spark: SparkSession, sf_dir: str, frontier: str = "exact"
+) -> DataFrame:
     """Robust length-outlier detection via median absolute deviation:
     flag documents with |len − median| > 3·MAD — the robust-statistics
     replacement for mean±3σ, whose mean and σ are themselves dragged by
@@ -987,17 +989,26 @@ def quality_length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches a float.
 
     Scale: two rank frontiers = two total-order sorts of a NARROW
-    (value, id) projection — at 100 TB swap each for the approx-quantile
-    sketch (quality_approx_quantiles' machinery) and the operator shape
-    is unchanged; the per-doc flagging pass broadcasts the two scalars.
-    Spark side computes each median by sort + limit-style frontier
-    (window), then cross-joins the 1-row medians — broadcast by size."""
+    (value, id) projection at oracle scale; ``frontier="approx"`` is
+    the IMPLEMENTED 100 TB path — each median comes from ONE
+    percentile_approx aggregate (operators.frontier.quantile_cuts; GK
+    sketch, map-side mergeable, no total-order sort), same downstream
+    shape; agreement pinned in tests/test_frontier.py.  Either way the
+    per-doc flagging pass broadcasts the two 1-row scalars."""
     from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.operators.frontier import (
+        quantile_cuts,
+    )
 
     d = table(spark, sf_dir, "documents")
     x = d.select("doc_id", "n_chars")
 
     def lower_median(df: DataFrame, col: str) -> DataFrame:
+        if frontier == "approx":
+            return quantile_cuts(df, col, [(1, 2)], mode="approx").select(
+                F.col("cut_0").alias("m")
+            )
         w = Window.orderBy(col, "doc_id")
         wn = Window.partitionBy()
         return (
@@ -1623,9 +1634,14 @@ BOOT_LO_RANK = 2
 BOOT_HI_RANK = 63
 
 
-def _boot_weight_sql() -> str:
+def _boot_weight_sql(u_expr: str = "u") -> str:
+    """Poisson(1) multiplicity CASE over the uniform expression
+    ``u_expr`` — interpolated directly (NOT post-hoc string
+    replacement, which would corrupt any other literal ``u`` in the
+    CASE text; ADVICE r06)."""
     branches = " ".join(
-        f"WHEN u < {t} THEN {k}" for k, t in enumerate(BOOT_POISSON_CDF)
+        f"WHEN {u_expr} < {t} THEN {k}"
+        for k, t in enumerate(BOOT_POISSON_CDF)
     )
     return f"CASE {branches} ELSE 7 END"
 
@@ -1639,7 +1655,7 @@ def _boot_weight_sql() -> str:
     ),
     weighted AS (
         SELECT b, n_chars,
-               {_boot_weight_sql().replace("u", f"(CAST(('0x' || substr(md5(doc_id || '_boot_' || b), 1, 15)) AS BIGINT) / {_BOOT_SCALE})")} AS w
+               {_boot_weight_sql(f"(CAST(('0x' || substr(md5(doc_id || '_boot_' || b), 1, 15)) AS BIGINT) / {_BOOT_SCALE})")} AS w
         FROM rep
     ),
     means AS (
@@ -2003,9 +2019,9 @@ def quality_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = d.groupBy(
         "lang",
         "source",
-        (F.col("n_chars") / KANON_BUCKET_CHARS).cast("bigint").alias(
-            "len_bucket"
-        ),
+        # integer `div`, not double-divide-then-truncate: exact mirror
+        # of the oracle's // on integer semantics (ADVICE r06)
+        F.expr(f"n_chars div {KANON_BUCKET_CHARS}").alias("len_bucket"),
     ).agg(F.count(F.lit(1)).alias("k"))
     band = (
         F.when(F.col("k") == 1, F.lit("k=1 unique"))
@@ -2051,7 +2067,9 @@ def quality_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("quality", "skew", "statistics"),
 )
-def quality_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_key_skew_gini(
+    spark: SparkSession, sf_dir: str, frontier: str = "exact"
+) -> DataFrame:
     """Key-skew diagnostics — the numbers that DECIDE the engine's own
     salting/AQE-skew-join knobs: the Gini coefficient of the per-key
     frequency distribution (0 = perfectly uniform keys, →1 = one key
@@ -2064,13 +2082,70 @@ def quality_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     it (run it on the join/group key BEFORE choosing a partitioning).
 
     Scale: one groupBy(key) (map-side combined), one total-order rank
-    over the KEY-frequency table (keys-sized, not stream-sized —
-    at billions of keys swap row_number for a quantile-sketch Lorenz
-    approximation), one scalar aggregate."""
+    over the KEY-frequency table (keys-sized, not stream-sized) at
+    oracle scale; ``frontier="histogram"`` is the IMPLEMENTED
+    billion-key path — every statistic is recomputed EXACTLY from the
+    count-of-counts histogram (ranks of equal counts are consecutive,
+    so Σ i·cᵢ over a tie block of m keys at value c starting after s
+    smaller keys is c·(m·s + m(m+1)/2)); the only window runs over
+    DISTINCT count values, a table bounded by √(2·Σc) rows regardless
+    of key cardinality.  Bit-identical to the exact rank form (integer
+    arithmetic throughout; pinned in tests/test_frontier.py)."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
     freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    if frontier == "histogram":
+        hist = freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+        w_cum = (
+            Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_all2 = Window.partitionBy()
+        blocks = hist.select(
+            "c",
+            "m",
+            F.coalesce(F.sum("m").over(w_cum), F.lit(0)).alias("s"),
+            F.sum("m").over(w_all2).alias("n"),
+            F.sum(F.col("m") * F.col("c")).over(w_all2).alias("total"),
+        )
+        # top-1% keys: k = ceil(n/100); a block's overlap with the top
+        # k ranks is min(m, s + m - (n - k)) clamped at 0
+        k = F.expr("(n + 99) div 100")
+        in_top = F.greatest(
+            F.lit(0),
+            F.least(F.col("m"), F.col("s") + F.col("m") - (F.col("n") - k)),
+        )
+        return (
+            blocks.groupBy("n", "total")
+            .agg(
+                F.max("c").cast("bigint").alias("max_count"),
+                # m·(m+1) is even, so `div 2` is exact integer
+                # arithmetic — sic stays a bigint sum exactly like the
+                # rank form's Σ i·cᵢ
+                F.sum(
+                    F.col("c")
+                    * (
+                        F.col("m") * F.col("s")
+                        + F.expr("m * (m + 1) div 2")
+                    )
+                ).alias("sic"),
+                F.sum(F.col("c") * in_top).alias("top_events"),
+            )
+            .select(
+                F.col("n").cast("bigint").alias("n_keys"),
+                F.col("total").cast("bigint").alias("total_events"),
+                "max_count",
+                (
+                    F.col("top_events").cast("double") / F.col("total")
+                ).alias("top1pct_share"),
+                (
+                    (F.lit(2.0) * F.col("sic"))
+                    / (F.col("n").cast("double") * F.col("total"))
+                    - (F.col("n").cast("double") + 1) / F.col("n")
+                ).alias("gini"),
+            )
+        )
     w_rank = Window.orderBy("c", "user_id")
     w_all = Window.partitionBy()
     ranked = freq.select(
@@ -2136,8 +2211,17 @@ _BENFORD_P_SQL = "CASE " + " ".join(
         FROM lineitem
         WHERE l_extendedprice >= 1
     ),
-    obs AS (
+    hist AS (
         SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit
+    ),
+    -- literal 9-digit frame: a digit absent from the data still
+    -- contributes its full (0 - np)^2 / np expected-count term, and
+    -- the chi-square is always the 9-category / dof=8 table
+    -- (ADVICE r06)
+    obs AS (
+        SELECT g.digit, COALESCE(h.n_obs, 0) AS n_obs
+        FROM (SELECT unnest(generate_series(1, 9)) AS digit) g
+        LEFT JOIN hist h ON h.digit = g.digit
     ),
     tot AS (SELECT SUM(n_obs) AS n FROM obs),
     terms AS (
@@ -2187,8 +2271,16 @@ def quality_benford_digit_drift(
     digit = F.substring(
         F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
     ).cast("int")
-    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+    hist = li.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n_obs")
+    )
+    # Literal 9-digit frame (ADVICE r06): an absent digit still
+    # contributes its (0 - np)^2 / np term and dof stays the
+    # 9-category value, so the gate never understates drift.
+    frame = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    obs = (
+        frame.join(hist, "digit", "left")
+        .select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs"))
     )
     from pyspark.sql import Window
 

@@ -843,7 +843,9 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "statistics"),
 )
-def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_zipf_rank_frequency(
+    spark: SparkSession, sf_dir: str, rank_mode: str = "exact"
+) -> DataFrame:
     """Zipf's-law fit — the rank-frequency power law that pairs with the
     Heaps vocabulary-growth curve (the two are mathematically linked;
     together they are THE two corpus-statistics sanity plots a dataset
@@ -858,8 +860,13 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     those exact sums.
 
     Scale: one groupBy(word) (map-side combined, Heaps-sublinear
-    output), one rank window over the vocabulary — never the corpus —
-    and a single scalar aggregate of four moments."""
+    output), one rank over the vocabulary — never the corpus — and a
+    single scalar aggregate of four moments.  The OLS consumes EVERY
+    rank (a top-k cut can't replace it), so the billion-type path is
+    ``rank_mode="distributed"``: operators.frontier.global_rank
+    range-partitions on (freq desc, word) and composes per-partition
+    row_numbers with broadcast prefix offsets — bit-identical ranks,
+    no single-task sort (pinned in tests/test_frontier.py)."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
@@ -868,9 +875,24 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = cnt.select(
-        "c", F.row_number().over(Window.orderBy(F.desc("c"), "w")).alias("r")
-    )
+    if rank_mode == "distributed":
+        from kafka_stream_processing_spark.operators.frontier import (
+            global_rank,
+        )
+
+        ranked = global_rank(
+            cnt,
+            [F.desc("c"), F.col("w")],
+            mode="distributed",
+            rank_name="r",
+        ).select("c", "r")
+    else:
+        ranked = cnt.select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "w"))
+            .alias("r"),
+        )
     pts = ranked.select(
         F.round(F.log(F.col("r").cast("double")), 6)
         .cast("decimal(18,6)")

@@ -830,7 +830,9 @@ def window_sequence_pattern_match(
     """,
     tags=("windowed", "analytics"),
 )
-def window_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_rfm_segmentation(
+    spark: SparkSession, sf_dir: str, frontier: str = "exact"
+) -> DataFrame:
     """RFM customer segmentation — the classic marketing-analytics
     rollup: per customer, Recency (days since last order, measured from
     the dataset's own horizon), Frequency (order count), and Monetary
@@ -846,8 +848,12 @@ def window_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined); three global rank windows over the CUSTOMER table (not
     orders) — at 100 TB customers are ~5 orders of magnitude smaller
     than facts, and each window is the same sort-once pattern
-    window_rank_distribution_funcs pins; at true billion-customer scale
-    swap frontiers for approx-quantile cuts, identical table shape."""
+    window_rank_distribution_funcs pins; ``frontier="approx"`` is the
+    IMPLEMENTED billion-customer path — six percentile_approx tercile
+    cuts (operators.frontier.quantile_cuts) broadcast onto the base,
+    identical table shape; a bucket can differ from the exact rank
+    form only for customers whose metric EQUALS a cut value (value
+    semantics keep ties together), pinned in tests/test_frontier.py."""
     from pyspark.sql import Window as W
 
     o = table(spark, sf_dir, "orders")
@@ -869,6 +875,55 @@ def window_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    if frontier == "approx":
+        from kafka_stream_processing_spark.operators.frontier import (
+            quantile_cuts,
+        )
+
+        def cuts(col: str, lo: str, hi: str) -> DataFrame:
+            return quantile_cuts(
+                base, col, [(1, 3), (2, 3)], mode="approx"
+            ).select(F.col("cut_0").alias(lo), F.col("cut_1").alias(hi))
+
+        cc = (
+            cuts("recency_days", "r13", "r23")
+            .crossJoin(cuts("frequency", "f13", "f23"))
+            .crossJoin(cuts("monetary", "m13", "m23"))
+        )
+
+        def asc_bucket(col: str, lo: str, hi: str) -> F.Column:
+            # ascending metric: smaller is bucket 1
+            return (
+                F.when(F.col(col) <= F.col(lo), 1)
+                .when(F.col(col) <= F.col(hi), 2)
+                .otherwise(3)
+            )
+
+        def desc_bucket(col: str, lo: str, hi: str) -> F.Column:
+            # descending metric: larger is bucket 1
+            return (
+                F.when(F.col(col) >= F.col(hi), 1)
+                .when(F.col(col) >= F.col(lo), 2)
+                .otherwise(3)
+            )
+
+        rb = asc_bucket("recency_days", "r13", "r23")
+        fb = desc_bucket("frequency", "f13", "f23")
+        mb = desc_bucket("monetary", "m13", "m23")
+        return base.crossJoin(F.broadcast(cc)).select(
+            "c_custkey",
+            F.col("recency_days").cast("bigint").alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            "monetary",
+            rb.cast("int").alias("r_bucket"),
+            fb.cast("int").alias("f_bucket"),
+            mb.cast("int").alias("m_bucket"),
+            F.concat(
+                F.lit("R"), rb.cast("string"),
+                F.lit("F"), fb.cast("string"),
+                F.lit("M"), mb.cast("string"),
+            ).alias("segment"),
+        )
     rr = F.row_number().over(W.orderBy("recency_days", "c_custkey"))
     rf = F.row_number().over(W.orderBy(F.desc("frequency"), "c_custkey"))
     rm = F.row_number().over(W.orderBy(F.desc("monetary"), "c_custkey"))

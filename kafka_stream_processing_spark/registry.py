@@ -51,9 +51,13 @@ def register(name: str, oracle: str | None = None, *, headline: bool = False,
 
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(
+            spark: SparkSession, sf_dir: str, **kwargs
+        ) -> DataFrame:
+            # kwargs pass through mode switches (e.g. frontier="approx")
+            # — the driver always calls the 2-arg defaults form.
             ensure_runtime_conf(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
@@ -113,16 +117,17 @@ def _load() -> None:
 #: selection rule, this rotation table would silently stop steering
 #: which queries get fresh evidence — the safety net is that
 #: tests/test_oracle_parity.py sweeps ALL registered queries with the
-#: identical differential check every round regardless.  Round-6 table:
-#: after r05 the registry held 203 queries with cumulative driver
-#: coverage 164/203 — 39 queries (everything added in the later r05
-#: sessions plus corpus_bloom_incremental_merge, which the r05 table
-#: omitted entirely) had NEVER received a driver row, and 38 more were
-#: r02-stale.  Never-checked queries outrank re-confirmation
-#: (VERDICT r05 item 1), so this table pins the 12 reference-parity
-#: (§2) slots, then the new watermark/late-data query (VERDICT r05
-#: item 6 — the reference's central semantic fix, now on the hard
-#: signal), then 37 of the 39 never-checked queries.
+#: identical differential check every round regardless.  Round-7 table:
+#: after r06 the registry held 219 queries with cumulative driver
+#: coverage 202/219 — 49 hash-green rows landed in CORRECTNESS_r06
+#: (plus 1 rows-only-by-design), and the 17 never-driver-checked
+#: queries are the 2 deliberately deferred self-auditors plus the 15
+#: round-6 additions.  36 more queries' newest driver row is r02.
+#: Never-checked queries outrank re-confirmation (VERDICT r05/r06
+#: item 1), so this table pins the 12 reference-parity (§2) slots,
+#: then the 17 never-checked, then 21 names of the r02-stale block —
+#: exactly 50.  stream_watermark_late_data rotates out (fresh r06
+#: hash-green row).
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -137,57 +142,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "filter_project_events",
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
-    # -- new in r06: watermark/late-data semantics (VERDICT item 6) --
-    "stream_watermark_late_data",
-    # -- the never-driver-checked queries (r05 additions), 37 of 39;
-    # -- the 2 most self-verifying ones (each embeds its own
-    # -- estimate-vs-exact audit and carries pure-Python property pins)
-    # -- wait below rank 50 and head the r07 rotation --
-    "corpus_bloom_incremental_merge",
-    "text_bm25_topk",
-    "corpus_bpe_token_packing",
-    "layout_zorder3_lineitem",
-    "pipeline_attrition_audit",
-    "layout_hilbert3_lineitem",
-    "similarity_sparse_tfidf_topk",
-    "sample_dsir_importance",
-    "quality_unigram_lm_surprisal",
-    "tokenizer_fertility_by_lang",
-    "similarity_binary_hamming_topk",
-    "dedup_cdc_chunk_audit",
-    "quality_bigram_lm_interpolated",
-    "stream_lm_surprisal_scores",
-    "graph_triangle_count",
-    "window_retention_cohorts",
-    "dedup_entity_resolution_parts",
-    "quality_bigram_kneser_ney",
-    "dedup_shingle_containment",
-    "quality_length_outlier_mad",
-    "window_sequence_pattern_match",
-    "similarity_ann_recall_eval",
-    "sample_kcenter_coreset",
-    "connector_schema_evolution_merge",
-    "stream_cdc_last_writer_wins",
-    "similarity_rerank_depth_eval",
-    "text_langid_confusion",
-    "quality_trigram_kneser_ney",
-    "quality_ks_drift_nchars",
-    "window_rfm_segmentation",
-    "stream_ks_drift_monitor",
-    "corpus_data_card",
-    "quality_chi2_categorical_drift",
-    "text_vocab_growth_heaps",
-    "join_interval_overlap_sessions",
-    "quality_js_divergence_sources",
-    "text_zipf_rank_frequency",
-    # ---------------------------------------------------------------
-    # entries below rank 50 still order ahead of unlisted queries but
-    # get no driver row this round; r07 rotation = these two remaining
-    # never-checked queries, then any r06 additions, then the r02-era
-    # re-confirmations listed after them.
+    # -- the 17 never-driver-checked queries: the 2 deferred
+    # -- self-auditors first (VERDICT r06 item 1), then the 15
+    # -- round-6 additions --
     "sketch_heavy_hitters_mg",
     "dedup_minhash_estimate_eval",
-    # -- new in r06 (pytest + sweep evidence this round) --
     "similarity_matryoshka_recall_eval",
     "text_keyword_textrank",
     "quality_bootstrap_mean_ci",
@@ -203,7 +162,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "text_bigram_entropy",
     "stream_ivf_index_maintenance",
     "quality_benford_digit_drift",
-    # -- r02-stale evidence (newest driver row r02), for r07/r08 --
+    # -- r02-stale re-confirmations, first 21 of 36 (VERDICT r06
+    # -- item 4; the remaining 15 head the r08 rotation) --
     "q2_min_price_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -225,6 +185,12 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "subquery_in_large_lineitems",
     "subquery_scalar_above_avg_price",
     "scalar_date_order_features",
+    # ---------------------------------------------------------------
+    # entries below rank 50 still order ahead of unlisted queries but
+    # get no driver row this round; r08 rotation = the remaining
+    # r02-stale names below, then any r07 additions (appended at the
+    # very end as they land), then re-confirmation of the oldest
+    # green rows.
     "scalar_math_lineitem",
     "array_higher_order_functions",
     "array_word_explode_stats",
@@ -242,15 +208,20 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_stream_join_click_purchase",
     "stream_unique_users_sliding",
     "stream_user_topk_stateful",
+    # -- rotated out with fresh r06 rows (examples; unlisted names
+    # -- keep registration order after these) --
+    "stream_watermark_late_data",
+    # -- new in r07 (pytest + sweep evidence this round; driver rows
+    # -- queue for r08) --
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new
-#: operators, then to re-confirming the oldest green rows.  After r06
-#: lands, cumulative coverage should be 202/204-ish (only the two
-#: deferred self-auditing queries unchecked); r07 fills with those two
-#: + r06 additions + the r02-stale block above, which takes through
-#: r08 to clear.  Everything rotated out stays covered by the identical
-#: differential check in tests/test_oracle_parity.py each round.
+#: operators, then to re-confirming the oldest green rows.  After r07
+#: lands, cumulative coverage should be 219/219 registered-as-of-r06;
+#: r08 fills with the remaining 15 r02-stale names + any r07
+#: additions, which clears every pre-r03 row.  Everything rotated out
+#: stays covered by the identical differential check in
+#: tests/test_oracle_parity.py each round.
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -695,12 +695,11 @@ def stream_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = sf_dir.strip("/").replace("/", "_")
     root = os.path.join("/tmp", "kssp_cdc_target", key)
     os.makedirs(root, exist_ok=True)
-    # Bounded /tmp footprint: sweep sibling run dirs from PAST
-    # invocations (mtime > 1h — old enough that no live lazy reader can
-    # still reference them; a concurrent driver/pytest run in another
-    # process is minutes old, never hours).  The current run additionally
-    # drops its own non-final generations before returning, so steady
-    # state is one generation per (sf_dir, recent run).
+    # Bounded /tmp footprint: sweep sibling run dirs left by CRASHED
+    # past invocations (mtime > 1h).  A completed run removes its own
+    # dir entirely before returning (the returned table is
+    # localCheckpoint-ed off /tmp first), so the sweep only ever sees
+    # abandoned dirs — no live lazy reader can reference a swept path.
     cutoff = time.time() - 3600
     for entry in os.listdir(root):
         p = os.path.join(root, entry)
@@ -760,11 +759,16 @@ def stream_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "so there is no table to return (check the chunked source dir)"
         )
     # Time-travel generations served their purpose (crash atomicity
-    # during the run); only the final one backs the returned DataFrame —
-    # drop the rest so repeated runs don't accumulate /tmp data.
-    for g in range(state["gen"]):
-        shutil.rmtree(os.path.join(base, f"gen={g}"), ignore_errors=True)
-    return spark.read.parquet(os.path.join(base, f"gen={state['gen']}"))
+    # during the run).  localCheckpoint (eager) detaches the returned
+    # keys-sized table from its /tmp backing entirely, so a long-lived
+    # session can re-trigger it at ANY later time regardless of the
+    # sibling-run sweep above — and the whole run dir can be dropped
+    # right now instead of waiting out the sweep cutoff (ADVICE r06).
+    final = spark.read.parquet(
+        os.path.join(base, f"gen={state['gen']}")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
 
 
 @register(

@@ -133,13 +133,21 @@ def _stream_chunked_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
     The cache key includes the source file's (mtime, size) so regenerated
     testdata invalidates stale chunks instead of silently feeding every
     multi-batch streaming query (the single-file variant re-links each
-    call; this one must re-stage)."""
+    call; this one must re-stage).
+
+    The staging sort carries the (ts, event_id) tiebreaker so chunk
+    membership is DETERMINISTIC even for duplicate timestamps straddling
+    a chunk boundary — oracles that reconstruct per-chunk facts
+    arithmetically (stream_update_mode_running_counts) mirror the same
+    two-key order; pyarrow's stable sort on ts alone would leave tie
+    order to file order while DuckDB's row_number() tie order is
+    unspecified (ADVICE r06)."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(
         "/tmp", "kssp_stream_src", key,
-        f"events_chunks{n_chunks}_{int(st.st_mtime_ns)}_{st.st_size}",
+        f"events_chunks{n_chunks}v2_{int(st.st_mtime_ns)}_{st.st_size}",
     )
 
     def build(tmp: str) -> None:
@@ -147,7 +155,10 @@ def _stream_chunked_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
         import pyarrow.parquet as pq
 
         t = pq.read_table(src)
-        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        t = t.take(pc.sort_indices(
+            t,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        ))
         n = t.num_rows
         step = (n + n_chunks - 1) // n_chunks
         for i in range(n_chunks):
@@ -653,14 +664,14 @@ def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle reconstructs BOTH update-mode facts arithmetically:
     # n_events (the final count per key — the LAST update wins) and
     # n_updates (one update per micro-batch containing the key; chunk
-    # assignment is deterministic because the staging sorts by a
-    # tie-free ts and splits into ceil(n/3)-row chunks, the exact rule
-    # mirrored here — the same reconstruction stream_ks_drift_monitor
-    # pins).
+    # assignment is deterministic because the staging sorts by
+    # (ts, event_id) — event_id breaks duplicate-timestamp ties — and
+    # splits into ceil(n/3)-row chunks, the exact rule mirrored here —
+    # the same reconstruction stream_ks_drift_monitor pins).
     oracle="""
     WITH ordered AS (
         SELECT event_type,
-               row_number() OVER (ORDER BY ts) - 1 AS rn,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
                count(*) OVER () AS n
         FROM events
     ),

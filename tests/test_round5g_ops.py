@@ -77,19 +77,21 @@ def test_cdc_equals_batch_rebuild_and_merged_per_batch(spark, sf_small):
     key = sf_small.strip("/").replace("/", "_")
     root = os.path.join("/tmp", "kssp_cdc_target", key)
     before = set(os.listdir(root)) if os.path.isdir(root) else set()
+    df = SPECS["stream_cdc_last_writer_wins"].fn(spark, sf_small)
     got = {
         r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
-        for r in SPECS["stream_cdc_last_writer_wins"].fn(spark, sf_small).collect()
+        for r in df.collect()
     }
-    after = set(os.listdir(root))
-    new_dirs = after - before
-    assert len(new_dirs) == 1
-    gens = sorted(os.listdir(os.path.join(root, new_dirs.pop())))
-    # one generation per micro-batch: the final dir is gen=2, so the
-    # merge ran 3 times, not once — and the bounded-/tmp contract holds:
-    # non-final generations are dropped once the stream finishes, so
-    # exactly ONE generation backs the returned table.
-    assert gens == ["gen=2"]
+    after = set(os.listdir(root)) if os.path.isdir(root) else set()
+    # r07 contract (ADVICE r06): a COMPLETED run removes its whole run
+    # dir before returning — /tmp steady state is zero dirs, and the
+    # returned table is localCheckpoint-backed, so re-triggering it
+    # later works regardless of any sibling sweep.
+    assert after - before == set()
+    assert {
+        r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
+        for r in df.collect()
+    } == got
     con = duckdb.connect()
     want = {
         r[0]: (r[1], r[2], r[3])
