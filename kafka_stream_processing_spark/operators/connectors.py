@@ -389,3 +389,146 @@ def connector_schema_evolution_merge(
         .cast("double")
         .alias("value_sum"),
     )
+
+
+#: Bucket count for the co-located join demo — at 100 TB this is the
+#: knob sized so each bucket file stays in the 128 MB–1 GB band.
+BUCKETED_JOIN_BUCKETS = 8
+
+
+@register(
+    "connector_bucketed_join_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("connectors", "scale", "joins"),
+)
+def connector_bucketed_join_colocated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucketed tables + shuffle-free fact⋈fact join — THE co-location
+    primitive for repeated big joins at 100 TB: orders and lineitem are
+    written ONCE as bucketed+sorted tables on the join key (bucketBy
+    hashes o_orderkey/l_orderkey into the same bucket layout;
+    sortBy pre-sorts within buckets), and the subsequent join reads
+    both sides bucket-aligned — NO Exchange and NO Sort in the join
+    plan (pinned in tests/test_round7_ops.py), because Spark's
+    SortMergeJoin consumes the catalog's bucketing metadata directly.
+    Pay one shuffle at WRITE time, amortize it over every future join
+    on that key — the batch analogue of a co-partitioned Kafka topic
+    pair, and what the reference's single-topic world cannot express.
+
+    The aggregate (revenue by priority over the joined facts) is the
+    oracle-checked result; exact decimal per-row products keep the sum
+    engine-stable.  Tables are registered in the session catalog with
+    run-unique names and dropped (with their /tmp data) before
+    returning — the result is localCheckpoint-detached first."""
+    import shutil
+    import uuid
+
+    from kafka_stream_processing_spark.functions.exact import dec
+
+    run = uuid.uuid4().hex[:10]
+    base = _tmp_dir(sf_dir, f"bucketed_{run}")
+    names = {}
+    for tbl, key_col, cols in (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        (
+            "lineitem",
+            "l_orderkey",
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+    ):
+        name = f"kssp_bkt_{tbl}_{run}"
+        (
+            table(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(base, tbl))
+            .bucketBy(BUCKETED_JOIN_BUCKETS, key_col)
+            .sortBy(key_col)
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    joined = o.join(li, li.l_orderkey == o.o_orderkey)
+    result = joined.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue"),
+    )
+    final = result.localCheckpoint(eager=True)
+    for name in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Executed-plan string of the bucketed join BEFORE aggregation —
+    exposed for the no-Exchange/no-Sort plan pin (the registered query
+    localCheckpoints its result, which erases the join plan)."""
+    import shutil
+    import uuid
+
+    run = uuid.uuid4().hex[:10]
+    base = _tmp_dir(sf_dir, f"bucketed_plan_{run}")
+    names = []
+    for tbl, key_col, cols in (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+    ):
+        name = f"kssp_bktp_{tbl}_{run}"
+        (
+            table(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(base, tbl))
+            .bucketBy(BUCKETED_JOIN_BUCKETS, key_col)
+            .sortBy(key_col)
+            .saveAsTable(name)
+        )
+        names.append(name)
+    o = spark.table(names[0])
+    li = spark.table(names[1])
+    # At test SF the orders side fits the broadcast threshold, which
+    # would hide the bucketing (a BroadcastHashJoin needs no
+    # co-location).  Disable broadcast within this scope to surface the
+    # 100 TB shape: fact⋈fact where NEITHER side broadcasts and the
+    # SortMergeJoin must come from bucket alignment alone.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        joined = o.join(li, li.l_orderkey == o.o_orderkey)
+        joined.collect()  # materialize so AQE finalizes the plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(base, ignore_errors=True)
+    return plan

@@ -251,6 +251,42 @@ MINHASH_PAIRS_ORACLE = f"""
     """
 
 
+def minhash_band_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, band, mh0, mh1) LSH band rows for a documents frame
+    (columns doc_id, text) — the signature+banding stage of
+    dedup_minhash_lsh, exposed module-level so streaming ingest
+    (stream_split_leakage_incremental) applies the IDENTICAL kernel
+    per micro-batch.  Stateless: the hash family is literal constants,
+    so a batch's band rows never depend on other batches."""
+    toks = d.select(
+        "doc_id", F.explode(_word_shingles(F.split("text", " "))).alias("tok")
+    )
+    based = toks.select(
+        "doc_id", (hash64(F.col("tok")) % MINHASH_P).alias("h")
+    )
+    sig = based.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"m{2 * band}").alias("mh0"),
+                F.col(f"m{2 * band + 1}").alias("mh1"),
+            )
+            for band in range(MINHASH_K // LSH_ROWS_PER_BAND)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", "b.band", "b.mh0", "b.mh1")
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=MINHASH_PAIRS_ORACLE,
@@ -272,30 +308,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference README.md:27-31); the candidate join is an equi-join on
     (band, band-signature) — documents only meet if they collide, never
     all-pairs."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(_word_shingles(F.split("text", " "))).alias("tok")
-    )
-    based = toks.select("doc_id", (hash64(F.col("tok")) % MINHASH_P).alias("h"))
-    sig = based.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
-            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.col(f"m{2 * band}").alias("mh0"),
-                F.col(f"m{2 * band + 1}").alias("mh1"),
-            )
-            for band in range(MINHASH_K // LSH_ROWS_PER_BAND)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", "b.band", "b.mh0", "b.mh1")
+    bands = minhash_band_rows(fanout(table(spark, sf_dir, "documents")))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -1081,9 +1081,11 @@ _SPLIT_SQL = (
 )
 
 
-@register(
-    "pipeline_split_leakage_audit",
-    oracle=f"""
+#: Shared oracle: the split×split audit matrix over the MinHash+LSH
+#: pair set — used verbatim by pipeline_split_leakage_audit (batch) and
+#: stream_split_leakage_incremental (the ingest-time deployment, whose
+#: accumulated pair set provably equals the batch pair set).
+SPLIT_LEAKAGE_ORACLE = f"""
     WITH pairs AS (
         SELECT * FROM ({MINHASH_PAIRS_ORACLE})
     ),
@@ -1102,7 +1104,12 @@ _SPLIT_SQL = (
                 AS BIGINT) AS n_doc_slots
     FROM labeled
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "pipeline_split_leakage_audit",
+    oracle=SPLIT_LEAKAGE_ORACLE,
     tags=("pipeline", "dedup", "decontamination"),
 )
 def pipeline_split_leakage_audit(
@@ -1125,7 +1132,13 @@ def pipeline_split_leakage_audit(
     audit aggregate is a <=6-row matrix.  n_doc_slots counts pair
     endpoints distinctly per side (a doc in many leaky pairs is the
     usual offender — a boilerplate template)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return split_leakage_matrix(dedup_minhash_lsh(spark, sf_dir))
+
+
+def split_leakage_matrix(pairs: DataFrame) -> DataFrame:
+    """The split×split audit matrix over a (doc_a, doc_b) pair frame —
+    shared tail of the batch audit and its streaming deployment
+    (stream_split_leakage_incremental)."""
     sa = split_assign(F.col("doc_a"))
     sb = split_assign(F.col("doc_b"))
     labeled = pairs.select(

@@ -2312,3 +2312,111 @@ def quality_benford_digit_drift(
         chi2.alias("chi2"),
         (chi2 > F.lit(CHI2_CRIT_005[8])).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized moments
+# ---------------------------------------------------------------------------
+
+#: Winsorization fractions: clamp below the 1st and above the 99th
+#: percentile (the standard tail-taming cut for corpus length stats).
+WINSOR_LO = (1, 100)
+WINSOR_HI = (99, 100)
+
+
+@register(
+    "quality_winsorized_stats",
+    oracle=f"""
+    WITH x AS (SELECT doc_id, n_chars FROM documents),
+    ranked AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM x
+    ),
+    lo AS (
+        SELECT n_chars AS lo FROM ranked
+        WHERE rn = greatest(1, (n * {WINSOR_LO[0]} + {WINSOR_LO[1] - 1})
+                               // {WINSOR_LO[1]})
+    ),
+    hi AS (
+        SELECT n_chars AS hi FROM ranked
+        WHERE rn = greatest(1, (n * {WINSOR_HI[0]} + {WINSOR_HI[1] - 1})
+                               // {WINSOR_HI[1]})
+    ),
+    clamped AS (
+        SELECT least(greatest(x.n_chars, lo.lo), hi.hi) AS v,
+               CASE WHEN x.n_chars < lo.lo THEN 1 ELSE 0 END AS cl,
+               CASE WHEN x.n_chars > hi.hi THEN 1 ELSE 0 END AS ch,
+               lo.lo AS lo, hi.hi AS hi
+        FROM x, lo, hi
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(lo AS BIGINT) AS cut_lo,
+           CAST(hi AS BIGINT) AS cut_hi,
+           CAST(SUM(cl) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(ch) AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(v) AS DOUBLE) / count(*) AS win_mean,
+           sqrt((CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE)
+                 - CAST(SUM(v) AS DOUBLE) * SUM(v) / count(*))
+                / (count(*) - 1)) AS win_std
+    FROM clamped
+    GROUP BY lo, hi
+    """,
+    tags=("quality", "robust", "statistics"),
+)
+def quality_winsorized_stats(
+    spark: SparkSession, sf_dir: str, frontier: str = "exact"
+) -> DataFrame:
+    """Winsorized corpus length moments — the robust mean/std that a
+    data card should quote instead of raw moments (one 10 GB
+    concatenation artifact moves a raw mean; after clamping to the
+    [p1, p99] band it cannot): both cut values come from the shared
+    rank-frontier machinery (operators/frontier.py), every clamped
+    value stays an INTEGER, and Σv / Σv² are exact bigint sums with the
+    two final divisions the only IEEE steps — bit-stable cross-engine.
+    Complements quality_length_outlier_mad (flags the outliers) by
+    reporting the statistics with the outliers' leverage removed.
+
+    Scale: ``frontier="exact"`` (the oracle form) pays one total-order
+    sort for the two rank cuts; ``frontier="approx"`` takes both cuts
+    from ONE percentile_approx aggregate (GK sketch, mergeable) — the
+    100 TB path, same downstream single-pass clamp + scalar aggregate
+    over a broadcast 1-row cut table."""
+    from kafka_stream_processing_spark.operators.frontier import (
+        quantile_cuts,
+    )
+
+    x = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cuts = quantile_cuts(
+        x,
+        "n_chars",
+        [WINSOR_LO, WINSOR_HI],
+        mode="approx" if frontier == "approx" else "exact",
+        tiebreak="doc_id",
+    ).select(F.col("cut_0").alias("lo"), F.col("cut_1").alias("hi"))
+    v = F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi"))
+    clamped = x.crossJoin(F.broadcast(cuts)).select(
+        v.alias("v"),
+        (F.col("n_chars") < F.col("lo")).cast("bigint").alias("cl"),
+        (F.col("n_chars") > F.col("hi")).cast("bigint").alias("ch"),
+        "lo",
+        "hi",
+    )
+    return clamped.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.first("lo").cast("bigint").alias("cut_lo"),
+        F.first("hi").cast("bigint").alias("cut_hi"),
+        F.sum("cl").cast("bigint").alias("n_clipped_lo"),
+        F.sum("ch").cast("bigint").alias("n_clipped_hi"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("win_mean"),
+        F.sqrt(
+            (
+                F.sum(F.col("v").cast("bigint") * F.col("v")).cast("double")
+                - F.sum("v").cast("double")
+                * F.sum("v")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("win_std"),
+    ).drop("lo", "hi")

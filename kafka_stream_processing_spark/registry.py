@@ -213,6 +213,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_watermark_late_data",
     # -- new in r07 (pytest + sweep evidence this round; driver rows
     # -- queue for r08) --
+    "quality_winsorized_stats",
+    "stream_benford_digit_monitor",
+    "stream_split_leakage_incremental",
+    "connector_bucketed_join_colocated",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -1133,3 +1133,326 @@ def stream_ivf_index_maintenance(
             F.max("vec_id").alias("max_vec_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Benford first-digit monitor
+# ---------------------------------------------------------------------------
+
+def _benford_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.quality import (
+        _BENFORD_P_SQL,
+        CHI2_CRIT_005,
+    )
+
+    return f"""
+    WITH ordered AS (
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, value, rn // ((n + 2) // 3) AS chunk_id
+        FROM ordered
+    ),
+    keys AS (
+        SELECT chunk_id, min(event_id) AS chunk_key
+        FROM chunked GROUP BY 1
+    ),
+    hist AS (
+        SELECT chunk_id,
+               CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit,
+               count(*) AS n_obs
+        FROM chunked WHERE value >= 1
+        GROUP BY 1, 2
+    ),
+    frame AS (
+        SELECT k.chunk_id, g.digit, COALESCE(h.n_obs, 0) AS n_obs
+        FROM keys k
+        CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) g
+        LEFT JOIN hist h
+               ON h.chunk_id = k.chunk_id AND h.digit = g.digit
+    ),
+    tot AS (SELECT chunk_id, SUM(n_obs) AS nb FROM frame GROUP BY 1),
+    terms AS (
+        SELECT f.chunk_id, f.digit, f.n_obs, t.nb,
+               CAST((CAST(f.n_obs AS DOUBLE) - {_BENFORD_P_SQL} * t.nb)
+                    * (CAST(f.n_obs AS DOUBLE) - {_BENFORD_P_SQL} * t.nb)
+                    / ({_BENFORD_P_SQL} * t.nb)
+                    AS DECIMAL(18,12)) AS term
+        FROM frame f JOIN tot t ON t.chunk_id = f.chunk_id
+    ),
+    stat AS (
+        SELECT chunk_id, CAST(SUM(term) AS DOUBLE) AS chi2
+        FROM terms GROUP BY 1
+    )
+    SELECT k.chunk_key AS chunk_min_event_id,
+           t2.digit,
+           CAST(t2.n_obs AS BIGINT) AS n_obs,
+           s.chi2,
+           s.chi2 > {CHI2_CRIT_005[8]} AS drift
+    FROM terms t2
+    JOIN stat s ON s.chunk_id = t2.chunk_id
+    JOIN keys k ON k.chunk_id = t2.chunk_id
+    """
+
+
+@register(
+    "stream_benford_digit_monitor",
+    oracle=_benford_monitor_oracle(),
+    tags=("streaming", "drift", "quality"),
+)
+def stream_benford_digit_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch Benford first-digit gate — the streaming
+    deployment of quality_benford_digit_drift, completing the
+    per-batch drift-monitor family (KS on lengths, χ² on categories,
+    Benford on amounts): each arriving batch folds to its 9-digit
+    first-significant-digit histogram, and the χ² against the literal
+    Benford proportions (absent digits INCLUDED via the 9-digit frame
+    — the ADVICE r06 convention) yields a per-batch drift verdict
+    before the batch joins the corpus.  Batches are identified by
+    their min event_id (data-derived, batch-order-independent); chunk
+    membership is deterministic because the staging sorts by
+    (ts, event_id) and the oracle mirrors the same split rule
+    arithmetically (the stream_update_mode_running_counts
+    reconstruction).
+
+    The stream side collects only the ≤9-row histogram per trigger
+    (sketch-sized driver state, the KS-monitor convention); χ² then
+    runs as ONE batch DataFrame expression over the 27 collected rows
+    using the exact decimal-term arithmetic the batch gate pins —
+    cross-engine parity comes from the shared round-trip-stable
+    DECIMAL(18,12) term convention, not from Python float re-derivation.
+
+    Scale: per-trigger state is the 9-cell histogram regardless of
+    batch size (map-side combined); nothing enters the streaming state
+    store; verdicts are per-batch final, so a restart loses no state."""
+    from kafka_stream_processing_spark.operators.quality import (
+        BENFORD_P,
+        CHI2_CRIT_005,
+    )
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    rows: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("event_id").alias("k")).collect()[0]["k"]
+        if key is None:
+            return
+        digit = F.substring(
+            F.floor("value").cast("bigint").cast("string"), 1, 1
+        ).cast("int")
+        hist = (
+            batch_df.filter(F.col("value") >= 1)
+            .select(digit.alias("digit"))
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+            .collect()  # <= 9 rows per trigger, by construction
+        )
+        got = {r["digit"]: r["n_obs"] for r in hist}
+        for d in range(1, 10):
+            rows.append((int(key), d, int(got.get(d, 0))))
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    hist_df = spark.createDataFrame(
+        rows, "chunk_min_event_id bigint, digit int, n_obs bigint"
+    )
+    from pyspark.sql import Window
+
+    p_benford = F.lit(None).cast("double")
+    for d, p in enumerate(BENFORD_P):
+        p_benford = F.when(F.col("digit") == d + 1, F.lit(p)).otherwise(
+            p_benford
+        )
+    w_chunk = Window.partitionBy("chunk_min_event_id")
+    nb = F.sum("n_obs").over(w_chunk)
+    terms = hist_df.select(
+        "chunk_min_event_id",
+        "digit",
+        "n_obs",
+        nb.alias("nb"),
+        p_benford.alias("p"),
+    ).withColumn(
+        "term",
+        (
+            (F.col("n_obs").cast("double") - F.col("p") * F.col("nb"))
+            * (F.col("n_obs").cast("double") - F.col("p") * F.col("nb"))
+            / (F.col("p") * F.col("nb"))
+        ).cast("decimal(18,12)"),
+    )
+    chi2 = F.sum("term").over(w_chunk).cast("double")
+    return terms.select(
+        "chunk_min_event_id",
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(CHI2_CRIT_005[8])).alias("drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental split-leakage audit
+# ---------------------------------------------------------------------------
+
+def _all_docs_chunked_source_dir(sf_dir: str) -> str:
+    """All documents staged as 3 doc_id-ordered chunks (the full-corpus
+    counterpart of _stream_train_docs_source_dir's train slice)."""
+    return _stage_doc_chunks(sf_dir, "1 = 1", "docs_all")
+
+
+def _split_leakage_oracle() -> str:
+    from kafka_stream_processing_spark.operators.pipeline import (
+        SPLIT_LEAKAGE_ORACLE,
+    )
+
+    return SPLIT_LEAKAGE_ORACLE
+
+
+@register(
+    "stream_split_leakage_incremental",
+    # SAME oracle as the batch pipeline_split_leakage_audit: every LSH
+    # pair is discovered exactly once — when its LATER member arrives
+    # and collides against the accumulated band index — so the
+    # accumulated pair set must equal the batch pair set and the audit
+    # matrices must hash-match cell for cell.
+    oracle=_split_leakage_oracle(),
+    tags=("streaming", "pipeline", "dedup", "decontamination"),
+)
+def stream_split_leakage_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-leakage audit at INGEST time (the VERDICT r06 stretch):
+    documents stream in over 3 micro-batches; each batch's MinHash band
+    rows (dedup.minhash_band_rows — the batch kernel verbatim,
+    stateless per batch) are joined against the ACCUMULATED band index,
+    so every near-dup pair is discovered the moment its second member
+    arrives — train/val/test leaks surface while the offending doc is
+    still in flight, not in a nightly batch audit.  Pair discovery is
+    provably complete and exactly-once: a pair's band collision is
+    found only in the later member's batch (new×(index ∪ new), both
+    orientations normalized by least/greatest, per-band distinct), so
+    the union over batches equals dedup_minhash_lsh's pair set and the
+    final matrix equals pipeline_split_leakage_audit — which is the
+    oracle.
+
+    State: the band index is a doc_id-keyed TABLE of O(bands/doc) rows
+    maintained as atomic parquet generations (the CDC LWW pattern —
+    crash leaves the previous generation intact; nothing lives in the
+    streaming state store), and per-batch work is ONE bucketed
+    equi-join of the batch's band rows against it: cost Σ per-bucket
+    collisions, never all-pairs, exactly the batch kernel's bound
+    applied incrementally.  Discovered pairs append as per-batch
+    parquet — an audit LOG, replayable and idempotent.  The returned
+    matrix is localCheckpoint-detached and all /tmp state is dropped
+    before returning (the r07 CDC convention)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from kafka_stream_processing_spark.operators.dedup import (
+        minhash_band_rows,
+    )
+    from kafka_stream_processing_spark.operators.pipeline import (
+        split_leakage_matrix,
+    )
+
+    path = _all_docs_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join("/tmp", "kssp_leak_idx", key)
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 3600
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        try:
+            if entry.startswith("run_") and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent sweep — already gone
+    base = tempfile.mkdtemp(prefix="run_", dir=root)
+    pairs_dir = os.path.join(base, "pairs")
+    os.makedirs(pairs_dir, exist_ok=True)
+    state = {"gen": -1}
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        new = minhash_band_rows(
+            batch_df.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
+        if state["gen"] >= 0:
+            prev = s.read.parquet(os.path.join(base, f"gen={state['gen']}"))
+            all_bands = prev.unionByName(new)
+        else:
+            all_bands = new
+        n, o = new.alias("n"), all_bands.alias("o")
+        cand = (
+            n.join(
+                o,
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.mh0") == F.col("o.mh0"))
+                & (F.col("n.mh1") == F.col("o.mh1"))
+                & (F.col("n.doc_id") != F.col("o.doc_id")),
+            )
+            .select(
+                F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+                F.col("n.band").alias("band"),
+            )
+            .distinct()
+        )
+        cand.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={state['gen'] + 1}")
+        )
+        all_bands.write.mode("overwrite").parquet(
+            os.path.join(base, f"gen={state['gen'] + 1}")
+        )
+        state["gen"] += 1
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    if state["gen"] < 0:
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError(
+            "stream_split_leakage_incremental: the document stream "
+            f"delivered zero micro-batches from {path}"
+        )
+    pair_bands = spark.read.parquet(
+        os.path.join(pairs_dir, "batch=*")
+    )
+    pairs = pair_bands.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
+    )
+    final = split_leakage_matrix(pairs).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return final

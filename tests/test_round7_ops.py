@@ -1,0 +1,172 @@
+"""Round-7 operators: winsorized moments, streaming Benford monitor,
+incremental split-leakage audit, bucketed co-located join."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyspark.sql.functions as F
+
+from kafka_stream_processing_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+# ------------------------------------------------- winsorized moments
+
+
+def test_winsorized_exact_equals_approx_and_python_reference(
+    spark, sf_small
+):
+    exact = SPECS["quality_winsorized_stats"].fn(spark, sf_small).collect()
+    approx = (
+        SPECS["quality_winsorized_stats"]
+        .fn(spark, sf_small, frontier="approx")
+        .collect()
+    )
+    assert [r.asDict() for r in exact] == [r.asDict() for r in approx]
+    (row,) = exact
+    # independent pure-Python reference
+    con = duckdb.connect()
+    vals = sorted(
+        v
+        for (v,) in con.execute(
+            f"SELECT n_chars FROM '{sf_small}/documents.parquet'"
+        ).fetchall()
+    )
+    n = len(vals)
+    lo = vals[max(1, (n * 1 + 99) // 100) - 1]
+    hi = vals[max(1, (n * 99 + 99) // 100) - 1]
+    clamped = [min(max(v, lo), hi) for v in vals]
+    mean = sum(clamped) / n
+    var = (
+        sum(v * v for v in clamped) - sum(clamped) ** 2 / n
+    ) / (n - 1)
+    assert row.n_docs == n
+    assert (row.cut_lo, row.cut_hi) == (lo, hi)
+    assert row.n_clipped_lo == sum(1 for v in vals if v < lo)
+    assert row.n_clipped_hi == sum(1 for v in vals if v > hi)
+    assert abs(row.win_mean - mean) < 1e-9
+    assert abs(row.win_std - var**0.5) < 1e-9
+    # winsorization tamed the tails: std can only shrink vs raw
+    raw_mean = sum(vals) / n
+    raw_var = (sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1)
+    assert row.win_std <= raw_var**0.5 + 1e-12
+
+
+# --------------------------------------------- streaming Benford gate
+
+
+def test_stream_benford_three_chunks_full_frames(spark, sf_small):
+    rows = SPECS["stream_benford_digit_monitor"].fn(spark, sf_small).collect()
+    by_chunk: dict[int, list] = {}
+    for r in rows:
+        by_chunk.setdefault(r.chunk_min_event_id, []).append(r)
+    # 3 micro-batches, each with the FULL 9-digit frame (absent digits
+    # present with n_obs=0) and one chunk-level chi2/drift verdict
+    assert len(by_chunk) == 3
+    for chunk, rs in by_chunk.items():
+        assert sorted(r.digit for r in rs) == list(range(1, 10))
+        assert len({(r.chi2, r.drift) for r in rs}) == 1
+        assert all(r.n_obs >= 0 for r in rs)
+    # verdict is exactly the chi2-vs-critical compare (events.value
+    # spans ~4 decades, so unlike lineitem prices it sits NEAR Benford
+    # at this size — the gate must not fire spuriously, and must fire
+    # iff chi2 crosses the dof=8 line)
+    from kafka_stream_processing_spark.operators.quality import (
+        CHI2_CRIT_005,
+    )
+
+    for rs in by_chunk.values():
+        assert rs[0].drift == (rs[0].chi2 > CHI2_CRIT_005[8])
+
+
+def test_stream_benford_histograms_reconcile_with_batch(spark, sf_small):
+    rows = SPECS["stream_benford_digit_monitor"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    (want_total,) = con.execute(
+        f"SELECT count(*) FROM '{sf_small}/events.parquet' WHERE value >= 1"
+    ).fetchone()
+    assert sum(r.n_obs for r in rows) == want_total
+
+
+# -------------------------------------- incremental split leakage
+
+
+def test_stream_split_leakage_equals_batch_audit_and_cleans_tmp(
+    spark, sf_small
+):
+    key = sf_small.strip("/").replace("/", "_")
+    root = os.path.join("/tmp", "kssp_leak_idx", key)
+    before = set(os.listdir(root)) if os.path.isdir(root) else set()
+    df = SPECS["stream_split_leakage_incremental"].fn(spark, sf_small)
+    got = {
+        (r.split_lo, r.split_hi): (r.is_leak, r.n_pairs, r.n_doc_slots)
+        for r in df.collect()
+    }
+    after = set(os.listdir(root)) if os.path.isdir(root) else set()
+    # completed run leaves no /tmp state; the result is checkpoint-backed
+    assert after - before == set()
+    want = {
+        (r.split_lo, r.split_hi): (r.is_leak, r.n_pairs, r.n_doc_slots)
+        for r in SPECS["pipeline_split_leakage_audit"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert got == want
+    # re-trigger works after the run dir is gone (localCheckpoint)
+    assert len(df.collect()) == len(got)
+
+
+def test_minhash_band_rows_matches_lsh_kernel(spark, sf_small):
+    """The extracted band kernel reproduces dedup_minhash_lsh's pair
+    set when self-joined — guards the refactor."""
+    from kafka_stream_processing_spark.operators.dedup import (
+        minhash_band_rows,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    bands = minhash_band_rows(
+        table(spark, sf_small, "documents").select("doc_id", "text")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh0") == F.col("b.mh0"))
+            & (F.col("a.mh1") == F.col("b.mh1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.doc_a, r.doc_b): r.n for r in pairs.collect()}
+    want = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_small).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+# ------------------------------------------------ bucketed join plan
+
+
+def test_bucketed_join_no_shuffle_no_broadcast(spark, sf_small):
+    from kafka_stream_processing_spark.operators.connectors import (
+        bucketed_join_plan,
+    )
+
+    plan = bucketed_join_plan(spark, sf_small)
+    lines = plan.splitlines()
+    assert any("SortMergeJoin" in l for l in lines)
+    # co-location: the join consumes bucket layout, never a shuffle
+    assert not any(
+        "Exchange hashpartitioning" in l or "ShuffleExchange" in l
+        for l in lines
+    )
+    assert "Bucketed: true" in plan
