@@ -1154,3 +1154,73 @@ def split_leakage_matrix(pairs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_doc_slots"),
     )
+
+
+@register(
+    "pipeline_leakage_remediation",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT * FROM ({MINHASH_PAIRS_ORACLE})
+    ),
+    leaky AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE {_SPLIT_SQL.format(k="doc_a")}
+           <> {_SPLIT_SQL.format(k="doc_b")}
+    ),
+    drops AS (SELECT DISTINCT doc_b AS doc_id FROM leaky),
+    labeled AS (
+        SELECT d.doc_id, {_SPLIT_SQL.format(k="d.doc_id")} AS split,
+               (dr.doc_id IS NOT NULL) AS dropped
+        FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_kept
+    FROM labeled
+    GROUP BY 1
+    """,
+    tags=("pipeline", "dedup", "decontamination"),
+)
+def pipeline_leakage_remediation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The remediation step the split-leakage AUDIT gates on: every
+    near-dup pair straddling two splits is resolved by DROPPING the
+    LATER member (larger doc_id — deterministic, and the convention
+    exact dedup already uses for survivor election), so no held-out
+    document retains a near-twin in train.  Dropping the later member
+    of every leaky pair is sufficient whatever the pair graph's shape:
+    any remaining cross-split pair would have its later member dropped
+    by its own rule.  Output is the per-split release ledger
+    (n_docs / n_dropped / n_kept) a dataset card publishes after
+    decontamination.
+
+    Scale: reuses the banded LSH pair kernel (collision groups, never
+    all-pairs); the drop set is a pair-set-sized DISTINCT; the ledger
+    is one broadcast anti-join-style left join of docs against drops
+    (drops ≪ corpus) + a ≤3-row aggregate."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sa = split_assign(F.col("doc_a"))
+    sb = split_assign(F.col("doc_b"))
+    drops = (
+        pairs.filter(sa != sb)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    labeled = d.join(
+        F.broadcast(drops.withColumn("dropped", F.lit(True))),
+        "doc_id",
+        "left",
+    ).select(
+        split_assign(F.col("doc_id")).alias("split"),
+        F.coalesce("dropped", F.lit(False)).alias("dropped"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("dropped").cast("int")).cast("bigint").alias("n_dropped"),
+        F.sum((~F.col("dropped")).cast("int")).cast("bigint").alias("n_kept"),
+    )

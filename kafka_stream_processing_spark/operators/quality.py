@@ -2420,3 +2420,86 @@ def quality_winsorized_stats(
             / (F.count(F.lit(1)) - 1)
         ).alias("win_std"),
     ).drop("lo", "hi")
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity / effective counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_simpson_diversity",
+    oracle="""
+    WITH src AS (
+        SELECT 'source' AS dimension, source AS g, count(*) AS c
+        FROM documents GROUP BY 2
+    ),
+    lng AS (
+        SELECT 'lang' AS dimension, lang AS g, count(*) AS c
+        FROM documents GROUP BY 2
+    ),
+    wrd AS (
+        SELECT 'word' AS dimension, w AS g, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 2
+    ),
+    allg AS (
+        SELECT * FROM src UNION ALL SELECT * FROM lng
+        UNION ALL SELECT * FROM wrd
+    )
+    SELECT dimension,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(c) AS BIGINT) AS n_total,
+           CAST(SUM(c * c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * SUM(c))
+               AS simpson,
+           (CAST(SUM(c) AS DOUBLE) * SUM(c)) / CAST(SUM(c * c) AS DOUBLE)
+               AS effective_n
+    FROM allg
+    GROUP BY 1
+    """,
+    tags=("quality", "statistics", "diversity"),
+)
+def quality_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration and effective counts per corpus dimension
+    — the data-card numbers that say HOW concentrated a mixture really
+    is (5 sources at 96/1/1/1/1 is "5 sources" on paper but an
+    effective 1.09): λ = Σ(cᵢ/N)² computed as exact bigint Σc²/ N²
+    (one IEEE division at the end — bit-stable cross-engine), and its
+    inverse-Simpson effective group count, over source, language, and
+    the word distribution (the vocabulary's effective size pairs with
+    Zipf/Heaps as a third generated-content tripwire: templated text
+    collapses effective vocabulary long before it moves raw counts).
+    The mixture-weight operators (sample_mixture_weights, DoReMi)
+    consume exactly these concentrations as their diagnostics.
+
+    Scale: three groupBys (two domain-bounded, one vocab-sized and
+    Heaps-sublinear, all map-side combined) each reduced to ONE
+    (Σc, Σc²) scalar pair — histogram-sized state, single pass each."""
+    d = table(spark, sf_dir, "documents")
+
+    def dim(df: DataFrame, name: str, col) -> DataFrame:
+        return (
+            df.select(col.alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(name).alias("dimension"), "g", "c")
+        )
+
+    allg = (
+        dim(d, "source", F.col("source"))
+        .unionByName(dim(d, "lang", F.col("lang")))
+        .unionByName(
+            dim(
+                d.select(F.explode(F.split("text", " ")).alias("w")),
+                "word",
+                F.col("w"),
+            )
+        )
+    )
+    sc = F.sum("c").cast("double")
+    sc2 = F.sum(F.col("c") * F.col("c")).cast("double")
+    return allg.groupBy("dimension").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("c").cast("bigint").alias("n_total"),
+        (sc2 / (sc * F.sum("c"))).alias("simpson"),
+        ((sc * F.sum("c")) / sc2).alias("effective_n"),
+    )

@@ -1146,3 +1146,120 @@ def join_interval_overlap_sessions(
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"))
     )
+
+
+#: Nearest-as-of tolerance: a click counts only within ±5 minutes of
+#: the purchase.
+ASOF_NEAREST_TOL_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "join_asof_nearest_click",
+    # Oracle formulation: per purchase, rank ALL in-tolerance clicks by
+    # (|Δt|, backward-before-forward, engine's tie order) and keep the
+    # best — a direct quadratic-within-tolerance restatement that never
+    # uses the engine's union+window mechanics.
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.event_id, epoch_us(p.ts) AS pts,
+               epoch_us(c.ts) AS cts, c.event_id AS click_id,
+               abs(epoch_us(c.ts) - epoch_us(p.ts)) AS ad,
+               (c.ts > p.ts) AS is_fwd
+        FROM p JOIN c ON c.user_id = p.user_id
+         AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {ASOF_NEAREST_TOL_US}
+    ),
+    best AS (
+        SELECT event_id, pts, cts, click_id,
+               row_number() OVER (
+                   PARTITION BY event_id
+                   ORDER BY ad, is_fwd,
+                            CASE WHEN is_fwd THEN click_id
+                                 ELSE -click_id END) AS rn
+        FROM cand
+    )
+    SELECT p.event_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           b.cts AS click_ts_us,
+           b.click_id,
+           b.cts - epoch_us(p.ts) AS delta_us
+    FROM p LEFT JOIN best b ON b.event_id = p.event_id AND b.rn = 1
+    """,
+    tags=("joins", "asof"),
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-as-of join with tolerance — the pandas merge_asof
+    (direction='nearest') semantics the backward-only as-of can't give:
+    for each purchase, the user's closest click within ±5 minutes,
+    before OR after, ties preferring the earlier (backward) click.
+    Composes the backward kernel of join_asof_purchase_last_click with
+    its forward mirror: ONE tagged union sorted per user carries both a
+    running last-click (preceding frame) and a coming first-click
+    (following frame), then a row-local comparison picks the nearer
+    in-tolerance candidate — still one shuffle on user_id, never a
+    time-range self-join.
+
+    Tie conventions (mirrored in the oracle): equal |Δt| → backward;
+    equal-timestamp backward clicks → largest event_id (the union
+    sort's last row); equal-timestamp forward clicks → smallest.
+
+    Scale: identical shape to the backward as-of — the union sorts
+    within user partitions only (events per user is the bound, not
+    stream length), both frames ride the SAME sort, and tolerance is a
+    row-local filter, not a join predicate."""
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+        F.lit(1).alias("kind"),
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("click_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    u = clicks.unionByName(purchases).select(
+        "*",
+        F.last("click_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.last("click_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.first("click_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("f_id"),
+    )
+    p = u.filter(F.col("kind") == 1)
+    pts = F.unix_micros("ts")
+    db = pts - F.unix_micros("b_ts")  # >= 0
+    df_ = F.unix_micros("f_ts") - pts  # > 0
+    b_ok = F.col("b_ts").isNotNull() & (db <= ASOF_NEAREST_TOL_US)
+    f_ok = F.col("f_ts").isNotNull() & (df_ <= ASOF_NEAREST_TOL_US)
+    take_b = b_ok & (~f_ok | (db <= df_))
+    take_f = ~take_b & f_ok
+    click_ts_us = (
+        F.when(take_b, F.unix_micros("b_ts"))
+        .when(take_f, F.unix_micros("f_ts"))
+    )
+    click_id = F.when(take_b, F.col("b_id")).when(take_f, F.col("f_id"))
+    return p.select(
+        "event_id",
+        pts.alias("purchase_ts_us"),
+        click_ts_us.alias("click_ts_us"),
+        click_id.alias("click_id"),
+        (click_ts_us - pts).alias("delta_us"),
+    )

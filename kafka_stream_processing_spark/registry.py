@@ -217,6 +217,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_benford_digit_monitor",
     "stream_split_leakage_incremental",
     "connector_bucketed_join_colocated",
+    "join_asof_nearest_click",
+    "quality_simpson_diversity",
+    "pipeline_leakage_remediation",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -170,3 +170,117 @@ def test_bucketed_join_no_shuffle_no_broadcast(spark, sf_small):
         for l in lines
     )
     assert "Bucketed: true" in plan
+
+
+# --------------------------------------------- nearest as-of join
+
+
+def test_asof_nearest_python_replay(spark, sf_small):
+    """Independent brute-force replay: for every purchase scan ALL the
+    user's clicks within tolerance and apply the documented tie rules."""
+    from kafka_stream_processing_spark.operators.relational import (
+        ASOF_NEAREST_TOL_US,
+    )
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_id, user_id, event_type, epoch_us(ts) "
+        f"FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    clicks: dict[str, list] = {}
+    purchases = []
+    for eid, uid, et, ts in ev:
+        if et == "click":
+            clicks.setdefault(uid, []).append((ts, eid))
+        elif et == "purchase":
+            purchases.append((eid, uid, ts))
+    want = {}
+    for eid, uid, pts in purchases:
+        best = None
+        for cts, cid in clicks.get(uid, []):
+            ad = abs(cts - pts)
+            if ad > ASOF_NEAREST_TOL_US:
+                continue
+            is_fwd = cts > pts
+            key = (ad, is_fwd, cid if is_fwd else -cid)
+            if best is None or key < best[0]:
+                best = (key, cts, cid)
+        want[eid] = (
+            (best[1], best[2], best[1] - pts) if best else (None, None, None)
+        )
+    rows = SPECS["join_asof_nearest_click"].fn(spark, sf_small).collect()
+    got = {
+        r.event_id: (r.click_ts_us, r.click_id, r.delta_us) for r in rows
+    }
+    assert got == want and len(want) > 50
+
+
+# --------------------------------------------- Simpson diversity
+
+
+def test_simpson_diversity_bounds_and_reference(spark, sf_small):
+    rows = {
+        r.dimension: r
+        for r in SPECS["quality_simpson_diversity"].fn(spark, sf_small).collect()
+    }
+    assert set(rows) == {"source", "lang", "word"}
+    con = duckdb.connect()
+    for dim, expr in (
+        ("source", "source"),
+        ("lang", "lang"),
+        ("word", "unnest(string_split(text, ' '))"),
+    ):
+        counts = [
+            c
+            for (c,) in con.execute(
+                f"SELECT count(*) FROM (SELECT {expr} AS g FROM "
+                f"'{sf_small}/documents.parquet') GROUP BY g"
+            ).fetchall()
+        ]
+        n = sum(counts)
+        lam = sum(c * c for c in counts) / (n * n)
+        r = rows[dim]
+        assert r.n_groups == len(counts) and r.n_total == n
+        assert abs(r.simpson - lam) < 1e-12
+        assert abs(r.effective_n - 1 / lam) < 1e-9 * (1 / lam)
+        # 1 <= effective_n <= n_groups always
+        assert 1 - 1e-9 <= r.effective_n <= r.n_groups + 1e-9
+
+
+# --------------------------------------------- leakage remediation
+
+
+def test_leakage_remediation_clears_all_cross_split_pairs(spark, sf_small):
+    """Sufficiency: after dropping the later member of every leaky
+    pair, NO near-dup pair straddles two splits among kept docs."""
+    from kafka_stream_processing_spark.operators.pipeline import (
+        split_assign,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_small).collect()
+    ]
+    # recover split labels via the engine's own expression
+    from kafka_stream_processing_spark.sources.tables import table
+
+    lab = (
+        table(spark, sf_small, "documents")
+        .select("doc_id", split_assign(F.col("doc_id")).alias("split"))
+        .collect()
+    )
+    split_of = {r.doc_id: r.split for r in lab}
+    dropped = {b for a, b in pairs if split_of[a] != split_of[b]}
+    for a, b in pairs:
+        if a in dropped or b in dropped:
+            continue
+        assert split_of[a] == split_of[b], (a, b)
+    ledger = {
+        r.split: (r.n_docs, r.n_dropped, r.n_kept)
+        for r in SPECS["pipeline_leakage_remediation"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert sum(v[1] for v in ledger.values()) == len(dropped)
+    for split, (n, nd, nk) in ledger.items():
+        assert n == nd + nk
