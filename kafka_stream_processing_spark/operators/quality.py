@@ -2503,3 +2503,179 @@ def quality_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sc2 / (sc * F.sum("c"))).alias("simpson"),
         ((sc * F.sum("c")) / sc2).alias("effective_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U location-drift gate
+# ---------------------------------------------------------------------------
+
+#: Two-sided normal critical value at α = 0.05, written as an exact
+#: double literal (the Φ⁻¹(0.975) convention of the z-approximation).
+MWU_Z_CRIT_005 = 1.959963984540054
+
+
+@register(
+    "quality_mannwhitney_drift",
+    oracle=f"""
+    WITH x AS (SELECT source, n_chars AS v FROM documents),
+    srcs AS (SELECT DISTINCT source AS s FROM x WHERE source <> 'src0'),
+    ref_hist AS (
+        SELECT v, count(*) AS a FROM x WHERE source = 'src0' GROUP BY v
+    ),
+    src_hist AS (
+        SELECT source AS s, v, count(*) AS b
+        FROM x WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT s, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT s, v, 0 AS a, b FROM src_hist
+            UNION ALL
+            SELECT srcs.s, r.v, r.a, 0 AS b FROM srcs CROSS JOIN ref_hist r
+        ) GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT s, v, a, b, a + b AS m,
+               COALESCE(SUM(a + b) OVER (
+                   PARTITION BY s ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS sb
+        FROM merged
+    ),
+    stats AS (
+        SELECT s,
+               SUM(a) AS na, SUM(b) AS nb,
+               SUM(b * (2 * sb + m + 1)) AS r2,
+               SUM(m * m * m - m) AS tie
+        FROM ranked GROUP BY s
+    ),
+    scored AS (
+        SELECT s, na, nb,
+               r2 - nb * (nb + 1) AS u2,
+               na * nb AS mu2,
+               na + nb AS n,
+               tie
+        FROM stats
+    )
+    SELECT s AS source,
+           CAST(na AS BIGINT) AS n_ref,
+           CAST(nb AS BIGINT) AS n_src,
+           CAST(u2 AS BIGINT) AS u2,
+           (CAST(u2 AS DOUBLE) - CAST(mu2 AS DOUBLE))
+               / (2.0 * sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+                             * ((n + 1.0)
+                                - CAST(tie AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * (n - 1.0)))))
+               AS z,
+           abs((CAST(u2 AS DOUBLE) - CAST(mu2 AS DOUBLE))
+               / (2.0 * sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+                             * ((n + 1.0)
+                                - CAST(tie AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * (n - 1.0))))))
+               > {MWU_Z_CRIT_005} AS drift
+    FROM scored
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_mannwhitney_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U location-drift gate — the nonparametric
+    complement of the KS gate (KS sees SHAPE changes; rank-sum U sees
+    location shifts with far more power when the change is a median
+    drift, e.g. a source quietly switching to longer documents): each
+    non-reference source's length distribution is rank-sum tested
+    against src0 with EXACT midrank tie handling, computed entirely
+    from the per-value count-of-counts histogram — doubled midranks
+    (2·S_before + m + 1) keep every rank sum an INTEGER (the ×2 trick;
+    U₂ = 2U is exact bigint), ties enter through the standard
+    Σ(m³−m) variance correction, and the final z is one fixed IEEE
+    chain over exact integers, mirrored textually in the oracle.
+
+    Scale: one groupBy to the per-(source, value) histogram (map-side
+    combined); the cumulative window runs over DISTINCT VALUES per
+    source — histogram-sized, the same bound as the KS/chi²/Benford
+    gates — and the verdict is a 1-row-per-source aggregate.  No
+    corpus-scale sort: ranks come from cumulative counts, not
+    row_number (the count-of-counts technique quality_key_skew_gini's
+    histogram frontier uses)."""
+    from pyspark.sql import Window
+
+    x = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    srcs = (
+        x.filter(F.col("source") != "src0")
+        .select(F.col("source").alias("s"))
+        .distinct()
+    )
+    ref_hist = (
+        x.filter(F.col("source") == "src0")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    src_hist = (
+        x.filter(F.col("source") != "src0")
+        .groupBy(F.col("source").alias("s"), "v")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    merged = (
+        src_hist.select("s", "v", F.lit(0).cast("bigint").alias("a"), "b")
+        .unionByName(
+            srcs.crossJoin(F.broadcast(ref_hist)).select(
+                "s", "v", "a", F.lit(0).cast("bigint").alias("b")
+            )
+        )
+        .groupBy("s", "v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+    w_cum = (
+        Window.partitionBy("s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = F.col("a") + F.col("b")
+    ranked = merged.select(
+        "s",
+        "a",
+        "b",
+        m.alias("m"),
+        F.coalesce(F.sum(m).over(w_cum), F.lit(0)).alias("sb"),
+    )
+    stats = ranked.groupBy("s").agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(
+            F.col("b") * (2 * F.col("sb") + F.col("m") + 1)
+        ).alias("r2"),
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("tie"),
+    )
+    scored = stats.select(
+        "s",
+        "na",
+        "nb",
+        (F.col("r2") - F.col("nb") * (F.col("nb") + 1)).alias("u2"),
+        (F.col("na") * F.col("nb")).alias("mu2"),
+        (F.col("na") + F.col("nb")).alias("n"),
+        "tie",
+    )
+    z = (F.col("u2").cast("double") - F.col("mu2").cast("double")) / (
+        F.lit(2.0)
+        * F.sqrt(
+            (F.col("na").cast("double") * F.col("nb") / F.lit(12.0))
+            * (
+                (F.col("n") + F.lit(1.0))
+                - F.col("tie").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - F.lit(1.0)))
+            )
+        )
+    )
+    return scored.select(
+        F.col("s").alias("source"),
+        F.col("na").cast("bigint").alias("n_ref"),
+        F.col("nb").cast("bigint").alias("n_src"),
+        F.col("u2").cast("bigint").alias("u2"),
+        z.alias("z"),
+        (F.abs(z) > MWU_Z_CRIT_005).alias("drift"),
+    )

@@ -220,6 +220,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "join_asof_nearest_click",
     "quality_simpson_diversity",
     "pipeline_leakage_remediation",
+    "quality_mannwhitney_drift",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -284,3 +284,53 @@ def test_leakage_remediation_clears_all_cross_split_pairs(spark, sf_small):
     assert sum(v[1] for v in ledger.values()) == len(dropped)
     for split, (n, nd, nk) in ledger.items():
         assert n == nd + nk
+
+
+# --------------------------------------------- Mann-Whitney drift
+
+
+def test_mannwhitney_python_reference(spark, sf_small):
+    """Pure-Python midrank rank-sum replay (independent of the
+    histogram/cumulative formulation) + range invariants."""
+    rows = SPECS["quality_mannwhitney_drift"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT source, n_chars FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    ref = sorted(v for s, v in data if s == "src0")
+    by_src: dict[str, list] = {}
+    for s, v in data:
+        if s != "src0":
+            by_src.setdefault(s, []).append(v)
+    assert {r.source for r in rows} == set(by_src)
+    for r in rows:
+        b = sorted(by_src[r.source])
+        combined = sorted(ref + b)
+        # midranks via first/last occurrence
+        from collections import Counter
+
+        cnt = Counter(combined)
+        midrank = {}
+        pos = 0
+        for v in sorted(cnt):
+            m = cnt[v]
+            midrank[v] = pos + (m + 1) / 2
+            pos += m
+        rb = sum(midrank[v] for v in b)
+        nb, na = len(b), len(ref)
+        u = rb - nb * (nb + 1) / 2
+        assert r.n_ref == na and r.n_src == nb
+        assert r.u2 == round(2 * u)
+        assert 0 <= r.u2 <= 2 * na * nb
+        n = na + nb
+        tie = sum(m**3 - m for m in cnt.values())
+        sigma = (
+            (na * nb / 12) * ((n + 1) - tie / (n * (n - 1)))
+        ) ** 0.5
+        z = (u - na * nb / 2) / sigma
+        assert abs(r.z - z) < 1e-9
+        from kafka_stream_processing_spark.operators.quality import (
+            MWU_Z_CRIT_005,
+        )
+
+        assert r.drift == (abs(r.z) > MWU_Z_CRIT_005)
