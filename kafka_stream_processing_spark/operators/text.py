@@ -1010,3 +1010,150 @@ def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigram_entropy",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+#: RAKE phrase-delimiter stopwords — the engine's standard 6-word set
+#: (quality_gopher_filters / text_quality_score use the same list).
+RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+#: Number of keyphrases returned.
+RAKE_TOPK = 15
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    words AS (
+        SELECT doc_id, t[u.ord] AS w, u.ord,
+               CASE WHEN t[u.ord] IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END
+                   AS st
+        FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(ord)
+    ),
+    marked AS (
+        SELECT doc_id, w, ord, st,
+               SUM(st) OVER (PARTITION BY doc_id ORDER BY ord) AS pid
+        FROM words
+    ),
+    phr AS (
+        SELECT doc_id, pid,
+               string_agg(w, ' ' ORDER BY ord) AS phrase,
+               count(*) AS n_words
+        FROM marked WHERE st = 0 GROUP BY 1, 2
+    ),
+    wocc AS (
+        SELECT n_words, unnest(string_split(phrase, ' ')) AS w FROM phr
+    ),
+    wscore AS (
+        SELECT w,
+               CAST(round(CAST(SUM(n_words) AS DOUBLE) / count(*), 6)
+                    AS DECIMAL(18,6)) AS s
+        FROM wocc GROUP BY w
+    ),
+    pdist AS (
+        SELECT phrase, n_words, count(*) AS n_occurrences
+        FROM phr GROUP BY 1, 2
+    ),
+    pscore AS (
+        SELECT p.phrase,
+               CAST(p.n_words AS BIGINT) AS n_words,
+               CAST(p.n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(SUM(ws.s) AS DOUBLE) AS score
+        FROM pdist p, unnest(string_split(p.phrase, ' ')) AS u(w), wscore ws
+        WHERE ws.w = u.w
+        GROUP BY 1, 2, 3
+    )
+    SELECT phrase, n_words, n_occurrences, score
+    FROM pscore
+    ORDER BY score DESC, phrase
+    LIMIT {RAKE_TOPK}
+    """,
+    tags=("text", "keywords"),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the phrase-level
+    complement of TextRank's single-word keywords: candidate phrases
+    are maximal stopword-free word runs (phrase boundaries = the
+    engine's standard 6-stopword set, positionally — a running
+    stopword count per document partitions positions into phrases, so
+    NO regex and no fold, both engines express the split relationally),
+    each word scores deg/freq over phrase occurrences (deg counts the
+    full length of every phrase an occurrence sits in), and a phrase
+    scores the sum of its words' scores — computed as round-6
+    DECIMAL(18,6) per word then EXACT decimal sums (the engine's
+    round-ln convention), so cross-engine equality is bit-level.
+    Returns the top 15 phrases by (score desc, phrase).
+
+    Scale: the positional explode is doc-partitioned (one window per
+    document over its own words — never global); word stats are one
+    vocab-sized groupBy (Heaps-sublinear); the final cut is
+    orderBy().limit(k) → TakeOrderedAndProject, the per-partition-heap
+    top-k that never total-order-sorts the phrase table."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("ord", "w"),
+    ).withColumn(
+        "st", F.when(F.col("w").isin(*RAKE_STOPWORDS), 1).otherwise(0)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("ord")
+    marked = words.withColumn("pid", F.sum("st").over(w_run))
+    phr = (
+        marked.filter(F.col("st") == 0)
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ord", "w"))
+                    ),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    wocc = phr.select(
+        "n_words", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wscore = wocc.groupBy("w").agg(
+        F.round(
+            F.sum("n_words").cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    pdist = phr.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pscore = (
+        pdist.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(F.broadcast(wscore), "w")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.sum("s").cast("double").alias("score"))
+    )
+    return (
+        pscore.orderBy(F.desc("score"), "phrase")
+        .limit(RAKE_TOPK)
+        .select(
+            "phrase",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            "score",
+        )
+    )

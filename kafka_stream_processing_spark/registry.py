@@ -221,6 +221,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_simpson_diversity",
     "pipeline_leakage_remediation",
     "quality_mannwhitney_drift",
+    "stream_mannwhitney_monitor",
+    "text_rake_keyphrases",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

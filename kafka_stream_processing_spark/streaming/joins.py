@@ -1456,3 +1456,177 @@ def stream_split_leakage_incremental(
     final = split_leakage_matrix(pairs).localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return final
+
+
+# ---------------------------------------------------------------------------
+# Streaming Mann-Whitney location-drift monitor
+# ---------------------------------------------------------------------------
+
+def _mwu_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.quality import (
+        MWU_Z_CRIT_005,
+    )
+
+    z_sql = """(CAST(u2 AS DOUBLE) - CAST(mu2 AS DOUBLE))
+               / (2.0 * sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+                             * ((n + 1.0)
+                                - CAST(tie AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * (n - 1.0)))))"""
+    return f"""
+    WITH train AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS nn
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, n_chars AS v, rn // ((nn + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id
+        FROM chunked GROUP BY 1
+    ),
+    ref_hist AS (
+        SELECT n_chars AS v, count(*) AS a
+        FROM documents WHERE source = 'src0' GROUP BY 1
+    ),
+    b_hist AS (
+        SELECT chunk_id, v, count(*) AS b FROM chunked GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT chunk_id, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT chunk_id, v, 0 AS a, b FROM b_hist
+            UNION ALL
+            SELECT k.chunk_id, r.v, r.a, 0 AS b
+            FROM keys k CROSS JOIN ref_hist r
+        ) GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT chunk_id, a, b, a + b AS m,
+               COALESCE(SUM(a + b) OVER (
+                   PARTITION BY chunk_id ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS sb
+        FROM merged
+    ),
+    stats AS (
+        SELECT chunk_id,
+               SUM(a) AS na, SUM(b) AS nb,
+               SUM(b * (2 * sb + m + 1)) AS r2,
+               SUM(m * m * m - m) AS tie
+        FROM ranked GROUP BY 1
+    ),
+    scored AS (
+        SELECT chunk_id, na, nb,
+               r2 - nb * (nb + 1) AS u2,
+               na * nb AS mu2,
+               na + nb AS n,
+               tie
+        FROM stats
+    )
+    SELECT k.chunk_min_doc_id,
+           CAST(s.nb AS BIGINT) AS n_batch,
+           CAST(s.u2 AS BIGINT) AS u2,
+           {z_sql} AS z,
+           abs({z_sql}) > {MWU_Z_CRIT_005} AS drift
+    FROM scored s JOIN keys k ON k.chunk_id = s.chunk_id
+    """
+
+
+@register(
+    "stream_mannwhitney_monitor",
+    oracle=_mwu_monitor_oracle(),
+    tags=("streaming", "drift", "quality"),
+)
+def stream_mannwhitney_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch Mann-Whitney location monitor — the streaming
+    deployment of quality_mannwhitney_drift beside the KS monitor
+    (KS alarms on SHAPE, rank-sum U on LOCATION — a source quietly
+    drifting to longer documents trips U long before the KS D budges):
+    every arriving ingest batch is rank-sum tested against the trusted
+    src0 length distribution with exact midrank tie handling.  The
+    stream side collects only the VALUE-DISTINCT batch histogram per
+    trigger (the KS monitor's bounded-state argument); U₂, the tie
+    term, and the z chain run in the driver as the SAME exact-integer /
+    fixed-IEEE arithmetic the batch gate pins, and the oracle
+    reconstructs the three ingest slices relationally (chunk = doc_id
+    rank thirds, the KS monitor's convention).
+
+    Scale: per-trigger state is one value-histogram + the broadcast
+    reference histogram (both distinct-values-sized); verdicts are
+    per-batch final — nothing in the streaming state store, restart
+    loses nothing."""
+    from kafka_stream_processing_spark.operators.quality import (
+        MWU_Z_CRIT_005,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    ref = {
+        r["v"]: r["a"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("a"))
+        .collect()
+    }
+    na = sum(ref.values())
+    results: list[tuple[int, int, int, float, bool]] = []
+
+    def test_batch(batch_df, batch_id: int) -> None:
+        import math
+
+        hist = {
+            r["v"]: r["b"]
+            for r in batch_df.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("b"))
+            .collect()
+        }
+        if not hist:
+            return
+        min_doc = batch_df.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+        nb = sum(hist.values())
+        r2 = 0
+        tie = 0
+        sb = 0
+        for v in sorted(set(ref) | set(hist)):
+            a = ref.get(v, 0)
+            b = hist.get(v, 0)
+            m = a + b
+            r2 += b * (2 * sb + m + 1)
+            tie += m * m * m - m
+            sb += m
+        u2 = r2 - nb * (nb + 1)
+        mu2 = na * nb
+        n = na + nb
+        z = (float(u2) - float(mu2)) / (
+            2.0
+            * math.sqrt(
+                (float(na) * nb / 12.0)
+                * ((n + 1.0) - float(tie) / (float(n) * (n - 1.0)))
+            )
+        )
+        results.append((min_doc, nb, u2, z, abs(z) > MWU_Z_CRIT_005))
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(test_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.createDataFrame(
+        results,
+        "chunk_min_doc_id bigint, n_batch bigint, u2 bigint, "
+        "z double, drift boolean",
+    )
