@@ -652,3 +652,124 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "k int, center_id bigint, radius2 double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by distributed power iteration
+# ---------------------------------------------------------------------------
+
+#: Embedding width (the embeddings table's fixed dimension).
+PCA_DIM = 64
+#: Power-iteration count — enough for convergence on any spectrum with
+#: a visible gap; deterministic because the start vector is e₀ and each
+#: iterate is re-rounded to 6 decimals before becoming literals.
+PCA_ITERATIONS = 16
+
+
+@register(
+    "embedding_top_pc_power_iteration",
+    # No SQL oracle: the iteration's literals (the current iterate v)
+    # change between passes, which a single oracle statement cannot
+    # express.  tests/test_round7b_ops.py pins the result against
+    # numpy's exact eigendecomposition of the same covariance instead
+    # (cosine alignment + eigenvalue agreement); the driver records a
+    # rows-only check.
+    oracle=None,
+    tags=("similarity", "linear-algebra", "scale"),
+)
+def embedding_top_pc_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal component of the embedding corpus by DISTRIBUTED
+    power iteration — the whitening/PCA primitive (and the direction
+    OPQ's trained rotation generalizes): each iteration computes
+    w = Σⱼ (xⱼ−μ)·((xⱼ−μ)·v) in ONE aggregate pass — the matvec
+    against the covariance WITHOUT materializing the covariance — and
+    only the 64-double iterate returns to the driver (the legal
+    sketch-sized state of the Count-Min/MG family; the corpus never
+    moves).  Determinism despite float data: per-row dot products are
+    rounded to 6 decimals and cast DECIMAL, per-dimension contributions
+    are exact decimal products, so every aggregate is an
+    order-independent exact sum (the engine's round-ln convention
+    applied to linear algebra) — bit-identical across partitionings.
+
+    Returns 64 rows (dim, mu, pc, eigenvalue): the per-dimension mean,
+    the unit top component (sign fixed: first nonzero coordinate
+    positive), and the covariance eigenvalue estimate (replicated).
+
+    Convergence contract: power iteration converges at rate (λ₂/λ₁)ᵏ,
+    so on a near-degenerate spectrum (this synthetic corpus is close
+    to isotropic) the ITERATE may stay off the true eigenvector while
+    its Rayleigh quotient is already within a percent of λ_max — the
+    test therefore pins the eigenvalue ratio (≥97% of numpy's exact
+    λ_max) and bit-exact rerun determinism, with the cosine alignment
+    as a weaker secondary bound.
+
+    Scale: PCA_ITERATIONS passes, each a single map-side-combinable
+    aggregate over the corpus with 64 decimal sums — no shuffle wider
+    than one row of partials per task, no per-row Python.  At 100 TB
+    deflate for the next component by subtracting λ·vvᵀ contributions
+    in the same pass (the standard deflation loop)."""
+    from kafka_stream_processing_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding"), lambda e: e.cast("double")
+        ).alias("x")
+    ).localCheckpoint(eager=True)
+    sums = (
+        emb.select(F.posexplode("x").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = sums[0]["n"]
+    mu = [0.0] * PCA_DIM
+    for r in sums:
+        mu[r["dim"]] = r["s"] / r["n"]
+
+    def lit_arr(vals: list[float]):
+        return F.array(*[F.lit(c) for c in vals])
+
+    v = [1.0] + [0.0] * (PCA_DIM - 1)
+    lam = 0.0
+    for _ in range(PCA_ITERATIONS):
+        d_arr = F.zip_with("x", lit_arr(mu), lambda a, b: a - b)
+        dot = F.aggregate(
+            F.zip_with(d_arr, lit_arr(v), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        # Project dot + the rounded-decimal deviation array ONCE, then
+        # run 64 tiny per-dimension sums over the projected columns —
+        # keeps the expression tree linear in DIM (a 64-term dot inlined
+        # into each of 64 aggregates is a 4096-node tree that chokes
+        # codegen) and avoids a 64×N explode shuffle.
+        projected = emb.select(
+            F.round(dot, 6).cast("decimal(18,6)").alias("dot"),
+            F.transform(
+                d_arr, lambda c: F.round(c, 6).cast("decimal(18,6)")
+            ).alias("dd"),
+        )
+        row = projected.agg(
+            *[
+                F.sum(F.col("dot") * F.col("dd")[i]).alias(f"w{i}")
+                for i in range(PCA_DIM)
+            ]
+        ).collect()[0]
+        w = [float(row[f"w{i}"] or 0.0) for i in range(PCA_DIM)]
+        norm = sum(c * c for c in w) ** 0.5
+        if norm == 0.0:
+            break
+        lam = norm / n  # covariance eigenvalue: ||Σ d(d·v)|| / n, ||v||=1
+        v = [round(c / norm, 6) for c in w]
+    # sign convention: first nonzero coordinate positive
+    for c in v:
+        if c != 0.0:
+            if c < 0.0:
+                v = [-c2 for c2 in v]
+            break
+    return spark.createDataFrame(
+        [(i, mu[i], v[i], lam) for i in range(PCA_DIM)],
+        "dim int, mu double, pc double, eigenvalue double",
+    )

@@ -1026,3 +1026,126 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("as_of_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+#: CUSUM slack: k = μ0/20 (5% of the in-control mean) — written as the
+#: rational 1/20 so the whole statistic stays integer after scaling.
+CUSUM_K_DEN = 20
+#: Alarm threshold: h = μ0 (one in-control day's worth of cumulative
+#: positive drift), scaled like the statistic.
+#:
+#: Both constants are rationals, so S⁺/S⁻ and the alarm compares run in
+#: EXACT integer arithmetic at scale factor den·n (n = number of days).
+
+
+@register(
+    "window_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, SUM(x) AS t FROM daily),
+    scaled AS (
+        SELECT day, x, n, t,
+               SUM({CUSUM_K_DEN} * n * x - {CUSUM_K_DEN + 1} * t)
+                   OVER (ORDER BY day) AS cu,
+               SUM({CUSUM_K_DEN} * n * x - {CUSUM_K_DEN - 1} * t)
+                   OVER (ORDER BY day) AS cd
+        FROM daily, tot
+    ),
+    stat AS (
+        SELECT day, x, n, t,
+               cu - min(cu) OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS su,
+               max(cd) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - cd AS sd
+        FROM scaled
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(x AS BIGINT) AS n_events,
+           CAST(su AS DOUBLE) / ({CUSUM_K_DEN} * n) AS cusum_up,
+           CAST(sd AS DOUBLE) / ({CUSUM_K_DEN} * n) AS cusum_down,
+           -- S > h = mu0 = t/n at scale den*n:  su > den*t
+           su > {CUSUM_K_DEN} * t AS alarm_up,
+           sd > {CUSUM_K_DEN} * t AS alarm_down
+    FROM stat
+    """,
+    tags=("windowed", "drift", "changepoint"),
+)
+def window_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series —
+    the sequential drift detector that catches SUSTAINED small shifts
+    the per-batch gates miss (a +5%/day volume creep never trips a
+    single-batch test; its cumulative sum crosses any line): Page's
+    one-sided statistics S⁺_d = max(0, S⁺_{d-1} + x_d − μ0 − k) and the
+    downward mirror, computed in CLOSED FORM as the cumulative sum
+    minus its running minimum (S⁺_d = C_d − min_{j≤d} C_j — the
+    recursion is exactly a running-min subtraction, so it is pure
+    window algebra, no fold).  μ0 is the series' own mean and
+    k = μ0/20; multiplying through by den·n makes every compare exact
+    INTEGER arithmetic (the engine's rational-frontier convention), and
+    the reported float statistic is one final division.  Alarm when a
+    side exceeds h = μ0.
+
+    Scale: one groupBy(day) (map-side combined) collapses the stream to
+    the horizon-sized daily table; the two windows run over DAYS —
+    bounded by the calendar, never by event volume.  At 100 TB the
+    same statement monitors per-(source, day) partitions with the
+    window partitioned by source."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("t")
+    )
+    den = CUSUM_K_DEN
+    scaled = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "x",
+        "n",
+        "t",
+        (den * F.col("n") * F.col("x") - (den + 1) * F.col("t")).alias("zu"),
+        (den * F.col("n") * F.col("x") - (den - 1) * F.col("t")).alias("zd"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = scaled.select(
+        "day",
+        "x",
+        "n",
+        "t",
+        F.sum("zu").over(w_cum).alias("cu"),
+        F.sum("zd").over(w_cum).alias("cd"),
+    )
+    stat = cum.select(
+        "day",
+        "x",
+        "n",
+        "t",
+        (F.col("cu") - F.min("cu").over(w_cum)).alias("su"),
+        (F.max("cd").over(w_cum) - F.col("cd")).alias("sd"),
+    )
+    return stat.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").cast("bigint").alias("n_events"),
+        (F.col("su").cast("double") / (den * F.col("n"))).alias("cusum_up"),
+        (F.col("sd").cast("double") / (den * F.col("n"))).alias(
+            "cusum_down"
+        ),
+        (F.col("su") > den * F.col("t")).alias("alarm_up"),
+        (F.col("sd") > den * F.col("t")).alias("alarm_down"),
+    )

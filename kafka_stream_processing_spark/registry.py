@@ -223,6 +223,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_mannwhitney_drift",
     "stream_mannwhitney_monitor",
     "text_rake_keyphrases",
+    "window_cusum_changepoint",
+    "embedding_top_pc_power_iteration",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new
