@@ -954,3 +954,90 @@ def cm_report(
         .cast("bigint")
         .alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing missing mass / species richness
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_good_turing_mass",
+    oracle="""
+    WITH cnt AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY w
+    ),
+    coc AS (
+        SELECT c, count(*) AS m FROM cnt GROUP BY c
+    ),
+    s AS (
+        SELECT SUM(m) AS n_types,
+               SUM(c * m) AS n_tokens,
+               COALESCE(SUM(CASE WHEN c = 1 THEN m END), 0) AS n1,
+               COALESCE(SUM(CASE WHEN c = 2 THEN m END), 0) AS n2
+        FROM coc
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n1 AS BIGINT) AS n_singletons,
+           CAST(n2 AS BIGINT) AS n_doubletons,
+           CAST(n1 AS DOUBLE) / n_tokens AS missing_mass,
+           CASE WHEN n2 > 0
+                THEN n_types + (CAST(n1 AS DOUBLE) * n1)
+                               / (2.0 * n2)
+                ELSE CAST(n_types AS DOUBLE) END AS chao1_richness
+    FROM s
+    """,
+    tags=("corpus", "statistics"),
+)
+def corpus_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing mass and Chao1 species richness — the two
+    numbers that answer "how much vocabulary haven't we seen yet?" for
+    a growing corpus (the quantitative cousin of the Heaps curve):
+    P(next token is a NEW type) ≈ N₁/N (the Good-Turing estimator —
+    singleton mass predicts unseen mass) and the Chao1 lower bound on
+    total type richness n_types + N₁²/(2N₂).  Both derive ENTIRELY
+    from the count-of-counts table, all-integer until two final IEEE
+    divisions — bit-stable cross-engine.  A crawl whose missing mass
+    stops falling has stopped discovering; a dedup pass that leaves
+    missing mass unchanged removed only seen-before material.
+
+    Scale: one groupBy(word) (map-side combined, Heaps-sublinear) then
+    one groupBy(count) to the count-of-counts histogram (≤ √(2N) rows
+    — the quality_key_skew_gini bound), then a single 4-sum scalar
+    aggregate."""
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    coc = cnt.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    s = coc.agg(
+        F.sum("m").alias("n_types"),
+        F.sum(F.col("c") * F.col("m")).alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, F.col("m"))), F.lit(0)
+        ).alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 2, F.col("m"))), F.lit(0)
+        ).alias("n2"),
+    )
+    return s.select(
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n1").cast("bigint").alias("n_singletons"),
+        F.col("n2").cast("bigint").alias("n_doubletons"),
+        (F.col("n1").cast("double") / F.col("n_tokens")).alias(
+            "missing_mass"
+        ),
+        F.when(
+            F.col("n2") > 0,
+            F.col("n_types")
+            + (F.col("n1").cast("double") * F.col("n1"))
+            / (F.lit(2.0) * F.col("n2")),
+        )
+        .otherwise(F.col("n_types").cast("double"))
+        .alias("chao1_richness"),
+    )

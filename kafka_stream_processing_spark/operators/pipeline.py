@@ -1224,3 +1224,173 @@ def pipeline_leakage_remediation(
         F.sum(F.col("dropped").cast("int")).cast("bigint").alias("n_dropped"),
         F.sum((~F.col("dropped")).cast("int")).cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocated stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Total sample budget for the Neyman allocation.
+NEYMAN_BUDGET = 100
+
+_HASH64_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH base AS (
+        SELECT lang, doc_id, n_chars FROM documents
+    ),
+    stats AS (
+        SELECT lang, count(*) AS nh,
+               SUM(n_chars) AS s1,
+               SUM(CAST(n_chars AS BIGINT) * n_chars) AS s2
+        FROM base GROUP BY lang
+    ),
+    wtd AS (
+        SELECT lang, nh,
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+                    / (nh - 1)) AS sd,
+               nh * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+                         / (nh - 1)) AS w
+        FROM stats
+    ),
+    tot AS (SELECT SUM(w) AS tw, count(*) AS k FROM wtd),
+    fl AS (
+        SELECT lang, nh, sd, w,
+               floor({NEYMAN_BUDGET} * w / t.tw) AS fa,
+               {NEYMAN_BUDGET} * w / t.tw
+                   - floor({NEYMAN_BUDGET} * w / t.tw) AS rem
+        FROM wtd, tot t
+    ),
+    alloc AS (
+        SELECT lang, nh, sd,
+               CAST(fa + CASE WHEN row_number() OVER (
+                                  ORDER BY rem DESC, lang)
+                              <= {NEYMAN_BUDGET} - SUM(fa) OVER ()
+                         THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        FROM fl
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_HASH64_SQL}, doc_id) AS rk
+        FROM base
+    ),
+    sampled AS (
+        SELECT r.lang, count(*) AS n_sampled,
+               SUM(r.n_chars) AS sampled_chars
+        FROM ranked r JOIN alloc a ON a.lang = r.lang AND r.rk <= a.n_alloc
+        GROUP BY r.lang
+    )
+    SELECT a.lang,
+           CAST(a.nh AS BIGINT) AS n_stratum,
+           a.sd AS std_chars,
+           a.n_alloc,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(s.sampled_chars, 0) AS BIGINT) AS sampled_chars
+    FROM alloc a LEFT JOIN sampled s ON s.lang = a.lang
+    """,
+    tags=("pipeline", "sampling", "statistics"),
+)
+def sample_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-allocated stratified sample — the survey-sampling optimum
+    the uniform per-stratum quota (sample_stratified_topn) ignores:
+    stratum h of a fixed budget gets n_h ∝ N_h·S_h (bigger AND more
+    variable strata deserve more samples — minimizes the estimator
+    variance for the corpus mean at fixed cost).  Integer allocations
+    come from the LARGEST-REMAINDER method (floor the proportional
+    share, hand the leftover units to the largest fractional
+    remainders, stratum-name tiebreak) — the float shares are one
+    identical IEEE chain on exact integer sums, so floors, remainders,
+    and the final integer allocation are bit-stable cross-engine.  The
+    sample itself is the deterministic md5-hash-rank prefix per stratum
+    (sample_stratified_topn's rule), so the ledger's n_sampled ==
+    n_alloc is verified by construction against real picks.
+
+    Scale: stratum stats are one map-side-combined groupBy; allocation
+    runs on the STRATA table (a handful of rows); the sampling rank is
+    per-stratum (the stratified_topn shape).  Budget ≪ every N_h here;
+    at true scale add a LEAST(n_h, N_h) cap and re-distribute."""
+    from pyspark.sql import Window
+
+    base = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    stats = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars")).alias(
+            "s2"
+        ),
+    )
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("nh")
+        )
+        / (F.col("nh") - 1)
+    )
+    wtd = stats.select(
+        "lang", "nh", sd.alias("sd"), (F.col("nh") * sd).alias("w")
+    )
+    w_all = Window.partitionBy()
+    share = NEYMAN_BUDGET * F.col("w") / F.sum("w").over(w_all)
+    fl = wtd.select(
+        "lang",
+        "nh",
+        "sd",
+        F.floor(share).alias("fa"),
+        (share - F.floor(share)).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), "lang")
+    alloc = fl.select(
+        "lang",
+        "nh",
+        "sd",
+        (
+            F.col("fa")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= NEYMAN_BUDGET - F.sum("fa").over(w_all),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    w_pick = Window.partitionBy("lang").orderBy(
+        hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sampled = (
+        base.withColumn("rk", F.row_number().over(w_pick))
+        .join(F.broadcast(alloc.select("lang", "n_alloc")), "lang")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+    return (
+        alloc.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            F.col("nh").cast("bigint").alias("n_stratum"),
+            F.col("sd").alias("std_chars"),
+            "n_alloc",
+            F.coalesce("n_sampled", F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.coalesce("sampled_chars", F.lit(0))
+            .cast("bigint")
+            .alias("sampled_chars"),
+        )
+    )

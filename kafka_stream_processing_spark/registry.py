@@ -225,6 +225,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "text_rake_keyphrases",
     "window_cusum_changepoint",
     "embedding_top_pc_power_iteration",
+    "corpus_good_turing_mass",
+    "sample_neyman_allocation",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -239,3 +239,33 @@ def test_textrank_topk_plan_uses_take_ordered(spark, sf_small):
     df = text_keyword_textrank(spark, sf_small)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_distributed_rank_window_is_partitioned(spark, sf_small):
+    """Plan pin for the production rank path: the exact form's
+    row_number window has an EMPTY partition spec (single-task sort);
+    the distributed form's is partitioned by spark_partition_id — no
+    unpartitioned corpus-scale window survives in mode='distributed'.
+    (The remaining Exchange SinglePartition in both plans is the final
+    4-moment SCALAR aggregate — one row, legal.)"""
+    from kafka_stream_processing_spark.operators.text import (
+        text_zipf_rank_frequency,
+    )
+
+    exact = text_zipf_rank_frequency(spark, sf_small)
+    exact.collect()
+    p_exact = exact._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(c#" in p_exact.replace("\n", " ") or (
+        "windowspecdefinition(" in p_exact
+    )
+    dist = text_zipf_rank_frequency(
+        spark, sf_small, rank_mode="distributed"
+    )
+    dist.collect()
+    p_dist = dist._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in p_dist
+    # and the exact plan's window is genuinely unpartitioned
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]+)", p_exact)
+    assert all(s.startswith("c#") for s in specs), specs
