@@ -2679,3 +2679,83 @@ def quality_mannwhitney_drift(
         z.alias("z"),
         (F.abs(z) > MWU_Z_CRIT_005).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs reference vocabulary
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_oov_rate_by_source",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE source = 'src0'
+    ),
+    words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE source <> 'src0'
+    ),
+    flagged AS (
+        SELECT words.source, words.w,
+               (vocab.w IS NULL) AS oov
+        FROM words LEFT JOIN vocab ON vocab.w = words.w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov_tokens,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS oov_rate,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT CASE WHEN oov THEN w END) AS BIGINT)
+               AS n_oov_types
+    FROM flagged
+    GROUP BY source
+    """,
+    tags=("quality", "coverage"),
+)
+def quality_oov_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-vocabulary rate per source against the trusted src0
+    vocabulary — the coverage number that decides whether a fixed
+    tokenizer/LM artifact transfers to a new ingest source (the batch
+    counterpart of stream_lm_surprisal_scores' OOV accounting, and the
+    quantity the BPE fertility audit implicitly depends on): token- and
+    type-level OOV counts with one exact rate division.  A source whose
+    type-OOV is high but token-OOV is low brings a long tail of rare
+    novelty; the reverse signals a systematically different register —
+    the two columns separate the cases.
+
+    Scale: the reference vocabulary is Heaps-sublinear and BROADCAST
+    (the stream LM's deployment shape); the token stream never
+    shuffles for the flag — one narrow left join + one
+    groupBy(source) with map-side combine."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .withColumn("in_vocab", F.lit(True))
+    )
+    words = d.filter(F.col("source") != "src0").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    flagged = words.join(F.broadcast(vocab), "w", "left").select(
+        "source", "w", F.col("in_vocab").isNull().alias("oov")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("oov").cast("int")).cast("bigint").alias(
+            "n_oov_tokens"
+        ),
+        (
+            F.sum(F.col("oov").cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+        F.countDistinct("w").cast("bigint").alias("n_types"),
+        F.countDistinct(
+            F.when(F.col("oov"), F.col("w"))
+        ).cast("bigint").alias("n_oov_types"),
+    )

@@ -1149,3 +1149,110 @@ def window_cusum_changepoint(
         (F.col("su") > den * F.col("t")).alias("alarm_up"),
         (F.col("sd") > den * F.col("t")).alias("alarm_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing / forecast residuals
+# ---------------------------------------------------------------------------
+
+#: EWMA smoothing factor α = 1/2 — chosen DYADIC so every weight
+#: (1-α)^k = 2^-k is an exact double and each product x·2^-k is exact
+#: (a pure exponent shift); per-term round-6 DECIMAL casts then make
+#: the weighted sums order-independent exact decimal arithmetic.
+EWMA_ALPHA_DEN = 2
+
+
+@register(
+    "window_ewma_residuals",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) - 1 AS t
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.day, a.x, a.t,
+               CAST(round(b.x * pow(0.5, a.t - b.t), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM idx a JOIN idx b ON b.t <= a.t
+    ),
+    sm AS (
+        SELECT day, x, t,
+               CAST(SUM(term) AS DOUBLE) * 0.5
+                   / (1.0 - pow(0.5, t + 1)) AS ewma
+        FROM pairs
+        GROUP BY day, x, t
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(x AS BIGINT) AS n_events,
+           ewma,
+           CAST(x AS DOUBLE)
+               - lag(ewma) OVER (ORDER BY day) AS forecast_residual
+    FROM sm
+    """,
+    tags=("windowed", "timeseries"),
+)
+def window_ewma_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected EWMA of the daily event series plus one-step
+    forecast residuals — the smoothing baseline beside the CUSUM gate
+    (CUSUM detects sustained shifts; the EWMA residual scores each
+    day's surprise against the exponentially-weighted history, the
+    classic anomaly score for seasonal-free series): s_t =
+    α·Σ_{i≤t} (1-α)^{t-i}·x_i / (1-(1-α)^{t+1}) with α = 1/2, so every
+    weight is an exact power of two, every weighted term rounds to a
+    6-decimal DECIMAL before the (order-independent, exact) sum, and
+    the two remaining float steps (bias division, residual subtraction)
+    are fixed IEEE chains mirrored in the oracle.  The residual uses
+    YESTERDAY'S smoothed value — a genuine one-step-ahead forecast
+    error, not in-sample smoothing error.
+
+    Scale: the explicit weighted-pairs join is days² on the
+    CALENDAR-sized daily table (≤ 900 pairs for a month — volume
+    independent); at longer horizons the same statistic truncates to a
+    sliding K-day window since 2^-k vanishes past the mantissa (the
+    docstring's closed recursion needs a fold; the pair form is the
+    relational equivalent both engines express)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    idx = daily.select(
+        "day",
+        "x",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = a.join(b, F.col("b.t") <= F.col("a.t")).select(
+        F.col("a.day").alias("day"),
+        F.col("a.x").alias("x"),
+        F.col("a.t").alias("t"),
+        F.round(
+            F.col("b.x") * F.pow(F.lit(0.5), F.col("a.t") - F.col("b.t")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    sm = pairs.groupBy("day", "x", "t").agg(
+        (
+            F.sum("term").cast("double")
+            * F.lit(0.5)
+            / (F.lit(1.0) - F.pow(F.lit(0.5), F.col("t") + 1))
+        ).alias("ewma")
+    )
+    w_lag = Window.orderBy("day")
+    return sm.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").cast("bigint").alias("n_events"),
+        "ewma",
+        (
+            F.col("x").cast("double") - F.lag("ewma").over(w_lag)
+        ).alias("forecast_residual"),
+    )

@@ -227,6 +227,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "embedding_top_pc_power_iteration",
     "corpus_good_turing_mass",
     "sample_neyman_allocation",
+    "quality_oov_rate_by_source",
+    "window_ewma_residuals",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

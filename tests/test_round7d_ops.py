@@ -69,3 +69,53 @@ def test_neyman_allocation_budget_and_replay(spark, sf_small):
     }
     got = {r.lang: r.n_alloc for r in rows}
     assert got == want
+
+
+def test_oov_rate_python_replay(spark, sf_small):
+    rows = SPECS["quality_oov_rate_by_source"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    vocab = set()
+    for s, t in data:
+        if s == "src0":
+            vocab.update(t.split(" "))
+    per: dict[str, list] = {}
+    for s, t in data:
+        if s != "src0":
+            per.setdefault(s, []).extend(t.split(" "))
+    assert {r.source for r in rows} == set(per)
+    for r in rows:
+        toks = per[r.source]
+        oov = [w for w in toks if w not in vocab]
+        assert r.n_tokens == len(toks)
+        assert r.n_oov_tokens == len(oov)
+        assert abs(r.oov_rate - len(oov) / len(toks)) < 1e-12
+        assert r.n_types == len(set(toks))
+        assert r.n_oov_types == len(set(oov))
+        assert 0 <= r.oov_rate <= 1
+
+
+def test_ewma_recursion_replay(spark, sf_small):
+    """The weighted-sum form equals the textbook recursion
+    s_t = alpha*x_t + (1-alpha)*s_{t-1} with bias correction, within
+    the round-6 per-term tolerance, and residuals are one-step-ahead."""
+    rows = sorted(
+        SPECS["window_ewma_residuals"].fn(spark, sf_small).collect(),
+        key=lambda r: r.day,
+    )
+    xs = [r.n_events for r in rows]
+    alpha = 0.5
+    num = 0.0  # un-normalized EWMA numerator: sum (1-a)^(t-i) x_i
+    prev_ewma = None
+    for t, (r, x) in enumerate(zip(rows, xs)):
+        num = num * (1 - alpha) + x
+        ewma = alpha * num / (1 - (1 - alpha) ** (t + 1))
+        # per-term round-6 decimals bound the drift by 5e-7 * n_terms
+        assert abs(r.ewma - ewma) < 1e-4, r.day
+        if prev_ewma is None:
+            assert r.forecast_residual is None
+        else:
+            assert abs(r.forecast_residual - (x - prev_ewma)) < 1e-4
+        prev_ewma = r.ewma
