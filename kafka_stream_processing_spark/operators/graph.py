@@ -492,3 +492,349 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("word"),
         F.round("r", 9).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbors / Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+#: Significance sparsifier: a directed trade edge is SIGNIFICANT when
+#: its weight is at least twice the mean edge weight — the rational
+#: compare w·n_edges ≥ 2·Σw stays exact integer at any SF (the raw
+#: nation graph saturates to a complete graph as SF grows, which would
+#: leave no links to predict).
+LINKPRED_MIN_W_NUM = 2
+
+
+def _sig_adj_sql() -> str:
+    return f"""
+        SELECT DISTINCT least(e.src, e.dst) AS a,
+                        greatest(e.src, e.dst) AS b
+        FROM ({_edges_sql()}) e,
+             (SELECT count(*) AS ne, SUM(w) AS tw
+              FROM ({_edges_sql()})) t
+        WHERE e.w * t.ne >= {LINKPRED_MIN_W_NUM} * t.tw
+    """
+
+
+@register(
+    "graph_link_prediction_common_neighbors",
+    oracle=f"""
+    WITH adj AS ({_sig_adj_sql()}),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    wedge AS (
+        SELECT s1.v AS na, s2.v AS nb, s1.u AS z
+        FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+    ),
+    cand AS (
+        SELECT w.na, w.nb, w.z
+        FROM wedge w
+        LEFT JOIN adj ON adj.a = w.na AND adj.b = w.nb
+        WHERE adj.a IS NULL
+    ),
+    scored AS (
+        SELECT c.na, c.nb,
+               count(*) AS n_common,
+               SUM(CAST(round(1.0 / ln(dz.d), 6) AS DECIMAL(18,6)))
+                   AS aa
+        FROM cand c JOIN deg dz ON dz.u = c.z
+        GROUP BY 1, 2
+    )
+    SELECT s.na AS node_a, s.nb AS node_b,
+           CAST(s.n_common AS BIGINT) AS n_common,
+           CAST(s.n_common AS DOUBLE)
+               / (da.d + db.d - s.n_common) AS jaccard,
+           CAST(s.aa AS DOUBLE) AS adamic_adar
+    FROM scored s
+    JOIN deg da ON da.u = s.na
+    JOIN deg db ON db.u = s.nb
+    """,
+    tags=("graph", "link-prediction"),
+)
+def graph_link_prediction_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction on the significant-trade graph — the classic
+    missing-edge scorers over an explicit graph (which nations SHOULD
+    be trading, given who they both already trade with): for every
+    non-adjacent pair with at least one common neighbor, the
+    common-neighbor count, neighborhood Jaccard, and Adamic-Adar
+    Σ 1/ln(deg z) (rare mutual partners count more) — per-wedge terms
+    round-6 DECIMAL before the (exact, order-independent) sum, the
+    engine's round-ln convention.  The graph is first sparsified to
+    SIGNIFICANT edges (w ≥ 2× mean weight as an exact integer
+    cross-product compare) because the raw nation graph saturates
+    complete with scale, leaving nothing to predict.
+
+    Scale: the wedge join is the triangle kernel's shape — cost
+    Σ deg(z)², bounded by the sparsified degree distribution, never
+    all-pairs; the non-adjacency check is one left anti-style join
+    against the (node-pair-sized) adjacency list."""
+    edges = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            table(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            table(spark, sf_dir, "nation").alias("n1"),
+            F.col("n1.n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "nation").alias("n2"),
+            F.col("n2.n_nationkey") == F.col("c_nationkey"),
+        )
+        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
+        .groupBy(
+            F.col("n1.n_name").alias("src"),
+            F.col("n2.n_name").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = edges.agg(
+        F.count(F.lit(1)).alias("ne"), F.sum("w").alias("tw")
+    )
+    adj = (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("w") * F.col("ne")
+            >= LINKPRED_MIN_W_NUM * F.col("tw")
+        )
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = adj.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(adj.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = s1.join(
+        s2,
+        (F.col("s1.u") == F.col("s2.u"))
+        & (F.col("s1.v") < F.col("s2.v")),
+    ).select(
+        F.col("s1.v").alias("na"),
+        F.col("s2.v").alias("nb"),
+        F.col("s1.u").alias("z"),
+    )
+    cand = wedge.join(
+        adj,
+        (F.col("na") == F.col("a")) & (F.col("nb") == F.col("b")),
+        "left_anti",
+    )
+    dz = deg.select(F.col("u").alias("z"), F.col("d").alias("dz"))
+    scored = (
+        cand.join(F.broadcast(dz), "z")
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("dz")), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("aa"),
+        )
+    )
+    da = deg.select(F.col("u").alias("na"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("nb"), F.col("d").alias("db"))
+    return (
+        scored.join(F.broadcast(da), "na")
+        .join(F.broadcast(db), "nb")
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("jaccard"),
+            F.col("aa").cast("double").alias("adamic_adar"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (coreness) via the h-index fixed point
+# ---------------------------------------------------------------------------
+
+#: Fixed h-operator rounds.  The iteration c⁰=degree,
+#: cᵗ(u)=H({cᵗ⁻¹(v):v∈N(u)}) converges monotonically DOWN to coreness
+#: (Lü, Zhou, Zhang & Stanley, PNAS 2016); measured convergence on the
+#: median-sparsified trade graph is ≤3 rounds at every test SF, so 6 is
+#: a 2× margin — and because BOTH engines run exactly this fixed
+#: schedule the result is deterministic even before convergence
+#: (tests pin that round 6 IS the fixed point at test scale).
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "c0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    v{i} AS (
+        SELECT s.u, p.val,
+               row_number() OVER (PARTITION BY s.u
+                                  ORDER BY p.val DESC) AS rn
+        FROM sym s JOIN {prev} p ON p.u = s.v
+    ),
+    c{i} AS (
+        SELECT u, max(least(rn, val)) AS val FROM v{i} GROUP BY u
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH edges AS ({_edges_sql()}),
+    hist AS (SELECT w, count(*) AS m FROM edges GROUP BY w),
+    tot AS (SELECT (count(*) + 1) // 2 AS need FROM edges),
+    cum AS (
+        SELECT w, SUM(m) OVER (ORDER BY w DESC) AS cm FROM hist
+    ),
+    thr AS (
+        SELECT max(w) AS thresh FROM cum, tot WHERE cm >= need
+    ),
+    adj AS (
+        SELECT DISTINCT least(e.src, e.dst) AS a,
+                        greatest(e.src, e.dst) AS b
+        FROM edges e, thr WHERE e.w >= thr.thresh
+    ),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    c0 AS (SELECT u, count(*) AS val FROM sym GROUP BY u),{",".join(rounds)}
+    SELECT d.u AS node,
+           CAST(d.val AS BIGINT) AS degree,
+           CAST(f.val AS BIGINT) AS coreness
+    FROM c0 d JOIN {prev} f ON f.u = d.u
+    """
+
+
+@register(
+    "graph_kcore_decomposition",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_kcore_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coreness (k-core decomposition) of the median-sparsified trade
+    graph — the standard cohesion measure (a node's coreness is the
+    largest k such that it survives iterated pruning of all
+    degree-<k nodes), computed NOT by the sequential peel (inherently
+    ordered, driver-bound) but by the DISTRIBUTED h-index fixed point:
+    start every node at its degree, then repeatedly replace each
+    node's value with the H-index of its neighbors' values — the
+    unique fixed point is exactly the coreness (Lü et al., PNAS 2016).
+    Every quantity is an integer (row_number, least, max), so the
+    cross-engine hash is exact with no float discipline needed.
+    Sparsifier: keep edges with weight ≥ the upper-median edge weight,
+    computed from the count-of-counts histogram (the raw nation graph
+    saturates complete with SF; a 2×-mean cut goes EMPTY at sf0.1 —
+    the median keeps ~half the edges at every SF).
+
+    Scale: the weight threshold is a cumulative window over the
+    HISTOGRAM of integer weights (√-sized, the Gini convention), never
+    a global sort of edges; each of the {KCORE_ROUNDS} fixed rounds is
+    one equi-join of the edge list against the node-sized value table
+    (broadcast when nodes are small, shuffle-on-v otherwise) + a
+    per-node window bounded by max degree + a map-side-combinable max
+    — no global ordering anywhere, and the fixed schedule bounds
+    wall-clock independent of data (convergence needs ~O(graph
+    diameter) rounds in practice; tests pin convergence at test SFs).
+
+    Reference parity: the reference engine has no graph surface at all
+    (`UniqueUsersCounter.java` is a linear topology) — this extends the
+    engine's iterative family (PageRank `graph.py:98`, components
+    `clustering.py`) with the integer-exact member."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("src")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    hist = edges.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
+    need = edges.agg(
+        F.expr("(count(1) + 1) div 2").alias("need")
+    )
+    # Histogram-sized cumulative window: fine unpartitioned because the
+    # distinct-integer-weight histogram is ≤ √(2·Σw) rows (the
+    # count-of-counts bound), not edge-sized.
+    cum = hist.withColumn(
+        "cm",
+        F.sum("m").over(
+            Window.orderBy(F.col("w").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(need))
+        .agg(F.max(F.when(F.col("cm") >= F.col("need"), F.col("w"))).alias("thresh"))
+    )
+    adj = (
+        edges.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("thresh"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = adj.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(adj.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("val"))
+    cur = deg.localCheckpoint(eager=True)
+    w_rank = Window.partitionBy("uu").orderBy(F.col("val").desc())
+    for _ in range(KCORE_ROUNDS):
+        vals = sym.alias("e").join(
+            cur.alias("cc"), F.col("e.v") == F.col("cc.u")
+        ).select(F.col("e.u").alias("uu"), F.col("cc.val").alias("val"))
+        cur = (
+            vals.withColumn("rn", F.row_number().over(w_rank))
+            .groupBy("uu")
+            .agg(F.max(F.least(F.col("rn"), F.col("val"))).alias("val"))
+            .select(F.col("uu").alias("u"), "val")
+            .localCheckpoint(eager=True)
+        )
+    return deg.join(cur.withColumnRenamed("val", "core"), "u").select(
+        F.col("u").alias("node"),
+        F.col("val").cast("bigint").alias("degree"),
+        F.col("core").cast("bigint").alias("coreness"),
+    )

@@ -2759,3 +2759,140 @@ def quality_oov_rate_by_source(
             F.when(F.col("oov"), F.col("w"))
         ).cast("bigint").alias("n_oov_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-drift gate
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_brown_forsythe_drift",
+    oracle=f"""
+    WITH x AS (SELECT source, doc_id, n_chars FROM documents),
+    med AS (
+        SELECT source, n_chars AS m FROM (
+            SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM x
+        ) WHERE rn = (n + 1) // 2
+    ),
+    z AS (
+        SELECT x.source, abs(x.n_chars - med.m) AS z
+        FROM x JOIN med ON med.source = x.source
+    ),
+    grp AS (
+        SELECT source, count(*) AS nj, SUM(z) AS sj,
+               SUM(CAST(z AS BIGINT) * z) AS sj2
+        FROM z GROUP BY source
+    ),
+    tot AS (
+        SELECT count(*) AS k, SUM(nj) AS n, SUM(sj) AS s,
+               SUM(sj2) AS sz2,
+               SUM(CAST(sj AS DOUBLE) * sj / nj) AS sq
+        FROM grp
+    ),
+    stat AS (
+        SELECT k, n,
+               (sq - CAST(s AS DOUBLE) * s / n) / (k - 1) AS msb,
+               (CAST(sz2 AS DOUBLE) - sq) / (n - k) AS msw
+        FROM tot
+    ),
+    scored AS (
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(n AS BIGINT) AS n_total,
+               msb / msw AS bf_f,
+               k - 1 AS dof
+        FROM stat
+    )
+    SELECT k_groups, n_total, bf_f,
+           {_CHI2_CRIT_SQL} / dof AS critical_005,
+           bf_f > {_CHI2_CRIT_SQL} / dof AS drift
+    FROM scored
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_brown_forsythe_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe variance-drift gate — the SPREAD member of the
+    drift family (KS: shape, Mann-Whitney: location, chi²: category
+    mix, Benford: digit law; this one fires when a source's length
+    VARIANCE changes while its median holds — a template getting
+    injected into otherwise-normal documents): one-way ANOVA on
+    z_ij = |x_ij − median_j| with GROUP MEDIANS (the Brown-Forsythe
+    robustification of Levene — medians are integers here, so every
+    z is an integer and all sums are exact bigints), F = MSB/MSW as
+    one textually-mirrored IEEE chain.  The α=0.05 threshold uses the
+    dof₂→∞ form F ≈ χ²(k−1)/(k−1) via the shared literal-table +
+    Wilson-Hilferty machinery — slightly anti-conservative at finite
+    dof₂ (F(19, 480) ≈ 1.61 vs 1.587), documented rather than
+    libm-dependent.
+
+    Scale: per-source medians are PARTITIONED rank windows (the
+    per-group analogue of the MAD gate's frontier; swap to
+    percentile_approx per group at billions of rows — same statistic
+    shape); everything after the |x−med| map is two levels of
+    map-side-combined aggregation to a k-row then 1-row table."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    med = (
+        d.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("source", F.col("n_chars").alias("m"))
+    )
+    z = d.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("m")).alias("z")
+    )
+    grp = z.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("z").alias("sj"),
+        F.sum(F.col("z").cast("bigint") * F.col("z")).alias("sj2"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("nj").alias("n"),
+        F.sum("sj").alias("s"),
+        F.sum("sj2").alias("sz2"),
+        F.sum(
+            F.col("sj").cast("double") * F.col("sj") / F.col("nj")
+        ).alias("sq"),
+    )
+    msb = (
+        F.col("sq") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("k") - 1)
+    msw = (F.col("sz2").cast("double") - F.col("sq")) / (
+        F.col("n") - F.col("k")
+    )
+    stat = tot.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        (msb / msw).alias("bf_f"),
+        (F.col("k") - 1).alias("dof"),
+    )
+    dof_d = F.col("dof").cast("double")
+    wh_b = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dof_d)
+        + F.lit(_WH_Z095) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof_d))
+    )
+    crit_chi2 = dof_d * wh_b * wh_b * wh_b
+    for kk, vv in CHI2_CRIT_005.items():
+        crit_chi2 = F.when(F.col("dof") == kk, F.lit(vv)).otherwise(
+            crit_chi2
+        )
+    crit = crit_chi2 / F.col("dof")
+    return stat.select(
+        "k_groups",
+        "n_total",
+        "bf_f",
+        crit.alias("critical_005"),
+        (F.col("bf_f") > crit).alias("drift"),
+    )

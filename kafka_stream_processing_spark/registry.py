@@ -229,6 +229,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "sample_neyman_allocation",
     "quality_oov_rate_by_source",
     "window_ewma_residuals",
+    "quality_brown_forsythe_drift",
+    "graph_link_prediction_common_neighbors",
+    "graph_kcore_decomposition",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -119,3 +119,95 @@ def test_ewma_recursion_replay(spark, sf_small):
         else:
             assert abs(r.forecast_residual - (x - prev_ewma)) < 1e-4
         prev_ewma = r.ewma
+
+
+def test_brown_forsythe_python_replay(spark, sf_small):
+    (row,) = (
+        SPECS["quality_brown_forsythe_drift"].fn(spark, sf_small).collect()
+    )
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT source, doc_id, n_chars FROM "
+        f"'{sf_small}/documents.parquet'"
+    ).fetchall()
+    groups: dict[str, list] = {}
+    for s, d, c in data:
+        groups.setdefault(s, []).append((c, d))
+    zs: dict[str, list] = {}
+    for s, vals in groups.items():
+        ordered = sorted(vals)
+        med = ordered[(len(ordered) + 1) // 2 - 1][0]
+        zs[s] = [abs(c - med) for c, _ in vals]
+    k = len(zs)
+    n = sum(len(v) for v in zs.values())
+    s_all = sum(sum(v) for v in zs.values())
+    sq = sum(sum(v) ** 2 / len(v) for v in zs.values())
+    sz2 = sum(x * x for v in zs.values() for x in v)
+    msb = (sq - s_all * s_all / n) / (k - 1)
+    msw = (sz2 - sq) / (n - k)
+    assert row.k_groups == k and row.n_total == n
+    assert abs(row.bf_f - msb / msw) < 1e-9
+    assert row.drift == (row.bf_f > row.critical_005)
+    # homogeneous synthetic sources: the gate must stay quiet
+    assert not row.drift
+
+
+def test_link_prediction_python_replay(spark, sf_small):
+    """Adjacency, candidate set, and all three scorers replayed in
+    pure Python over the same sparsified graph."""
+    import math
+    from decimal import Decimal
+
+    rows = SPECS["graph_link_prediction_common_neighbors"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{sf_small}/{t}.parquet'"
+        )
+    edges = con.execute("""
+        SELECT n1.n_name, n2.n_name, count(*) FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE n1.n_name <> n2.n_name GROUP BY 1, 2
+    """).fetchall()
+    ne, tw = len(edges), sum(w for _, _, w in edges)
+    adj = set()
+    for s, d, w in edges:
+        if w * ne >= 2 * tw:
+            adj.add((min(s, d), max(s, d)))
+    nbrs: dict[str, set] = {}
+    for a, b in adj:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in adj:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if not common:
+                continue
+            aa = float(
+                sum(
+                    Decimal(str(round(1.0 / math.log(len(nbrs[z])), 6)))
+                    for z in common
+                )
+            )
+            jac = len(common) / (len(nbrs[a]) + len(nbrs[b]) - len(common))
+            want[(a, b)] = (len(common), jac, aa)
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard, r.adamic_adar)
+        for r in rows
+    }
+    assert set(got) == set(want) and len(want) > 5
+    for key in want:
+        assert got[key][0] == want[key][0]
+        assert abs(got[key][1] - want[key][1]) < 1e-12
+        assert abs(got[key][2] - want[key][2]) < 1e-9

@@ -1,0 +1,79 @@
+"""Round-7 fifth wave: k-core decomposition, streaming Good-Turing
+novelty, PCA deflation."""
+
+from __future__ import annotations
+
+import duckdb
+
+from kafka_stream_processing_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def _sparsified_nbrs(sf_small):
+    """Median-weight sparsified trade graph, rebuilt independently."""
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'"
+        )
+    edges = con.execute("""
+        SELECT n1.n_name, n2.n_name, count(*) FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE n1.n_name <> n2.n_name GROUP BY 1, 2
+    """).fetchall()
+    ws = sorted((w for _, _, w in edges), reverse=True)
+    thresh = ws[(len(ws) + 1) // 2 - 1]
+    adj = {
+        (min(s, d), max(s, d)) for s, d, w in edges if w >= thresh
+    }
+    nbrs: dict[str, set] = {}
+    for a, b in adj:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return nbrs
+
+
+def test_kcore_matches_sequential_peel(spark, sf_small):
+    """The h-index fixed point must equal TRUE coreness (sequential
+    min-degree peel, the textbook definition) — i.e. KCORE_ROUNDS
+    rounds reached the fixed point at test scale."""
+    rows = SPECS["graph_kcore_decomposition"].fn(spark, sf_small).collect()
+    nbrs = _sparsified_nbrs(sf_small)
+    # sequential peel: repeatedly remove a minimum-degree node
+    rem = set(nbrs)
+    k = 0
+    true_core: dict[str, int] = {}
+    while rem:
+        u = min(rem, key=lambda x: (sum(1 for v in nbrs[x] if v in rem), x))
+        d = sum(1 for v in nbrs[u] if v in rem)
+        k = max(k, d)
+        true_core[u] = k
+        rem.discard(u)
+    got = {r.node: (r.degree, r.coreness) for r in rows}
+    assert set(got) == set(nbrs)
+    for u in nbrs:
+        assert got[u][0] == len(nbrs[u])
+        assert got[u][1] == true_core[u]
+    # coreness invariants: 1 <= coreness <= degree
+    for u, (d, c) in got.items():
+        assert 1 <= c <= d
+
+
+def test_kcore_hindex_one_more_round_is_fixed_point(spark, sf_small):
+    """Replaying one EXTRA h-operator round on the engine's output
+    changes nothing — the registered fixed schedule has converged."""
+
+    def hindex(vals):
+        vals = sorted(vals, reverse=True)
+        return max((min(i + 1, v) for i, v in enumerate(vals)), default=0)
+
+    rows = SPECS["graph_kcore_decomposition"].fn(spark, sf_small).collect()
+    nbrs = _sparsified_nbrs(sf_small)
+    c = {r.node: r.coreness for r in rows}
+    for u in nbrs:
+        assert hindex([c[v] for v in nbrs[u]]) == c[u]
