@@ -232,6 +232,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_brown_forsythe_drift",
     "graph_link_prediction_common_neighbors",
     "graph_kcore_decomposition",
+    "stream_good_turing_novelty",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -307,15 +307,19 @@ def _stage_doc_chunks(sf_dir: str, where: str, label: str,
     st = os.stat(src)
     key = sf_dir.strip("/").replace("/", "_")
     wkey = hashlib.md5(where.encode()).hexdigest()[:8]
+    # "o" key suffix: chunk files now carry strictly increasing mtimes
+    # (see below) — bumping the key rebuilds any pre-fix cached dirs.
     d = os.path.join(
         "/tmp", "kssp_stream_src", key,
-        f"{label}{n_chunks}_{wkey}_{int(st.st_mtime_ns)}_{st.st_size}",
+        f"{label}{n_chunks}o_{wkey}_{int(st.st_mtime_ns)}_{st.st_size}",
     )
     from kafka_stream_processing_spark.streaming.unique_users import (
         publish_staged_dir,
     )
 
     def build(tmp: str) -> None:
+        import time
+
         t = duckdb.sql(
             f"SELECT * FROM '{src}' WHERE {where} ORDER BY doc_id"
         ).arrow()
@@ -328,10 +332,18 @@ def _stage_doc_chunks(sf_dir: str, where: str, label: str,
                 "refusing to stage an empty stream source"
             )
         step = max(1, (n + n_chunks - 1) // n_chunks)
+        # FileStreamSource picks files oldest-mtime-first (millisecond
+        # granularity): fast consecutive writes can TIE and arrive in
+        # arbitrary order — harmless for the per-batch-keyed monitors,
+        # fatal for cumulative ones (Good-Turing novelty).  Pin strictly
+        # increasing whole-second mtimes so micro-batch order IS
+        # doc_id-chunk order.
+        base = int(time.time()) - 2 * (n // step + 2)
         for i in range(0, n, step):
-            pq.write_table(
-                t.slice(i, step), os.path.join(tmp, f"chunk-{i // step}.parquet")
-            )
+            p = os.path.join(tmp, f"chunk-{i // step}.parquet")
+            pq.write_table(t.slice(i, step), p)
+            ts = base + 2 * (i // step)
+            os.utime(p, (ts, ts))
 
     return publish_staged_dir(d, build)
 
@@ -1629,4 +1641,217 @@ def stream_mannwhitney_monitor(
         results,
         "chunk_min_doc_id bigint, n_batch bigint, u2 bigint, "
         "z double, drift boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Good-Turing novelty monitor
+# ---------------------------------------------------------------------------
+
+def _gt_novelty_oracle() -> str:
+    return """
+    WITH docs AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS nn
+        FROM documents
+    ),
+    chunked AS (
+        SELECT doc_id, text, rn // ((nn + 2) // 3) AS chunk_id FROM docs
+    ),
+    toks AS (
+        SELECT chunk_id, string_split(text, ' ') AS t FROM chunked
+    ),
+    words AS (
+        SELECT chunk_id,
+               t[o] || ' ' || t[o+1] || ' ' || t[o+2] AS w
+        FROM toks,
+             LATERAL unnest(generate_series(1, len(t) - 2)) AS u(o)
+        WHERE len(t) >= 3
+    ),
+    wc AS (SELECT chunk_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+    chunks AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id
+        FROM chunked GROUP BY 1
+    ),
+    minc AS (SELECT w, min(chunk_id) AS mc FROM wc GROUP BY 1),
+    newc AS (SELECT mc AS chunk_id, count(*) AS n_new FROM minc GROUP BY 1),
+    percw AS (
+        SELECT ch.chunk_id, wc.w, SUM(wc.c) AS ccum
+        FROM wc JOIN chunks ch ON wc.chunk_id <= ch.chunk_id
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT chunk_id,
+               count(*) AS n_types,
+               SUM(ccum) AS n_tokens,
+               COALESCE(SUM(CASE WHEN ccum = 1 THEN 1 END), 0) AS n1,
+               COALESCE(SUM(CASE WHEN ccum = 2 THEN 1 END), 0) AS n2
+        FROM percw GROUP BY 1
+    )
+    SELECT ch.chunk_min_doc_id,
+           CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new_types,
+           CAST(s.n_types AS BIGINT) AS n_types,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.n1 AS BIGINT) AS n_singletons,
+           CAST(s.n2 AS BIGINT) AS n_doubletons,
+           CAST(s.n1 AS DOUBLE) / s.n_tokens AS missing_mass,
+           CASE WHEN s.n2 > 0
+                THEN s.n_types
+                     + (CAST(s.n1 AS DOUBLE) * s.n1) / (2.0 * s.n2)
+                ELSE CAST(s.n_types AS DOUBLE) END AS chao1_richness
+    FROM stats s
+    JOIN chunks ch ON ch.chunk_id = s.chunk_id
+    LEFT JOIN newc nw ON nw.chunk_id = s.chunk_id
+    """
+
+
+@register(
+    "stream_good_turing_novelty",
+    oracle=_gt_novelty_oracle(),
+    tags=("streaming", "corpus", "statistics"),
+)
+def stream_good_turing_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good-Turing novelty monitor at INGEST time — the streaming
+    deployment of corpus_good_turing_mass (corpus.py:994), run over
+    word 3-SHINGLE occurrences (the synthetic word vocabulary
+    saturates at 31 types with zero singletons, which would make every
+    estimator degenerate; the 3-gram type space is Heaps-open — ~16k
+    types, ~9k singletons — so the trajectory is real): the corpus
+    arrives over 3 micro-batches, each batch's shingle counts merge
+    into the ACCUMULATED vocabulary, and the monitor emits the novelty
+    trajectory after every batch — newly-discovered types, cumulative
+    type/token counts, Good-Turing missing mass N₁/N and Chao1
+    richness.  A crawl whose per-batch missing mass stops falling has
+    stopped discovering vocabulary — the stop-crawling / stop-deduping
+    signal available while ingest is still running rather than in a
+    nightly batch audit.  Every count is an exact bigint; the two
+    derived doubles are single IEEE divisions from those ints, so each
+    batch's row is bit-identical to the oracle's relational
+    reconstruction (cumulative shingle counts via a chunk≤c join).
+    Micro-batch ORDER is pinned by the staging's strictly-increasing
+    chunk mtimes (cumulative state makes this the one monitor where
+    arrival order is semantics, not presentation).
+
+    State: the accumulated vocab count table lives as atomic parquet
+    generations (the CDC/split-leakage convention — crash leaves the
+    previous generation intact; nothing in the streaming state store);
+    it is Heaps-sublinear in the corpus (types ~ N^β, β≈0.5-0.7).
+    Per batch: one left-anti join of the batch's type table against
+    the previous generation (n_new), one groupBy(w) merge, one
+    map-side-combined 4-int aggregate; the driver keeps only 8
+    scalars per batch — sketch-sized, the Count-Min convention.  At
+    100 TB the generation table becomes a bucketed table (or a MERGE
+    target) keyed by word so the per-batch merge never reshuffles the
+    accumulated side."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    path = _all_docs_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join("/tmp", "kssp_gt_vocab", key)
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 3600
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        try:
+            if entry.startswith("run_") and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent sweep — already gone
+    base = tempfile.mkdtemp(prefix="run_", dir=root)
+    state = {"gen": -1}
+    results: list[tuple[int, int, int, int, int, int, float, float]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        toks = F.split("text", " ")
+        grams = F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        bc = (
+            batch_df.select(F.explode(grams).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        min_doc = batch_df.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+        if min_doc is None:
+            return
+        if state["gen"] >= 0:
+            prev = s.read.parquet(os.path.join(base, f"gen={state['gen']}"))
+            n_new = bc.join(prev, "w", "left_anti").count()
+            merged = (
+                prev.unionByName(bc)
+                .groupBy("w")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            n_new = bc.count()
+            merged = bc
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base, f"gen={state['gen'] + 1}")
+        )
+        state["gen"] += 1
+        row = (
+            s.read.parquet(os.path.join(base, f"gen={state['gen']}"))
+            .agg(
+                F.count(F.lit(1)).alias("nt"),
+                F.sum("c").alias("ntok"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") == 1, F.lit(1))), F.lit(0)
+                ).alias("n1"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") == 2, F.lit(1))), F.lit(0)
+                ).alias("n2"),
+            )
+            .collect()[0]
+        )
+        nt, ntok, n1, n2 = row["nt"], row["ntok"], row["n1"], row["n2"]
+        chao1 = (
+            nt + (float(n1) * n1) / (2.0 * n2) if n2 > 0 else float(nt)
+        )
+        results.append(
+            (min_doc, n_new, nt, ntok, n1, n2, n1 / ntok, chao1)
+        )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "text")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    shutil.rmtree(base, ignore_errors=True)
+    if state["gen"] < 0:
+        raise RuntimeError(
+            "stream_good_turing_novelty: the document stream delivered "
+            f"zero micro-batches from {path}"
+        )
+    return spark.createDataFrame(
+        results,
+        "chunk_min_doc_id bigint, n_new_types bigint, n_types bigint, "
+        "n_tokens bigint, n_singletons bigint, n_doubletons bigint, "
+        "missing_mass double, chao1_richness double",
     )

@@ -64,6 +64,66 @@ def test_kcore_matches_sequential_peel(spark, sf_small):
         assert 1 <= c <= d
 
 
+def test_stream_good_turing_novelty_python_replay(spark, sf_small):
+    """Replay the 3-chunk cumulative shingle trajectory in pure Python
+    (chunking mirrors the staging's ceil(n/3) doc_id-ordered slices)."""
+    from collections import Counter
+
+    rows = sorted(
+        SPECS["stream_good_turing_novelty"].fn(spark, sf_small).collect(),
+        key=lambda r: r.chunk_min_doc_id,
+    )
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    n = len(docs)
+    step = (n + 2) // 3
+    cum: Counter = Counter()
+    seen: set = set()
+    expect = []
+    for b in range(3):
+        chunk = docs[b * step : (b + 1) * step]
+        if not chunk:
+            continue
+        grams = []
+        for _, text in chunk:
+            t = text.split(" ")
+            grams.extend(
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            )
+        new = {g for g in grams} - seen
+        seen |= {g for g in grams}
+        cum.update(grams)
+        n1 = sum(1 for c in cum.values() if c == 1)
+        n2 = sum(1 for c in cum.values() if c == 2)
+        nt, ntok = len(cum), sum(cum.values())
+        chao1 = nt + (float(n1) * n1) / (2.0 * n2) if n2 else float(nt)
+        expect.append(
+            (chunk[0][0], len(new), nt, ntok, n1, n2, n1 / ntok, chao1)
+        )
+    assert len(rows) == len(expect)
+    for r, e in zip(rows, expect):
+        assert (
+            r.chunk_min_doc_id,
+            r.n_new_types,
+            r.n_types,
+            r.n_tokens,
+            r.n_singletons,
+            r.n_doubletons,
+        ) == e[:6]
+        assert abs(r.missing_mass - e[6]) < 1e-15
+        assert abs(r.chao1_richness - e[7]) < 1e-9
+    # novelty invariants: batch 0 is all-new; cumulative counts grow;
+    # missing mass strictly falls as the corpus accumulates
+    assert rows[0].n_new_types == rows[0].n_types
+    assert rows[0].missing_mass > rows[-1].missing_mass
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_types >= a.n_types and b.n_tokens > a.n_tokens
+        assert b.chao1_richness >= b.n_types
+
+
 def test_kcore_hindex_one_more_round_is_fixed_point(spark, sf_small):
     """Replaying one EXTRA h-operator round on the engine's output
     changes nothing — the registered fixed schedule has converged."""
