@@ -666,6 +666,67 @@ PCA_DIM = 64
 PCA_ITERATIONS = 16
 
 
+def _pca_load_centered(spark: SparkSession, sf_dir: str):
+    """Load the embedding corpus (cast double, checkpointed) plus the
+    per-dimension mean vector and row count — the shared setup of every
+    power-iteration variant."""
+    from kafka_stream_processing_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding"), lambda e: e.cast("double")
+        ).alias("x")
+    ).localCheckpoint(eager=True)
+    sums = (
+        emb.select(F.posexplode("x").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = sums[0]["n"]
+    mu = [0.0] * PCA_DIM
+    for r in sums:
+        mu[r["dim"]] = r["s"] / r["n"]
+    return emb, mu, n
+
+
+def _pca_lit_arr(vals: list[float]):
+    return F.array(*[F.lit(c) for c in vals])
+
+
+def _pca_matvec_pass(emb, mu: list[float], v: list[float]) -> list[float]:
+    """ONE distributed covariance matvec: w = Σⱼ (xⱼ−μ)·((xⱼ−μ)·v)
+    (= n·Cv), with the round-6-decimal per-row discipline that makes the
+    64 sums exact and order-independent (see
+    embedding_top_pc_power_iteration's docstring).  Returns the 64
+    partial-sum doubles; everything else (normalize, deflate, round)
+    is driver-side arithmetic on this sketch-sized vector."""
+    d_arr = F.zip_with("x", _pca_lit_arr(mu), lambda a, b: a - b)
+    dot = F.aggregate(
+        F.zip_with(d_arr, _pca_lit_arr(v), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    # Project dot + the rounded-decimal deviation array ONCE, then
+    # run 64 tiny per-dimension sums over the projected columns —
+    # keeps the expression tree linear in DIM (a 64-term dot inlined
+    # into each of 64 aggregates is a 4096-node tree that chokes
+    # codegen) and avoids a 64×N explode shuffle.
+    projected = emb.select(
+        F.round(dot, 6).cast("decimal(18,6)").alias("dot"),
+        F.transform(
+            d_arr, lambda c: F.round(c, 6).cast("decimal(18,6)")
+        ).alias("dd"),
+    )
+    row = projected.agg(
+        *[
+            F.sum(F.col("dot") * F.col("dd")[i]).alias(f"w{i}")
+            for i in range(PCA_DIM)
+        ]
+    ).collect()[0]
+    return [float(row[f"w{i}"] or 0.0) for i in range(PCA_DIM)]
+
+
 @register(
     "embedding_top_pc_power_iteration",
     # No SQL oracle: the iteration's literals (the current iterate v)
@@ -710,54 +771,11 @@ def embedding_top_pc_power_iteration(
     than one row of partials per task, no per-row Python.  At 100 TB
     deflate for the next component by subtracting λ·vvᵀ contributions
     in the same pass (the standard deflation loop)."""
-    from kafka_stream_processing_spark.sources.tables import table
-
-    emb = table(spark, sf_dir, "embeddings").select(
-        F.transform(
-            F.col("embedding"), lambda e: e.cast("double")
-        ).alias("x")
-    ).localCheckpoint(eager=True)
-    sums = (
-        emb.select(F.posexplode("x").alias("dim", "val"))
-        .groupBy("dim")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    n = sums[0]["n"]
-    mu = [0.0] * PCA_DIM
-    for r in sums:
-        mu[r["dim"]] = r["s"] / r["n"]
-
-    def lit_arr(vals: list[float]):
-        return F.array(*[F.lit(c) for c in vals])
-
+    emb, mu, n = _pca_load_centered(spark, sf_dir)
     v = [1.0] + [0.0] * (PCA_DIM - 1)
     lam = 0.0
     for _ in range(PCA_ITERATIONS):
-        d_arr = F.zip_with("x", lit_arr(mu), lambda a, b: a - b)
-        dot = F.aggregate(
-            F.zip_with(d_arr, lit_arr(v), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        # Project dot + the rounded-decimal deviation array ONCE, then
-        # run 64 tiny per-dimension sums over the projected columns —
-        # keeps the expression tree linear in DIM (a 64-term dot inlined
-        # into each of 64 aggregates is a 4096-node tree that chokes
-        # codegen) and avoids a 64×N explode shuffle.
-        projected = emb.select(
-            F.round(dot, 6).cast("decimal(18,6)").alias("dot"),
-            F.transform(
-                d_arr, lambda c: F.round(c, 6).cast("decimal(18,6)")
-            ).alias("dd"),
-        )
-        row = projected.agg(
-            *[
-                F.sum(F.col("dot") * F.col("dd")[i]).alias(f"w{i}")
-                for i in range(PCA_DIM)
-            ]
-        ).collect()[0]
-        w = [float(row[f"w{i}"] or 0.0) for i in range(PCA_DIM)]
+        w = _pca_matvec_pass(emb, mu, v)
         norm = sum(c * c for c in w) ** 0.5
         if norm == 0.0:
             break
@@ -772,4 +790,88 @@ def embedding_top_pc_power_iteration(
     return spark.createDataFrame(
         [(i, mu[i], v[i], lam) for i in range(PCA_DIM)],
         "dim int, mu double, pc double, eigenvalue double",
+    )
+
+
+#: Number of principal components the deflation loop extracts.
+PCA_DEFLATION_COMPONENTS = 3
+
+
+@register(
+    "embedding_pca_deflation_top3",
+    # No SQL oracle, same reason as the top-PC op: the per-pass iterate
+    # literals change between passes.  tests/test_round7e_ops.py pins
+    # orthonormality, eigenvalue ordering/bounds vs numpy's exact
+    # eigendecomposition, captured-variance share, and bit-identical
+    # reruns; the driver records a rows-only check.
+    oracle=None,
+    tags=("similarity", "linear-algebra", "scale"),
+)
+def embedding_pca_deflation_top3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{PCA_DEFLATION_COMPONENTS} principal components by DEFLATED
+    power iteration — the multi-component follow-through the top-PC
+    docstring promises (clustering.py:772): component j runs the same
+    distributed covariance matvec kernel (_pca_matvec_pass — one
+    aggregate pass per iteration, 64 exact decimal sums, the corpus
+    never moves) but after every pass the 64-double iterate is
+    PROJECTED driver-side onto the orthogonal complement of the
+    already-found components (Gram-Schmidt deflation — for a symmetric
+    covariance, power iteration on the complement converges to the
+    next eigenpair).  All deflation arithmetic happens on sketch-sized
+    driver vectors; the cluster work per component is identical to the
+    top-PC op's.  The near-degenerate synthetic spectrum (λ₁/λ₂ ≈
+    1.01-1.07) means individual eigenVECTORS are only loosely pinned —
+    the tests therefore pin the rotation-invariant facts: orthonormal
+    output, eigenvalue estimates bracketed by numpy's [λ₃, λ₁], and
+    the captured-variance share of the true top-3 subspace.
+
+    Returns {PCA_DEFLATION_COMPONENTS}×64 rows
+    (component, dim, mu, pc, eigenvalue).
+
+    Scale: components × PCA_ITERATIONS aggregate passes, each map-side
+    combinable with O(DIM) state; deflation is O(k·DIM) driver flops
+    per pass.  For k beyond a handful, switch to block orthogonal
+    iteration (one pass carries k dots) — same kernel, k columns."""
+    emb, mu, n = _pca_load_centered(spark, sf_dir)
+    comps: list[list[float]] = []
+    lams: list[float] = []
+    for j in range(PCA_DEFLATION_COMPONENTS):
+        v = [0.0] * PCA_DIM
+        v[j] = 1.0
+        # start vector must not be orthogonal-by-construction to the
+        # target subspace; e_j with prior components projected out is
+        # the deterministic choice (no randomness allowed — reruns must
+        # be bit-identical).
+        for u in comps:
+            c = sum(a * b for a, b in zip(v, u))
+            v = [a - c * b for a, b in zip(v, u)]
+        norm = sum(c * c for c in v) ** 0.5
+        v = [round(c / norm, 6) for c in v]
+        lam = 0.0
+        for _ in range(PCA_ITERATIONS):
+            w = _pca_matvec_pass(emb, mu, v)
+            for u in comps:
+                c = sum(a * b for a, b in zip(w, u))
+                w = [a - c * b for a, b in zip(w, u)]
+            norm = sum(c * c for c in w) ** 0.5
+            if norm == 0.0:
+                break
+            lam = norm / n
+            v = [round(c / norm, 6) for c in w]
+        for c in v:
+            if c != 0.0:
+                if c < 0.0:
+                    v = [-c2 for c2 in v]
+                break
+        comps.append(v)
+        lams.append(lam)
+    return spark.createDataFrame(
+        [
+            (j, i, mu[i], comps[j][i], lams[j])
+            for j in range(PCA_DEFLATION_COMPONENTS)
+            for i in range(PCA_DIM)
+        ],
+        "component int, dim int, mu double, pc double, eigenvalue double",
     )

@@ -2896,3 +2896,384 @@ def quality_brown_forsythe_drift(
         crit.alias("critical_005"),
         (F.col("bf_f") > crit).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index
+# ---------------------------------------------------------------------------
+
+#: Fixed-width character-count bucket used by the PSI gate (same width as
+#: the k-anonymity audit's quasi-identifier bucket).
+PSI_BUCKET_CHARS = 100
+#: Laplace-style smoothing mass added per bucket so empty buckets stay
+#: finite (the industry-standard PSI fix for zero cells).
+PSI_SMOOTH = 0.5
+#: The conventional "significant population shift" PSI threshold.
+PSI_DRIFT_THRESHOLD = 0.2
+
+
+@register(
+    "quality_psi_drift",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT n_chars // {PSI_BUCKET_CHARS} AS bucket,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS is_b
+        FROM documents
+    ),
+    hist AS (
+        SELECT bucket, SUM(is_a) AS ca, SUM(is_b) AS cb
+        FROM rows_t GROUP BY bucket
+    ),
+    tot AS (
+        SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS k FROM hist
+    ),
+    terms AS (
+        SELECT h.bucket, h.ca, h.cb,
+               (CAST(h.ca AS DOUBLE) + {PSI_SMOOTH})
+                   / (CAST(t.na AS DOUBLE) + {PSI_SMOOTH} * t.k) AS p_ref,
+               (CAST(h.cb AS DOUBLE) + {PSI_SMOOTH})
+                   / (CAST(t.nb AS DOUBLE) + {PSI_SMOOTH} * t.k) AS p_cur
+        FROM hist h, tot t
+    ),
+    terms2 AS (
+        SELECT *,
+               CAST(round((p_ref - p_cur) * ln(p_ref / p_cur), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM terms
+    ),
+    s AS (SELECT CAST(SUM(term) AS DOUBLE) AS psi FROM terms2)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(ca AS BIGINT) AS n_ref,
+           CAST(cb AS BIGINT) AS n_cur,
+           p_ref,
+           p_cur,
+           CAST(term AS DOUBLE) AS psi_term,
+           s.psi AS psi,
+           s.psi > {PSI_DRIFT_THRESHOLD} AS drift
+    FROM terms2, s
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over fixed-width n_chars buckets,
+    reference slice source='src0' vs the rest — the scorecard-world
+    drift gate that complements KS (which compares CDFs; PSI compares
+    binned masses and is the number risk teams actually monitor):
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with 0.5-per-bucket Laplace
+    smoothing so a bucket present on one side only contributes a
+    finite term instead of ±∞.  Both proportions are exact-integer
+    ratios; each per-bucket term is one double multiply + one libm ln
+    rounded to 6 decimals then summed as exact decimals (the engine's
+    iterative-float rule), so the gate is bit-stable cross-engine.
+    Fires at PSI > 0.2 (the conventional "significant shift" bar;
+    0.1-0.2 is "monitor").
+
+    Scale: one corpus scan → bucket histogram with map-side combine
+    (state = n_buckets ≈ max(n_chars)/100 rows); everything after runs
+    on the histogram.  Pairs with quality_ks_drift_nchars (same split,
+    rank-based) and quality_chi2_categorical_drift (categorical) as
+    the binned-mass member of the drift-gate family."""
+    from pyspark.sql import Window
+
+    rows = table(spark, sf_dir, "documents").select(
+        F.expr(f"n_chars div {PSI_BUCKET_CHARS}").alias("bucket"),
+        F.when(F.col("source") == "src0", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+        F.when(F.col("source") == "src0", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_b"),
+    )
+    hist = rows.groupBy("bucket").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    w = Window.partitionBy()
+    t = hist.select(
+        "bucket",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("na"),
+        F.sum("cb").over(w).alias("nb"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    p_ref = (F.col("ca").cast("double") + F.lit(PSI_SMOOTH)) / (
+        F.col("na").cast("double") + F.lit(PSI_SMOOTH) * F.col("k")
+    )
+    p_cur = (F.col("cb").cast("double") + F.lit(PSI_SMOOTH)) / (
+        F.col("nb").cast("double") + F.lit(PSI_SMOOTH) * F.col("k")
+    )
+    terms = t.select(
+        "bucket",
+        "ca",
+        "cb",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+    ).withColumn(
+        "term",
+        F.round(
+            (F.col("p_ref") - F.col("p_cur"))
+            * F.log(F.col("p_ref") / F.col("p_cur")),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    psi = F.sum("term").over(w).cast("double")
+    return terms.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("ca").cast("bigint").alias("n_ref"),
+        F.col("cb").cast("bigint").alias("n_cur"),
+        "p_ref",
+        "p_cur",
+        F.col("term").cast("double").alias("psi_term"),
+        psi.alias("psi"),
+        (psi > F.lit(PSI_DRIFT_THRESHOLD)).alias("drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_cramers_v_assoc",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, count(*) AS n_obs
+        FROM documents GROUP BY 1, 2
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    sources AS (SELECT DISTINCT source FROM documents),
+    cells AS (
+        SELECT l.lang, s.source, COALESCE(c.n_obs, 0) AS n_obs
+        FROM langs l CROSS JOIN sources s
+        LEFT JOIN c ON c.lang = l.lang AND c.source = s.source
+    ),
+    m AS (
+        SELECT lang, source, n_obs,
+               SUM(n_obs) OVER (PARTITION BY lang) AS rl,
+               SUM(n_obs) OVER (PARTITION BY source) AS cs,
+               SUM(n_obs) OVER () AS n,
+               COUNT(*) OVER (PARTITION BY source) AS n_lang,
+               COUNT(*) OVER (PARTITION BY lang) AS n_source
+        FROM cells
+    ),
+    t AS (
+        SELECT *, CAST(rl AS DOUBLE) * cs / n AS expected FROM m
+    ),
+    t2 AS (
+        SELECT *,
+               CAST(round((CAST(n_obs AS DOUBLE) - expected)
+                          * (CAST(n_obs AS DOUBLE) - expected)
+                          / expected, 6) AS DECIMAL(18,6)) AS term
+        FROM t
+    ),
+    s AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2 FROM t2)
+    SELECT lang, source,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           expected,
+           s.chi2 AS chi2,
+           sqrt(s.chi2 / (CAST(n AS DOUBLE)
+                          * (least(n_lang, n_source) - 1))) AS cramers_v
+    FROM t2, s
+    """,
+    tags=("quality", "statistics", "association"),
+)
+def quality_cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between the lang and source categorical
+    columns — the effect-size companion to the chi² drift gate (chi²
+    says "dependent or not at this n"; V ∈ [0,1] says HOW dependent,
+    comparable across corpus sizes): build the COMPLETE r×c contingency
+    table (distinct-lang × distinct-source cross join, left-joined
+    counts — a structurally-zero cell still owes its full (0−e)²/e
+    term, the same absent-category rule the Benford gate applies),
+    expected counts e = row_tot·col_tot/n, per-cell terms rounded to 6
+    decimals and summed exactly, then V = √(χ²/(n·(min(r,c)−1))).
+    The window trick for the dimensions: in a complete cross join the
+    per-lang cell count IS n_source and vice versa, so both dof inputs
+    fall out of the same window pass that computes the margins — no
+    second scan, no countDistinct.
+
+    Scale: one corpus scan → r×c cell counts (map-side combined);
+    margins and totals are window sums over the cell table (r·c rows —
+    sketch-sized for any real categorical pair).  The distinct-value
+    frames are the same histogram's projections, so the whole statistic
+    is one aggregation plus arithmetic on its result."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    langs = docs.select("lang").distinct()
+    sources = docs.select("source").distinct()
+    cells = (
+        langs.crossJoin(sources)
+        .join(c, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    w = Window.partitionBy()
+    m = cells.select(
+        "lang",
+        "source",
+        "n_obs",
+        F.sum("n_obs").over(wl).alias("rl"),
+        F.sum("n_obs").over(ws).alias("cs"),
+        F.sum("n_obs").over(w).alias("n"),
+        F.count(F.lit(1)).over(ws).alias("n_lang"),
+        F.count(F.lit(1)).over(wl).alias("n_source"),
+    )
+    expected = F.col("rl").cast("double") * F.col("cs") / F.col("n")
+    t2 = m.withColumn("expected", expected).withColumn(
+        "term",
+        F.round(
+            (F.col("n_obs").cast("double") - F.col("expected"))
+            * (F.col("n_obs").cast("double") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    chi2 = F.sum("term").over(w).cast("double")
+    return t2.select(
+        "lang",
+        "source",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        "expected",
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / (
+                F.col("n").cast("double")
+                * (F.least("n_lang", "n_source") - 1)
+            )
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+#: Two-sided z critical value at alpha = 0.05.
+Z_CRIT_005 = 1.959963984540054
+
+
+@register(
+    "quality_two_proportion_ztest",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    agg AS (
+        SELECT
+            SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+            SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+            SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+            SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+        FROM e
+    ),
+    p AS (
+        SELECT *,
+               CAST(conv_a AS DOUBLE) / n_a AS p_a,
+               CAST(conv_b AS DOUBLE) / n_b AS p_b,
+               CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        FROM agg
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_b AS BIGINT) AS conv_b,
+           p_a, p_b,
+           (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+                              * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
+           abs((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+                                  * (1.0 / n_a + 1.0 / n_b)))
+               > {Z_CRIT_005} AS significant_005
+    FROM p
+    """,
+    tags=("quality", "statistics", "abtest"),
+)
+def quality_two_proportion_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion pooled z-test on purchase conversion, variants
+    assigned by user_id parity — the A/B-experiment readout an
+    analytics engine owes its users (the Mann-Whitney and
+    Brown-Forsythe gates cover ordinal and variance shifts; this is
+    the binary-outcome member): conversion counts are exact integer
+    conditional sums from ONE scan, and every downstream step
+    (p̂_a, p̂_b, pooled p̂, z = (p̂_a−p̂_b)/√(p̂(1−p̂)(1/n_a+1/n_b)))
+    is IEEE-exact division/sqrt on those integers, written with
+    identical operator structure on both engines, so the statistic is
+    bit-identical cross-engine with no rounding discipline needed.
+    Fires two-sided at |z| > 1.96.  user_id parity is the textbook
+    deterministic hash-split (sample_hash_split generalizes it).
+
+    Scale: one scan, four conditional-sum cells with map-side combine
+    (constant state), then scalar arithmetic — the cheapest possible
+    drift/test shape; valid at any SF because the z-test's n appears
+    only inside the exact integer cells."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("conv"),
+    )
+    agg = ev.agg(
+        F.sum(
+            F.when(F.col("variant") == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_a"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("conv")).otherwise(
+                F.lit(0)
+            )
+        ).alias("conv_a"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("conv")).otherwise(
+                F.lit(0)
+            )
+        ).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    p = agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        p_pool.alias("p_pool"),
+    )
+    z = (F.col("p_a") - F.col("p_b")) / F.sqrt(
+        F.col("p_pool")
+        * (F.lit(1.0) - F.col("p_pool"))
+        * (
+            F.lit(1.0) / F.col("n_a")
+            + F.lit(1.0) / F.col("n_b")
+        )
+    )
+    return p.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "p_a",
+        "p_b",
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(Z_CRIT_005)).alias("significant_005"),
+    )

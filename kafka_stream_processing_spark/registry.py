@@ -233,6 +233,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "graph_link_prediction_common_neighbors",
     "graph_kcore_decomposition",
     "stream_good_turing_novelty",
+    "embedding_pca_deflation_top3",
+    "quality_psi_drift",
+    "quality_cramers_v_assoc",
+    "quality_two_proportion_ztest",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

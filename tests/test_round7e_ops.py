@@ -124,6 +124,58 @@ def test_stream_good_turing_novelty_python_replay(spark, sf_small):
         assert b.chao1_richness >= b.n_types
 
 
+def test_pca_deflation_top3_numpy_reference(spark, sf_small):
+    """Rotation-invariant pins vs numpy's exact eigendecomposition —
+    the near-degenerate synthetic spectrum (adjacent eigenvalue ratios
+    1.01-1.07) makes individual eigenvectors unpinnable, so assert the
+    facts deflation must deliver regardless: orthonormal output,
+    decreasing in-bracket eigenvalue estimates, self-consistent
+    Rayleigh quotients, and ≥95% of the true top-3 variance."""
+    import numpy as np
+
+    rows = SPECS["embedding_pca_deflation_top3"].fn(spark, sf_small).collect()
+    assert len(rows) == 3 * 64
+    V = np.zeros((3, 64))
+    lam = [0.0] * 3
+    for r in rows:
+        V[r.component][r.dim] = r.pc
+        lam[r.component] = r.eigenvalue
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT embedding FROM '{sf_small}/embeddings.parquet'"
+    ).fetchnumpy()
+    X = np.array([np.array(e, dtype=np.float64) for e in t["embedding"]])
+    mu = X.mean(0)
+    D = X - mu
+    C = D.T @ D / len(X)
+    evals = np.linalg.eigvalsh(C)[::-1]
+    # orthonormality (6-decimal rounding bounds the residual)
+    G = V @ V.T
+    assert np.abs(G - np.eye(3)).max() < 1e-4
+    # eigenvalue estimates: strictly decreasing, each within its bracket
+    assert lam[0] > lam[1] > lam[2] > 0
+    for j in range(3):
+        assert lam[j] <= evals[0] * 1.001
+        assert lam[j] >= 0.93 * evals[j]
+    # engine's lambda agrees with the Rayleigh quotient of its own vector
+    for j in range(3):
+        assert abs(float(V[j] @ C @ V[j]) - lam[j]) < 5e-4
+    # the 3 directions capture >= 95% of the true top-3 variance
+    rayleigh = sum(float(V[j] @ C @ V[j]) for j in range(3))
+    assert rayleigh >= 0.95 * evals[:3].sum()
+    # mu column matches the true mean
+    mus = {r.dim: r.mu for r in rows}
+    assert max(abs(mus[i] - mu[i]) for i in range(64)) < 1e-12
+
+
+def test_pca_deflation_rerun_bit_identical(spark, sf_small):
+    a = SPECS["embedding_pca_deflation_top3"].fn(spark, sf_small).collect()
+    b = SPECS["embedding_pca_deflation_top3"].fn(spark, sf_small).collect()
+    ka = sorted((r.component, r.dim, r.pc, r.eigenvalue) for r in a)
+    kb = sorted((r.component, r.dim, r.pc, r.eigenvalue) for r in b)
+    assert ka == kb
+
+
 def test_kcore_hindex_one_more_round_is_fixed_point(spark, sf_small):
     """Replaying one EXTRA h-operator round on the engine's output
     changes nothing — the registered fixed schedule has converged."""
