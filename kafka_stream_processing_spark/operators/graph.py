@@ -517,6 +517,58 @@ def _sig_adj_sql() -> str:
     """
 
 
+def _sig_adj_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significance-sparsified undirected trade adjacency (w ≥ 2× mean
+    weight as an exact integer cross-product compare), checkpointed —
+    the Spark twin of ``_sig_adj_sql`` shared by link prediction and
+    BFS (tests/test_round7f_ops.py guards the reuse)."""
+    edges = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            table(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            table(spark, sf_dir, "nation").alias("n1"),
+            F.col("n1.n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "nation").alias("n2"),
+            F.col("n2.n_nationkey") == F.col("c_nationkey"),
+        )
+        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
+        .groupBy(
+            F.col("n1.n_name").alias("src"),
+            F.col("n2.n_name").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = edges.agg(
+        F.count(F.lit(1)).alias("ne"), F.sum("w").alias("tw")
+    )
+    return (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("w") * F.col("ne")
+            >= LINKPRED_MIN_W_NUM * F.col("tw")
+        )
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "graph_link_prediction_common_neighbors",
     oracle=f"""
@@ -575,51 +627,7 @@ def graph_link_prediction_common_neighbors(
     Σ deg(z)², bounded by the sparsified degree distribution, never
     all-pairs; the non-adjacency check is one left anti-style join
     against the (node-pair-sized) adjacency list."""
-    edges = (
-        table(spark, sf_dir, "lineitem")
-        .join(
-            table(spark, sf_dir, "orders"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .join(
-            table(spark, sf_dir, "customer"),
-            F.col("c_custkey") == F.col("o_custkey"),
-        )
-        .join(
-            table(spark, sf_dir, "supplier"),
-            F.col("s_suppkey") == F.col("l_suppkey"),
-        )
-        .join(
-            table(spark, sf_dir, "nation").alias("n1"),
-            F.col("n1.n_nationkey") == F.col("s_nationkey"),
-        )
-        .join(
-            table(spark, sf_dir, "nation").alias("n2"),
-            F.col("n2.n_nationkey") == F.col("c_nationkey"),
-        )
-        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
-        .groupBy(
-            F.col("n1.n_name").alias("src"),
-            F.col("n2.n_name").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tot = edges.agg(
-        F.count(F.lit(1)).alias("ne"), F.sum("w").alias("tw")
-    )
-    adj = (
-        edges.crossJoin(F.broadcast(tot))
-        .filter(
-            F.col("w") * F.col("ne")
-            >= LINKPRED_MIN_W_NUM * F.col("tw")
-        )
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    adj = _sig_adj_df(spark, sf_dir)
     sym = adj.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionByName(adj.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -838,3 +846,88 @@ def graph_kcore_decomposition(
         F.col("val").cast("bigint").alias("degree"),
         F.col("core").cast("bigint").alias("coreness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hops
+# ---------------------------------------------------------------------------
+
+#: Recursion depth cap for BFS — far above the sparsified trade graph's
+#: diameter; the driver loop stops early when the frontier empties.
+BFS_MAX_HOPS = 16
+
+
+@register(
+    "graph_bfs_hops_from_source",
+    oracle=f"""
+    WITH RECURSIVE adj AS ({_sig_adj_sql()}),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    src AS (SELECT min(u) AS s FROM sym),
+    reach(node, hops) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT sym.v, reach.hops + 1
+        FROM reach JOIN sym ON sym.u = reach.node
+        WHERE reach.hops < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops
+    FROM reach GROUP BY node
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_hops_from_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-source BFS hop distance over the significance-sparsified
+    trade graph (source = lexicographically smallest node — a
+    data-derived deterministic pick), by distributed frontier
+    expansion: each level is ONE hash join of the current frontier
+    against the symmetric adjacency, anti-joined against the visited
+    set, checkpointed, until the frontier empties — the Pregel
+    message-passing shape expressed as DataFrame joins, and the graph
+    family's REACHABILITY member beside PageRank (numeric iteration),
+    k-core (label iteration) and connected components.  All state is
+    integer; no float discipline needed.  The DuckDB oracle runs the
+    same computation declaratively as a recursive CTE with
+    UNION-distinct dedup and MIN(hops) — Spark's WITH RECURSIVE
+    cannot express it (UNION-distinct in the recursive term is
+    unsupported, the sql_recursive_user_chain docstring's caveat), so
+    the driver loop IS the idiomatic Spark form.
+
+    Scale: per level one frontier⋈adjacency join (frontier and visited
+    are node-sized; the adjacency is edge-sized and partitioned by u);
+    levels bounded by the diameter.  At a billion edges the same loop
+    runs with the adjacency bucketed by u so every level's join is
+    co-located — no per-level shuffle of the big side."""
+    adj = _sig_adj_df(spark, sf_dir)
+    sym = (
+        adj.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            adj.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        sym.agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("int").alias("hops"))

@@ -1256,3 +1256,370 @@ def window_ewma_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").cast("double") - F.lag("ewma").over(w_lag)
         ).alias("forecast_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+#: Seasonal period of the naive forecaster (one week of daily rows).
+SEASONAL_LAG_DAYS = 7
+
+
+@register(
+    "window_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT *, lag(x, {SEASONAL_LAG_DAYS})
+                      OVER (PARTITION BY event_type ORDER BY day) AS f
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type,
+               abs(x - f) AS ae,
+               CAST(round(2.0 * CAST(abs(x - f) AS DOUBLE)
+                          / (CAST(x AS DOUBLE) + CAST(f AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS sm
+        FROM lagged WHERE f IS NOT NULL
+    ),
+    d AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+    s AS (
+        SELECT event_type, count(*) AS n_scored,
+               SUM(ae) AS sae, SUM(sm) AS ssm
+        FROM scored GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(d.n_days AS BIGINT) AS n_days,
+           CAST(s.n_scored AS BIGINT) AS n_scored,
+           CAST(s.sae AS DOUBLE) / s.n_scored AS mae,
+           CAST(s.ssm AS DOUBLE) / s.n_scored AS smape
+    FROM d JOIN s USING (event_type)
+    """,
+    tags=("windowed", "timeseries", "forecast"),
+)
+def window_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest on per-event-type daily revenue
+    — the baseline every forecasting pipeline must publish before any
+    model earns its keep (if a model can't beat "same day last week",
+    ship the lag): forecast f_d = x_{d−7 rows} within each series
+    (row-lag over the observed day sequence — identical on both engines
+    because the day grid is whatever the data contains), scored by MAE
+    and sMAPE over the rows old enough to have a forecast.  Daily
+    revenue is an exact decimal sum, so x − f and MAE's numerator stay
+    exact; sMAPE's per-row ratio is one double division rounded to 6
+    decimals then summed exactly (the engine's iterative-float rule).
+    Companion to window_ewma_residuals (level model) — this is the
+    seasonal member of the residual-monitor family.
+
+    Scale: one map-side-combined groupBy collapses events to the
+    (series × calendar)-sized daily table; the lag window is
+    partitioned per series (no global sort), and the scoring aggregate
+    is series-sized.  Volume-independent beyond the first scan."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn(
+        "f", F.lag("x", SEASONAL_LAG_DAYS).over(w)
+    )
+    scored = lagged.filter(F.col("f").isNotNull()).select(
+        "event_type",
+        F.abs(F.col("x") - F.col("f")).alias("ae"),
+        F.round(
+            F.lit(2.0)
+            * F.abs(F.col("x") - F.col("f")).cast("double")
+            / (F.col("x").cast("double") + F.col("f").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("sm"),
+    )
+    d = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    s = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("ae").alias("sae"),
+        F.sum("sm").alias("ssm"),
+    )
+    return d.join(s, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        (F.col("sae").cast("double") / F.col("n_scored")).alias("mae"),
+        (F.col("ssm").cast("double") / F.col("n_scored")).alias(
+            "smape"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST((b.x - a.x) AS DOUBLE) / (b.d - a.d) AS slope,
+               a.d AS di, b.d AS dj
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope, di, dj) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM pairs
+    ),
+    med AS (
+        SELECT event_type, slope AS ts_slope, m AS n_pairs
+        FROM ranked WHERE rn = (m + 1) // 2
+    ),
+    b0 AS (
+        SELECT d.event_type,
+               CAST(d.x AS DOUBLE) - med.ts_slope * d.d AS b,
+               d.d,
+               med.ts_slope, med.n_pairs,
+               row_number() OVER (
+                   PARTITION BY d.event_type
+                   ORDER BY CAST(d.x AS DOUBLE) - med.ts_slope * d.d,
+                            d.d) AS rn,
+               count(*) OVER (PARTITION BY d.event_type) AS n_days
+        FROM daily d JOIN med USING (event_type)
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           ts_slope,
+           b AS ts_intercept
+    FROM b0 WHERE rn = (n_days + 1) // 2
+    """,
+    tags=("windowed", "timeseries", "robust"),
+)
+def window_theil_sen_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-Sen robust trend of per-event-type daily revenue — the
+    median of all pairwise slopes (and the median intercept given that
+    slope), the estimator that shrugs off the outlier days a
+    least-squares fit chases (29.3% breakdown point): every pairwise
+    slope is ONE double division of an exact decimal revenue
+    difference by an integer day gap (identical operand bits ⇒
+    identical quotient bits cross-engine), and both medians use the
+    engine's lower-median integer-rank convention with full
+    deterministic tiebreaks ((slope, dᵢ, dⱼ) and (intercept, day)), so
+    no rounding discipline is needed anywhere.
+
+    Scale: the pair self-join is per-series over the CALENDAR-sized
+    daily table — n·(n−1)/2 pairs with n bounded by days, never by
+    event volume (365 days ⇒ ≤66 k pairs per series; the rank windows
+    are partitioned per series).  For multi-year horizons switch to
+    the repeated-median variant (median-of-medians per anchor point,
+    same windows, O(n) memory per rank partition)."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "x",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, "event_type").filter(
+        F.col("a.d") < F.col("b.d")
+    ).select(
+        "event_type",
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+        F.col("a.d").alias("di"),
+        F.col("b.d").alias("dj"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    wp = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(m + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("slope").alias("ts_slope"),
+        F.col("m").alias("n_pairs"),
+    )
+    joined = daily.join(med, "event_type").withColumn(
+        "b", F.col("x").cast("double") - F.col("ts_slope") * F.col("d")
+    )
+    wb = Window.partitionBy("event_type").orderBy("b", "d")
+    b0 = joined.select(
+        "event_type",
+        "b",
+        "ts_slope",
+        "n_pairs",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_days"),
+    )
+    return b0.filter(
+        F.col("rn") == F.expr("(n_days + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "ts_slope",
+        F.col("b").alias("ts_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily series
+# ---------------------------------------------------------------------------
+
+#: Maximum lag (in observed-day rows) the ACF op reports.
+ACF_MAX_LAG = 7
+
+
+@register(
+    "window_acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               CAST(SUM(x) AS DOUBLE) / count(*) AS mu
+        FROM daily
+    ),
+    dev AS (
+        SELECT d, CAST(x AS DOUBLE) - mu AS e FROM daily, tot
+    ),
+    den AS (
+        SELECT SUM(CAST(round(e * e, 6) AS DECIMAL(18,6))) AS s0
+        FROM dev
+    ),
+    ks AS (
+        SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k
+    ),
+    num AS (
+        SELECT ks.k,
+               count(*) AS n_pairs,
+               SUM(CAST(round(a.e * b.e, 6) AS DECIMAL(18,6))) AS sk
+        FROM ks JOIN dev a ON TRUE JOIN dev b ON b.d = a.d + ks.k
+        GROUP BY ks.k
+    )
+    SELECT CAST(k AS INT) AS lag_k,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(sk AS DOUBLE) / CAST(s0 AS DOUBLE) AS acf
+    FROM num, den
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_acf_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample autocorrelation of total daily revenue at lags 1..7 —
+    the diagnostic that tells a pipeline whether its daily series has
+    weekly structure worth a seasonal model (ACF(7) spikes), carryover
+    (ACF(1) high), or is white noise (all lags ≈ 0; the companion
+    seasonal-naive backtest then can't be beaten): standard
+    ρ̂(k) = Σ(x_t−μ̂)(x_{t+k}−μ̂) / Σ(x_t−μ̂)², μ̂ from the exact
+    decimal revenue sum, every cross-product rounded to 6 decimals and
+    summed exactly.  Lags realized as a 1..7 key frame joined to the
+    day-indexed deviations (b.d = a.d + k) — one join produces ALL
+    lags instead of 7 window passes, and missing calendar days simply
+    contribute no pair.
+
+    Scale: events collapse to the calendar-sized daily table in one
+    map-side-combined pass; the lag join is days × 7 rows.  At 100 TB
+    with per-key series, partition the deviation table by series key
+    and the same join computes every series' ACF in one shuffle."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "x",
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("x").cast("double") - F.col("mu")).alias("e")
+    )
+    den = dev.agg(
+        F.sum(
+            F.round(F.col("e") * F.col("e"), 6).cast("decimal(18,6)")
+        ).alias("s0")
+    )
+    ks = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        F.broadcast(ks)
+        .crossJoin(a)
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.round(F.col("a.e") * F.col("b.e"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("sk"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("int").alias("lag_k"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (F.col("sk").cast("double") / F.col("s0").cast("double")).alias(
+            "acf"
+        ),
+    )
