@@ -931,3 +931,104 @@ def graph_bfs_hops_from_source(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH adj AS ({_sig_adj_sql()}),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM sym s
+        JOIN deg du ON du.u = s.u
+        JOIN deg dv ON dv.u = s.v
+    ),
+    s AS (
+        SELECT count(*) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(CAST(m AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(m AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy)) AS assortativity
+    FROM s
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the significance-sparsified trade graph
+    — Newman's r: the Pearson correlation of endpoint degrees over
+    the DIRECTED expansion of the undirected edge set (each edge
+    contributes both orientations, which is exactly what makes the
+    two margins symmetric and the statistic well-defined); r > 0 means
+    hubs trade with hubs, r < 0 means hub-and-spoke.  Third consumer
+    of the shared _sig_adj_df kernel (link prediction, BFS, this).
+    All five moment sums are exact integers from one aggregate over
+    the degree-joined edge list; the final formula is IEEE arithmetic
+    on those integers — bit-identical cross-engine.
+
+    Scale: two hash joins of the edge list against the node-sized
+    degree table, then a 6-cell map-side-combined aggregate —
+    edge-scan-bound, no window, no sort."""
+    adj = _sig_adj_df(spark, sf_dir)
+    sym = adj.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(
+        adj.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("su"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("sv"), F.col("d").alias("y"))
+    pairs = (
+        sym.join(du, sym["u"] == du["su"])
+        .join(dv, sym["v"] == dv["sv"])
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    r = (
+        F.col("m").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(
+            F.col("m").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("m").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        F.expr("m div 2").cast("bigint").alias("n_edges"),
+        F.col("nn").alias("n_nodes"),
+        r.alias("assortativity"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_processing_spark.functions.exact import dec
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import table
 
@@ -3276,4 +3277,771 @@ def quality_two_proportion_ztest(
         "p_b",
         z.alias("z_stat"),
         (F.abs(z) > F.lit(Z_CRIT_005)).alias("significant_005"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information / normalized MI
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_mutual_information",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, count(*) AS n_obs
+        FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT lang, source, n_obs,
+               SUM(n_obs) OVER (PARTITION BY lang) AS rl,
+               SUM(n_obs) OVER (PARTITION BY source) AS cs,
+               SUM(n_obs) OVER () AS n
+        FROM c
+    ),
+    mi_t AS (
+        SELECT CAST(round((CAST(n_obs AS DOUBLE) / n)
+                          * ln(CAST(n_obs AS DOUBLE) * n
+                               / (CAST(rl AS DOUBLE) * cs)), 6)
+                    AS DECIMAL(18,6)) AS term,
+               n
+        FROM m
+    ),
+    hl_t AS (
+        SELECT CAST(round((CAST(rl AS DOUBLE) / n)
+                          * ln(CAST(rl AS DOUBLE) / n), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM (SELECT lang, count(*) AS rl,
+                     SUM(count(*)) OVER () AS n
+              FROM documents GROUP BY lang)
+    ),
+    hs_t AS (
+        SELECT CAST(round((CAST(cs AS DOUBLE) / n)
+                          * ln(CAST(cs AS DOUBLE) / n), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM (SELECT source, count(*) AS cs,
+                     SUM(count(*)) OVER () AS n
+              FROM documents GROUP BY source)
+    ),
+    s AS (
+        SELECT (SELECT CAST(max(n) AS BIGINT) FROM mi_t) AS n,
+               (SELECT CAST(SUM(term) AS DOUBLE) FROM mi_t) AS mi,
+               -(SELECT CAST(SUM(term) AS DOUBLE) FROM hl_t) AS h_lang,
+               -(SELECT CAST(SUM(term) AS DOUBLE) FROM hs_t) AS h_source
+    )
+    SELECT n, mi, h_lang, h_source,
+           mi / sqrt(h_lang * h_source) AS nmi
+    FROM s
+    """,
+    tags=("quality", "statistics", "association"),
+)
+def quality_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information I(lang; source) with both marginal entropies
+    and the sqrt-normalized NMI — the information-theoretic companion
+    to Cramér's V (V says how far from independence in χ² units; MI
+    says how many NATS one label reveals about the other, the quantity
+    cluster-evaluation and feature-selection pipelines actually
+    compare): I = Σ p_ls·ln(p_ls/(p_l·p_s)) over OBSERVED cells only
+    (lim p→0 of p·ln p is 0, so structural zeros contribute nothing —
+    the complete-table rule applies to χ², not MI), entropies from the
+    marginal histograms, every libm term rounded to 6 decimals and
+    summed exactly, NMI = I/√(H_l·H_s) ∈ [0,1].
+
+    Scale: one r×c cell aggregation (map-side combined) + window
+    margins — the Cramér kernel's shape; the two entropy scans are
+    marginal-histogram-sized aggregates of the same pass's
+    projections."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w = Window.partitionBy()
+    m = c.select(
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy("lang")).alias("rl"),
+        F.sum("n_obs").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("n_obs").over(w).alias("n"),
+    )
+    mi_t = m.select(
+        F.round(
+            (F.col("n_obs").cast("double") / F.col("n"))
+            * F.log(
+                F.col("n_obs").cast("double")
+                * F.col("n")
+                / (F.col("rl").cast("double") * F.col("cs"))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("term"),
+        "n",
+    )
+    mi_row = mi_t.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("term").cast("double").alias("mi"),
+    )
+
+    def entropy(col: str, alias: str) -> DataFrame:
+        marg = docs.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        t = marg.select(
+            F.round(
+                (
+                    F.col("cnt").cast("double")
+                    / F.sum("cnt").over(w)
+                )
+                * F.log(
+                    F.col("cnt").cast("double") / F.sum("cnt").over(w)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term")
+        )
+        return t.agg((-F.sum("term").cast("double")).alias(alias))
+
+    out = (
+        mi_row.crossJoin(entropy("lang", "h_lang"))
+        .crossJoin(entropy("source", "h_source"))
+    )
+    return out.select(
+        "n",
+        "mi",
+        "h_lang",
+        "h_source",
+        (
+            F.col("mi")
+            / F.sqrt(F.col("h_lang") * F.col("h_source"))
+        ).alias("nmi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_spearman_corr",
+    oracle="""
+    WITH x AS (
+        SELECT doc_id, n_chars AS xv,
+               len(string_split(text, ' ')) AS yv
+        FROM documents
+    ),
+    rx AS (
+        SELECT xv,
+               2 * (SUM(count(*)) OVER (ORDER BY xv) - count(*))
+                   + count(*) + 1 AS r2
+        FROM x GROUP BY xv
+    ),
+    ry AS (
+        SELECT yv,
+               2 * (SUM(count(*)) OVER (ORDER BY yv) - count(*))
+                   + count(*) + 1 AS r2
+        FROM x GROUP BY yv
+    ),
+    ranked AS (
+        SELECT rx.r2 AS a, ry.r2 AS b
+        FROM x JOIN rx ON rx.xv = x.xv JOIN ry ON ry.yv = x.yv
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa,
+               CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a * a) AS BIGINT) AS saa,
+               CAST(SUM(b * b) AS BIGINT) AS sbb,
+               CAST(SUM(a * b) AS BIGINT) AS sab
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+               / (sqrt(CAST(n AS DOUBLE) * saa
+                       - CAST(sa AS DOUBLE) * sa)
+                  * sqrt(CAST(n AS DOUBLE) * sbb
+                         - CAST(sb AS DOUBLE) * sb)) AS rho
+    FROM s
+    """,
+    tags=("quality", "statistics", "robust"),
+)
+def quality_spearman_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between document length (n_chars) and
+    whitespace token count — the robust monotone-association number a
+    data card should quote beside any Pearson value (rank-based, so one
+    concatenation artifact can't drag it): midranks come from the
+    count-of-counts cumulative trick shared with the Mann-Whitney gate
+    (rank of a tied value = cum_before + (c+1)/2; DOUBLING makes every
+    midrank the integer 2·cum_before + c + 1, so all five moment sums
+    are exact integers — Pearson on ranks is scale-invariant, hence
+    ρ on doubled ranks IS Spearman's ρ), and the final formula is pure
+    IEEE arithmetic on those integers, bit-identical cross-engine.
+
+    Scale: two value-histogram aggregations (map-side combined,
+    distinct-value-sized) + two narrow rank joins back + one 5-sum
+    scalar aggregate; no global row sort — ranks never materialize an
+    ordering, they come from cumulative counts over the value
+    histogram.  Doubled-rank moment sums stay under 4n³ — switch the
+    two square sums to DECIMAL(38,0) past ~10⁹ rows."""
+    from pyspark.sql import Window
+
+    x = table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("xv"),
+        F.size(F.split(F.col("text"), " ")).alias("yv"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        h = x.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        wcum = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return h.select(
+            col,
+            (
+                2 * (F.sum("c").over(wcum) - F.col("c"))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    ranked = (
+        x.join(rank2("xv").withColumnRenamed("r2", "a"), "xv")
+        .join(rank2("yv").withColumnRenamed("r2", "b"), "yv")
+        .select("a", "b")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+    )
+    rho = (
+        F.col("n").cast("double") * F.col("sab")
+        - F.col("sa").cast("double") * F.col("sb")
+    ) / (
+        F.sqrt(
+            F.col("n").cast("double") * F.col("saa")
+            - F.col("sa").cast("double") * F.col("sa")
+        )
+        * F.sqrt(
+            F.col("n").cast("double") * F.col("sbb")
+            - F.col("sb").cast("double") * F.col("sb")
+        )
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"), rho.alias("rho")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix
+# ---------------------------------------------------------------------------
+
+#: The lineitem numeric columns the correlation matrix covers.
+PEARSON_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _pearson_oracle() -> str:
+    sums = ["count(*) AS n"]
+    for c in PEARSON_COLS:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(19,6))) AS s_{c}")
+        sums.append(
+            f"SUM(CAST({c} AS DECIMAL(19,6))"
+            f" * CAST({c} AS DECIMAL(19,6))) AS ss_{c}"
+        )
+    pair_rows = []
+    for i, a in enumerate(PEARSON_COLS):
+        for b in PEARSON_COLS[i + 1:]:
+            sums.append(
+                f"SUM(CAST({a} AS DECIMAL(19,6))"
+                f" * CAST({b} AS DECIMAL(19,6))) AS sp_{a}_{b}"
+            )
+            pair_rows.append(f"""
+    SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+            - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                   - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                     - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))
+               AS corr
+    FROM s""")
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)"
+        + " UNION ALL ".join(pair_rows)
+    )
+
+
+@register(
+    "quality_pearson_corr_lineitem",
+    oracle=_pearson_oracle(),
+    tags=("quality", "statistics"),
+)
+def quality_pearson_corr_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson correlation matrix over the four lineitem measures
+    (quantity, price, discount, tax) — the first page of any numeric
+    data profile, computed the only way that is deterministic AND
+    single-pass at 100 TB: ONE aggregate produces every moment
+    (n, Σx, Σx², Σxy for all 6 pairs = 15 sums) as EXACT decimal sums
+    of per-row decimal(18,6)-quantized values (products carry 12 exact
+    fraction digits — associative, partitioning-independent), and each
+    pairwise r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is final
+    IEEE arithmetic on those exact sums.  Never corr() per pair —
+    that is 6 passes and order-dependent float accumulation.
+
+    Scale: one map-side-combined scan, 15-cell state, 6-row output;
+    the widest sum (price²) holds 26 integer digits of headroom in
+    decimal(38,12)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in PEARSON_COLS:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"ss_{c}"))
+    pairs = []
+    for i, a in enumerate(PEARSON_COLS):
+        for b in PEARSON_COLS[i + 1:]:
+            aggs.append(F.sum(dec(a) * dec(b)).alias(f"sp_{a}_{b}"))
+            pairs.append((a, b))
+    s = li.agg(*aggs)
+    corr_cols = []
+    for i, (a, b) in enumerate(pairs):
+        corr = (
+            F.col("n").cast("double") * F.col(f"sp_{a}_{b}").cast("double")
+            - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}").cast("double")
+        ) / (
+            F.sqrt(
+                F.col("n").cast("double") * F.col(f"ss_{a}").cast("double")
+                - F.col(f"s_{a}").cast("double")
+                * F.col(f"s_{a}").cast("double")
+            )
+            * F.sqrt(
+                F.col("n").cast("double") * F.col(f"ss_{b}").cast("double")
+                - F.col(f"s_{b}").cast("double")
+                * F.col(f"s_{b}").cast("double")
+            )
+        )
+        corr_cols.append(corr.alias(f"c{i}"))
+    one = s.select(F.col("n").cast("bigint").alias("n"), *corr_cols)
+    # stack() fans the single moment row out to 6 pair rows WITHOUT
+    # re-reading the input — a union of per-pair selects would replay
+    # the scan+aggregate once per pair (test_plans pins 1 scan).
+    stack_expr = (
+        f"stack({len(pairs)}, "
+        + ", ".join(
+            f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+        )
+        + ") as (col_x, col_y, corr)"
+    )
+    return one.select(F.expr(stack_expr), "n").select(
+        "col_x", "col_y", "n", "corr"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA via the minimax formula)
+# ---------------------------------------------------------------------------
+
+#: Character-bucket width for the isotonic calibration curve's bins.
+ISO_BIN_CHARS = 25
+#: Threshold defining the binary outcome being calibrated ("long doc"
+#: = more than this many whitespace tokens).
+ISO_TOKEN_THRESHOLD = 40
+
+
+@register(
+    "quality_isotonic_calibration",
+    oracle=f"""
+    WITH bins AS (
+        SELECT n_chars // {ISO_BIN_CHARS} AS b,
+               count(*) AS nb,
+               SUM(CASE WHEN len(string_split(text, ' '))
+                            > {ISO_TOKEN_THRESHOLD}
+                        THEN 1 ELSE 0 END) AS yb
+        FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT b, nb, yb,
+               SUM(nb) OVER (ORDER BY b) AS cn,
+               SUM(yb) OVER (ORDER BY b) AS cy
+        FROM bins
+    ),
+    rng AS (
+        SELECT j.b AS jb, k.b AS kb,
+               CAST(k.cy - j.cy + j.yb AS DOUBLE)
+                   / (k.cn - j.cn + j.nb) AS avg_jk
+        FROM cum j JOIN cum k ON j.b <= k.b
+    ),
+    m AS (
+        SELECT i.b, r.jb, min(r.avg_jk) AS mn
+        FROM cum i JOIN rng r ON r.jb <= i.b AND r.kb >= i.b
+        GROUP BY i.b, r.jb
+    ),
+    fit AS (SELECT b, max(mn) AS fitted FROM m GROUP BY b)
+    SELECT c.b AS bin,
+           CAST(c.nb AS BIGINT) AS n,
+           CAST(c.yb AS BIGINT) AS n_pos,
+           CAST(c.yb AS DOUBLE) / c.nb AS rate_raw,
+           f.fitted AS rate_isotonic
+    FROM cum c JOIN fit f ON f.b = c.b
+    """,
+    tags=("quality", "calibration", "statistics"),
+)
+def quality_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAVA) calibration curve of P(long doc | length bin) —
+    the monotone regression every score-calibration pipeline runs
+    (Platt's logistic alternative assumes a shape; isotonic only
+    assumes monotone), expressed DECLARATIVELY via the minimax
+    characterization ŷᵢ = max_{j≤i} min_{k≥i} avg(y[j..k]) instead of
+    the sequential pool-adjacent-violators loop: every range average
+    is ONE double division of exact cumulative integer sums (identical
+    operand bits ⇒ identical quotient bits cross-engine), and min/max
+    never accumulate floats — so the fit is bit-stable with no
+    rounding discipline, and the whole algorithm is three joins over
+    the BIN table.  The sequential PAVA recursion is the python replay
+    in tests; at bin granularity the two are provably equal.
+
+    Scale: one corpus scan collapses to B bins (map-side combine); the
+    minimax joins are O(B³) rows on the bin table (B ≤ a few hundred
+    for any sane calibration curve — 10⁶ rows of join at B=100, still
+    sketch-sized).  For B beyond that, run the classic O(B) PAVA
+    driver-side on the collected bins, exactly as k-means collects
+    centroids; the corpus-side cost is identical."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    bins = docs.groupBy(
+        F.expr(f"n_chars div {ISO_BIN_CHARS}").alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(
+            (
+                F.size(F.split(F.col("text"), " "))
+                > ISO_TOKEN_THRESHOLD
+            ).cast("bigint")
+        ).alias("yb"),
+    )
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "b",
+        "nb",
+        "yb",
+        F.sum("nb").over(wcum).alias("cn"),
+        F.sum("yb").over(wcum).alias("cy"),
+    ).localCheckpoint(eager=True)
+    j, k, i = cum.alias("j"), cum.alias("k"), cum.alias("i")
+    rng = j.join(k, F.col("j.b") <= F.col("k.b")).select(
+        F.col("j.b").alias("jb"),
+        F.col("k.b").alias("kb"),
+        (
+            (
+                F.col("k.cy") - F.col("j.cy") + F.col("j.yb")
+            ).cast("double")
+            / (F.col("k.cn") - F.col("j.cn") + F.col("j.nb"))
+        ).alias("avg_jk"),
+    )
+    m = (
+        i.join(
+            rng,
+            (F.col("jb") <= F.col("i.b")) & (F.col("kb") >= F.col("i.b")),
+        )
+        .groupBy(F.col("i.b").alias("b"), "jb")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    fit = m.groupBy("b").agg(F.max("mn").alias("fitted"))
+    return cum.join(fit, "b").select(
+        F.col("b").alias("bin"),
+        F.col("nb").cast("bigint").alias("n"),
+        F.col("yb").cast("bigint").alias("n_pos"),
+        (F.col("yb").cast("double") / F.col("nb")).alias("rate_raw"),
+        F.col("fitted").alias("rate_isotonic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_runs_test_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    diffs AS (
+        SELECT day,
+               CASE WHEN x > lag(x) OVER (ORDER BY day) THEN 1
+                    WHEN x < lag(x) OVER (ORDER BY day) THEN -1
+               END AS s
+        FROM daily
+    ),
+    signs AS (
+        SELECT day, s,
+               lag(s) OVER (ORDER BY day) AS prev
+        FROM diffs WHERE s IS NOT NULL
+    ),
+    agg AS (
+        SELECT SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n2,
+               1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                            THEN 1 ELSE 0 END) AS r
+        FROM signs
+    ),
+    stat AS (
+        SELECT n1, n2, r,
+               1.0 + 2.0 * n1 * n2 / (n1 + n2) AS er,
+               (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+                   / ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+                      * (n1 + n2 - 1)) AS vr
+        FROM agg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_up,
+           CAST(n2 AS BIGINT) AS n_down,
+           CAST(r AS BIGINT) AS n_runs,
+           er AS expected_runs,
+           (r - er) / sqrt(vr) AS z_stat,
+           abs((r - er) / sqrt(vr)) <= {Z_CRIT_005} AS random_005
+    FROM stat
+    """,
+    tags=("quality", "statistics", "randomness"),
+)
+def quality_runs_test_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series' up/down
+    moves — the randomness gate that catches AUTOCORRELATION the
+    distribution tests can't see (a perfectly normal-looking series
+    that always rises then always falls fails the runs count; the ACF
+    op quantifies the structure, this one delivers the verdict): day
+    signs from exact-decimal differences (ties dropped, the standard
+    convention), runs counted as 1 + sign changes via one lag window
+    over the filtered sign sequence, then z against the exact null
+    moments E[R] = 1 + 2n₁n₂/n and the classical variance — all IEEE
+    arithmetic on the three integers (n₁, n₂, R), bit-identical
+    cross-engine, no rounding discipline.
+
+    Scale: the series collapse is one map-side-combined groupBy(day);
+    both lag windows run over the calendar-sized table.  At 100 TB
+    per-key series partition the windows by key."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+    )
+    wd = Window.orderBy("day")
+    diffs = daily.select(
+        "day",
+        F.when(F.col("x") > F.lag("x").over(wd), F.lit(1))
+        .when(F.col("x") < F.lag("x").over(wd), F.lit(-1))
+        .alias("s"),
+    )
+    signs = diffs.filter(F.col("s").isNotNull()).select(
+        "day", "s", F.lag("s").over(wd).alias("prev")
+    )
+    agg = signs.agg(
+        F.sum(
+            F.when(F.col("s") == 1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n1"),
+        F.sum(
+            F.when(F.col("s") == -1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+        ).alias("r"),
+    )
+    er = F.lit(1.0) + F.lit(2.0) * F.col("n1") * F.col("n2") / (
+        F.col("n1") + F.col("n2")
+    )
+    vr = (
+        F.lit(2.0)
+        * F.col("n1")
+        * F.col("n2")
+        * (
+            F.lit(2.0) * F.col("n1") * F.col("n2")
+            - F.col("n1")
+            - F.col("n2")
+        )
+    ) / (
+        (
+            (F.col("n1") + F.col("n2")).cast("double")
+            * (F.col("n1") + F.col("n2"))
+        )
+        * (F.col("n1") + F.col("n2") - 1)
+    )
+    stat = agg.select(
+        F.col("n1").cast("bigint").alias("n_up"),
+        F.col("n2").cast("bigint").alias("n_down"),
+        F.col("r").cast("bigint").alias("n_runs"),
+        er.alias("expected_runs"),
+        ((F.col("r") - er) / F.sqrt(vr)).alias("z_stat"),
+    )
+    return stat.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        "expected_runs",
+        "z_stat",
+        (F.abs(F.col("z_stat")) <= F.lit(Z_CRIT_005)).alias(
+            "random_005"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_jarque_bera_nchars",
+    oracle=f"""
+    WITH s AS (
+        SELECT count(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
+               CAST(SUM(n_chars * n_chars * n_chars) AS BIGINT) AS sxxx,
+               CAST(SUM(n_chars * n_chars * n_chars * n_chars)
+                    AS BIGINT) AS sxxxx
+        FROM documents
+    ),
+    m AS (
+        SELECT n, sx, sxx, sxxx, sxxxx,
+               CAST(sx AS DOUBLE) / n AS mu
+        FROM s
+    ),
+    cm AS (
+        SELECT n, mu,
+               CAST(sxx AS DOUBLE) / n - mu * mu AS m2,
+               CAST(sxxx AS DOUBLE) / n
+                   - 3.0 * mu * (CAST(sxx AS DOUBLE) / n)
+                   + 2.0 * mu * mu * mu AS m3,
+               CAST(sxxxx AS DOUBLE) / n
+                   - 4.0 * mu * (CAST(sxxx AS DOUBLE) / n)
+                   + 6.0 * mu * mu * (CAST(sxx AS DOUBLE) / n)
+                   - 3.0 * mu * mu * mu * mu AS m4
+        FROM m
+    ),
+    sk AS (
+        SELECT n, mu, m2,
+               m3 / (m2 * sqrt(m2)) AS skewness,
+               m4 / (m2 * m2) AS kurtosis
+        FROM cm
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           mu AS mean,
+           skewness,
+           kurtosis,
+           CAST(n AS DOUBLE) / 6.0
+               * (skewness * skewness
+                  + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0) AS jb,
+           CAST(n AS DOUBLE) / 6.0
+               * (skewness * skewness
+                  + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0)
+               > {CHI2_CRIT_005[2]} AS non_normal
+    FROM sk
+    """,
+    tags=("quality", "statistics", "drift"),
+)
+def quality_jarque_bera_nchars(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jarque-Bera normality gate on document length — the
+    moment-based test that says WHETHER a Gaussian assumption is even
+    admissible before anyone z-scores the column (the rolling-z and
+    MAD ops assume rough symmetry; JB is the admission check): sample
+    skewness and excess kurtosis derive from the four raw power sums —
+    exact BIGINTs from ONE map-side-combined scan — via the standard
+    central-moment expansions written with identical operator
+    structure on both engines, so every IEEE step is bit-identical;
+    JB = n/6·(S² + (K−3)²/4) against the χ²(2) critical value from
+    the shared CHI2_CRIT_005 table.
+
+    Scale: one scan, four integer cells.  The quartic power sum
+    overflows BIGINT past ~10⁶ average-length docs per 2⁶³ — switch
+    sxxxx to DECIMAL(38,0) there (same plan, still map-side
+    combined)."""
+    docs = table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    s = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(x * x * x).cast("bigint").alias("sxxx"),
+        F.sum(x * x * x * x).cast("bigint").alias("sxxxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    m = s.withColumn("mu", mu)
+    m2 = F.col("sxx").cast("double") / F.col("n") - F.col("mu") * F.col(
+        "mu"
+    )
+    m3 = (
+        F.col("sxxx").cast("double") / F.col("n")
+        - F.lit(3.0)
+        * F.col("mu")
+        * (F.col("sxx").cast("double") / F.col("n"))
+        + F.lit(2.0) * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    m4 = (
+        F.col("sxxxx").cast("double") / F.col("n")
+        - F.lit(4.0)
+        * F.col("mu")
+        * (F.col("sxxx").cast("double") / F.col("n"))
+        + F.lit(6.0)
+        * F.col("mu")
+        * F.col("mu")
+        * (F.col("sxx").cast("double") / F.col("n"))
+        - F.lit(3.0)
+        * F.col("mu")
+        * F.col("mu")
+        * F.col("mu")
+        * F.col("mu")
+    )
+    cm = m.withColumn("m2", m2).withColumn("m3", m3).withColumn(
+        "m4", m4
+    )
+    sk = cm.withColumn(
+        "skewness", F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+    ).withColumn("kurtosis", F.col("m4") / (F.col("m2") * F.col("m2")))
+    jb = (
+        F.col("n").cast("double")
+        / F.lit(6.0)
+        * (
+            F.col("skewness") * F.col("skewness")
+            + (F.col("kurtosis") - F.lit(3.0))
+            * (F.col("kurtosis") - F.lit(3.0))
+            / F.lit(4.0)
+        )
+    )
+    return sk.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("mu").alias("mean"),
+        "skewness",
+        "kurtosis",
+        jb.alias("jb"),
+        (jb > F.lit(CHI2_CRIT_005[2])).alias("non_normal"),
     )

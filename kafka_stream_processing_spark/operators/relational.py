@@ -1263,3 +1263,83 @@ def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         click_id.alias("click_id"),
         (click_ts_us - pts).alias("delta_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_skyline_parts",
+    # The oracle deliberately uses the TEXTBOOK quadratic NOT EXISTS
+    # formulation — a genuinely different algorithm from the engine's
+    # O(n log n) window frontier, so the differential check validates
+    # the semantics, not a shared derivation.
+    oracle="""
+    SELECT p.p_partkey, CAST(p.p_size AS INT) AS p_size,
+           CAST(CAST(p.p_retailprice AS DECIMAL(18,6)) AS DOUBLE)
+               AS p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_size >= p.p_size
+          AND q.p_retailprice <= p.p_retailprice
+          AND (q.p_size > p.p_size
+               OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+    tags=("relational", "skyline", "optimization"),
+)
+def join_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts — maximize size, minimize
+    retail price; the classic preference query (every part NOT
+    dominated by one that is at least as big AND at least as cheap,
+    strictly better somewhere).  The engine does NOT run the textbook
+    quadratic anti-join: a point survives iff (a) its price is
+    strictly below the minimum price among all STRICTLY larger sizes
+    (one suffix-min window over the per-size price minima) and (b) it
+    holds the minimum price within its own size group (same-size
+    cheaper ⇒ dominated; same-size equal price ⇒ mutually
+    undominated, standard skyline tie semantics).  That reduces the
+    O(n²) dominance test to one size-grouped aggregate + one
+    size-ordered window + one value-level join back — every compare
+    on exact integers/decimals, no floats.
+
+    Scale: groupBy(size) is map-side combined to the size-cardinality
+    table; the suffix-min window runs over DISTINCT sizes
+    (domain-sized, not row-sized); the join back is a broadcast of
+    the frontier thresholds.  The quadratic form lives only in the
+    oracle."""
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("p_retailprice").cast("decimal(18,6)").alias("price"),
+    )
+    per_size = p.groupBy("p_size").agg(F.min("price").alias("minp"))
+    w_suffix = (
+        Window.orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = per_size.select(
+        "p_size",
+        "minp",
+        F.min("minp").over(w_suffix).alias("min_larger"),
+    )
+    return (
+        p.join(F.broadcast(frontier), "p_size")
+        .filter(
+            (F.col("price") == F.col("minp"))
+            & (
+                F.col("min_larger").isNull()
+                | (F.col("price") < F.col("min_larger"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            F.col("price").cast("double").alias("p_retailprice"),
+        )
+    )

@@ -1157,3 +1157,310 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the language-ID classifier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_cohens_kappa_langid",
+    oracle=f"""
+    WITH preds AS ({_LANGID_ORACLE}),
+    cells AS (
+        SELECT labeled_lang, predicted_lang, count(*) AS n
+        FROM preds GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS n FROM cells),
+    po_t AS (
+        SELECT COALESCE(SUM(n), 0) AS agree
+        FROM cells WHERE labeled_lang = predicted_lang
+    ),
+    r AS (SELECT labeled_lang AS cls, SUM(n) AS rl FROM cells GROUP BY 1),
+    c AS (SELECT predicted_lang AS cls, SUM(n) AS cl FROM cells GROUP BY 1),
+    pe_t AS (
+        SELECT CAST(COALESCE(SUM(r.rl * c.cl), 0) AS BIGINT) AS cross_sum
+        FROM r JOIN c USING (cls)
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(po_t.agree AS DOUBLE) / tot.n AS po,
+           CAST(pe_t.cross_sum AS DOUBLE)
+               / (CAST(tot.n AS DOUBLE) * tot.n) AS pe,
+           (CAST(po_t.agree AS DOUBLE) / tot.n
+            - CAST(pe_t.cross_sum AS DOUBLE)
+                  / (CAST(tot.n AS DOUBLE) * tot.n))
+           / (1.0 - CAST(pe_t.cross_sum AS DOUBLE)
+                        / (CAST(tot.n AS DOUBLE) * tot.n)) AS kappa
+    FROM tot, po_t, pe_t
+    """,
+    tags=("quality", "statistics", "text"),
+)
+def quality_cohens_kappa_langid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa for the marker-token language-ID classifier — the
+    chance-corrected agreement the confusion matrix alone doesn't give
+    (raw accuracy flatters any classifier on a skewed label mix; kappa
+    subtracts what marginal guessing would score): runs the EXACT
+    text_language_id predictions (kernel reuse — one Spark function,
+    one shared SQL fragment, the text_langid_confusion convention),
+    then κ = (p_o − p_e)/(1 − p_e) with p_o the exact-integer diagonal
+    ratio and p_e = Σ_cls row·col / n² joined over the UNION of label
+    classes (a class absent on one margin — 'und' is never a true
+    label, 'zh' is never predicted — contributes 0 by the join, which
+    is the definition).  Everything after the counts is IEEE
+    arithmetic on integers — bit-identical cross-engine.
+
+    Scale: the prediction pass is the language-ID scan; the statistic
+    runs on the k×k cell table.  Margin cross-products stay exact
+    BIGINTs to ~3·10⁹ rows; switch cross_sum to DECIMAL(38,0) past
+    that."""
+    preds = text_language_id(spark, sf_dir)
+    cells = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(F.sum("n").alias("n"))
+    po_t = cells.filter(
+        F.col("labeled_lang") == F.col("predicted_lang")
+    ).agg(F.coalesce(F.sum("n"), F.lit(0)).alias("agree"))
+    r = cells.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.sum("n").alias("rl")
+    )
+    c = cells.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.sum("n").alias("cl")
+    )
+    pe_t = (
+        r.join(c, "cls")
+        .agg(
+            F.coalesce(F.sum(F.col("rl") * F.col("cl")), F.lit(0))
+            .cast("bigint")
+            .alias("cross_sum")
+        )
+    )
+    out = tot.crossJoin(po_t).crossJoin(pe_t)
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = F.col("cross_sum").cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word burstiness (index of dispersion)
+# ---------------------------------------------------------------------------
+
+#: Minimum document frequency for a word to be scored (rare words'
+#: dispersion estimates are noise).
+BURST_MIN_DF = 5
+#: How many top-dispersion words to report.
+BURST_TOPK = 20
+
+
+@register(
+    "text_word_burstiness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT word, doc_id, count(*) AS k FROM toks GROUP BY 1, 2
+    ),
+    n_docs AS (SELECT count(*) AS nd FROM documents),
+    stats AS (
+        SELECT word,
+               count(*) AS df,
+               CAST(SUM(k) AS BIGINT) AS tf,
+               CAST(SUM(k * k) AS BIGINT) AS sk2
+        FROM per_doc GROUP BY word
+    )
+    SELECT word, CAST(df AS BIGINT) AS df, tf,
+           CAST(sk2 AS DOUBLE) / tf
+               - CAST(tf AS DOUBLE) / nd AS burstiness
+    FROM stats, n_docs
+    WHERE df >= {BURST_MIN_DF}
+    ORDER BY CAST(sk2 AS DOUBLE) / tf
+                 - CAST(tf AS DOUBLE) / nd DESC, word
+    LIMIT {BURST_TOPK}
+    """,
+    tags=("text", "statistics", "corpus"),
+)
+def text_word_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Church-Gale word burstiness — the top-{BURST_TOPK} most
+    OVERDISPERSED words by the index of dispersion D = Var(k)/E(k) of
+    per-document counts with zero-docs included (content words burst:
+    they recur within the few documents that mention them, D ≫ 1;
+    function words sprinkle evenly, D ≈ 1 — the statistic topic models
+    and stopword inducers rank by): the population identity collapses
+    D to Σk²/Σk − Σk/N, TWO exact-integer divisions and a subtract —
+    no variance accumulation, no rounding discipline, bit-identical
+    cross-engine.  df ≥ {BURST_MIN_DF} guards the estimate; the final
+    cut is orderBy().limit (TakeOrderedAndProject) with the word
+    tiebreak.
+
+    Scale: one (word, doc) aggregation (map-side combined, the tf-idf
+    kernel's shape) then a vocab-sized moment pass; the top-k never
+    sorts the vocab globally — TakeOrderedAndProject keeps k rows per
+    partition."""
+    toks = fanout(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(_tokens()).alias("word")
+    )
+    per_doc = toks.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    nd = fanout(table(spark, sf_dir, "documents")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    stats = per_doc.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("k").cast("bigint").alias("tf"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("sk2"),
+    )
+    b = (
+        stats.filter(F.col("df") >= BURST_MIN_DF)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            F.col("df").cast("bigint").alias("df"),
+            "tf",
+            (
+                F.col("sk2").cast("double") / F.col("tf")
+                - F.col("tf").cast("double") / F.col("nd")
+            ).alias("burstiness"),
+        )
+    )
+    return b.orderBy(F.desc("burstiness"), "word").limit(BURST_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+#: Minimum bigram count for a collocation to be scored (PMI of rare
+#: pairs is maximal by construction — the classic PMI failure mode).
+PMI_MIN_COUNT = 5
+#: How many top collocations to report.
+PMI_TOPK = 20
+
+
+@register(
+    "text_bigram_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT u.w AS word, count(*) AS c
+        FROM toks, unnest(t) u(w) GROUP BY 1
+    ),
+    nu AS (SELECT SUM(c) AS nu FROM uni),
+    bi AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+        FROM toks, unnest(range(1, len(t))) u(i)
+        GROUP BY 1, 2
+    ),
+    nb AS (SELECT SUM(c12) AS nb FROM bi),
+    scored AS (
+        SELECT b.w1, b.w2,
+               CAST(b.c12 AS BIGINT) AS c12,
+               CAST(u1.c AS BIGINT) AS c1,
+               CAST(u2.c AS BIGINT) AS c2,
+               ln((CAST(b.c12 AS DOUBLE) * nu.nu * nu.nu)
+                  / ((CAST(nb.nb AS DOUBLE) * u1.c) * u2.c)) AS pmi
+        FROM bi b
+        JOIN uni u1 ON u1.word = b.w1
+        JOIN uni u2 ON u2.word = b.w2, nu, nb
+        WHERE b.c12 >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c12, c1, c2, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+    tags=("text", "ngram", "statistics"),
+)
+def text_bigram_pmi_collocations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{PMI_TOPK} bigram collocations by pointwise mutual
+    information — the classic collocation miner (PMI spikes exactly
+    when two words co-occur far above chance; with the
+    count ≥ {PMI_MIN_COUNT} guard, because PMI of hapax pairs is
+    maximal by construction): PMI = ln(p(w₁w₂)/(p(w₁)p(w₂))) computed
+    as ONE ln of an exact integer rational (c₁₂·N_u²)/(N_b·c₁·c₂) —
+    every product below 2⁵³ stays an exact double, so the ln argument
+    is bit-identical cross-engine and no per-term rounding is needed;
+    the word-level sibling of the document-level mutual-information
+    gate.  Final cut orderBy().limit (TakeOrderedAndProject) with the
+    (w1, w2) tiebreak.
+
+    Scale: the bigram explode is the text_bigram_counts kernel
+    (aggregate-then-merge or hashed ids at 100 TB, per that op's
+    note); the two unigram joins are vocab-sized and
+    broadcast-eligible; top-k never sorts the bigram table globally.
+    Products overflow exact-double range only past ~10¹⁵ tokens —
+    switch the rational to DECIMAL(38,0) there."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    uni = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(F.sum("c").alias("nu"))
+    bi = (
+        d.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("w1"),
+                            F.element_at(toks, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<w1:string,w2:string>>"
+                    )
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    nb = bi.agg(F.sum("c12").alias("nb"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            F.log(
+                (F.col("c12").cast("double") * F.col("nu") * F.col("nu"))
+                / (
+                    (F.col("nb").cast("double") * F.col("c1"))
+                    * F.col("c2")
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOPK)

@@ -1623,3 +1623,599 @@ def window_acf_daily_revenue(
             "acf"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly days
+# ---------------------------------------------------------------------------
+
+#: Trailing window length (rows/days) behind the scored day.
+ROLLZ_WIN = 7
+#: |z| threshold that flags a day as anomalous.
+ROLLZ_THRESHOLD = 2.0
+
+
+@register(
+    "window_rolling_zscore_anomalies",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    rolled AS (
+        SELECT day, x,
+               SUM(x) OVER w AS sx,
+               -- DECIMAL(19,6) operands force DuckDB's INT128 path so
+               -- the product cannot overflow INT64 (micro-units of a
+               -- daily total squared exceed 2^63 from ~3e3 units up)
+               SUM(CAST(x AS DECIMAL(19,6))
+                   * CAST(x AS DECIMAL(19,6))) OVER w AS sxx,
+               COUNT(*) OVER w AS cnt
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN {ROLLZ_WIN} PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT day, x, sx, sxx,
+               CAST(sx AS DOUBLE) / {ROLLZ_WIN} AS m,
+               sqrt((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / {ROLLZ_WIN})
+                    / {ROLLZ_WIN - 1}) AS s
+        FROM rolled WHERE cnt = {ROLLZ_WIN}
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(x AS DOUBLE) AS revenue,
+           m AS roll_mean,
+           s AS roll_std,
+           (CAST(x AS DOUBLE) - m) / s AS z,
+           abs((CAST(x AS DOUBLE) - m) / s) > {ROLLZ_THRESHOLD}
+               AS anomaly
+    FROM scored
+    """,
+    tags=("windowed", "timeseries", "anomaly"),
+)
+def window_rolling_zscore_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling z-score anomaly detection on daily revenue — each day
+    scored against the TRAILING {ROLLZ_WIN}-day window that excludes
+    it (including the scored day in its own baseline masks the very
+    spike being hunted), flagged at |z| > {ROLLZ_THRESHOLD}; the
+    day-over-day member of the anomaly family beside CUSUM (sustained
+    shifts) and MAD (whole-corpus outliers).  Daily revenue is an
+    exact decimal sum, the window's Σx and Σx² stay exact decimals
+    (x·x carries 12 exact fraction digits), and mean/std/z are final
+    IEEE arithmetic on those exact sums — bit-identical cross-engine
+    with no per-term rounding at all.  Days without a full trailing
+    window are not scored (cnt = {ROLLZ_WIN} gate) — a partial
+    baseline understates σ and over-alarms.
+
+    Scale: one map-side-combined groupBy(day) collapses events to the
+    calendar-sized series; the window runs over DAYS.  At 100 TB the
+    same statement monitors per-(key, day) series with the window
+    partitioned by key."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+    )
+    w = (
+        Window.orderBy("day").rowsBetween(-ROLLZ_WIN, -1)
+    )
+    rolled = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(F.col("cnt") == ROLLZ_WIN)
+    m = F.col("sx").cast("double") / F.lit(ROLLZ_WIN)
+    s = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.lit(ROLLZ_WIN)
+        )
+        / F.lit(ROLLZ_WIN - 1)
+    )
+    scored = rolled.select(
+        "day",
+        "x",
+        m.alias("m"),
+        s.alias("s"),
+    )
+    z = (F.col("x").cast("double") - F.col("m")) / F.col("s")
+    return scored.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").cast("double").alias("revenue"),
+        F.col("m").alias("roll_mean"),
+        F.col("s").alias("roll_std"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(ROLLZ_THRESHOLD)).alias("anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_kaplan_meier_retention",
+    oracle="""
+    WITH by_user AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+               max(CAST(date_trunc('day', ts) AS DATE)) AS d1
+        FROM events GROUP BY 1
+    ),
+    horizon AS (SELECT max(d1) AS h FROM by_user),
+    life AS (
+        SELECT user_id, d1 - d0 AS t,
+               CASE WHEN d1 = h.h THEN 1 ELSE 0 END AS censored
+        FROM by_user, horizon h
+    ),
+    n_tot AS (SELECT count(*) AS n FROM life),
+    steps AS (
+        SELECT t, SUM(1 - censored) AS d, SUM(censored) AS c
+        FROM life GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d, c,
+               n_tot.n - (SUM(d + c) OVER (ORDER BY t) - (d + c))
+                   AS n_at_risk
+        FROM steps, n_tot
+    )
+    SELECT CAST(t AS INT) AS t_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS c_censored,
+           CAST(n_at_risk - d AS DOUBLE) / n_at_risk AS factor,
+           CAST(SUM(CAST(round(
+                    ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk), 6)
+                AS DECIMAL(18,6))) OVER (ORDER BY t) AS DOUBLE)
+               AS log_survival
+    FROM risk WHERE d > 0 AND d < n_at_risk
+    """,
+    tags=("windowed", "survival", "statistics"),
+)
+def window_kaplan_meier_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes (first to last
+    active day; users still active on the horizon's final day are
+    right-CENSORED — the estimator's whole point is not treating them
+    as churned): at each event time t, n_at_risk falls out of one
+    cumulative window over the step table (N minus departures before
+    t), the hazard factor is the exact-integer ratio (n−d)/n, and the
+    curve is reported in LOG space — cumulative exact-decimal sum of
+    round-6 ln factors (the engine's iterative-float rule) — because
+    Spark has no product aggregate and exp() is the one libm call
+    whose cross-engine last-ulp is not worth risking; S(t) = e^x is
+    the caller's one-liner.  Steps where the whole risk set would be
+    absorbed (d = n_at_risk, ln 0) are excluded on both engines.
+
+    Scale: one groupBy(user) pass to lifetimes (map-side combined),
+    then everything runs on the step table — bounded by the horizon
+    calendar, never by event volume.  At 100 TB per-cohort curves
+    partition every window by cohort key."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    by_user = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    horizon = by_user.agg(F.max("d1").alias("h"))
+    life = by_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").alias("t"),
+        F.when(F.col("d1") == F.col("h"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    n_tot = life.agg(F.count(F.lit(1)).alias("n"))
+    steps = life.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = steps.crossJoin(F.broadcast(n_tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - (
+                F.sum(F.col("d") + F.col("c")).over(wcum)
+                - (F.col("d") + F.col("c"))
+            )
+        ).alias("n_at_risk"),
+    )
+    kept = risk.filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))
+    )
+    factor = (
+        F.col("n_at_risk") - F.col("d")
+    ).cast("double") / F.col("n_at_risk")
+    wlog = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return kept.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        factor.alias("factor"),
+        F.sum(
+            F.round(F.log(factor), 6).cast("decimal(18,6)")
+        )
+        .over(wlog)
+        .cast("double")
+        .alias("log_survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz concentration curve
+# ---------------------------------------------------------------------------
+
+#: Number of Lorenz curve points (deciles).
+LORENZ_BUCKETS = 10
+
+
+@register(
+    "window_lorenz_curve_customers",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_custkey,
+               COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))),
+                        CAST(0 AS DECIMAL(18,6))) AS r
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ),
+    tiled AS (
+        SELECT r, ntile({LORENZ_BUCKETS})
+                      OVER (ORDER BY r, c_custkey) AS decile
+        FROM rev
+    ),
+    agg AS (
+        SELECT decile, count(*) AS n_customers, SUM(r) AS dr
+        FROM tiled GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(dr AS DOUBLE) AS revenue,
+           CAST(dr AS DOUBLE) / CAST(SUM(dr) OVER () AS DOUBLE)
+               AS share,
+           CAST(SUM(dr) OVER (ORDER BY decile) AS DOUBLE)
+               / CAST(SUM(dr) OVER () AS DOUBLE) AS cum_share
+    FROM agg
+    """,
+    tags=("windowed", "statistics", "concentration"),
+)
+def window_lorenz_curve_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lorenz concentration curve of order revenue across customers —
+    the 10-point curve behind the Gini scalar (quality_key_skew_gini
+    reports the number; downstream capacity planning wants the SHAPE:
+    "the top decile carries 23% of revenue" is this table's last row),
+    zero-order customers INCLUDED via the left join (excluding them
+    understates concentration — the classic Lorenz mistake): exact
+    decimal revenue per customer, ntile deciles over the (revenue,
+    custkey) total order — both engines share the first-⌈n/k⌉-groups-
+    get-the-remainder ntile convention, and the tiebreak makes the
+    assignment deterministic — then exact decimal decile sums with the
+    two share divisions the only IEEE steps.
+
+    Scale: the ntile needs a total order over customers — at test SF
+    the exact single-range sort is the checked form; the 100 TB path
+    replaces it with frontier.quantile_cuts(mode="approx") bucket
+    edges (percentile_approx sketch) + one broadcast-range join,
+    exactly the documented rank-frontier swap (operators/frontier.py),
+    with the same downstream decile aggregate.  Revenue aggregation
+    itself is one map-side-combined groupBy."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", dec("o_totalprice").alias("p")
+    )
+    rev = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum("p"), F.lit(0).cast("decimal(18,6)")
+            ).alias("r")
+        )
+    )
+    wt = Window.orderBy("r", "c_custkey")
+    tiled = rev.select(
+        "r", F.ntile(LORENZ_BUCKETS).over(wt).alias("decile")
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("r").alias("dr"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("dr").cast("double").alias("revenue"),
+        (
+            F.col("dr").cast("double")
+            / F.sum("dr").over(wall).cast("double")
+        ).alias("share"),
+        (
+            F.sum("dr").over(wcum).cast("double")
+            / F.sum("dr").over(wall).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event debouncing
+# ---------------------------------------------------------------------------
+
+#: Events closer than this to the previous KEPT-OR-NOT event of the
+#: same (user, type) stream are debounce-dropped.
+DEBOUNCE_SECONDS = 5
+
+
+@register(
+    "window_debounce_events",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN gap_us IS NULL
+                          OR gap_us > {DEBOUNCE_SECONDS} * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL
+                          AND gap_us <= {DEBOUNCE_SECONDS} * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM seq GROUP BY event_type
+    """,
+    tags=("windowed", "dedup", "sessionization"),
+)
+def window_debounce_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Debounce audit: per event type, how many events arrive within
+    {DEBOUNCE_SECONDS} s of the PREVIOUS event in the same
+    (user, type) stream — double-clicks, retry storms, and bot bursts
+    that an ingestion pipeline should collapse before they pollute
+    counts (the batch twin of stream_dedup_at_least_once's semantic:
+    that op dedups identity, this one dedups proximity).  Gap
+    arithmetic runs on exact epoch MICROSECONDS (integer lag
+    difference; the (ts, event_id) order key is the engine's standard
+    deterministic tiebreak), so the keep/drop verdict is an integer
+    compare on both engines.
+
+    Scale: one lag window partitioned by (user, type) — the shuffle is
+    the same user-key shuffle every sessionization op pays; the output
+    aggregate is map-side combined.  No global sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    lim = DEBOUNCE_SECONDS * 1_000_000
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") > lim),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("gap_us").isNotNull() & (F.col("gap_us") <= lim),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    s_stat AS (
+        SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s
+        FROM pairs GROUP BY event_type
+    ),
+    nn AS (
+        SELECT event_type, count(*) AS n FROM daily GROUP BY 1
+    ),
+    tie_groups AS (
+        SELECT event_type, x, count(*) AS t
+        FROM daily GROUP BY 1, 2 HAVING count(*) > 1
+    ),
+    ties AS (
+        SELECT n.event_type,
+               COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS ts
+        FROM nn n LEFT JOIN tie_groups g USING (event_type)
+        GROUP BY n.event_type
+    ),
+    var_t AS (
+        SELECT n.event_type, n.n, s.s,
+               CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.ts AS DOUBLE)
+                   / 18.0 AS var_s
+        FROM nn n JOIN s_stat s USING (event_type)
+        JOIN ties t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           s AS s_stat,
+           var_s,
+           CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                ELSE 0.0 END AS z_stat,
+           abs(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                    WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                    ELSE 0.0 END) > {1.959963984540054} AS trend_005
+    FROM var_t
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_mann_kendall_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test on per-event-type daily
+    revenue — the hypothesis-test half of the classic nonparametric
+    trend duo (Theil-Sen estimates HOW steep; Mann-Kendall says
+    WHETHER the monotone trend is significant, immune to the outliers
+    and non-normality that invalidate a regression t-test): S is the
+    exact integer sum of pairwise sign comparisons over the SAME
+    per-series pair join the Theil-Sen op uses (exact decimal
+    revenues ⇒ exact sign), Var(S) carries the standard tie
+    correction Σt(t−1)(2t+5) from the value-tie groups (all integer),
+    and the continuity-corrected z = (S∓1)/√Var is the only IEEE
+    step — bit-identical cross-engine.
+
+    Scale: identical to Theil-Sen — calendar-bounded pairs per series
+    (≤ days²/2), map-side-combined aggregates, no global sort.  The
+    two ops share one scan shape; run both in one pass at 100 TB by
+    caching the daily table."""
+    from kafka_stream_processing_spark.operators.quality import (
+        Z_CRIT_005,
+    )
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "x",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, "event_type").filter(
+        F.col("a.d") < F.col("b.d")
+    ).select(
+        "event_type",
+        F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
+        .when(F.col("b.x") < F.col("a.x"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sg"),
+    )
+    s_stat = pairs.groupBy("event_type").agg(
+        F.sum("sg").cast("bigint").alias("s")
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tie_groups = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+    )
+    ties = (
+        nn.join(tie_groups, "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("ts")
+        )
+    )
+    var_t = (
+        nn.join(s_stat, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            (
+                (
+                    F.col("n")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.col("ts")
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(
+            F.col("s") > 0,
+            (F.col("s") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s") < 0,
+            (F.col("s") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return var_t.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        "var_s",
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(Z_CRIT_005)).alias("trend_005"),
+    )

@@ -128,6 +128,15 @@ def _load() -> None:
 #: then the 17 never-checked, then 21 names of the r02-stale block —
 #: exactly 50.  stream_watermark_late_data rotates out (fresh r06
 #: hash-green row).
+#:
+#: Post-r07 state of the registry: 265 registered (260 oracle-checked,
+#: 5 rows-only: two HLL sketches, approx quantiles, and the two
+#: power-iteration PCA ops whose per-pass literals no single oracle
+#: statement can express).  Round 7 added 46 queries in two sessions
+#: (21 + 25); all 46 sit AFTER rank 50, so they queue for the r08
+#: rotation together with the remaining 17 r02-stale names (listed
+#: below rank 50).  When rebuilding for r08: 12 §2 pins + 17 r02-stale
+#: + 21 of the r07 additions = 50; the remaining 25 fill r09.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -237,6 +246,28 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_psi_drift",
     "quality_cramers_v_assoc",
     "quality_two_proportion_ztest",
+    "window_seasonal_naive_backtest",
+    "window_theil_sen_trend",
+    "window_acf_daily_revenue",
+    "graph_bfs_hops_from_source",
+    "stream_psi_monitor",
+    "quality_mutual_information",
+    "quality_spearman_corr",
+    "quality_pearson_corr_lineitem",
+    "quality_isotonic_calibration",
+    "stream_ab_ztest_monitor",
+    "quality_cohens_kappa_langid",
+    "text_word_burstiness",
+    "window_rolling_zscore_anomalies",
+    "window_kaplan_meier_retention",
+    "quality_runs_test_daily",
+    "window_lorenz_curve_customers",
+    "window_debounce_events",
+    "join_skyline_parts",
+    "graph_degree_assortativity",
+    "text_bigram_pmi_collocations",
+    "quality_jarque_bera_nchars",
+    "window_mann_kendall_trend",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

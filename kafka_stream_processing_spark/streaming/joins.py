@@ -1855,3 +1855,411 @@ def stream_good_turing_novelty(
         "n_tokens bigint, n_singletons bigint, n_doubletons bigint, "
         "missing_mass double, chao1_richness double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI monitor
+# ---------------------------------------------------------------------------
+
+def _psi_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.quality import (
+        PSI_BUCKET_CHARS,
+        PSI_DRIFT_THRESHOLD,
+        PSI_SMOOTH,
+    )
+
+    return f"""
+    WITH train AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, n_chars // {PSI_BUCKET_CHARS} AS bucket,
+               rn // ((n + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id,
+               count(*) AS nb
+        FROM chunked GROUP BY chunk_id
+    ),
+    ref AS (
+        SELECT n_chars // {PSI_BUCKET_CHARS} AS bucket, count(*) AS ca
+        FROM documents WHERE source = 'src0' GROUP BY 1
+    ),
+    hist_b AS (
+        SELECT chunk_id, bucket, count(*) AS cb
+        FROM chunked GROUP BY 1, 2
+    ),
+    allv AS (
+        SELECT DISTINCT chunk_id, bucket FROM (
+            SELECT chunk_id, bucket FROM hist_b
+            UNION ALL
+            SELECT k.chunk_id, r.bucket FROM keys k, ref r
+        )
+    ),
+    cells AS (
+        SELECT allv.chunk_id, allv.bucket,
+               coalesce(r.ca, 0) AS ca, coalesce(hb.cb, 0) AS cb
+        FROM allv
+        LEFT JOIN ref r ON r.bucket = allv.bucket
+        LEFT JOIN hist_b hb ON hb.chunk_id = allv.chunk_id
+                           AND hb.bucket = allv.bucket
+    ),
+    m AS (
+        SELECT chunk_id, ca, cb,
+               SUM(ca) OVER (PARTITION BY chunk_id) AS na,
+               SUM(cb) OVER (PARTITION BY chunk_id) AS nb,
+               COUNT(*) OVER (PARTITION BY chunk_id) AS k
+        FROM cells
+    ),
+    terms AS (
+        SELECT chunk_id,
+               (CAST(ca AS DOUBLE) + {PSI_SMOOTH})
+                   / (CAST(na AS DOUBLE) + {PSI_SMOOTH} * k) AS p_ref,
+               (CAST(cb AS DOUBLE) + {PSI_SMOOTH})
+                   / (CAST(nb AS DOUBLE) + {PSI_SMOOTH} * k) AS p_cur
+        FROM m
+    ),
+    t2 AS (
+        SELECT chunk_id,
+               CAST(round((p_ref - p_cur) * ln(p_ref / p_cur), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM terms
+    ),
+    agg AS (
+        SELECT chunk_id, count(*) AS n_buckets,
+               CAST(SUM(term) AS DOUBLE) AS psi
+        FROM t2 GROUP BY chunk_id
+    )
+    SELECT k.chunk_min_doc_id,
+           CAST(k.nb AS BIGINT) AS n_batch,
+           CAST(a.n_buckets AS BIGINT) AS n_buckets,
+           a.psi,
+           a.psi > {PSI_DRIFT_THRESHOLD} AS drift
+    FROM agg a JOIN keys k ON k.chunk_id = a.chunk_id
+    """
+
+
+@register(
+    "stream_psi_monitor",
+    oracle=_psi_monitor_oracle(),
+    tags=("streaming", "drift", "quality"),
+)
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch Population Stability Index against the trusted
+    src0 reference — the streaming deployment of quality_psi_drift and
+    the binned-mass sibling of stream_ks_drift_monitor (risk teams run
+    BOTH: KS catches shape drift anywhere in the CDF, PSI weights the
+    shift by where the mass actually moved): each arriving ingest batch
+    folds to its fixed-width length-bucket histogram (map-side combine;
+    one histogram-sized collect per trigger — the Benford monitor's
+    bound), and ALL float arithmetic happens AFTER the stream on the
+    collected integer histograms, in Spark expressions that mirror the
+    batch gate exactly (0.5-smoothed proportions over the per-chunk
+    ref∪batch bucket union, round-6 decimal terms, exact sum).
+    Batches are keyed by min doc_id, so verdicts are batch-ORDER
+    independent and the oracle reconstructs the same ingest slices
+    relationally.
+
+    Scale: streaming state is the per-trigger bucket histogram
+    (≈ max(n_chars)/100 cells whatever the batch size); the reference
+    histogram is computed once; nothing in the state store — restart
+    re-reads the reference, verdicts are per-batch final."""
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.operators.quality import (
+        PSI_BUCKET_CHARS,
+        PSI_DRIFT_THRESHOLD,
+        PSI_SMOOTH,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    rows: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("doc_id").alias("k")).collect()[0]["k"]
+        if key is None:
+            return
+        hist = (
+            batch_df.select(
+                F.expr(f"n_chars div {PSI_BUCKET_CHARS}").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cb"))
+            .collect()  # histogram-sized per trigger, by construction
+        )
+        for r in hist:
+            rows.append((int(key), int(r["bucket"]), int(r["cb"])))
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    hist_b = spark.createDataFrame(
+        rows, "chunk_min_doc_id bigint, bucket bigint, cb bigint"
+    )
+    ref = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(
+            F.expr(f"n_chars div {PSI_BUCKET_CHARS}").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    keys = hist_b.groupBy("chunk_min_doc_id").agg(
+        F.sum("cb").alias("nb_total")
+    )
+    allv = (
+        hist_b.select("chunk_min_doc_id", "bucket")
+        .unionByName(
+            keys.select("chunk_min_doc_id").crossJoin(
+                ref.select("bucket")
+            )
+        )
+        .distinct()
+    )
+    cells = (
+        allv.join(ref, "bucket", "left")
+        .join(hist_b, ["chunk_min_doc_id", "bucket"], "left")
+        .select(
+            "chunk_min_doc_id",
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w_chunk = Window.partitionBy("chunk_min_doc_id")
+    m = cells.select(
+        "chunk_min_doc_id",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_chunk).alias("na"),
+        F.sum("cb").over(w_chunk).alias("nb"),
+        F.count(F.lit(1)).over(w_chunk).alias("k"),
+    )
+    p_ref = (F.col("ca").cast("double") + F.lit(PSI_SMOOTH)) / (
+        F.col("na").cast("double") + F.lit(PSI_SMOOTH) * F.col("k")
+    )
+    p_cur = (F.col("cb").cast("double") + F.lit(PSI_SMOOTH)) / (
+        F.col("nb").cast("double") + F.lit(PSI_SMOOTH) * F.col("k")
+    )
+    terms = m.select(
+        "chunk_min_doc_id",
+        "nb",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+    ).withColumn(
+        "term",
+        F.round(
+            (F.col("p_ref") - F.col("p_cur"))
+            * F.log(F.col("p_ref") / F.col("p_cur")),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    agg = terms.groupBy("chunk_min_doc_id").agg(
+        F.max("nb").cast("bigint").alias("n_batch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("term").cast("double").alias("psi"),
+    )
+    return agg.select(
+        "chunk_min_doc_id",
+        "n_batch",
+        "n_buckets",
+        "psi",
+        (F.col("psi") > F.lit(PSI_DRIFT_THRESHOLD)).alias("drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming A/B z-test monitor
+# ---------------------------------------------------------------------------
+
+def _ztest_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.quality import Z_CRIT_005
+
+    return f"""
+    WITH ordered AS (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, user_id, event_type,
+               rn // ((n + 2) // 3) AS chunk_id
+        FROM ordered
+    ),
+    agg AS (
+        SELECT chunk_id,
+               min(event_id) AS chunk_min_event_id,
+               SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN user_id % 2 = 0
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS conv_a,
+               SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN user_id % 2 = 1
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS conv_b
+        FROM chunked GROUP BY chunk_id
+    ),
+    p AS (
+        SELECT *,
+               CAST(conv_a AS DOUBLE) / n_a AS p_a,
+               CAST(conv_b AS DOUBLE) / n_b AS p_b,
+               CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        FROM agg
+    )
+    SELECT chunk_min_event_id,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_b AS BIGINT) AS conv_b,
+           (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+                              * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
+           abs((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+                                  * (1.0 / n_a + 1.0 / n_b)))
+               > {Z_CRIT_005} AS significant_005
+    FROM p
+    """
+
+
+@register(
+    "stream_ab_ztest_monitor",
+    oracle=_ztest_monitor_oracle(),
+    tags=("streaming", "abtest", "quality"),
+)
+def stream_ab_ztest_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch two-proportion z-test on purchase conversion
+    (user_id-parity variants) — the streaming deployment of
+    quality_two_proportion_ztest and the experiment-dashboard number a
+    live A/B system recomputes per trigger (per-batch verdicts rather
+    than a cumulative peeking sequence: each batch's z is final and
+    batch-order-independent, keyed by min event_id; sequential/alpha-
+    spending corrections are a driver-side policy over these rows):
+    the stream folds each batch to FOUR integer cells (one conditional
+    aggregate, constant state — the cheapest monitor in the family),
+    and all derived arithmetic runs post-stream in Spark expressions
+    identical to the batch gate's, so z is bit-identical cross-engine
+    with no rounding discipline.  Chunk membership is deterministic
+    via the (ts, event_id) staging sort mirrored by the oracle's
+    row_number (the stream_update_mode_running_counts convention).
+
+    Scale: per-trigger state is 4 integers whatever the batch size;
+    nothing in the streaming state store — restarts lose no state and
+    verdicts are per-batch final."""
+    from kafka_stream_processing_spark.operators.quality import (
+        Z_CRIT_005,
+    )
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    rows: list[tuple[int, int, int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        cell = batch_df.agg(
+            F.min("event_id").alias("key"),
+            F.sum(
+                F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_a"),
+            F.sum(
+                F.when(
+                    (F.col("user_id") % 2 == 0)
+                    & (F.col("event_type") == "purchase"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("conv_a"),
+            F.sum(
+                F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_b"),
+            F.sum(
+                F.when(
+                    (F.col("user_id") % 2 == 1)
+                    & (F.col("event_type") == "purchase"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("conv_b"),
+        ).collect()[0]
+        if cell["key"] is None:
+            return
+        rows.append(
+            (
+                int(cell["key"]),
+                int(cell["n_a"]),
+                int(cell["conv_a"]),
+                int(cell["n_b"]),
+                int(cell["conv_b"]),
+            )
+        )
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    cells = spark.createDataFrame(
+        rows,
+        "chunk_min_event_id bigint, n_a bigint, conv_a bigint, "
+        "n_b bigint, conv_b bigint",
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    p = cells.select(
+        "chunk_min_event_id",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        p_pool.alias("p_pool"),
+    )
+    z = (F.col("p_a") - F.col("p_b")) / F.sqrt(
+        F.col("p_pool")
+        * (F.lit(1.0) - F.col("p_pool"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return p.select(
+        "chunk_min_event_id",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(Z_CRIT_005)).alias("significant_005"),
+    )

@@ -296,3 +296,55 @@ def test_hilbert_walk_is_codegen_arithmetic(spark, sf_small):
     assert "BatchEvalPython" not in rep.text
     assert "ArrowEvalPython" not in rep.text
     assert "CartesianProduct" not in rep.text
+
+
+def test_skyline_has_no_quadratic_join(spark, sf_small):
+    """The engine-side skyline must stay the O(n log n) window
+    frontier — the quadratic dominance test is the ORACLE's job.  No
+    nested-loop / cartesian anywhere; the frontier join back is a
+    broadcast hash join on p_size."""
+    specs = registry.all_specs()
+    rep = plan_report(specs["join_skyline_parts"].fn(spark, sf_small))
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.text[:4000]
+    assert "BroadcastHashJoin" in rep.text, rep.text[:4000]
+
+
+def test_burstiness_and_pmi_topk_never_globally_sort(spark, sf_small):
+    """Both vocab-scale top-k cuts must plan as TakeOrderedAndProject
+    (k rows per partition), not a single-partition global Sort."""
+    specs = registry.all_specs()
+    for name in ("text_word_burstiness", "text_bigram_pmi_collocations"):
+        rep = plan_report(specs[name].fn(spark, sf_small))
+        assert "TakeOrderedAndProject" in rep.text, (name, rep.text[:4000])
+
+
+def test_pearson_matrix_is_one_aggregate_pass(spark, sf_small):
+    """All 15 moments must come from ONE scan: a single pair of
+    HashAggregates (partial + final) over a single lineitem scan — no
+    per-pair passes, no join."""
+    specs = registry.all_specs()
+    rep = plan_report(
+        specs["quality_pearson_corr_lineitem"].fn(spark, sf_small)
+    )
+    # one file-scan node = one "Location:" detail line in the
+    # formatted plan (the bare string "Scan parquet" appears twice per
+    # node: tree line + detail heading)
+    assert rep.text.count("Location: InMemoryFileIndex") == 1, (
+        rep.text[:4000]
+    )
+    assert "partial_sum" in rep.text, rep.text[:4000]
+
+
+def test_debounce_single_user_shuffle(spark, sf_small):
+    """The debounce lag window and the final aggregate must share the
+    sessionization shape: exchanges bounded (user-key window shuffle +
+    aggregate), no sort of the whole stream into one partition."""
+    specs = registry.all_specs()
+    rep = plan_report(specs["window_debounce_events"].fn(spark, sf_small))
+    # window partitioned by (user_id, event_type) — a hash partitioning,
+    # never a global single-partition sort
+    assert "SinglePartition" not in rep.text.split("TakeOrdered")[0] or (
+        "hashpartitioning" in rep.text
+    ), rep.text[:4000]
+    assert "hashpartitioning" in rep.text, rep.text[:4000]

@@ -486,3 +486,569 @@ def test_pearson_python_replay(spark, sf_small):
     # measures independently, so near-zero values are the truth here)
     for r in rows:
         assert -1.0 - 1e-12 <= r.corr <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration + streaming z-test monitor (round-7 tenth wave)
+# ---------------------------------------------------------------------------
+
+
+def test_isotonic_matches_sequential_pava(spark, sf_small):
+    """The engine's minimax fit == the textbook sequential
+    pool-adjacent-violators algorithm (independent arithmetic path,
+    Fraction-exact), and the fit is monotone non-decreasing."""
+    from fractions import Fraction
+
+    from kafka_stream_processing_spark.operators.quality import (
+        ISO_BIN_CHARS,
+        ISO_TOKEN_THRESHOLD,
+    )
+
+    rows = sorted(
+        SPECS["quality_isotonic_calibration"].fn(spark, sf_small).collect(),
+        key=lambda r: r.bin,
+    )
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT n_chars, len(string_split(text, ' ')) "
+        f"FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    agg: dict[int, list[int]] = {}
+    for n_chars, n_tok in docs:
+        b = n_chars // ISO_BIN_CHARS
+        agg.setdefault(b, [0, 0])
+        agg[b][0] += 1
+        agg[b][1] += 1 if n_tok > ISO_TOKEN_THRESHOLD else 0
+    order = sorted(agg)
+    # sequential PAVA on (weight, mean) blocks, exact rationals
+    blocks: list[list] = []  # [w, sum_y, first_bin_count]
+    for b in order:
+        w, y = agg[b]
+        blocks.append([w, y, 1])
+        while len(blocks) > 1 and Fraction(
+            blocks[-2][1], blocks[-2][0]
+        ) >= Fraction(blocks[-1][1], blocks[-1][0]):
+            w2, y2, c2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += y2
+            blocks[-1][2] += c2
+    fitted = []
+    for w, y, c in blocks:
+        fitted.extend([Fraction(y, w)] * c)
+    assert [r.bin for r in rows] == order
+    for r, f in zip(rows, fitted):
+        assert r.rate_isotonic == float(f)  # single int division each
+        assert r.n == agg[r.bin][0] and r.n_pos == agg[r.bin][1]
+    for a, b in zip(rows, rows[1:]):
+        assert a.rate_isotonic <= b.rate_isotonic + 1e-15
+    # weighted means are preserved (PAVA is a projection)
+    tot_raw = sum(r.n * r.rate_raw for r in rows)
+    tot_fit = sum(r.n * r.rate_isotonic for r in rows)
+    assert abs(tot_raw - tot_fit) < 1e-6
+
+
+def test_stream_ab_ztest_monitor_python_replay(spark, sf_small):
+    """Per-chunk z trajectory == python replay over the same
+    (ts, event_id)-ordered third slices; cells sum to the batch
+    gate's global cells."""
+    import math
+
+    from kafka_stream_processing_spark.operators.quality import (
+        Z_CRIT_005,
+    )
+
+    rows = SPECS["stream_ab_ztest_monitor"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT event_id, user_id, event_type FROM "
+        f"'{sf_small}/events.parquet' ORDER BY ts, event_id"
+    ).fetchall()
+    sz = (len(evs) + 2) // 3
+    chunks = [evs[i : i + sz] for i in range(0, len(evs), sz)]
+    assert len(rows) == len(chunks)
+    got = {r.chunk_min_event_id: r for r in rows}
+    for ch in chunks:
+        key = min(e[0] for e in ch)
+        n_a = sum(1 for e in ch if e[1] % 2 == 0)
+        conv_a = sum(
+            1 for e in ch if e[1] % 2 == 0 and e[2] == "purchase"
+        )
+        n_b = len(ch) - n_a
+        conv_b = sum(
+            1 for e in ch if e[1] % 2 == 1 and e[2] == "purchase"
+        )
+        r = got[key]
+        assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (
+            n_a,
+            conv_a,
+            n_b,
+            conv_b,
+        )
+        p_a, p_b = conv_a / n_a, conv_b / n_b
+        pool = (conv_a + conv_b) / (n_a + n_b)
+        z = (p_a - p_b) / math.sqrt(
+            pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)
+        )
+        assert r.z_stat == z
+        assert r.significant_005 == (abs(z) > Z_CRIT_005)
+    # chunk cells partition the global gate's cells
+    g = SPECS["quality_two_proportion_ztest"].fn(spark, sf_small).collect()[0]
+    assert sum(r.n_a for r in rows) == g.n_a
+    assert sum(r.conv_a for r in rows) == g.conv_a
+    assert sum(r.n_b for r in rows) == g.n_b
+    assert sum(r.conv_b for r in rows) == g.conv_b
+
+
+# ---------------------------------------------------------------------------
+# Kappa / burstiness / rolling-z / Kaplan-Meier (round-7 eleventh wave)
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_python_replay(spark, sf_small):
+    """Kappa replayed from the engine's OWN langid predictions (kernel
+    reuse is the point — the confusion counts are shared), plus the
+    chance-correction identity kappa <= po."""
+    row = (
+        SPECS["quality_cohens_kappa_langid"].fn(spark, sf_small).collect()[0]
+    )
+    preds = SPECS["text_language_id"].fn(spark, sf_small).collect()
+    n = len(preds)
+    agree = sum(1 for p in preds if p.labeled_lang == p.predicted_lang)
+    rl: dict[str, int] = {}
+    cl: dict[str, int] = {}
+    for p in preds:
+        rl[p.labeled_lang] = rl.get(p.labeled_lang, 0) + 1
+        cl[p.predicted_lang] = cl.get(p.predicted_lang, 0) + 1
+    cross = sum(rl[c] * cl[c] for c in set(rl) & set(cl))
+    po = agree / n
+    pe = cross / (n * n)
+    assert row.n == n
+    assert row.po == po
+    assert row.pe == pe
+    assert row.kappa == (po - pe) / (1.0 - pe)
+    assert row.kappa <= row.po + 1e-12
+
+
+def test_burstiness_python_replay(spark, sf_small):
+    from kafka_stream_processing_spark.operators.text import (
+        BURST_MIN_DF,
+        BURST_TOPK,
+    )
+
+    rows = SPECS["text_word_burstiness"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    nd = len(docs)
+    per: dict[str, dict[int, int]] = {}
+    for i, (text,) in enumerate(docs):
+        for w in text.split(" "):
+            per.setdefault(w, {}).setdefault(i, 0)
+            per[w][i] += 1
+    scored = []
+    for w, km in per.items():
+        if len(km) < BURST_MIN_DF:
+            continue
+        tf = sum(km.values())
+        sk2 = sum(k * k for k in km.values())
+        scored.append((-(sk2 / tf - tf / nd), w, len(km), tf))
+    scored.sort()
+    top = scored[:BURST_TOPK]
+    assert len(rows) == min(BURST_TOPK, len(top))
+    for r, (negb, w, df, tf) in zip(rows, top):
+        assert r.word == w
+        assert (r.df, r.tf) == (df, tf)
+        assert abs(r.burstiness - (-negb)) < 1e-9
+        # dispersion of counts is bounded below by the Poisson floor
+        # minus the finite-N mean correction (= max count ≥ 1 effect):
+        assert r.burstiness > 0.0
+
+
+def test_rolling_zscore_python_replay(spark, sf_small):
+    import math
+
+    from kafka_stream_processing_spark.operators.windowed import (
+        ROLLZ_THRESHOLD,
+        ROLLZ_WIN,
+    )
+
+    rows = sorted(
+        SPECS["window_rolling_zscore_anomalies"].fn(spark, sf_small).collect(),
+        key=lambda r: r.day,
+    )
+    acc = _daily(sf_small, by_type=False)
+    days = sorted(acc)
+    xs = [acc[d] for d in days]
+    expect = []
+    for i in range(ROLLZ_WIN, len(days)):
+        win = xs[i - ROLLZ_WIN : i]
+        sx = sum(win)
+        sxx = sum(v * v for v in win)
+        m = float(sx) / ROLLZ_WIN
+        s = math.sqrt(
+            (float(sxx) - float(sx) * float(sx) / ROLLZ_WIN)
+            / (ROLLZ_WIN - 1)
+        )
+        z = (float(xs[i]) - m) / s
+        expect.append((str(days[i]), float(xs[i]), m, s, z))
+    assert len(rows) == len(expect)
+    for r, (day, x, m, s, z) in zip(rows, expect):
+        assert r.day == day
+        assert abs(r.revenue - x) < 1e-9
+        assert abs(r.roll_mean - m) < 1e-9
+        assert abs(r.roll_std - s) < 1e-9
+        assert abs(r.z - z) < 1e-9
+        assert r.anomaly == (abs(r.z) > ROLLZ_THRESHOLD)
+
+
+def test_kaplan_meier_python_replay(spark, sf_small):
+    import math
+
+    rows = sorted(
+        SPECS["window_kaplan_meier_retention"].fn(spark, sf_small).collect(),
+        key=lambda r: r.t_days,
+    )
+    con = duckdb.connect()
+    lives = con.execute(f"""
+        SELECT CAST(max(d) - min(d) AS INT),
+               CAST(max(d) AS DATE) = (
+                   SELECT max(CAST(date_trunc('day', ts) AS DATE))
+                   FROM '{sf_small}/events.parquet')
+        FROM (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+              FROM '{sf_small}/events.parquet')
+        GROUP BY user_id
+    """).fetchall()
+    n = len(lives)
+    steps: dict[int, list[int]] = {}
+    for t, cens in lives:
+        steps.setdefault(t, [0, 0])
+        steps[t][1 if cens else 0] += 1
+    at_risk = n
+    expect = []
+    logs = 0.0
+    for t in sorted(steps):
+        d, c = steps[t]
+        if d > 0 and d < at_risk:
+            f = (at_risk - d) / at_risk
+            logs += round(math.log(f), 6)
+            expect.append((t, at_risk, d, c, f, logs))
+        at_risk -= d + c
+    assert len(rows) == len(expect)
+    prev_log = 0.0
+    for r, (t, nr, d, c, f, lg) in zip(rows, expect):
+        assert (r.t_days, r.n_at_risk, r.d_events, r.c_censored) == (
+            t,
+            nr,
+            d,
+            c,
+        )
+        assert r.factor == f
+        assert abs(r.log_survival - lg) < 1e-9
+        # survival is non-increasing
+        assert r.log_survival <= prev_log + 1e-12
+        prev_log = r.log_survival
+
+
+# ---------------------------------------------------------------------------
+# Runs test + Lorenz curve (round-7 twelfth wave)
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_python_replay(spark, sf_small):
+    import math
+
+    from kafka_stream_processing_spark.operators.quality import (
+        Z_CRIT_005,
+    )
+
+    row = SPECS["quality_runs_test_daily"].fn(spark, sf_small).collect()[0]
+    acc = _daily(sf_small, by_type=False)
+    xs = [acc[d] for d in sorted(acc)]
+    signs = []
+    for a, b in zip(xs, xs[1:]):
+        if b > a:
+            signs.append(1)
+        elif b < a:
+            signs.append(-1)
+    n1 = signs.count(1)
+    n2 = signs.count(-1)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n = n1 + n2
+    er = 1.0 + 2.0 * n1 * n2 / n
+    vr = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / (
+        (float(n) * n) * (n - 1)
+    )
+    z = (runs - er) / math.sqrt(vr)
+    assert (row.n_up, row.n_down, row.n_runs) == (n1, n2, runs)
+    assert row.expected_runs == er
+    assert row.z_stat == z
+    assert row.random_005 == (abs(z) <= Z_CRIT_005)
+
+
+def test_lorenz_python_replay(spark, sf_small):
+    from fractions import Fraction
+
+    from kafka_stream_processing_spark.operators.windowed import (
+        LORENZ_BUCKETS,
+    )
+
+    rows = sorted(
+        SPECS["window_lorenz_curve_customers"].fn(spark, sf_small).collect(),
+        key=lambda r: r.decile,
+    )
+    con = duckdb.connect()
+    rev = con.execute(f"""
+        SELECT c.c_custkey, COALESCE(SUM(o.o_totalprice), 0)
+        FROM '{sf_small}/customer.parquet' c
+        LEFT JOIN '{sf_small}/orders.parquet' o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """).fetchall()
+    vals = sorted(
+        (Fraction(round(r * 10**6), 10**6), ck) for ck, r in rev
+    )
+    n = len(vals)
+    base, rem = divmod(n, LORENZ_BUCKETS)
+    out = []
+    i = 0
+    for d in range(1, LORENZ_BUCKETS + 1):
+        sz = base + (1 if d <= rem else 0)
+        out.append((d, sz, sum(v for v, _ in vals[i : i + sz])))
+        i += sz
+    total = sum(s for _, _, s in out)
+    cum = Fraction(0)
+    assert len(rows) == LORENZ_BUCKETS
+    for r, (d, sz, s) in zip(rows, out):
+        cum += s
+        assert r.decile == d
+        assert r.n_customers == sz
+        assert abs(r.revenue - float(s)) < 1e-6
+        assert abs(r.share - float(s / total)) < 1e-12
+        assert abs(r.cum_share - float(cum / total)) < 1e-12
+    # Lorenz curve properties: shares sorted ascending (deciles are
+    # ordered by revenue), cum_share ends at exactly 1
+    assert abs(rows[-1].cum_share - 1.0) < 1e-12
+    for a, b in zip(rows, rows[1:]):
+        assert a.share <= b.share + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Debounce / skyline / assortativity (round-7 thirteenth wave)
+# ---------------------------------------------------------------------------
+
+
+def test_debounce_python_replay(spark, sf_small):
+    from kafka_stream_processing_spark.operators.windowed import (
+        DEBOUNCE_SECONDS,
+    )
+
+    rows = SPECS["window_debounce_events"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, event_type, epoch_us(ts), event_id "
+        f"FROM '{sf_small}/events.parquet' ORDER BY ts, event_id"
+    ).fetchall()
+    streams: dict[tuple, list[int]] = {}
+    for uid, et, us, _ in evs:
+        streams.setdefault((uid, et), []).append(us)
+    kept: dict[str, int] = {}
+    dropped: dict[str, int] = {}
+    total: dict[str, int] = {}
+    for (uid, et), ts_list in streams.items():
+        prev = None
+        for us in ts_list:
+            total[et] = total.get(et, 0) + 1
+            if prev is None or us - prev > DEBOUNCE_SECONDS * 10**6:
+                kept[et] = kept.get(et, 0) + 1
+            else:
+                dropped[et] = dropped.get(et, 0) + 1
+            prev = us
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(total)
+    for et in total:
+        assert got[et].n_total == total[et]
+        assert got[et].n_kept == kept.get(et, 0)
+        assert got[et].n_dropped == dropped.get(et, 0)
+        assert got[et].n_kept + got[et].n_dropped == got[et].n_total
+
+
+def test_skyline_python_replay_quadratic(spark, sf_small):
+    """The engine's window-frontier skyline == the brute-force O(n²)
+    dominance scan (an independent third algorithm beside the engine's
+    frontier and the oracle's NOT EXISTS)."""
+    rows = SPECS["join_skyline_parts"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    pts = con.execute(
+        f"SELECT p_partkey, p_size, p_retailprice "
+        f"FROM '{sf_small}/part.parquet'"
+    ).fetchall()
+    sky = set()
+    for pk, sz, pr in pts:
+        dominated = any(
+            qsz >= sz
+            and qpr <= pr
+            and (qsz > sz or qpr < pr)
+            for _, qsz, qpr in pts
+        )
+        if not dominated:
+            sky.add(pk)
+    assert {r.p_partkey for r in rows} == sky
+    # frontier shape: along the skyline a strictly larger size must
+    # cost strictly more (else it would dominate the smaller point)
+    srt = sorted(rows, key=lambda r: (r.p_size, r.p_retailprice))
+    for a, b in zip(srt, srt[1:]):
+        if b.p_size > a.p_size:
+            assert b.p_retailprice > a.p_retailprice
+
+
+def test_assortativity_python_replay(spark, sf_small):
+    import math
+
+    row = (
+        SPECS["graph_degree_assortativity"].fn(spark, sf_small).collect()[0]
+    )
+    nbrs = _sig_adj_python(sf_small)
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    xy = [
+        (deg[u], deg[v]) for u in nbrs for v in nbrs[u]
+    ]  # both orientations
+    m = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    syy = sum(y * y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    r = (m * sxy - sx * sy) / (
+        math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    )
+    assert row.n_edges == m // 2
+    assert row.n_nodes == len(nbrs)
+    assert row.assortativity == r
+    assert -1.0 - 1e-12 <= r <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations + Jarque-Bera (round-7 fourteenth wave)
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_python_replay(spark, sf_small):
+    import math
+
+    from kafka_stream_processing_spark.operators.text import (
+        PMI_MIN_COUNT,
+        PMI_TOPK,
+    )
+
+    rows = (
+        SPECS["text_bigram_pmi_collocations"].fn(spark, sf_small).collect()
+    )
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for (text,) in docs:
+        ws = text.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    nu = sum(uni.values())
+    nb = sum(bi.values())
+    scored = []
+    for (a, b), c12 in bi.items():
+        if c12 < PMI_MIN_COUNT:
+            continue
+        pmi = math.log((c12 * nu * nu) / ((nb * uni[a]) * uni[b]))
+        scored.append((-pmi, a, b, c12))
+    scored.sort()
+    top = scored[:PMI_TOPK]
+    assert len(rows) == min(PMI_TOPK, len(scored))
+    for r, (negp, a, b, c12) in zip(rows, top):
+        assert (r.w1, r.w2) == (a, b)
+        assert (r.c12, r.c1, r.c2) == (c12, uni[a], uni[b])
+        assert abs(r.pmi - (-negp)) < 1e-12
+
+
+def test_jarque_bera_python_replay(spark, sf_small):
+    import math
+
+    from kafka_stream_processing_spark.operators.quality import (
+        CHI2_CRIT_005,
+    )
+
+    row = (
+        SPECS["quality_jarque_bera_nchars"].fn(spark, sf_small).collect()[0]
+    )
+    xs = [nc for _, _, nc in _docs(sf_small)]
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    sxxx = sum(x**3 for x in xs)
+    sxxxx = sum(x**4 for x in xs)
+    mu = sx / n
+    m2 = sxx / n - mu * mu
+    m3 = sxxx / n - 3.0 * mu * (sxx / n) + 2.0 * mu * mu * mu
+    m4 = (
+        sxxxx / n
+        - 4.0 * mu * (sxxx / n)
+        + 6.0 * mu * mu * (sxx / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * math.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    assert row.n == n
+    assert row.mean == mu
+    assert row.skewness == skew
+    assert row.kurtosis == kurt
+    assert row.jb == jb
+    assert row.non_normal == (jb > CHI2_CRIT_005[2])
+    # n_chars is length-banded uniform-ish, NOT normal — the gate
+    # must fire on this corpus (that's its tripwire value)
+    assert row.non_normal
+
+
+def test_mann_kendall_python_replay(spark, sf_small):
+    import math
+
+    from kafka_stream_processing_spark.operators.quality import (
+        Z_CRIT_005,
+    )
+
+    rows = SPECS["window_mann_kendall_trend"].fn(spark, sf_small).collect()
+    acc = _daily(sf_small, by_type=True)
+    series: dict[str, list] = {}
+    for (et, day), x in sorted(acc.items()):
+        series.setdefault(et, []).append(x)
+    assert len(rows) == len(series)
+    for r in rows:
+        xs = series[r.event_type]
+        n = len(xs)
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += (xs[j] > xs[i]) - (xs[j] < xs[i])
+        tie: dict = {}
+        for x in xs:
+            tie[x] = tie.get(x, 0) + 1
+        ts = sum(
+            t * (t - 1) * (2 * t + 5) for t in tie.values() if t > 1
+        )
+        var_s = (n * (n - 1) * (2 * n + 5) - ts) / 18.0
+        if s > 0:
+            z = (s - 1) / math.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        assert r.n_days == n
+        assert r.s_stat == s
+        assert r.var_s == var_s
+        assert r.z_stat == z
+        assert r.trend_005 == (abs(z) > Z_CRIT_005)
+        # S is bounded by the pair count
+        assert abs(s) <= n * (n - 1) // 2
