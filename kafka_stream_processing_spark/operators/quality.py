@@ -3716,8 +3716,6 @@ def quality_isotonic_calibration(
     sketch-sized).  For B beyond that, run the classic O(B) PAVA
     driver-side on the collected bins, exactly as k-means collects
     centroids; the corpus-side cost is identical."""
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
     bins = docs.groupBy(
         F.expr(f"n_chars div {ISO_BIN_CHARS}").alias("b")
@@ -3730,10 +3728,35 @@ def quality_isotonic_calibration(
             ).cast("bigint")
         ).alias("yb"),
     )
-    wcum = Window.orderBy("b").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    return isotonic_minimax_fit(bins).select(
+        F.col("b").alias("bin"),
+        F.col("nb").cast("bigint").alias("n"),
+        F.col("yb").cast("bigint").alias("n_pos"),
+        (F.col("yb").cast("double") / F.col("nb")).alias("rate_raw"),
+        F.col("fitted").alias("rate_isotonic"),
+    )
+
+
+def isotonic_minimax_fit(bins: DataFrame, part=None) -> DataFrame:
+    """Shared minimax-PAVA kernel: given a bin table (columns ``part``*,
+    ``b`` bin key, ``nb`` weight, ``yb`` positive count), return it with
+    the isotonic ``fitted`` column — ŷᵢ = max_{j≤i} min_{k≥i}
+    avg(y[j..k]) computed per ``part`` partition.  Every range average
+    is ONE exact integer division; min/max never accumulate floats.
+    Shared by the batch calibration gate and the streaming
+    recalibration monitor (kernel reuse guard-tested)."""
+    import functools as _ft
+
+    from pyspark.sql import Window
+
+    part = list(part or [])
+    wcum = (
+        Window.partitionBy(*part)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = bins.select(
+        *part,
         "b",
         "nb",
         "yb",
@@ -3741,7 +3764,13 @@ def quality_isotonic_calibration(
         F.sum("yb").over(wcum).alias("cy"),
     ).localCheckpoint(eager=True)
     j, k, i = cum.alias("j"), cum.alias("k"), cum.alias("i")
-    rng = j.join(k, F.col("j.b") <= F.col("k.b")).select(
+    cond_jk = _ft.reduce(
+        lambda a, c: a & (F.col(f"j.{c}") == F.col(f"k.{c}")),
+        part,
+        F.col("j.b") <= F.col("k.b"),
+    )
+    rng = j.join(k, cond_jk).select(
+        *[F.col(f"j.{c}").alias(c) for c in part],
         F.col("j.b").alias("jb"),
         F.col("k.b").alias("kb"),
         (
@@ -3751,22 +3780,23 @@ def quality_isotonic_calibration(
             / (F.col("k.cn") - F.col("j.cn") + F.col("j.nb"))
         ).alias("avg_jk"),
     )
+    cond_i = _ft.reduce(
+        lambda a, c: a & (F.col(f"i.{c}") == F.col(f"rng.{c}")),
+        part,
+        (F.col("rng.jb") <= F.col("i.b"))
+        & (F.col("rng.kb") >= F.col("i.b")),
+    )
     m = (
-        i.join(
-            rng,
-            (F.col("jb") <= F.col("i.b")) & (F.col("kb") >= F.col("i.b")),
+        i.join(rng.alias("rng"), cond_i)
+        .groupBy(
+            *[F.col(f"i.{c}").alias(c) for c in part],
+            F.col("i.b").alias("b"),
+            F.col("rng.jb").alias("jb"),
         )
-        .groupBy(F.col("i.b").alias("b"), "jb")
         .agg(F.min("avg_jk").alias("mn"))
     )
-    fit = m.groupBy("b").agg(F.max("mn").alias("fitted"))
-    return cum.join(fit, "b").select(
-        F.col("b").alias("bin"),
-        F.col("nb").cast("bigint").alias("n"),
-        F.col("yb").cast("bigint").alias("n_pos"),
-        (F.col("yb").cast("double") / F.col("nb")).alias("rate_raw"),
-        F.col("fitted").alias("rate_isotonic"),
-    )
+    fit = m.groupBy(*part, "b").agg(F.max("mn").alias("fitted"))
+    return cum.join(fit, [*part, "b"])
 
 
 # ---------------------------------------------------------------------------

@@ -129,14 +129,14 @@ def _load() -> None:
 #: exactly 50.  stream_watermark_late_data rotates out (fresh r06
 #: hash-green row).
 #:
-#: Post-r07 state of the registry: 265 registered (260 oracle-checked,
-#: 5 rows-only: two HLL sketches, approx quantiles, and the two
+#: Post-r07 state of the registry: 267 registered (261 oracle-checked,
+#: 6 rows-only: two HLL sketches, approx quantiles, and the three
 #: power-iteration PCA ops whose per-pass literals no single oracle
-#: statement can express).  Round 7 added 46 queries in two sessions
-#: (21 + 25); all 46 sit AFTER rank 50, so they queue for the r08
+#: statement can express).  Round 7 added 48 queries in two sessions
+#: (21 + 27); all 48 sit AFTER rank 50, so they queue for the r08
 #: rotation together with the remaining 17 r02-stale names (listed
 #: below rank 50).  When rebuilding for r08: 12 §2 pins + 17 r02-stale
-#: + 21 of the r07 additions = 50; the remaining 25 fill r09.
+#: + 21 of the r07 additions = 50; the remaining 27 fill r09.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -268,6 +268,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "text_bigram_pmi_collocations",
     "quality_jarque_bera_nchars",
     "window_mann_kendall_trend",
+    "embedding_pca_block_iteration_top3",
+    "stream_isotonic_recalibration",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

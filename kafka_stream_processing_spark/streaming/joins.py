@@ -2263,3 +2263,159 @@ def stream_ab_ztest_monitor(
         z.alias("z_stat"),
         (F.abs(z) > F.lit(Z_CRIT_005)).alias("significant_005"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming isotonic recalibration
+# ---------------------------------------------------------------------------
+
+def _isotonic_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.quality import (
+        ISO_BIN_CHARS,
+        ISO_TOKEN_THRESHOLD,
+    )
+
+    return f"""
+    WITH train AS (
+        SELECT doc_id, n_chars, text,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id,
+               n_chars // {ISO_BIN_CHARS} AS b,
+               CASE WHEN len(string_split(text, ' '))
+                        > {ISO_TOKEN_THRESHOLD} THEN 1 ELSE 0 END AS y,
+               rn // ((n + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS ck FROM chunked GROUP BY 1
+    ),
+    bins AS (
+        SELECT chunk_id, b, count(*) AS nb, SUM(y) AS yb
+        FROM chunked GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT chunk_id, b, nb, yb,
+               SUM(nb) OVER (PARTITION BY chunk_id ORDER BY b) AS cn,
+               SUM(yb) OVER (PARTITION BY chunk_id ORDER BY b) AS cy
+        FROM bins
+    ),
+    rng AS (
+        SELECT j.chunk_id, j.b AS jb, k.b AS kb,
+               CAST(k.cy - j.cy + j.yb AS DOUBLE)
+                   / (k.cn - j.cn + j.nb) AS avg_jk
+        FROM cum j JOIN cum k
+          ON j.chunk_id = k.chunk_id AND j.b <= k.b
+    ),
+    m AS (
+        SELECT i.chunk_id, i.b, r.jb, min(r.avg_jk) AS mn
+        FROM cum i JOIN rng r
+          ON r.chunk_id = i.chunk_id
+         AND r.jb <= i.b AND r.kb >= i.b
+        GROUP BY 1, 2, 3
+    ),
+    fit AS (
+        SELECT chunk_id, b, max(mn) AS fitted FROM m GROUP BY 1, 2
+    )
+    SELECT k.ck AS chunk_min_doc_id,
+           CAST(c.b AS BIGINT) AS bin,
+           CAST(c.nb AS BIGINT) AS n,
+           CAST(c.yb AS BIGINT) AS n_pos,
+           CAST(c.yb AS DOUBLE) / c.nb AS rate_raw,
+           f.fitted AS rate_isotonic
+    FROM cum c
+    JOIN fit f ON f.chunk_id = c.chunk_id AND f.b = c.b
+    JOIN keys k ON k.chunk_id = c.chunk_id
+    """
+
+
+@register(
+    "stream_isotonic_recalibration",
+    oracle=_isotonic_monitor_oracle(),
+    tags=("streaming", "calibration", "quality"),
+)
+def stream_isotonic_recalibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch isotonic recalibration — each arriving ingest
+    batch gets its OWN monotone calibration curve of P(long doc |
+    length bin), the drift-robust way production systems keep a
+    calibrated score head fresh (a global curve trained once goes
+    stale as the input mix shifts; the per-batch curves are what a
+    recalibration job publishes): the stream folds each trigger to an
+    integer (bin, count, positives) histogram — the Benford/PSI
+    monitor bound — and the minimax-PAVA fit runs POST-stream through
+    the exact shared kernel the batch gate uses
+    (quality.isotonic_minimax_fit, partitioned by chunk — kernel reuse
+    guard-tested), so every per-chunk fitted value is one exact
+    integer division selected by min/max, bit-identical cross-engine.
+    Chunks keyed by min doc_id (batch-order independent; oracle
+    reconstructs the same slices relationally).
+
+    Scale: per-trigger state is the bin histogram; the O(B³) minimax
+    joins run per chunk on bin tables.  Nothing in the streaming
+    state store."""
+    from kafka_stream_processing_spark.operators.quality import (
+        ISO_BIN_CHARS,
+        ISO_TOKEN_THRESHOLD,
+        isotonic_minimax_fit,
+    )
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    rows: list[tuple[int, int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("doc_id").alias("k")).collect()[0]["k"]
+        if key is None:
+            return
+        hist = (
+            batch_df.groupBy(
+                F.expr(f"n_chars div {ISO_BIN_CHARS}").alias("b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.sum(
+                    (
+                        F.size(F.split(F.col("text"), " "))
+                        > ISO_TOKEN_THRESHOLD
+                    ).cast("bigint")
+                ).alias("yb"),
+            )
+            .collect()  # bin-histogram-sized per trigger
+        )
+        for r in hist:
+            rows.append(
+                (int(key), int(r["b"]), int(r["nb"]), int(r["yb"]))
+            )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars", "text")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    bins = spark.createDataFrame(
+        rows,
+        "chunk_min_doc_id bigint, b bigint, nb bigint, yb bigint",
+    )
+    fitted = isotonic_minimax_fit(bins, part=["chunk_min_doc_id"])
+    return fitted.select(
+        "chunk_min_doc_id",
+        F.col("b").cast("bigint").alias("bin"),
+        F.col("nb").cast("bigint").alias("n"),
+        F.col("yb").cast("bigint").alias("n_pos"),
+        (F.col("yb").cast("double") / F.col("nb")).alias("rate_raw"),
+        F.col("fitted").alias("rate_isotonic"),
+    )

@@ -1052,3 +1052,154 @@ def test_mann_kendall_python_replay(spark, sf_small):
         assert r.trend_005 == (abs(z) > Z_CRIT_005)
         # S is bounded by the pair count
         assert abs(s) <= n * (n - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Block orthogonal iteration PCA (round-7 fifteenth wave)
+# ---------------------------------------------------------------------------
+
+
+def _cov_from_parquet(sf):
+    import numpy as np
+
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT embedding FROM '{sf}/embeddings.parquet'"
+    ).fetchnumpy()
+    X = np.array([np.array(e, dtype=np.float64) for e in t["embedding"]])
+    mu = X.mean(0)
+    D = X - mu
+    return mu, D.T @ D / len(X)
+
+
+def test_pca_block_iteration_numpy_reference(spark, sf_small):
+    import numpy as np
+
+    rows = (
+        SPECS["embedding_pca_block_iteration_top3"].fn(spark, sf_small)
+        .collect()
+    )
+    assert len(rows) == 3 * 64
+    V = np.zeros((3, 64))
+    lam = [0.0] * 3
+    for r in rows:
+        V[r.component][r.dim] = r.pc
+        lam[r.component] = r.eigenvalue
+    mu, C = _cov_from_parquet(sf_small)
+    evals = np.linalg.eigvalsh(C)[::-1]
+    G = V @ V.T
+    assert np.abs(G - np.eye(3)).max() < 1e-4
+    assert lam[0] >= lam[1] >= lam[2] > 0
+    for j in range(3):
+        assert lam[j] <= evals[0] * 1.001
+        assert lam[j] >= 0.9 * evals[j]
+    rayleigh = sum(float(V[j] @ C @ V[j]) for j in range(3))
+    assert rayleigh >= 0.95 * evals[:3].sum()
+    mus = {r.dim: r.mu for r in rows}
+    assert max(abs(mus[i] - mu[i]) for i in range(64)) < 1e-12
+
+
+def test_pca_block_agrees_with_deflation_subspace(spark, sf_small):
+    """The one-pass block variant and the sequential deflation variant
+    must land in (numerically) the same dominant subspace: the block
+    basis captures ≥99% of the variance the deflation basis captures,
+    and vice versa (symmetric check — neither algorithm is the
+    reference, the SUBSPACE is)."""
+    import numpy as np
+
+    _, C = _cov_from_parquet(sf_small)
+
+    def basis(name):
+        rows = SPECS[name].fn(spark, sf_small).collect()
+        V = np.zeros((3, 64))
+        for r in rows:
+            V[r.component][r.dim] = r.pc
+        return V
+
+    Vb = basis("embedding_pca_block_iteration_top3")
+    Vd = basis("embedding_pca_deflation_top3")
+    cap_b = sum(float(Vb[j] @ C @ Vb[j]) for j in range(3))
+    cap_d = sum(float(Vd[j] @ C @ Vd[j]) for j in range(3))
+    assert cap_b >= 0.99 * cap_d
+    assert cap_d >= 0.99 * cap_b
+
+
+def test_pca_block_rerun_bit_identical(spark, sf_small):
+    a = (
+        SPECS["embedding_pca_block_iteration_top3"].fn(spark, sf_small)
+        .collect()
+    )
+    b = (
+        SPECS["embedding_pca_block_iteration_top3"].fn(spark, sf_small)
+        .collect()
+    )
+    ka = sorted((r.component, r.dim, r.pc, r.eigenvalue) for r in a)
+    kb = sorted((r.component, r.dim, r.pc, r.eigenvalue) for r in b)
+    assert ka == kb
+
+
+def test_stream_isotonic_recalibration_python_replay(spark, sf_small):
+    """Per-chunk curves == sequential PAVA replayed per chunk (the
+    batch test's algorithm, partitioned), and the shared-kernel guard:
+    both the batch gate and the monitor call isotonic_minimax_fit."""
+    import inspect
+    from fractions import Fraction
+
+    from kafka_stream_processing_spark.operators import quality
+    from kafka_stream_processing_spark.operators.quality import (
+        ISO_BIN_CHARS,
+        ISO_TOKEN_THRESHOLD,
+    )
+    from kafka_stream_processing_spark.streaming import joins
+
+    for fn in (
+        quality.quality_isotonic_calibration,
+        joins.stream_isotonic_recalibration,
+    ):
+        assert "isotonic_minimax_fit(" in inspect.getsource(
+            fn.__wrapped__ if hasattr(fn, "__wrapped__") else fn
+        )
+    rows = (
+        SPECS["stream_isotonic_recalibration"].fn(spark, sf_small).collect()
+    )
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars, len(string_split(text, ' ')) "
+        f"FROM '{sf_small}/documents.parquet' "
+        f"WHERE source <> 'src0' ORDER BY doc_id"
+    ).fetchall()
+    sz = (len(docs) + 2) // 3
+    chunks = [docs[i : i + sz] for i in range(0, len(docs), sz)]
+    got: dict[tuple[int, int], tuple] = {
+        (r.chunk_min_doc_id, r.bin): r for r in rows
+    }
+    n_rows_expected = 0
+    for ch in chunks:
+        key = ch[0][0]
+        agg: dict[int, list[int]] = {}
+        for _, n_chars, n_tok in ch:
+            b = n_chars // ISO_BIN_CHARS
+            agg.setdefault(b, [0, 0])
+            agg[b][0] += 1
+            agg[b][1] += 1 if n_tok > ISO_TOKEN_THRESHOLD else 0
+        order = sorted(agg)
+        n_rows_expected += len(order)
+        blocks: list[list] = []
+        for b in order:
+            w, y = agg[b]
+            blocks.append([w, y, 1])
+            while len(blocks) > 1 and Fraction(
+                blocks[-2][1], blocks[-2][0]
+            ) >= Fraction(blocks[-1][1], blocks[-1][0]):
+                w2, y2, c2 = blocks.pop()
+                blocks[-1][0] += w2
+                blocks[-1][1] += y2
+                blocks[-1][2] += c2
+        fitted = []
+        for w, y, c in blocks:
+            fitted.extend([Fraction(y, w)] * c)
+        for b, f in zip(order, fitted):
+            r = got[(key, b)]
+            assert r.rate_isotonic == float(f)
+            assert (r.n, r.n_pos) == tuple(agg[b])
+    assert len(rows) == n_rows_expected
