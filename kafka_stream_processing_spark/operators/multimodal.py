@@ -172,3 +172,57 @@ def multimodal_metadata_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("meta.payload_bytes") > 256).alias("is_large"),
         )
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, md5(text) AS digest,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT digest,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(min(n_bytes) AS BIGINT) AS payload_bytes,
+           count(*) > 1 AS is_duplicated
+    FROM hashed GROUP BY digest
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_payload_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact dedup of opaque MEDIA payloads by content digest — the
+    dedup family's scale rule (shuffle digests, never bodies) applied
+    to the binary column: a 100 TB image/video corpus must never move
+    payload bytes through an exchange, so each payload hashes to its
+    16-byte md5 WHERE IT SITS (one narrow projection over the binary
+    column) and only (digest, doc_id, n_bytes) rows shuffle into the
+    digest groupBy; the keeper is the min doc_id (the
+    dedup_exact_documents convention) and n_copies > 1 marks the
+    redundant payloads a storage-dedup pass would reclaim.  The
+    payload is the stub pipeline's utf-8 packing (multimodal module
+    docstring), so DuckDB reproduces the digest from the text bytes —
+    the plumbing under test is byte-level, not text-level.
+
+    Scale: one scan + one digest-keyed map-side-combinable groupBy;
+    shuffle volume is ~48 bytes/payload regardless of payload size.
+    For petabyte media, sample-hash first (head+tail+length) and
+    verify full digests only within sample-hash collisions — same
+    plan, one extra narrow stage."""
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.md5(F.encode("text", "utf-8")).alias("digest"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias(
+            "n_bytes"
+        ),
+    )
+    return hashed.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        F.min("n_bytes").cast("bigint").alias("payload_bytes"),
+        (F.count(F.lit(1)) > 1).alias("is_duplicated"),
+    )

@@ -919,6 +919,54 @@ DSIR_KEEP_DEN = 5
 _DSIR_HASH = "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)"
 
 
+def dsir_scored_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR importance-weight kernel: raw-pool documents with
+    their exact-decimal log-weights (doc_id, source, n_words, lw) —
+    hashed-unigram bucket log-ratios vs the src0 target, broadcast
+    back onto the words (see sample_dsir_importance's docstring for
+    the full derivation).  Used by the selection op and the ESS
+    diagnostic (kernel reuse guard-tested)."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id", "source", (hash64(F.col("w")) % DSIR_BUCKETS).alias("b")
+    )
+    is_t = (F.col("source") == "src0").cast("bigint")
+    buckets = words.groupBy("b").agg(
+        F.sum(is_t).alias("ct"),
+        F.sum(1 - is_t).alias("cr"),
+    )
+    wall = Window.partitionBy()
+    lr = buckets.select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("ct").cast("double") + 1)
+                / (F.sum("ct").over(wall) + DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("cr").cast("double") + 1)
+                / (F.sum("cr").over(wall) + DSIR_BUCKETS)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    return (
+        words.filter(F.col("source") != "src0")
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("lr").alias("lw"),
+        )
+    )
+
+
 @register(
     "sample_dsir_importance",
     oracle=f"""
@@ -991,45 +1039,8 @@ def sample_dsir_importance(
     (operators.frontier.quantile_cuts → percentile_approx threshold,
     broadcast 1-row cut, no total-order sort) — identical table
     layout, keep-set agreement pinned in tests/test_frontier.py."""
-    from kafka_stream_processing_spark.operators.dedup import hash64
-
-    d = fanout(table(spark, sf_dir, "documents"))
-    words = d.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
-    ).select(
-        "doc_id", "source", (hash64(F.col("w")) % DSIR_BUCKETS).alias("b")
-    )
-    is_t = (F.col("source") == "src0").cast("bigint")
-    buckets = words.groupBy("b").agg(
-        F.sum(is_t).alias("ct"),
-        F.sum(1 - is_t).alias("cr"),
-    )
+    scored = dsir_scored_weights(spark, sf_dir)
     wall = Window.partitionBy()
-    lr = buckets.select(
-        "b",
-        F.round(
-            F.log(
-                (F.col("ct").cast("double") + 1)
-                / (F.sum("ct").over(wall) + DSIR_BUCKETS)
-            )
-            - F.log(
-                (F.col("cr").cast("double") + 1)
-                / (F.sum("cr").over(wall) + DSIR_BUCKETS)
-            ),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("lr"),
-    )
-    scored = (
-        words.filter(F.col("source") != "src0")
-        .join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("lr").alias("lw"),
-        )
-    )
     if frontier == "approx":
         # Production path (VERDICT r06): the keep threshold comes from
         # a percentile_approx sketch instead of a global rank — no
@@ -1393,4 +1404,116 @@ def sample_neyman_allocation(
             .cast("bigint")
             .alias("sampled_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR effective-sample-size diagnostic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_dsir_ess_diagnostic",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source, {_DSIR_HASH} % {DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+    ),
+    buckets AS (
+        SELECT b,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+        FROM words GROUP BY b
+    ),
+    lr AS (
+        SELECT b,
+               CAST(round(
+                   ln((CAST(ct AS DOUBLE) + 1)
+                      / (SUM(ct) OVER () + {DSIR_BUCKETS}))
+                 - ln((CAST(cr AS DOUBLE) + 1)
+                      / (SUM(cr) OVER () + {DSIR_BUCKETS})), 6)
+               AS DECIMAL(18,6)) AS lr
+        FROM buckets
+    ),
+    scored AS (
+        SELECT w.doc_id, SUM(lr.lr) AS lw
+        FROM words w JOIN lr ON w.b = lr.b
+        WHERE w.source <> 'src0'
+        GROUP BY 1
+    ),
+    mx AS (SELECT MAX(lw) AS m FROM scored),
+    w AS (
+        SELECT CAST(round(exp(CAST(lw - mx.m AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS w
+        FROM scored, mx
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               SUM(w) AS sw,
+               SUM(w * w) AS sww,
+               SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS n_zero
+        FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           (SELECT CAST(m AS DOUBLE) FROM mx) AS max_log_weight,
+           CAST(n_zero AS BIGINT) AS n_negligible,
+           CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(sww AS DOUBLE) AS ess,
+           CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(sww AS DOUBLE) / n AS ess_fraction
+    FROM s
+    """,
+    tags=("pipeline", "sampling", "dsir", "diagnostics"),
+)
+def sample_dsir_ess_diagnostic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Effective sample size of the DSIR importance weights — the
+    health check importance-resampling pipelines publish BEFORE
+    trusting a selection (Kish's ESS = (Σw)²/Σw²: when a handful of
+    documents carry almost all the weight, ESS collapses and the
+    resample is statistically a few documents pretending to be many):
+    runs the EXACT shared dsir_scored_weights kernel (reuse
+    guard-tested), shifts log-weights by their max (ESS is
+    scale-invariant, and the shift keeps every exp argument ≤ 0 so
+    exp ∈ (0,1]), rounds each weight to 6 decimals (the engine's
+    libm-absorbing convention — exp here, ln elsewhere), and the two
+    weight sums are exact decimal arithmetic with the final ratio the
+    only unrounded IEEE step.  Also reports the count of documents
+    whose weight rounds to exactly 0 — the "negligible under
+    resampling" mass.
+
+    Scale: everything up to `scored` is the DSIR kernel's cost
+    (bucket table broadcast, bodies never shuffle); the diagnostic
+    itself is one map-side-combined 4-cell aggregate plus a scalar
+    max — constant state."""
+    scored = dsir_scored_weights(spark, sf_dir)
+    mx = scored.agg(F.max("lw").alias("m"))
+    w = scored.crossJoin(F.broadcast(mx)).select(
+        F.round(F.exp((F.col("lw") - F.col("m")).cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+        F.col("m"),
+    )
+    s = w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(
+            F.when(F.col("w") == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_zero"),
+        F.max("m").alias("m"),
+    )
+    ess = (
+        F.col("sw").cast("double")
+        * F.col("sw").cast("double")
+        / F.col("sww").cast("double")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("m").cast("double").alias("max_log_weight"),
+        F.col("n_zero").cast("bigint").alias("n_negligible"),
+        ess.alias("ess"),
+        (ess / F.col("n")).alias("ess_fraction"),
     )

@@ -4075,3 +4075,137 @@ def quality_jarque_bera_nchars(
         jb.alias("jb"),
         (jb > F.lit(CHI2_CRIT_005[2])).alias("non_normal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_kendall_tau_corr",
+    oracle="""
+    WITH obs AS (
+        SELECT n_chars AS x,
+               len(string_split(text, ' ')) AS y
+        FROM documents
+    ),
+    cells AS (
+        SELECT x, y, count(*) AS nc FROM obs GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n FROM obs),
+    pairs AS (
+        SELECT
+            CAST(SUM(CASE WHEN b.y > a.y
+                          THEN a.nc * b.nc ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN b.y < a.y
+                          THEN a.nc * b.nc ELSE 0 END) AS BIGINT) AS d
+        FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    tx AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+        FROM (SELECT count(*) AS t FROM obs GROUP BY x) WHERE t > 1
+    ),
+    ty AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+        FROM (SELECT count(*) AS t FROM obs GROUP BY y) WHERE t > 1
+    ),
+    s AS (
+        SELECT tot.n, tot.n * (tot.n - 1) // 2 AS n0,
+               pairs.c, pairs.d, tx.n1, ty.n2
+        FROM tot, pairs, tx, ty
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n0 AS BIGINT) AS n0_pairs,
+           c AS concordant,
+           d AS discordant,
+           n1 AS ties_x,
+           n2 AS ties_y,
+           CAST(c - d AS DOUBLE)
+               / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)) AS tau_b
+    FROM s
+    """,
+    tags=("quality", "statistics", "robust"),
+)
+def quality_kendall_tau_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall τ-b between document length and whitespace token count —
+    the third rank-association number beside Spearman's ρ (τ has the
+    cleaner probabilistic reading: P(concordant) − P(discordant)) and
+    the one with the textbook O(n²) trap, avoided here by counting
+    dominance over the JOINT VALUE HISTOGRAM instead of observation
+    pairs: concordant/discordant mass is Σ n_c·n_c' over cell pairs
+    with x strictly greater and y strictly greater/smaller — a
+    cell-table self-join whose cost is (distinct value pairs)², bounded
+    by the VALUE DOMAIN product, never by row count.  Tie corrections
+    n₁/n₂ come from the marginal histograms; everything is exact
+    integer until the single final IEEE division — bit-identical
+    cross-engine, no rounding discipline.
+
+    Scale: one scan → cell histogram (map-side combined); the
+    dominance join runs on cells (≤ |dom(x)|·|dom(y)| rows whatever
+    the corpus size).  For genuinely continuous columns, quantize to
+    the engine's 6-decimal grid first (τ on the quantized values) or
+    range-band the join on x-buckets; the classic alternative is the
+    O(n log n) Knight/BIT merge — a different kernel, not needed while
+    domains stay histogram-sized."""
+    obs = table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.col("text"), " ")).alias("y"),
+    )
+    cells = obs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nc"))
+    tot = obs.agg(F.count(F.lit(1)).alias("n"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(b, F.col("b.x") > F.col("a.x")).agg(
+        F.sum(
+            F.when(
+                F.col("b.y") > F.col("a.y"),
+                F.col("a.nc") * F.col("b.nc"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            F.when(
+                F.col("b.y") < F.col("a.y"),
+                F.col("a.nc") * F.col("b.nc"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+
+    def tie_sum(col: str, alias: str) -> DataFrame:
+        return (
+            obs.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("t * (t - 1) div 2")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    s = (
+        tot.crossJoin(pairs)
+        .crossJoin(tie_sum("x", "n1"))
+        .crossJoin(tie_sum("y", "n2"))
+        .withColumn("n0", F.expr("n * (n - 1) div 2"))
+    )
+    tau = (F.col("c") - F.col("d")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n2"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n0").cast("bigint").alias("n0_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("n1").alias("ties_x"),
+        F.col("n2").alias("ties_y"),
+        tau.alias("tau_b"),
+    )

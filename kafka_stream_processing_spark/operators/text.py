@@ -1464,3 +1464,127 @@ def text_bigram_pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood keyness
+# ---------------------------------------------------------------------------
+
+#: Minimum combined count for a word to be keyness-scored.
+KEYNESS_MIN_COUNT = 10
+#: How many top keywords to report.
+KEYNESS_TOPK = 20
+
+
+@register(
+    "text_keyness_loglikelihood",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    counts AS (
+        SELECT word,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS b
+        FROM toks GROUP BY word
+    ),
+    tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM counts),
+    scored AS (
+        SELECT c.word,
+               CAST(c.a AS BIGINT) AS n_target,
+               CAST(c.b AS BIGINT) AS n_rest,
+               round(2.0 * (
+                   (CASE WHEN c.a > 0 THEN c.a * ln(CAST(c.a AS DOUBLE)
+                       / ((CAST(c.a + c.b AS DOUBLE) * t.ta)
+                          / (t.ta + t.tb))) ELSE 0.0 END)
+                 + (CASE WHEN c.b > 0 THEN c.b * ln(CAST(c.b AS DOUBLE)
+                       / ((CAST(c.a + c.b AS DOUBLE) * t.tb)
+                          / (t.ta + t.tb))) ELSE 0.0 END)), 6) AS g2,
+               CASE WHEN CAST(c.a AS DOUBLE) * t.tb
+                         > CAST(c.b AS DOUBLE) * t.ta
+                    THEN 'target' ELSE 'rest' END AS key_direction
+        FROM counts c, tot t
+        WHERE c.a + c.b >= {KEYNESS_MIN_COUNT}
+    )
+    SELECT word, n_target, n_rest, g2, key_direction
+    FROM scored
+    ORDER BY g2 DESC, word
+    LIMIT {KEYNESS_TOPK}
+    """,
+    tags=("text", "statistics", "corpus"),
+)
+def text_keyness_loglikelihood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus keyness by Dunning's log-likelihood G² — THE corpus
+    linguistics statistic for "which words distinguish corpus A from
+    corpus B" (χ² misbehaves at the low counts word data lives in; G²
+    doesn't), here scoring the src0 target slice against the rest:
+    per word a 2-cell G² = 2·Σ O·ln(O/E) with expected counts from the
+    pooled rate, zero cells contributing zero (the lim p→0 rule the MI
+    gate documents), the direction decided by the EXACT integer
+    cross-product a·T_b > b·T_a (never a float rate compare), and the
+    score rounded to 6 decimals so ordering is libm-stable.  Completes
+    the cross-corpus word family: PMI finds collocations WITHIN a
+    corpus, burstiness finds topical words, keyness finds
+    DISTINGUISHING words.
+
+    Scale: one (word, 2-cell) aggregation (map-side combined,
+    vocab-sized); totals broadcast; TakeOrderedAndProject top-k —
+    never a global vocab sort."""
+    toks = fanout(table(spark, sf_dir, "documents")).select(
+        "source", F.explode(_tokens()).alias("word")
+    )
+    is_t = (F.col("source") == "src0").cast("bigint")
+    counts = toks.groupBy("word").agg(
+        F.sum(is_t).alias("a"), F.sum(1 - is_t).alias("b")
+    )
+    tot = counts.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    e_den = (F.col("ta") + F.col("tb"))
+    term_a = F.when(
+        F.col("a") > 0,
+        F.col("a")
+        * F.log(
+            F.col("a").cast("double")
+            / (
+                (F.col("a") + F.col("b")).cast("double")
+                * F.col("ta")
+                / e_den
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0,
+        F.col("b")
+        * F.log(
+            F.col("b").cast("double")
+            / (
+                (F.col("a") + F.col("b")).cast("double")
+                * F.col("tb")
+                / e_den
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        counts.filter(
+            F.col("a") + F.col("b") >= KEYNESS_MIN_COUNT
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.col("a").cast("bigint").alias("n_target"),
+            F.col("b").cast("bigint").alias("n_rest"),
+            F.round(F.lit(2.0) * (term_a + term_b), 6).alias("g2"),
+            F.when(
+                F.col("a").cast("double") * F.col("tb")
+                > F.col("b").cast("double") * F.col("ta"),
+                F.lit("target"),
+            )
+            .otherwise(F.lit("rest"))
+            .alias("key_direction"),
+        )
+    )
+    return scored.orderBy(F.desc("g2"), "word").limit(KEYNESS_TOPK)

@@ -1806,9 +1806,8 @@ def window_kaplan_meier_retention(
     Scale: one groupBy(user) pass to lifetimes (map-side combined),
     then everything runs on the step table — bounded by the horizon
     calendar, never by event volume.  At 100 TB per-cohort curves
-    partition every window by cohort key."""
-    from pyspark.sql import Window
-
+    partition every window by cohort key (window_km_retention_by_cohort
+    is exactly that — same km_curve kernel, cohort-partitioned)."""
     ev = table(spark, sf_dir, "events")
     by_user = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
@@ -1821,20 +1820,45 @@ def window_kaplan_meier_retention(
         .otherwise(F.lit(0))
         .alias("censored"),
     )
-    n_tot = life.agg(F.count(F.lit(1)).alias("n"))
-    steps = life.groupBy("t").agg(
+    return km_curve(life).select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        F.col("factor"),
+        F.col("log_survival"),
+    )
+
+
+def km_curve(life: DataFrame, part=None) -> DataFrame:
+    """Shared Kaplan-Meier kernel: given per-subject lifetimes
+    (columns ``part``*, ``t`` duration, ``censored`` 0/1), return the
+    per-partition step table (t, d, c, n_at_risk, factor,
+    log_survival) — at-risk counts from ONE cumulative window over the
+    step table, exact-integer hazard factors, curve in LOG space
+    (round-6 decimal ln sums).  Absorbed steps (d = n_at_risk)
+    excluded.  Shared by the global retention curve and the per-cohort
+    variant (kernel reuse guard-tested)."""
+    from pyspark.sql import Window
+
+    part = list(part or [])
+    steps = life.groupBy(*part, "t").agg(
         F.sum(F.lit(1) - F.col("censored")).alias("d"),
         F.sum("censored").alias("c"),
     )
-    wcum = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wcum = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    risk = steps.crossJoin(F.broadcast(n_tot)).select(
+    wall = Window.partitionBy(*part)
+    risk = steps.select(
+        *part,
         "t",
         "d",
         "c",
         (
-            F.col("n")
+            F.sum(F.col("d") + F.col("c")).over(wall)
             - (
                 F.sum(F.col("d") + F.col("c")).over(wcum)
                 - (F.col("d") + F.col("c"))
@@ -1847,14 +1871,17 @@ def window_kaplan_meier_retention(
     factor = (
         F.col("n_at_risk") - F.col("d")
     ).cast("double") / F.col("n_at_risk")
-    wlog = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wlog = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return kept.select(
-        F.col("t").cast("int").alias("t_days"),
-        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
-        F.col("d").cast("bigint").alias("d_events"),
-        F.col("c").cast("bigint").alias("c_censored"),
+        *part,
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
         factor.alias("factor"),
         F.sum(
             F.round(F.log(factor), 6).cast("decimal(18,6)")
@@ -2218,4 +2245,91 @@ def window_mann_kendall_trend(
         "var_s",
         z.alias("z_stat"),
         (F.abs(z) > F.lit(Z_CRIT_005)).alias("trend_005"),
+    )
+
+
+@register(
+    "window_km_retention_by_cohort",
+    oracle="""
+    WITH by_user AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+               max(CAST(date_trunc('day', ts) AS DATE)) AS d1
+        FROM events GROUP BY 1
+    ),
+    horizon AS (SELECT max(d1) AS h FROM by_user),
+    life AS (
+        SELECT CAST(date_trunc('week', d0) AS VARCHAR) AS cohort,
+               d1 - d0 AS t,
+               CASE WHEN d1 = h.h THEN 1 ELSE 0 END AS censored
+        FROM by_user, horizon h
+    ),
+    steps AS (
+        SELECT cohort, t, SUM(1 - censored) AS d, SUM(censored) AS c
+        FROM life GROUP BY 1, 2
+    ),
+    risk AS (
+        SELECT cohort, t, d, c,
+               SUM(d + c) OVER (PARTITION BY cohort)
+                 - (SUM(d + c) OVER (PARTITION BY cohort ORDER BY t)
+                    - (d + c)) AS n_at_risk
+        FROM steps
+    )
+    SELECT cohort,
+           CAST(t AS INT) AS t_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS c_censored,
+           CAST(n_at_risk - d AS DOUBLE) / n_at_risk AS factor,
+           CAST(SUM(CAST(round(
+                    ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk), 6)
+                AS DECIMAL(18,6)))
+                OVER (PARTITION BY cohort ORDER BY t) AS DOUBLE)
+               AS log_survival
+    FROM risk WHERE d > 0 AND d < n_at_risk
+    """,
+    tags=("windowed", "survival", "statistics"),
+)
+def window_km_retention_by_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-cohort Kaplan-Meier retention — the comparison that makes a
+    survival curve actionable (a global curve can't answer "did the
+    signup-week-N product change move retention?"; cohort curves side
+    by side can): users are cohorted by the ISO week of their first
+    activity, and each cohort gets its own KM curve through the SAME
+    km_curve kernel, partitioned by cohort (kernel reuse
+    guard-tested) — at-risk totals, cumulative departures, and the
+    round-6 decimal log-survival sums all run per cohort in the same
+    window pass.  Right-censoring at the global horizon, absorbed
+    steps excluded per cohort, identical conventions to the global
+    curve.
+
+    Scale: one groupBy(user) pass, then everything runs on the
+    (cohorts × horizon)-sized step table; every window carries the
+    cohort partition key, so cohorts parallelize — exactly the
+    docstring promise of the global op made code."""
+    ev = table(spark, sf_dir, "events")
+    by_user = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    horizon = by_user.agg(F.max("d1").alias("h"))
+    life = by_user.crossJoin(F.broadcast(horizon)).select(
+        F.date_trunc("week", "d0").cast("date").cast("string").alias(
+            "cohort"
+        ),
+        F.datediff("d1", "d0").alias("t"),
+        F.when(F.col("d1") == F.col("h"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    return km_curve(life, part=["cohort"]).select(
+        "cohort",
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        "factor",
+        "log_survival",
     )

@@ -1203,3 +1203,218 @@ def test_stream_isotonic_recalibration_python_replay(spark, sf_small):
             assert r.rate_isotonic == float(f)
             assert (r.n, r.n_pos) == tuple(agg[b])
     assert len(rows) == n_rows_expected
+
+
+# ---------------------------------------------------------------------------
+# DSIR ESS + Kendall tau-b (round-7 sixteenth wave)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ess_python_replay(spark, sf_small):
+    """ESS replayed from the engine's OWN log-weights (the kernel is
+    shared — the guard asserts both ops call dsir_scored_weights),
+    plus Kish's bounds 1 <= ESS <= n."""
+    import inspect
+    import math
+
+    from kafka_stream_processing_spark.operators import pipeline
+
+    for fn in (
+        pipeline.sample_dsir_importance,
+        pipeline.sample_dsir_ess_diagnostic,
+    ):
+        assert "dsir_scored_weights(" in inspect.getsource(
+            fn.__wrapped__ if hasattr(fn, "__wrapped__") else fn
+        )
+    row = (
+        SPECS["sample_dsir_ess_diagnostic"].fn(spark, sf_small).collect()[0]
+    )
+    lws = [
+        r.log_weight
+        for r in SPECS["sample_dsir_importance"].fn(spark, sf_small).collect()
+    ]
+    m = max(lws)
+    ws = [round(math.exp(lw - m), 6) for lw in lws]
+    sw = sum(ws)
+    sww = sum(w * w for w in ws)
+    ess = sw * sw / sww
+    assert row.n_docs == len(lws)
+    assert abs(row.max_log_weight - m) < 1e-12
+    assert row.n_negligible == sum(1 for w in ws if w == 0.0)
+    assert abs(row.ess - ess) < 1e-6
+    assert abs(row.ess_fraction - ess / len(lws)) < 1e-9
+    assert 1.0 - 1e-9 <= row.ess <= row.n_docs + 1e-9
+
+
+def test_kendall_tau_python_replay(spark, sf_small):
+    """tau-b replayed by the brute-force O(n²) observation-pair scan —
+    an independent algorithm from the engine's cell-dominance join."""
+    import math
+
+    row = SPECS["quality_kendall_tau_corr"].fn(spark, sf_small).collect()[0]
+    con = duckdb.connect()
+    pts = con.execute(
+        f"SELECT n_chars, len(string_split(text, ' ')) "
+        f"FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    n = len(pts)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[j][0] - pts[i][0]
+            dy = pts[j][1] - pts[i][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    from collections import Counter
+
+    n1 = sum(
+        t * (t - 1) // 2 for t in Counter(p[0] for p in pts).values()
+    )
+    n2 = sum(
+        t * (t - 1) // 2 for t in Counter(p[1] for p in pts).values()
+    )
+    n0 = n * (n - 1) // 2
+    tau = (c - d) / math.sqrt(float(n0 - n1) * (n0 - n2))
+    assert (row.n, row.n0_pairs) == (n, n0)
+    assert (row.concordant, row.discordant) == (c, d)
+    assert (row.ties_x, row.ties_y) == (n1, n2)
+    assert row.tau_b == tau
+    # chars and tokens are strongly monotone-associated
+    assert row.tau_b > 0.4
+
+
+# ---------------------------------------------------------------------------
+# Cohort KM + keyness (round-7 seventeenth wave)
+# ---------------------------------------------------------------------------
+
+
+def test_km_by_cohort_python_replay(spark, sf_small):
+    """Per-cohort curves == python KM per cohort slice; kernel guard:
+    both survival ops call the shared km_curve."""
+    import datetime as dt
+    import inspect
+    import math
+
+    from kafka_stream_processing_spark.operators import windowed
+
+    for fn in (
+        windowed.window_kaplan_meier_retention,
+        windowed.window_km_retention_by_cohort,
+    ):
+        assert "km_curve(" in inspect.getsource(
+            fn.__wrapped__ if hasattr(fn, "__wrapped__") else fn
+        )
+    rows = (
+        SPECS["window_km_retention_by_cohort"].fn(spark, sf_small).collect()
+    )
+    con = duckdb.connect()
+    lives = con.execute(f"""
+        SELECT min(d) AS d0, max(d) AS d1 FROM
+        (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+         FROM '{sf_small}/events.parquet')
+        GROUP BY user_id
+    """).fetchall()
+    h = max(d1 for _, d1 in lives)
+    cohorts: dict[str, list] = {}
+    for d0, d1 in lives:
+        monday = d0 - dt.timedelta(days=d0.weekday())
+        cohorts.setdefault(str(monday), []).append(
+            ((d1 - d0).days, d1 == h)
+        )
+    expect = {}
+    for ck, ls in cohorts.items():
+        steps: dict[int, list[int]] = {}
+        for t, cens in ls:
+            steps.setdefault(t, [0, 0])
+            steps[t][1 if cens else 0] += 1
+        at_risk = len(ls)
+        logs = 0.0
+        for t in sorted(steps):
+            d, c = steps[t]
+            if d > 0 and d < at_risk:
+                f = (at_risk - d) / at_risk
+                logs += round(math.log(f), 6)
+                expect[(ck, t)] = (at_risk, d, c, f, logs)
+            at_risk -= d + c
+    assert len(rows) == len(expect)
+    for r in rows:
+        nr, d, c, f, lg = expect[(r.cohort, r.t_days)]
+        assert (r.n_at_risk, r.d_events, r.c_censored) == (nr, d, c)
+        assert r.factor == f
+        assert abs(r.log_survival - lg) < 1e-9
+
+
+def test_keyness_python_replay(spark, sf_small):
+    import math
+
+    from kafka_stream_processing_spark.operators.text import (
+        KEYNESS_MIN_COUNT,
+        KEYNESS_TOPK,
+    )
+
+    rows = (
+        SPECS["text_keyness_loglikelihood"].fn(spark, sf_small).collect()
+    )
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    a: dict[str, int] = {}
+    b: dict[str, int] = {}
+    for source, text in docs:
+        tgt = a if source == "src0" else b
+        for w in text.split(" "):
+            tgt[w] = tgt.get(w, 0) + 1
+    ta, tb = sum(a.values()), sum(b.values())
+    scored = []
+    for w in set(a) | set(b):
+        ca, cb = a.get(w, 0), b.get(w, 0)
+        if ca + cb < KEYNESS_MIN_COUNT:
+            continue
+        g2 = 0.0
+        if ca > 0:
+            g2 += ca * math.log(ca / ((ca + cb) * ta / (ta + tb)))
+        if cb > 0:
+            g2 += cb * math.log(cb / ((ca + cb) * tb / (ta + tb)))
+        g2 = round(2.0 * g2, 6)
+        direction = "target" if ca * tb > cb * ta else "rest"
+        scored.append((-g2, w, ca, cb, direction))
+    scored.sort()
+    top = scored[:KEYNESS_TOPK]
+    assert len(rows) == min(KEYNESS_TOPK, len(scored))
+    for r, (negg, w, ca, cb, direction) in zip(rows, top):
+        assert r.word == w
+        assert (r.n_target, r.n_rest) == (ca, cb)
+        assert abs(r.g2 - (-negg)) < 1e-9
+        assert r.key_direction == direction
+        # G² is a deviance — non-negative by construction
+        assert r.g2 >= -1e-9
+
+
+def test_multimodal_payload_dedup_python_replay(spark, sf_small):
+    import hashlib
+
+    rows = SPECS["multimodal_payload_dedup"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    sizes: dict[str, int] = {}
+    for doc_id, text in docs:
+        b = text.encode("utf-8")
+        dg = hashlib.md5(b).hexdigest()
+        groups.setdefault(dg, []).append(doc_id)
+        sizes[dg] = len(b)
+    got = {r.digest: r for r in rows}
+    assert set(got) == set(groups)
+    for dg, ids in groups.items():
+        r = got[dg]
+        assert r.n_copies == len(ids)
+        assert r.keeper_doc_id == min(ids)
+        assert r.payload_bytes == sizes[dg]
+        assert r.is_duplicated == (len(ids) > 1)
+    # keepers partition the corpus: every doc is in exactly one group
+    assert sum(r.n_copies for r in rows) == len(docs)
