@@ -226,3 +226,100 @@ def multimodal_payload_dedup(
         F.min("n_bytes").cast("bigint").alias("payload_bytes"),
         (F.count(F.lit(1)) > 1).alias("is_duplicated"),
     )
+
+
+#: Resize target (square thumbnail edge), the standard vision-model
+#: input side.
+RESIZE_TARGET = 224
+
+#: Output schema of the resize stage.
+RESIZE_SCHEMA = (
+    "doc_id bigint, in_width int, in_height int, out_width int, "
+    "out_height int, resized_bytes bigint"
+)
+
+
+def resize_media_stub(payload: bytes) -> dict:
+    """Deterministic fake 'resize' of a media payload: derives the fake
+    source dims from the bytes (the decode stub's rule), then
+    aspect-preserving fit into a RESIZE_TARGET square with pure INTEGER
+    arithmetic (w·224 div max(w,h)) so both engines reproduce the dims
+    exactly.  A real implementation would call PIL.Image.resize /
+    swscale and raise NotImplementedError for unsupported codecs."""
+    n = len(payload)
+    w, h = n % 640, (n * 7) % 480
+    m = max(w, h)
+    if m == 0:
+        ow = oh = 0
+    else:
+        ow = (w * RESIZE_TARGET) // m
+        oh = (h * RESIZE_TARGET) // m
+    return {
+        "in_width": w,
+        "in_height": h,
+        "out_width": ow,
+        "out_height": oh,
+        "resized_bytes": ow * oh * 3,
+    }
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [resize_media_stub(buf) for buf in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 640 AS w,
+               (octet_length(encode(text)) * 7) % 480 AS h
+        FROM documents
+    ),
+    fit AS (
+        SELECT doc_id, w, h,
+               CASE WHEN greatest(w, h) = 0 THEN 0
+                    ELSE (w * {RESIZE_TARGET}) // greatest(w, h)
+               END AS ow,
+               CASE WHEN greatest(w, h) = 0 THEN 0
+                    ELSE (h * {RESIZE_TARGET}) // greatest(w, h)
+               END AS oh
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS in_width,
+           CAST(h AS INT) AS in_height,
+           CAST(ow AS INT) AS out_width,
+           CAST(oh AS INT) AS out_height,
+           CAST(ow * oh * 3 AS BIGINT) AS resized_bytes
+    FROM fit
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage for media payloads — the third member of the
+    multimodal UDF pipeline (decode → RESIZE → frame-sample), run as an
+    Arrow-batched ``mapInPandas`` stage over the binary column exactly
+    like the decoder: per payload the stage derives source dimensions
+    and fits them into a {RESIZE_TARGET}² square, aspect preserved,
+    with pure integer arithmetic, emitting the resized dims and the
+    RGB byte estimate a downstream batcher packs against.  The pixel
+    work is STUBBED (no image libs in the container — see
+    resize_media_stub) but every engine-visible property of a real
+    resizer — binary in, typed struct out, 1→1 row contract, Arrow
+    batch shape — is real and oracle-checked, because the stub's dims
+    are pure functions of the byte length that DuckDB reproduces.
+
+    Scale: narrow mapInPandas — no shuffle, parallel per input split,
+    Arrow transfer bounded by maxRecordsPerBatch; the real resize is
+    CPU-bound per payload and scales with cores exactly like this
+    stub."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)

@@ -1418,3 +1418,36 @@ def test_multimodal_payload_dedup_python_replay(spark, sf_small):
         assert r.is_duplicated == (len(ids) > 1)
     # keepers partition the corpus: every doc is in exactly one group
     assert sum(r.n_copies for r in rows) == len(docs)
+
+
+def test_multimodal_resize_python_replay(spark, sf_small):
+    from kafka_stream_processing_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        resize_media_stub,
+    )
+
+    rows = SPECS["multimodal_resize"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    got = {r.doc_id: r for r in rows}
+    assert len(rows) == len(docs)  # 1→1 row contract
+    for doc_id, text in docs:
+        exp = resize_media_stub(text.encode("utf-8"))
+        r = got[doc_id]
+        assert (r.in_width, r.in_height) == (
+            exp["in_width"],
+            exp["in_height"],
+        )
+        assert (r.out_width, r.out_height) == (
+            exp["out_width"],
+            exp["out_height"],
+        )
+        assert r.resized_bytes == exp["resized_bytes"]
+        # aspect-fit invariants: never exceeds the target square, and
+        # any non-degenerate input's LONGER side lands exactly on it
+        # (the shorter side rounds down)
+        assert max(r.out_width, r.out_height) <= RESIZE_TARGET
+        if max(r.in_width, r.in_height) > 0:
+            assert max(r.out_width, r.out_height) == RESIZE_TARGET
