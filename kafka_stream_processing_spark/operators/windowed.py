@@ -2333,3 +2333,166 @@ def window_km_retention_by_cohort(
         "factor",
         "log_survival",
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing
+# ---------------------------------------------------------------------------
+
+
+def _holt_fold(pdf):
+    """Per-series Holt fold (α = β = 1/2), sequential by construction —
+    runs inside applyInPandas, one series per task.  Rounding is the
+    C-style half-away-from-zero at 6 decimals (value·10⁶ → round →
+    /10⁶), matching DuckDB's round() which the oracle recursion uses —
+    NOT python's round() (banker's) and not Spark's BigDecimal HALF_UP
+    (never evaluated here: all engine-side arithmetic for this op
+    happens in THIS fold)."""
+    import math
+
+    import pandas as pd
+
+    def r6(v: float) -> float:
+        return math.copysign(
+            math.floor(abs(v) * 1e6 + 0.5) / 1e6, v
+        )
+
+    pdf = pdf.sort_values("i").reset_index(drop=True)
+    if len(pdf) < 2:
+        return pd.DataFrame(
+            columns=[
+                "event_type",
+                "day",
+                "idx",
+                "revenue",
+                "level",
+                "trend",
+                "forecast",
+                "residual",
+            ]
+        )
+    xs = list(pdf["x"])
+    out = []
+    l_prev = xs[0]
+    b_prev = xs[1] - xs[0]
+    out.append((1, xs[0], l_prev, b_prev, None, None))
+    for t in range(2, len(xs) + 1):
+        x = xs[t - 1]
+        f = l_prev + b_prev
+        l_new = r6(0.5 * x + 0.5 * (l_prev + b_prev))
+        b_new = r6(0.5 * (l_new - l_prev) + 0.5 * b_prev)
+        out.append((t, x, l_new, b_new, f, x - f))
+        l_prev, b_prev = l_new, b_new
+    res = pd.DataFrame(
+        out,
+        columns=[
+            "idx",
+            "revenue",
+            "level",
+            "trend",
+            "forecast",
+            "residual",
+        ],
+    )
+    res.insert(0, "day", list(pdf["day"]))
+    res.insert(0, "event_type", pdf["event_type"].iloc[0])
+    return res
+
+
+@register(
+    "window_holt_linear_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i
+        FROM daily
+    ),
+    rec(event_type, i, l, b) AS (
+        SELECT i1.event_type, 1, i1.x, i2.x - i1.x
+        FROM idx i1 JOIN idx i2
+          ON i2.event_type = i1.event_type AND i2.i = 2
+        WHERE i1.i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               round(0.5 * d.x + 0.5 * (r.l + r.b), 6),
+               round(0.5 * (round(0.5 * d.x + 0.5 * (r.l + r.b), 6)
+                            - r.l)
+                     + 0.5 * r.b, 6)
+        FROM rec r JOIN idx d
+          ON d.event_type = r.event_type AND d.i = r.i + 1
+    )
+    SELECT r.event_type,
+           CAST(d.day AS VARCHAR) AS day,
+           CAST(r.i AS BIGINT) AS idx,
+           d.x AS revenue,
+           r.l AS level,
+           r.b AS trend,
+           CASE WHEN r.i = 1 THEN NULL ELSE p.l + p.b END AS forecast,
+           CASE WHEN r.i = 1 THEN NULL
+                ELSE d.x - (p.l + p.b) END AS residual
+    FROM rec r
+    JOIN idx d ON d.event_type = r.event_type AND d.i = r.i
+    LEFT JOIN rec p
+      ON p.event_type = r.event_type AND p.i = r.i - 1
+    """,
+    tags=("windowed", "timeseries", "forecast", "stateful"),
+)
+def window_holt_linear_smoothing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt linear (double exponential) smoothing of per-event-type
+    daily revenue, α = β = ½ — the TREND-aware member of the smoothing
+    family (EWMA tracks level only and lags any trending series by
+    construction; Holt's coupled level+trend recursion doesn't), and
+    deliberately the engine's showcase of a GENUINELY SEQUENTIAL
+    algorithm done Spark-first: the coupled recursion has no window
+    closed form (unlike CUSUM's cumsum-minus-running-min or EWMA's
+    dyadic weights — the 2×2 iteration matrix has irrational
+    eigenvalues, so no finite exact convolution), so it runs as ONE
+    applyInPandas fold PER SERIES — series parallelize across tasks,
+    the fold is linear in the calendar, and per-step round-6
+    (half-away, matching DuckDB's round — see _holt_fold) keeps the
+    trajectory bit-identical cross-engine.  The DuckDB oracle is the
+    same recursion as a state-carrying RECURSIVE CTE — the first
+    oracle in the registry to thread mutable state through recursion
+    rather than unrolling fixed iterations (contrast PageRank's
+    chained CTEs).  Initialization: l₁ = x₁, b₁ = x₂ − x₁ (the
+    classic two-point start); one-step forecasts f_t = l_{t−1} +
+    b_{t−1} with residuals from t = 2.
+
+    Scale: one map-side-combined groupBy to the (series × calendar)
+    table; the fold is O(days) per series with O(1) state, grouped by
+    series key — a million series parallelize perfectly; a series
+    never outgrows its calendar."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+    )
+    from pyspark.sql import Window
+
+    idx = daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    return idx.groupBy("event_type").applyInPandas(
+        _holt_fold,
+        schema=(
+            "event_type string, day string, idx bigint, "
+            "revenue double, level double, trend double, "
+            "forecast double, residual double"
+        ),
+    )

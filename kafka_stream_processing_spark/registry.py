@@ -129,14 +129,14 @@ def _load() -> None:
 #: exactly 50.  stream_watermark_late_data rotates out (fresh r06
 #: hash-green row).
 #:
-#: Post-r07 state of the registry: 273 registered (267 oracle-checked,
+#: Post-r07 state of the registry: 274 registered (268 oracle-checked,
 #: 6 rows-only: two HLL sketches, approx quantiles, and the three
 #: power-iteration PCA ops whose per-pass literals no single oracle
-#: statement can express).  Round 7 added 54 queries in two sessions
-#: (21 + 33); all 54 sit AFTER rank 50, so they queue for the r08
+#: statement can express).  Round 7 added 55 queries in two sessions
+#: (21 + 34); all 55 sit AFTER rank 50, so they queue for the r08
 #: rotation together with the remaining 17 r02-stale names (listed
 #: below rank 50).  When rebuilding for r08: 12 §2 pins + 17 r02-stale
-#: + 21 of the r07 additions = 50; the remaining 33 fill r09.
+#: + 21 of the r07 additions = 50; the remaining 34 fill r09.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -276,6 +276,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "text_keyness_loglikelihood",
     "multimodal_payload_dedup",
     "multimodal_resize",
+    "window_holt_linear_smoothing",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -1451,3 +1451,47 @@ def test_multimodal_resize_python_replay(spark, sf_small):
         assert max(r.out_width, r.out_height) <= RESIZE_TARGET
         if max(r.in_width, r.in_height) > 0:
             assert max(r.out_width, r.out_height) == RESIZE_TARGET
+
+
+def test_holt_linear_python_replay(spark, sf_small):
+    """Textbook Holt recursion replayed with the engine's half-away
+    round-6; forecast identity f_t = l_{t-1} + b_{t-1} pinned from the
+    engine's own output."""
+    import math
+
+    def r6(v):
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    rows = sorted(
+        SPECS["window_holt_linear_smoothing"].fn(spark, sf_small).collect(),
+        key=lambda r: (r.event_type, r.idx),
+    )
+    acc = _daily(sf_small, by_type=True)
+    series: dict[str, list[float]] = {}
+    for (et, day), x in sorted(acc.items()):
+        series.setdefault(et, []).append(float(x))
+    got: dict[tuple[str, int], tuple] = {
+        (r.event_type, r.idx): r for r in rows
+    }
+    n_expected = 0
+    for et, xs in series.items():
+        if len(xs) < 2:
+            continue
+        l, b = xs[0], xs[1] - xs[0]
+        n_expected += len(xs)
+        r = got[(et, 1)]
+        assert (r.level, r.trend) == (l, b)
+        assert r.forecast is None and r.residual is None
+        for t in range(2, len(xs) + 1):
+            x = xs[t - 1]
+            f = l + b
+            l_new = r6(0.5 * x + 0.5 * (l + b))
+            b_new = r6(0.5 * (l_new - l) + 0.5 * b)
+            r = got[(et, t)]
+            assert r.revenue == x
+            assert r.level == l_new
+            assert r.trend == b_new
+            assert r.forecast == f
+            assert r.residual == x - f
+            l, b = l_new, b_new
+    assert len(rows) == n_expected
