@@ -3193,11 +3193,15 @@ Z_CRIT_005 = 1.959963984540054
            CAST(n_b AS BIGINT) AS n_b,
            CAST(conv_b AS BIGINT) AS conv_b,
            p_a, p_b,
-           (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
-                              * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
-           abs((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
-                                  * (1.0 / n_a + 1.0 / n_b)))
-               > {Z_CRIT_005} AS significant_005
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+                                        * (1.0 / n_a + 1.0 / n_b))
+           END AS z_stat,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE abs((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+                                            * (1.0 / n_a + 1.0 / n_b)))
+                     > {Z_CRIT_005}
+           END AS significant_005
     FROM p
     """,
     tags=("quality", "statistics", "abtest"),
@@ -3268,6 +3272,11 @@ def quality_two_proportion_ztest(
             + F.lit(1.0) / F.col("n_b")
         )
     )
+    # An empty variant would otherwise emit inf/NULL division noise
+    # dressed as a z-test; unreachable under user_id-parity assignment
+    # on this data, but the guard keeps the contract honest for any
+    # filtered deployment (HANDOFF r07 soft-spot).
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return p.select(
         "n_a",
         "conv_a",
@@ -3275,8 +3284,10 @@ def quality_two_proportion_ztest(
         "conv_b",
         "p_a",
         "p_b",
-        z.alias("z_stat"),
-        (F.abs(z) > F.lit(Z_CRIT_005)).alias("significant_005"),
+        F.when(both, z).alias("z_stat"),
+        F.when(both, F.abs(z) > F.lit(Z_CRIT_005)).alias(
+            "significant_005"
+        ),
     )
 
 

@@ -1343,3 +1343,398 @@ def join_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price").cast("double").alias("p_retailprice"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution over click→purchase journeys
+# ---------------------------------------------------------------------------
+
+#: Attribution lookback window (days before the purchase).
+ATTRIB_LOOKBACK_DAYS = 7
+#: Number of synthetic channels (props.k % N).
+ATTRIB_CHANNELS = 4
+
+
+@register(
+    "join_attribution_multitouch",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, ts AS c_ts, event_id AS c_id,
+               'ch' || CAST(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT) % {ATTRIB_CHANNELS}
+                            AS VARCHAR) AS channel
+        FROM events WHERE event_type = 'click'
+    ),
+    pur AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.p_id, p.value, c.channel, c.c_ts, c.c_id
+        FROM pur p JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.c_ts < p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL {ATTRIB_LOOKBACK_DAYS} DAY
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY c_ts, c_id) AS rn,
+               count(*) OVER (PARTITION BY p_id) AS cnt
+        FROM j
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+           CAST(SUM(CASE WHEN rn = cnt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_last,
+           CAST(COALESCE(SUM(CASE WHEN rn = 1
+                             THEN CAST(value AS DECIMAL(18,6)) END),
+                         0) AS DOUBLE) AS first_touch_credit,
+           CAST(COALESCE(SUM(CASE WHEN rn = cnt
+                             THEN CAST(value AS DECIMAL(18,6)) END),
+                         0) AS DOUBLE) AS last_touch_credit,
+           CAST(SUM(CAST(round(value / cnt, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS linear_credit
+    FROM ranked GROUP BY channel
+    """,
+    tags=("relational", "join", "attribution"),
+)
+def join_attribution_multitouch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch marketing attribution: each purchase's value is
+    credited to the user's clicks in the prior ATTRIB_LOOKBACK_DAYS
+    under THREE models at once — first-touch (all value to the
+    journey's earliest click), last-touch (to the latest; the
+    per-journey generalization of join_asof_purchase_last_click), and
+    linear (value/k to each of the k touches) — per channel (a
+    deterministic props.k % {ATTRIB_CHANNELS} pseudo-channel: the
+    testdata carries no marketing dimension, so the channel is
+    synthetic but the mechanics — journey assembly, position ranking,
+    fractional credit — are the real operator).  Journey membership is
+    a range join (same user, click strictly before the purchase,
+    within the lookback); positions rank by (ts, event_id) — the
+    registry's deterministic-tiebreak convention; full-value credits
+    sum as exact decimals and linear shares as round-6 decimals, so
+    every credit column is bit-stable cross-engine.
+
+    Scale: the range join hash-partitions on user_id (journeys never
+    cross users) and the lookback bound caps fan-out per purchase at
+    the user's click rate × {ATTRIB_LOOKBACK_DAYS} days; the position
+    window partitions by purchase — no global sort anywhere.  At
+    100 TB, bucket both sides by user_id to make the join co-located
+    (connector_bucketed_join_colocated demonstrates the layout) and
+    AQE handles skewed super-clickers."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.concat(
+            F.lit("ch"),
+            (k % ATTRIB_CHANNELS).cast("string"),
+        ).alias("channel"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        "value",
+    )
+    j = pur.join(
+        clicks,
+        (clicks["user_id"] == pur["user_id"])
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts")
+            - F.expr(f"INTERVAL {ATTRIB_LOOKBACK_DAYS} DAYS")
+        ),
+    ).select("p_id", "value", "channel", "c_ts", "c_id")
+    ranked = j.select(
+        "p_id",
+        "value",
+        "channel",
+        F.row_number()
+        .over(Window.partitionBy("p_id").orderBy("c_ts", "c_id"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("p_id"))
+        .alias("cnt"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return ranked.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum(
+            F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(
+            F.when(F.col("rn") == F.col("cnt"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_last"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, dec("value"))), zero
+        )
+        .cast("double")
+        .alias("first_touch_credit"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("rn") == F.col("cnt"), dec("value"))
+            ),
+            zero,
+        )
+        .cast("double")
+        .alias("last_touch_credit"),
+        F.sum(
+            F.round(F.col("value") / F.col("cnt"), 6).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("linear_credit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap (Jaccard between event-type user sets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_audience_overlap_jaccard",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    tot AS (
+        SELECT event_type, count(*) AS n_users FROM d GROUP BY 1
+    ),
+    pr AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(ta.n_users AS BIGINT) AS n_a,
+           CAST(tb.n_users AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both AS DOUBLE)
+               / (ta.n_users + tb.n_users - n_both) AS jaccard,
+           CAST(n_both AS DOUBLE)
+               / least(ta.n_users, tb.n_users) AS overlap_coef
+    FROM pr
+    JOIN tot ta ON ta.event_type = type_a
+    JOIN tot tb ON tb.event_type = type_b
+    """,
+    tags=("setops", "similarity", "audience"),
+)
+def setops_audience_overlap_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap between every pair of event types — exact
+    Jaccard |A∩B| / |A∪B| and overlap coefficient |A∩B| / min(|A|,|B|)
+    over user SETS, the audience-planning readout (which behaviors
+    share users?) and the exact small-domain counterpart of the
+    MinHash estimate dedup_minhash_estimate_eval audits: here the
+    domain (event types) is tiny so exact set intersection via
+    self-join is the RIGHT plan, whereas doc-scale pairs go through
+    the banded LSH kernel.  All three set sizes are exact integer
+    distinct-counts; the two ratios are single divisions on them.
+
+    Scale: the distinct (type, user) table shuffles once on user_id;
+    per-user pair fan-out is bounded by |types|² (25), so the join
+    output is ≤ 25× the distinct table regardless of SF — domain-
+    bounded the way the Markov matrix is.  The union-size term uses
+    inclusion-exclusion (n_a + n_b − n_both), never a materialized
+    union."""
+    d = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    tot = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tot.alias("ta")
+    tb = tot.alias("tb")
+    return (
+        both.join(
+            F.broadcast(ta), F.col("ta.event_type") == F.col("type_a")
+        )
+        .join(
+            F.broadcast(tb), F.col("tb.event_type") == F.col("type_b")
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("ta.n_users").cast("bigint").alias("n_a"),
+            F.col("tb.n_users").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            (
+                F.col("n_both").cast("double")
+                / (
+                    F.col("ta.n_users")
+                    + F.col("tb.n_users")
+                    - F.col("n_both")
+                )
+            ).alias("jaccard"),
+            (
+                F.col("n_both").cast("double")
+                / F.least(F.col("ta.n_users"), F.col("tb.n_users"))
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Same-day event-type co-occurrence lift (market-basket over sessions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cooccurrence_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type
+        FROM events
+    ),
+    nb AS (
+        SELECT count(DISTINCT (user_id, day)) AS n_baskets
+        FROM baskets
+    ),
+    item AS (
+        SELECT event_type, count(*) AS n_item FROM baskets GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_pair
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(ia.n_item AS BIGINT) AS n_a,
+           CAST(ib.n_item AS BIGINT) AS n_b,
+           CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+           CAST(n_pair AS DOUBLE) / nb.n_baskets AS support,
+           CAST(n_pair AS DOUBLE) / ia.n_item AS conf_a_to_b,
+           CAST(n_pair AS DOUBLE) / ib.n_item AS conf_b_to_a,
+           (CAST(n_pair AS DOUBLE) * nb.n_baskets)
+               / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
+    FROM pair
+    JOIN item ia ON ia.event_type = type_a
+    JOIN item ib ON ib.event_type = type_b
+    CROSS JOIN nb
+    """,
+    tags=("agg", "association", "basket"),
+)
+def agg_cooccurrence_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket association over (user, day) baskets of event
+    types: support n_ab/N, both conditional confidences, and lift
+    (n_ab·N)/(n_a·n_b) — lift > 1 meaning the two behaviors co-occur
+    in a day more than independence predicts, the association readout
+    behind next-action recommendation and the Simpson-diversity /
+    Markov-transition ops' cross-sectional cousin (transitions order
+    WITHIN a day; this asks only joint membership).  Every count is an
+    exact integer over DISTINCT basket membership (duplicates of a
+    type in a day collapse first), so all four ratios are exact
+    integer-to-double divisions, identical cross-engine.
+
+    Scale: baskets = one distinct shuffle on (user, day); the pair
+    join is per-basket with fan-out bounded by |types|² — the
+    A-Priori candidate-pair stage with a domain-bounded item
+    vocabulary, no combinatorial growth.  Item and basket totals
+    broadcast (|types| rows and 1 row)."""
+    baskets = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ia = item.alias("ia")
+    ib = item.alias("ib")
+    return (
+        pair.join(
+            F.broadcast(ia), F.col("ia.event_type") == F.col("type_a")
+        )
+        .join(
+            F.broadcast(ib), F.col("ib.event_type") == F.col("type_b")
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("ia.n_item").cast("bigint").alias("n_a"),
+            F.col("ib.n_item").cast("bigint").alias("n_b"),
+            F.col("n_baskets").cast("bigint").alias("n_baskets"),
+            (F.col("n_pair").cast("double") / F.col("n_baskets")).alias(
+                "support"
+            ),
+            (F.col("n_pair").cast("double") / F.col("ia.n_item")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("n_pair").cast("double") / F.col("ib.n_item")).alias(
+                "conf_b_to_a"
+            ),
+            (
+                (F.col("n_pair").cast("double") * F.col("n_baskets"))
+                / (
+                    F.col("ia.n_item").cast("double")
+                    * F.col("ib.n_item")
+                )
+            ).alias("lift"),
+        )
+    )

@@ -2119,3 +2119,130 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid separation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_separation",
+    oracle="""
+    WITH flat AS (
+        SELECT label, t.i AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                   / count(*) AS c
+        FROM flat GROUP BY 1, 2
+    ),
+    cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+    pr AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(CAST(a.c * b.c AS DECIMAL(18,12)))
+                    AS DOUBLE) AS dot_ab,
+               CAST(SUM(CAST(a.c * a.c AS DECIMAL(18,12)))
+                    AS DOUBLE) AS dot_aa,
+               CAST(SUM(CAST(b.c * b.c AS DECIMAL(18,12)))
+                    AS DOUBLE) AS dot_bb,
+               CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                             AS DECIMAL(18,12))) AS DOUBLE) AS d2
+        FROM cent a JOIN cent b
+          ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT CAST(label_a AS INT) AS label_a,
+           CAST(label_b AS INT) AS label_b,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           dot_ab / (sqrt(dot_aa) * sqrt(dot_bb)) AS cosine,
+           sqrt(d2) AS l2_dist
+    FROM pr
+    JOIN cnt na ON na.label = pr.label_a
+    JOIN cnt nb ON nb.label = pr.label_b
+    """,
+    tags=("similarity", "embedding", "statistics"),
+)
+def embedding_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise separation of per-label embedding centroids — cosine
+    and L2 between every pair of class means, the diagnostic that
+    tells a contrastive-training pipeline whether its label structure
+    is geometrically real BEFORE mining pairs from it
+    (sample_contrastive_pairs assumes separated classes; collapsed
+    centroids mean the labels won't supervise anything), and the
+    cluster-quality readout for cluster_kmeans_embeddings' assignment.
+    Centroids use the embedding family's DECIMAL(18,12) exact-sum
+    discipline per (label, dim); all three dot products and the
+    squared distance are round-12 decimal sums over the 64-dim
+    centroid pairs, so cosine and L2 are bit-stable cross-engine.
+
+    Scale: the centroid aggregate is one map-side-combined groupBy
+    over the posexploded corpus (64 rows × |labels| out); the pair
+    join runs over |labels|·64 rows — both downstream tables are
+    label-domain-sized, never corpus-sized, so the op costs one
+    corpus scan regardless of SF."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "label",
+        F.posexplode(_as_double_array("embedding")).alias("dim", "x"),
+    )
+    cent = flat.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    a, b = cent.alias("a"), cent.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum((F.col("a.c") * F.col("b.c")).cast(_DEC))
+            .cast("double")
+            .alias("dot_ab"),
+            F.sum((F.col("a.c") * F.col("a.c")).cast(_DEC))
+            .cast("double")
+            .alias("dot_aa"),
+            F.sum((F.col("b.c") * F.col("b.c")).cast(_DEC))
+            .cast("double")
+            .alias("dot_bb"),
+            F.sum(
+                (
+                    (F.col("a.c") - F.col("b.c"))
+                    * (F.col("a.c") - F.col("b.c"))
+                ).cast(_DEC)
+            )
+            .cast("double")
+            .alias("d2"),
+        )
+    )
+    na, nb = cnt.alias("na"), cnt.alias("nb")
+    return (
+        pr.join(F.broadcast(na), F.col("na.label") == F.col("label_a"))
+        .join(F.broadcast(nb), F.col("nb.label") == F.col("label_b"))
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+            F.col("na.n").cast("bigint").alias("n_a"),
+            F.col("nb.n").cast("bigint").alias("n_b"),
+            (
+                F.col("dot_ab")
+                / (F.sqrt(F.col("dot_aa")) * F.sqrt(F.col("dot_bb")))
+            ).alias("cosine"),
+            F.sqrt(F.col("d2")).alias("l2_dist"),
+        )
+    )

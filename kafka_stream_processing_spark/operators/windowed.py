@@ -2496,3 +2496,1140 @@ def window_holt_linear_smoothing(
             "forecast double, residual double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical additive decomposition
+# ---------------------------------------------------------------------------
+
+#: Seasonal period of the decomposition (weekly cycle on daily data).
+DECOMP_PERIOD = 7
+
+
+@register(
+    "window_classical_decomposition",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    ma AS (
+        SELECT day, x,
+               CASE WHEN COUNT(*) OVER w = {DECOMP_PERIOD}
+                    THEN CAST(SUM(x) OVER w AS DOUBLE) / {DECOMP_PERIOD}
+               END AS trend,
+               dayofweek(day) AS dow
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN {DECOMP_PERIOD // 2} PRECEDING
+                     AND {DECOMP_PERIOD // 2} FOLLOWING)
+    ),
+    det AS (
+        SELECT day, x, trend, dow,
+               CAST(x AS DOUBLE) - trend AS d
+        FROM ma WHERE trend IS NOT NULL
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(SUM(CAST(round(d, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS s
+        FROM det GROUP BY dow
+    ),
+    comp AS (
+        SELECT det.day, det.x, det.trend, seas.s AS seasonal,
+               det.d - seas.s AS remainder
+        FROM det JOIN seas ON seas.dow = det.dow
+    ),
+    var_t AS (
+        -- DECIMAL(38,6): squared CALENDAR-scale daily totals overflow
+        -- (18,6) from ~1e6/day up (the 10x probe caught it)
+        SELECT
+            CAST(SUM(CAST(round(remainder * remainder, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS vr,
+            CAST(SUM(CAST(round((seasonal + remainder)
+                                * (seasonal + remainder), 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS vsr,
+            CAST(SUM(CAST(round((trend + remainder)
+                                * (trend + remainder), 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS vtr
+        FROM comp
+    )
+    SELECT CAST(c.day AS VARCHAR) AS day,
+           CAST(c.x AS DOUBLE) AS revenue,
+           c.trend, c.seasonal, c.remainder,
+           greatest(0.0, 1.0 - v.vr / v.vsr) AS seasonal_strength,
+           greatest(0.0, 1.0 - v.vr / v.vtr) AS trend_strength
+    FROM comp c, var_t v
+    """,
+    tags=("windowed", "timeseries", "decomposition"),
+)
+def window_classical_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of daily revenue —
+    x = trend + seasonal + remainder with a centered {DECOMP_PERIOD}-MA
+    trend (full-window days only), per-weekday seasonal means of the
+    detrended series, and Hyndman's strength-of-component readouts
+    F_s = max(0, 1 − Var(R)/Var(S+R)) and F_t = max(0, 1 −
+    Var(R)/Var(T+R)) — the numbers that tell a pipeline whether the
+    seasonal-naive baseline (strong F_s) or the trend model (strong
+    F_t) is the one worth running.  Second moments use raw (not
+    mean-centered) averages in BOTH strengths — consistent across the
+    ratio, and every squared term is rounded to 6 decimals then summed
+    as exact decimals (the engine's discipline), so all components and
+    both strengths are bit-stable cross-engine.
+
+    Scale: the daily collapse is one map-side-combined groupBy; the MA
+    window, weekday means, and variance aggregates all run over
+    CALENDAR-sized tables.  Per-key decompositions partition every
+    window by key."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+    )
+    half = DECOMP_PERIOD // 2
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    ma = daily.select(
+        "day",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == DECOMP_PERIOD,
+            F.sum("x").over(w).cast("double") / DECOMP_PERIOD,
+        ).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    det = ma.filter(F.col("trend").isNotNull()).select(
+        "day",
+        "x",
+        "trend",
+        "dow",
+        (F.col("x").cast("double") - F.col("trend")).alias("d"),
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.round(F.col("d"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    comp = det.join(seas, "dow").select(
+        "day",
+        "x",
+        "trend",
+        F.col("s").alias("seasonal"),
+        (F.col("d") - F.col("s")).alias("remainder"),
+    ).localCheckpoint(eager=True)
+
+    def mean_of(col, alias):
+        # decimal(38,6): squared calendar-scale totals overflow (18,6)
+        return (
+            F.sum(F.round(col, 6).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(alias)
+
+    var_t = comp.agg(
+        mean_of(F.col("remainder") * F.col("remainder"), "vr"),
+        mean_of(
+            (F.col("seasonal") + F.col("remainder"))
+            * (F.col("seasonal") + F.col("remainder")),
+            "vsr",
+        ),
+        mean_of(
+            (F.col("trend") + F.col("remainder"))
+            * (F.col("trend") + F.col("remainder")),
+            "vtr",
+        ),
+    )
+    return comp.crossJoin(F.broadcast(var_t)).select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").cast("double").alias("revenue"),
+        "trend",
+        "seasonal",
+        "remainder",
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vsr")
+        ).alias("seasonal_strength"),
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vtr")
+        ).alias("trend_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive (triple exponential) smoothing
+# ---------------------------------------------------------------------------
+
+#: Seasonal period of the Holt-Winters recursion (weekly on daily data).
+HW_PERIOD = 7
+
+
+def _holt_winters_fold(pdf):
+    """Per-series Holt-Winters additive fold (alpha = beta = gamma = 1/2)
+    inside applyInPandas — the seasonal extension of _holt_fold, with
+    the same C-style half-away round-6 per step so the trajectory is
+    bit-identical to the oracle's list-state recursive CTE.  The
+    seasonal state is the last HW_PERIOD seasonal values, shifted one
+    slot per step (the oracle mirrors it as a LIST column threaded
+    through recursion).  Initialization is the classic two-cycle
+    start: l_m = mean(x_1..m) (round-6), b_m = (mean(x_{m+1..2m}) −
+    mean(x_1..m))/m (round-6), s_i = x_i − mean(x_1..m) (round-6);
+    means are exact micro-unit integer sums divided once in double —
+    the same value DuckDB gets casting an exact DECIMAL(18,6) sum to
+    DOUBLE before its single division.  Series shorter than 2m emit
+    nothing (the oracle's HAVING mirrors it)."""
+    import math
+
+    import pandas as pd
+
+    m = HW_PERIOD
+
+    def r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    cols = [
+        "event_type",
+        "day",
+        "idx",
+        "revenue",
+        "level",
+        "trend",
+        "seasonal",
+        "forecast",
+        "residual",
+    ]
+    pdf = pdf.sort_values("i").reset_index(drop=True)
+    if len(pdf) < 2 * m:
+        return pd.DataFrame(columns=cols)
+    xs = list(pdf["x"])
+    micro = [int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1) for x in xs]
+    m1 = (sum(micro[:m]) / 1e6) / m
+    m2 = (sum(micro[m : 2 * m]) / 1e6) / m
+    l_prev = r6(m1)
+    b_prev = r6((m2 - m1) / m)
+    s = [r6(xs[i] - m1) for i in range(m)]
+    out = [(m, xs[m - 1], l_prev, b_prev, s[m - 1], None, None)]
+    for t in range(m + 1, len(xs) + 1):
+        x = xs[t - 1]
+        s_use = s[0]
+        f = l_prev + b_prev + s_use
+        l_new = r6(0.5 * (x - s_use) + 0.5 * (l_prev + b_prev))
+        b_new = r6(0.5 * (l_new - l_prev) + 0.5 * b_prev)
+        s_new = r6(0.5 * (x - l_new) + 0.5 * s_use)
+        out.append((t, x, l_new, b_new, s_new, f, x - f))
+        l_prev, b_prev = l_new, b_new
+        s = s[1:] + [s_new]
+    res = pd.DataFrame(
+        out,
+        columns=[
+            "idx",
+            "revenue",
+            "level",
+            "trend",
+            "seasonal",
+            "forecast",
+            "residual",
+        ],
+    )
+    res.insert(0, "day", list(pdf["day"])[m - 1 :])
+    res.insert(0, "event_type", pdf["event_type"].iloc[0])
+    return res
+
+
+@register(
+    "window_holt_winters_additive",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i
+        FROM daily
+    ),
+    means AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN i <= {HW_PERIOD}
+                        THEN CAST(round(x, 6) AS DECIMAL(18,6)) END)
+                    AS DOUBLE) / {HW_PERIOD} AS m1,
+               CAST(SUM(CASE WHEN i > {HW_PERIOD}
+                              AND i <= {2 * HW_PERIOD}
+                        THEN CAST(round(x, 6) AS DECIMAL(18,6)) END)
+                    AS DOUBLE) / {HW_PERIOD} AS m2
+        FROM idx GROUP BY event_type
+        HAVING max(i) >= {2 * HW_PERIOD}
+    ),
+    sinit AS (
+        SELECT idx.event_type,
+               list(round(x - m1, 6) ORDER BY i) AS s
+        FROM idx JOIN means USING (event_type)
+        WHERE i <= {HW_PERIOD}
+        GROUP BY idx.event_type
+    ),
+    rec(event_type, i, l, b, s) AS (
+        SELECT m.event_type, {HW_PERIOD},
+               round(m.m1, 6),
+               round((m.m2 - m.m1) / {HW_PERIOD}, 6),
+               si.s
+        FROM means m JOIN sinit si USING (event_type)
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               round(0.5 * (d.x - r.s[1]) + 0.5 * (r.l + r.b), 6),
+               round(0.5 * (round(0.5 * (d.x - r.s[1])
+                                  + 0.5 * (r.l + r.b), 6) - r.l)
+                     + 0.5 * r.b, 6),
+               list_append(r.s[2:],
+                   round(0.5 * (d.x - round(0.5 * (d.x - r.s[1])
+                                            + 0.5 * (r.l + r.b), 6))
+                         + 0.5 * r.s[1], 6))
+        FROM rec r JOIN idx d
+          ON d.event_type = r.event_type AND d.i = r.i + 1
+    )
+    SELECT r.event_type,
+           CAST(d.day AS VARCHAR) AS day,
+           CAST(r.i AS BIGINT) AS idx,
+           d.x AS revenue,
+           r.l AS level,
+           r.b AS trend,
+           r.s[{HW_PERIOD}] AS seasonal,
+           CASE WHEN r.i = {HW_PERIOD} THEN NULL
+                ELSE p.l + p.b + p.s[1] END AS forecast,
+           CASE WHEN r.i = {HW_PERIOD} THEN NULL
+                ELSE d.x - (p.l + p.b + p.s[1]) END AS residual
+    FROM rec r
+    JOIN idx d ON d.event_type = r.event_type AND d.i = r.i
+    LEFT JOIN rec p
+      ON p.event_type = r.event_type AND p.i = r.i - 1
+    """,
+    tags=("windowed", "timeseries", "forecast", "stateful"),
+)
+def window_holt_winters_additive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters ADDITIVE (triple exponential) smoothing of
+    per-event-type daily revenue, alpha = beta = gamma = 1/2, weekly
+    period m = {HW_PERIOD} — completing the smoothing ladder (EWMA:
+    level; Holt: level+trend; this: level+trend+seasonal), the model
+    the classical-decomposition strengths tell a pipeline to reach
+    for when BOTH F_s and F_t are high.  The coupled recursion
+    l_t = alpha(x_t − s_{{t−m}}) + (1−alpha)(l_{{t−1}} + b_{{t−1}}),
+    b_t = beta(l_t − l_{{t−1}}) + (1−beta)b_{{t−1}},
+    s_t = gamma(x_t − l_t) + (1−gamma)s_{{t−m}},
+    f_t = l_{{t−1}} + b_{{t−1}} + s_{{t−m}}
+    is genuinely sequential with an (m+2)-dimensional state, so the
+    engine runs ONE applyInPandas fold per series (series parallelize
+    across tasks; O(m) state) and the DuckDB oracle threads the
+    seasonal vector through recursion as a LIST column — the
+    registry's first list-state recursive CTE (extends
+    window_holt_linear_smoothing's scalar-state form).  Two-cycle
+    initialization (needs 2m observations): l_m = round6 mean of
+    cycle 1, b_m = round6 of (cycle-2 mean − cycle-1 mean)/m,
+    s_1..m = round6 deviations of cycle 1 from its mean; forecasts
+    and residuals start at t = m+1.
+
+    Scale: one map-side-combined groupBy to the (series × calendar)
+    table, then a per-series linear fold with O(m) state — a million
+    series parallelize perfectly and no state outgrows its calendar.
+    The reference's only stateful op is an unbounded per-window
+    HashSet (UniqueUsersCounter.java:80-84); this is the bounded-state
+    counterexample."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+    )
+    idx = daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    return idx.groupBy("event_type").applyInPandas(
+        _holt_winters_fold,
+        schema=(
+            "event_type string, day string, idx bigint, "
+            "revenue double, level double, trend double, "
+            "seasonal double, forecast double, residual double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson closed forms, lags 1-3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_pacf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               CAST(SUM(x) AS DOUBLE) / count(*) AS mu
+        FROM daily
+    ),
+    dev AS (
+        SELECT d, CAST(x AS DOUBLE) - mu AS e FROM daily, tot
+    ),
+    den AS (
+        SELECT SUM(CAST(round(e * e, 6) AS DECIMAL(18,6))) AS s0
+        FROM dev
+    ),
+    ks AS (SELECT unnest(generate_series(1, 3)) AS k),
+    num AS (
+        SELECT ks.k,
+               SUM(CAST(round(a.e * b.e, 6) AS DECIMAL(18,6))) AS sk
+        FROM ks JOIN dev a ON TRUE JOIN dev b ON b.d = a.d + ks.k
+        GROUP BY ks.k
+    ),
+    acfs AS (
+        SELECT k, CAST(sk AS DOUBLE) / CAST(s0 AS DOUBLE) AS acf
+        FROM num, den
+    ),
+    r AS (
+        SELECT max(CASE WHEN k = 1 THEN acf END) AS r1,
+               max(CASE WHEN k = 2 THEN acf END) AS r2,
+               max(CASE WHEN k = 3 THEN acf END) AS r3
+        FROM acfs
+    ),
+    p2 AS (
+        SELECT r1, r2, r3,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+        FROM r
+    ),
+    p3 AS (
+        SELECT r1, r2, r3, phi22,
+               r1 - phi22 * r1 AS phi21
+        FROM p2
+    )
+    SELECT CAST(1 AS INT) AS lag_k, r1 AS acf, r1 AS pacf FROM p3
+    UNION ALL
+    SELECT CAST(2 AS INT), r2, phi22 FROM p3
+    UNION ALL
+    SELECT CAST(3 AS INT), r3,
+           (r3 - phi21 * r2 - phi22 * r1)
+               / (1.0 - phi21 * r1 - phi22 * r2)
+    FROM p3
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_pacf_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partial autocorrelation of total daily revenue at lags 1-3 via
+    the Durbin-Levinson CLOSED FORMS — the Box-Jenkins companion to
+    window_acf_daily_revenue (ACF tails off / PACF cuts at p ⟹ AR(p);
+    the pair is how a pipeline picks an order before fitting
+    anything): phi_11 = r1, phi_22 = (r2 − r1²)/(1 − r1²),
+    phi_21 = r1 − phi_22·r1, phi_33 = (r3 − phi_21·r2 − phi_22·r1) /
+    (1 − phi_21·r1 − phi_22·r2).  For fixed small max-lag the Durbin
+    recursion unrolls to plain rational expressions in the ACF values,
+    so no sequential fold is needed: the engine REUSES the registered
+    ACF operator's DataFrame (lags ≤ 3 of the same statistic), pivots
+    the three values to one row, and writes the phis with operator
+    structure identical to the oracle's — bit-equal without rounding
+    discipline because both engines evaluate the same IEEE expression
+    tree on the same three doubles.
+
+    Scale: everything after the ACF (itself calendar-sized, see
+    window_acf_daily_revenue) is arithmetic on a 1-row frame."""
+    acf = (
+        window_acf_daily_revenue(spark, sf_dir)
+        .filter(F.col("lag_k") <= 3)
+        .select("lag_k", "acf")
+    )
+    r = acf.agg(
+        F.max(F.when(F.col("lag_k") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag_k") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag_k") == 3, F.col("acf"))).alias("r3"),
+    )
+    p2 = r.withColumn(
+        "phi22",
+        (F.col("r2") - F.col("r1") * F.col("r1"))
+        / (F.lit(1.0) - F.col("r1") * F.col("r1")),
+    )
+    p3 = p2.withColumn(
+        "phi21", F.col("r1") - F.col("phi22") * F.col("r1")
+    )
+    phi33 = (
+        F.col("r3")
+        - F.col("phi21") * F.col("r2")
+        - F.col("phi22") * F.col("r1")
+    ) / (
+        F.lit(1.0)
+        - F.col("phi21") * F.col("r1")
+        - F.col("phi22") * F.col("r2")
+    )
+    return p3.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("int").alias("lag_k"),
+                    F.col("r1").alias("acf"),
+                    F.col("r1").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).cast("int").alias("lag_k"),
+                    F.col("r2").alias("acf"),
+                    F.col("phi22").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).cast("int").alias("lag_k"),
+                    F.col("r3").alias("acf"),
+                    phi33.alias("pacf"),
+                ),
+            )
+        ).alias("row")
+    ).select("row.*")
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test
+# ---------------------------------------------------------------------------
+
+#: ln(40): 2*exp(-z) < 0.05  <=>  z > ln(40).  A literal so neither
+#: engine evaluates a transcendental at query time.
+PETTITT_LN40 = 3.6888794541139363
+
+
+@register(
+    "window_pettitt_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT day, x,
+               rank() OVER (ORDER BY x) AS rk,
+               count(*) OVER (PARTITION BY x) AS eq,
+               row_number() OVER (ORDER BY day) AS t,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    u AS (
+        SELECT day, t, n,
+               t * (n + 1)
+                   - SUM(2 * (rk - 1) + eq + 1)
+                         OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS u_t
+        FROM ranked
+    ),
+    summary AS (
+        SELECT max(abs(u_t)) AS k_stat,
+               max(n) AS n_days
+        FROM u WHERE t < n
+    ),
+    cp AS (
+        SELECT min(u.day) AS change_day
+        FROM u, summary s
+        WHERE u.t < u.n AND abs(u.u_t) = s.k_stat
+    )
+    SELECT CAST(u.day AS VARCHAR) AS day,
+           CAST(u.u_t AS BIGINT) AS u_t,
+           CAST(s.k_stat AS BIGINT) AS k_stat,
+           CAST(c.change_day AS VARCHAR) AS change_day,
+           (6.0 * CAST(s.k_stat AS DOUBLE) * CAST(s.k_stat AS DOUBLE))
+               / (CAST(s.n_days AS DOUBLE) * s.n_days * s.n_days
+                  + CAST(s.n_days AS DOUBLE) * s.n_days) AS pettitt_z,
+           (6.0 * CAST(s.k_stat AS DOUBLE) * CAST(s.k_stat AS DOUBLE))
+               / (CAST(s.n_days AS DOUBLE) * s.n_days * s.n_days
+                  + CAST(s.n_days AS DOUBLE) * s.n_days)
+               > {PETTITT_LN40} AS significant_005
+    FROM u, summary s, cp c
+    WHERE u.t < u.n
+    """,
+    tags=("windowed", "timeseries", "changepoint", "statistics"),
+)
+def window_pettitt_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pettitt rank-based changepoint test on total daily revenue —
+    the NONPARAMETRIC companion to window_cusum_changepoint (CUSUM
+    localizes a mean shift in level units and is outlier-sensitive;
+    Pettitt asks whether ANY split t makes the two sides stochastically
+    different, immune to monotone transforms): U_t = sum over i<=t,
+    j>t of sgn(x_j − x_i), K = max|U_t|, with the classic approximation
+    p ~= 2·exp(−6K²/(n³+n²)) read through its LOGARITHM — the gate
+    fires iff z = 6K²/(n³+n²) > ln 40 (a literal), so no engine
+    evaluates exp and the statistic stays exact-integer.  The O(n²)
+    pair sum is NOT materialized: with midranks r_i,
+    sum_j sgn(x_i − x_j) = 2r_i − (n+1) exactly (ties included, via
+    2r_i = 2·#less + #eq + 1, an INTEGER), and antisymmetry cancels
+    the within-prefix pairs, giving U_t = t(n+1) − sum_{{i<=t}} 2r_i —
+    one rank window plus one cumulative sum, all in bigint arithmetic,
+    identical on both engines with zero float drift.  Ranks compare
+    exact DECIMAL revenue, so ties are textual equality, not float
+    luck.  Emits the full U trace (t < n; U_n = 0 by construction)
+    with the global verdict on every row; change_day is the earliest
+    day attaining K.
+
+    Scale: daily collapse is map-side combined; the rank/cumsum
+    windows run over the CALENDAR-sized series (the O(n²) pair form
+    this replaces would not survive a 10-year calendar).  Per-key
+    variants partition both windows by key."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+    )
+    ranked = daily.select(
+        "day",
+        F.rank().over(Window.orderBy("x")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("x")).alias("eq"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = ranked.select(
+        "day",
+        "t",
+        "n",
+        (
+            F.col("t") * (F.col("n") + F.lit(1))
+            - F.sum(
+                F.lit(2) * (F.col("rk") - F.lit(1))
+                + F.col("eq")
+                + F.lit(1)
+            ).over(cum)
+        ).alias("u_t"),
+    ).filter(F.col("t") < F.col("n"))
+    summary = u.agg(
+        F.max(F.abs(F.col("u_t"))).alias("k_stat"),
+        F.max("n").alias("n_days"),
+    )
+    with_k = u.crossJoin(F.broadcast(summary))
+    change = with_k.filter(
+        F.abs(F.col("u_t")) == F.col("k_stat")
+    ).agg(F.min("day").alias("change_day"))
+    nd = F.col("n_days").cast("double")
+    kd = F.col("k_stat").cast("double")
+    z = (F.lit(6.0) * kd * kd) / (
+        nd * F.col("n_days") * F.col("n_days")
+        + nd * F.col("n_days")
+    )
+    return (
+        with_k.crossJoin(F.broadcast(change))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("u_t").cast("bigint").alias("u_t"),
+            F.col("k_stat").cast("bigint").alias("k_stat"),
+            F.col("change_day").cast("string").alias("change_day"),
+            z.alias("pettitt_z"),
+            (z > F.lit(PETTITT_LN40)).alias("significant_005"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                   AS from_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS from_total,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)
+               AS p
+    FROM c
+    """,
+    tags=("windowed", "sequence", "statistics"),
+)
+def window_markov_event_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences — the MLE P(to | from) = n(from→to) / n(from→·) that a
+    behavioral pipeline feeds into next-event prediction, anomalous-
+    session scoring (a session's log-likelihood under P), and as the
+    base measure window_sequence_pattern_match's hits are judged
+    against.  Adjacency is lag() per user ordered by (ts, event_id) —
+    the registry's deterministic-tiebreak convention — so every
+    consecutive pair contributes exactly one integer cell; the row
+    normalization is one integer-to-double division per cell, exact on
+    both engines.
+
+    Scale: the lag window shuffles once on user_id (each user's
+    sequence is processed where it lands — no cross-user state); the
+    transition table is |event_type|² cells (25 here), so the
+    normalizing window is over a domain-bounded frame.  At 100 TB the
+    only large exchange is the user_id repartition, shared with every
+    other per-user sequence op."""
+    from pyspark.sql import Window
+
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("from_type"),
+    )
+    c = (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.sum("n").over(tot).cast("bigint").alias("from_total"),
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between the click and purchase daily series
+# ---------------------------------------------------------------------------
+
+#: Symmetric lag range of the CCF op (days).
+CCF_MAX_LAG = 3
+
+
+@register(
+    "window_ccf_click_purchase",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               CAST(SUM(x) AS DOUBLE) / count(*) AS mx,
+               CAST(SUM(y) AS DOUBLE) / count(*) AS my
+        FROM daily
+    ),
+    dev AS (
+        SELECT d, CAST(x AS DOUBLE) - mx AS ex,
+               CAST(y AS DOUBLE) - my AS ey
+        FROM daily, tot
+    ),
+    den AS (
+        SELECT SUM(CAST(round(ex * ex, 6) AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(round(ey * ey, 6) AS DECIMAL(18,6))) AS sy
+        FROM dev
+    ),
+    ks AS (
+        SELECT unnest(generate_series(-{CCF_MAX_LAG},
+                                      {CCF_MAX_LAG})) AS k
+    ),
+    num AS (
+        SELECT ks.k,
+               count(*) AS n_pairs,
+               SUM(CAST(round(a.ex * b.ey, 6) AS DECIMAL(18,6)))
+                   AS sk
+        FROM ks JOIN dev a ON TRUE JOIN dev b ON b.d = a.d + ks.k
+        GROUP BY ks.k
+    )
+    SELECT CAST(k AS INT) AS lag_k,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(sk AS DOUBLE)
+               / sqrt(CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               AS ccf
+    FROM num, den
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_ccf_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample CROSS-correlation between the daily click-count and
+    purchase-count series at lags −{CCF_MAX_LAG}..+{CCF_MAX_LAG} —
+    the lead-lag diagnostic the ACF/PACF pair can't give: ccf(k) =
+    corr(click_t, purchase_(t+k)), so a positive-k peak means clicks
+    LEAD purchases by k days (the signal that justifies the lagged
+    OLS companion and sizes the attribution lookback).  Same kernel
+    discipline as window_acf_daily_revenue: one key-frame join
+    (b.d = a.d + k) produces all 2·{CCF_MAX_LAG}+1 lags in one pass,
+    cross-products rounded to 6 decimals and summed exactly, the
+    denominator √(Sx·Sy) from exact decimal second moments.  Counts
+    (not revenue) make both deviation series integer-anchored.
+
+    Scale: the daily collapse is one conditional-sum groupBy
+    (map-side combined); everything after runs over CALENDAR-sized
+    tables × 7 lags.  Per-key CCFs partition the join by key."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "x",
+            "y",
+        )
+    )
+    tot = daily.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("my"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (F.col("x").cast("double") - F.col("mx")).alias("ex"),
+        (F.col("y").cast("double") - F.col("my")).alias("ey"),
+    )
+    den = dev.agg(
+        F.sum(
+            F.round(F.col("ex") * F.col("ex"), 6).cast("decimal(18,6)")
+        ).alias("sx"),
+        F.sum(
+            F.round(F.col("ey") * F.col("ey"), 6).cast("decimal(18,6)")
+        ).alias("sy"),
+    )
+    ks = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        F.broadcast(ks)
+        .crossJoin(a)
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.round(F.col("a.ex") * F.col("b.ey"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("sk"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("int").alias("lag_k"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (
+            F.col("sk").cast("double")
+            / F.sqrt(
+                F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+        ).alias("ccf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged OLS: purchases_t on clicks_{t-1}
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_lagged_ols_clicks_purchases",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS c,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS p
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.c AS x, b.p AS y
+        FROM daily a JOIN daily b ON b.d = a.d + 1
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx,
+               SUM(y * y) AS syy
+        FROM pairs
+    ),
+    t AS (
+        SELECT n, sx, sy, sxy, sxx, syy,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS cov_t,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS varx_t,
+               CAST(n * syy - sy * sy AS DOUBLE) AS vary_t
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           cov_t / varx_t AS slope,
+           (CAST(sy AS DOUBLE) - (cov_t / varx_t) * CAST(sx AS DOUBLE))
+               / n AS intercept,
+           (cov_t * cov_t) / (varx_t * vary_t) AS r2
+    FROM t
+    """,
+    tags=("windowed", "timeseries", "statistics", "regression"),
+)
+def window_lagged_ols_clicks_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lagged OLS of next-day purchase count on today's click count —
+    the Granger-style one-regressor readout that quantifies the
+    lead-lag the CCF surfaces: ŷ = a + b·x over pairs
+    (clicks_t, purchases_{t+1}), with slope b = (nΣxy − ΣxΣy) /
+    (nΣxx − (Σx)²), intercept a = (Σy − bΣx)/n, and
+    r² = (nΣxy − ΣxΣy)² / ((nΣxx − (Σx)²)(nΣyy − (Σy)²)).  Because
+    both series are COUNTS, all five moments are exact BIGINT sums
+    from one aggregate; the three combination terms are formed in
+    bigint and cast to double once, so slope/intercept/r² are
+    bit-identical cross-engine with no rounding discipline.  The
+    day+1 pair join drops calendar gaps instead of faking zeros.
+
+    Scale: daily collapse is map-side combined; pairs/moments are
+    calendar-sized.  At daily counts beyond ~3e9 the bigint
+    combination terms need DECIMAL(38,0) — the documented swap, same
+    table shape.  Per-key regressions group the moment aggregate by
+    key."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("c"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("p"),
+        )
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "c",
+            "p",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.d") == F.col("a.d") + 1).select(
+        F.col("a.c").alias("x"), F.col("b.p").alias("y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    t = m.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+        ).alias("cov_t"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("varx_t"),
+        (
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+        ).alias("vary_t"),
+    )
+    slope = F.col("cov_t") / F.col("varx_t")
+    return t.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept"),
+        (
+            (F.col("cov_t") * F.col("cov_t"))
+            / (F.col("varx_t") * F.col("vary_t"))
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley cumulative drift statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_page_hinkley_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    c1 AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS t,
+               SUM(x) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cums
+        FROM daily
+    ),
+    c2 AS (
+        SELECT day, x, t,
+               CAST(x AS DOUBLE) - CAST(cums AS DOUBLE) / t AS dev
+        FROM c1
+    ),
+    c3 AS (
+        SELECT day, x, t, dev,
+               CAST(SUM(CAST(round(dev, 6) AS DECIMAL(18,6)))
+                        OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) AS mt
+        FROM c2
+    ),
+    c4 AS (
+        SELECT day, x, t, mt,
+               mt - min(mt) OVER (ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS ph
+        FROM c3
+    ),
+    s AS (SELECT max(ph) AS max_ph FROM c4),
+    cp AS (
+        SELECT min(c4.day) AS detect_day
+        FROM c4, s WHERE c4.ph = s.max_ph
+    )
+    SELECT CAST(c4.day AS VARCHAR) AS day,
+           CAST(c4.x AS DOUBLE) AS revenue,
+           c4.mt AS mt,
+           c4.ph AS ph,
+           s.max_ph AS max_ph,
+           CAST(cp.detect_day AS VARCHAR) AS detect_day
+    FROM c4, s, cp
+    """,
+    tags=("windowed", "timeseries", "changepoint", "drift"),
+)
+def window_page_hinkley_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page-Hinkley cumulative drift statistic on total daily revenue
+    (increase side, delta = 0) — the SEQUENTIAL-monitoring member of
+    the changepoint trio (CUSUM localizes a known-level shift, Pettitt
+    tests any split retrospectively; Page-Hinkley is what you run
+    forward): m_T = sum over t<=T of (x_t − mean_t), with mean_t the
+    RUNNING prefix mean, and PH_T = m_T − min over t<=T of m_t, rising
+    when the series drifts above its own history.  Despite being
+    defined as a recursion over the running mean, it is fully
+    DECLARATIVE: prefix mean from the exact-decimal cumulative sum,
+    deviations rounded to 6 decimals and cumulated as exact decimals,
+    then a prefix-min window — four layered windows, no fold,
+    identical on both engines.  Emits the full (mt, ph) trace with the
+    global maximum and its earliest day; the alarm threshold lambda is
+    deliberately left to the operator (it is a units-bearing policy
+    knob, unlike Pettitt's distribution-free gate).
+
+    Scale: everything after the map-side-combined daily collapse runs
+    over the CALENDAR-sized series; per-key variants partition all
+    four windows by key."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+    )
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c1 = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("x").over(cum).alias("cums"),
+    )
+    c2 = c1.select(
+        "day",
+        "x",
+        "t",
+        (
+            F.col("x").cast("double")
+            - F.col("cums").cast("double") / F.col("t")
+        ).alias("dev"),
+    )
+    c3 = c2.select(
+        "day",
+        "x",
+        "t",
+        F.sum(F.round(F.col("dev"), 6).cast("decimal(18,6)"))
+        .over(cum)
+        .cast("double")
+        .alias("mt"),
+    )
+    c4 = c3.select(
+        "day",
+        "x",
+        "mt",
+        (F.col("mt") - F.min("mt").over(cum)).alias("ph"),
+    )
+    s = c4.agg(F.max("ph").alias("max_ph"))
+    with_s = c4.crossJoin(F.broadcast(s))
+    cp = with_s.filter(F.col("ph") == F.col("max_ph")).agg(
+        F.min("day").alias("detect_day")
+    )
+    return with_s.crossJoin(F.broadcast(cp)).select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").cast("double").alias("revenue"),
+        "mt",
+        "ph",
+        "max_ph",
+        F.col("detect_day").cast("string").alias("detect_day"),
+    )

@@ -2130,11 +2130,15 @@ def _ztest_monitor_oracle() -> str:
            CAST(conv_a AS BIGINT) AS conv_a,
            CAST(n_b AS BIGINT) AS n_b,
            CAST(conv_b AS BIGINT) AS conv_b,
-           (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
-                              * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
-           abs((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
-                                  * (1.0 / n_a + 1.0 / n_b)))
-               > {Z_CRIT_005} AS significant_005
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+                                        * (1.0 / n_a + 1.0 / n_b))
+           END AS z_stat,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE abs((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+                                            * (1.0 / n_a + 1.0 / n_b)))
+                     > {Z_CRIT_005}
+           END AS significant_005
     FROM p
     """
 
@@ -2254,14 +2258,19 @@ def stream_ab_ztest_monitor(
         * (F.lit(1.0) - F.col("p_pool"))
         * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
     )
+    # Empty-variant guard mirrors quality_two_proportion_ztest: a
+    # chunk where one arm has zero rows reports NULL, not inf noise.
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return p.select(
         "chunk_min_event_id",
         "n_a",
         "conv_a",
         "n_b",
         "conv_b",
-        z.alias("z_stat"),
-        (F.abs(z) > F.lit(Z_CRIT_005)).alias("significant_005"),
+        F.when(both, z).alias("z_stat"),
+        F.when(both, F.abs(z) > F.lit(Z_CRIT_005)).alias(
+            "significant_005"
+        ),
     )
 
 
@@ -2418,4 +2427,210 @@ def stream_isotonic_recalibration(
         F.col("yb").cast("bigint").alias("n_pos"),
         (F.col("yb").cast("double") / F.col("nb")).alias("rate_raw"),
         F.col("fitted").alias("rate_isotonic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Pettitt changepoint monitor
+# ---------------------------------------------------------------------------
+
+
+def _pettitt_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.windowed import (
+        PETTITT_LN40,
+    )
+
+    return f"""
+    WITH ordered AS (
+        SELECT event_id, ts, value,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, ts, value, rn // ((n + 2) // 3) AS chunk_id
+        FROM ordered
+    ),
+    keys AS (
+        SELECT chunk_id, min(event_id) AS ck FROM chunked GROUP BY 1
+    ),
+    daily AS (
+        SELECT chunk_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM chunked GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT chunk_id, day, x,
+               rank() OVER (PARTITION BY chunk_id ORDER BY x) AS rk,
+               count(*) OVER (PARTITION BY chunk_id, x) AS eq,
+               row_number() OVER (PARTITION BY chunk_id
+                                  ORDER BY day) AS t,
+               count(*) OVER (PARTITION BY chunk_id) AS nd
+        FROM daily
+    ),
+    u AS (
+        SELECT chunk_id, day, t, nd,
+               t * (nd + 1)
+                   - SUM(2 * (rk - 1) + eq + 1)
+                         OVER (PARTITION BY chunk_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS u_t
+        FROM ranked
+    ),
+    summary AS (
+        SELECT chunk_id, max(abs(u_t)) AS k_stat, max(nd) AS n_days
+        FROM u WHERE t < nd GROUP BY 1
+    ),
+    cp AS (
+        SELECT u.chunk_id, min(u.day) AS change_day
+        FROM u JOIN summary s ON s.chunk_id = u.chunk_id
+        WHERE u.t < u.nd AND abs(u.u_t) = s.k_stat
+        GROUP BY 1
+    )
+    SELECT k.ck AS chunk_min_event_id,
+           CAST(u.day AS VARCHAR) AS day,
+           CAST(u.u_t AS BIGINT) AS u_t,
+           CAST(s.k_stat AS BIGINT) AS k_stat,
+           CAST(c.change_day AS VARCHAR) AS change_day,
+           (6.0 * CAST(s.k_stat AS DOUBLE) * CAST(s.k_stat AS DOUBLE))
+               / (CAST(s.n_days AS DOUBLE) * s.n_days * s.n_days
+                  + CAST(s.n_days AS DOUBLE) * s.n_days) AS pettitt_z,
+           (6.0 * CAST(s.k_stat AS DOUBLE) * CAST(s.k_stat AS DOUBLE))
+               / (CAST(s.n_days AS DOUBLE) * s.n_days * s.n_days
+                  + CAST(s.n_days AS DOUBLE) * s.n_days)
+               > {PETTITT_LN40} AS significant_005
+    FROM u
+    JOIN keys k ON k.chunk_id = u.chunk_id
+    JOIN summary s ON s.chunk_id = u.chunk_id
+    JOIN cp c ON c.chunk_id = u.chunk_id
+    WHERE u.t < u.nd
+    """
+
+
+@register(
+    "stream_pettitt_monitor",
+    oracle=_pettitt_monitor_oracle(),
+    tags=("streaming", "changepoint", "quality"),
+)
+def stream_pettitt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch Pettitt changepoint test on daily revenue — the
+    streaming deployment of window_pettitt_changepoint and the
+    monitor a revenue pipeline runs per ingest slice: each batch folds
+    to its CALENDAR-sized daily-revenue cells (exact micro-unit
+    integers — the histogram-sized driver state the KS/PSI monitors
+    established), and ALL test arithmetic — midrank identity,
+    U-trace, K, the log-space verdict — runs post-stream in Spark
+    expressions identical to the batch operator's, partitioned by
+    chunk.  Batches are keyed by min event_id (data-derived,
+    batch-order-independent); chunk membership is deterministic via
+    the (ts, event_id) staging sort mirrored by the oracle's
+    row_number.  Ranks compare exact micro-unit BIGINTs, so ties are
+    integer equality on both engines.
+
+    Scale: per-trigger driver traffic is one daily histogram
+    (≤ calendar days); nothing in the streaming state store — verdicts
+    are per-batch final and a restart loses no state."""
+    from kafka_stream_processing_spark.functions.exact import dec
+    from kafka_stream_processing_spark.operators.windowed import (
+        PETTITT_LN40,
+    )
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    cells: list[tuple[int, str, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day")
+            )
+            .agg(
+                F.sum(dec("value")).alias("x"),
+                F.min("event_id").alias("mi"),
+            )
+            .collect()
+        )
+        if not rows:
+            return
+        ck = min(int(r["mi"]) for r in rows)
+        for r in rows:
+            xm = int(r["x"].scaleb(6))  # exact: DECIMAL(_,6) → micro int
+            cells.append((ck, r["day"].isoformat(), xm))
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    from pyspark.sql import Window
+
+    daily = spark.createDataFrame(
+        cells, "ck bigint, day string, xm bigint"
+    )
+    ranked = daily.select(
+        "ck",
+        "day",
+        F.rank()
+        .over(Window.partitionBy("ck").orderBy("xm"))
+        .alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("ck", "xm"))
+        .alias("eq"),
+        F.row_number()
+        .over(Window.partitionBy("ck").orderBy("day"))
+        .alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy("ck")).alias("nd"),
+    )
+    cum = (
+        Window.partitionBy("ck")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = ranked.select(
+        "ck",
+        "day",
+        "t",
+        "nd",
+        (
+            F.col("t") * (F.col("nd") + F.lit(1))
+            - F.sum(
+                F.lit(2) * (F.col("rk") - F.lit(1))
+                + F.col("eq")
+                + F.lit(1)
+            ).over(cum)
+        ).alias("u_t"),
+    ).filter(F.col("t") < F.col("nd"))
+    summary = u.groupBy("ck").agg(
+        F.max(F.abs(F.col("u_t"))).alias("k_stat"),
+        F.max("nd").alias("n_days"),
+    )
+    with_k = u.join(F.broadcast(summary), "ck")
+    cp = (
+        with_k.filter(F.abs(F.col("u_t")) == F.col("k_stat"))
+        .groupBy("ck")
+        .agg(F.min("day").alias("change_day"))
+    )
+    nd = F.col("n_days").cast("double")
+    kd = F.col("k_stat").cast("double")
+    z = (F.lit(6.0) * kd * kd) / (
+        nd * F.col("n_days") * F.col("n_days") + nd * F.col("n_days")
+    )
+    return with_k.join(F.broadcast(cp), "ck").select(
+        F.col("ck").alias("chunk_min_event_id"),
+        F.col("day").cast("string").alias("day"),
+        F.col("u_t").cast("bigint").alias("u_t"),
+        F.col("k_stat").cast("bigint").alias("k_stat"),
+        F.col("change_day").cast("string").alias("change_day"),
+        z.alias("pettitt_z"),
+        (z > F.lit(PETTITT_LN40)).alias("significant_005"),
     )

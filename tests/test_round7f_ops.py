@@ -1495,3 +1495,63 @@ def test_holt_linear_python_replay(spark, sf_small):
             assert r.residual == x - f
             l, b = l_new, b_new
     assert len(rows) == n_expected
+
+
+def test_classical_decomposition_python_replay(spark, sf_small):
+    """Components and both strengths replayed; additivity identity
+    x = trend + seasonal + remainder pinned from the engine output."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        DECOMP_PERIOD,
+    )
+
+    rows = sorted(
+        SPECS["window_classical_decomposition"].fn(spark, sf_small).collect(),
+        key=lambda r: r.day,
+    )
+    acc = _daily(sf_small, by_type=False)
+    days = sorted(acc)
+    xs = [float(acc[d]) for d in days]
+    half = DECOMP_PERIOD // 2
+    trend = {}
+    for i in range(half, len(days) - half):
+        win = xs[i - half : i + half + 1]
+        trend[days[i]] = (
+            float(sum(acc[days[j]] for j in range(i - half, i + half + 1)))
+            / DECOMP_PERIOD
+        )
+    det = {d: xs[days.index(d)] - t for d, t in trend.items()}
+    by_dow: dict[int, list[float]] = {}
+    for d, v in det.items():
+        by_dow.setdefault(d.weekday(), []).append(v)
+    seas = {
+        k: sum(round(v, 6) for v in vs) / len(vs)
+        for k, vs in by_dow.items()
+    }
+    rem = {d: det[d] - seas[d.weekday()] for d in det}
+    n = len(rem)
+    vr = sum(round(v * v, 6) for v in rem.values()) / n
+    vsr = (
+        sum(
+            round((seas[d.weekday()] + rem[d]) ** 2, 6) for d in rem
+        )
+        / n
+    )
+    vtr = sum(round((trend[d] + rem[d]) ** 2, 6) for d in rem) / n
+    fs = max(0.0, 1.0 - vr / vsr)
+    ft = max(0.0, 1.0 - vr / vtr)
+    assert len(rows) == n
+    for r in rows:
+        import datetime as dt
+
+        d = dt.date.fromisoformat(r.day)
+        assert abs(r.trend - trend[d]) < 1e-9
+        assert abs(r.seasonal - seas[d.weekday()]) < 1e-9
+        assert abs(r.remainder - rem[d]) < 1e-9
+        assert abs(r.seasonal_strength - fs) < 1e-9
+        assert abs(r.trend_strength - ft) < 1e-9
+        # additivity of the engine's own columns
+        assert abs(
+            r.revenue - (r.trend + r.seasonal + r.remainder)
+        ) < 1e-9
+        assert 0.0 <= r.seasonal_strength <= 1.0
+        assert 0.0 <= r.trend_strength <= 1.0

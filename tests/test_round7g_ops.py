@@ -1,0 +1,571 @@
+"""Round-7 seventh wave: Holt-Winters additive smoothing, Durbin
+closed-form PACF, Pettitt changepoint, Markov event transitions,
+multi-touch attribution, and the z-test empty-variant guard.
+
+Each test replays the statistic in plain Python from the parquet
+(independent arithmetic path — the Pettitt replay deliberately uses
+the O(n²) pair-sum definition the engine's rank identity replaces);
+the oracle-parity sweep (test_oracle_parity.py) covers the DuckDB
+differential separately.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+
+from kafka_stream_processing_spark.registry import all_specs
+from tests.test_round7f_ops import _daily
+
+SPECS = all_specs()
+
+
+def _r6(v: float) -> float:
+    return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+
+def test_holt_winters_python_replay(spark, sf_small):
+    """Full textbook replay of the additive recursion per event_type,
+    plus the forecast-decomposition identity f_t = l+b+s on the
+    engine's own columns."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        HW_PERIOD,
+    )
+
+    m = HW_PERIOD
+    rows = (
+        SPECS["window_holt_winters_additive"].fn(spark, sf_small).collect()
+    )
+    acc = _daily(sf_small, by_type=True)
+    series: dict[str, list] = {}
+    for (et, day), v in sorted(acc.items()):
+        series.setdefault(et, []).append((day, float(v)))
+    n_rows = 0
+    for et, pts in series.items():
+        if len(pts) < 2 * m:
+            continue
+        xs = [x for _, x in pts]
+        micro = [round(x * 1e6) for x in xs]
+        m1 = (sum(micro[:m]) / 1e6) / m
+        m2 = (sum(micro[m : 2 * m]) / 1e6) / m
+        l, b = _r6(m1), _r6((m2 - m1) / m)
+        s = [_r6(xs[i] - m1) for i in range(m)]
+        exp = {m: (l, b, s[m - 1], None, None)}
+        for t in range(m + 1, len(xs) + 1):
+            x = xs[t - 1]
+            f = l + b + s[0]
+            l_new = _r6(0.5 * (x - s[0]) + 0.5 * (l + b))
+            b_new = _r6(0.5 * (l_new - l) + 0.5 * b)
+            s_new = _r6(0.5 * (x - l_new) + 0.5 * s[0])
+            exp[t] = (l_new, b_new, s_new, f, x - f)
+            l, b, s = l_new, b_new, s[1:] + [s_new]
+        got = {r.idx: r for r in rows if r.event_type == et}
+        assert set(got) == set(exp)
+        n_rows += len(exp)
+        for t, (el, eb, es, ef, er) in exp.items():
+            r = got[t]
+            assert r.level == el and r.trend == eb and r.seasonal == es
+            if t == m:
+                assert r.forecast is None and r.residual is None
+            else:
+                assert abs(r.forecast - ef) < 1e-9
+                assert abs(r.residual - er) < 1e-9
+    assert len(rows) == n_rows and n_rows > 0
+
+
+def test_pacf_durbin_replay(spark, sf_small):
+    """ACF from exact daily deviations, then the Durbin-Levinson
+    closed forms; pacf(1) must equal acf(1) exactly."""
+    rows = sorted(
+        SPECS["window_pacf_daily_revenue"].fn(spark, sf_small).collect(),
+        key=lambda r: r.lag_k,
+    )
+    acc = _daily(sf_small, by_type=False)
+    days = sorted(acc)
+    d0 = {(d - dt.date(1970, 1, 1)).days: float(acc[d]) for d in days}
+    n = len(d0)
+    mu = float(sum(acc.values())) / n
+    e = {d: x - mu for d, x in d0.items()}
+    s0 = sum(round(v * v, 6) for v in e.values())
+    r = {}
+    for k in (1, 2, 3):
+        r[k] = (
+            sum(
+                round(e[d] * e[d + k], 6)
+                for d in e
+                if d + k in e
+            )
+            / s0
+        )
+    phi22 = (r[2] - r[1] * r[1]) / (1.0 - r[1] * r[1])
+    phi21 = r[1] - phi22 * r[1]
+    phi33 = (r[3] - phi21 * r[2] - phi22 * r[1]) / (
+        1.0 - phi21 * r[1] - phi22 * r[2]
+    )
+    assert [x.lag_k for x in rows] == [1, 2, 3]
+    assert rows[0].pacf == rows[0].acf
+    for row, (ek, ep) in zip(
+        rows, [(r[1], r[1]), (r[2], phi22), (r[3], phi33)]
+    ):
+        assert abs(row.acf - ek) < 1e-9
+        assert abs(row.pacf - ep) < 1e-9
+
+
+def test_pettitt_pair_sum_replay(spark, sf_small):
+    """Replays U_t by the O(n²) pair-sum DEFINITION (the engine uses
+    the midrank identity — different algorithm), plus the verdict
+    arithmetic."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        PETTITT_LN40,
+    )
+
+    rows = sorted(
+        SPECS["window_pettitt_changepoint"].fn(spark, sf_small).collect(),
+        key=lambda r: r.day,
+    )
+    acc = _daily(sf_small, by_type=False)
+    days = sorted(acc)
+    xs = [acc[d] for d in days]  # exact Fractions — sgn is exact
+    n = len(xs)
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    u = {}
+    for t in range(1, n):
+        u[t] = sum(
+            sgn(xs[j] - xs[i])
+            for i in range(t)
+            for j in range(t, n)
+        )
+    k_stat = max(abs(v) for v in u.values())
+    change_day = min(
+        days[t - 1] for t, v in u.items() if abs(v) == k_stat
+    )
+    z = (6.0 * k_stat * k_stat) / (
+        float(n) * n * n + float(n) * n
+    )
+    assert len(rows) == n - 1
+    for t, row in enumerate(rows, start=1):
+        assert row.u_t == u[t]
+        assert row.k_stat == k_stat
+        assert row.change_day == change_day.isoformat()
+        assert abs(row.pettitt_z - z) < 1e-12
+        assert row.significant_005 == (z > PETTITT_LN40)
+
+
+def test_markov_transitions_replay(spark, sf_small):
+    """Counts replayed from per-user (ts, event_id)-sorted sequences;
+    every from-row of P is a probability distribution."""
+    rows = SPECS["window_markov_event_transitions"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, event_id, event_type"
+        f" FROM '{sf_small}/events.parquet'"
+        f" ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    counts: dict[tuple[str, str], int] = {}
+    prev_user, prev_type = None, None
+    for user, _, _, et in ev:
+        if user == prev_user:
+            counts[(prev_type, et)] = counts.get((prev_type, et), 0) + 1
+        prev_user, prev_type = user, et
+    got = {(r.from_type, r.to_type): r for r in rows}
+    assert set(got) == set(counts)
+    totals: dict[str, int] = {}
+    for (f_t, _), nn in counts.items():
+        totals[f_t] = totals.get(f_t, 0) + nn
+    for (f_t, t_t), nn in counts.items():
+        r = got[(f_t, t_t)]
+        assert r.n == nn
+        assert r.from_total == totals[f_t]
+        assert r.p == nn / totals[f_t]
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    for s in by_from.values():
+        assert abs(s - 1.0) < 1e-9
+
+
+def test_attribution_journeys_replay(spark, sf_small):
+    """Journey assembly + all three credit models replayed in Python;
+    conservation: first/last credits each sum to the total value of
+    attributed purchases, and linear totals match up to the round-6
+    per-share quantization."""
+    from kafka_stream_processing_spark.operators.relational import (
+        ATTRIB_CHANNELS,
+        ATTRIB_LOOKBACK_DAYS,
+    )
+
+    rows = SPECS["join_attribution_multitouch"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, event_id, event_type, value,"
+        f" CAST(json_extract_string(props, '$.k') AS BIGINT)"
+        f" FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    clicks: dict[int, list] = {}
+    purchases = []
+    for user, ts, eid, et, value, k in ev:
+        if et == "click":
+            clicks.setdefault(user, []).append((ts, eid, k))
+        elif et == "purchase":
+            purchases.append((user, ts, eid, value))
+    agg: dict[str, list] = {}
+    lookback = dt.timedelta(days=ATTRIB_LOOKBACK_DAYS)
+    n_journeys = 0
+    for user, p_ts, _, value in purchases:
+        touches = sorted(
+            (ts, eid, k)
+            for ts, eid, k in clicks.get(user, [])
+            if p_ts - lookback <= ts < p_ts
+        )
+        if not touches:
+            continue
+        n_journeys += 1
+        cnt = len(touches)
+        for i, (_, _, k) in enumerate(touches):
+            ch = f"ch{k % ATTRIB_CHANNELS}"
+            a = agg.setdefault(ch, [0, 0, 0, 0.0, 0.0, 0.0])
+            a[0] += 1
+            if i == 0:
+                a[1] += 1
+                a[3] += round(value, 6)
+            if i == cnt - 1:
+                a[2] += 1
+                a[4] += round(value, 6)
+            a[5] += round(value / cnt, 6)
+    got = {r.channel: r for r in rows}
+    assert set(got) == set(agg)
+    for ch, (nt, nf, nl, fc, lc, lin) in agg.items():
+        r = got[ch]
+        assert r.n_touches == nt and r.n_first == nf and r.n_last == nl
+        assert abs(r.first_touch_credit - fc) < 1e-6
+        assert abs(r.last_touch_credit - lc) < 1e-6
+        assert abs(r.linear_credit - lin) < 1e-6
+    assert sum(r.n_first for r in rows) == n_journeys
+    assert sum(r.n_last for r in rows) == n_journeys
+    total_first = sum(r.first_touch_credit for r in rows)
+    total_last = sum(r.last_touch_credit for r in rows)
+    assert abs(total_first - total_last) < 1e-6
+    total_linear = sum(r.linear_credit for r in rows)
+    # linear shares are round-6 per touch: bounded quantization drift
+    assert abs(total_linear - total_first) < 1e-6 * max(
+        1, sum(r.n_touches for r in rows)
+    )
+
+
+def test_ztest_guard_passthrough(spark, sf_small):
+    """The empty-variant guard must not perturb the populated case:
+    both variants are non-empty on this data, so z and the verdict
+    are non-NULL and consistent."""
+    from kafka_stream_processing_spark.operators.quality import (
+        Z_CRIT_005,
+    )
+
+    row = SPECS["quality_two_proportion_ztest"].fn(
+        spark, sf_small
+    ).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert row.z_stat is not None
+    assert row.significant_005 == (abs(row.z_stat) > Z_CRIT_005)
+
+
+def test_ccf_python_replay(spark, sf_small):
+    """CCF replayed from exact daily click/purchase counts; ccf(0) is
+    the plain Pearson correlation and |ccf| obeys Cauchy-Schwarz."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        CCF_MAX_LAG,
+    )
+
+    rows = sorted(
+        SPECS["window_ccf_click_purchase"].fn(spark, sf_small).collect(),
+        key=lambda r: r.lag_k,
+    )
+    con = duckdb.connect()
+    daily = con.execute(
+        f"SELECT CAST(date_trunc('day', ts) AS DATE)"
+        f" - DATE '1970-01-01' AS d,"
+        f" SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END),"
+        f" SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        f" FROM '{sf_small}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    n = len(daily)
+    mx = sum(c for _, c, _ in daily) / n
+    my = sum(p for _, _, p in daily) / n
+    ex = {d: c - mx for d, c, _ in daily}
+    ey = {d: p - my for d, _, p in daily}
+    sx = sum(round(v * v, 6) for v in ex.values())
+    sy = sum(round(v * v, 6) for v in ey.values())
+    den = math.sqrt(sx * sy)
+    exp = {}
+    for k in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1):
+        exp[k] = (
+            sum(
+                round(ex[d] * ey[d + k], 6)
+                for d in ex
+                if d + k in ey
+            )
+            / den
+        )
+    assert [r.lag_k for r in rows] == list(
+        range(-CCF_MAX_LAG, CCF_MAX_LAG + 1)
+    )
+    for r in rows:
+        assert abs(r.ccf - exp[r.lag_k]) < 1e-9
+        assert abs(r.ccf) <= 1.0 + 1e-9
+
+
+def test_lagged_ols_python_replay(spark, sf_small):
+    """Exact-integer moment replay; slope/intercept reproduce the
+    normal equations and r2 in [0, 1]."""
+    row = SPECS["window_lagged_ols_clicks_purchases"].fn(
+        spark, sf_small
+    ).collect()[0]
+    con = duckdb.connect()
+    daily = {
+        d: (c, p)
+        for d, c, p in con.execute(
+            f"SELECT CAST(date_trunc('day', ts) AS DATE)"
+            f" - DATE '1970-01-01' AS d,"
+            f" SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END),"
+            f" SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+            f" FROM '{sf_small}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    pairs = [
+        (daily[d][0], daily[d + 1][1])
+        for d in daily
+        if d + 1 in daily
+    ]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    cov_t = float(n * sxy - sx * sy)
+    varx_t = float(n * sxx - sx * sx)
+    vary_t = float(n * syy - sy * sy)
+    assert row.n_pairs == n
+    assert row.slope == cov_t / varx_t
+    assert row.intercept == (sy - (cov_t / varx_t) * sx) / n
+    assert row.r2 == (cov_t * cov_t) / (varx_t * vary_t)
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_audience_overlap_replay(spark, sf_small):
+    """Set replay from python sets; jaccard <= overlap_coef <= 1 and
+    inclusion-exclusion consistency."""
+    rows = SPECS["setops_audience_overlap_jaccard"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT DISTINCT event_type, user_id"
+        f" FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    sets: dict[str, set] = {}
+    for et, u in pairs:
+        sets.setdefault(et, set()).add(u)
+    types = sorted(sets)
+    exp = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            inter = len(sets[ta] & sets[tb])
+            if inter:
+                exp[(ta, tb)] = inter
+    got = {(r.type_a, r.type_b): r for r in rows}
+    assert set(got) == set(exp)
+    for (ta, tb), inter in exp.items():
+        r = got[(ta, tb)]
+        assert r.n_a == len(sets[ta]) and r.n_b == len(sets[tb])
+        assert r.n_both == inter
+        assert r.jaccard == inter / (r.n_a + r.n_b - inter)
+        assert r.overlap_coef == inter / min(r.n_a, r.n_b)
+        assert r.jaccard <= r.overlap_coef <= 1.0
+
+
+def test_cooccurrence_lift_replay(spark, sf_small):
+    """Basket replay; support <= both confidences <= 1, and
+    lift == conf_a_to_b / P(b) exactly in the integer arithmetic."""
+    rows = SPECS["agg_cooccurrence_lift"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    members = con.execute(
+        f"SELECT DISTINCT user_id,"
+        f" CAST(date_trunc('day', ts) AS DATE), event_type"
+        f" FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    baskets: dict[tuple, set] = {}
+    for u, d, et in members:
+        baskets.setdefault((u, d), set()).add(et)
+    n_baskets = len(baskets)
+    item: dict[str, int] = {}
+    pair: dict[tuple, int] = {}
+    for types in baskets.values():
+        ts = sorted(types)
+        for t in ts:
+            item[t] = item.get(t, 0) + 1
+        for i, a in enumerate(ts):
+            for b in ts[i + 1 :]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    got = {(r.type_a, r.type_b): r for r in rows}
+    assert set(got) == set(pair)
+    for (a, b), np_ in pair.items():
+        r = got[(a, b)]
+        assert r.n_pair == np_ and r.n_baskets == n_baskets
+        assert r.n_a == item[a] and r.n_b == item[b]
+        assert r.support == np_ / n_baskets
+        assert r.conf_a_to_b == np_ / item[a]
+        assert r.conf_b_to_a == np_ / item[b]
+        assert abs(r.lift - (np_ * n_baskets) / (item[a] * item[b])) < 1e-12
+        assert r.support <= min(r.conf_a_to_b, r.conf_b_to_a) <= 1.0
+
+
+def test_page_hinkley_python_replay(spark, sf_small):
+    """Layered-window replay: running mean, round-6 cumulated
+    deviations, prefix-min; ph >= 0 everywhere and max_ph attained at
+    detect_day."""
+    rows = sorted(
+        SPECS["window_page_hinkley_drift"].fn(spark, sf_small).collect(),
+        key=lambda r: r.day,
+    )
+    acc = _daily(sf_small, by_type=False)
+    days = sorted(acc)
+    cums = 0
+    mt = 0.0
+    mt_acc = 0  # micro units, exact
+    runmin = None
+    exp = []
+    for t, d in enumerate(days, start=1):
+        cums += acc[d]
+        dev = float(acc[d]) - float(cums) / t
+        mt_acc += round(dev * 1e6)
+        mt = mt_acc / 1e6
+        runmin = mt if runmin is None else min(runmin, mt)
+        exp.append((d.isoformat(), mt, mt - runmin))
+    max_ph = max(p for _, _, p in exp)
+    detect_day = min(d for d, _, p in exp if p == max_ph)
+    assert len(rows) == len(exp)
+    for r, (d, emt, eph) in zip(rows, exp):
+        assert r.day == d
+        assert abs(r.mt - emt) < 1e-9
+        assert abs(r.ph - eph) < 1e-9
+        assert r.ph >= 0.0
+        assert abs(r.max_ph - max_ph) < 1e-9
+        assert r.detect_day == detect_day
+
+
+def test_centroid_separation_replay(spark, sf_small):
+    """Centroids and both separations replayed with Fractions over the
+    quantized sums; cosine within [-1, 1], l2 >= 0, and the pair set
+    covers every label pair."""
+    rows = SPECS["embedding_centroid_separation"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT label, embedding"
+        f" FROM '{sf_small}/embeddings.parquet'"
+    ).fetchall()
+    groups: dict[int, list] = {}
+    for label, emb in data:
+        groups.setdefault(label, []).append(emb)
+    # exact decimal(18,12) sums then one double division per dim
+    cents = {}
+    for label, embs in groups.items():
+        n = len(embs)
+        c = []
+        for i in range(64):
+            s = sum(round(float(e[i]) * 10**12) for e in embs)
+            c.append((s / 10**12) / n)
+        cents[label] = c
+    labels = sorted(groups)
+    exp = {}
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            ca, cb = cents[a], cents[b]
+            dot_ab = sum(round(x * y * 10**12) for x, y in zip(ca, cb)) / 10**12
+            dot_aa = sum(round(x * x * 10**12) for x in ca) / 10**12
+            dot_bb = sum(round(y * y * 10**12) for y in cb) / 10**12
+            d2 = sum(round((x - y) ** 2 * 10**12) for x, y in zip(ca, cb)) / 10**12
+            exp[(a, b)] = (
+                dot_ab / (math.sqrt(dot_aa) * math.sqrt(dot_bb)),
+                math.sqrt(d2),
+            )
+    got = {(r.label_a, r.label_b): r for r in rows}
+    assert set(got) == set(exp)
+    for (a, b), (ecos, el2) in exp.items():
+        r = got[(a, b)]
+        assert r.n_a == len(groups[a]) and r.n_b == len(groups[b])
+        assert abs(r.cosine - ecos) < 1e-6
+        assert abs(r.l2_dist - el2) < 1e-6
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        assert r.l2_dist >= 0.0
+
+
+def test_stream_pettitt_matches_per_chunk_pair_sum(spark, sf_small):
+    """Per-chunk replay by the O(n²) pair-sum definition on the
+    deterministic (ts, event_id)-sorted thirds of the event log."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        PETTITT_LN40,
+    )
+
+    rows = SPECS["stream_pettitt_monitor"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_id, ts, value FROM '{sf_small}/events.parquet'"
+        f" ORDER BY ts, event_id"
+    ).fetchall()
+    n = len(ev)
+    step = (n + 2) // 3
+    by_chunk: dict[int, dict] = {}
+    chunk_key: dict[int, int] = {}
+    for rn, (eid, ts, v) in enumerate(ev):
+        cid = rn // step
+        chunk_key[cid] = min(chunk_key.get(cid, eid), eid)
+        daily = by_chunk.setdefault(cid, {})
+        d = ts.date()
+        daily[d] = daily.get(d, 0) + round(v * 10**6)
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    got: dict[tuple[int, str], object] = {
+        (r.chunk_min_event_id, r.day): r for r in rows
+    }
+    n_expected = 0
+    for cid, daily in by_chunk.items():
+        days = sorted(daily)
+        xs = [daily[d] for d in days]
+        nd = len(xs)
+        u = {}
+        for t in range(1, nd):
+            u[t] = sum(
+                sgn(xs[j] - xs[i])
+                for i in range(t)
+                for j in range(t, nd)
+            )
+        k_stat = max(abs(v) for v in u.values())
+        change_day = min(
+            days[t - 1] for t, v in u.items() if abs(v) == k_stat
+        )
+        z = (6.0 * k_stat * k_stat) / (
+            float(nd) * nd * nd + float(nd) * nd
+        )
+        n_expected += nd - 1
+        ck = chunk_key[cid]
+        for t in range(1, nd):
+            r = got[(ck, days[t - 1].isoformat())]
+            assert r.u_t == u[t]
+            assert r.k_stat == k_stat
+            assert r.change_day == change_day.isoformat()
+            assert abs(r.pettitt_z - z) < 1e-12
+            assert r.significant_005 == (z > PETTITT_LN40)
+    assert len(rows) == n_expected
