@@ -4220,3 +4220,383 @@ def quality_kendall_tau_corr(
         F.col("n2").alias("ties_y"),
         tau.alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér-von Mises two-sample drift (rank form, exact integers)
+# ---------------------------------------------------------------------------
+
+#: Asymptotic 5% critical value of the two-sample CvM T statistic.
+CVM_CRIT_005 = 0.461
+
+
+@register(
+    "quality_cvm_drift",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS is_b
+        FROM documents
+    ),
+    hist AS (
+        SELECT v, SUM(is_a) AS ca, SUM(is_b) AS cb
+        FROM rows_t GROUP BY v
+    ),
+    tot AS (SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM rows_t),
+    cum AS (
+        SELECT v, ca, cb,
+               coalesce(SUM(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lt_comb,
+               coalesce(SUM(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lt_a,
+               coalesce(SUM(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lt_b
+        FROM hist
+    ),
+    terms AS (
+        SELECT
+            CASE WHEN ca > 0 THEN
+                ca * (2 * lt_comb + ca + cb + 1 - 2 * lt_a)
+                   * (2 * lt_comb + ca + cb + 1 - 2 * lt_a)
+                - 4 * (2 * lt_comb + ca + cb + 1 - 2 * lt_a)
+                    * (ca * (ca + 1) // 2)
+                + 4 * (ca * (ca + 1) * (2 * ca + 1) // 6)
+            ELSE 0 END AS qa,
+            CASE WHEN cb > 0 THEN
+                cb * (2 * lt_comb + ca + cb + 1 - 2 * lt_b)
+                   * (2 * lt_comb + ca + cb + 1 - 2 * lt_b)
+                - 4 * (2 * lt_comb + ca + cb + 1 - 2 * lt_b)
+                    * (cb * (cb + 1) // 2)
+                + 4 * (cb * (cb + 1) * (2 * cb + 1) // 6)
+            ELSE 0 END AS qb
+        FROM cum
+    ),
+    u4 AS (
+        SELECT t.na, t.nb,
+               t.na * SUM(qa) + t.nb * SUM(qb) AS u4
+        FROM terms, tot t GROUP BY t.na, t.nb
+    )
+    SELECT CAST(na AS BIGINT) AS na,
+           CAST(nb AS BIGINT) AS nb,
+           CAST(u4 AS DOUBLE) AS u4,
+           CAST(u4 AS DOUBLE)
+               / (4.0 * CAST(na AS DOUBLE) * nb * (na + nb))
+             - (4.0 * CAST(na AS DOUBLE) * nb - 1.0)
+               / (6.0 * (na + nb)) AS t_stat,
+           CAST(u4 AS DOUBLE)
+               / (4.0 * CAST(na AS DOUBLE) * nb * (na + nb))
+             - (4.0 * CAST(na AS DOUBLE) * nb - 1.0)
+               / (6.0 * (na + nb)) > {CVM_CRIT_005} AS drift
+    FROM u4
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises drift test on document length
+    (src0 vs rest) — the INTEGRATED companion of the KS gate: KS reads
+    only the single worst ECDF gap, CvM sums the squared gap over the
+    whole distribution, so it catches the diffuse many-small-
+    differences drift KS under-weights.  Anderson's rank form
+    T = U/(n·m·(n+m)) − (4nm−1)/(6(n+m)) with
+    U = n·Σ(r_i − i)² + m·Σ(s_j − j)² is computed EXACTLY: with
+    doubled midranks (ties → 2r = 2·#less + #eq + 1, an integer) every
+    per-value tie block contributes the closed form
+    c·a₀² − 4a₀·Σk + 4·Σk² (a₀ = 2R − 2·base; Σk, Σk² the triangular
+    and square-pyramidal numbers), so 4U is ONE exact integer and T a
+    single double expression — no per-element rank sort, just the
+    value-distinct histogram with three exclusive cumulative windows.
+    Fires at T > {CVM_CRIT_005} (asymptotic 5% point).
+
+    Scale: state is the value-distinct length histogram (the KS
+    monitor's bounded-state argument); the per-value closed form makes
+    cost O(distinct values), never O(corpus).  Beyond ~1e8 docs the
+    integer 4U term needs DECIMAL(38,0) — documented swap, same
+    shape."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+        F.when(F.col("source") == "src0", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_b"),
+    )
+    hist = docs.groupBy("v").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    tot = docs.agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    from pyspark.sql import Window
+
+    prev = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "ca",
+        "cb",
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(prev), F.lit(0)
+        ).alias("lt_comb"),
+        F.coalesce(F.sum("ca").over(prev), F.lit(0)).alias("lt_a"),
+        F.coalesce(F.sum("cb").over(prev), F.lit(0)).alias("lt_b"),
+    )
+
+    def tie_block(c, lt_own):
+        a0 = (
+            F.lit(2) * F.col("lt_comb")
+            + F.col("ca")
+            + F.col("cb")
+            + F.lit(1)
+            - F.lit(2) * lt_own
+        )
+        t1 = F.expr(f"{c} * ({c} + 1) div 2")
+        t2 = F.expr(f"{c} * ({c} + 1) * (2 * {c} + 1) div 6")
+        return F.when(
+            F.col(c) > 0,
+            F.col(c) * a0 * a0 - F.lit(4) * a0 * t1 + F.lit(4) * t2,
+        ).otherwise(F.lit(0))
+
+    terms = cum.select(
+        tie_block("ca", F.col("lt_a")).alias("qa"),
+        tie_block("cb", F.col("lt_b")).alias("qb"),
+    )
+    u4 = (
+        terms.agg(F.sum("qa").alias("sqa"), F.sum("qb").alias("sqb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            (
+                F.col("na") * F.col("sqa") + F.col("nb") * F.col("sqb")
+            ).alias("u4"),
+        )
+    )
+    t_stat = F.col("u4").cast("double") / (
+        F.lit(4.0)
+        * F.col("na").cast("double")
+        * F.col("nb")
+        * (F.col("na") + F.col("nb"))
+    ) - (
+        F.lit(4.0) * F.col("na").cast("double") * F.col("nb")
+        - F.lit(1.0)
+    ) / (
+        F.lit(6.0) * (F.col("na") + F.col("nb"))
+    )
+    return u4.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.col("u4").cast("double").alias("u4"),
+        t_stat.alias("t_stat"),
+        (t_stat > F.lit(CVM_CRIT_005)).alias("drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann location shift (histogram-pair weighted median)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_hodges_lehmann_shift",
+    oracle="""
+    WITH ha AS (
+        SELECT n_chars AS v, count(*) AS ca
+        FROM documents WHERE source = 'src0' GROUP BY 1
+    ),
+    hb AS (
+        SELECT n_chars AS v, count(*) AS cb
+        FROM documents WHERE source <> 'src0' GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT SUM(ca) FROM ha) AS na,
+               (SELECT SUM(cb) FROM hb) AS nb
+    ),
+    diffs AS (
+        SELECT hb.v - ha.v AS d, SUM(ha.ca * hb.cb) AS w
+        FROM ha, hb GROUP BY 1
+    ),
+    cum AS (
+        SELECT d, SUM(w) OVER (ORDER BY d) AS cw FROM diffs
+    ),
+    ks AS (
+        SELECT na, nb, na * nb AS wtot,
+               (na * nb + 1) // 2 AS k1,
+               (na * nb + 2) // 2 AS k2
+        FROM tot
+    ),
+    v1 AS (SELECT min(d) AS d1 FROM cum, ks WHERE cw >= k1),
+    v2 AS (SELECT min(d) AS d2 FROM cum, ks WHERE cw >= k2)
+    SELECT CAST(ks.na AS BIGINT) AS na,
+           CAST(ks.nb AS BIGINT) AS nb,
+           CAST(ks.wtot AS BIGINT) AS n_pairs,
+           (CAST(v1.d1 AS DOUBLE) + v2.d2) / 2.0 AS hl_shift
+    FROM ks, v1, v2
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_hodges_lehmann_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hodges-Lehmann location-shift estimate between src0 and the
+    rest of the corpus (document length): the median of ALL n_a·n_b
+    pairwise differences — the robust EFFECT-SIZE companion to the
+    Mann-Whitney gate (MW says whether the distributions differ; HL
+    says by HOW MUCH, in the data's own units, immune to outliers).
+    The quadratic pair set is never materialized per-document: both
+    samples collapse to value-distinct histograms, each DISTINCT
+    difference d carries weight ca·cb, and the weighted median reads
+    off one cumulative window — the (W+1)//2 and (W+2)//2 order
+    statistics averaged, all in exact integers until the final
+    halving.
+
+    Scale: cost is |V_a|·|V_b| distinct-value pairs (document lengths
+    are domain-bounded), not n_a·n_b document pairs — the same
+    histogram collapse that makes the KS/CvM family corpus-scale.
+    The cumulative window runs over the difference-distinct table."""
+    docs = table(spark, sf_dir, "documents")
+    ha = (
+        docs.filter(F.col("source") == "src0")
+        .groupBy(F.col("n_chars").alias("va"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    hb = (
+        docs.filter(F.col("source") != "src0")
+        .groupBy(F.col("n_chars").alias("vb"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    diffs = (
+        F.broadcast(ha)
+        .crossJoin(hb)
+        .groupBy((F.col("vb") - F.col("va")).alias("d"))
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("w"))
+    )
+    from pyspark.sql import Window
+
+    cum = diffs.select(
+        "d",
+        F.sum("w")
+        .over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw"),
+    )
+    tot = ha.agg(F.sum("ca").alias("na")).crossJoin(
+        hb.agg(F.sum("cb").alias("nb"))
+    )
+    ks = tot.select(
+        "na",
+        "nb",
+        (F.col("na") * F.col("nb")).alias("wtot"),
+        F.expr("(na * nb + 1) div 2").alias("k1"),
+        F.expr("(na * nb + 2) div 2").alias("k2"),
+    )
+    with_k = cum.crossJoin(F.broadcast(ks))
+    v1 = with_k.filter(F.col("cw") >= F.col("k1")).agg(
+        F.min("d").alias("d1")
+    )
+    v2 = with_k.filter(F.col("cw") >= F.col("k2")).agg(
+        F.min("d").alias("d2")
+    )
+    return (
+        ks.crossJoin(F.broadcast(v1))
+        .crossJoin(F.broadcast(v2))
+        .select(
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            F.col("wtot").cast("bigint").alias("n_pairs"),
+            (
+                (F.col("d1").cast("double") + F.col("d2"))
+                / F.lit(2.0)
+            ).alias("hl_shift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# QQ deciles: per-source quantiles against the src0 reference
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_qq_deciles_sources",
+    oracle="""
+    WITH refl AS (
+        SELECT quantile_cont(n_chars,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ps
+        FROM documents WHERE source = 'src0'
+    ),
+    ref AS (
+        SELECT t.i AS q, round(refl.ps[t.i], 6) AS rv
+        FROM refl, unnest(generate_series(1, 9)) AS t(i)
+    ),
+    curl AS (
+        SELECT source, quantile_cont(n_chars,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ps
+        FROM documents WHERE source <> 'src0' GROUP BY source
+    ),
+    cur AS (
+        SELECT source, t.i AS q, round(curl.ps[t.i], 6) AS cv
+        FROM curl, unnest(generate_series(1, 9)) AS t(i)
+    )
+    SELECT cur.source,
+           CAST(cur.q AS INT) AS q,
+           ref.rv AS ref_value,
+           cur.cv AS cur_value,
+           round(cur.cv - ref.rv, 6) AS gap
+    FROM cur JOIN ref ON ref.q = cur.q
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_qq_deciles_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QQ diagnostic: deciles (q10..q90) of document length for every
+    non-reference source plotted against the src0 reference deciles —
+    the quantile-by-quantile view that LOCALIZES drift the scalar
+    gates only detect (a KS/CvM alarm says "different"; the QQ gaps
+    say "the upper tail is 40 chars longer").  Exact
+    linear-interpolation quantiles on both engines (the
+    quality_exact_percentiles convention — round(6) absorbs the
+    interpolation's last ulp), one row per (source, decile) with the
+    signed gap.
+
+    Scale: exact per-group quantiles buffer each group (documented
+    cost of exactness; sources are few) — unbounded group counts swap
+    to approx_percentile, same table shape.  One scan for all sources
+    via grouped aggregation; the 9-decile frame is a constant."""
+    docs = table(spark, sf_dir, "documents")
+    probs = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+    ref = (
+        docs.filter(F.col("source") == "src0")
+        .agg(F.expr(f"percentile(n_chars, {probs})").alias("ps"))
+        .select(F.posexplode("ps").alias("qi", "rv0"))
+        .select(
+            (F.col("qi") + 1).cast("int").alias("q"),
+            F.round(F.col("rv0"), 6).alias("rv"),
+        )
+    )
+    cur = (
+        docs.filter(F.col("source") != "src0")
+        .groupBy("source")
+        .agg(F.expr(f"percentile(n_chars, {probs})").alias("ps"))
+        .select("source", F.posexplode("ps").alias("qi", "cv0"))
+        .select(
+            "source",
+            (F.col("qi") + 1).cast("int").alias("q"),
+            F.round(F.col("cv0"), 6).alias("cv"),
+        )
+    )
+    return cur.join(F.broadcast(ref), "q").select(
+        "source",
+        F.col("q").cast("int").alias("q"),
+        F.col("rv").alias("ref_value"),
+        F.col("cv").alias("cur_value"),
+        F.round(F.col("cv") - F.col("rv"), 6).alias("gap"),
+    )

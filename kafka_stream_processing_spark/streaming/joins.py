@@ -2634,3 +2634,133 @@ def stream_pettitt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("pettitt_z"),
         (z > F.lit(PETTITT_LN40)).alias("significant_005"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Markov transition monitor
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_markov_transition_monitor",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, ts, user_id, event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, ts, user_id, event_type,
+               rn // ((n + 2) // 3) AS chunk_id
+        FROM ordered
+    ),
+    keys AS (
+        SELECT chunk_id, min(event_id) AS ck FROM chunked GROUP BY 1
+    ),
+    seq AS (
+        SELECT chunk_id, event_type,
+               lag(event_type) OVER (PARTITION BY chunk_id, user_id
+                                     ORDER BY ts, event_id)
+                   AS from_type
+        FROM chunked
+    ),
+    c AS (
+        SELECT chunk_id, from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT k.ck AS chunk_min_event_id,
+           c.from_type, c.to_type,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(SUM(c.n) OVER (PARTITION BY c.chunk_id, c.from_type)
+                AS BIGINT) AS from_total,
+           CAST(c.n AS DOUBLE)
+               / SUM(c.n) OVER (PARTITION BY c.chunk_id, c.from_type)
+               AS p
+    FROM c JOIN keys k ON k.chunk_id = c.chunk_id
+    """,
+    tags=("streaming", "sequence", "quality"),
+)
+def stream_markov_transition_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch Markov transition matrix — the streaming
+    deployment of window_markov_event_transitions and the behavioral
+    drift monitor a session pipeline runs per trigger: each batch
+    folds its WITHIN-BATCH per-user adjacencies (lag over
+    (ts, event_id), the registry tiebreak) into the |types|²
+    transition cells — 25 integers of driver traffic per trigger, the
+    most compact monitor in the family after the A/B z-test's four —
+    and the MLE row normalization runs post-stream in Spark
+    expressions identical to the batch operator's.  Batches are keyed
+    by min event_id; transitions never cross batch boundaries
+    (matching what a per-trigger monitor can actually see, and
+    mirrored exactly by the oracle's per-chunk lag partition).
+
+    Scale: per-trigger executor work is one window + one
+    map-side-combined groupBy; driver state is the domain-bounded
+    transition table.  Nothing in the streaming state store —
+    verdicts per-batch final, restart loses nothing."""
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    cells: list[tuple[int, str, str, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        rows = (
+            batch_df.select(
+                "event_id",
+                F.col("event_type").alias("to_type"),
+                F.lag("event_type").over(w).alias("from_type"),
+            )
+            .groupBy("from_type", "to_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("event_id").alias("mi"),
+            )
+            .collect()
+        )
+        if not rows:
+            return
+        ck = min(int(r["mi"]) for r in rows)
+        for r in rows:
+            if r["from_type"] is not None:
+                cells.append(
+                    (ck, r["from_type"], r["to_type"], int(r["n"]))
+                )
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    c = spark.createDataFrame(
+        cells,
+        "chunk_min_event_id bigint, from_type string, "
+        "to_type string, n bigint",
+    )
+    tot = Window.partitionBy("chunk_min_event_id", "from_type")
+    return c.select(
+        "chunk_min_event_id",
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.sum("n").over(tot).cast("bigint").alias("from_total"),
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )

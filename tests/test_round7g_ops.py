@@ -569,3 +569,147 @@ def test_stream_pettitt_matches_per_chunk_pair_sum(spark, sf_small):
             assert abs(r.pettitt_z - z) < 1e-12
             assert r.significant_005 == (z > PETTITT_LN40)
     assert len(rows) == n_expected
+
+
+def test_cvm_drift_rank_definition_replay(spark, sf_small):
+    """Replays 4U by the per-element DEFINITION (doubled midranks from
+    the sorted combined sample; the engine uses the per-value-block
+    closed form — different algorithm), then the T arithmetic."""
+    from kafka_stream_processing_spark.operators.quality import (
+        CVM_CRIT_005,
+    )
+
+    row = SPECS["quality_cvm_drift"].fn(spark, sf_small).collect()[0]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT n_chars, source FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    a = sorted(v for v, s in docs if s == "src0")
+    b = sorted(v for v, s in docs if s != "src0")
+    combined = sorted(a + b)
+    from bisect import bisect_left, bisect_right
+
+    def r2(v):  # doubled midrank in the combined sample
+        return (
+            2 * bisect_left(combined, v)
+            + (bisect_right(combined, v) - bisect_left(combined, v))
+            + 1
+        )
+
+    u4 = len(a) * sum(
+        (r2(v) - 2 * (i + 1)) ** 2 for i, v in enumerate(a)
+    ) + len(b) * sum(
+        (r2(v) - 2 * (j + 1)) ** 2 for j, v in enumerate(b)
+    )
+    na, nb = len(a), len(b)
+    t = (u4 / (4.0 * na * nb * (na + nb))) - (
+        4.0 * na * nb - 1.0
+    ) / (6.0 * (na + nb))
+    assert row.na == na and row.nb == nb
+    assert row.u4 == float(u4)
+    assert abs(row.t_stat - t) < 1e-9
+    assert row.drift == (t > CVM_CRIT_005)
+
+
+def test_hodges_lehmann_bruteforce_replay(spark, sf_small):
+    """Replays the HL estimate over ALL n_a*n_b materialized pairwise
+    differences (the engine never materializes them)."""
+    row = SPECS["quality_hodges_lehmann_shift"].fn(
+        spark, sf_small
+    ).collect()[0]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT n_chars, source FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    a = [v for v, s in docs if s == "src0"]
+    b = [v for v, s in docs if s != "src0"]
+    diffs = sorted(vb - va for va in a for vb in b)
+    w = len(diffs)
+    k1, k2 = (w + 1) // 2, (w + 2) // 2
+    hl = (diffs[k1 - 1] + diffs[k2 - 1]) / 2.0
+    assert row.na == len(a) and row.nb == len(b)
+    assert row.n_pairs == w
+    assert row.hl_shift == hl
+
+
+def test_qq_deciles_numpy_replay(spark, sf_small):
+    """Exact linear-interpolation deciles replayed with numpy; the gap
+    column is consistent with the two quantile columns."""
+    import numpy as np
+
+    rows = SPECS["quality_qq_deciles_sources"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT n_chars, source FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    by_src: dict[str, list] = {}
+    for v, s in docs:
+        by_src.setdefault(s, []).append(v)
+    qs = [i / 10 for i in range(1, 10)]
+    ref = [
+        round(float(x), 6)
+        for x in np.percentile(
+            by_src["src0"], [q * 100 for q in qs], method="linear"
+        )
+    ]
+    others = sorted(s for s in by_src if s != "src0")
+    assert len(rows) == 9 * len(others)
+    got = {(r.source, r.q): r for r in rows}
+    for s in others:
+        cur = [
+            round(float(x), 6)
+            for x in np.percentile(
+                by_src[s], [q * 100 for q in qs], method="linear"
+            )
+        ]
+        for q in range(1, 10):
+            r = got[(s, q)]
+            assert abs(r.ref_value - ref[q - 1]) < 1e-9
+            assert abs(r.cur_value - cur[q - 1]) < 1e-9
+            assert abs(
+                r.gap - round(r.cur_value - r.ref_value, 6)
+            ) < 1e-12
+
+
+def test_stream_markov_monitor_per_chunk_replay(spark, sf_small):
+    """Within-chunk transition counts replayed from the deterministic
+    (ts, event_id)-sorted thirds; each (chunk, from) row of P is a
+    probability distribution."""
+    rows = SPECS["stream_markov_transition_monitor"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_id, ts, user_id, event_type"
+        f" FROM '{sf_small}/events.parquet'"
+        f" ORDER BY ts, event_id"
+    ).fetchall()
+    n = len(ev)
+    step = (n + 2) // 3
+    counts: dict[tuple[int, str, str], int] = {}
+    chunk_key: dict[int, int] = {}
+    chunks: dict[int, list] = {}
+    for rn, (eid, ts, user, et) in enumerate(ev):
+        cid = rn // step
+        chunk_key[cid] = min(chunk_key.get(cid, eid), eid)
+        chunks.setdefault(cid, []).append((user, ts, eid, et))
+    for cid, evs in chunks.items():
+        evs.sort(key=lambda r: (r[0], r[1], r[2]))
+        prev_user, prev_type = None, None
+        for user, _, _, et in evs:
+            if user == prev_user:
+                key = (chunk_key[cid], prev_type, et)
+                counts[key] = counts.get(key, 0) + 1
+            prev_user, prev_type = user, et
+    got = {(r.chunk_min_event_id, r.from_type, r.to_type): r for r in rows}
+    assert set(got) == set(counts)
+    totals: dict[tuple[int, str], int] = {}
+    for (ck, f_t, _), nn in counts.items():
+        totals[(ck, f_t)] = totals.get((ck, f_t), 0) + nn
+    for (ck, f_t, t_t), nn in counts.items():
+        r = got[(ck, f_t, t_t)]
+        assert r.n == nn
+        assert r.from_total == totals[(ck, f_t)]
+        assert r.p == nn / totals[(ck, f_t)]
