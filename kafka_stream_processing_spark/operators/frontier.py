@@ -165,3 +165,72 @@ def global_rank(
         .withColumn(rank_name, (offset_expr + F.col("_lrn")).cast("int"))
         .drop("_pid", "_lrn")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    value_col: str,
+    mode: str = "exact",
+    sum_name: str = "cum",
+) -> DataFrame:
+    """``df`` plus a running total ``sum_name`` of ``value_col`` over
+    the total order given by ``order_cols`` (a tie-free composite key).
+
+    ``mode="exact"``: one unpartitioned cumulative ``Window.orderBy``
+    — the oracle path, single sort task.
+
+    ``mode="distributed"``: the two-phase form of :func:`global_rank`
+    extended to prefix SUMS — ``repartitionByRange`` on the sort key,
+    eager ``localCheckpoint`` to pin the sampled range boundaries,
+    per-partition cumulative window, plus broadcast PARTITION-TOTAL
+    prefix offsets from a ≤ numPartitions-row collect.  Exactness
+    requires the value column to sum associatively without drift —
+    callers pass DECIMAL (exact) values, never raw doubles.  Result is
+    bit-identical to the exact form; no task sorts more than one
+    partition."""
+    cols = list(order_cols)
+    if mode == "exact":
+        w = Window.orderBy(*cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(sum_name, F.sum(value_col).over(w))
+    if mode != "distributed":
+        raise ValueError(f"global_prefix_sum: unknown mode {mode!r}")
+    from kafka_stream_processing_spark.session import default_parallelism
+
+    n_part = default_parallelism()
+    part = (
+        df.repartitionByRange(n_part, *cols)
+        .localCheckpoint(eager=True)
+    )
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    totals = sorted(
+        (r["_pid"], r["s"])
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, None
+    for pid, s in totals:
+        offsets[pid] = acc
+        acc = s if acc is None else acc + s
+    offset_expr = None
+    for pid, off in offsets.items():
+        cond = F.col("_pid") == pid
+        val = F.lit(off) if off is not None else F.lit(0)
+        offset_expr = (
+            F.when(cond, val)
+            if offset_expr is None
+            else offset_expr.when(cond, val)
+        )
+    local = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn("_lcs", F.sum(value_col).over(local))
+        .withColumn(sum_name, offset_expr + F.col("_lcs"))
+        .drop("_pid", "_lcs")
+    )

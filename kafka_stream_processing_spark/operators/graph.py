@@ -1032,3 +1032,86 @@ def graph_degree_assortativity(
         F.col("nn").alias("n_nodes"),
         r.alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree power-law exponent (discrete MLE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_powerlaw_mle",
+    oracle=f"""
+    WITH und AS ({_sig_adj_sql()}),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node
+    ),
+    mn AS (SELECT min(d) AS dmin FROM deg),
+    lns AS (
+        SELECT count(*) AS n,
+               SUM(CAST(round(ln(CAST(d AS DOUBLE) / dmin), 12)
+                        AS DECIMAL(18,12))) AS sln
+        FROM deg, mn
+    )
+    SELECT CAST(n AS BIGINT) AS n_nodes,
+           CAST(mn.dmin AS BIGINT) AS d_min,
+           CAST(sln AS DOUBLE) AS sum_ln,
+           CASE WHEN CAST(sln AS DOUBLE) > 0.0
+                THEN 1.0 + CAST(n AS DOUBLE) / CAST(sln AS DOUBLE)
+           END AS alpha
+    FROM lns, mn
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_degree_powerlaw_mle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Power-law exponent of the trade graph's degree distribution via
+    the continuous MLE alpha = 1 + n / Σ ln(d_i / d_min)
+    (Clauset-Shalizi-Newman's eq. 3.1) — the scale-free-or-not
+    readout that tells a graph pipeline whether hub-aware partitioning
+    (salting the few super-nodes) is worth it before running the
+    heavier ops.  One ln per NODE (the graph's node set, not its edge
+    list), each round-12 and summed exactly, so alpha is bit-stable
+    cross-engine; d_min is the observed minimum degree (the standard
+    choice when no cutoff search is run).
+
+    Scale: reuses the SIGNIFICANCE-SPARSIFIED adjacency shared by link
+    prediction, BFS, and assortativity (_sig_adj_df — the raw trade
+    graph is near-complete at every SF, which makes the MLE degenerate
+    by construction; sparsification is what exposes the hub
+    structure); the degree table is node-sized, the rest is one
+    aggregate.  The CSN d_min goodness-of-fit scan would loop this
+    same aggregate over candidate cutoffs — same shape, K passes."""
+    und = _sig_adj_df(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    mn = deg.agg(F.min("d").alias("dmin"))
+    lns = deg.crossJoin(F.broadcast(mn)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(
+                F.log(F.col("d").cast("double") / F.col("dmin")), 12
+            ).cast("decimal(18,12)")
+        ).alias("sln"),
+        F.max("dmin").alias("dmin"),
+    )
+    # A regular graph (every d == d_min — the dense small-SF trade
+    # graph) has sum_ln == 0 and no finite MLE: report NULL, mirrored
+    # by the oracle's CASE (and required under ANSI division).
+    return lns.select(
+        F.col("n").cast("bigint").alias("n_nodes"),
+        F.col("dmin").cast("bigint").alias("d_min"),
+        F.col("sln").cast("double").alias("sum_ln"),
+        F.when(
+            F.col("sln").cast("double") > 0.0,
+            F.lit(1.0)
+            + F.col("n").cast("double") / F.col("sln").cast("double"),
+        ).alias("alpha"),
+    )

@@ -1588,3 +1588,79 @@ def text_keyness_loglikelihood(
         )
     )
     return scored.orderBy(F.desc("g2"), "word").limit(KEYNESS_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Yule's K lexical diversity (count-of-counts form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_yule_k_diversity",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS m FROM words GROUP BY w),
+    coc AS (SELECT m, count(*) AS vm FROM wc GROUP BY m),
+    agg AS (
+        SELECT SUM(m * vm) AS n_tokens,
+               SUM(vm) AS vocab,
+               SUM(m * m * vm) AS s2,
+               SUM(CASE WHEN m = 1 THEN vm ELSE 0 END) AS hapax
+        FROM coc
+    )
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(s2 AS BIGINT) AS s2,
+           CAST(hapax AS BIGINT) AS hapax,
+           CAST(hapax AS DOUBLE) / vocab AS hapax_ratio,
+           10000.0 * (CAST(s2 AS DOUBLE) - n_tokens)
+               / (CAST(n_tokens AS DOUBLE) * n_tokens) AS yule_k
+    FROM agg
+    """,
+    tags=("text", "statistics", "diversity"),
+)
+def text_yule_k_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical diversity of the corpus — the repeat-rate
+    characteristic K = 10⁴·(Σm²V_m − N)/N² over the count-of-counts
+    table (V_m = number of word types occurring exactly m times),
+    plus the hapax-legomena count and ratio — the vocabulary-richness
+    readouts that complete the lexical family (Heaps measures vocab
+    GROWTH, Zipf the rank-frequency SHAPE, Good-Turing the unseen
+    MASS; K is the size-invariant concentration a corpus card reports,
+    and hapax_ratio is the noise/typo tell).  Everything up to the two
+    final divisions is exact integer arithmetic on the count-of-counts
+    table — the same compression Good-Turing uses, so the whole
+    statistic costs two tiny aggregates beyond the word count.
+
+    Scale: one word-count groupBy (map-side combined) → a
+    count-of-counts table bounded by max frequency — the corpus
+    never reappears after the first shuffle."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
+    coc = wc.groupBy("m").agg(F.count(F.lit(1)).alias("vm"))
+    agg = coc.agg(
+        F.sum(F.col("m") * F.col("vm")).alias("n_tokens"),
+        F.sum("vm").alias("vocab"),
+        F.sum(F.col("m") * F.col("m") * F.col("vm")).alias("s2"),
+        F.sum(
+            F.when(F.col("m") == 1, F.col("vm")).otherwise(F.lit(0))
+        ).alias("hapax"),
+    )
+    return agg.select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("s2").cast("bigint").alias("s2"),
+        F.col("hapax").cast("bigint").alias("hapax"),
+        (F.col("hapax").cast("double") / F.col("vocab")).alias(
+            "hapax_ratio"
+        ),
+        (
+            F.lit(10000.0)
+            * (F.col("s2").cast("double") - F.col("n_tokens"))
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+        ).alias("yule_k"),
+    )

@@ -3633,3 +3633,219 @@ def window_page_hinkley_drift(
         "max_ph",
         F.col("detect_day").cast("string").alias("detect_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification of customers by revenue
+# ---------------------------------------------------------------------------
+
+#: Cumulative-share cut for class A (and the A+B cut).
+ABC_CUT_A = "0.80"
+ABC_CUT_AB = "0.95"
+
+
+@register(
+    "window_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                   AS revenue
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM rev),
+    cum AS (
+        SELECT o_custkey, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cumrev
+        FROM rev
+    )
+    SELECT o_custkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(cumrev AS DOUBLE) / CAST(total AS DOUBLE)
+               AS cum_share,
+           CASE WHEN CAST(cumrev AS DOUBLE) / CAST(total AS DOUBLE)
+                     <= {ABC_CUT_A} THEN 'A'
+                WHEN CAST(cumrev AS DOUBLE) / CAST(total AS DOUBLE)
+                     <= {ABC_CUT_AB} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum, tot
+    """,
+    tags=("windowed", "ranking", "pareto"),
+)
+def window_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC / Pareto classification of customers by lifetime order
+    revenue — the 80/15/5 contribution analysis behind inventory and
+    account tiering: rank customers by revenue (descending,
+    custkey-tiebroken), cumulate the exact-decimal revenue, and class
+    A = the prefix covering {ABC_CUT_A} of total revenue, B = the next
+    slice to {ABC_CUT_AB}, C = the tail.  The cumulative share is an
+    exact-decimal prefix sum divided once by the exact total, so every
+    class boundary is bit-stable cross-engine.
+
+    Scale: the oracle-checked form uses the exact single-window prefix
+    sum; the production path is frontier.global_prefix_sum(
+    mode="distributed") — range-partition on the sort key,
+    per-partition cumulative windows, broadcast partition-total
+    offsets (bit-identical, no task sorts more than one partition;
+    tests/test_frontier.py pins the equivalence).  The per-customer
+    collapse before ranking is map-side combined, so the ranked table
+    is customer-sized, not order-sized."""
+    from kafka_stream_processing_spark.operators.frontier import (
+        global_prefix_sum,
+    )
+
+    rev = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("revenue"))
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    cum = global_prefix_sum(
+        rev,
+        [F.col("revenue").desc(), F.col("o_custkey")],
+        "revenue",
+        mode="exact",
+        sum_name="cumrev",
+    )
+    share = F.col("cumrev").cast("double") / F.col("total").cast(
+        "double"
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= F.lit(float(ABC_CUT_A)), F.lit("A"))
+        .when(share <= F.lit(float(ABC_CUT_AB)), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast skill scores: seasonal-naive vs lag-1 naive
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_forecast_skill_scores",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    joined AS (
+        SELECT c.d, c.x,
+               l1.x AS f1,
+               l7.x AS f7
+        FROM daily c
+        JOIN daily l1 ON l1.d = c.d - 1
+        JOIN daily l7 ON l7.d = c.d - 7
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               SUM(CAST(round(abs(x - f1), 6) AS DECIMAL(18,6)))
+                   AS sae1,
+               SUM(CAST(round(abs(x - f7), 6) AS DECIMAL(18,6)))
+                   AS sae7,
+               SUM(CAST(round((x - f1) * (x - f1), 6)
+                        AS DECIMAL(38,6))) AS sse1,
+               SUM(CAST(round((x - f7) * (x - f7), 6)
+                        AS DECIMAL(38,6))) AS sse7
+        FROM joined
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(sae1 AS DOUBLE) / n AS mae_naive1,
+           CAST(sae7 AS DOUBLE) / n AS mae_seasonal7,
+           (CAST(sae7 AS DOUBLE) / n) / (CAST(sae1 AS DOUBLE) / n)
+               AS mase_seasonal,
+           sqrt(CAST(sse7 AS DOUBLE) / CAST(sse1 AS DOUBLE))
+               AS theil_u2
+    FROM agg
+    """,
+    tags=("windowed", "timeseries", "forecast", "statistics"),
+)
+def window_forecast_skill_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast skill of the seasonal-naive (lag-7) predictor measured
+    AGAINST the lag-1 naive on total daily revenue — the
+    model-selection readout that closes the forecasting family: MASE
+    (mean-absolute-error ratio; < 1 means weekly seasonality carries
+    real signal beyond persistence) and Theil's U2 (the RMSE-ratio
+    twin, more tail-sensitive).  Both models' errors are evaluated on
+    the SAME days (both lags must exist — calendar joins, not
+    row-lags, so gaps drop pairs symmetrically), absolute and squared
+    errors rounded to 6 decimals and summed exactly (squared daily
+    totals need DECIMAL(38,6) — the classical-decomposition overflow
+    lesson).  window_seasonal_naive_backtest reports the seasonal
+    model's own MAE/sMAPE; this op is the COMPARATIVE judgment.
+
+    Scale: daily collapse map-side combined; both lag joins and the
+    single aggregate run over the CALENDAR-sized table.  Per-key skill
+    scores group the final aggregate by key."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "x",
+        )
+    )
+    c, l1, l7 = daily.alias("c"), daily.alias("l1"), daily.alias("l7")
+    joined = (
+        c.join(l1, F.col("l1.d") == F.col("c.d") - 1)
+        .join(l7, F.col("l7.d") == F.col("c.d") - 7)
+        .select(
+            F.col("c.x").alias("x"),
+            F.col("l1.x").alias("f1"),
+            F.col("l7.x").alias("f7"),
+        )
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.abs(F.col("x") - F.col("f1")), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("sae1"),
+        F.sum(
+            F.round(F.abs(F.col("x") - F.col("f7")), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("sae7"),
+        F.sum(
+            F.round(
+                (F.col("x") - F.col("f1")) * (F.col("x") - F.col("f1")),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("sse1"),
+        F.sum(
+            F.round(
+                (F.col("x") - F.col("f7")) * (F.col("x") - F.col("f7")),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("sse7"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("sae1").cast("double") / F.col("n")).alias("mae_naive1"),
+        (F.col("sae7").cast("double") / F.col("n")).alias(
+            "mae_seasonal7"
+        ),
+        (
+            (F.col("sae7").cast("double") / F.col("n"))
+            / (F.col("sae1").cast("double") / F.col("n"))
+        ).alias("mase_seasonal"),
+        F.sqrt(
+            F.col("sse7").cast("double") / F.col("sse1").cast("double")
+        ).alias("theil_u2"),
+    )

@@ -713,3 +713,151 @@ def test_stream_markov_monitor_per_chunk_replay(spark, sf_small):
         assert r.n == nn
         assert r.from_total == totals[(ck, f_t)]
         assert r.p == nn / totals[(ck, f_t)]
+
+
+def test_abc_classification_replay(spark, sf_small):
+    """ABC classes replayed from a python sort; classes partition the
+    customers, A-revenue covers <= 80% + one customer, and cum_share
+    is monotone ending at 1."""
+    rows = sorted(
+        SPECS["window_abc_classification"].fn(spark, sf_small).collect(),
+        key=lambda r: r.cum_share,
+    )
+    con = duckdb.connect()
+    rev = con.execute(
+        f"SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+        f" FROM '{sf_small}/orders.parquet' GROUP BY 1"
+    ).fetchall()
+    ordered = sorted(rev, key=lambda t: (-t[1], t[0]))
+    total = sum(v for _, v in ordered)
+    cum = 0
+    exp = {}
+    for ck, v in ordered:
+        cum += v
+        share = float(cum) / float(total)
+        exp[ck] = (
+            float(v),
+            share,
+            "A" if share <= 0.80 else ("B" if share <= 0.95 else "C"),
+        )
+    assert len(rows) == len(exp)
+    prev = 0.0
+    for r in rows:
+        ev, es, ec = exp[r.o_custkey]
+        assert abs(r.revenue - ev) < 1e-9
+        assert abs(r.cum_share - es) < 1e-12
+        assert r.abc_class == ec
+        assert r.cum_share >= prev
+        prev = r.cum_share
+    assert abs(rows[-1].cum_share - 1.0) < 1e-12
+
+
+def test_global_prefix_sum_distributed_matches_exact(spark, sf_small):
+    """frontier.global_prefix_sum: the distributed two-phase form is
+    bit-identical to the exact single-window form on decimal values."""
+    from kafka_stream_processing_spark.functions.exact import dec
+    from kafka_stream_processing_spark.operators.frontier import (
+        global_prefix_sum,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    rev = (
+        table(spark, sf_small, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("revenue"))
+    )
+    order = [F.col("revenue").desc(), F.col("o_custkey")]
+    exact = {
+        r.o_custkey: r.cum
+        for r in global_prefix_sum(
+            rev, order, "revenue", mode="exact"
+        ).collect()
+    }
+    dist = {
+        r.o_custkey: r.cum
+        for r in global_prefix_sum(
+            rev, order, "revenue", mode="distributed"
+        ).collect()
+    }
+    assert exact == dist and len(exact) > 0
+
+
+def test_forecast_skill_scores_replay(spark, sf_small):
+    """MASE and Theil U2 replayed from exact daily totals on the
+    common-day pair set."""
+    row = SPECS["window_forecast_skill_scores"].fn(
+        spark, sf_small
+    ).collect()[0]
+    acc = _daily(sf_small, by_type=False)
+    d0 = {
+        (d - dt.date(1970, 1, 1)).days: float(acc[d]) for d in acc
+    }
+    triples = [
+        (d0[d], d0[d - 1], d0[d - 7])
+        for d in d0
+        if d - 1 in d0 and d - 7 in d0
+    ]
+    n = len(triples)
+    sae1 = sum(round(abs(x - f1), 6) for x, f1, _ in triples)
+    sae7 = sum(round(abs(x - f7), 6) for x, _, f7 in triples)
+    sse1 = sum(round((x - f1) ** 2, 6) for x, f1, _ in triples)
+    sse7 = sum(round((x - f7) ** 2, 6) for x, _, f7 in triples)
+    assert row.n_days == n
+    assert abs(row.mae_naive1 - sae1 / n) < 1e-9
+    assert abs(row.mae_seasonal7 - sae7 / n) < 1e-9
+    assert abs(row.mase_seasonal - (sae7 / n) / (sae1 / n)) < 1e-9
+    assert abs(row.theil_u2 - math.sqrt(sse7 / sse1)) < 1e-9
+
+
+def test_yule_k_python_replay(spark, sf_small):
+    """K, vocab, hapax replayed from a python Counter; K >= 0 and
+    hapax <= vocab."""
+    from collections import Counter
+
+    row = SPECS["text_yule_k_diversity"].fn(spark, sf_small).collect()[0]
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    cnt = Counter()
+    for (t,) in texts:
+        cnt.update(t.split(" "))
+    n = sum(cnt.values())
+    vocab = len(cnt)
+    s2 = sum(m * m for m in cnt.values())
+    hapax = sum(1 for m in cnt.values() if m == 1)
+    assert row.n_tokens == n and row.vocab == vocab
+    assert row.s2 == s2 and row.hapax == hapax
+    assert row.hapax_ratio == hapax / vocab
+    assert abs(row.yule_k - 10000.0 * (s2 - n) / (float(n) * n)) < 1e-12
+    assert row.yule_k >= 0.0
+
+
+def test_powerlaw_mle_replay(spark, sf_small):
+    """alpha replayed from the sparsified adjacency's degree list with
+    the CSN formula; alpha > 1 whenever any degree exceeds d_min."""
+    from kafka_stream_processing_spark.operators.graph import (
+        _sig_adj_df,
+    )
+
+    row = SPECS["graph_degree_powerlaw_mle"].fn(
+        spark, sf_small
+    ).collect()[0]
+    adj = _sig_adj_df(spark, sf_small).collect()
+    deg: dict[str, int] = {}
+    for r in adj:
+        deg[r.a] = deg.get(r.a, 0) + 1
+        deg[r.b] = deg.get(r.b, 0) + 1
+    n = len(deg)
+    dmin = min(deg.values())
+    sln = sum(
+        round(math.log(d / dmin), 12) for d in deg.values()
+    )
+    assert row.n_nodes == n and row.d_min == dmin
+    assert abs(row.sum_ln - sln) < 1e-9
+    if sln > 0:
+        assert abs(row.alpha - (1.0 + n / sln)) < 1e-9
+        assert row.alpha > 1.0
+    else:
+        assert row.alpha is None
