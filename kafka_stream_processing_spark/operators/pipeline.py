@@ -1517,3 +1517,154 @@ def sample_dsir_ess_diagnostic(
         ess.alias("ess"),
         (ess / F.col("n")).alias("ess_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+#: Sample size of the weighted reservoir op.
+ES_SAMPLE_K = 50
+#: 60-bit md5-uniform scale (the bootstrap convention).
+_ES_SCALE = 1152921504606846976.0
+
+
+@register(
+    "sample_weighted_reservoir_es",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(doc_id || '_es'), 1, 15))
+                        AS BIGINT) + 1) / {_ES_SCALE}) / n_chars
+                   AS es_key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {ES_SAMPLE_K}
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_weighted_reservoir_es(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    reservoir keys — each document draws a deterministic 60-bit md5
+    uniform u (the Poisson-bootstrap convention; +1 keeps ln finite at
+    u=0) and the top-{ES_SAMPLE_K} by key u^(1/w) form an exact
+    weighted sample, here weighted by document length.  The key is
+    compared in its monotone log form ln(u)/w (one ln per row, never
+    summed, so no rounding discipline is needed — ordering identical
+    doubles orders identically on both engines).  This is the
+    distributed form of weighted reservoir sampling: mergeable (the
+    top-k of a union is the top-k of the per-shard top-ks), one-pass,
+    deterministic across reruns and engines — the sampler a
+    quality-weighted pretraining mix actually needs (DSIR reweights;
+    this SELECTS).
+
+    Scale: the key is computed map-side; the cut is
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    the driver) — no global sort, no shuffle of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit("_es")))
+        + F.lit(1)
+    ) / F.lit(_ES_SCALE)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    return keyed.orderBy(
+        F.col("es_key").desc(), F.col("doc_id")
+    ).limit(ES_SAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering by difficulty deciles
+# ---------------------------------------------------------------------------
+
+#: Number of difficulty buckets in the curriculum interleave.
+CURRICULUM_BUCKETS = 10
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id, n_chars,
+               ntile({CURRICULUM_BUCKETS})
+                   OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, decile,
+               row_number() OVER (PARTITION BY decile
+                                  ORDER BY n_chars, doc_id)
+                   AS within_rank
+        FROM bucketed
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(decile AS INT) AS decile,
+           CAST(within_rank AS BIGINT) AS within_rank,
+           CAST(row_number() OVER (ORDER BY within_rank, decile,
+                                   doc_id) AS BIGINT)
+               AS curriculum_pos
+    FROM ranked
+    """,
+    tags=("pipeline", "sampling", "curriculum"),
+)
+def pipeline_curriculum_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum construction: bucket documents into
+    {CURRICULUM_BUCKETS} difficulty deciles (length as the difficulty
+    proxy — swap in any score column, same dataflow) and interleave
+    them round-robin (easiest-of-each-decile first, then
+    second-easiest, ...), producing the deterministic training order
+    a curriculum-learning run feeds its dataloader — every batch
+    window sees the full difficulty spectrum instead of a monotone
+    ramp's early easy bias.  ntile ties are deterministic under the
+    (n_chars, doc_id) total order (both engines hand the first n mod k
+    buckets the extra row — the registry's pinned ntile semantics);
+    the interleave is pure integer window arithmetic.
+
+    Scale: the oracle-checked form uses total-order windows; the
+    production swap is frontier.quantile_cuts(mode="approx") for the
+    decile boundaries plus frontier.global_rank(mode="distributed")
+    for the final position — both exist as code with pinned
+    equivalence.  The per-decile rank window partitions by bucket."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    bucketed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(CURRICULUM_BUCKETS)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("decile"),
+    )
+    ranked = bucketed.select(
+        "doc_id",
+        "n_chars",
+        "decile",
+        F.row_number()
+        .over(
+            Window.partitionBy("decile").orderBy("n_chars", "doc_id")
+        )
+        .alias("within_rank"),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        F.col("decile").cast("int").alias("decile"),
+        F.col("within_rank").cast("bigint").alias("within_rank"),
+        F.row_number()
+        .over(Window.orderBy("within_rank", "decile", "doc_id"))
+        .cast("bigint")
+        .alias("curriculum_pos"),
+    )

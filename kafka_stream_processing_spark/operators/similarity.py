@@ -2246,3 +2246,200 @@ def embedding_centroid_separation(
             F.sqrt(F.col("d2")).alias("l2_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin cluster-quality index over labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_davies_bouldin_index",
+    oracle="""
+    WITH flat AS (
+        SELECT label, t.i AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                   / (count(*)) AS c
+        FROM flat GROUP BY 1, 2
+    ),
+    sx AS (
+        SELECT label, count(*) AS n,
+               CAST(SUM(CAST(sq AS DECIMAL(18,12))) AS DOUBLE) AS sxx
+        FROM (
+            SELECT label,
+                   CAST(list_aggregate(list_transform(range(1, 65),
+                        i -> CAST(CAST(embedding[i] AS DOUBLE)
+                                  * CAST(embedding[i] AS DOUBLE)
+                                  AS DECIMAL(18,12))), 'sum')
+                        AS DOUBLE) AS sq
+            FROM embeddings
+        ) GROUP BY label
+    ),
+    cc AS (
+        SELECT label,
+               CAST(SUM(CAST(c * c AS DECIMAL(18,12))) AS DOUBLE)
+                   AS cc
+        FROM cent GROUP BY label
+    ),
+    scat AS (
+        SELECT sx.label, sx.n,
+               sqrt(greatest(0.0, (sx.sxx - sx.n * cc.cc) / sx.n))
+                   AS s
+        FROM sx JOIN cc ON cc.label = sx.label
+    ),
+    pd AS (
+        SELECT a.label AS la, b.label AS lb,
+               sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                                  AS DECIMAL(18,12))) AS DOUBLE))
+                   AS dist
+        FROM cent a JOIN cent b
+          ON a.dim = b.dim AND a.label <> b.label
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT pd.la AS label,
+               max((si.s + sj.s) / pd.dist) AS db_component
+        FROM pd
+        JOIN scat si ON si.label = pd.la
+        JOIN scat sj ON sj.label = pd.lb
+        GROUP BY pd.la
+    ),
+    g AS (
+        SELECT CAST(SUM(CAST(round(db_component, 12)
+                             AS DECIMAL(18,12))) AS DOUBLE)
+                   / count(*) AS db_index
+        FROM r
+    )
+    SELECT CAST(scat.label AS INT) AS label,
+           CAST(scat.n AS BIGINT) AS n,
+           scat.s AS scatter,
+           r.db_component,
+           g.db_index
+    FROM scat JOIN r ON r.label = scat.label, g
+    """,
+    tags=("similarity", "embedding", "clustering", "statistics"),
+)
+def embedding_davies_bouldin_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Davies-Bouldin cluster-quality index over the embedding labels
+    — per-label scatter S_i = √(mean squared distance to centroid),
+    pairwise similarity R_ij = (S_i + S_j)/d(c_i, c_j), per-label
+    worst case DB_i = max_j R_ij, and the global index mean_i DB_i
+    (lower = tighter, better-separated clusters) — the scalar verdict
+    on top of embedding_centroid_separation's pairwise table, and the
+    evaluation a kmeans/contrastive pipeline gates on.  Scatter never
+    touches member PAIRS: Σ‖x−c‖² = Σ‖x‖² − n‖c‖² (the mean-centroid
+    identity), so each label needs only its exact DECIMAL(18,12)
+    moment sums; centroid distances reuse the round-12 decimal dot
+    discipline; the final mean quantizes the ≤|labels| components
+    before its exact sum.
+
+    Scale: one corpus scan for moments (map-side combined), then
+    everything runs on label-domain-sized tables (|labels|·64
+    centroids, |labels|² pairs).  The greatest(0,·) guard absorbs the
+    float-identity residue of a zero-scatter cluster."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "label",
+        F.posexplode(_as_double_array("embedding")).alias("dim", "x"),
+    )
+    cent = flat.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    sq = emb.select(
+        "label",
+        F.aggregate(
+            F.transform(
+                _as_double_array("embedding"),
+                lambda v: (v * v).cast(_DEC),
+            ),
+            F.lit(0).cast(_DEC),
+            lambda acc, v: (acc + v).cast(_DEC),
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    sx = sq.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("sq").cast(_DEC)).cast("double").alias("sxx"),
+    )
+    cc = cent.groupBy("label").agg(
+        F.sum((F.col("c") * F.col("c")).cast(_DEC))
+        .cast("double")
+        .alias("cc")
+    )
+    scat = sx.join(cc, "label").select(
+        "label",
+        "n",
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("sxx") - F.col("n") * F.col("cc")) / F.col("n"),
+            )
+        ).alias("s"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pd = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("la"), F.col("b.label").alias("lb")
+        )
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (
+                        (F.col("a.c") - F.col("b.c"))
+                        * (F.col("a.c") - F.col("b.c"))
+                    ).cast(_DEC)
+                ).cast("double")
+            ).alias("dist")
+        )
+    )
+    si = scat.select(
+        F.col("label").alias("la"), F.col("s").alias("s_i")
+    )
+    sj = scat.select(
+        F.col("label").alias("lb"), F.col("s").alias("s_j")
+    )
+    r = (
+        pd.join(F.broadcast(si), "la")
+        .join(F.broadcast(sj), "lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.max(
+                (F.col("s_i") + F.col("s_j")) / F.col("dist")
+            ).alias("db_component")
+        )
+    )
+    g = r.agg(
+        (
+            F.sum(F.round(F.col("db_component"), 12).cast(_DEC)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("db_index")
+    )
+    return (
+        scat.join(r, "label")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").alias("scatter"),
+            "db_component",
+            "db_index",
+        )
+    )

@@ -3849,3 +3849,165 @@ def window_forecast_skill_scores(
             F.col("sse7").cast("double") / F.col("sse1").cast("double")
         ).alias("theil_u2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-series decomposition strengths
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_decomposition_strength_by_type",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+        SELECT event_type, day, x,
+               CASE WHEN COUNT(*) OVER w = {DECOMP_PERIOD}
+                    THEN CAST(SUM(x) OVER w AS DOUBLE)
+                         / {DECOMP_PERIOD}
+               END AS trend,
+               dayofweek(day) AS dow
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {DECOMP_PERIOD // 2} PRECEDING
+                     AND {DECOMP_PERIOD // 2} FOLLOWING)
+    ),
+    det AS (
+        SELECT event_type, day, x, trend, dow,
+               CAST(x AS DOUBLE) - trend AS d
+        FROM ma WHERE trend IS NOT NULL
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               CAST(SUM(CAST(round(d, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS s
+        FROM det GROUP BY 1, 2
+    ),
+    comp AS (
+        SELECT det.event_type, det.trend, seas.s AS seasonal,
+               det.d - seas.s AS remainder
+        FROM det JOIN seas
+          ON seas.event_type = det.event_type AND seas.dow = det.dow
+    ),
+    var_t AS (
+        SELECT event_type,
+               count(*) AS n_days_used,
+               CAST(SUM(CAST(round(remainder * remainder, 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS vr,
+               CAST(SUM(CAST(round((seasonal + remainder)
+                                   * (seasonal + remainder), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS vsr,
+               CAST(SUM(CAST(round((trend + remainder)
+                                   * (trend + remainder), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS vtr
+        FROM comp GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_days_used AS BIGINT) AS n_days_used,
+           greatest(0.0, 1.0 - vr / vsr) AS seasonal_strength,
+           greatest(0.0, 1.0 - vr / vtr) AS trend_strength
+    FROM var_t
+    """,
+    tags=("windowed", "timeseries", "decomposition"),
+)
+def window_decomposition_strength_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type Hyndman strength-of-component readouts — the
+    PARTITIONED deployment of window_classical_decomposition's
+    F_s/F_t, one (seasonal_strength, trend_strength) verdict per
+    series instead of one global trace: exactly the fleet-screening
+    query a forecasting platform runs over a million series to decide
+    WHICH get the seasonal model (high F_s), which get a trend model
+    (high F_t), and which are white noise not worth modeling.  Every
+    window from the global op reappears with PARTITION BY event_type —
+    the per-key scaling claim in that op's docstring, now code — and
+    the same round-6/DECIMAL(38,6) discipline keeps all strengths
+    bit-stable.
+
+    Scale: the MA window, weekday means, and variance aggregates all
+    partition by series key, so a million series parallelize across
+    tasks with CALENDAR-sized state each; one shuffle on the series
+    key."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+    )
+    half = DECOMP_PERIOD // 2
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    ma = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == DECOMP_PERIOD,
+            F.sum("x").over(w).cast("double") / DECOMP_PERIOD,
+        ).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    det = ma.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        "trend",
+        "dow",
+        (F.col("x").cast("double") - F.col("trend")).alias("d"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        (
+            F.sum(F.round(F.col("d"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    comp = det.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        "trend",
+        F.col("s").alias("seasonal"),
+        (F.col("d") - F.col("s")).alias("remainder"),
+    )
+
+    def mean_of(col, alias):
+        return (
+            F.sum(F.round(col, 6).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(alias)
+
+    var_t = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_used"),
+        mean_of(F.col("remainder") * F.col("remainder"), "vr"),
+        mean_of(
+            (F.col("seasonal") + F.col("remainder"))
+            * (F.col("seasonal") + F.col("remainder")),
+            "vsr",
+        ),
+        mean_of(
+            (F.col("trend") + F.col("remainder"))
+            * (F.col("trend") + F.col("remainder")),
+            "vtr",
+        ),
+    )
+    return var_t.select(
+        "event_type",
+        F.col("n_days_used").cast("bigint").alias("n_days_used"),
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vsr")
+        ).alias("seasonal_strength"),
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vtr")
+        ).alias("trend_strength"),
+    )

@@ -861,3 +861,188 @@ def test_powerlaw_mle_replay(spark, sf_small):
         assert row.alpha > 1.0
     else:
         assert row.alpha is None
+
+
+def test_weighted_reservoir_es_replay(spark, sf_small):
+    """ES keys replayed via hashlib md5; the engine's top-k equals the
+    python top-k and is deterministic across reruns."""
+    import hashlib
+
+    from kafka_stream_processing_spark.operators.pipeline import (
+        ES_SAMPLE_K,
+        _ES_SCALE,
+    )
+
+    rows = SPECS["sample_weighted_reservoir_es"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    keyed = []
+    for doc_id, w in docs:
+        h = int(
+            hashlib.md5(f"{doc_id}_es".encode()).hexdigest()[:15], 16
+        )
+        keyed.append((math.log((h + 1) / _ES_SCALE) / w, doc_id, w))
+    top = sorted(keyed, key=lambda t: (-t[0], t[1]))[:ES_SAMPLE_K]
+    assert len(rows) == ES_SAMPLE_K
+    got = sorted(rows, key=lambda r: (-r.es_key, r.doc_id))
+    for r, (k, doc_id, w) in zip(got, top):
+        assert r.doc_id == doc_id and r.weight == w
+        # python's math.log can differ from the JVM/DuckDB ln by one
+        # ulp; the cross-ENGINE comparison is the strict gate
+        assert math.isclose(r.es_key, k, rel_tol=1e-12)
+    rerun = SPECS["sample_weighted_reservoir_es"].fn(
+        spark, sf_small
+    ).collect()
+    assert sorted(r.doc_id for r in rerun) == sorted(
+        r.doc_id for r in rows
+    )
+
+
+def test_curriculum_order_replay(spark, sf_small):
+    """ntile + round-robin interleave replayed in python; positions
+    form a permutation and rounds are difficulty-complete."""
+    from kafka_stream_processing_spark.operators.pipeline import (
+        CURRICULUM_BUCKETS,
+    )
+
+    rows = SPECS["pipeline_curriculum_order"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    docs = sorted(
+        con.execute(
+            f"SELECT n_chars, doc_id FROM '{sf_small}/documents.parquet'"
+        ).fetchall()
+    )
+    n = len(docs)
+    k = CURRICULUM_BUCKETS
+    base, extra = divmod(n, k)
+    # ntile: first `extra` buckets get base+1 rows
+    exp_decile = {}
+    exp_within = {}
+    idx = 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= extra else 0)
+        for j in range(size):
+            _, doc_id = docs[idx]
+            exp_decile[doc_id] = b
+            exp_within[doc_id] = j + 1
+            idx += 1
+    order = sorted(
+        ((exp_within[d], exp_decile[d], d) for _, d in docs)
+    )
+    exp_pos = {d: i + 1 for i, (_, _, d) in enumerate(order)}
+    assert len(rows) == n
+    for r in rows:
+        assert r.decile == exp_decile[r.doc_id]
+        assert r.within_rank == exp_within[r.doc_id]
+        assert r.curriculum_pos == exp_pos[r.doc_id]
+    assert sorted(r.curriculum_pos for r in rows) == list(
+        range(1, n + 1)
+    )
+
+
+def test_davies_bouldin_numpy_replay(spark, sf_small):
+    """Scatter via the mean-centroid identity, R matrix, and the index
+    replayed with numpy; db_component is the row max of R."""
+    import numpy as np
+
+    rows = SPECS["embedding_davies_bouldin_index"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT label, embedding FROM '{sf_small}/embeddings.parquet'"
+    ).fetchall()
+    groups: dict[int, list] = {}
+    for label, emb in data:
+        groups.setdefault(label, []).append(
+            np.array(emb, dtype=np.float64)
+        )
+    labels = sorted(groups)
+    cents = {}
+    scat = {}
+    for lb in labels:
+        X = np.stack(groups[lb])
+        n = len(X)
+        c = X.sum(axis=0) / n
+        cents[lb] = c
+        sxx = float((X * X).sum())
+        cc = float((c * c).sum())
+        scat[lb] = math.sqrt(max(0.0, (sxx - n * cc) / n))
+    comp = {}
+    for i in labels:
+        rs = []
+        for j in labels:
+            if i == j:
+                continue
+            d = float(np.linalg.norm(cents[i] - cents[j]))
+            rs.append((scat[i] + scat[j]) / d)
+        comp[i] = max(rs)
+    db = sum(comp.values()) / len(labels)
+    got = {r.label: r for r in rows}
+    assert set(got) == set(labels)
+    for lb in labels:
+        r = got[lb]
+        assert r.n == len(groups[lb])
+        assert abs(r.scatter - scat[lb]) < 1e-6
+        assert abs(r.db_component - comp[lb]) < 1e-6
+        assert abs(r.db_index - db) < 1e-6
+        assert r.scatter >= 0.0
+
+
+def test_decomposition_strength_by_type_replay(spark, sf_small):
+    """Per-series strengths replayed with the classical-decomposition
+    arithmetic partitioned by event_type."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        DECOMP_PERIOD,
+    )
+
+    rows = SPECS["window_decomposition_strength_by_type"].fn(
+        spark, sf_small
+    ).collect()
+    acc = _daily(sf_small, by_type=True)
+    series: dict[str, list] = {}
+    for (et, day), v in sorted(acc.items()):
+        series.setdefault(et, []).append((day, float(v)))
+    half = DECOMP_PERIOD // 2
+    got = {r.event_type: r for r in rows}
+    for et, pts in series.items():
+        days = [d for d, _ in pts]
+        xs = [x for _, x in pts]
+        trend = {}
+        for i in range(half, len(days) - half):
+            trend[days[i]] = (
+                sum(xs[i - half : i + half + 1]) / DECOMP_PERIOD
+            )
+        det = {d: xs[days.index(d)] - t for d, t in trend.items()}
+        by_dow: dict[int, list] = {}
+        for d, v in det.items():
+            by_dow.setdefault(d.weekday(), []).append(v)
+        seas = {
+            kk: sum(round(v, 6) for v in vs) / len(vs)
+            for kk, vs in by_dow.items()
+        }
+        rem = {d: det[d] - seas[d.weekday()] for d in det}
+        n = len(rem)
+        vr = sum(round(v * v, 6) for v in rem.values()) / n
+        vsr = (
+            sum(
+                round((seas[d.weekday()] + rem[d]) ** 2, 6)
+                for d in rem
+            )
+            / n
+        )
+        vtr = (
+            sum(round((trend[d] + rem[d]) ** 2, 6) for d in rem) / n
+        )
+        r = got[et]
+        assert r.n_days_used == n
+        assert abs(
+            r.seasonal_strength - max(0.0, 1.0 - vr / vsr)
+        ) < 1e-9
+        assert abs(r.trend_strength - max(0.0, 1.0 - vr / vtr)) < 1e-9
