@@ -1738,3 +1738,120 @@ def agg_cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained three-step funnel
+# ---------------------------------------------------------------------------
+
+#: Maximum allowed gap between consecutive funnel steps (hours).
+FUNNEL_STEP_GAP_HOURS = 24
+
+
+@register(
+    "funnel_view_click_purchase_24h",
+    oracle=f"""
+    WITH fv AS (
+        SELECT user_id, min(ts) AS v_ts
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    fc AS (
+        SELECT fv.user_id, fv.v_ts, min(e.ts) AS c_ts
+        FROM fv JOIN events e
+          ON e.user_id = fv.user_id
+         AND e.event_type = 'click'
+         AND e.ts > fv.v_ts
+         AND e.ts <= fv.v_ts + INTERVAL {FUNNEL_STEP_GAP_HOURS} HOUR
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT fc.user_id, min(e.ts) AS p_ts
+        FROM fc JOIN events e
+          ON e.user_id = fc.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > fc.c_ts
+         AND e.ts <= fc.c_ts + INTERVAL {FUNNEL_STEP_GAP_HOURS} HOUR
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM fv) AS n_viewed,
+           (SELECT count(*) FROM fc) AS n_clicked,
+           (SELECT count(*) FROM fp) AS n_purchased,
+           CAST((SELECT count(*) FROM fc) AS DOUBLE)
+               / (SELECT count(*) FROM fv) AS view_to_click,
+           CAST((SELECT count(*) FROM fp) AS DOUBLE)
+               / (SELECT count(*) FROM fc) AS click_to_purchase,
+           CAST((SELECT count(*) FROM fp) AS DOUBLE)
+               / (SELECT count(*) FROM fv) AS overall
+    """,
+    tags=("funnel", "behavioral"),
+)
+def funnel_view_click_purchase_24h(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three-step TIME-CONSTRAINED funnel: first view → first
+    subsequent click within {FUNNEL_STEP_GAP_HOURS} h → first
+    subsequent purchase within {FUNNEL_STEP_GAP_HOURS} h of that
+    click — the dashboard funnel with step-timeout semantics
+    (funnel_click_to_purchase counts EVENTUAL conversion; real funnels
+    expire), anchored at each user's first view so step order and
+    deadlines are both enforced.  Counts are exact; the three
+    conversion rates are single integer-to-double divisions.
+
+    Scale: three user-keyed aggregates/joins, each map-side combined —
+    never a time cross join; the step deadline bounds each join's
+    per-user fan-out by the user's event rate × the gap.  Adding a
+    step appends one more join of the same shape."""
+    events = table(spark, sf_dir, "events")
+    gap = F.expr(f"INTERVAL {FUNNEL_STEP_GAP_HOURS} HOURS")
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fc = (
+        fv.join(
+            events.filter(F.col("event_type") == "click").select(
+                F.col("user_id").alias("cu"), F.col("ts").alias("ct")
+            ),
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ct") > F.col("v_ts"))
+            & (F.col("ct") <= F.col("v_ts") + gap),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ct").alias("c_ts"))
+    )
+    fp = (
+        fc.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu"), F.col("ts").alias("pt")
+            ),
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pt") > F.col("c_ts"))
+            & (F.col("pt") <= F.col("c_ts") + gap),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("p_ts"))
+    )
+    nv = fv.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = fc.agg(F.count(F.lit(1)).alias("n_clicked"))
+    np_ = fp.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            (
+                F.col("n_clicked").cast("double") / F.col("n_viewed")
+            ).alias("view_to_click"),
+            (
+                F.col("n_purchased").cast("double")
+                / F.col("n_clicked")
+            ).alias("click_to_purchase"),
+            (
+                F.col("n_purchased").cast("double")
+                / F.col("n_viewed")
+            ).alias("overall"),
+        )
+    )

@@ -2443,3 +2443,181 @@ def embedding_davies_bouldin_index(
             "db_index",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette over labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_silhouette_lite",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label, t.i AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS clabel, dim,
+               CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                   / count(*) AS c
+        FROM flat GROUP BY 1, 2
+    ),
+    cc AS (
+        SELECT clabel,
+               CAST(SUM(CAST(c * c AS DECIMAL(18,12))) AS DOUBLE)
+                   AS cc
+        FROM cent GROUP BY clabel
+    ),
+    sq AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE)
+                   AS sq
+        FROM flat GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT f.vec_id, f.label, c.clabel,
+               CAST(SUM(CAST(f.x * c.c AS DECIMAL(18,12)))
+                    AS DOUBLE) AS dot
+        FROM flat f JOIN cent c ON c.dim = f.dim
+        GROUP BY 1, 2, 3
+    ),
+    dist AS (
+        SELECT d.vec_id, d.label, d.clabel,
+               sqrt(greatest(0.0, sq.sq - 2.0 * d.dot + cc.cc)) AS dd
+        FROM dots d
+        JOIN sq ON sq.vec_id = d.vec_id
+        JOIN cc ON cc.clabel = d.clabel
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN dd END) AS a,
+               min(CASE WHEN clabel <> label THEN dd END) AS b
+        FROM dist GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT vec_id, label,
+               (b - a) / greatest(a, b) AS sil
+        FROM ab
+    ),
+    bylabel AS (
+        SELECT label, count(*) AS n,
+               CAST(SUM(CAST(round(sil, 12) AS DECIMAL(18,12)))
+                    AS DOUBLE) / count(*) AS mean_sil
+        FROM s GROUP BY label
+    ),
+    g AS (
+        SELECT CAST(SUM(CAST(round(sil, 12) AS DECIMAL(18,12)))
+                    AS DOUBLE) / count(*) AS global_mean_sil
+        FROM s
+    )
+    SELECT CAST(bylabel.label AS INT) AS label,
+           CAST(bylabel.n AS BIGINT) AS n,
+           bylabel.mean_sil,
+           g.global_mean_sil
+    FROM bylabel, g
+    """,
+    tags=("similarity", "embedding", "clustering", "statistics"),
+)
+def embedding_silhouette_lite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIMPLIFIED silhouette over the embedding labels — per vector,
+    a = distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b − a)/max(a, b); reported as per-label and
+    global means — the per-POINT companion of the Davies-Bouldin
+    index (DB judges clusters wholesale; silhouette exposes which
+    labels harbor misassigned members), in the centroid-simplified
+    form (Hruschka et al.) that replaces the classic O(n²) pairwise
+    silhouette with the kmeans-assignment shape: every distance is
+    ‖x‖² − 2x·c + ‖c‖² from exact DECIMAL(18,12) moment/dot sums,
+    so a, b, and s are bit-stable cross-engine; the means quantize
+    each s to 12 decimals before their exact sums.
+
+    Scale: the dot table is n·|labels| rows (the kmeans assignment
+    cost — linear in the corpus, no member pairs ever); centroid
+    tables are label-domain-sized.  The greatest(a, b) denominator is
+    safe: b > 0 whenever centroids are distinct."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(_as_double_array("embedding")).alias("dim", "x"),
+    )
+    cent = flat.groupBy(F.col("label").alias("clabel"), F.col("dim")).agg(
+        (
+            F.sum(F.col("x").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cc = cent.groupBy("clabel").agg(
+        F.sum((F.col("c") * F.col("c")).cast(_DEC))
+        .cast("double")
+        .alias("cc")
+    )
+    sq = flat.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(_DEC))
+        .cast("double")
+        .alias("sq")
+    )
+    dots = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast(_DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    dist = (
+        dots.join(sq, "vec_id")
+        .join(F.broadcast(cc), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("sq")
+                    - F.lit(2.0) * F.col("dot")
+                    + F.col("cc"),
+                )
+            ).alias("dd"),
+        )
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dd"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dd"))
+        ).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        (
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+        ).alias("sil"),
+    )
+    bylabel = s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("sil"), 12).cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_sil"),
+    )
+    g = s.agg(
+        (
+            F.sum(F.round(F.col("sil"), 12).cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("global_mean_sil")
+    )
+    return bylabel.crossJoin(F.broadcast(g)).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("bigint").alias("n"),
+        "mean_sil",
+        "global_mean_sil",
+    )

@@ -4011,3 +4011,121 @@ def window_decomposition_strength_by_type(
             F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vtr")
         ).alias("trend_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                   AS from_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS grand FROM c),
+    pc AS (
+        SELECT from_type, n,
+               CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY from_type) AS p
+        FROM c
+    ),
+    h AS (
+        SELECT from_type,
+               SUM(n) AS from_total,
+               CAST(SUM(CAST(round(-p * ln(p), 12)
+                   AS DECIMAL(18,12))) AS DOUBLE) AS h_cond
+        FROM pc
+        GROUP BY from_type
+    ),
+    rate AS (
+        SELECT CAST(SUM(CAST(round(
+                   (CAST(h.from_total AS DOUBLE) / t.grand) * h.h_cond,
+                   12) AS DECIMAL(18,12))) AS DOUBLE) AS entropy_rate
+        FROM h, tot t
+    )
+    SELECT h.from_type,
+           CAST(h.from_total AS BIGINT) AS from_total,
+           CAST(h.from_total AS DOUBLE) / t.grand AS pi,
+           h.h_cond,
+           r.entropy_rate
+    FROM h, tot t, rate r
+    """,
+    tags=("windowed", "sequence", "statistics"),
+)
+def window_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain —
+    H = Σ_f π_f · H(·|f) with π the empirical from-state distribution
+    and H(·|f) = −Σ_t p ln p the per-row conditional entropy — the
+    single number that says how PREDICTABLE user behavior is (0 =
+    deterministic next action, ln|types| = uniform), the sequence
+    family's summary the transition-matrix op feeds: a drop in
+    entropy rate between cohorts means behavior is funnelling.  Each
+    ln term is rounded to 12 decimals and summed exactly (the
+    domain-bounded |types|² cell table makes this a 25-term sum), and
+    the π-weighted outer sum quantizes the SAME way — both engines
+    walk an identical expression tree to one global double.
+
+    Scale: identical to window_markov_event_transitions (one user_id
+    lag shuffle, domain-bounded cells); the entropy arithmetic runs
+    over 25 rows."""
+    from pyspark.sql import Window
+
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("from_type"),
+    )
+    c = (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("from_type")
+    p = F.col("n").cast("double") / F.sum("n").over(w)
+    term = F.round(-p * F.log(p), 12).cast("decimal(18,12)")
+    h = (
+        c.select("from_type", "n", term.alias("t"))
+        .groupBy("from_type")
+        .agg(
+            F.sum("n").alias("from_total"),
+            F.sum("t").cast("double").alias("h_cond"),
+        )
+    )
+    tot = c.agg(F.sum("n").alias("grand"))
+    hh = h.crossJoin(F.broadcast(tot))
+    rate = hh.agg(
+        F.sum(
+            F.round(
+                (F.col("from_total").cast("double") / F.col("grand"))
+                * F.col("h_cond"),
+                12,
+            ).cast("decimal(18,12)")
+        )
+        .cast("double")
+        .alias("entropy_rate")
+    )
+    return hh.crossJoin(F.broadcast(rate)).select(
+        "from_type",
+        F.col("from_total").cast("bigint").alias("from_total"),
+        (
+            F.col("from_total").cast("double") / F.col("grand")
+        ).alias("pi"),
+        "h_cond",
+        "entropy_rate",
+    )

@@ -2764,3 +2764,109 @@ def stream_markov_transition_monitor(
         F.sum("n").over(tot).cast("bigint").alias("from_total"),
         (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming weighted-reservoir merge (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def _es_stream_oracle() -> str:
+    from kafka_stream_processing_spark.operators.pipeline import (
+        ES_SAMPLE_K,
+        _ES_SCALE,
+    )
+
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(doc_id || '_es'), 1, 15))
+                        AS BIGINT) + 1) / {_ES_SCALE}) / n_chars
+                   AS es_key
+        FROM documents WHERE source <> 'src0'
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {ES_SAMPLE_K}
+    """
+
+
+@register(
+    "stream_weighted_sample_merge",
+    oracle=_es_stream_oracle(),
+    tags=("streaming", "sampling"),
+)
+def stream_weighted_sample_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Efraimidis-Spirakis weighted reservoir: each arriving
+    micro-batch computes its own top-k by the deterministic md5 ES key
+    and the driver MERGES it into a running k-row reservoir — the
+    mergeability theorem (top-k of a union == top-k of per-shard
+    top-ks) exercised as a real incremental pipeline, and the oracle
+    is simply the BATCH sample over the same training pool: stream
+    and batch provably select the SAME documents with the same keys
+    (the Count-Min/bloom-merge audit pattern applied to sampling).
+
+    Scale: per-trigger driver traffic is k rows (the legal top-k fold
+    of stream_global_topk_foreachbatch); per-batch executor work is a
+    map-side key + TakeOrderedAndProject.  State is the k-row
+    reservoir, never the stream; restart re-merges from the persisted
+    reservoir exactly like the sketch family."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.operators.pipeline import (
+        ES_SAMPLE_K,
+        _ES_SCALE,
+    )
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    reservoir: list[tuple[float, int, int]] = []  # (-key, doc_id, w)
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        u = (
+            hash64(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("_es")
+                )
+            )
+            + F.lit(1)
+        ) / F.lit(_ES_SCALE)
+        rows = (
+            batch_df.select(
+                "doc_id",
+                F.col("n_chars").cast("bigint").alias("weight"),
+                (F.log(u) / F.col("n_chars")).alias("es_key"),
+            )
+            .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+            .limit(ES_SAMPLE_K)
+            .collect()
+        )
+        for r in rows:
+            reservoir.append(
+                (-r["es_key"], int(r["doc_id"]), int(r["weight"]))
+            )
+        reservoir.sort()
+        del reservoir[ES_SAMPLE_K:]
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    return spark.createDataFrame(
+        [(doc_id, w, -negkey) for negkey, doc_id, w in reservoir],
+        "doc_id bigint, weight bigint, es_key double",
+    )

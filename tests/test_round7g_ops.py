@@ -1046,3 +1046,184 @@ def test_decomposition_strength_by_type_replay(spark, sf_small):
             r.seasonal_strength - max(0.0, 1.0 - vr / vsr)
         ) < 1e-9
         assert abs(r.trend_strength - max(0.0, 1.0 - vr / vtr)) < 1e-9
+
+
+def test_markov_entropy_rate_replay(spark, sf_small):
+    """Entropy rate replayed from the python transition counts of
+    test_markov_transitions_replay; 0 <= H <= ln(#types), and the
+    pi column sums to 1."""
+    rows = SPECS["window_markov_entropy_rate"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, event_id, event_type"
+        f" FROM '{sf_small}/events.parquet'"
+        f" ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    counts: dict[tuple[str, str], int] = {}
+    prev_user, prev_type = None, None
+    for user, _, _, et in ev:
+        if user == prev_user:
+            counts[(prev_type, et)] = counts.get((prev_type, et), 0) + 1
+        prev_user, prev_type = user, et
+    totals: dict[str, int] = {}
+    for (f_t, _), nn in counts.items():
+        totals[f_t] = totals.get(f_t, 0) + nn
+    grand = sum(totals.values())
+    h_cond = {}
+    for f_t, tot in totals.items():
+        h_cond[f_t] = sum(
+            round(
+                -(nn / tot) * math.log(nn / tot), 12
+            )
+            for (ft2, _), nn in counts.items()
+            if ft2 == f_t
+        )
+    rate = sum(
+        round((totals[f_t] / grand) * h_cond[f_t], 12)
+        for f_t in totals
+    )
+    got = {r.from_type: r for r in rows}
+    assert set(got) == set(totals)
+    n_types = len({t for _, t in counts} | set(totals))
+    for f_t, r in got.items():
+        assert r.from_total == totals[f_t]
+        assert abs(r.pi - totals[f_t] / grand) < 1e-12
+        assert abs(r.h_cond - h_cond[f_t]) < 1e-9
+        assert abs(r.entropy_rate - rate) < 1e-9
+        assert -1e-12 <= r.h_cond <= math.log(n_types) + 1e-9
+    assert abs(sum(r.pi for r in rows) - 1.0) < 1e-12
+
+
+def test_silhouette_lite_numpy_replay(spark, sf_small):
+    """Per-label and global simplified silhouettes replayed with
+    numpy; every mean is within [-1, 1]."""
+    import numpy as np
+
+    rows = SPECS["embedding_silhouette_lite"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, label, embedding"
+        f" FROM '{sf_small}/embeddings.parquet'"
+    ).fetchall()
+    groups: dict[int, list] = {}
+    vecs = {}
+    labels_of = {}
+    for vec_id, label, emb in data:
+        v = np.array(emb, dtype=np.float64)
+        groups.setdefault(label, []).append(v)
+        vecs[vec_id] = v
+        labels_of[vec_id] = label
+    cents = {
+        lb: np.stack(vs).sum(axis=0) / len(vs)
+        for lb, vs in groups.items()
+    }
+    sils: dict[int, list] = {}
+    all_sils = []
+    for vec_id, v in vecs.items():
+        own = labels_of[vec_id]
+        a = float(np.linalg.norm(v - cents[own]))
+        b = min(
+            float(np.linalg.norm(v - cents[lb]))
+            for lb in cents
+            if lb != own
+        )
+        s = (b - a) / max(a, b)
+        sils.setdefault(own, []).append(round(s, 12))
+        all_sils.append(round(s, 12))
+    got = {r.label: r for r in rows}
+    assert set(got) == set(groups)
+    for lb, ss in sils.items():
+        r = got[lb]
+        assert r.n == len(ss)
+        assert abs(r.mean_sil - sum(ss) / len(ss)) < 1e-6
+        assert -1.0 <= r.mean_sil <= 1.0
+        assert abs(
+            r.global_mean_sil - sum(all_sils) / len(all_sils)
+        ) < 1e-6
+
+
+def test_funnel_time_constrained_replay(spark, sf_small):
+    """Step counts replayed from per-user event scans with the 24h
+    deadlines; funnel counts are monotone non-increasing."""
+    from kafka_stream_processing_spark.operators.relational import (
+        FUNNEL_STEP_GAP_HOURS,
+    )
+
+    row = SPECS["funnel_view_click_purchase_24h"].fn(
+        spark, sf_small
+    ).collect()[0]
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, event_type"
+        f" FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for user, ts, et in ev:
+        by_user.setdefault(user, []).append((ts, et))
+    gap = dt.timedelta(hours=FUNNEL_STEP_GAP_HOURS)
+    nv = nc = np_ = 0
+    for user, evs in by_user.items():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        nv += 1
+        v = min(views)
+        clicks = [
+            t for t, e in evs if e == "click" and v < t <= v + gap
+        ]
+        if not clicks:
+            continue
+        nc += 1
+        c = min(clicks)
+        purch = [
+            t
+            for t, e in evs
+            if e == "purchase" and c < t <= c + gap
+        ]
+        if purch:
+            np_ += 1
+    assert (row.n_viewed, row.n_clicked, row.n_purchased) == (
+        nv,
+        nc,
+        np_,
+    )
+    assert row.n_viewed >= row.n_clicked >= row.n_purchased
+    assert row.view_to_click == nc / nv
+    assert row.click_to_purchase == np_ / nc
+    assert row.overall == np_ / nv
+
+
+def test_stream_weighted_sample_equals_batch_subset(spark, sf_small):
+    """Mergeability pin: the streaming reservoir equals the one-shot
+    batch ES sample over the same training pool."""
+    import hashlib
+
+    from kafka_stream_processing_spark.operators.pipeline import (
+        ES_SAMPLE_K,
+        _ES_SCALE,
+    )
+
+    rows = SPECS["stream_weighted_sample_merge"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars FROM '{sf_small}/documents.parquet'"
+        f" WHERE source <> 'src0'"
+    ).fetchall()
+    keyed = []
+    for doc_id, w in docs:
+        h = int(
+            hashlib.md5(f"{doc_id}_es".encode()).hexdigest()[:15], 16
+        )
+        keyed.append((math.log((h + 1) / _ES_SCALE) / w, doc_id, w))
+    top = sorted(keyed, key=lambda t: (-t[0], t[1]))[:ES_SAMPLE_K]
+    assert len(rows) == ES_SAMPLE_K
+    got = sorted(rows, key=lambda r: (-r.es_key, r.doc_id))
+    for r, (k, doc_id, w) in zip(got, top):
+        assert r.doc_id == doc_id and r.weight == w
+        assert math.isclose(r.es_key, k, rel_tol=1e-12)
