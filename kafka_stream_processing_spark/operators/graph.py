@@ -1115,3 +1115,108 @@ def graph_degree_powerlaw_mle(
             + F.col("n").cast("double") / F.col("sln").cast("double"),
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed reciprocity of the trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_trade_reciprocity",
+    oracle=f"""
+    WITH e AS ({_edges_sql()}),
+    r AS (
+        SELECT e.src, e.dst, e.w, rev.w AS w_rev
+        FROM e LEFT JOIN e rev
+          ON rev.src = e.dst AND rev.dst = e.src
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocated,
+           CAST(SUM(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS reciprocity,
+           CAST(SUM(w) AS BIGINT) AS w_total,
+           CAST(SUM(least(w, coalesce(w_rev, 0))) AS BIGINT)
+               AS w_reciprocal,
+           CAST(SUM(least(w, coalesce(w_rev, 0))) AS DOUBLE)
+               / SUM(w) AS weighted_reciprocity
+    FROM r
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_trade_reciprocity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reciprocity of the DIRECTED nation trade graph — the fraction
+    of src→dst edges whose reverse edge exists, plus the
+    weight-honest variant Σ min(w_ij, w_ji)/Σ w_ij (Squartini et al.'s
+    bilateral-trade measure: a pair trading 1000-vs-1 is barely
+    reciprocal in weight even though binary reciprocity counts it) —
+    the directedness diagnostic the undirected ops (triangles,
+    assortativity, components) deliberately collapse away, answering
+    whether collapsing was even justified.  Both ratios are exact
+    integer sums with one final division.
+
+    Scale: one self-join of the nation-domain-bounded edge list on
+    the reversed key — |edges| ≤ |nations|², so cost is dominated by
+    the shared edge-building join (the q7 shape), not the
+    reciprocity step."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("src"),
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_name").alias("dst"),
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("w").alias("w_rev"),
+    )
+    r = edges.join(rev, ["src", "dst"], "left")
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(
+            F.when(F.col("w_rev").isNotNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_reciprocated"),
+        (
+            F.sum(
+                F.when(
+                    F.col("w_rev").isNotNull(), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("reciprocity"),
+        F.sum("w").cast("bigint").alias("w_total"),
+        F.sum(F.least(F.col("w"), F.coalesce(F.col("w_rev"), F.lit(0))))
+        .cast("bigint")
+        .alias("w_reciprocal"),
+        (
+            F.sum(
+                F.least(
+                    F.col("w"), F.coalesce(F.col("w_rev"), F.lit(0))
+                )
+            ).cast("double")
+            / F.sum("w")
+        ).alias("weighted_reciprocity"),
+    )

@@ -4600,3 +4600,163 @@ def quality_qq_deciles_sources(
         F.col("cv").alias("cur_value"),
         F.round(F.col("cv") - F.col("rv"), 6).alias("gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score with Murphy decomposition (train/test calibration split)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_brier_calibration_split",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT n_chars // {ISO_BIN_CHARS} AS b,
+               CASE WHEN len(string_split(text, ' '))
+                        > {ISO_TOKEN_THRESHOLD} THEN 1 ELSE 0 END AS y,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_test
+        FROM documents
+    ),
+    train AS (
+        SELECT b, count(*) AS nt, SUM(y) AS yt
+        FROM labeled WHERE is_test = 0 GROUP BY b
+    ),
+    test AS (
+        SELECT b, count(*) AS n_test, SUM(y) AS y_test
+        FROM labeled WHERE is_test = 1 GROUP BY b
+    ),
+    bins AS (
+        SELECT test.b,
+               test.n_test, test.y_test,
+               CAST(train.yt AS DOUBLE) / train.nt AS f_pred,
+               CAST(test.y_test AS DOUBLE) / test.n_test AS obs_rate
+        FROM test JOIN train ON train.b = test.b
+    ),
+    tot AS (
+        SELECT SUM(n_test) AS n,
+               CAST(SUM(y_test) AS DOUBLE) / SUM(n_test) AS obar
+        FROM bins
+    ),
+    parts AS (
+        SELECT
+            CAST(SUM(CAST(round(
+                n_test * (f_pred - obs_rate) * (f_pred - obs_rate),
+                12) AS DECIMAL(28,12))) AS DOUBLE) / t.n AS rel,
+            CAST(SUM(CAST(round(
+                n_test * (obs_rate - t.obar) * (obs_rate - t.obar),
+                12) AS DECIMAL(28,12))) AS DOUBLE) / t.n AS res,
+            t.obar * (1.0 - t.obar) AS unc
+        FROM bins, tot t GROUP BY t.n, t.obar
+    )
+    SELECT CAST(bins.b AS BIGINT) AS bin,
+           CAST(bins.n_test AS BIGINT) AS n_test,
+           bins.f_pred, bins.obs_rate,
+           p.rel AS reliability,
+           p.res AS resolution,
+           p.unc AS uncertainty,
+           p.rel - p.res + p.unc AS brier
+    FROM bins, parts p
+    """,
+    tags=("quality", "calibration", "statistics"),
+)
+def quality_brier_calibration_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brier score with the MURPHY DECOMPOSITION on a train/test
+    split: per-bin forecasts f_k are the TRAINING pool's empirical
+    rates (the reliability-diagram table — the same length-bin →
+    long-document outcome the isotonic op calibrates), evaluated on
+    the held-out src0 slice, decomposed as Brier = REL − RES + UNC
+    (reliability: how far forecasts sit from observed test rates;
+    resolution: how much the bins separate outcomes; uncertainty:
+    the base-rate floor ō(1−ō)) — the calibration EVALUATION the
+    isotonic op's fit deserves, and exact: every rate is an integer
+    ratio, every weighted square is rounded to 12 decimals and
+    summed as exact decimals, and the decomposition identity holds
+    exactly because forecasts are constant within bins.
+
+    Scale: two conditional-sum groupBys to bin-sized tables (the
+    histogram-state convention); everything after runs over the bin
+    domain.  Test bins unseen in training drop (no forecast exists) —
+    the standard reliability-diagram convention, mirrored on both
+    engines."""
+    docs = table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.expr(f"n_chars div {ISO_BIN_CHARS}").alias("b"),
+        F.when(
+            F.size(F.split("text", " ")) > ISO_TOKEN_THRESHOLD,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+        F.when(F.col("source") == "src0", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_test"),
+    )
+    train = (
+        labeled.filter(F.col("is_test") == 0)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nt"), F.sum("y").alias("yt"))
+    )
+    test = (
+        labeled.filter(F.col("is_test") == 1)
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("y").alias("y_test"),
+        )
+    )
+    bins = test.join(train, "b").select(
+        "b",
+        "n_test",
+        "y_test",
+        (F.col("yt").cast("double") / F.col("nt")).alias("f_pred"),
+        (F.col("y_test").cast("double") / F.col("n_test")).alias(
+            "obs_rate"
+        ),
+    )
+    tot = bins.agg(
+        F.sum("n_test").alias("n"),
+        (
+            F.sum("y_test").cast("double") / F.sum("n_test")
+        ).alias("obar"),
+    )
+    wb = bins.crossJoin(F.broadcast(tot))
+    parts = wb.groupBy("n", "obar").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("n_test")
+                    * (F.col("f_pred") - F.col("obs_rate"))
+                    * (F.col("f_pred") - F.col("obs_rate")),
+                    12,
+                ).cast("decimal(28,12)")
+            ).cast("double")
+            / F.col("n")
+        ).alias("rel"),
+        (
+            F.sum(
+                F.round(
+                    F.col("n_test")
+                    * (F.col("obs_rate") - F.col("obar"))
+                    * (F.col("obs_rate") - F.col("obar")),
+                    12,
+                ).cast("decimal(28,12)")
+            ).cast("double")
+            / F.col("n")
+        ).alias("res"),
+    ).select(
+        "rel",
+        "res",
+        (F.col("obar") * (F.lit(1.0) - F.col("obar"))).alias("unc"),
+    )
+    return bins.crossJoin(F.broadcast(parts)).select(
+        F.col("b").cast("bigint").alias("bin"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        "f_pred",
+        "obs_rate",
+        F.col("rel").alias("reliability"),
+        F.col("res").alias("resolution"),
+        F.col("unc").alias("uncertainty"),
+        (F.col("rel") - F.col("res") + F.col("unc")).alias("brier"),
+    )

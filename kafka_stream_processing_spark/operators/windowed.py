@@ -4129,3 +4129,110 @@ def window_markov_entropy_rate(
         "h_cond",
         "entropy_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event-time burstiness per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_interevent_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY event_type
+                         ORDER BY ts, event_id) AS d
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) AS n,
+               SUM(d) AS sd,
+               SUM(CAST(d AS DECIMAL(38,0)) * d) AS sdd
+        FROM gaps WHERE d IS NOT NULL
+        GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, n,
+               CAST(sd AS DOUBLE) / n AS mu,
+               sqrt(CAST(sdd AS DOUBLE) / n
+                    - (CAST(sd AS DOUBLE) / n)
+                      * (CAST(sd AS DOUBLE) / n)) AS sigma
+        FROM m
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_gaps,
+           mu AS mean_gap_us,
+           sigma AS std_gap_us,
+           (sigma - mu) / (sigma + mu) AS burstiness
+    FROM s
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_interevent_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goh-Barabási burstiness of inter-event times per event type —
+    B = (σ − μ)/(σ + μ) over the integer-microsecond gaps between
+    consecutive events of a type: B → −1 for a metronome, 0 for a
+    Poisson process, → +1 for heavy-tailed bursts — the traffic-shape
+    diagnostic that decides whether rate limits, session gaps
+    (session_windows_per_user's knob), and debounce windows are sized
+    against a memoryless or a bursty arrival process.  Gaps come from
+    one lag window with the (ts, event_id) tiebreak; μ and σ derive
+    from EXACT integer moment sums (Σd bigint, Σd² in DECIMAL(38,0) —
+    microsecond squares overflow int64 beyond ~2.5-day gaps), so B is
+    bit-stable cross-engine.  Population σ (the /n form) keeps the
+    identity structure minimal on both engines.
+
+    Scale: one shuffle on event_type (or (type, shard-day) for
+    monster types), then constant-size per-type state — the cheapest
+    possible shape for a per-key second-moment statistic."""
+    from pyspark.sql import Window
+
+    gaps = table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(
+                Window.partitionBy("event_type").orderBy(
+                    "ts", "event_id"
+                )
+            )
+        ).alias("d"),
+    )
+    m = (
+        gaps.filter(F.col("d").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").alias("sd"),
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias(
+                "sdd"
+            ),
+        )
+    )
+    mu = F.col("sd").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.col("sdd").cast("double") / F.col("n")
+        - (F.col("sd").cast("double") / F.col("n"))
+        * (F.col("sd").cast("double") / F.col("n"))
+    )
+    s = m.select(
+        "event_type",
+        "n",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.col("mu").alias("mean_gap_us"),
+        F.col("sigma").alias("std_gap_us"),
+        (
+            (F.col("sigma") - F.col("mu"))
+            / (F.col("sigma") + F.col("mu"))
+        ).alias("burstiness"),
+    )

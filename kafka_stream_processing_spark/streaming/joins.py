@@ -2870,3 +2870,136 @@ def stream_weighted_sample_merge(
         [(doc_id, w, -negkey) for negkey, doc_id, w in reservoir],
         "doc_id bigint, weight bigint, es_key double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel monitor
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_funnel_monitor",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, ts, user_id, event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, ts, user_id, event_type,
+               rn // ((n + 2) // 3) AS chunk_id
+        FROM ordered
+    ),
+    keys AS (
+        SELECT chunk_id, min(event_id) AS ck FROM chunked GROUP BY 1
+    ),
+    fc AS (
+        SELECT chunk_id, user_id, min(ts) AS first_click
+        FROM chunked WHERE event_type = 'click'
+        GROUP BY 1, 2
+    ),
+    conv AS (
+        SELECT fc.chunk_id, fc.user_id
+        FROM fc JOIN chunked e
+          ON e.chunk_id = fc.chunk_id
+         AND e.user_id = fc.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > fc.first_click
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT k.ck AS chunk_min_event_id,
+               (SELECT count(*) FROM fc WHERE fc.chunk_id = k.chunk_id)
+                   AS n_clicked,
+               (SELECT count(*) FROM conv
+                WHERE conv.chunk_id = k.chunk_id) AS n_converted
+        FROM keys k
+    )
+    SELECT chunk_min_event_id,
+           CAST(n_clicked AS BIGINT) AS n_clicked,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           CASE WHEN n_clicked > 0
+                THEN CAST(n_converted AS DOUBLE) / n_clicked
+           END AS conversion_rate
+    FROM agg
+    """,
+    tags=("streaming", "funnel", "behavioral"),
+)
+def stream_funnel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch click→purchase funnel — the streaming
+    deployment of funnel_click_to_purchase and the live conversion
+    dashboard number: each trigger folds its batch to TWO integers
+    (clickers, converters-after-first-click) with the rate derived
+    post-stream, keyed by min event_id; funnel membership is
+    WITHIN-batch (what a per-trigger dashboard can see — the batch op
+    remains the cross-batch truth, the same relationship the Markov
+    monitor has to its batch matrix).  Chunk membership is
+    deterministic via the (ts, event_id) staging sort mirrored by the
+    oracle's row_number.
+
+    Scale: per-trigger executor work is two user-keyed aggregates
+    (map-side combined); driver state is two integers per trigger —
+    the A/B monitor's shape.  Nothing in the streaming state store."""
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    cells: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        mi = batch_df.agg(F.min("event_id").alias("m")).collect()[0]["m"]
+        if mi is None:
+            return
+        fc = (
+            batch_df.filter(F.col("event_type") == "click")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_click"))
+        )
+        conv = (
+            fc.join(
+                batch_df.filter(
+                    F.col("event_type") == "purchase"
+                ).select(
+                    F.col("user_id").alias("pu"),
+                    F.col("ts").alias("pt"),
+                ),
+                (F.col("user_id") == F.col("pu"))
+                & (F.col("pt") > F.col("first_click")),
+            )
+            .select("user_id")
+            .distinct()
+        )
+        n_clicked = fc.count()
+        n_conv = conv.count()
+        cells.append((int(mi), n_clicked, n_conv))
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    c = spark.createDataFrame(
+        cells,
+        "chunk_min_event_id bigint, n_clicked bigint, "
+        "n_converted bigint",
+    )
+    return c.select(
+        "chunk_min_event_id",
+        "n_clicked",
+        "n_converted",
+        F.when(
+            F.col("n_clicked") > 0,
+            F.col("n_converted").cast("double") / F.col("n_clicked"),
+        ).alias("conversion_rate"),
+    )

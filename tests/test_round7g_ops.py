@@ -1227,3 +1227,175 @@ def test_stream_weighted_sample_equals_batch_subset(spark, sf_small):
     for r, (k, doc_id, w) in zip(got, top):
         assert r.doc_id == doc_id and r.weight == w
         assert math.isclose(r.es_key, k, rel_tol=1e-12)
+
+
+def test_brier_murphy_replay(spark, sf_small):
+    """Train rates, test evaluation, and the Murphy identity replayed
+    in python; Brier == REL − RES + UNC exactly (bin-constant
+    forecasts) and all three parts are non-negative."""
+    from kafka_stream_processing_spark.operators.quality import (
+        ISO_BIN_CHARS,
+        ISO_TOKEN_THRESHOLD,
+    )
+
+    rows = SPECS["quality_brier_calibration_split"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT n_chars, text, source"
+        f" FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    train: dict[int, list] = {}
+    test: dict[int, list] = {}
+    for n_chars, text, source in docs:
+        b = n_chars // ISO_BIN_CHARS
+        y = 1 if len(text.split(" ")) > ISO_TOKEN_THRESHOLD else 0
+        (test if source == "src0" else train).setdefault(b, []).append(y)
+    bins = {
+        b: (
+            sum(train[b]) / len(train[b]),
+            sum(ys) / len(ys),
+            len(ys),
+            sum(ys),
+        )
+        for b, ys in test.items()
+        if b in train
+    }
+    n = sum(nt for _, _, nt, _ in bins.values())
+    obar = sum(yt for _, _, _, yt in bins.values()) / n
+    rel = (
+        sum(
+            round(nt * (f - o) ** 2, 12)
+            for f, o, nt, _ in bins.values()
+        )
+        / n
+    )
+    res = (
+        sum(
+            round(nt * (o - obar) ** 2, 12)
+            for _, o, nt, _ in bins.values()
+        )
+        / n
+    )
+    unc = obar * (1 - obar)
+    got = {r.bin: r for r in rows}
+    assert set(got) == set(bins)
+    for b, (f, o, nt, _) in bins.items():
+        r = got[b]
+        assert r.n_test == nt
+        assert abs(r.f_pred - f) < 1e-12
+        assert abs(r.obs_rate - o) < 1e-12
+        assert abs(r.reliability - rel) < 1e-9
+        assert abs(r.resolution - res) < 1e-9
+        assert abs(r.uncertainty - unc) < 1e-12
+        assert abs(r.brier - (rel - res + unc)) < 1e-9
+        assert r.reliability >= 0 and r.resolution >= 0
+        assert 0 <= r.uncertainty <= 0.25
+
+
+def test_interevent_burstiness_replay(spark, sf_small):
+    """Gap moments replayed from sorted per-type sequences; B within
+    (-1, 1)."""
+    rows = SPECS["window_interevent_burstiness"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_type, epoch_us(ts), event_id"
+        f" FROM '{sf_small}/events.parquet'"
+        f" ORDER BY event_type, 2, 3"
+    ).fetchall()
+    gaps: dict[str, list] = {}
+    prev = {}
+    for et, us, _ in ev:
+        if et in prev:
+            gaps.setdefault(et, []).append(us - prev[et])
+        prev[et] = us
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(gaps)
+    for et, ds in gaps.items():
+        n = len(ds)
+        mu = sum(ds) / n
+        sigma = math.sqrt(sum(d * d for d in ds) / n - mu * mu)
+        r = got[et]
+        assert r.n_gaps == n
+        assert abs(r.mean_gap_us - mu) < 1e-6
+        assert abs(r.std_gap_us - sigma) < 1e-6
+        assert abs(r.burstiness - (sigma - mu) / (sigma + mu)) < 1e-9
+        assert -1.0 < r.burstiness < 1.0
+
+
+def test_trade_reciprocity_replay(spark, sf_small):
+    """Edge and weight reciprocity replayed from the directed edge
+    dict; weighted <= binary reciprocity on trade-count weights."""
+    row = SPECS["graph_trade_reciprocity"].fn(spark, sf_small).collect()[0]
+    con = duckdb.connect()
+    edges = {
+        (s, d): w
+        for s, d, w in con.execute(
+            f"""
+            SELECT n1.n_name, n2.n_name, count(*)
+            FROM '{sf_small}/lineitem.parquet' l
+            JOIN '{sf_small}/orders.parquet' o ON o_orderkey = l_orderkey
+            JOIN '{sf_small}/customer.parquet' c ON c_custkey = o_custkey
+            JOIN '{sf_small}/supplier.parquet' s ON s_suppkey = l_suppkey
+            JOIN '{sf_small}/nation.parquet' n1
+              ON n1.n_nationkey = s.s_nationkey
+            JOIN '{sf_small}/nation.parquet' n2
+              ON n2.n_nationkey = c.c_nationkey
+            WHERE n1.n_name <> n2.n_name GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    n_edges = len(edges)
+    n_rec = sum(1 for (s, d) in edges if (d, s) in edges)
+    w_total = sum(edges.values())
+    w_rec = sum(
+        min(w, edges.get((d, s), 0)) for (s, d), w in edges.items()
+    )
+    assert row.n_edges == n_edges
+    assert row.n_reciprocated == n_rec
+    assert row.reciprocity == n_rec / n_edges
+    assert row.w_total == w_total and row.w_reciprocal == w_rec
+    assert row.weighted_reciprocity == w_rec / w_total
+    assert row.weighted_reciprocity <= row.reciprocity + 1e-12
+
+
+def test_stream_funnel_monitor_per_chunk_replay(spark, sf_small):
+    """Within-chunk funnel counts replayed from the deterministic
+    (ts, event_id)-sorted thirds."""
+    rows = SPECS["stream_funnel_monitor"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT event_id, ts, user_id, event_type"
+        f" FROM '{sf_small}/events.parquet'"
+        f" ORDER BY ts, event_id"
+    ).fetchall()
+    n = len(ev)
+    step = (n + 2) // 3
+    chunks: dict[int, list] = {}
+    chunk_key: dict[int, int] = {}
+    for rn, (eid, ts, user, et) in enumerate(ev):
+        cid = rn // step
+        chunk_key[cid] = min(chunk_key.get(cid, eid), eid)
+        chunks.setdefault(cid, []).append((user, ts, et))
+    got = {r.chunk_min_event_id: r for r in rows}
+    assert set(got) == {chunk_key[c] for c in chunks}
+    for cid, evs in chunks.items():
+        fc: dict[int, object] = {}
+        for user, ts, et in evs:
+            if et == "click" and (
+                user not in fc or ts < fc[user]
+            ):
+                fc[user] = ts
+        conv = {
+            user
+            for user, ts, et in evs
+            if et == "purchase" and user in fc and ts > fc[user]
+        }
+        r = got[chunk_key[cid]]
+        assert r.n_clicked == len(fc)
+        assert r.n_converted == len(conv)
+        if len(fc):
+            assert r.conversion_rate == len(conv) / len(fc)
