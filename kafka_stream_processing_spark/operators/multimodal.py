@@ -323,3 +323,132 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return payloads.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (banded Hamming)
+# ---------------------------------------------------------------------------
+
+#: Bits of the (stub) perceptual hash — the registry's 60-bit md5
+#: convention, split into 4 bands of 15 bits for LSH bucketing.
+PHASH_BITS = 60
+PHASH_BANDS = 4
+#: Maximum Hamming distance for a near-duplicate verdict.
+PHASH_HAMMING_T = 8
+
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def phash_stub(payload: bytes) -> int:
+    """Deterministic stand-in for a perceptual hash: md5 of the
+    case/whitespace-NORMALIZED bytes, truncated to 60 bits.  A real
+    pHash would DCT the decoded pixels; the invariances it buys
+    (resize, re-encode) are modeled here by the normalization (case +
+    whitespace collapse), so payloads that differ only 'perceptually'
+    collide at Hamming 0 while distinct content is ~uniform —
+    byte-deterministic, hence fully oracle-checkable."""
+    norm = b" ".join(payload.lower().split())
+    return int(hashlib.md5(norm).hexdigest()[:15], 16)
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "phash": [phash_stub(buf) for buf in pdf["payload"]],
+            }
+        )
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g'))), 1, 15))
+                   AS BIGINT) AS phash
+        FROM documents
+    ),
+    bands AS (
+        SELECT doc_id, phash, t.i AS band,
+               (phash >> (15 * t.i)) & 32767 AS band_key
+        FROM h, unnest(generate_series(0, {PHASH_BANDS - 1})) AS t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.phash AS ha, b.phash AS hb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {PHASH_HAMMING_T}
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads —
+    the image-side twin of MinHash text dedup: a 60-bit pHash per
+    payload (STUB: md5 of normalized bytes — see phash_stub; a real
+    DCT pHash drops in with zero dataflow change), banded into
+    {PHASH_BANDS}×15-bit LSH keys so candidate pairs come from
+    BAND-KEY EQUI-JOINS (two payloads within Hamming
+    {PHASH_HAMMING_T} of each other on 60 bits must agree exactly on
+    ≥1 band by pigeonhole when distance < {PHASH_BANDS}), then the
+    exact Hamming check is one XOR + bit_count.  The hash itself runs
+    through the REAL multimodal plumbing — binary payload column,
+    Arrow-batched mapInPandas — while the banding/bucketing/verdict
+    is pure JVM bit arithmetic.
+
+    Scale: the pigeonhole banding is what kills the all-pairs
+    O(n²) — candidates are Σ per-bucket², bucketed on 15-bit keys;
+    per-doc state is ONE integer (vs MinHash's K).  Identical to the
+    dedup_minhash_lsh cost argument with a 1-int signature."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    h = payloads.mapInPandas(_phash_batches, schema=PHASH_SCHEMA)
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(PHASH_BANDS)])
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "phash",
+        "band",
+        F.expr(
+            "shiftrightunsigned(phash, CAST(15 * band AS INT))"
+            " % 32768"
+        ).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("int")
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_HAMMING_T)

@@ -1664,3 +1664,79 @@ def text_yule_k_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
         ).alias("yule_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage spectrum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_coverage_spectrum",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS m FROM words GROUP BY w),
+    coc AS (SELECT m, count(*) AS vm FROM wc GROUP BY m),
+    tot AS (SELECT SUM(m * vm) AS n FROM coc),
+    cum AS (
+        SELECT m, vm,
+               SUM(vm) OVER (ORDER BY m DESC) AS types_ge,
+               SUM(m * vm) OVER (ORDER BY m DESC) AS mass_ge
+        FROM coc
+    )
+    SELECT CAST(m AS BIGINT) AS freq,
+           CAST(vm AS BIGINT) AS n_types_at,
+           CAST(types_ge AS BIGINT) AS n_types_ge,
+           CAST(mass_ge AS BIGINT) AS mass_ge,
+           CAST(mass_ge AS DOUBLE) / t.n AS mass_share
+    FROM cum, tot t
+    """,
+    tags=("text", "statistics", "vocabulary"),
+)
+def text_vocab_coverage_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary coverage spectrum: for every distinct word frequency
+    m (descending), how many types occur ≥ m times and what share of
+    the total token MASS they cover — the truncation curve a
+    tokenizer/vocab designer reads to pick a cutoff ("types with
+    freq ≥ 5 cover 97% of tokens"), and the cumulative view that
+    complements Zipf (shape), Heaps (growth), Good-Turing (unseen
+    mass), and Yule's K (concentration).  Everything is integer
+    arithmetic on the count-of-counts table; the single share column
+    is one division by the exact token total.
+
+    Scale: word-count shuffle once, then the count-of-counts table
+    (bounded by max frequency) carries two cumulative windows over
+    its few hundred rows — the corpus never reappears.  The
+    descending cumulative window runs over the frequency DOMAIN, not
+    the vocabulary, so no vocab-scale total-order sort exists."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
+    coc = wc.groupBy("m").agg(F.count(F.lit(1)).alias("vm"))
+    tot = coc.agg(F.sum(F.col("m") * F.col("vm")).alias("n"))
+    from pyspark.sql import Window
+
+    cum = (
+        Window.orderBy(F.col("m").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spectrum = coc.select(
+        "m",
+        "vm",
+        F.sum("vm").over(cum).alias("types_ge"),
+        F.sum(F.col("m") * F.col("vm")).over(cum).alias("mass_ge"),
+    )
+    return spectrum.crossJoin(F.broadcast(tot)).select(
+        F.col("m").cast("bigint").alias("freq"),
+        F.col("vm").cast("bigint").alias("n_types_at"),
+        F.col("types_ge").cast("bigint").alias("n_types_ge"),
+        F.col("mass_ge").cast("bigint").alias("mass_ge"),
+        (F.col("mass_ge").cast("double") / F.col("n")).alias(
+            "mass_share"
+        ),
+    )

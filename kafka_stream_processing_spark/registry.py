@@ -129,14 +129,14 @@ def _load() -> None:
 #: exactly 50.  stream_watermark_late_data rotates out (fresh r06
 #: hash-green row).
 #:
-#: Post-r07 state of the registry: 307 registered (301 oracle-checked,
+#: Post-r07 state of the registry: 309 registered (303 oracle-checked,
 #: 6 rows-only: two HLL sketches, approx quantiles, and the three
 #: power-iteration PCA ops whose per-pass literals no single oracle
-#: statement can express).  Round 7 added 88 queries in three sessions
-#: (21 + 35 + 32); all 88 sit AFTER rank 50, so they queue for the r08
+#: statement can express).  Round 7 added 90 queries in three sessions
+#: (21 + 35 + 34); all 90 sit AFTER rank 50, so they queue for the r08
 #: rotation together with the remaining 17 r02-stale names (listed
 #: below rank 50).  When rebuilding for r08: 12 §2 pins + 17 r02-stale
-#: + 21 of the r07 additions = 50; the remaining 67 fill r09.
+#: + 21 of the r07 additions = 50; the remaining 69 fill r09.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -310,6 +310,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_interevent_burstiness",
     "graph_trade_reciprocity",
     "stream_funnel_monitor",
+    "multimodal_phash_near_dup",
+    "text_vocab_coverage_spectrum",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

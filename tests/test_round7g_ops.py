@@ -1399,3 +1399,92 @@ def test_stream_funnel_monitor_per_chunk_replay(spark, sf_small):
         assert r.n_converted == len(conv)
         if len(fc):
             assert r.conversion_rate == len(conv) / len(fc)
+
+
+def test_phash_near_dup_positive_path(spark, tmp_path):
+    """The banded-Hamming kernel on a STAGED corpus with crafted
+    perceptual duplicates: case/whitespace variants collide at
+    Hamming 0; distinct content does not pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_stream_processing_spark.operators.multimodal import (
+        phash_stub,
+    )
+    from kafka_stream_processing_spark.registry import all_specs
+
+    docs = [
+        (1, "The Quick Brown Fox"),
+        (2, "the  quick   brown fox"),   # whitespace+case variant of 1
+        (3, "a completely different document body"),
+        (4, "A COMPLETELY DIFFERENT DOCUMENT BODY"),  # case variant of 3
+        (5, "nothing like the others at all whatsoever"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d for d, _ in docs],
+                "text": [t for _, t in docs],
+                "lang": ["en"] * 5,
+                "source": ["src1"] * 5,
+                "n_chars": [len(t) for _, t in docs],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = all_specs()["multimodal_phash_near_dup"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert pairs == {(1, 2): 0, (3, 4): 0}
+    # the stub itself is invariant exactly to case+whitespace
+    assert phash_stub(b"The Quick Brown Fox") == phash_stub(
+        b"the  quick   brown fox"
+    )
+    assert phash_stub(b"abc") != phash_stub(b"abd")
+
+
+def test_phash_near_dup_empty_on_distinct_corpus(spark, sf_small):
+    """The synthetic corpus has no perceptual duplicates: uniform
+    60-bit hashes sharing a 15-bit band never sit within Hamming 8 —
+    the op's empty result is the CORRECT verdict, not a dead path
+    (the positive path is pinned by the staged-corpus test)."""
+    rows = SPECS["multimodal_phash_near_dup"].fn(
+        spark, sf_small
+    ).collect()
+    assert rows == []
+
+
+def test_vocab_coverage_spectrum_replay(spark, sf_small):
+    """Spectrum replayed from a Counter; monotone in both cumulative
+    columns, top row covers the max-frequency types, bottom row covers
+    the whole mass."""
+    from collections import Counter
+
+    rows = sorted(
+        SPECS["text_vocab_coverage_spectrum"].fn(
+            spark, sf_small
+        ).collect(),
+        key=lambda r: -r.freq,
+    )
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    cnt = Counter()
+    for (t,) in texts:
+        cnt.update(t.split(" "))
+    coc = Counter(cnt.values())
+    n = sum(cnt.values())
+    freqs = sorted(coc, reverse=True)
+    assert [r.freq for r in rows] == freqs
+    types_ge = mass_ge = 0
+    for r, m in zip(rows, freqs):
+        types_ge += coc[m]
+        mass_ge += m * coc[m]
+        assert r.n_types_at == coc[m]
+        assert r.n_types_ge == types_ge
+        assert r.mass_ge == mass_ge
+        assert r.mass_share == mass_ge / n
+    assert rows[-1].n_types_ge == len(cnt)
+    assert rows[-1].mass_ge == n and rows[-1].mass_share == 1.0
