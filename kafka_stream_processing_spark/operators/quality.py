@@ -4760,3 +4760,91 @@ def quality_brier_calibration_split(
         F.col("unc").alias("uncertainty"),
         (F.col("rel") - F.col("res") + F.col("unc")).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate (Chapman)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_capture_recapture_users",
+    oracle="""
+    WITH w1 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    w2 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    m AS (
+        SELECT count(*) AS n_both
+        FROM w1 JOIN w2 USING (user_id)
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM w1) AS n1,
+               (SELECT count(*) FROM w2) AS n2,
+               (SELECT n_both FROM m) AS m12,
+               (SELECT count(DISTINCT user_id) FROM events)
+                   AS n_observed
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(m12 AS BIGINT) AS n_both,
+           CAST(n_observed AS BIGINT) AS n_observed,
+           (CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m12 + 1) - 1.0
+               AS chapman_estimate,
+           ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m12 + 1) - 1.0)
+               - n_observed AS est_unseen
+    FROM c
+    """,
+    tags=("quality", "statistics", "population"),
+)
+def quality_capture_recapture_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capture-recapture estimate of the TOTAL user population from
+    two observation windows (first vs second half of the month) via
+    the bias-corrected Chapman estimator
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the mark-recapture method ecology
+    uses for fish and an analytics engine uses to answer "how many
+    users exist that we have NOT yet seen" (dark-traffic sizing, QA
+    of tracking coverage; the Good-Turing unseen-species idea applied
+    to identities instead of words).  All four inputs are exact
+    distinct-counts; the estimate is one double expression on them,
+    identical cross-engine.
+
+    Scale: three distinct aggregations over user_id (map-side partial
+    distinct) — the same cost class as the flagship's exact
+    countDistinct; windows with many captures generalize to the
+    Schnabel multi-sample form, same table shape per sample."""
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w1 = ev.filter(F.col("ts") < cut).select("user_id").distinct()
+    w2 = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+    m = w1.join(w2, "user_id").agg(
+        F.count(F.lit(1)).alias("m12")
+    )
+    c = (
+        w1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(w2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(m)
+        .crossJoin(
+            ev.agg(
+                F.countDistinct("user_id").alias("n_observed")
+            )
+        )
+    )
+    chapman = (
+        (F.col("n1") + F.lit(1)).cast("double")
+        * (F.col("n2") + F.lit(1))
+    ) / (F.col("m12") + F.lit(1)) - F.lit(1.0)
+    return c.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("m12").cast("bigint").alias("n_both"),
+        F.col("n_observed").cast("bigint").alias("n_observed"),
+        chapman.alias("chapman_estimate"),
+        (chapman - F.col("n_observed")).alias("est_unseen"),
+    )

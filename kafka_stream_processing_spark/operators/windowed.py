@@ -4236,3 +4236,202 @@ def window_interevent_burstiness(
             / (F.col("sigma") + F.col("mu"))
         ).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event-type paths (behavioral 3-grams)
+# ---------------------------------------------------------------------------
+
+#: Number of top paths reported.
+PATHS_TOP_K = 20
+
+
+@register(
+    "window_top_event_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT p2 || '>' || p1 || '>' || event_type AS path,
+               count(*) AS n
+        FROM seq WHERE p2 IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM paths)
+    SELECT path,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / t.total AS share
+    FROM paths, tot t
+    ORDER BY n DESC, path
+    LIMIT {PATHS_TOP_K}
+    """,
+    tags=("windowed", "sequence", "behavioral"),
+)
+def window_top_event_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top behavioral PATHS: the most frequent consecutive 3-event
+    sequences per user (A>B>C strings), with counts and share of all
+    3-paths — the path-analysis view behind "what do users actually
+    do": transitions (the Markov matrix) see one step; paths expose
+    the multi-step flows worth optimizing, and a path whose share
+    beats the product of its transition probabilities is a genuine
+    higher-order pattern (the Markov chain's order-1 assumption
+    failing in a named place).  Adjacency is two lag()s under the
+    (ts, event_id) tiebreak; the cut is deterministic
+    (count desc, path).
+
+    Scale: one user_id shuffle for the lag window; the path table is
+    ≤ |types|³ (125 here) so the top-k runs on a domain-bounded
+    table — TakeOrderedAndProject, no global sort of anything
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    paths = (
+        seq.filter(F.col("p2").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "p2", "p1", "e").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = paths.agg(F.sum("n").alias("total"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("total")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATHS_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Record-breaking days (records test for trend)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_record_days_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    runs AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS t,
+               max(x) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM daily
+    ),
+    rec AS (
+        SELECT day, t,
+               CASE WHEN prev_max IS NULL OR x > prev_max
+                    THEN 1 ELSE 0 END AS is_record
+        FROM runs
+    ),
+    tot AS (
+        SELECT count(*) AS n, SUM(is_record) AS n_records FROM rec
+    ),
+    harm AS (
+        SELECT CAST(SUM(CAST(round(1.0 / k, 12) AS DECIMAL(18,12)))
+                    AS DOUBLE) AS h_n
+        FROM (SELECT unnest(generate_series(1,
+                  (SELECT n FROM tot))) AS k)
+    )
+    SELECT CAST(rec.day AS VARCHAR) AS day,
+           CAST(rec.t AS BIGINT) AS t,
+           rec.is_record = 1 AS is_record,
+           CAST(tot.n_records AS BIGINT) AS n_records,
+           harm.h_n AS expected_records_iid,
+           CAST(tot.n_records AS DOUBLE) / harm.h_n
+               AS records_ratio
+    FROM rec, tot, harm
+    """,
+    tags=("windowed", "timeseries", "statistics", "trend"),
+)
+def window_record_days_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Records test for trend: flag every record-breaking revenue day
+    (strictly above the running maximum) and compare the record count
+    against its exchangeable-series expectation E[R_n] = H_n (the
+    harmonic number — under iid, day t is a record with probability
+    exactly 1/t) — the assumption-free trend tell that complements
+    Mann-Kendall (monotone rank trend) and CUSUM (level shift): a
+    records_ratio well above 1 means new highs keep arriving faster
+    than chance.  Record flags come from one prefix-max window;
+    H_n is a round-12 decimal sum over the day-count frame, so every
+    column is bit-stable cross-engine.
+
+    Scale: CALENDAR-sized windows after the map-side-combined daily
+    collapse; the harmonic frame is n rows.  Per-key variants
+    partition the prefix-max by key."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+    )
+    prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rec = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.when(
+            F.max("x").over(prev).isNull()
+            | (F.col("x") > F.max("x").over(prev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_record"),
+    )
+    tot = rec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_record").alias("n_records"),
+    )
+    n_days = tot.collect()[0]["n"]  # scalar: sizes the harmonic frame
+    harm = (
+        spark.range(1, n_days + 1)
+        .select(
+            F.round(F.lit(1.0) / F.col("id"), 12)
+            .cast("decimal(18,12)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("h_n"))
+    )
+    return (
+        rec.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(harm))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("t").cast("bigint").alias("t"),
+            (F.col("is_record") == 1).alias("is_record"),
+            F.col("n_records").cast("bigint").alias("n_records"),
+            F.col("h_n").alias("expected_records_iid"),
+            (
+                F.col("n_records").cast("double") / F.col("h_n")
+            ).alias("records_ratio"),
+        )
+    )

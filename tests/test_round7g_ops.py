@@ -1488,3 +1488,87 @@ def test_vocab_coverage_spectrum_replay(spark, sf_small):
         assert r.mass_share == mass_ge / n
     assert rows[-1].n_types_ge == len(cnt)
     assert rows[-1].mass_ge == n and rows[-1].mass_share == 1.0
+
+
+def test_top_event_paths_replay(spark, sf_small):
+    """3-gram path counts replayed from per-user sorted sequences;
+    the cut respects (count desc, path) and shares sum over the
+    reported subset consistently."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        PATHS_TOP_K,
+    )
+
+    rows = SPECS["window_top_event_paths"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts, event_id, event_type"
+        f" FROM '{sf_small}/events.parquet'"
+        f" ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    counts: dict[str, int] = {}
+    hist: list = []
+    prev_user = None
+    for user, _, _, et in ev:
+        if user != prev_user:
+            hist = []
+            prev_user = user
+        hist.append(et)
+        if len(hist) >= 3:
+            p = ">".join(hist[-3:])
+            counts[p] = counts.get(p, 0) + 1
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :PATHS_TOP_K
+    ]
+    assert len(rows) == min(PATHS_TOP_K, len(counts))
+    for r, (p, n) in zip(rows, top):
+        assert r.path == p and r.n == n
+        assert r.share == n / total
+
+
+def test_record_days_trend_replay(spark, sf_small):
+    """Record flags, H_n, and the ratio replayed; exactly n_records
+    True flags and day 1 is always a record."""
+    rows = sorted(
+        SPECS["window_record_days_trend"].fn(spark, sf_small).collect(),
+        key=lambda r: r.day,
+    )
+    acc = _daily(sf_small, by_type=False)
+    days = sorted(acc)
+    n = len(days)
+    run_max = None
+    exp_flags = []
+    for d in days:
+        x = acc[d]
+        exp_flags.append(run_max is None or x > run_max)
+        run_max = x if run_max is None else max(run_max, x)
+    n_records = sum(exp_flags)
+    h_n = sum(round(1.0 / k, 12) for k in range(1, n + 1))
+    assert len(rows) == n
+    for r, flag in zip(rows, exp_flags):
+        assert r.is_record == flag
+        assert r.n_records == n_records
+        assert abs(r.expected_records_iid - h_n) < 1e-9
+        assert abs(r.records_ratio - n_records / h_n) < 1e-9
+    assert rows[0].is_record is True
+
+
+def test_capture_recapture_replay(spark, sf_small):
+    """Chapman estimator replayed from python sets; the estimate is
+    at least the overlap-based lower bound and n_observed is sane."""
+    row = SPECS["quality_capture_recapture_users"].fn(
+        spark, sf_small
+    ).collect()[0]
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, ts FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    cut = dt.datetime(2024, 1, 16)
+    w1 = {u for u, ts in ev if ts < cut}
+    w2 = {u for u, ts in ev if ts >= cut}
+    m = len(w1 & w2)
+    chapman = (len(w1) + 1) * (len(w2) + 1) / (m + 1) - 1.0
+    assert (row.n1, row.n2, row.n_both) == (len(w1), len(w2), m)
+    assert row.n_observed == len(w1 | w2)
+    assert abs(row.chapman_estimate - chapman) < 1e-9
+    assert abs(row.est_unseen - (chapman - len(w1 | w2))) < 1e-9
