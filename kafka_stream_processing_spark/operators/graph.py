@@ -1220,3 +1220,107 @@ def graph_trade_reciprocity(
             / F.sum("w")
         ).alias("weighted_reciprocity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle=f"""
+    WITH und AS ({_sig_adj_sql()}),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node
+    ),
+    ks AS (SELECT DISTINCT d AS k FROM deg),
+    nk AS (
+        SELECT ks.k, count(*) AS n_gt
+        FROM ks JOIN deg ON deg.d > ks.k
+        GROUP BY ks.k
+    ),
+    ek AS (
+        SELECT ks.k, count(*) AS e_within
+        FROM ks
+        JOIN und ON TRUE
+        JOIN deg da ON da.node = und.a
+        JOIN deg db ON db.node = und.b
+        WHERE da.d > ks.k AND db.d > ks.k
+        GROUP BY ks.k
+    )
+    SELECT CAST(nk.k AS BIGINT) AS k,
+           CAST(nk.n_gt AS BIGINT) AS n_nodes_gt,
+           CAST(coalesce(ek.e_within, 0) AS BIGINT) AS n_edges_within,
+           CASE WHEN nk.n_gt >= 2
+                THEN CAST(2 * coalesce(ek.e_within, 0) AS DOUBLE)
+                     / (nk.n_gt * (nk.n_gt - 1))
+           END AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+    tags=("graph", "statistics"),
+)
+def graph_rich_club_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rich-club coefficient of the sparsified trade graph —
+    φ(k) = 2·E_{{>k}} / (N_{{>k}}(N_{{>k}}−1)), the edge density
+    among nodes of degree STRICTLY above k, for every realized degree
+    threshold: φ rising toward 1 at high k means the hubs trade
+    preferentially with EACH OTHER (a rich club), the mesoscale
+    structure degree assortativity (one global number) summarizes
+    away and the power-law MLE (tail shape only) cannot see.  Counts
+    are exact integers per threshold; φ is one division, NULL-guarded
+    below two qualifying nodes.
+
+    Scale: thresholds come from the DISTINCT degree values (a
+    node-domain-bounded frame), each pairing edges with both
+    endpoints' degrees — edge-list × |thresholds| work on the
+    SPARSIFIED adjacency, all hash joins.  The normalized variant
+    (φ/φ_random) divides by a degree-preserving null model — a
+    documented composition with the ES sampler, not run here."""
+    und = _sig_adj_df(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    nk = (
+        F.broadcast(ks)
+        .join(deg, F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_gt"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ek = (
+        F.broadcast(ks)
+        .crossJoin(und.join(da, "a").join(db, "b"))
+        .filter(
+            (F.col("da") > F.col("k")) & (F.col("db") > F.col("k"))
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.col("n_gt").cast("bigint").alias("n_nodes_gt"),
+            F.coalesce(F.col("e_within"), F.lit(0))
+            .cast("bigint")
+            .alias("n_edges_within"),
+            F.when(
+                F.col("n_gt") >= 2,
+                (
+                    F.lit(2)
+                    * F.coalesce(F.col("e_within"), F.lit(0))
+                ).cast("double")
+                / (F.col("n_gt") * (F.col("n_gt") - F.lit(1))),
+            ).alias("phi"),
+        )
+    )

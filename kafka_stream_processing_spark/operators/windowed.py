@@ -2742,9 +2742,10 @@ def _holt_winters_fold(pdf):
     return res
 
 
-@register(
-    "window_holt_winters_additive",
-    oracle=f"""
+#: The Holt-Winters oracle's CTE chain (daily → idx → means → sinit →
+#: list-state recursion), shared verbatim by the smoothing op and the
+#: skill-evaluation op so the two oracles can never drift apart.
+_HW_ORACLE_CTES = f"""
     WITH RECURSIVE daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
@@ -2793,7 +2794,12 @@ def _holt_winters_fold(pdf):
                          + 0.5 * r.s[1], 6))
         FROM rec r JOIN idx d
           ON d.event_type = r.event_type AND d.i = r.i + 1
-    )
+    )"""
+
+
+@register(
+    "window_holt_winters_additive",
+    oracle=_HW_ORACLE_CTES + f"""
     SELECT r.event_type,
            CAST(d.day AS VARCHAR) AS day,
            CAST(r.i AS BIGINT) AS idx,
@@ -4434,4 +4440,158 @@ def window_record_days_trend(
                 F.col("n_records").cast("double") / F.col("h_n")
             ).alias("records_ratio"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters skill vs seasonal-naive
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_hw_skill_vs_naive",
+    oracle=_HW_ORACLE_CTES + f""",
+    fc AS (
+        SELECT r.event_type, r.i, d.x,
+               p.l + p.b + p.s[1] AS f
+        FROM rec r
+        JOIN idx d ON d.event_type = r.event_type AND d.i = r.i
+        JOIN rec p ON p.event_type = r.event_type AND p.i = r.i - 1
+        WHERE r.i > {HW_PERIOD}
+    ),
+    nv AS (
+        SELECT c.event_type, c.i, l7.x AS f7
+        FROM idx c JOIN idx l7
+          ON l7.event_type = c.event_type
+         AND l7.i = c.i - {HW_PERIOD}
+    ),
+    j AS (
+        SELECT fc.event_type, fc.x, fc.f, nv.f7
+        FROM fc JOIN nv
+          ON nv.event_type = fc.event_type AND nv.i = fc.i
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*) AS n,
+               SUM(CAST(round(abs(x - f), 6) AS DECIMAL(18,6)))
+                   AS sae_hw,
+               SUM(CAST(round(abs(x - f7), 6) AS DECIMAL(18,6)))
+                   AS sae7,
+               SUM(CAST(round((x - f) * (x - f), 6)
+                        AS DECIMAL(38,6))) AS sse_hw,
+               SUM(CAST(round((x - f7) * (x - f7), 6)
+                        AS DECIMAL(38,6))) AS sse7
+        FROM j GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_eval,
+           CAST(sae_hw AS DOUBLE) / n AS mae_hw,
+           CAST(sae7 AS DOUBLE) / n AS mae_naive7,
+           (CAST(sae_hw AS DOUBLE) / n)
+               / (CAST(sae7 AS DOUBLE) / n) AS mase_hw,
+           sqrt(CAST(sse_hw AS DOUBLE) / CAST(sse7 AS DOUBLE))
+               AS theil_u2_hw
+    FROM agg
+    """,
+    tags=("windowed", "timeseries", "forecast", "statistics"),
+)
+def window_hw_skill_vs_naive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-series skill of the Holt-Winters one-step forecasts judged
+    against the SEASONAL-naive (lag-7) baseline — MASE and Theil U2
+    per event_type over the common evaluation days (t > m, where both
+    predictors exist): the model-selection verdict that closes the
+    forecasting loop (decomposition strengths say a seasonal model is
+    warranted; THIS says whether the fitted recursion actually beats
+    the zero-parameter baseline it must outperform to earn its
+    keep).  The ENGINE composes two registered kernels — the
+    applyInPandas Holt-Winters fold supplies forecasts, the calendar
+    lag join supplies the baseline — while the ORACLE extends the
+    SHARED _HW_ORACLE_CTES constant (the smoothing op's exact
+    recursion, verbatim — the two oracles cannot drift), so forecast
+    trajectories in this comparison are bit-identical to the
+    smoothing op's own output.  Error sums use the skill-score
+    discipline (round-6 absolutes in DECIMAL(18,6), squares in
+    DECIMAL(38,6)).
+
+    Scale: the fold parallelizes per series; everything downstream is
+    (series × calendar)-sized joins and one grouped aggregate."""
+    from pyspark.sql import Window
+
+    hw = window_holt_winters_additive(spark, sf_dir).filter(
+        F.col("forecast").isNotNull()
+    )
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+    )
+    idx = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    c, l7 = idx.alias("c"), idx.alias("l7")
+    nv = c.join(
+        l7,
+        (F.col("l7.event_type") == F.col("c.event_type"))
+        & (F.col("l7.i") == F.col("c.i") - HW_PERIOD),
+    ).select(
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.i").alias("i"),
+        F.col("l7.x").alias("f7"),
+    )
+    j = hw.select(
+        "event_type",
+        F.col("idx").alias("i"),
+        F.col("revenue").alias("x"),
+        F.col("forecast").alias("f"),
+    ).join(nv, ["event_type", "i"])
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.abs(F.col("x") - F.col("f")), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("sae_hw"),
+        F.sum(
+            F.round(F.abs(F.col("x") - F.col("f7")), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("sae7"),
+        F.sum(
+            F.round(
+                (F.col("x") - F.col("f")) * (F.col("x") - F.col("f")),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("sse_hw"),
+        F.sum(
+            F.round(
+                (F.col("x") - F.col("f7"))
+                * (F.col("x") - F.col("f7")),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("sse7"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_eval"),
+        (F.col("sae_hw").cast("double") / F.col("n")).alias("mae_hw"),
+        (F.col("sae7").cast("double") / F.col("n")).alias(
+            "mae_naive7"
+        ),
+        (
+            (F.col("sae_hw").cast("double") / F.col("n"))
+            / (F.col("sae7").cast("double") / F.col("n"))
+        ).alias("mase_hw"),
+        F.sqrt(
+            F.col("sse_hw").cast("double")
+            / F.col("sse7").cast("double")
+        ).alias("theil_u2_hw"),
     )

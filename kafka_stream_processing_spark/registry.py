@@ -129,14 +129,14 @@ def _load() -> None:
 #: exactly 50.  stream_watermark_late_data rotates out (fresh r06
 #: hash-green row).
 #:
-#: Post-r07 state of the registry: 312 registered (306 oracle-checked,
+#: Post-r07 state of the registry: 314 registered (308 oracle-checked,
 #: 6 rows-only: two HLL sketches, approx quantiles, and the three
 #: power-iteration PCA ops whose per-pass literals no single oracle
-#: statement can express).  Round 7 added 93 queries in three sessions
-#: (21 + 35 + 37); all 93 sit AFTER rank 50, so they queue for the r08
+#: statement can express).  Round 7 added 95 queries in three sessions
+#: (21 + 35 + 39); all 95 sit AFTER rank 50, so they queue for the r08
 #: rotation together with the remaining 17 r02-stale names (listed
 #: below rank 50).  When rebuilding for r08: 12 §2 pins + 17 r02-stale
-#: + 21 of the r07 additions = 50; the remaining 72 fill r09.
+#: + 21 of the r07 additions = 50; the remaining 74 fill r09.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -315,6 +315,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_top_event_paths",
     "window_record_days_trend",
     "quality_capture_recapture_users",
+    "window_hw_skill_vs_naive",
+    "graph_rich_club_coefficient",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -1572,3 +1572,102 @@ def test_capture_recapture_replay(spark, sf_small):
     assert row.n_observed == len(w1 | w2)
     assert abs(row.chapman_estimate - chapman) < 1e-9
     assert abs(row.est_unseen - (chapman - len(w1 | w2))) < 1e-9
+
+
+def test_hw_skill_vs_naive_replay(spark, sf_small):
+    """MASE/U2 replayed by re-running the Holt-Winters python fold of
+    test_holt_winters_python_replay and the lag-7 naive on common
+    days."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        HW_PERIOD,
+    )
+
+    m = HW_PERIOD
+    rows = SPECS["window_hw_skill_vs_naive"].fn(spark, sf_small).collect()
+    acc = _daily(sf_small, by_type=True)
+    series: dict[str, list] = {}
+    for (et, day), v in sorted(acc.items()):
+        series.setdefault(et, []).append(float(v))
+    got = {r.event_type: r for r in rows}
+    for et, xs in series.items():
+        if len(xs) < 2 * m:
+            assert et not in got
+            continue
+        micro = [round(x * 1e6) for x in xs]
+        m1 = (sum(micro[:m]) / 1e6) / m
+        m2 = (sum(micro[m : 2 * m]) / 1e6) / m
+        l, b = _r6(m1), _r6((m2 - m1) / m)
+        s = [_r6(xs[i] - m1) for i in range(m)]
+        fs = {}
+        for t in range(m + 1, len(xs) + 1):
+            x = xs[t - 1]
+            fs[t] = l + b + s[0]
+            l_new = _r6(0.5 * (x - s[0]) + 0.5 * (l + b))
+            b_new = _r6(0.5 * (l_new - l) + 0.5 * b)
+            s_new = _r6(0.5 * (x - l_new) + 0.5 * s[0])
+            l, b, s = l_new, b_new, s[1:] + [s_new]
+        pts = [
+            (xs[t - 1], fs[t], xs[t - 1 - m])
+            for t in range(m + 1, len(xs) + 1)
+        ]
+        n = len(pts)
+        sae_hw = sum(round(abs(x - f), 6) for x, f, _ in pts)
+        sae7 = sum(round(abs(x - f7), 6) for x, _, f7 in pts)
+        sse_hw = sum(round((x - f) ** 2, 6) for x, f, _ in pts)
+        sse7 = sum(round((x - f7) ** 2, 6) for x, _, f7 in pts)
+        r = got[et]
+        assert r.n_eval == n
+        assert abs(r.mae_hw - sae_hw / n) < 1e-9
+        assert abs(r.mae_naive7 - sae7 / n) < 1e-9
+        assert abs(r.mase_hw - (sae_hw / n) / (sae7 / n)) < 1e-9
+        assert abs(r.theil_u2_hw - math.sqrt(sse_hw / sse7)) < 1e-9
+
+
+def test_rich_club_replay(spark, sf_small):
+    """phi(k) replayed from the sparsified adjacency; phi is defined
+    exactly where >= 2 nodes qualify and n_nodes_gt strictly
+    decreases in k."""
+    from kafka_stream_processing_spark.operators.graph import (
+        _sig_adj_df,
+    )
+
+    rows = sorted(
+        SPECS["graph_rich_club_coefficient"].fn(
+            spark, sf_small
+        ).collect(),
+        key=lambda r: r.k,
+    )
+    adj = [(r.a, r.b) for r in _sig_adj_df(spark, sf_small).collect()]
+    deg: dict[str, int] = {}
+    for a, b in adj:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    # thresholds whose club is empty (k = max degree) emit no row on
+    # either engine — the inner-join convention
+    ks = sorted(
+        k
+        for k in set(deg.values())
+        if any(d > k for d in deg.values())
+    )
+    exp = {}
+    for k in ks:
+        rich = {n for n, d in deg.items() if d > k}
+        e_within = sum(1 for a, b in adj if a in rich and b in rich)
+        nk = len(rich)
+        phi = (
+            2 * e_within / (nk * (nk - 1)) if nk >= 2 else None
+        )
+        exp[k] = (nk, e_within, phi)
+    assert [r.k for r in rows] == ks
+    prev_n = None
+    for r in rows:
+        nk, e_within, phi = exp[r.k]
+        assert r.n_nodes_gt == nk
+        assert r.n_edges_within == e_within
+        if phi is None:
+            assert r.phi is None
+        else:
+            assert abs(r.phi - phi) < 1e-12
+        if prev_n is not None:
+            assert r.n_nodes_gt <= prev_n
+        prev_n = r.n_nodes_gt
