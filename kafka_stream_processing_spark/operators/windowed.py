@@ -4595,3 +4595,253 @@ def window_hw_skill_vs_naive(
             / F.col("sse7").cast("double")
         ).alias("theil_u2_hw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intraday seasonal profile (dow × hour)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_intraday_seasonal_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT dayofweek(ts) AS dow,
+               CAST(date_part('hour', ts) AS INT) AS hour,
+               count(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM cells)
+    SELECT CAST(dow AS INT) AS dow,
+           hour,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(n AS DOUBLE)
+               AS revenue_per_event,
+           CAST(rev AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM cells, tot t
+    """,
+    tags=("windowed", "timeseries", "profile"),
+)
+def window_intraday_seasonal_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Intraday seasonal fingerprint: the day-of-week × hour-of-day
+    grid of event counts, exact revenue, revenue-per-event, and
+    share-of-total — the 168-cell profile behind capacity planning
+    and the finer-grained companion to the weekly decomposition ops
+    (they model the DAILY series; this shows where inside the week
+    the mass actually sits).  Unlike the decomposition ops (where dow
+    is only an internal partition key and each engine's numbering may
+    differ), dow is an OUTPUT column here, so the engines must agree:
+    Spark's dayofweek() is 1=Sunday..7 while DuckDB's is
+    0=Sunday..6 — reconciled by the −1 shift in the engine
+    expression, standardizing on the 0-based convention.
+
+    Scale: one map-side-combined groupBy to a 168-cell grid; the
+    share divides by the exact decimal total.  Per-key profiles add
+    the key to the grid."""
+    cells = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            (F.dayofweek("ts") - F.lit(1)).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("rev"),
+        )
+    )
+    tot = cells.agg(F.sum("rev").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double") / F.col("n").cast("double")
+        ).alias("revenue_per_event"),
+        (
+            F.col("rev").cast("double")
+            / F.col("total").cast("double")
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-user growth curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_user_growth_curve",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT cohort_day AS day, count(*) AS new_users
+        FROM first_seen GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS total_users FROM first_seen)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / t.total_users AS penetration
+    FROM daily, tot t
+    """,
+    tags=("windowed", "growth", "behavioral"),
+)
+def window_user_growth_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New-user acquisition curve: per day, users seen for the FIRST
+    time, the cumulative user base, and penetration of the eventual
+    total — the growth chart every product review opens with, and the
+    denominator source for the retention/cohort ops (a cohort IS a
+    first-seen day).  First-seen is one min-aggregate per user; the
+    cumulative window runs over the CALENDAR, so the only
+    corpus-scale exchange is the user_id collapse (map-side
+    combined).
+
+    Scale: distinct-user state is the same class as the flagship's
+    countDistinct; the growth table is calendar-sized.  Penetration's
+    denominator is the exact final count — at a streaming deployment
+    it becomes the capture-recapture estimate
+    (quality_capture_recapture_users) when the base is still
+    growing."""
+    from pyspark.sql import Window
+
+    first_seen = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("day", "ts").cast("date")).alias(
+                "cohort_day"
+            )
+        )
+    )
+    daily = first_seen.groupBy(
+        F.col("cohort_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    tot = first_seen.agg(F.count(F.lit(1)).alias("total_users"))
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.crossJoin(F.broadcast(tot)).select(
+        F.col("day").cast("string").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(cum).cast("bigint").alias("cum_users"),
+        (
+            F.sum("new_users").over(cum).cast("double")
+            / F.col("total_users")
+        ).alias("penetration"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU stickiness
+# ---------------------------------------------------------------------------
+
+#: Trailing window lengths (days) for WAU and MAU.
+WAU_DAYS = 7
+MAU_DAYS = 28
+
+
+@register(
+    "window_dau_wau_mau",
+    oracle=f"""
+    WITH presence AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM presence),
+    dau AS (
+        SELECT day, count(*) AS dau FROM presence GROUP BY 1
+    ),
+    wau AS (
+        SELECT d.day, count(DISTINCT p.user_id) AS wau
+        FROM days d JOIN presence p
+          ON p.day > d.day - {WAU_DAYS} AND p.day <= d.day
+        GROUP BY d.day
+    ),
+    mau AS (
+        SELECT d.day, count(DISTINCT p.user_id) AS mau
+        FROM days d JOIN presence p
+          ON p.day > d.day - {MAU_DAYS} AND p.day <= d.day
+        GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS VARCHAR) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+    FROM dau
+    JOIN wau ON wau.day = dau.day
+    JOIN mau ON mau.day = dau.day
+    """,
+    tags=("windowed", "growth", "behavioral"),
+)
+def window_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-{WAU_DAYS}-day WAU / trailing-{MAU_DAYS}-day
+    MAU, plus the DAU/MAU stickiness ratio — the engagement triple
+    every growth dashboard tracks (stickiness ≈ what fraction of the
+    monthly base shows up on a given day).  Sliding DISTINCT cannot
+    map-side combine, so the exact form joins the day frame against
+    the (user, day) presence table with a range predicate and
+    re-distincts per window — correct, and honestly quadratic in the
+    window length.
+
+    Scale: the exact per-day sliding distinct re-counts each user ≤
+    {MAU_DAYS} times (presence × window-length fan-out) — acceptable
+    because PRESENCE (distinct user-days) is already far smaller than
+    events; when even that is too hot, the production swap is
+    per-day HLL sketches merged over the trailing window
+    (sketch_hll_daily_merge is exactly that kernel, registered and
+    bench-checked) — same output shape, ±2% counts.  DAU itself is
+    map-side exact."""
+    presence = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    days = presence.select("day").distinct()
+    dau = presence.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n_days: int, alias: str):
+        d, p = days.alias("d"), presence.alias("p")
+        return (
+            d.join(
+                p,
+                (F.col("p.day") > F.date_sub(F.col("d.day"), n_days))
+                & (F.col("p.day") <= F.col("d.day")),
+            )
+            .groupBy(F.col("d.day").alias("day"))
+            .agg(F.countDistinct("p.user_id").alias(alias))
+        )
+
+    wau = trailing(WAU_DAYS, "wau")
+    mau = trailing(MAU_DAYS, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            (F.col("dau").cast("double") / F.col("mau")).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -129,14 +129,14 @@ def _load() -> None:
 #: exactly 50.  stream_watermark_late_data rotates out (fresh r06
 #: hash-green row).
 #:
-#: Post-r07 state of the registry: 314 registered (308 oracle-checked,
+#: Post-r07 state of the registry: 317 registered (311 oracle-checked,
 #: 6 rows-only: two HLL sketches, approx quantiles, and the three
 #: power-iteration PCA ops whose per-pass literals no single oracle
-#: statement can express).  Round 7 added 95 queries in three sessions
-#: (21 + 35 + 39); all 95 sit AFTER rank 50, so they queue for the r08
+#: statement can express).  Round 7 added 98 queries in three sessions
+#: (21 + 35 + 42); all 98 sit AFTER rank 50, so they queue for the r08
 #: rotation together with the remaining 17 r02-stale names (listed
 #: below rank 50).  When rebuilding for r08: 12 §2 pins + 17 r02-stale
-#: + 21 of the r07 additions = 50; the remaining 74 fill r09.
+#: + 21 of the r07 additions = 50; the remaining 77 fill r09.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -317,6 +317,9 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_capture_recapture_users",
     "window_hw_skill_vs_naive",
     "graph_rich_club_coefficient",
+    "window_intraday_seasonal_profile",
+    "window_user_growth_curve",
+    "window_dau_wau_mau",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -1671,3 +1671,98 @@ def test_rich_club_replay(spark, sf_small):
         if prev_n is not None:
             assert r.n_nodes_gt <= prev_n
         prev_n = r.n_nodes_gt
+
+
+def test_intraday_profile_replay(spark, sf_small):
+    """dow×hour grid replayed; shares sum to 1 and dow uses the
+    0=Sunday..6 convention on both engines."""
+    rows = SPECS["window_intraday_seasonal_profile"].fn(
+        spark, sf_small
+    ).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT ts, value FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    cells: dict[tuple[int, int], list] = {}
+    for ts, v in ev:
+        # python weekday(): Mon=0..Sun=6 → 0=Sunday convention
+        dow = (ts.weekday() + 1) % 7
+        key = (dow, ts.hour)
+        c = cells.setdefault(key, [0, 0])
+        c[0] += 1
+        c[1] += round(v * 10**6)
+    total = sum(c[1] for c in cells.values())
+    got = {(r.dow, r.hour): r for r in rows}
+    assert set(got) == set(cells)
+    for key, (n, rev) in cells.items():
+        r = got[key]
+        assert r.n_events == n
+        assert abs(r.revenue - rev / 1e6) < 1e-6
+        assert abs(r.share - (rev / 1e6) / (total / 1e6)) < 1e-9
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+
+
+def test_user_growth_curve_replay(spark, sf_small):
+    """First-seen cohorts replayed; cum is monotone and penetration
+    ends at exactly 1."""
+    rows = sorted(
+        SPECS["window_user_growth_curve"].fn(spark, sf_small).collect(),
+        key=lambda r: r.day,
+    )
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE))"
+        f" FROM '{sf_small}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    cohorts: dict = {}
+    for _, d in ev:
+        cohorts[d] = cohorts.get(d, 0) + 1
+    total = sum(cohorts.values())
+    assert len(rows) == len(cohorts)
+    cum = 0
+    for r in rows:
+        d = dt.date.fromisoformat(r.day)
+        cum += cohorts[d]
+        assert r.new_users == cohorts[d]
+        assert r.cum_users == cum
+        assert r.penetration == cum / total
+    assert rows[-1].penetration == 1.0
+
+
+def test_dau_wau_mau_replay(spark, sf_small):
+    """Sliding distinct counts replayed from python presence sets;
+    dau <= wau <= mau and stickiness in (0, 1]."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        MAU_DAYS,
+        WAU_DAYS,
+    )
+
+    rows = SPECS["window_dau_wau_mau"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)"
+        f" FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    by_day: dict = {}
+    for u, d in ev:
+        by_day.setdefault(d, set()).add(u)
+    days = sorted(by_day)
+    got = {r.day: r for r in rows}
+    assert set(got) == {d.isoformat() for d in days}
+    for d in days:
+        wau = set()
+        mau = set()
+        for d2 in days:
+            delta = (d - d2).days
+            if 0 <= delta < WAU_DAYS:
+                wau |= by_day[d2]
+            if 0 <= delta < MAU_DAYS:
+                mau |= by_day[d2]
+        r = got[d.isoformat()]
+        assert r.dau == len(by_day[d])
+        assert r.wau == len(wau)
+        assert r.mau == len(mau)
+        assert r.dau <= r.wau <= r.mau
+        assert r.stickiness == len(by_day[d]) / len(mau)
+        assert 0 < r.stickiness <= 1.0
