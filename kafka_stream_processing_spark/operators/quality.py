@@ -4848,3 +4848,116 @@ def quality_capture_recapture_users(
         chapman.alias("chapman_estimate"),
         (chapman - F.col("n_observed")).alias("est_unseen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC via the Mann-Whitney identity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_roc_auc_length_classifier",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT n_chars AS score,
+               CASE WHEN len(string_split(text, ' '))
+                        > {ISO_TOKEN_THRESHOLD} THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    hist AS (
+        SELECT score, SUM(y) AS pos, count(*) - SUM(y) AS neg
+        FROM labeled GROUP BY score
+    ),
+    cum AS (
+        SELECT score, pos, neg,
+               coalesce(SUM(pos + neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS lt_comb
+        FROM hist
+    ),
+    tot AS (
+        SELECT SUM(pos) AS n1, SUM(neg) AS n0 FROM hist
+    ),
+    ranksum AS (
+        SELECT SUM(pos * (2 * lt_comb + pos + neg + 1)) AS s2
+        FROM cum
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n_pos,
+           CAST(t.n0 AS BIGINT) AS n_neg,
+           CAST(r.s2 AS BIGINT) AS rank_sum_x2,
+           CAST(r.s2 - t.n1 * (t.n1 + 1) AS DOUBLE)
+               / (2.0 * t.n1 * t.n0) AS auc
+    FROM ranksum r, tot t
+    """,
+    tags=("quality", "calibration", "statistics"),
+)
+def quality_roc_auc_length_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT ROC-AUC of document length as a classifier for the
+    long-document outcome, via the Mann-Whitney identity
+    AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with R₊ the positive class's
+    midrank sum — completing the ML-evaluation family (the Brier op
+    scores probability CALIBRATION; AUC scores pure RANKING, and the
+    identity makes it a rank statistic, not a threshold sweep): using
+    DOUBLED midranks (2R = 2·#less + #eq + 1, an integer — the
+    Spearman/CvM convention) the whole computation is integer
+    arithmetic on the score-distinct histogram with one exclusive
+    cumulative window, ties handled exactly, and the final AUC is a
+    single division.  No sorted threshold sweep, no trapezoid — the
+    rank identity IS the area.
+
+    Scale: histogram-sized state (score-distinct), one cumulative
+    window over the score domain — the KS/CvM cost class.  Grouped
+    AUCs (per source/model) partition the window by group."""
+    docs = table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(
+            F.size(F.split("text", " ")) > ISO_TOKEN_THRESHOLD,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    hist = labeled.groupBy("score").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    from pyspark.sql import Window
+
+    prev = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "pos",
+        "neg",
+        F.coalesce(
+            F.sum(F.col("pos") + F.col("neg")).over(prev), F.lit(0)
+        ).alias("lt_comb"),
+    )
+    tot = hist.agg(
+        F.sum("pos").alias("n1"), F.sum("neg").alias("n0")
+    )
+    ranksum = cum.agg(
+        F.sum(
+            F.col("pos")
+            * (
+                F.lit(2) * F.col("lt_comb")
+                + F.col("pos")
+                + F.col("neg")
+                + F.lit(1)
+            )
+        ).alias("s2")
+    )
+    return ranksum.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        F.col("s2").cast("bigint").alias("rank_sum_x2"),
+        (
+            (
+                F.col("s2") - F.col("n1") * (F.col("n1") + F.lit(1))
+            ).cast("double")
+            / (F.lit(2.0) * F.col("n1") * F.col("n0"))
+        ).alias("auc"),
+    )

@@ -4845,3 +4845,176 @@ def window_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box test on seasonal-naive residuals
+# ---------------------------------------------------------------------------
+
+#: chi-square 5% critical value at dof = ACF_MAX_LAG (= 7).
+CHI2_7_005 = 14.067140449340169
+
+
+@register(
+    "window_ljung_box_residuals",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    res AS (
+        SELECT c.d, c.x - l7.x AS e
+        FROM daily c JOIN daily l7 ON l7.d = c.d - 7
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               CAST(SUM(CAST(round(e, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*) AS mu
+        FROM res
+    ),
+    dev AS (
+        SELECT d, e - mu AS v FROM res, tot
+    ),
+    den AS (
+        SELECT SUM(CAST(round(v * v, 6) AS DECIMAL(38,6))) AS s0
+        FROM dev
+    ),
+    ks AS (
+        SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k
+    ),
+    num AS (
+        SELECT ks.k, count(*) AS n_pairs,
+               SUM(CAST(round(a.v * b.v, 6) AS DECIMAL(38,6))) AS sk
+        FROM ks JOIN dev a ON TRUE JOIN dev b ON b.d = a.d + ks.k
+        GROUP BY ks.k
+    ),
+    rho AS (
+        SELECT k, n_pairs,
+               CAST(sk AS DOUBLE) / CAST(s0 AS DOUBLE) AS r
+        FROM num, den
+    ),
+    q AS (
+        SELECT CAST(SUM(CAST(round(r * r / n_pairs, 12)
+                   AS DECIMAL(18,12))) AS DOUBLE)
+                   * t.n * (t.n + 2) AS q_stat
+        FROM rho, tot t GROUP BY t.n
+    )
+    SELECT rho.k AS lag_k,
+           CAST(rho.n_pairs AS BIGINT) AS n_pairs,
+           rho.r AS acf_resid,
+           q.q_stat,
+           q.q_stat > {CHI2_7_005} AS autocorrelated_005
+    FROM rho, q
+    """,
+    tags=("windowed", "timeseries", "statistics", "forecast"),
+)
+def window_ljung_box_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ljung-Box portmanteau test on the SEASONAL-NAIVE residuals —
+    Q = n(n+2)·Σ_k ρ̂²_k/n_k over lags 1..{ACF_MAX_LAG}, against the
+    χ²₇ 5% point: the residual-whiteness check that closes the
+    forecasting loop (skill scores say WHICH model wins; Ljung-Box
+    says whether the winner's residuals still hide structure worth
+    another term — Q firing on the lag-7 naive's residuals means
+    weekly differencing alone is not enough).  Residual ACF reuses
+    the key-frame-join kernel on the mean-centered residual series;
+    per-lag divisors are the REALIZED pair counts n_k (the honest
+    generalization of the textbook n−k to gapped calendars,
+    identical on both engines); the Q sum quantizes each term to 12
+    decimals.  Emits the per-lag residual ACF with the global Q and
+    verdict on every row.
+
+    Scale: calendar-sized residual table × {ACF_MAX_LAG} lags — the
+    ACF cost class; per-key variants partition the lag join by key."""
+    from pyspark.sql import Window as _W
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "x",
+        )
+    )
+    c, l7 = daily.alias("c"), daily.alias("l7")
+    res = c.join(l7, F.col("l7.d") == F.col("c.d") - 7).select(
+        F.col("c.d").alias("d"),
+        (F.col("c.x") - F.col("l7.x")).alias("e"),
+    )
+    tot = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("e"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    dev = res.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("e") - F.col("mu")).alias("v")
+    )
+    den = dev.agg(
+        F.sum(
+            F.round(F.col("v") * F.col("v"), 6).cast("decimal(38,6)")
+        ).alias("s0")
+    )
+    ks = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        F.broadcast(ks)
+        .crossJoin(a)
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.round(F.col("a.v") * F.col("b.v"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("sk"),
+        )
+    )
+    rho = num.crossJoin(F.broadcast(den)).select(
+        "k",
+        "n_pairs",
+        (F.col("sk").cast("double") / F.col("s0").cast("double")).alias(
+            "r"
+        ),
+    )
+    q = (
+        rho.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("r") * F.col("r") / F.col("n_pairs"), 12
+                ).cast("decimal(18,12)")
+            )
+            .cast("double")
+            .alias("ssum")
+        )
+        .select(
+            (
+                F.col("ssum") * F.col("n") * (F.col("n") + F.lit(2))
+            ).alias("q_stat")
+        )
+    )
+    return rho.crossJoin(F.broadcast(q)).select(
+        F.col("k").cast("int").alias("lag_k"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("r").alias("acf_resid"),
+        "q_stat",
+        (F.col("q_stat") > F.lit(CHI2_7_005)).alias(
+            "autocorrelated_005"
+        ),
+    )

@@ -1766,3 +1766,80 @@ def test_dau_wau_mau_replay(spark, sf_small):
         assert r.dau <= r.wau <= r.mau
         assert r.stickiness == len(by_day[d]) / len(mau)
         assert 0 < r.stickiness <= 1.0
+
+
+def test_roc_auc_bruteforce_replay(spark, sf_small):
+    """AUC replayed by the brute-force pair DEFINITION
+    P(s⁺>s⁻) + ½P(s⁺=s⁻) (the engine uses the rank identity —
+    different algorithm); AUC in [0, 1]."""
+    from kafka_stream_processing_spark.operators.quality import (
+        ISO_TOKEN_THRESHOLD,
+    )
+
+    row = SPECS["quality_roc_auc_length_classifier"].fn(
+        spark, sf_small
+    ).collect()[0]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT n_chars, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    pos, neg = [], []
+    for n_chars, text in docs:
+        (
+            pos
+            if len(text.split(" ")) > ISO_TOKEN_THRESHOLD
+            else neg
+        ).append(n_chars)
+    wins = ties = 0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                wins += 1
+            elif p == q:
+                ties += 1
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    assert abs(row.auc - auc) < 1e-12
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_ljung_box_replay(spark, sf_small):
+    """Residual ACF and Q replayed from exact daily totals; verdict
+    matches the chi2_7 cutoff."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        ACF_MAX_LAG,
+        CHI2_7_005,
+    )
+
+    rows = sorted(
+        SPECS["window_ljung_box_residuals"].fn(
+            spark, sf_small
+        ).collect(),
+        key=lambda r: r.lag_k,
+    )
+    acc = _daily(sf_small, by_type=False)
+    d0 = {
+        (d - dt.date(1970, 1, 1)).days: float(acc[d]) for d in acc
+    }
+    res = {d: d0[d] - d0[d - 7] for d in d0 if d - 7 in d0}
+    n = len(res)
+    mu = sum(round(e, 6) for e in res.values()) / n
+    v = {d: e - mu for d, e in res.items()}
+    s0 = sum(round(x * x, 6) for x in v.values())
+    rho = {}
+    npairs = {}
+    for k in range(1, ACF_MAX_LAG + 1):
+        pairs = [(v[d], v[d + k]) for d in v if d + k in v]
+        npairs[k] = len(pairs)
+        rho[k] = sum(round(a * b, 6) for a, b in pairs) / s0
+    ssum = sum(
+        round(rho[k] * rho[k] / npairs[k], 12)
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    q = ssum * n * (n + 2)
+    assert [r.lag_k for r in rows] == list(range(1, ACF_MAX_LAG + 1))
+    for r in rows:
+        assert r.n_pairs == npairs[r.lag_k]
+        assert abs(r.acf_resid - rho[r.lag_k]) < 1e-9
+        assert abs(r.q_stat - q) < 1e-9
+        assert r.autocorrelated_005 == (q > CHI2_7_005)
