@@ -5018,3 +5018,133 @@ def window_ljung_box_residuals(
             "autocorrelated_005"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV (cumulative revenue per user by cohort age)
+# ---------------------------------------------------------------------------
+
+#: Weekly cohort-age buckets reported by the LTV curve.
+LTV_AGE_WEEKS = 4
+
+
+@register(
+    "window_cohort_ltv_curve",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    cohorts AS (
+        SELECT CAST(date_trunc('week', cohort_day) AS DATE)
+                   AS cohort_week,
+               user_id
+        FROM first_seen
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_users
+        FROM cohorts GROUP BY 1
+    ),
+    rev AS (
+        SELECT c.cohort_week,
+               CAST((CAST(date_trunc('day', e.ts) AS DATE)
+                     - c2.cohort_day) // 7 AS INT) AS age_week,
+               SUM(CAST(e.value AS DECIMAL(18,6))) AS wrev
+        FROM events e
+        JOIN first_seen c2 ON c2.user_id = e.user_id
+        JOIN cohorts c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, age_week, wrev,
+               SUM(wrev) OVER (PARTITION BY cohort_week
+                               ORDER BY age_week
+                               ROWS UNBOUNDED PRECEDING) AS crev
+        FROM rev WHERE age_week < {LTV_AGE_WEEKS}
+    )
+    SELECT CAST(cum.cohort_week AS VARCHAR) AS cohort_week,
+           cum.age_week,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(cum.wrev AS DOUBLE) AS week_revenue,
+           CAST(cum.crev AS DOUBLE) AS cum_revenue,
+           CAST(cum.crev AS DOUBLE) / s.cohort_users
+               AS ltv_per_user
+    FROM cum JOIN sizes s ON s.cohort_week = cum.cohort_week
+    """,
+    tags=("windowed", "growth", "behavioral", "cohort"),
+)
+def window_cohort_ltv_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort LTV curve: purchase revenue per weekly first-seen
+    cohort, bucketed by cohort AGE (weeks since each user's first
+    event) and cumulated — ltv_per_user is the number a growth team
+    projects payback from, and the revenue-weighted completion of the
+    cohort family (window_retention_cohorts counts WHO returns;
+    Kaplan-Meier models WHEN they stop; this prices WHAT they spend
+    while alive).  Cohort assignment is the user's first-seen day
+    (the growth-curve convention); age is integer floor-division of
+    day deltas, revenue sums are exact decimals, and the cumulative
+    window partitions by cohort.
+
+    Scale: one first-seen collapse (map-side combined), one join of
+    purchases to their users' cohort rows (user-keyed), then all
+    windows run over the (cohort × age) grid — weeks², never
+    event-scale.  Ages ≥ {LTV_AGE_WEEKS} weeks truncate (the
+    reported-horizon convention; the grid is already complete for
+    shorter ages)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias(
+            "cohort_day"
+        )
+    )
+    cohorts = first_seen.select(
+        "user_id",
+        "cohort_day",
+        F.date_trunc("week", "cohort_day").cast("date").alias(
+            "cohort_week"
+        ),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+                " cohort_day) div 7 AS INT)"
+            ).alias("age_week"),
+        )
+        .agg(F.sum(dec("value")).alias("wrev"))
+        .filter(F.col("age_week") < LTV_AGE_WEEKS)
+    )
+    cum = rev.select(
+        "cohort_week",
+        "age_week",
+        "wrev",
+        F.sum("wrev")
+        .over(
+            Window.partitionBy("cohort_week")
+            .orderBy("age_week")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("crev"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        F.col("age_week").cast("int").alias("age_week"),
+        F.col("cohort_users").cast("bigint").alias("cohort_users"),
+        F.col("wrev").cast("double").alias("week_revenue"),
+        F.col("crev").cast("double").alias("cum_revenue"),
+        (
+            F.col("crev").cast("double") / F.col("cohort_users")
+        ).alias("ltv_per_user"),
+    )

@@ -129,14 +129,14 @@ def _load() -> None:
 #: exactly 50.  stream_watermark_late_data rotates out (fresh r06
 #: hash-green row).
 #:
-#: Post-r07 state of the registry: 319 registered (313 oracle-checked,
+#: Post-r07 state of the registry: 320 registered (314 oracle-checked,
 #: 6 rows-only: two HLL sketches, approx quantiles, and the three
 #: power-iteration PCA ops whose per-pass literals no single oracle
-#: statement can express).  Round 7 added 100 queries in three
-#: sessions (21 + 35 + 44); all 100 sit AFTER rank 50, so they queue
+#: statement can express).  Round 7 added 101 queries in three
+#: sessions (21 + 35 + 45); all 101 sit AFTER rank 50, so they queue
 #: for the r08 rotation together with the remaining 17 r02-stale names
 #: (listed below rank 50).  When rebuilding for r08: 12 §2 pins + 17
-#: r02-stale + 21 of the r07 additions = 50; the remaining 79 fill
+#: r02-stale + 21 of the r07 additions = 50; the remaining 80 fill
 #: r09.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
@@ -323,6 +323,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_dau_wau_mau",
     "quality_roc_auc_length_classifier",
     "window_ljung_box_residuals",
+    "window_cohort_ltv_curve",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

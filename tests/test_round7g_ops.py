@@ -1843,3 +1843,54 @@ def test_ljung_box_replay(spark, sf_small):
         assert abs(r.acf_resid - rho[r.lag_k]) < 1e-9
         assert abs(r.q_stat - q) < 1e-9
         assert r.autocorrelated_005 == (q > CHI2_7_005)
+
+
+def test_cohort_ltv_replay(spark, sf_small):
+    """LTV grid replayed from per-user first-seen days; cum_revenue is
+    monotone within each cohort and ltv = cum / cohort size."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        LTV_AGE_WEEKS,
+    )
+
+    rows = SPECS["window_cohort_ltv_curve"].fn(spark, sf_small).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, CAST(date_trunc('day', ts) AS DATE),"
+        f" event_type, value FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    first: dict[int, dt.date] = {}
+    for u, d, _, _ in ev:
+        if u not in first or d < first[u]:
+            first[u] = d
+
+    def week_of(d):
+        return d - dt.timedelta(days=d.weekday())
+
+    sizes: dict[dt.date, int] = {}
+    for u, d in first.items():
+        w = week_of(d)
+        sizes[w] = sizes.get(w, 0) + 1
+    grid: dict[tuple, int] = {}
+    for u, d, et, v in ev:
+        if et != "purchase":
+            continue
+        age = (d - first[u]).days // 7
+        if age >= LTV_AGE_WEEKS:
+            continue
+        key = (week_of(first[u]), age)
+        grid[key] = grid.get(key, 0) + round(v * 10**6)
+    got = {
+        (dt.date.fromisoformat(r.cohort_week), r.age_week): r
+        for r in rows
+    }
+    assert set(got) == set(grid)
+    by_cohort: dict[dt.date, int] = {}
+    for (cw, age) in sorted(grid):
+        by_cohort[cw] = by_cohort.get(cw, 0) + grid[(cw, age)]
+        r = got[(cw, age)]
+        assert r.cohort_users == sizes[cw]
+        assert abs(r.week_revenue - grid[(cw, age)] / 1e6) < 1e-6
+        assert abs(r.cum_revenue - by_cohort[cw] / 1e6) < 1e-6
+        assert abs(
+            r.ltv_per_user - (by_cohort[cw] / 1e6) / sizes[cw]
+        ) < 1e-6
