@@ -4325,11 +4325,17 @@ def quality_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .alias("is_b"),
     )
-    hist = docs.groupBy("v").agg(
-        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    # The value-distinct histogram is materialized once (it is
+    # histogram-sized) so the terms branch and the totals branch share
+    # ONE corpus scan — the plan pin
+    # test_cvm_terms_stay_histogram_sized enforces it.
+    hist = (
+        docs.groupBy("v")
+        .agg(F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb"))
+        .localCheckpoint(eager=True)
     )
-    tot = docs.agg(
-        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    tot = hist.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
     from pyspark.sql import Window
 

@@ -348,3 +348,49 @@ def test_debounce_single_user_shuffle(spark, sf_small):
         "hashpartitioning" in rep.text
     ), rep.text[:4000]
     assert "hashpartitioning" in rep.text, rep.text[:4000]
+
+
+def test_es_sampler_plans_take_ordered(spark, sf_small):
+    """The weighted-reservoir cut must be TakeOrderedAndProject
+    (per-partition top-k + k-row driver merge), never a global Sort —
+    the map-side mergeability that makes it a reservoir."""
+    specs = registry.all_specs()
+    rep = plan_report(
+        specs["sample_weighted_reservoir_es"].fn(spark, sf_small)
+    )
+    assert "TakeOrderedAndProject" in rep.text, rep.text[:4000]
+
+
+def test_phash_banding_is_not_cartesian(spark, sf_small):
+    """Candidate pairs must come from the band-key equi-join
+    (SortMerge/ShuffledHash on (band, band_key)) — the pigeonhole
+    banding that kills the all-pairs comparison."""
+    specs = registry.all_specs()
+    rep = plan_report(
+        specs["multimodal_phash_near_dup"].fn(spark, sf_small)
+    )
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.text[:4000]
+
+
+def test_top_event_paths_take_ordered(spark, sf_small):
+    """The path top-k runs on the |types|³-bounded table and must
+    still plan as TakeOrderedAndProject, not a global Sort."""
+    specs = registry.all_specs()
+    rep = plan_report(
+        specs["window_top_event_paths"].fn(spark, sf_small)
+    )
+    assert "TakeOrderedAndProject" in rep.text, rep.text[:4000]
+
+
+def test_cvm_terms_stay_histogram_sized(spark, sf_small):
+    """CvM must scan documents ONCE: the value-distinct histogram is
+    materialized (localCheckpoint) and carries everything downstream,
+    so the FINAL plan contains no parquet scan at all — both the
+    terms branch and the totals branch read the checkpointed RDD."""
+    specs = registry.all_specs()
+    rep = plan_report(specs["quality_cvm_drift"].fn(spark, sf_small))
+    assert rep.text.count("Location: InMemoryFileIndex") == 0, (
+        rep.text[:4000]
+    )
+    assert "Scan ExistingRDD" in rep.text, rep.text[:4000]
