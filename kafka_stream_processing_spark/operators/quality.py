@@ -4967,3 +4967,581 @@ def quality_roc_auc_length_classifier(
             / (F.lit(2.0) * F.col("n1") * F.col("n0"))
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-sample / effect-size completion of the drift family
+# ---------------------------------------------------------------------------
+
+#: Shared two-sample (src0 vs each other source) value histogram — the
+#: kernel under quality_mannwhitney_drift, quality_cliffs_delta_effect
+#: and quality_hodges_lehmann_shift's pair weighting: one row per
+#: (source s, distinct value v) with the reference count `a` and the
+#: source count `b`.  Histogram-sized, never corpus-sized.
+def _ref_vs_source_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    srcs = (
+        x.filter(F.col("source") != "src0")
+        .select(F.col("source").alias("s"))
+        .distinct()
+    )
+    ref_hist = (
+        x.filter(F.col("source") == "src0")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    src_hist = (
+        x.filter(F.col("source") != "src0")
+        .groupBy(F.col("source").alias("s"), "v")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    return (
+        src_hist.select("s", "v", F.lit(0).cast("bigint").alias("a"), "b")
+        .unionByName(
+            srcs.crossJoin(F.broadcast(ref_hist)).select(
+                "s", "v", "a", F.lit(0).cast("bigint").alias("b")
+            )
+        )
+        .groupBy("s", "v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+
+
+#: Romano et al. magnitude thresholds for |Cliff's delta|.
+CLIFFS_NEGLIGIBLE = 0.147
+CLIFFS_SMALL = 0.33
+CLIFFS_MEDIUM = 0.474
+
+
+@register(
+    "quality_cliffs_delta_effect",
+    oracle=f"""
+    WITH x AS (SELECT source, n_chars AS v FROM documents),
+    srcs AS (SELECT DISTINCT source AS s FROM x WHERE source <> 'src0'),
+    ref_hist AS (
+        SELECT v, count(*) AS a FROM x WHERE source = 'src0' GROUP BY v
+    ),
+    src_hist AS (
+        SELECT source AS s, v, count(*) AS b
+        FROM x WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT s, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT s, v, 0 AS a, b FROM src_hist
+            UNION ALL
+            SELECT srcs.s, r.v, r.a, 0 AS b FROM srcs CROSS JOIN ref_hist r
+        ) GROUP BY 1, 2
+    ),
+    walked AS (
+        SELECT s, a, b,
+               COALESCE(SUM(a) OVER (
+                   PARTITION BY s ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS a_below,
+               COALESCE(SUM(a) OVER (
+                   PARTITION BY s ORDER BY v
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ), 0) AS a_above
+        FROM merged
+    ),
+    agg AS (
+        SELECT s,
+               SUM(a) AS na, SUM(b) AS nb,
+               SUM(b * a_below) AS n_gt,
+               SUM(b * a_above) AS n_lt
+        FROM walked GROUP BY s
+    )
+    SELECT s AS source,
+           CAST(na AS BIGINT) AS n_ref,
+           CAST(nb AS BIGINT) AS n_src,
+           CAST(n_gt AS BIGINT) AS n_gt,
+           CAST(n_lt AS BIGINT) AS n_lt,
+           (CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+               / (CAST(na AS DOUBLE) * nb) AS delta,
+           CASE
+               WHEN abs((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+                        / (CAST(na AS DOUBLE) * nb))
+                    < {CLIFFS_NEGLIGIBLE} THEN 'negligible'
+               WHEN abs((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+                        / (CAST(na AS DOUBLE) * nb))
+                    < {CLIFFS_SMALL} THEN 'small'
+               WHEN abs((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+                        / (CAST(na AS DOUBLE) * nb))
+                    < {CLIFFS_MEDIUM} THEN 'medium'
+               ELSE 'large'
+           END AS magnitude
+    FROM agg
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_cliffs_delta_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta effect size per source vs src0 — the companion the
+    Mann-Whitney gate needs at corpus scale: with millions of documents
+    the U test flags ANY shift as significant, so the pipeline decision
+    ("is this source's length distribution PRACTICALLY different?")
+    needs a sample-size-free magnitude, delta = (#(x>y) - #(x<y)) /
+    (n_a*n_b) in [-1, 1], labeled with the standard Romano thresholds.
+
+    Counting dominant pairs never materializes the n_a*n_b pairs: from
+    the shared ref-vs-source value histogram (`_ref_vs_source_hist` —
+    the same kernel as the U test), two cumulative windows give, per
+    distinct value, how many reference rows sit strictly below and
+    strictly above; weighting by the source-side count `b` yields exact
+    BIGINT pair counts, and delta is one double division.
+
+    Scale: histogram-sized throughout — groupBy to per-(source, value)
+    counts (map-side combined), windows over distinct values per
+    source, a per-source scalar aggregate out.  Same bound as the
+    KS/U/chi-squared gates."""
+    from pyspark.sql import Window
+
+    merged = _ref_vs_source_hist(spark, sf_dir)
+    w_below = (
+        Window.partitionBy("s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_above = (
+        Window.partitionBy("s")
+        .orderBy("v")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    walked = merged.select(
+        "s",
+        "a",
+        "b",
+        F.coalesce(F.sum("a").over(w_below), F.lit(0)).alias("a_below"),
+        F.coalesce(F.sum("a").over(w_above), F.lit(0)).alias("a_above"),
+    )
+    agg = walked.groupBy("s").agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(F.col("b") * F.col("a_below")).alias("n_gt"),
+        F.sum(F.col("b") * F.col("a_above")).alias("n_lt"),
+    )
+    delta = (
+        F.col("n_gt").cast("double") - F.col("n_lt").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb"))
+    magnitude = (
+        F.when(F.abs(delta) < CLIFFS_NEGLIGIBLE, F.lit("negligible"))
+        .when(F.abs(delta) < CLIFFS_SMALL, F.lit("small"))
+        .when(F.abs(delta) < CLIFFS_MEDIUM, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return agg.select(
+        F.col("s").alias("source"),
+        F.col("na").cast("bigint").alias("n_ref"),
+        F.col("nb").cast("bigint").alias("n_src"),
+        F.col("n_gt").cast("bigint").alias("n_gt"),
+        F.col("n_lt").cast("bigint").alias("n_lt"),
+        delta.alias("delta"),
+        magnitude.alias("magnitude"),
+    )
+
+
+@register(
+    "quality_kruskal_wallis_drift",
+    oracle=f"""
+    WITH hist AS (
+        SELECT source, n_chars AS v, count(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    mv AS (SELECT v, SUM(c) AS m FROM hist GROUP BY v),
+    cum AS (
+        SELECT v, m,
+               COALESCE(SUM(m) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS sb
+        FROM mv
+    ),
+    per_src AS (
+        SELECT h.source,
+               SUM(h.c) AS n,
+               SUM(h.c * (2 * cum.sb + cum.m + 1)) AS r2
+        FROM hist h JOIN cum ON cum.v = h.v
+        GROUP BY h.source
+    ),
+    tie AS (SELECT SUM(m * m * m - m) AS t FROM mv),
+    tot AS (
+        SELECT SUM(n) AS n,
+               count(*) AS k,
+               SUM(CAST(round(
+                   CAST(r2 AS DOUBLE) * r2 / (4.0 * n), 6
+               ) AS DECIMAL(38,6))) AS s
+        FROM per_src
+    ),
+    stat AS (
+        SELECT CAST(tot.k AS INT) AS k,
+               CAST(tot.n AS BIGINT) AS n,
+               12.0 * CAST(tot.s AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE) * (tot.n + 1.0))
+                   - 3.0 * (tot.n + 1.0) AS h,
+               1.0 - CAST(tie.t AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)
+                   AS tie_c,
+               CAST(tot.k - 1 AS INT) AS dof
+        FROM tot, tie
+    )
+    SELECT k, n, h,
+           h / tie_c AS h_tie_corrected,
+           dof,
+           {{crit}} AS critical_005,
+           h / tie_c > {{crit}} AS drift
+    FROM stat
+    """.replace("{crit}", _CHI2_CRIT_SQL),
+    tags=("quality", "drift", "statistics"),
+)
+def quality_kruskal_wallis_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis K-sample rank test — the omnibus completion of
+    the pairwise Mann-Whitney gate: does ANY of the k sources' length
+    distribution sit at a different location, in one test, without k-1
+    separate comparisons (and their multiplicity problem)?  H compares
+    per-group rank sums against their pooled expectation; under H0 it
+    is chi-squared with k-1 dof, so the verdict reuses the literal
+    CHI2_CRIT_005 table (+ Wilson-Hilferty beyond dof 30) the
+    chi-squared gate established.
+
+    Exactness discipline: doubled midranks (2*below + m + 1) off the
+    pooled count-of-counts histogram keep every per-group rank sum an
+    exact BIGINT (no corpus sort, no float ranks); each group's
+    R2^2/(4n_j) term is rounded to 6 decimals and summed as
+    DECIMAL(38,6) so the k-term sum is order-independent; the final
+    H chain is one fixed IEEE expression mirrored textually in the
+    oracle, tie-corrected by the standard 1 - sum(m^3-m)/(N^3-N).
+
+    Scale: one groupBy to the (source, value) histogram (map-side
+    combined), one histogram-sized groupBy(v) for pooled counts, a
+    cumulative window over DISTINCT VALUES only, then k-row algebra.
+    The pooled-value window is single-partition but value-domain-sized
+    (same bound as the KS/ROC-AUC gates), never corpus-sized."""
+    from pyspark.sql import Window
+
+    hist = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mv = hist.groupBy("v").agg(F.sum("c").alias("m"))
+    w_prev = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = mv.select(
+        "v",
+        "m",
+        F.coalesce(F.sum("m").over(w_prev), F.lit(0)).alias("sb"),
+    )
+    per_src = (
+        hist.join(cum, "v")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(
+                F.col("c")
+                * (2 * F.col("sb") + F.col("m") + 1)
+            ).alias("r2"),
+        )
+    )
+    tie = mv.agg(
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("t")
+    )
+    tot = per_src.agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.round(
+                F.col("r2").cast("double") * F.col("r2")
+                / (F.lit(4.0) * F.col("n")),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("s"),
+    )
+    st = tot.crossJoin(F.broadcast(tie))
+    n_d = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("s").cast("double")
+        / (n_d * (F.col("n") + F.lit(1.0)))
+        - F.lit(3.0) * (F.col("n") + F.lit(1.0))
+    )
+    tie_c = F.lit(1.0) - F.col("t").cast("double") / (
+        n_d * F.col("n") * F.col("n") - F.col("n")
+    )
+    stat = st.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        h.alias("h"),
+        (h / tie_c).alias("h_tie_corrected"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+    )
+    dof_d = F.col("dof").cast("double")
+    wh_b = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dof_d)
+        + F.lit(_WH_Z095) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof_d))
+    )
+    crit = dof_d * wh_b * wh_b * wh_b
+    for kk, vv in CHI2_CRIT_005.items():
+        crit = F.when(F.col("dof") == kk, F.lit(vv)).otherwise(crit)
+    return stat.select(
+        "k",
+        "n",
+        "h",
+        "h_tie_corrected",
+        "dof",
+        crit.alias("critical_005"),
+        (F.col("h_tie_corrected") > crit).alias("drift"),
+    )
+
+
+@register(
+    "quality_welch_ttest_drift",
+    oracle=f"""
+    WITH moms AS (
+        SELECT source,
+               count(*) AS n,
+               SUM(n_chars) AS s1,
+               SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY source
+    ),
+    ref AS (SELECT n, s1, s2 FROM moms WHERE source = 'src0'),
+    sides AS (
+        SELECT m.source,
+               ref.n AS na, m.n AS nb,
+               CAST(ref.s1 AS DOUBLE) / ref.n AS ma,
+               CAST(m.s1 AS DOUBLE) / m.n AS mb,
+               (CAST(ref.s2 AS DOUBLE)
+                   - CAST(ref.s1 AS DOUBLE) * ref.s1 / ref.n)
+                   / (ref.n - 1.0) AS va,
+               (CAST(m.s2 AS DOUBLE)
+                   - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                   / (m.n - 1.0) AS vb
+        FROM moms m CROSS JOIN ref
+        WHERE m.source <> 'src0'
+    ),
+    scored AS (
+        SELECT source,
+               CAST(na AS BIGINT) AS n_ref,
+               CAST(nb AS BIGINT) AS n_src,
+               ma AS mean_ref, mb AS mean_src,
+               (mb - ma) / sqrt(va / na + vb / nb) AS t,
+               (va / na + vb / nb) * (va / na + vb / nb)
+                   / ((va / na) * (va / na) / (na - 1.0)
+                      + (vb / nb) * (vb / nb) / (nb - 1.0)) AS dof_welch
+        FROM sides
+    )
+    SELECT source, n_ref, n_src, mean_ref, mean_src, t, dof_welch,
+           abs(t) > {MWU_Z_CRIT_005} AS drift
+    FROM scored
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_welch_ttest_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test per source vs src0 — the
+    parametric member of the location-drift trio (U test: rank-robust;
+    Cliff's delta: magnitude; Welch: the classic mean comparison that
+    does NOT assume equal variances, the failure mode of the pooled
+    t-test when one source is much noisier than the reference).
+    Welch-Satterthwaite approximates the dof; at corpus sample sizes
+    the t is effectively normal, so the verdict uses the same z
+    critical value as the U gate (documented large-sample reading).
+
+    Exactness: n_chars is integral, so each side reduces to three
+    exact BIGINT moments (n, sum, sum of squares) in ONE map-side
+    combined groupBy; every downstream quantity is a fixed IEEE chain
+    over those integers, mirrored textually in the oracle.
+
+    Scale: one scan -> per-source moment rows (k rows), broadcast the
+    1-row reference, k-row algebra out.  Nothing corpus-sized leaves
+    the first aggregate."""
+    moms = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+    )
+    ref = (
+        moms.filter(F.col("source") == "src0")
+        .select(
+            F.col("n").alias("na_"),
+            F.col("s1").alias("ra1"),
+            F.col("s2").alias("ra2"),
+        )
+    )
+    sides = (
+        moms.filter(F.col("source") != "src0")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            F.col("na_").alias("na"),
+            F.col("n").alias("nb"),
+            (F.col("ra1").cast("double") / F.col("na_")).alias("ma"),
+            (F.col("s1").cast("double") / F.col("n")).alias("mb"),
+            (
+                (
+                    F.col("ra2").cast("double")
+                    - F.col("ra1").cast("double")
+                    * F.col("ra1")
+                    / F.col("na_")
+                )
+                / (F.col("na_") - F.lit(1.0))
+            ).alias("va"),
+            (
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                / (F.col("n") - F.lit(1.0))
+            ).alias("vb"),
+        )
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    t = (F.col("mb") - F.col("ma")) / F.sqrt(se2)
+    dof_w = (se2 * se2) / (
+        (F.col("va") / F.col("na"))
+        * (F.col("va") / F.col("na"))
+        / (F.col("na") - F.lit(1.0))
+        + (F.col("vb") / F.col("nb"))
+        * (F.col("vb") / F.col("nb"))
+        / (F.col("nb") - F.lit(1.0))
+    )
+    return sides.select(
+        "source",
+        F.col("na").cast("bigint").alias("n_ref"),
+        F.col("nb").cast("bigint").alias("n_src"),
+        F.col("ma").alias("mean_ref"),
+        F.col("mb").alias("mean_src"),
+        t.alias("t"),
+        dof_w.alias("dof_welch"),
+        (F.abs(t) > MWU_Z_CRIT_005).alias("drift"),
+    )
+
+
+@register(
+    "quality_expected_calibration_error",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT n_chars // {ISO_BIN_CHARS} AS b,
+               CASE WHEN len(string_split(text, ' '))
+                        > {ISO_TOKEN_THRESHOLD} THEN 1 ELSE 0 END AS y,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_test
+        FROM documents
+    ),
+    train AS (
+        SELECT b, count(*) AS nt, SUM(y) AS yt
+        FROM labeled WHERE is_test = 0 GROUP BY b
+    ),
+    test AS (
+        SELECT b, count(*) AS n_test, SUM(y) AS y_test
+        FROM labeled WHERE is_test = 1 GROUP BY b
+    ),
+    bins AS (
+        SELECT test.b,
+               test.n_test,
+               CAST(train.yt AS DOUBLE) / train.nt AS f_pred,
+               CAST(test.y_test AS DOUBLE) / test.n_test AS obs_rate
+        FROM test JOIN train ON train.b = test.b
+    ),
+    tot AS (SELECT SUM(n_test) AS n FROM bins),
+    g AS (
+        SELECT CAST(SUM(CAST(round(
+                   n_test * abs(f_pred - obs_rate), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) / t.n AS ece,
+               max(abs(f_pred - obs_rate)) AS mce
+        FROM bins, tot t GROUP BY t.n
+    )
+    SELECT CAST(bins.b AS BIGINT) AS bin,
+           CAST(bins.n_test AS BIGINT) AS n_test,
+           bins.f_pred, bins.obs_rate,
+           abs(bins.f_pred - bins.obs_rate) AS abs_gap,
+           g.ece, g.mce
+    FROM bins, g
+    """,
+    tags=("quality", "calibration", "statistics"),
+)
+def quality_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected / maximum calibration error on the same train/test
+    reliability table as the Brier decomposition: ECE is the
+    bin-weighted mean |forecast - observed| (the single calibration
+    number model cards quote), MCE the worst bin — together the
+    L1/L-inf companions to Brier's quadratic view, and the gate a
+    quality-classifier pipeline alarms on when its score drifts from
+    reality.  Same forecasts (training pool's empirical rates per
+    ISO_BIN_CHARS length bin), same held-out src0 evaluation, so the
+    three calibration ops triangulate one reliability diagram.
+
+    Exactness: every rate is an integer ratio; per-bin weighted gaps
+    quantize to round-12 DECIMAL before the order-independent sum;
+    MCE is a max over exact doubles — no float accumulation anywhere.
+
+    Scale: identical to the Brier op — two conditional-sum groupBys
+    to bin-sized tables, then bin-domain algebra only."""
+    docs = table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.expr(f"n_chars div {ISO_BIN_CHARS}").alias("b"),
+        F.when(
+            F.size(F.split("text", " ")) > ISO_TOKEN_THRESHOLD,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+        F.when(F.col("source") == "src0", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_test"),
+    )
+    train = (
+        labeled.filter(F.col("is_test") == 0)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nt"), F.sum("y").alias("yt"))
+    )
+    test = (
+        labeled.filter(F.col("is_test") == 1)
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("y").alias("y_test"),
+        )
+    )
+    bins = test.join(train, "b").select(
+        "b",
+        "n_test",
+        (F.col("yt").cast("double") / F.col("nt")).alias("f_pred"),
+        (F.col("y_test").cast("double") / F.col("n_test")).alias(
+            "obs_rate"
+        ),
+    )
+    gap = F.abs(F.col("f_pred") - F.col("obs_rate"))
+    g = bins.agg(
+        (
+            F.sum(
+                F.round(F.col("n_test") * gap, 12).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+            / F.sum("n_test")
+        ).alias("ece"),
+        F.max(gap).alias("mce"),
+    )
+    return bins.crossJoin(F.broadcast(g)).select(
+        F.col("b").cast("bigint").alias("bin"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        "f_pred",
+        "obs_rate",
+        gap.alias("abs_gap"),
+        "ece",
+        "mce",
+    )

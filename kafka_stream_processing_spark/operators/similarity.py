@@ -2621,3 +2621,426 @@ def embedding_silhouette_lite(
         "mean_sil",
         "global_mean_sil",
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k sweep: rank-quality counterpart of the recall sweep
+# ---------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+#: Positional discounts 1/log2(p+1) for p = 1..RECALL_TOPK, computed
+#: ONCE in Python and embedded as identical literals in the Spark plan
+#: and the oracle (log2 is libm; a literal table is engine-free).
+NDCG_DISCOUNTS: tuple[float, ...] = tuple(
+    1.0 / _math.log2(p + 1) for p in range(1, RECALL_TOPK + 1)
+)
+
+#: Ideal DCG@k for the graded-relevance scheme rel(p) = k+1-p over the
+#: exact top-k: the best ordering places relevance k at position 1.
+#: Terms quantized to round-12 like the engine-side sum, then added in
+#: ascending-position order — a single literal both engines divide by.
+NDCG_IDCG: float = float(
+    sum(
+        round((RECALL_TOPK + 1 - p) * NDCG_DISCOUNTS[p - 1], 12)
+        for p in range(1, RECALL_TOPK + 1)
+    )
+)
+
+def _ndcg_disc_sql(rank_col: str) -> str:
+    """Literal positional-discount CASE over `rank_col` (parameterized
+    rather than post-hoc string-replaced — the ADVICE r06 lesson)."""
+    return (
+        f"CASE {rank_col} "
+        + " ".join(
+            f"WHEN {p} THEN {NDCG_DISCOUNTS[p - 1]!r}"
+            for p in range(1, RECALL_TOPK + 1)
+        )
+        + " ELSE 0.0 END"
+    )
+
+
+def _ndcg_branch_sql(nprobe: int) -> str:
+    return f"""
+    probes{nprobe} AS (
+        SELECT vec_id AS query_id,
+               unnest({_probe_cells_sql(nprobe)}) AS probe_cell
+        FROM assigned WHERE vec_id < {N_QUERIES}
+    ),
+    ranked{nprobe} AS (
+        SELECT p.query_id, d.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY cos.cosine DESC, d.vec_id) AS rn,
+               count(*) OVER (PARTITION BY p.query_id) AS n_candidates
+        FROM probes{nprobe} p
+        JOIN assigned d ON d.cell = p.probe_cell AND d.vec_id <> p.query_id
+        JOIN cospairs cos ON cos.query_id = p.query_id
+                         AND cos.neighbor_id = d.vec_id
+    ),
+    eval{nprobe} AS (
+        SELECT r.query_id,
+               {nprobe} AS nprobe,
+               max(r.n_candidates) AS n_candidates,
+               SUM(CAST(CASE WHEN r.rn <= {RECALL_TOPK}
+                        THEN round(CAST(COALESCE(e.rel, 0) AS DOUBLE)
+                                   * ({_ndcg_disc_sql("r.rn")}),
+                                   12)
+                        ELSE 0 END AS DECIMAL(18,12))) AS dcg
+        FROM ranked{nprobe} r
+        LEFT JOIN exact_rel e ON e.query_id = r.query_id
+                             AND e.neighbor_id = r.neighbor_id
+        GROUP BY r.query_id
+    )"""
+
+
+def _ndcg_sweep_full_oracle() -> str:
+    branches = ",".join(_ndcg_branch_sql(n) for n in RECALL_SWEEP_NPROBES)
+    unions = " UNION ALL ".join(
+        f"SELECT query_id, nprobe, n_candidates, dcg FROM eval{n}"
+        for n in RECALL_SWEEP_NPROBES
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(emb[i] * emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm,
+               {_argmin_cell_sql()} AS cell
+        FROM v
+    ),
+    cospairs AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(q.emb[i] * d.emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE) / (q.nrm * d.nrm) AS cosine
+        FROM assigned q
+        JOIN assigned d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact_rel AS (
+        SELECT query_id, neighbor_id, {RECALL_TOPK} + 1 - rn AS rel FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM cospairs
+        ) WHERE rn <= {RECALL_TOPK}
+    ),
+    {branches}
+    SELECT CAST(nprobe AS INT) AS nprobe, query_id,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(dcg AS DOUBLE) AS dcg,
+           CAST(dcg AS DOUBLE) / {NDCG_IDCG!r} AS ndcg
+    FROM ({unions})
+    """
+
+
+@register(
+    "similarity_ndcg_eval",
+    oracle=_ndcg_sweep_full_oracle(),
+    tags=("similarity", "ann", "evaluation"),
+)
+def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k sweep over the IVF probe budget — the rank-QUALITY
+    counterpart of similarity_ann_recall_eval: recall counts how many
+    true neighbors an nprobe budget surfaces, NDCG@k scores WHERE they
+    land (a hit at rank 1 is worth more than one scraped in at rank
+    10), which is the metric that actually moves retrieval-augmented
+    downstream tasks.  Graded relevance rel(p) = k+1-p comes from the
+    exact-cosine top-k ranking; positional discounts 1/log2(p+1) are a
+    Python-literal table embedded identically in both engines (no libm
+    in either plan), per-position terms are quantized round-12 DECIMAL
+    before the order-independent sum, and the ideal DCG is one shared
+    literal divisor — so the whole curve is bit-identical
+    cross-engine and regression-pinnable.
+
+    Scale: identical bound to the recall sweep (shares its cell
+    assignment, broadcast query set, and candidate join); runs on an
+    evaluation sample, never the full corpus — tune nprobe here, then
+    commit the 100 TB index build."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    assigned = emb.select(
+        "vec_id",
+        "emb",
+        l2_norm_exact(F.col("emb")).alias("nrm"),
+        ivf_cell(F.col("emb")).alias("cell"),
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES)
+    cospairs = (
+        assigned.crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("emb").alias("q_emb"),
+                    F.col("nrm").alias("q_nrm"),
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_exact(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    exact_rel = (
+        cospairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(RECALL_TOPK) + 1 - F.col("rn")).alias("rel"),
+        )
+    )
+    disc = F.lit(0.0)
+    for p in range(RECALL_TOPK, 0, -1):
+        disc = F.when(
+            F.col("rn") == p, F.lit(NDCG_DISCOUNTS[p - 1])
+        ).otherwise(disc)
+    evals = []
+    for nprobe in RECALL_SWEEP_NPROBES:
+        probes = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe_cells(F.col("emb"), nprobe)).alias("probe_cell"),
+        )
+        cands = (
+            probes.join(
+                assigned.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("cell").alias("probe_cell"),
+                ),
+                "probe_cell",
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        ranked = cands.join(cospairs, ["query_id", "neighbor_id"]).select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("query_id"))
+            .alias("n_candidates"),
+        )
+        term = F.when(
+            F.col("rn") <= RECALL_TOPK,
+            F.round(
+                F.coalesce(F.col("rel"), F.lit(0)).cast("double") * disc,
+                12,
+            ),
+        ).otherwise(F.lit(0))
+        ev = (
+            ranked.join(exact_rel, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.max("n_candidates").alias("n_candidates"),
+                F.sum(term.cast(_DEC)).alias("dcg"),
+            )
+        )
+        evals.append(ev)
+    out = evals[0]
+    for ev in evals[1:]:
+        out = out.unionByName(ev)
+    return out.select(
+        "nprobe",
+        "query_id",
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("dcg").cast("double").alias("dcg"),
+        (F.col("dcg").cast("double") / F.lit(NDCG_IDCG)).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calinski-Harabasz cluster-quality index over labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_calinski_harabasz",
+    oracle="""
+    WITH flat AS (
+        SELECT label, t.i AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                   / (count(*)) AS c
+        FROM flat GROUP BY 1, 2
+    ),
+    sx AS (
+        SELECT label, count(*) AS n,
+               CAST(SUM(CAST(sq AS DECIMAL(18,12))) AS DOUBLE) AS sxx
+        FROM (
+            SELECT label,
+                   CAST(list_aggregate(list_transform(range(1, 65),
+                        i -> CAST(CAST(embedding[i] AS DOUBLE)
+                                  * CAST(embedding[i] AS DOUBLE)
+                                  AS DECIMAL(18,12))), 'sum')
+                        AS DOUBLE) AS sq
+            FROM embeddings
+        ) GROUP BY label
+    ),
+    cc AS (
+        SELECT label,
+               CAST(SUM(CAST(c * c AS DECIMAL(18,12))) AS DOUBLE)
+                   AS cc
+        FROM cent GROUP BY label
+    ),
+    w AS (
+        SELECT sx.label, sx.n,
+               sx.sxx - sx.n * cc.cc AS w_i
+        FROM sx JOIN cc ON cc.label = sx.label
+    ),
+    gcent AS (
+        SELECT dim,
+               CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                   / (count(*)) AS gc
+        FROM flat GROUP BY dim
+    ),
+    btab AS (
+        SELECT c.label,
+               CAST(SUM(CAST((c.c - g.gc) * (c.c - g.gc)
+                             AS DECIMAL(18,12))) AS DOUBLE) AS d2
+        FROM cent c JOIN gcent g ON g.dim = c.dim
+        GROUP BY c.label
+    ),
+    per AS (
+        SELECT w.label, w.n, w.w_i, w.n * btab.d2 AS b_i
+        FROM w JOIN btab ON btab.label = w.label
+    ),
+    tot AS (
+        SELECT count(*) AS k, SUM(n) AS n,
+               CAST(SUM(CAST(round(w_i, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS w,
+               CAST(SUM(CAST(round(b_i, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS b
+        FROM per
+    )
+    SELECT CAST(per.label AS INT) AS label,
+           CAST(per.n AS BIGINT) AS n,
+           per.w_i AS within_ss,
+           per.b_i AS between_ss,
+           (tot.b / (tot.k - 1.0)) / (tot.w / (tot.n - tot.k))
+               AS ch_index
+    FROM per, tot
+    """,
+    tags=("similarity", "embedding", "clustering", "statistics"),
+)
+def embedding_calinski_harabasz(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) cluster-quality index over
+    the embedding labels — the third member of the internal-validity
+    panel (silhouette: per-point view; Davies-Bouldin: worst-pair
+    view; CH: the ANOVA-style global ratio (B/(k-1))/(W/(n-k)),
+    HIGHER = better, and the one most sensitive to k in an elbow
+    sweep).  Within-cluster scatter never touches member pairs:
+    W_i = sum ||x-c_i||^2 = sum ||x||^2 - n_i ||c_i||^2 (the same
+    mean-centroid identity the DB index uses); between-cluster scatter
+    is n_i ||c_i - c_bar||^2 against the GLOBAL centroid.  Per-label
+    terms quantize round-6 DECIMAL before the k-term sums, so the
+    index is bit-identical cross-engine.
+
+    Scale: one corpus scan for per-label moments (map-side combined),
+    one for the global centroid (same scan shape), then label-domain
+    algebra — |labels| x 64 centroid rows, nothing pairwise.  The
+    kmeans -> silhouette/DB/CH panel is the model-selection loop a
+    semantic-dedup pipeline runs before committing cluster-based
+    sampling weights."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "label",
+        F.posexplode(_as_double_array("embedding")).alias("dim", "x"),
+    )
+    cent = flat.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    sq = emb.select(
+        "label",
+        F.aggregate(
+            F.transform(
+                _as_double_array("embedding"),
+                lambda v: (v * v).cast(_DEC),
+            ),
+            F.lit(0).cast(_DEC),
+            lambda acc, v: (acc + v).cast(_DEC),
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    sx = sq.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("sq").cast(_DEC)).cast("double").alias("sxx"),
+    )
+    cc = cent.groupBy("label").agg(
+        F.sum((F.col("c") * F.col("c")).cast(_DEC))
+        .cast("double")
+        .alias("cc")
+    )
+    w = sx.join(cc, "label").select(
+        "label",
+        "n",
+        (F.col("sxx") - F.col("n") * F.col("cc")).alias("w_i"),
+    )
+    gcent = flat.groupBy("dim").agg(
+        (
+            F.sum(F.col("x").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gc")
+    )
+    btab = (
+        cent.join(F.broadcast(gcent), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (
+                    (F.col("c") - F.col("gc"))
+                    * (F.col("c") - F.col("gc"))
+                ).cast(_DEC)
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    per = w.join(btab, "label").select(
+        "label", "n", "w_i", (F.col("n") * F.col("d2")).alias("b_i")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum(F.round(F.col("w_i"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("w"),
+        F.sum(F.round(F.col("b_i"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("b"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("w_i").alias("within_ss"),
+        F.col("b_i").alias("between_ss"),
+        (
+            (F.col("b") / (F.col("k") - F.lit(1.0)))
+            / (F.col("w") / (F.col("nn") - F.col("k")))
+        ).alias("ch_index"),
+    )

@@ -1830,15 +1830,14 @@ def window_kaplan_meier_retention(
     )
 
 
-def km_curve(life: DataFrame, part=None) -> DataFrame:
-    """Shared Kaplan-Meier kernel: given per-subject lifetimes
+def risk_table(life: DataFrame, part=None) -> DataFrame:
+    """Shared survival risk-set kernel: given per-subject lifetimes
     (columns ``part``*, ``t`` duration, ``censored`` 0/1), return the
-    per-partition step table (t, d, c, n_at_risk, factor,
-    log_survival) — at-risk counts from ONE cumulative window over the
-    step table, exact-integer hazard factors, curve in LOG space
-    (round-6 decimal ln sums).  Absorbed steps (d = n_at_risk)
-    excluded.  Shared by the global retention curve and the per-cohort
-    variant (kernel reuse guard-tested)."""
+    per-partition step table (t, d deaths, c censored, n_at_risk) —
+    at-risk counts from ONE cumulative window over the step table
+    (total departures minus departures strictly before t).  The base
+    under the Kaplan-Meier curves (``km_curve``), the Nelson-Aalen
+    hazard, and the log-rank test (reuse guard-tested)."""
     from pyspark.sql import Window
 
     part = list(part or [])
@@ -1852,7 +1851,7 @@ def km_curve(life: DataFrame, part=None) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy(*part)
-    risk = steps.select(
+    return steps.select(
         *part,
         "t",
         "d",
@@ -1865,6 +1864,21 @@ def km_curve(life: DataFrame, part=None) -> DataFrame:
             )
         ).alias("n_at_risk"),
     )
+
+
+def km_curve(life: DataFrame, part=None) -> DataFrame:
+    """Shared Kaplan-Meier kernel: given per-subject lifetimes
+    (columns ``part``*, ``t`` duration, ``censored`` 0/1), return the
+    per-partition step table (t, d, c, n_at_risk, factor,
+    log_survival) — at-risk counts from the shared ``risk_table``
+    kernel, exact-integer hazard factors, curve in LOG space
+    (round-6 decimal ln sums).  Absorbed steps (d = n_at_risk)
+    excluded.  Shared by the global retention curve and the per-cohort
+    variant (kernel reuse guard-tested)."""
+    from pyspark.sql import Window
+
+    part = list(part or [])
+    risk = risk_table(life, part)
     kept = risk.filter(
         (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))
     )
@@ -5147,4 +5161,304 @@ def window_cohort_ltv_curve(
         (
             F.col("crev").cast("double") / F.col("cohort_users")
         ).alias("ltv_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard + log-rank cohort comparison
+# ---------------------------------------------------------------------------
+
+#: Shared lifetimes CTEs (user first->last active day, right-censored
+#: at the horizon) — the SQL twin of the lifetime build inside
+#: window_kaplan_meier_retention, reused by the Nelson-Aalen and
+#: log-rank oracles.
+_LIFE_CTES = """by_user AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+               max(CAST(date_trunc('day', ts) AS DATE)) AS d1
+        FROM events GROUP BY 1
+    ),
+    horizon AS (SELECT max(d1) AS h FROM by_user),
+    life AS (
+        SELECT user_id, d1 - d0 AS t,
+               CASE WHEN d1 = h.h THEN 1 ELSE 0 END AS censored
+        FROM by_user, horizon h
+    )"""
+
+
+@register(
+    "window_nelson_aalen_hazard",
+    oracle=f"""
+    WITH {_LIFE_CTES},
+    n_tot AS (SELECT count(*) AS n FROM life),
+    steps AS (
+        SELECT t, SUM(1 - censored) AS d, SUM(censored) AS c
+        FROM life GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d, c,
+               n_tot.n - (SUM(d + c) OVER (ORDER BY t) - (d + c))
+                   AS n_at_risk
+        FROM steps, n_tot
+    )
+    SELECT CAST(t AS INT) AS t_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS c_censored,
+           CAST(d AS DOUBLE) / n_at_risk AS hazard_step,
+           CAST(SUM(CAST(round(
+                    CAST(d AS DOUBLE) / n_at_risk, 6)
+                AS DECIMAL(18,6))) OVER (ORDER BY t) AS DOUBLE)
+               AS cum_hazard,
+           CAST(SUM(CAST(round(
+                    CAST((n_at_risk - d) * d AS DOUBLE)
+                    / (CAST(n_at_risk AS DOUBLE) * n_at_risk * n_at_risk),
+                    12)
+                AS DECIMAL(18,12))) OVER (ORDER BY t) AS DOUBLE)
+               AS cum_var
+    FROM risk WHERE d > 0
+    """,
+    tags=("windowed", "survival", "statistics"),
+)
+def window_nelson_aalen_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over user lifetimes — the
+    Kaplan-Meier curve's additive twin: H(t) = sum d_i/n_i needs no
+    product aggregate and no log/exp at all, so unlike the KM curve it
+    is reported DIRECTLY (plus Klein's variance estimator
+    sum (n_i-d_i)d_i/n_i^3, the confidence-band input).  The hazard
+    plot is the churn diagnostic the survival family was missing: a
+    flattening H(t) says churn risk concentrates early, a straight
+    line says constant risk — the retention-strategy fork.
+
+    Exactness: per-step terms are exact-integer ratios quantized to
+    round-6 (hazard) / round-12 (variance) DECIMAL before the
+    cumulative sum, the same iterative-float rule as the KM log curve;
+    unlike KM, absorbed steps (d = n_at_risk) stay — hazard 1 is
+    well-defined where ln 0 was not.
+
+    Scale: identical bound to the KM op — one groupBy(user) to
+    lifetimes, then everything runs on the risk_table step table
+    (calendar-sized), via the SAME shared kernel (reuse
+    guard-tested)."""
+    ev = table(spark, sf_dir, "events")
+    by_user = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    horizon = by_user.agg(F.max("d1").alias("h"))
+    life = by_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").alias("t"),
+        F.when(F.col("d1") == F.col("h"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    from pyspark.sql import Window
+
+    risk = risk_table(life).filter(F.col("d") > 0)
+    wlog = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hazard = F.col("d").cast("double") / F.col("n_at_risk")
+    var_term = (
+        (F.col("n_at_risk") - F.col("d")) * F.col("d")
+    ).cast("double") / (
+        F.col("n_at_risk").cast("double")
+        * F.col("n_at_risk")
+        * F.col("n_at_risk")
+    )
+    return risk.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        hazard.alias("hazard_step"),
+        F.sum(F.round(hazard, 6).cast("decimal(18,6)"))
+        .over(wlog)
+        .cast("double")
+        .alias("cum_hazard"),
+        F.sum(F.round(var_term, 12).cast("decimal(18,12)"))
+        .over(wlog)
+        .cast("double")
+        .alias("cum_var"),
+    )
+
+
+#: z_{0.975} for the log-rank verdict (same literal as the U/Welch
+#: gates in operators/quality.py).
+LOGRANK_Z_CRIT_005 = 1.959963984540054
+
+
+@register(
+    "window_logrank_test_cohorts",
+    oracle=f"""
+    WITH {_LIFE_CTES},
+    glife AS (
+        SELECT user_id % 2 AS g, t, censored FROM life
+    ),
+    steps AS (
+        SELECT g, t, SUM(1 - censored) AS d, SUM(censored) AS c
+        FROM glife GROUP BY 1, 2
+    ),
+    ng AS (SELECT g, SUM(d + c) AS n FROM steps GROUP BY g),
+    times AS (SELECT DISTINCT t FROM steps),
+    grid AS (
+        SELECT gg.g, times.t,
+               COALESCE(s.d, 0) AS d, COALESCE(s.c, 0) AS c
+        FROM times
+        CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+        LEFT JOIN steps s ON s.g = gg.g AND s.t = times.t
+    ),
+    risk AS (
+        SELECT grid.g, grid.t, grid.d,
+               ng.n - (SUM(grid.d + grid.c) OVER (
+                   PARTITION BY grid.g ORDER BY grid.t
+               ) - (grid.d + grid.c)) AS n_at_risk
+        FROM grid JOIN ng ON ng.g = grid.g
+    ),
+    pooled AS (
+        SELECT t,
+               SUM(CASE WHEN g = 0 THEN d ELSE 0 END) AS d1,
+               SUM(CASE WHEN g = 0 THEN n_at_risk ELSE 0 END) AS n1,
+               SUM(d) AS d,
+               SUM(n_at_risk) AS n
+        FROM risk GROUP BY t
+    ),
+    terms AS (
+        SELECT SUM(d1) AS o1,
+               SUM(CAST(round(
+                   CAST(d AS DOUBLE) * n1 / n, 6) AS DECIMAL(18,6)))
+                   AS e1,
+               SUM(CAST(round(
+                   (CAST(d AS DOUBLE) * n1 / n)
+                   * (1.0 - CAST(n1 AS DOUBLE) / n)
+                   * ((n - d) / (n - 1.0)),
+                   12) AS DECIMAL(18,12))) AS v
+        FROM pooled WHERE d > 0 AND n > 1
+    )
+    SELECT CAST(na.n AS BIGINT) AS n_users_a,
+           CAST(nb.n AS BIGINT) AS n_users_b,
+           CAST(terms.o1 AS BIGINT) AS o_a,
+           CAST(terms.e1 AS DOUBLE) AS e_a,
+           CAST(terms.v AS DOUBLE) AS v,
+           (CAST(terms.o1 AS DOUBLE) - CAST(terms.e1 AS DOUBLE))
+               / sqrt(CAST(terms.v AS DOUBLE)) AS z,
+           abs((CAST(terms.o1 AS DOUBLE) - CAST(terms.e1 AS DOUBLE))
+               / sqrt(CAST(terms.v AS DOUBLE)))
+               > {LOGRANK_Z_CRIT_005} AS survival_differs
+    FROM terms,
+         (SELECT n FROM ng WHERE g = 0) na,
+         (SELECT n FROM ng WHERE g = 1) nb
+    """,
+    tags=("windowed", "survival", "statistics"),
+)
+def window_logrank_test_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between two user cohorts (A/B
+    assignment by user-id parity — the deterministic stand-in for a
+    randomized experiment bucket): does cohort A churn at a different
+    rate than cohort B, accounting for right-censoring?  This is the
+    survival-analysis member of the A/B family (the two-proportion z
+    gate compares one-shot rates; log-rank compares entire hazard
+    HISTORIES), and the standard primary test for retention
+    experiments.  At each pooled event time, cohort A's observed
+    deaths are compared to the hypergeometric expectation d*n1/n given
+    the pooled risk set; z = (O-E)/sqrt(V) with the standard variance.
+
+    Exactness: every per-time input (d, n1, n) is an exact integer off
+    the shared risk-set logic; the E and V terms are quantized
+    (round-6 / round-12 DECIMAL) before order-independent sums; z is
+    one fixed IEEE chain mirrored textually.
+
+    Scale: one groupBy(user) to lifetimes, one groupBy(cohort, t) to
+    steps, then ALL work is on the (calendar x 2)-sized grid — the
+    zero-filled grid join keeps each cohort's at-risk count defined at
+    every pooled event time without a per-user scan."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    by_user = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    horizon = by_user.agg(F.max("d1").alias("h"))
+    life = by_user.crossJoin(F.broadcast(horizon)).select(
+        (F.col("user_id") % 2).alias("g"),
+        F.datediff("d1", "d0").alias("t"),
+        F.when(F.col("d1") == F.col("h"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    steps = life.groupBy("g", "t").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    ng = steps.groupBy("g").agg(F.sum(F.col("d") + F.col("c")).alias("n"))
+    times = steps.select("t").distinct()
+    groups = spark.range(2).select(F.col("id").cast("bigint").alias("g"))
+    grid = (
+        times.crossJoin(F.broadcast(groups))
+        .join(steps, ["g", "t"], "left")
+        .select(
+            "g",
+            "t",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.join(F.broadcast(ng), "g").select(
+        "g",
+        "t",
+        "d",
+        (
+            F.col("n")
+            - (
+                F.sum(F.col("d") + F.col("c")).over(wcum)
+                - (F.col("d") + F.col("c"))
+            )
+        ).alias("n_at_risk"),
+    )
+    pooled = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum(
+            F.when(F.col("g") == 0, F.col("n_at_risk")).otherwise(0)
+        ).alias("n1"),
+        F.sum("d").alias("d"),
+        F.sum("n_at_risk").alias("n"),
+    )
+    e_term = F.col("d").cast("double") * F.col("n1") / F.col("n")
+    v_term = (
+        e_term
+        * (F.lit(1.0) - F.col("n1").cast("double") / F.col("n"))
+        * ((F.col("n") - F.col("d")) / (F.col("n") - F.lit(1.0)))
+    )
+    terms = pooled.filter((F.col("d") > 0) & (F.col("n") > 1)).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.round(e_term, 6).cast("decimal(18,6)")).alias("e1"),
+        F.sum(F.round(v_term, 12).cast("decimal(18,12)")).alias("v"),
+    )
+    na = ng.filter(F.col("g") == 0).select(F.col("n").alias("n_users_a"))
+    nb = ng.filter(F.col("g") == 1).select(F.col("n").alias("n_users_b"))
+    z = (
+        F.col("o1").cast("double") - F.col("e1").cast("double")
+    ) / F.sqrt(F.col("v").cast("double"))
+    return (
+        terms.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("n_users_a").cast("bigint").alias("n_users_a"),
+            F.col("n_users_b").cast("bigint").alias("n_users_b"),
+            F.col("o1").cast("bigint").alias("o_a"),
+            F.col("e1").cast("double").alias("e_a"),
+            F.col("v").cast("double").alias("v"),
+            z.alias("z"),
+            (F.abs(z) > LOGRANK_Z_CRIT_005).alias("survival_differs"),
+        )
     )

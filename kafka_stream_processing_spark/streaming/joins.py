@@ -3003,3 +3003,207 @@ def stream_funnel_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_converted").cast("double") / F.col("n_clicked"),
         ).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming attribution monitor
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_attribution_monitor",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, ts, user_id, event_type, value, props,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, ts, user_id, event_type, value, props,
+               rn // ((n + 2) // 3) AS chunk_id
+        FROM ordered
+    ),
+    keys AS (
+        SELECT chunk_id, min(event_id) AS ck FROM chunked GROUP BY 1
+    ),
+    clicks AS (
+        SELECT chunk_id, user_id, ts AS c_ts, event_id AS c_id,
+               'ch' || CAST(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT) % 4 AS VARCHAR) AS channel
+        FROM chunked WHERE event_type = 'click'
+    ),
+    pur AS (
+        SELECT chunk_id, user_id, ts AS p_ts, event_id AS p_id, value
+        FROM chunked WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.chunk_id, p.p_id, p.value, c.channel, c.c_ts, c.c_id
+        FROM pur p JOIN clicks c
+          ON c.chunk_id = p.chunk_id
+         AND c.user_id = p.user_id
+         AND c.c_ts < p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY chunk_id, p_id
+                                  ORDER BY c_ts DESC, c_id DESC) AS rl,
+               count(*) OVER (PARTITION BY chunk_id, p_id) AS cnt
+        FROM j
+    ),
+    agg AS (
+        SELECT chunk_id, channel,
+               count(*) AS n_touches,
+               SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS n_last,
+               CAST(COALESCE(SUM(CASE WHEN rl = 1
+                             THEN CAST(value AS DECIMAL(18,6)) END),
+                             0) AS DOUBLE) AS last_touch_credit,
+               CAST(SUM(CAST(round(value / cnt, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS linear_credit
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT k.ck AS chunk_min_event_id,
+           a.channel,
+           CAST(a.n_touches AS BIGINT) AS n_touches,
+           CAST(a.n_last AS BIGINT) AS n_last,
+           a.last_touch_credit,
+           a.linear_credit
+    FROM agg a JOIN keys k ON k.chunk_id = a.chunk_id
+    """,
+    tags=("streaming", "attribution", "behavioral"),
+)
+def stream_attribution_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch marketing attribution — the streaming
+    deployment of join_attribution_multitouch and the HANDOFF r07
+    idea seed: each trigger assembles WITHIN-BATCH click->purchase
+    journeys (same user, click strictly before the purchase, 7-day
+    lookback) and credits purchase value per synthetic channel
+    (props.k % 4) under last-touch and linear models, keyed by the
+    batch's min event_id.  Within-batch membership is what a
+    per-trigger dashboard can see; the batch op stays the cross-batch
+    truth — the Markov/funnel monitors' documented relationship.
+    Chunk membership is deterministic via the (ts, event_id) staging
+    sort mirrored by the oracle's row_number.
+
+    Scale: per-trigger executor work is the batch op's user-keyed
+    range join scoped to one micro-batch; driver state is
+    channels x triggers rows of exact-decimal credit cells — the
+    sketch-sized driver-state class.  Nothing in the streaming state
+    store."""
+    from kafka_stream_processing_spark.operators.relational import (
+        ATTRIB_CHANNELS,
+        ATTRIB_LOOKBACK_DAYS,
+    )
+    from kafka_stream_processing_spark.functions.exact import dec
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+    from pyspark.sql import Window
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    cells: list[tuple] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        mi = batch_df.agg(F.min("event_id").alias("m")).collect()[0]["m"]
+        if mi is None:
+            return
+        k = F.get_json_object("props", "$.k").cast("bigint")
+        clicks = batch_df.filter(
+            F.col("event_type") == "click"
+        ).select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+            F.concat(
+                F.lit("ch"), (k % ATTRIB_CHANNELS).cast("string")
+            ).alias("channel"),
+        )
+        pur = batch_df.filter(
+            F.col("event_type") == "purchase"
+        ).select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+            "value",
+        )
+        j = pur.join(
+            clicks,
+            (clicks["user_id"] == pur["user_id"])
+            & (F.col("c_ts") < F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts")
+                - F.expr(f"INTERVAL {ATTRIB_LOOKBACK_DAYS} DAYS")
+            ),
+        ).select("p_id", "value", "channel", "c_ts", "c_id")
+        ranked = j.select(
+            "p_id",
+            "value",
+            "channel",
+            F.row_number()
+            .over(
+                Window.partitionBy("p_id").orderBy(
+                    F.desc("c_ts"), F.desc("c_id")
+                )
+            )
+            .alias("rl"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("p_id"))
+            .alias("cnt"),
+        )
+        zero = F.lit(0).cast("decimal(18,6)")
+        out = ranked.groupBy("channel").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(
+                F.when(F.col("rl") == 1, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_last"),
+            F.coalesce(
+                F.sum(F.when(F.col("rl") == 1, dec("value"))), zero
+            )
+            .cast("double")
+            .alias("last_touch_credit"),
+            F.sum(
+                F.round(F.col("value") / F.col("cnt"), 6).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("linear_credit"),
+        )
+        for r in out.collect():
+            cells.append(
+                (
+                    int(mi),
+                    r["channel"],
+                    int(r["n_touches"]),
+                    int(r["n_last"]),
+                    float(r["last_touch_credit"]),
+                    float(r["linear_credit"]),
+                )
+            )
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    return spark.createDataFrame(
+        cells,
+        "chunk_min_event_id bigint, channel string, "
+        "n_touches bigint, n_last bigint, "
+        "last_touch_credit double, linear_credit double",
+    )
