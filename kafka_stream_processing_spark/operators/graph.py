@@ -1324,3 +1324,96 @@ def graph_rich_club_coefficient(
             ).alias("phi"),
         )
     )
+
+
+@register(
+    "graph_local_clustering_coefficient",
+    oracle=f"""
+    WITH adj AS ({_sig_adj_sql()}),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    wedge AS (
+        SELECT s1.u AS z, s1.v AS na, s2.v AS nb
+        FROM sym s1 JOIN sym s2
+          ON s1.u = s2.u AND s1.v < s2.v
+    ),
+    tri AS (
+        SELECT w.z, count(*) AS t
+        FROM wedge w JOIN adj ON adj.a = w.na AND adj.b = w.nb
+        GROUP BY w.z
+    )
+    SELECT deg.u AS node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+               2.0 * COALESCE(tri.t, 0) / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+           END AS local_cc
+    FROM deg LEFT JOIN tri ON tri.z = deg.u
+    """,
+    tags=("graph",),
+)
+def graph_local_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient on the sparsified trade
+    graph — the node-resolved companion of the global triangle count:
+    cc(v) = 2*T(v) / (d(v)*(d(v)-1)), the fraction of v's neighbor
+    pairs that are themselves connected.  The distribution separates
+    clique-embedded nations (cc -> 1) from brokers bridging otherwise
+    disconnected partners (cc -> 0 at high degree) — the structural
+    signal behind the rich-club and assortativity audits, here per
+    node.  cc is NULL for degree < 2 (undefined, mirrored in the
+    oracle).
+
+    Exactness: wedge and triangle counts are exact integers off the
+    shared sparsified adjacency (`_sig_adj_df` — same kernel as link
+    prediction/BFS/assortativity); cc is one mirrored double chain.
+
+    Scale: the wedge join is the degree-oriented triangle kernel's
+    shape — cost sum deg(z)^2 over the SPARSIFIED graph, bounded by
+    the significance cut, never all-pairs; closure testing is one
+    equi-join against the node-pair-sized adjacency list."""
+    adj = _sig_adj_df(spark, sf_dir)
+    sym = adj.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(
+        adj.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = s1.join(
+        s2,
+        (F.col("s1.u") == F.col("s2.u"))
+        & (F.col("s1.v") < F.col("s2.v")),
+    ).select(
+        F.col("s1.u").alias("z"),
+        F.col("s1.v").alias("na"),
+        F.col("s2.v").alias("nb"),
+    )
+    tri = (
+        wedge.join(
+            adj,
+            (F.col("na") == F.col("a")) & (F.col("nb") == F.col("b")),
+        )
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    t0 = F.coalesce(F.col("t"), F.lit(0))
+    return (
+        deg.join(tri, F.col("u") == F.col("z"), "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").cast("bigint").alias("degree"),
+            t0.cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.lit(2.0)
+                * t0
+                / (F.col("d").cast("double") * (F.col("d") - 1)),
+            ).alias("local_cc"),
+        )
+    )

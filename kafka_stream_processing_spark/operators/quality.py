@@ -5545,3 +5545,385 @@ def quality_expected_calibration_error(
         "ece",
         "mce",
     )
+
+
+#: Asymptotic 5% upper-tail point of the two-sample Anderson-Darling
+#: null distribution (Pettitt 1976, Table 1).  A literal, like the
+#: KS/CvM gates, so both engines compare against the identical double.
+AD2_CRIT_005 = 2.492
+
+
+@register(
+    "quality_anderson_darling_drift",
+    oracle=f"""
+    WITH x AS (SELECT source, n_chars AS v FROM documents),
+    srcs AS (SELECT DISTINCT source AS s FROM x WHERE source <> 'src0'),
+    ref_hist AS (
+        SELECT v, count(*) AS a FROM x WHERE source = 'src0' GROUP BY v
+    ),
+    src_hist AS (
+        SELECT source AS s, v, count(*) AS b
+        FROM x WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT s, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT s, v, 0 AS a, b FROM src_hist
+            UNION ALL
+            SELECT srcs.s, r.v, r.a, 0 AS b FROM srcs CROSS JOIN ref_hist r
+        ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT s, SUM(a) AS na, SUM(b) AS nb FROM merged GROUP BY s),
+    walked AS (
+        SELECT m.s, m.a, m.b, t.na, t.nb, t.na + t.nb AS nn,
+               m.a + m.b AS l,
+               SUM(m.a) OVER (PARTITION BY m.s ORDER BY m.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS ca,
+               SUM(m.a + m.b) OVER (PARTITION BY m.s ORDER BY m.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cc
+        FROM merged m JOIN tot t ON t.s = m.s
+    ),
+    terms AS (
+        SELECT s, na, nb,
+               round(CAST(l AS DOUBLE)
+                     * (ca * nn - cc * na) * (ca * nn - cc * na)
+                     / (CAST(cc AS DOUBLE) * (nn - cc)), 6) AS term
+        FROM walked WHERE cc < nn
+    ),
+    agg AS (
+        SELECT s, CAST(any_value(na) AS BIGINT) AS n_ref,
+               CAST(any_value(nb) AS BIGINT) AS n_src,
+               SUM(CAST(term AS DECIMAL(38,6))) AS num
+        FROM terms GROUP BY s
+    )
+    SELECT s AS source, n_ref, n_src,
+           CAST(num AS DOUBLE)
+               / (CAST(n_ref AS DOUBLE) * n_src) AS a2,
+           CAST(num AS DOUBLE)
+               / (CAST(n_ref AS DOUBLE) * n_src) > {AD2_CRIT_005} AS drift
+    FROM agg
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_anderson_darling_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Anderson-Darling drift gate per source vs src0 — the
+    tail-sensitive completion of the quadratic-EDF family: KS reads the
+    single largest ECDF gap, CvM integrates the squared gap uniformly,
+    and AD re-weights the same integral by 1/(H(1-H)) so discrepancies
+    in the distribution TAILS (exactly where corpus length pathologies
+    live — truncation, boilerplate floods) count most.  Pettitt's
+    two-sample form A2 = (1/(na*nb)) * sum_i (MA_i*N - i*na)^2/(i*(N-i))
+    evaluated over pooled DISTINCT values with tie weight l_j (each
+    distinct value contributes its pooled multiplicity at the
+    right-continuous ECDF step), gated at the asymptotic 5% point
+    {AD2_CRIT_005}.
+
+    Exactness: MA, C, l and the inner difference (CA*N - C*na) are
+    exact BIGINTs off the shared ref-vs-source histogram
+    (`_ref_vs_source_hist`); each value's term is ONE fixed IEEE
+    double chain (l * diff * diff / (C * (N - C))) mirrored textually
+    in the oracle, rounded to 6 decimals and summed as DECIMAL(38,6)
+    so the sum is order-independent; the final /(na*nb) is one more
+    mirrored division.
+
+    Scale: identical bound to the KS/CvM/U gates — one groupBy to the
+    per-(source, value) histogram with map-side combine, cumulative
+    windows over distinct values per source, a per-source scalar
+    aggregate out.  Nothing corpus-sized ever sorts or shuffles."""
+    from pyspark.sql import Window
+
+    merged = _ref_vs_source_hist(spark, sf_dir)
+    tot = merged.groupBy("s").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    w_cum = (
+        Window.partitionBy("s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = (
+        merged.join(tot, "s")
+        .select(
+            "s",
+            "na",
+            "nb",
+            (F.col("na") + F.col("nb")).alias("nn"),
+            (F.col("a") + F.col("b")).alias("l"),
+            F.sum("a").over(w_cum).alias("ca"),
+            F.sum(F.col("a") + F.col("b")).over(w_cum).alias("cc"),
+        )
+    )
+    diff = F.col("ca") * F.col("nn") - F.col("cc") * F.col("na")
+    term = F.round(
+        F.col("l").cast("double")
+        * diff
+        * diff
+        / (F.col("cc").cast("double") * (F.col("nn") - F.col("cc"))),
+        6,
+    )
+    agg = (
+        walked.filter(F.col("cc") < F.col("nn"))
+        .select("s", "na", "nb", term.alias("term"))
+        .groupBy("s")
+        .agg(
+            F.any_value("na").cast("bigint").alias("n_ref"),
+            F.any_value("nb").cast("bigint").alias("n_src"),
+            F.sum(F.col("term").cast("decimal(38,6)")).alias("num"),
+        )
+    )
+    a2 = F.col("num").cast("double") / (
+        F.col("n_ref").cast("double") * F.col("n_src")
+    )
+    return agg.select(
+        F.col("s").alias("source"),
+        "n_ref",
+        "n_src",
+        a2.alias("a2"),
+        (a2 > F.lit(AD2_CRIT_005)).alias("drift"),
+    )
+
+
+@register(
+    "quality_hellinger_tv_drift",
+    oracle="""
+    WITH x AS (SELECT source, n_chars AS v FROM documents),
+    srcs AS (SELECT DISTINCT source AS s FROM x WHERE source <> 'src0'),
+    ref_hist AS (
+        SELECT v, count(*) AS a FROM x WHERE source = 'src0' GROUP BY v
+    ),
+    src_hist AS (
+        SELECT source AS s, v, count(*) AS b
+        FROM x WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT s, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT s, v, 0 AS a, b FROM src_hist
+            UNION ALL
+            SELECT srcs.s, r.v, r.a, 0 AS b FROM srcs CROSS JOIN ref_hist r
+        ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT s, SUM(a) AS na, SUM(b) AS nb FROM merged GROUP BY s),
+    terms AS (
+        SELECT m.s, t.na, t.nb,
+               round(sqrt((CAST(m.a AS DOUBLE) / t.na)
+                          * (CAST(m.b AS DOUBLE) / t.nb)), 6) AS bc_term,
+               round(abs(CAST(m.a AS DOUBLE) / t.na
+                         - CAST(m.b AS DOUBLE) / t.nb), 6) AS tv_term
+        FROM merged m JOIN tot t ON t.s = m.s
+    ),
+    agg AS (
+        SELECT s, CAST(any_value(na) AS BIGINT) AS n_ref,
+               CAST(any_value(nb) AS BIGINT) AS n_src,
+               SUM(CAST(bc_term AS DECIMAL(38,6))) AS bc,
+               SUM(CAST(tv_term AS DECIMAL(38,6))) AS tv2
+        FROM terms GROUP BY s
+    )
+    SELECT s AS source, n_ref, n_src,
+           CAST(bc AS DOUBLE) AS bhattacharyya,
+           sqrt(greatest(0.0, 1.0 - CAST(bc AS DOUBLE))) AS hellinger,
+           CAST(tv2 AS DOUBLE) / 2.0 AS tv_distance
+    FROM agg
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_hellinger_tv_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hellinger distance + total-variation distance per source vs
+    src0 over the document-length histogram — the bounded METRIC
+    companions of the hypothesis-test gates: KS/CvM/AD answer "is this
+    shift statistically real?", these answer "how FAR apart are the
+    distributions on a [0,1] scale that doesn't grow with sample
+    size", which is what a pipeline dashboard trends over time.
+    Bhattacharyya coefficient BC = sum_v sqrt(p_v*q_v), Hellinger
+    H = sqrt(1-BC), TV = (1/2) sum_v |p_v - q_v| (the largest possible
+    probability disagreement over any event).
+
+    Exactness: p and q are single double divisions off exact BIGINT
+    histogram counts; sqrt and abs are IEEE correctly-rounded, so each
+    term is deterministic; terms are rounded to 6 decimals and summed
+    as DECIMAL(38,6) (order-independent); `greatest(0, 1-BC)` guards
+    the one place accumulated upward rounding could push BC past 1 on
+    identical distributions before the final sqrt.
+
+    Scale: the shared ref-vs-source histogram kernel — one map-side
+    combined groupBy, histogram-sized algebra, a per-source scalar row
+    out."""
+    merged = _ref_vs_source_hist(spark, sf_dir)
+    tot = merged.groupBy("s").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    t = merged.join(tot, "s")
+    p = F.col("a").cast("double") / F.col("na")
+    q = F.col("b").cast("double") / F.col("nb")
+    terms = t.select(
+        "s",
+        "na",
+        "nb",
+        F.round(F.sqrt(p * q), 6).alias("bc_term"),
+        F.round(F.abs(p - q), 6).alias("tv_term"),
+    )
+    agg = terms.groupBy("s").agg(
+        F.any_value("na").cast("bigint").alias("n_ref"),
+        F.any_value("nb").cast("bigint").alias("n_src"),
+        F.sum(F.col("bc_term").cast("decimal(38,6)")).alias("bc"),
+        F.sum(F.col("tv_term").cast("decimal(38,6)")).alias("tv2"),
+    )
+    bc_d = F.col("bc").cast("double")
+    return agg.select(
+        F.col("s").alias("source"),
+        "n_ref",
+        "n_src",
+        bc_d.alias("bhattacharyya"),
+        F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc_d)).alias(
+            "hellinger"
+        ),
+        (F.col("tv2").cast("double") / F.lit(2.0)).alias("tv_distance"),
+    )
+
+
+@register(
+    "quality_friedman_daily_mix",
+    oracle=f"""
+    WITH counted AS (
+        SELECT CAST(ts AS DATE) AS d, event_type AS t, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM counted),
+    types AS (SELECT DISTINCT t FROM counted),
+    grid AS (
+        SELECT days.d, types.t, COALESCE(c.c, 0) AS c
+        FROM days CROSS JOIN types
+        LEFT JOIN counted c ON c.d = days.d AND c.t = types.t
+    ),
+    ranked AS (
+        SELECT d, t, c,
+               2 * (RANK() OVER (PARTITION BY d ORDER BY c) - 1)
+               + COUNT(*) OVER (PARTITION BY d, c) + 1 AS r2
+        FROM grid
+    ),
+    per_t AS (SELECT t, SUM(r2) AS r2sum FROM ranked GROUP BY t),
+    consts AS (
+        SELECT COUNT(DISTINCT d) AS b, COUNT(DISTINCT t) AS k,
+               SUM(r2 * r2) AS a4
+        FROM ranked
+    ),
+    stat AS (
+        SELECT c.b, c.k,
+               SUM((p.r2sum - c.b * (c.k + 1))
+                   * (p.r2sum - c.b * (c.k + 1))) AS num,
+               any_value(c.a4) - c.b * c.k * (c.k + 1) * (c.k + 1)
+                   AS den
+        FROM per_t p CROSS JOIN consts c
+        GROUP BY c.b, c.k
+    ),
+    q AS (
+        SELECT CAST(b AS BIGINT) AS n_blocks, CAST(k AS INT) AS k,
+               (k - 1) * CAST(num AS DOUBLE) / NULLIF(den, 0) AS q_stat,
+               CAST(k - 1 AS INT) AS dof
+        FROM stat
+    )
+    SELECT n_blocks, k, q_stat, dof,
+           {{crit}} AS critical_005,
+           q_stat > {{crit}} AS drift
+    FROM q
+    """.replace("{crit}", _CHI2_CRIT_SQL),
+    tags=("quality", "drift", "statistics"),
+)
+def quality_friedman_daily_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman test on the daily event-type mix — the BLOCKED
+    k-sample rank test the Kruskal-Wallis gate cannot replace: KW
+    pools all rows and asks whether any group's location differs
+    overall, while Friedman ranks the k event types WITHIN each day
+    (each day is a block, removing day-to-day volume swings entirely)
+    and asks whether the daily ordering of types is stable.  A type
+    that quietly climbs the within-day ranking — even while total
+    volume doubles — fires here and nowhere else.
+
+    Statistic (tie-corrected, doubled-rank form): with r2 = 2*rank
+    midranks (2*(rank-1) + #tied + 1, exact BIGINT per cell on the
+    zero-filled day x type grid), Q = (k-1) * sum_j (R2_j - b(k+1))^2
+    / (sum r2^2 - b*k*(k+1)^2).  Numerator and denominator are exact
+    BIGINTs — the ONLY float operation is the final division — and
+    under H0 Q is chi-squared with k-1 dof, so the verdict reuses the
+    literal CHI2_CRIT_005 table + Wilson-Hilferty fallback.
+
+    Scale: one groupBy(day, type) with map-side combine to a
+    b*k-cell grid (days x types — calendar-sized, never event-sized),
+    rank windows over k-row blocks, then k-row algebra."""
+    from pyspark.sql import Window
+
+    counted = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.col("event_type").alias("t"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    days = counted.select("d").distinct()
+    types = counted.select("t").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(counted, ["d", "t"], "left")
+        .select("d", "t", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_rank = Window.partitionBy("d").orderBy("c")
+    w_eq = Window.partitionBy("d", "c")
+    ranked = grid.select(
+        "d",
+        "t",
+        (
+            2 * (F.rank().over(w_rank) - 1)
+            + F.count(F.lit(1)).over(w_eq)
+            + 1
+        ).alias("r2"),
+    )
+    per_t = ranked.groupBy("t").agg(F.sum("r2").alias("r2sum"))
+    consts = ranked.agg(
+        F.count_distinct(F.col("d")).alias("b"),
+        F.count_distinct(F.col("t")).alias("k"),
+        F.sum(F.col("r2") * F.col("r2")).alias("a4"),
+    )
+    joined = per_t.crossJoin(F.broadcast(consts))
+    dev = F.col("r2sum") - F.col("b") * (F.col("k") + 1)
+    stat = joined.groupBy("b", "k").agg(
+        F.sum(dev * dev).alias("num"),
+        (
+            F.any_value("a4")
+            - F.col("b") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+        ).alias("den"),
+    )
+    q_stat = (
+        (F.col("k") - 1)
+        * F.col("num").cast("double")
+        / F.nullif(F.col("den"), F.lit(0))
+    )
+    q = stat.select(
+        F.col("b").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("int").alias("k"),
+        q_stat.alias("q_stat"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+    )
+    dof_d = F.col("dof").cast("double")
+    wh_b = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dof_d)
+        + F.lit(_WH_Z095) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof_d))
+    )
+    crit = dof_d * wh_b * wh_b * wh_b
+    for kk, vv in CHI2_CRIT_005.items():
+        crit = F.when(F.col("dof") == kk, F.lit(vv)).otherwise(crit)
+    return q.select(
+        "n_blocks",
+        "k",
+        "q_stat",
+        "dof",
+        crit.alias("critical_005"),
+        (F.col("q_stat") > crit).alias("drift"),
+    )

@@ -3044,3 +3044,227 @@ def embedding_calinski_harabasz(
             / (F.col("w") / (F.col("nn") - F.col("k")))
         ).alias("ch_index"),
     )
+
+
+def _dist2_sql(a: str, b: str) -> str:
+    """Exact squared-L2 DuckDB expression between two double-list
+    columns (per-term DECIMAL(18,12) quantization — the SQL twin of
+    ``dist2_exact``)."""
+    return (
+        "list_aggregate(list_transform(range(1, 65), "
+        f"i -> CAST(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        "AS DECIMAL(18,12))), 'sum')"
+    )
+
+
+#: Neighborhood size for the hubness audit (k-occurrence over top-k
+#: squared-L2 neighbor lists).
+HUBNESS_K = 5
+
+_ALLPAIRS_NN_SQL = f"""
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS i, d.vec_id AS j,
+               {_dist2_sql('q.emb', 'd.emb')} AS d2
+        FROM v q JOIN v d ON d.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT i, j, d2,
+               row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+        FROM pairs
+    )
+"""
+
+
+@register(
+    "embedding_intrinsic_dimension_twonn",
+    oracle=f"""
+    WITH {_ALLPAIRS_NN_SQL},
+    two AS (
+        SELECT i,
+               MAX(CASE WHEN rn = 1 THEN d2 END) AS d1sq,
+               MAX(CASE WHEN rn = 2 THEN d2 END) AS d2sq
+        FROM ranked WHERE rn <= 2 GROUP BY i
+    ),
+    terms AS (
+        SELECT i, d1sq,
+               CASE WHEN d1sq > 0 THEN
+                   round(0.5 * ln(CAST(d2sq AS DOUBLE)
+                                  / CAST(d1sq AS DOUBLE)), 12)
+               END AS log_mu
+        FROM two
+    ),
+    agg AS (
+        SELECT count(*) AS n_points,
+               CAST(SUM(CASE WHEN d1sq = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_excluded,
+               SUM(CAST(log_mu AS DECIMAL(38,12))) AS s
+        FROM terms
+    )
+    SELECT CAST(n_points AS BIGINT) AS n_points,
+           n_excluded,
+           CAST(s AS DOUBLE) AS sum_log_mu,
+           CAST(n_points - n_excluded AS DOUBLE)
+               / CAST(s AS DOUBLE) AS twonn_dim
+    FROM agg
+    """,
+    tags=("similarity", "embedding", "statistics"),
+)
+def embedding_intrinsic_dimension_twonn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold — the diagnostic that tells a pipeline whether
+    a 64-dim embedding column actually CARRIES 64 dimensions: the MLE
+    d = n / sum_i ln(mu_i) over the per-point ratio mu_i = r2_i/r1_i
+    of second- to first-neighbor distance uses ONLY the two nearest
+    neighbors, so it is immune to the curvature/density assumptions a
+    PCA spectrum bakes in.  Low d with high ambient dim flags
+    collapsed/duplicated embeddings before they poison ANN recall;
+    points with r1 = 0 (exact vector duplicates) are excluded from the
+    MLE and reported.
+
+    Exactness: squared distances are the shared per-term
+    DECIMAL(18,12) kernel (``dist2_exact``), so the top-2-by-(d2, j)
+    cut is bit-deterministic; ln(mu^2)/2 terms follow the engine's
+    round-ln(12) convention and sum as DECIMAL(38,12); the final
+    n/S division is one mirrored IEEE op.
+
+    Scale: written as the exact all-pairs form over the (bounded,
+    2000-row) embeddings table — the same small-n-exact role as
+    ``dedup_embedding_cosine_allpairs``.  At corpus scale the top-2
+    lists come from the registered IVF/PQ shortlist kernels
+    (similarity_ivf_probed_topk's cell-pruned candidates) instead of
+    the self-join; the estimator (terms -> agg) is unchanged table
+    shape and cost O(n)."""
+    from pyspark.sql import Window
+
+    v = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    d = v.select(
+        F.col("i").alias("j"), F.col("emb").alias("emb_j")
+    )
+    pairs = v.join(d, F.col("i") != F.col("j")).select(
+        "i",
+        "j",
+        dist2_exact(F.col("emb"), F.col("emb_j")).alias("d2"),
+    )
+    w = Window.partitionBy("i").orderBy("d2", "j")
+    two = (
+        pairs.select("i", "d2", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .groupBy("i")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1sq"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2sq"),
+        )
+    )
+    log_mu = F.when(
+        F.col("d1sq") > 0,
+        F.round(
+            F.lit(0.5)
+            * F.log(
+                F.col("d2sq").cast("double") / F.col("d1sq").cast("double")
+            ),
+            12,
+        ),
+    )
+    agg = two.select("d1sq", log_mu.alias("log_mu")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum((F.col("d1sq") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_excluded"),
+        F.sum(F.col("log_mu").cast("decimal(38,12)")).alias("s"),
+    )
+    return agg.select(
+        F.col("n_points").cast("bigint").alias("n_points"),
+        "n_excluded",
+        F.col("s").cast("double").alias("sum_log_mu"),
+        (
+            (F.col("n_points") - F.col("n_excluded")).cast("double")
+            / F.col("s").cast("double")
+        ).alias("twonn_dim"),
+    )
+
+
+@register(
+    "embedding_hubness_audit",
+    oracle=f"""
+    WITH {_ALLPAIRS_NN_SQL},
+    occ AS (
+        SELECT j, count(*) AS n_k
+        FROM ranked WHERE rn <= {HUBNESS_K} GROUP BY j
+    ),
+    all_pts AS (SELECT vec_id FROM v),
+    per_point AS (
+        SELECT p.vec_id, COALESCE(o.n_k, 0) AS n_k
+        FROM all_pts p LEFT JOIN occ o ON o.j = p.vec_id
+    )
+    SELECT CAST(n_k AS BIGINT) AS k_occurrence,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM per_point GROUP BY n_k ORDER BY n_k
+    """,
+    tags=("similarity", "embedding", "evaluation"),
+)
+def embedding_hubness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hubness audit of the embedding space: the k-occurrence
+    distribution N_k (how many points' top-{HUBNESS_K} neighbor lists
+    each point appears in) as a count-of-counts histogram.  High-dim
+    NN search concentrates: a few "hub" points appear in thousands of
+    neighbor lists while "antihubs" (k_occurrence = 0) appear in none
+    — a right-skewed N_k histogram is the standard early warning that
+    cosine/L2 retrieval quality is degrading and that ANN recall
+    evals will look deceptively good on hub-heavy queries.  Under no
+    hubness N_k concentrates around k; the antihub row (k_occurrence
+    0) and the histogram tail are the audit's two read-offs.
+
+    Exactness: neighbor lists are the bit-deterministic top-k cut of
+    the shared DECIMAL(18,12) squared-L2 kernel with (d2, j)
+    tiebreak; everything after is integer counting.
+
+    Scale: the all-pairs form is the small-n-exact baseline (the
+    embeddings table is bounded); at corpus scale the top-k lists
+    come from the IVF/PQ shortlist kernels and the audit itself stays
+    two histogram-sized groupBys (occurrence count, then count-of-
+    counts) — map-side combined, no corpus-wide sort."""
+    from pyspark.sql import Window
+
+    v = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    d = v.select(F.col("i").alias("j"), F.col("emb").alias("emb_j"))
+    pairs = v.join(d, F.col("i") != F.col("j")).select(
+        "i",
+        "j",
+        dist2_exact(F.col("emb"), F.col("emb_j")).alias("d2"),
+    )
+    w = Window.partitionBy("i").orderBy("d2", "j")
+    occ = (
+        pairs.select("j", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= HUBNESS_K)
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    per_point = (
+        v.select(F.col("i").alias("vec_id"))
+        .join(occ, F.col("vec_id") == F.col("j"), "left")
+        .select(F.coalesce(F.col("n_k"), F.lit(0)).alias("n_k"))
+    )
+    return (
+        per_point.groupBy("n_k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .select(
+            F.col("n_k").cast("bigint").alias("k_occurrence"),
+            "n_points",
+        )
+        .orderBy("k_occurrence")
+    )

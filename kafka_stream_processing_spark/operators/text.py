@@ -1740,3 +1740,119 @@ def text_vocab_coverage_spectrum(
             "mass_share"
         ),
     )
+
+
+@register(
+    "text_readability_ari_cli",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS words,
+               len(regexp_extract_all(text, '[.!?]+')) AS sentences,
+               len(regexp_extract_all(text, '[A-Za-z0-9]')) AS alnum,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS letters
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               count(*) AS n_docs,
+               SUM(words) AS n_words,
+               SUM(sentences) AS n_sentences,
+               SUM(alnum) AS n_alnum,
+               SUM(letters) AS n_letters
+        FROM per_doc GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_alnum AS BIGINT) AS n_alnum,
+           CAST(n_letters AS BIGINT) AS n_letters,
+           CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+               4.71 * (CAST(n_alnum AS DOUBLE) / n_words)
+               + 0.5 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 21.43
+           END AS ari,
+           CASE WHEN n_words > 0 THEN
+               0.0588 * (100.0 * CAST(n_letters AS DOUBLE) / n_words)
+               - 0.296 * (100.0 * CAST(n_sentences AS DOUBLE) / n_words)
+               - 15.8
+           END AS cli
+    FROM agg
+    """,
+    tags=("text", "quality"),
+)
+def text_readability_ari_cli(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus readability per source: Automated Readability Index and
+    Coleman-Liau Index — the two classic grade-level formulas that are
+    CHARACTER-based rather than syllable-based, which makes them the
+    only readability scores computable exactly and deterministically
+    with integer counting (syllable estimation is heuristic and
+    engine-dependent; chars/words/sentences are not).  Training-data
+    curation uses these as cheap quality priors: a source whose ARI
+    collapses toward 0 is fragment soup, one that spikes past ~20 is
+    likely tables/code/boilerplate.
+
+    Counting conventions (identical regexes both engines): words =
+    maximal [A-Za-z0-9]+ runs, sentences = maximal [.!?]+ runs (so an
+    ellipsis terminates one sentence, not three), alnum = [A-Za-z0-9]
+    chars, letters = [A-Za-z] chars.  All four are exact BIGINTs per
+    document, summed per source; ARI = 4.71*(chars/words) +
+    0.5*(words/sentences) - 21.43 and CLI = 0.0588*L - 0.296*S - 15.8
+    (L, S per 100 words) are each ONE fixed IEEE chain mirrored
+    textually in the oracle, NULL-guarded when a source has no words
+    or no sentence breaks.
+
+    Scale: embarrassingly parallel — four regexp_count expressions in
+    whole-stage codegen over the scan (no Python, no shuffle), then
+    one map-side-combined groupBy(source) of bigint sums."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+")).alias(
+            "words"
+        ),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).alias(
+            "sentences"
+        ),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]")).alias(
+            "alnum"
+        ),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]")).alias(
+            "letters"
+        ),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("n_words"),
+        F.sum("sentences").alias("n_sentences"),
+        F.sum("alnum").alias("n_alnum"),
+        F.sum("letters").alias("n_letters"),
+    )
+    words_d = F.col("n_words").cast("double")
+    sent_d = F.col("n_sentences").cast("double")
+    ari = (
+        F.lit(4.71) * (F.col("n_alnum").cast("double") / F.col("n_words"))
+        + F.lit(0.5) * (words_d / F.col("n_sentences"))
+        - F.lit(21.43)
+    )
+    cli = (
+        F.lit(0.0588)
+        * (F.lit(100.0) * F.col("n_letters").cast("double") / F.col("n_words"))
+        - F.lit(0.296) * (F.lit(100.0) * sent_d / F.col("n_words"))
+        - F.lit(15.8)
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_alnum").cast("bigint").alias("n_alnum"),
+        F.col("n_letters").cast("bigint").alias("n_letters"),
+        F.when(
+            (F.col("n_words") > 0) & (F.col("n_sentences") > 0), ari
+        ).alias("ari"),
+        F.when(F.col("n_words") > 0, cli).alias("cli"),
+    )
