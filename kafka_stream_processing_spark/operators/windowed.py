@@ -5462,3 +5462,662 @@ def window_logrank_test_cohorts(
             (F.abs(z) > LOGRANK_Z_CRIT_005).alias("survival_differs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters MULTIPLICATIVE — the seasonal-amplitude-scales-with-level twin
+# ---------------------------------------------------------------------------
+
+
+def _holt_winters_mult_fold(pdf):
+    """Per-series Holt-Winters MULTIPLICATIVE fold (alpha = beta =
+    gamma = 1/2) inside applyInPandas — the ratio twin of
+    `_holt_winters_fold`, same C-style half-away round-6 per step so
+    the trajectory is bit-identical to the oracle's list-state
+    recursive CTE.  Initialization: l_m = mean(x_1..m) (round-6, exact
+    micro-unit integer sum / double division), b_m = (mean2 - mean1)/m
+    (round-6), s_i = x_i / mean1 (round-6 RATIOS).  Multiplicative
+    smoothing is only defined on strictly positive data: series with
+    any x <= 0 in view, or shorter than 2m, emit nothing (the
+    oracle's HAVING mirrors both gates)."""
+    import math
+
+    import pandas as pd
+
+    m = HW_PERIOD
+
+    def r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    cols = [
+        "event_type",
+        "day",
+        "idx",
+        "revenue",
+        "level",
+        "trend",
+        "seasonal",
+        "forecast",
+        "residual",
+    ]
+    pdf = pdf.sort_values("i").reset_index(drop=True)
+    if len(pdf) < 2 * m or (pdf["x"] <= 0).any():
+        return pd.DataFrame(columns=cols)
+    xs = list(pdf["x"])
+    micro = [
+        int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+        for x in xs
+    ]
+    m1 = (sum(micro[:m]) / 1e6) / m
+    m2 = (sum(micro[m : 2 * m]) / 1e6) / m
+    l_prev = r6(m1)
+    b_prev = r6((m2 - m1) / m)
+    s = [r6(xs[i] / m1) for i in range(m)]
+    out = [(m, xs[m - 1], l_prev, b_prev, s[m - 1], None, None)]
+    for t in range(m + 1, len(xs) + 1):
+        x = xs[t - 1]
+        s_use = s[0]
+        f = (l_prev + b_prev) * s_use
+        l_new = r6(0.5 * (x / s_use) + 0.5 * (l_prev + b_prev))
+        b_new = r6(0.5 * (l_new - l_prev) + 0.5 * b_prev)
+        s_new = r6(0.5 * (x / l_new) + 0.5 * s_use)
+        out.append((t, x, l_new, b_new, s_new, f, x - f))
+        l_prev, b_prev = l_new, b_new
+        s = s[1:] + [s_new]
+    res = pd.DataFrame(
+        out,
+        columns=[
+            "idx",
+            "revenue",
+            "level",
+            "trend",
+            "seasonal",
+            "forecast",
+            "residual",
+        ],
+    )
+    res.insert(0, "event_type", pdf["event_type"].iloc[0])
+    res.insert(
+        1, "day", list(pdf["day"].iloc[m - 1 : len(xs)])
+    )
+    return res[cols]
+
+
+_HWM_ORACLE_CTES = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i
+        FROM daily
+    ),
+    means AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN i <= {HW_PERIOD}
+                        THEN CAST(round(x, 6) AS DECIMAL(18,6)) END)
+                    AS DOUBLE) / {HW_PERIOD} AS m1,
+               CAST(SUM(CASE WHEN i > {HW_PERIOD}
+                              AND i <= {2 * HW_PERIOD}
+                        THEN CAST(round(x, 6) AS DECIMAL(18,6)) END)
+                    AS DOUBLE) / {HW_PERIOD} AS m2
+        FROM idx GROUP BY event_type
+        HAVING max(i) >= {2 * HW_PERIOD} AND min(x) > 0
+    ),
+    sinit AS (
+        SELECT idx.event_type,
+               list(round(x / m1, 6) ORDER BY i) AS s
+        FROM idx JOIN means USING (event_type)
+        WHERE i <= {HW_PERIOD}
+        GROUP BY idx.event_type
+    ),
+    rec(event_type, i, l, b, s) AS (
+        SELECT m.event_type, {HW_PERIOD},
+               round(m.m1, 6),
+               round((m.m2 - m.m1) / {HW_PERIOD}, 6),
+               si.s
+        FROM means m JOIN sinit si USING (event_type)
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               round(0.5 * (d.x / r.s[1]) + 0.5 * (r.l + r.b), 6),
+               round(0.5 * (round(0.5 * (d.x / r.s[1])
+                                  + 0.5 * (r.l + r.b), 6) - r.l)
+                     + 0.5 * r.b, 6),
+               list_append(r.s[2:],
+                   round(0.5 * (d.x / round(0.5 * (d.x / r.s[1])
+                                            + 0.5 * (r.l + r.b), 6))
+                         + 0.5 * r.s[1], 6))
+        FROM rec r JOIN idx d
+          ON d.event_type = r.event_type AND d.i = r.i + 1
+    )"""
+
+
+@register(
+    "window_holt_winters_multiplicative",
+    oracle=_HWM_ORACLE_CTES + f"""
+    SELECT r.event_type,
+           CAST(d.day AS VARCHAR) AS day,
+           CAST(r.i AS BIGINT) AS idx,
+           d.x AS revenue,
+           r.l AS level,
+           r.b AS trend,
+           r.s[{HW_PERIOD}] AS seasonal,
+           CASE WHEN r.i = {HW_PERIOD} THEN NULL
+                ELSE (p.l + p.b) * p.s[1] END AS forecast,
+           CASE WHEN r.i = {HW_PERIOD} THEN NULL
+                ELSE d.x - (p.l + p.b) * p.s[1] END AS residual
+    FROM rec r
+    JOIN idx d ON d.event_type = r.event_type AND d.i = r.i
+    LEFT JOIN rec p
+      ON p.event_type = r.event_type AND p.i = r.i - 1
+    """,
+    tags=("windowed", "timeseries", "forecast", "stateful"),
+)
+def window_holt_winters_multiplicative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters MULTIPLICATIVE smoothing of per-event-type daily
+    revenue, alpha = beta = gamma = 1/2, weekly period m = {HW_PERIOD}
+    — the model for series whose seasonal swing GROWS with the level
+    (a doubling business doubles its weekend dip in dollars, not in
+    ratio).  The additive op models x_t = l + b + s; this models
+    x_t = (l + b) * s with seasonal RATIOS:
+    l_t = alpha(x_t / s_(t-m)) + (1-alpha)(l_(t-1) + b_(t-1)),
+    b_t = beta(l_t - l_(t-1)) + (1-beta)b_(t-1),
+    s_t = gamma(x_t / l_t) + (1-gamma)s_(t-m),
+    f_t = (l_(t-1) + b_(t-1)) * s_(t-m).
+    Defined only on strictly positive series (both gates — 2m length
+    and min(x) > 0 — mirrored engine/oracle).
+
+    Same machinery as the additive twin: one applyInPandas fold per
+    series with (m+2)-dim state and round-6 per step, oracle as a
+    list-state recursive CTE threading the seasonal vector through
+    recursion; initialization s_i = x_i / mean(cycle1) as round-6
+    ratios.
+
+    Scale: identical to the additive op — per-series linear fold,
+    O(m) state, series parallelize across tasks; at 100 TB a million
+    series is a million independent folds."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+    )
+    idx = daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    return idx.groupBy("event_type").applyInPandas(
+        _holt_winters_mult_fold,
+        schema=(
+            "event_type string, day string, idx bigint, "
+            "revenue double, level double, trend double, "
+            "seasonal double, forecast double, residual double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast — declarative via dyadic weights
+# ---------------------------------------------------------------------------
+
+#: Syntetos-Boylan bias correction factor 1 - alpha/2 at alpha = 1/2.
+CROSTON_SBA_FACTOR = 0.75
+
+#: Exponent cap for the dyadic smoothing weights: 2^-62 is far below
+#: the round-6 quantum, so capping keeps the shift inside BIGINT while
+#: changing no rounded term.
+_CROSTON_MAX_SHIFT = 62
+
+
+@register(
+    "window_croston_intermittent",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT l_partkey AS part,
+               (CAST(date_trunc('week', l_shipdate) AS DATE)
+                    - DATE '1970-01-01' - 4) // 7 AS t,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                    AS DOUBLE) AS z
+        FROM lineitem GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT part, t, z,
+               row_number() OVER (PARTITION BY part ORDER BY t) AS j,
+               t - lag(t) OVER (PARTITION BY part ORDER BY t) AS gap
+        FROM weekly
+    ),
+    tot AS (
+        SELECT part, max(j) AS jn, max(t) AS t_last
+        FROM seq GROUP BY part
+    ),
+    terms AS (
+        SELECT s.part, tot.jn, tot.t_last,
+               round(s.z / CAST(1::BIGINT << LEAST(
+                   CASE WHEN s.j = 1 THEN tot.jn - 1
+                        ELSE tot.jn - s.j + 1 END,
+                   {_CROSTON_MAX_SHIFT}) AS DOUBLE), 6) AS zw,
+               round(CAST(CASE WHEN s.j = 1 THEN 1
+                          ELSE s.gap END AS DOUBLE)
+                     / CAST(1::BIGINT << LEAST(
+                   CASE WHEN s.j = 1 THEN tot.jn - 1
+                        ELSE tot.jn - s.j + 1 END,
+                   {_CROSTON_MAX_SHIFT}) AS DOUBLE), 6) AS pw
+        FROM seq s JOIN tot ON tot.part = s.part
+    ),
+    agg AS (
+        SELECT part, any_value(jn) AS n_demands,
+               any_value(t_last) AS last_week,
+               CAST(SUM(CAST(zw AS DECIMAL(38,6))) AS DOUBLE) AS z_hat,
+               CAST(SUM(CAST(pw AS DECIMAL(38,6))) AS DOUBLE) AS p_hat
+        FROM terms GROUP BY part
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(n_demands AS BIGINT) AS n_demands,
+           CAST(last_week AS BIGINT) AS last_week,
+           z_hat, p_hat,
+           z_hat / p_hat AS croston_forecast,
+           {CROSTON_SBA_FACTOR} * (z_hat / p_hat) AS sba_forecast
+    FROM agg
+    """,
+    tags=("windowed", "timeseries", "forecast"),
+)
+def window_croston_intermittent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method per part over weekly order quantities — THE
+    forecaster for intermittent demand (TPC-H parts ship in ~8% of
+    weeks; simple exponential smoothing on the zero-filled series
+    collapses toward zero and spikes after each demand).  Croston
+    smooths two series over DEMAND OCCURRENCES only: sizes z_j and
+    inter-demand intervals p_j (weeks; p_1 = 1 by convention), each
+    with alpha = 1/2, and forecasts z_hat/p_hat units per week; the
+    Syntetos-Boylan variant multiplies by (1 - alpha/2) = {CROSTON_SBA_FACTOR}
+    to undo Croston's positive bias.
+
+    The alpha = 1/2 recursion is made DECLARATIVE by its closed form:
+    z_hat_J = z_1/2^(J-1) + sum_(j>=2) z_j/2^(J-j+1) — dyadic weights
+    computed as exact bit-shifted BIGINT divisors (shift capped at
+    {_CROSTON_MAX_SHIFT}; weights below the cap round to 0 at 6
+    decimals anyway), term round-6, DECIMAL(38,6) sum.  No fold, no
+    recursive CTE: one window pass for (j, gap), one weighted
+    aggregate.  Week index is the exact integer (epoch_days - 4)/7
+    (Mondays are ≡ 4 mod 7 from 1970-01-01).
+
+    Scale: groupBy(part, week) with map-side combine, a per-part
+    window over demand occurrences only (~J rows per part, J ~ tens),
+    one aggregate — a million-part catalog is a million independent
+    J-row series, nothing global."""
+    from pyspark.sql import Window
+
+    weekly = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            (
+                (
+                    F.datediff(
+                        F.date_trunc("week", "l_shipdate").cast("date"),
+                        F.lit("1970-01-01").cast("date"),
+                    )
+                    - 4
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("z"))
+    )
+    w = Window.partitionBy("part").orderBy("t")
+    seq = weekly.select(
+        "part",
+        "t",
+        "z",
+        F.row_number().over(w).alias("j"),
+        (F.col("t") - F.lag("t").over(w)).alias("gap"),
+    )
+    tot = seq.groupBy("part").agg(
+        F.max("j").alias("jn"), F.max("t").alias("t_last")
+    )
+    s = seq.join(tot, "part")
+    shift = F.least(
+        F.when(F.col("j") == 1, F.col("jn") - 1).otherwise(
+            F.col("jn") - F.col("j") + 1
+        ),
+        F.lit(_CROSTON_MAX_SHIFT),
+    )
+    # shiftleft with a COLUMN bit count only exists in SQL form; the
+    # divisor 2^shift stays an exact BIGINT (shift <= 62).
+    s = s.withColumn("shift", shift.cast("int"))
+    divisor = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), shift) AS DOUBLE)"
+    )
+    p_j = F.when(F.col("j") == 1, F.lit(1)).otherwise(F.col("gap"))
+    terms = s.select(
+        "part",
+        "jn",
+        "t_last",
+        F.round(F.col("z") / divisor, 6).alias("zw"),
+        F.round(p_j.cast("double") / divisor, 6).alias("pw"),
+    )
+    agg = terms.groupBy("part").agg(
+        F.any_value("jn").alias("n_demands"),
+        F.any_value("t_last").alias("last_week"),
+        F.sum(F.col("zw").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("z_hat"),
+        F.sum(F.col("pw").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p_hat"),
+    )
+    fc = F.col("z_hat") / F.col("p_hat")
+    return agg.select(
+        F.col("part").cast("bigint").alias("part"),
+        F.col("n_demands").cast("bigint").alias("n_demands"),
+        F.col("last_week").cast("bigint").alias("last_week"),
+        "z_hat",
+        "p_hat",
+        fc.alias("croston_forecast"),
+        (F.lit(CROSTON_SBA_FACTOR) * fc).alias("sba_forecast"),
+    )
+
+
+@register(
+    "window_seasonal_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    seas AS (SELECT event_type, d, d % 7 AS w, x FROM daily),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+        FROM seas a JOIN seas b
+          ON a.event_type = b.event_type AND a.w = b.w AND a.d < b.d
+    ),
+    s_stat AS (
+        SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s
+        FROM pairs GROUP BY event_type
+    ),
+    nn AS (
+        SELECT event_type, w, count(*) AS n
+        FROM seas GROUP BY 1, 2
+    ),
+    tie_groups AS (
+        SELECT event_type, w, x, count(*) AS t
+        FROM seas GROUP BY 1, 2, 3 HAVING count(*) > 1
+    ),
+    ties AS (
+        SELECT n.event_type, n.w, n.n,
+               COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS ts
+        FROM nn n LEFT JOIN tie_groups g
+          ON g.event_type = n.event_type AND g.w = n.w
+        GROUP BY n.event_type, n.w, n.n
+    ),
+    var_t AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n_days,
+               CAST(SUM(n * (n - 1) * (2 * n + 5) - ts) AS DOUBLE)
+                   / 18.0 AS var_s
+        FROM ties GROUP BY event_type
+    )
+    SELECT v.event_type,
+           v.n_days,
+           s.s AS s_stat,
+           v.var_s,
+           CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(v.var_s)
+                WHEN s.s < 0 THEN (s.s + 1) / sqrt(v.var_s)
+                ELSE 0.0 END AS z_stat,
+           abs(CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(v.var_s)
+                    WHEN s.s < 0 THEN (s.s + 1) / sqrt(v.var_s)
+                    ELSE 0.0 END) > {1.959963984540054} AS trend_005
+    FROM var_t v JOIN s_stat s USING (event_type)
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONAL Mann-Kendall trend test (Hirsch-Slack) on per-event-
+    type daily revenue — the deseasonalized twin of the plain MK gate:
+    sign comparisons are made only WITHIN each weekday (Monday vs
+    other Mondays, never Monday vs Saturday), so a strong weekly cycle
+    — which inflates the plain test's pair disagreements and masks a
+    slow drift — cancels out entirely.  S = sum of per-season S_w,
+    Var(S) = sum of per-season tie-corrected variances (seasons are
+    independent under H0), continuity-corrected z as in the plain op.
+
+    Exactness: identical discipline to window_mann_kendall_trend —
+    exact decimal revenues give exact signs, all S and tie sums are
+    BIGINTs, season index is the exact integer d % 7 on epoch days,
+    and z is one mirrored IEEE chain.
+
+    Scale: the per-season pair join is 7x CHEAPER than the plain MK's
+    (sum over seasons of (n/7)^2 vs n^2 pairs per series); everything
+    else is calendar-bounded map-side-combined aggregation."""
+    from kafka_stream_processing_spark.operators.quality import (
+        Z_CRIT_005,
+    )
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).alias("x"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+            "x",
+        )
+    )
+    seas = daily.select(
+        "event_type", "d", (F.col("d") % 7).alias("w"), "x"
+    )
+    a, b = seas.alias("a"), seas.alias("b")
+    pairs = a.join(b, ["event_type", "w"]).filter(
+        F.col("a.d") < F.col("b.d")
+    ).select(
+        "event_type",
+        F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
+        .when(F.col("b.x") < F.col("a.x"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sg"),
+    )
+    s_stat = pairs.groupBy("event_type").agg(
+        F.sum("sg").cast("bigint").alias("s")
+    )
+    nn = seas.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tie_groups = (
+        seas.groupBy("event_type", "w", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+    )
+    ties = (
+        nn.join(tie_groups, ["event_type", "w"], "left")
+        .groupBy("event_type", "w", "n")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("ts")
+        )
+    )
+    var_t = ties.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_days"),
+        (
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("ts")
+            ).cast("double")
+            / F.lit(18.0)
+        ).alias("var_s"),
+    )
+    j = var_t.join(s_stat, "event_type")
+    z = (
+        F.when(
+            F.col("s") > 0,
+            (F.col("s") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s") < 0,
+            (F.col("s") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("s_stat"),
+        "var_s",
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(Z_CRIT_005)).alias("trend_005"),
+    )
+
+
+@register(
+    "window_theil_inequality_decomposition",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    AS DOUBLE) AS y
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY 1, 2
+    ),
+    gtot AS (
+        SELECT count(*) AS n,
+               CAST(SUM(CAST(round(y, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS yy
+        FROM cust
+    ),
+    grp AS (
+        SELECT n_name, count(*) AS ng,
+               CAST(SUM(CAST(round(y, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS yg
+        FROM cust GROUP BY n_name
+    ),
+    within AS (
+        SELECT c.n_name,
+               SUM(CAST(round(
+                   (c.y / (g.yg / g.ng)) * ln(c.y / (g.yg / g.ng)),
+                   12) AS DECIMAL(38,12))) AS tsum
+        FROM cust c JOIN grp g USING (n_name)
+        GROUP BY c.n_name
+    )
+    SELECT g.n_name AS nation,
+           CAST(g.ng AS BIGINT) AS n_customers,
+           g.yg / gl.yy AS revenue_share,
+           CAST(w.tsum AS DOUBLE) / g.ng AS t_within,
+           (g.yg / gl.yy) * (CAST(w.tsum AS DOUBLE) / g.ng)
+               AS within_contrib,
+           (g.yg / gl.yy)
+               * round(ln((g.yg / g.ng) / (gl.yy / gl.n)), 12)
+               AS between_contrib
+    FROM grp g JOIN within w USING (n_name) CROSS JOIN gtot gl
+    """,
+    tags=("windowed", "statistics"),
+)
+def window_theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil T inequality index of customer revenue, DECOMPOSED by
+    nation — the inequality measure the Lorenz/Gini pair cannot give:
+    Theil's T = (1/n) sum (y_i/mu) ln(y_i/mu) is the unique standard
+    index that splits EXACTLY into T = sum_g s_g*T_g (within-group)
+    + sum_g s_g*ln(mu_g/mu) (between-group), so a pipeline can answer
+    "is revenue concentration driven by a few whale customers inside
+    each market, or by whole markets dwarfing others?" in one pass.
+    Emits per nation: revenue share s_g, within-group Theil T_g, and
+    both decomposition contributions (their grand totals reconstruct
+    T exactly — pinned by test).
+
+    Exactness: customer revenues are exact decimal sums; group/global
+    means are single double divisions of DECIMAL(18,6)-quantized
+    sums; each (y/mu_g)*ln(y/mu_g) term follows the round-ln(12)
+    convention and sums as DECIMAL(38,12); every division and product
+    after is a mirrored IEEE chain.
+
+    Scale: one orders-by-customer groupBy (the heavy shuffle, keyed
+    on custkey), nation broadcast, then nation-sized algebra; the
+    per-customer term sum rides the same groupBy(nation) with
+    map-side combine.  No global sort anywhere (contrast the Lorenz
+    op's documented ntile frontier)."""
+    cust = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("y"))
+    )
+    glob = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("y"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("yy"),
+    )
+    grp = cust.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.round(F.col("y"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("yg"),
+    )
+    c = cust.join(F.broadcast(grp), "n_name")
+    ratio = F.col("y") / (F.col("yg") / F.col("ng"))
+    within = c.groupBy("n_name").agg(
+        F.sum(
+            F.round(ratio * F.log(ratio), 12).cast("decimal(38,12)")
+        ).alias("tsum")
+    )
+    out = (
+        grp.join(within, "n_name")
+        .crossJoin(F.broadcast(glob))
+    )
+    share = F.col("yg") / F.col("yy")
+    t_within = F.col("tsum").cast("double") / F.col("ng")
+    between = share * F.round(
+        F.log((F.col("yg") / F.col("ng")) / (F.col("yy") / F.col("n"))),
+        12,
+    )
+    return out.select(
+        F.col("n_name").alias("nation"),
+        F.col("ng").cast("bigint").alias("n_customers"),
+        share.alias("revenue_share"),
+        t_within.alias("t_within"),
+        (share * t_within).alias("within_contrib"),
+        between.alias("between_contrib"),
+    )
