@@ -1855,3 +1855,197 @@ def funnel_view_click_purchase_24h(
             ).alias("overall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain (removal-effect) attribution
+# ---------------------------------------------------------------------------
+
+#: Absorbing-chain state labels for the Markov attribution op.
+MARKOV_START = "__START__"
+MARKOV_CONV = "__CONV__"
+MARKOV_NULL = "__NULL__"
+
+
+@register(
+    "join_attribution_markov_removal",
+    # No SQL oracle: the removal-effect computation solves an absorbing
+    # Markov chain ((I-Q)x = r, once per removed channel) — matrix
+    # inversion is not expressible as a single ANSI-SQL statement.  The
+    # driver records the rows-only check; correctness is pinned by a
+    # pure-python Gaussian-elimination replay over raw journeys in
+    # tests/test_round7k_ops.py (same evidence class as the three
+    # power-iteration PCA ops).
+    tags=("joins", "behavioral", "iterative"),
+)
+def join_attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov-chain attribution with removal effects — the
+    data-driven successor to join_attribution_multitouch's positional
+    heuristics (first/last/linear credit are CONVENTIONS; the removal
+    effect measures each channel's causal contribution under the
+    journey graph itself): build the first-order transition matrix
+    over user-day journeys (START -> touches -> CONV/NULL), compute
+    the chain's conversion probability p, then for each channel
+    re-route its inbound edges to NULL and recompute p_c; the
+    channel's removal effect is 1 - p_c/p and conversions are credited
+    proportionally (Anderl et al. 2016's standard formulation).
+
+    Journey convention (deterministic, mirrored in the test replay):
+    a journey is one (user, day); touches are the day's non-purchase
+    events ordered by (ts, event_id) BEFORE the first purchase; the
+    journey absorbs in CONV if the day contains a purchase (a
+    purchase-first day contributes START->CONV), else the full day's
+    touch sequence absorbs in NULL.
+
+    Execution: transition counting is fully distributed (the same
+    lag-over-(user, day) shuffle every sequence op shares, one
+    groupBy to <= (k+1)x(k+2) integer cells); ONLY the k^2-cell
+    transition matrix is collected — the registry's legal sketch-sized
+    driver state — and the (k+1)-dimensional linear solves run in
+    numpy on the driver, exactly like the trained-quantizer collects
+    in the ANN family.  At 100 TB the count stage dominates and
+    scales; the solve is O(k^3) for k ~ dozens of channels."""
+    import numpy as np
+
+    evs = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    w_day = Window.partitionBy("user_id", "day")
+    fp = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct("ts", "event_id"),
+        )
+    ).over(w_day)
+    marked = evs.select(
+        "user_id",
+        "day",
+        "ts",
+        "event_id",
+        "event_type",
+        fp.alias("fp"),
+    )
+    touches = marked.filter(
+        (F.col("event_type") != "purchase")
+        & (
+            F.col("fp").isNull()
+            | (F.struct("ts", "event_id") < F.col("fp"))
+        )
+    )
+    w_seq = Window.partitionBy("user_id", "day").orderBy(
+        "ts", "event_id"
+    )
+    seq = touches.select(
+        "user_id",
+        "day",
+        (F.col("fp").isNotNull()).alias("converted"),
+        F.col("event_type").alias("to_state"),
+        F.coalesce(
+            F.lag("event_type").over(w_seq), F.lit(MARKOV_START)
+        ).alias("from_state"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "day").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        .alias("rn_last"),
+    )
+    touch_trans = seq.select("from_state", "to_state")
+    terminal = seq.filter(F.col("rn_last") == 1).select(
+        F.col("to_state").alias("from_state"),
+        F.when(F.col("converted"), F.lit(MARKOV_CONV))
+        .otherwise(F.lit(MARKOV_NULL))
+        .alias("to_state"),
+    )
+    # purchase-first days: a conversion with no preceding touches
+    empty_conv = (
+        marked.groupBy("user_id", "day")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "has_p"
+            ),
+            F.sum(
+                (
+                    (F.col("event_type") != "purchase")
+                    & (
+                        F.col("fp").isNull()
+                        | (F.struct("ts", "event_id") < F.col("fp"))
+                    )
+                ).cast("int")
+            ).alias("n_touch"),
+        )
+        .filter((F.col("has_p") == 1) & (F.col("n_touch") == 0))
+        .select(
+            F.lit(MARKOV_START).alias("from_state"),
+            F.lit(MARKOV_CONV).alias("to_state"),
+        )
+    )
+    cells = (
+        touch_trans.unionByName(terminal)
+        .unionByName(empty_conv)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # <= (k+1)*(k+2) integer cells, k = #channels
+    )
+    counts: dict[tuple[str, str], int] = {
+        (r["from_state"], r["to_state"]): int(r["n"]) for r in cells
+    }
+    channels = sorted(
+        ({s for s, _ in counts} | {t for _, t in counts})
+        - {MARKOV_START, MARKOV_CONV, MARKOV_NULL}
+    )
+    transient = [MARKOV_START] + channels
+    t_idx = {s: i for i, s in enumerate(transient)}
+
+    def conv_prob(removed: str | None) -> float:
+        k = len(transient)
+        q = np.zeros((k, k))
+        r = np.zeros(k)
+        for (s, t), n in counts.items():
+            if s == removed:
+                continue
+            out = sum(
+                nn for (ss, _), nn in counts.items() if ss == s
+            )
+            p = n / out
+            tt = MARKOV_NULL if t == removed else t
+            if tt == MARKOV_CONV:
+                r[t_idx[s]] += p
+            elif tt in t_idx:
+                q[t_idx[s], t_idx[tt]] += p
+        x = np.linalg.solve(np.eye(k) - q, r)
+        return float(x[t_idx[MARKOV_START]])
+
+    p_full = conv_prob(None)
+    n_conv = sum(
+        n for (_, t), n in counts.items() if t == MARKOV_CONV
+    )
+    res = []
+    for c in channels:
+        re_c = 1.0 - conv_prob(c) / p_full if p_full > 0 else 0.0
+        res.append((c, re_c))
+    tot_re = sum(re for _, re in res)
+    out_rows = [
+        (
+            c,
+            float(re),
+            float(re / tot_re) if tot_re > 0 else None,
+            float(n_conv * re / tot_re) if tot_re > 0 else None,
+            float(p_full),
+            int(n_conv),
+        )
+        for c, re in res
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, removal_effect double, "
+        "attribution_share double, attributed_conversions double, "
+        "p_conversion double, n_conversions bigint",
+    )

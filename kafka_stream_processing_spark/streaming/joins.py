@@ -3207,3 +3207,181 @@ def stream_attribution_monitor(
         "n_touches bigint, n_last bigint, "
         "last_touch_credit double, linear_credit double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming calibration (ECE) monitor
+# ---------------------------------------------------------------------------
+
+def _ece_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.quality import (
+        ISO_BIN_CHARS,
+        ISO_TOKEN_THRESHOLD,
+    )
+
+    return f"""
+    WITH test_rows AS (
+        SELECT doc_id,
+               n_chars // {ISO_BIN_CHARS} AS b,
+               CASE WHEN len(string_split(text, ' '))
+                        > {ISO_TOKEN_THRESHOLD} THEN 1 ELSE 0 END AS y,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source = 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, b, y, rn // ((n + 2) // 3) AS chunk_id
+        FROM test_rows
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id
+        FROM chunked GROUP BY chunk_id
+    ),
+    train AS (
+        SELECT n_chars // {ISO_BIN_CHARS} AS b, count(*) AS nt,
+               SUM(CASE WHEN len(string_split(text, ' '))
+                            > {ISO_TOKEN_THRESHOLD}
+                   THEN 1 ELSE 0 END) AS yt
+        FROM documents WHERE source <> 'src0' GROUP BY 1
+    ),
+    cells AS (
+        SELECT chunk_id, b, count(*) AS n_test, SUM(y) AS y_test
+        FROM chunked GROUP BY 1, 2
+    ),
+    bins AS (
+        SELECT c.chunk_id, c.n_test,
+               CAST(t.yt AS DOUBLE) / t.nt AS f_pred,
+               CAST(c.y_test AS DOUBLE) / c.n_test AS obs_rate
+        FROM cells c JOIN train t ON t.b = c.b
+    ),
+    agg AS (
+        SELECT chunk_id,
+               CAST(SUM(n_test) AS BIGINT) AS n_scored,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(SUM(CAST(round(
+                   n_test * abs(f_pred - obs_rate), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) / SUM(n_test) AS ece,
+               max(abs(f_pred - obs_rate)) AS mce
+        FROM bins GROUP BY chunk_id
+    )
+    SELECT k.chunk_min_doc_id, a.n_scored, a.n_bins, a.ece, a.mce
+    FROM agg a JOIN keys k USING (chunk_id)
+    """
+
+
+@register(
+    "stream_ece_monitor",
+    oracle=_ece_monitor_oracle(),
+    tags=("streaming", "calibration", "quality"),
+)
+def stream_ece_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch expected calibration error against the STATIC
+    training-pool reliability table — the streaming deployment of
+    quality_expected_calibration_error and the calibration member of
+    the monitor family (KS watches shape, PSI watches binned mass,
+    this watches whether the quality classifier's SCORES still mean
+    what they claim on each arriving evaluation batch).  Forecasts
+    (per-length-bin training rates) are computed once from the static
+    pool; each src0 micro-batch folds to integer per-bin (n, sum y)
+    cells — the Benford/PSI monitors' histogram-sized per-trigger
+    bound — and ALL float math happens post-stream in Spark
+    expressions mirroring the batch ECE gate (integer-ratio rates,
+    round-12 DECIMAL(28,12) weighted-gap terms, exact sum; bins
+    unseen in training are skipped by the same inner join).  Batches
+    key by min doc_id so verdicts are batch-order independent and the
+    oracle rebuilds the same slices relationally.
+
+    Scale: zero state-store use — per-trigger state is one bin
+    histogram; the train table is bin-sized and computed once.
+    Restart replays cleanly (verdicts are per-batch final)."""
+    from kafka_stream_processing_spark.operators.quality import (
+        ISO_BIN_CHARS,
+        ISO_TOKEN_THRESHOLD,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    rows: list[tuple[int, int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("doc_id").alias("k")).collect()[0]["k"]
+        if key is None:
+            return
+        cells = (
+            batch_df.select(
+                F.expr(f"n_chars div {ISO_BIN_CHARS}").alias("b"),
+                F.when(
+                    F.size(F.split("text", " ")) > ISO_TOKEN_THRESHOLD,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("y"),
+            )
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("n_test"),
+                F.sum("y").alias("y_test"),
+            )
+            .collect()  # bin-histogram-sized per trigger
+        )
+        for r in cells:
+            rows.append(
+                (int(key), int(r["b"]), int(r["n_test"]), int(r["y_test"]))
+            )
+
+    path = _stage_doc_chunks(sf_dir, "source = 'src0'", "testdocs")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars", "text")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    cells = spark.createDataFrame(
+        rows,
+        "chunk_min_doc_id bigint, b bigint, n_test bigint, y_test bigint",
+    )
+    train = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source") != "src0")
+        .select(
+            F.expr(f"n_chars div {ISO_BIN_CHARS}").alias("b"),
+            F.when(
+                F.size(F.split("text", " ")) > ISO_TOKEN_THRESHOLD,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nt"), F.sum("y").alias("yt"))
+    )
+    bins = cells.join(train, "b").select(
+        "chunk_min_doc_id",
+        "n_test",
+        (F.col("yt").cast("double") / F.col("nt")).alias("f_pred"),
+        (F.col("y_test").cast("double") / F.col("n_test")).alias(
+            "obs_rate"
+        ),
+    )
+    gap = F.abs(F.col("f_pred") - F.col("obs_rate"))
+    return bins.groupBy("chunk_min_doc_id").agg(
+        F.sum("n_test").cast("bigint").alias("n_scored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (
+            F.sum(
+                F.round(F.col("n_test") * gap, 12).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+            / F.sum("n_test")
+        ).alias("ece"),
+        F.max(gap).alias("mce"),
+    )

@@ -1,0 +1,197 @@
+"""Round-7 eleventh wave: Markov removal-effect attribution and the
+streaming ECE monitor.
+
+The attribution replay rebuilds journeys row-by-row in pure python and
+solves the absorbing chain with hand-rolled Gaussian elimination — no
+numpy, no DataFrames — so the engine's distributed transition counting
+and numpy solve are checked by a genuinely different implementation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+
+from kafka_stream_processing_spark.registry import all_specs
+
+SPECS = all_specs()
+
+START, CONV, NULL = "__START__", "__CONV__", "__NULL__"
+
+
+def _journeys(sf_dir: str):
+    """(touch_sequence, converted) per (user, day), the docstring's
+    convention, built by a per-row python walk."""
+    rows = duckdb.connect().execute(
+        f"""SELECT user_id, CAST(ts AS DATE), ts, event_id, event_type
+        FROM '{sf_dir}/events.parquet'
+        ORDER BY user_id, CAST(ts AS DATE), ts, event_id"""
+    ).fetchall()
+    by_day = defaultdict(list)
+    for u, d, ts, eid, et in rows:
+        by_day[(u, d)].append((ts, eid, et))
+    out = []
+    for evs in by_day.values():
+        fp = next(
+            ((ts, eid) for ts, eid, et in evs if et == "purchase"),
+            None,
+        )
+        touches = [
+            et
+            for ts, eid, et in evs
+            if et != "purchase" and (fp is None or (ts, eid) < fp)
+        ]
+        out.append((touches, fp is not None))
+    return out
+
+
+def _transition_counts(journeys):
+    counts: Counter = Counter()
+    for touches, converted in journeys:
+        if not touches:
+            if converted:
+                counts[(START, CONV)] += 1
+            continue
+        prev = START
+        for t in touches:
+            counts[(prev, t)] += 1
+            prev = t
+        counts[(prev, CONV if converted else NULL)] += 1
+    return counts
+
+
+def _solve(a, b):
+    """Gaussian elimination with partial pivoting (pure python)."""
+    n = len(b)
+    m = [row[:] + [b[i]] for i, row in enumerate(a)]
+    for col in range(n):
+        piv = max(range(col, n), key=lambda r: abs(m[r][col]))
+        m[col], m[piv] = m[piv], m[col]
+        for r in range(n):
+            if r != col and m[r][col] != 0:
+                f = m[r][col] / m[col][col]
+                for c in range(col, n + 1):
+                    m[r][c] -= f * m[col][c]
+    return [m[i][n] / m[i][i] for i in range(n)]
+
+
+def _conv_prob(counts, transient, removed=None):
+    idx = {s: i for i, s in enumerate(transient)}
+    k = len(transient)
+    q = [[0.0] * k for _ in range(k)]
+    r = [0.0] * k
+    out_tot = Counter()
+    for (s, _), n in counts.items():
+        out_tot[s] += n
+    for (s, t), n in counts.items():
+        if s == removed:
+            continue
+        p = n / out_tot[s]
+        tt = NULL if t == removed else t
+        if tt == CONV:
+            r[idx[s]] += p
+        elif tt in idx:
+            q[idx[s]][idx[tt]] += p
+    a = [
+        [(1.0 if i == j else 0.0) - q[i][j] for j in range(k)]
+        for i in range(k)
+    ]
+    return _solve(a, r)[idx[START]]
+
+
+def test_markov_attribution_pure_python_replay(spark, sf_small):
+    journeys = _journeys(sf_small)
+    counts = _transition_counts(journeys)
+    channels = sorted(
+        ({s for s, _ in counts} | {t for _, t in counts})
+        - {START, CONV, NULL}
+    )
+    transient = [START] + channels
+    p_full = _conv_prob(counts, transient)
+    n_conv = sum(1 for _, c in journeys if c)
+    res = {
+        c: 1.0 - _conv_prob(counts, transient, removed=c) / p_full
+        for c in channels
+    }
+    tot = sum(res.values())
+    rows = SPECS["join_attribution_markov_removal"].fn(
+        spark, sf_small
+    ).collect()
+    got = {r.channel: r for r in rows}
+    assert set(got) == set(channels)
+    for c in channels:
+        r = got[c]
+        assert abs(r.removal_effect - res[c]) < 1e-9
+        assert abs(r.attribution_share - res[c] / tot) < 1e-9
+        assert abs(
+            r.attributed_conversions - n_conv * res[c] / tot
+        ) < 1e-6
+        assert abs(r.p_conversion - p_full) < 1e-9
+        assert r.n_conversions == n_conv
+    # shares partition the credit; attributed mass = total conversions
+    assert abs(sum(r.attribution_share for r in rows) - 1.0) < 1e-9
+    assert (
+        abs(sum(r.attributed_conversions for r in rows) - n_conv)
+        < 1e-6
+    )
+
+
+def test_markov_attribution_removal_effects_positive(spark, sf_small):
+    """Every channel that appears on some converting path must have a
+    strictly positive removal effect (cutting it can only lose
+    conversions), and p_conversion must equal the empirical journey
+    conversion rate reachable from START under the MLE chain when all
+    journeys start at START (sanity bracket: 0 < p < 1)."""
+    rows = SPECS["join_attribution_markov_removal"].fn(
+        spark, sf_small
+    ).collect()
+    for r in rows:
+        assert 0.0 < r.removal_effect < 1.0
+        assert 0.0 < r.p_conversion < 1.0
+
+
+def test_stream_ece_monitor_first_chunk_replay(spark, sf_small):
+    """Replay chunk 0's ECE in python: train rates from non-src0,
+    chunk = first ceil(n/3) src0 docs by doc_id."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"""SELECT doc_id, source, n_chars, text
+        FROM '{sf_small}/documents.parquet' ORDER BY doc_id"""
+    ).fetchall()
+    train_bins = defaultdict(lambda: [0, 0])
+    test_docs = []
+    for doc_id, src, n_chars, text in docs:
+        b = n_chars // 25
+        y = 1 if len(text.split(" ")) > 40 else 0
+        if src == "src0":
+            test_docs.append((doc_id, b, y))
+        else:
+            train_bins[b][0] += 1
+            train_bins[b][1] += y
+    step = (len(test_docs) + 2) // 3
+    chunk0 = test_docs[:step]
+    cells = defaultdict(lambda: [0, 0])
+    for _, b, y in chunk0:
+        cells[b][0] += 1
+        cells[b][1] += y
+    num, den, mce = 0.0, 0, 0.0
+    n_bins = 0
+    for b, (n, y) in cells.items():
+        if b not in train_bins:
+            continue
+        n_bins += 1
+        f_pred = train_bins[b][1] / train_bins[b][0]
+        gap = abs(f_pred - y / n)
+        num += n * gap
+        den += n
+        mce = max(mce, gap)
+    rows = SPECS["stream_ece_monitor"].fn(spark, sf_small).collect()
+    assert len(rows) == 3
+    first = min(rows, key=lambda r: r.chunk_min_doc_id)
+    assert first.chunk_min_doc_id == chunk0[0][0]
+    assert first.n_scored == den
+    assert first.n_bins == n_bins
+    assert abs(first.ece - num / den) < 1e-9
+    assert abs(first.mce - mce) < 1e-12
