@@ -1194,3 +1194,123 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine-threshold sweep: the dedup-calibration curve
+# ---------------------------------------------------------------------------
+
+#: Candidate near-dup cosine thresholds the sweep evaluates.
+DEDUP_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.7, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep_cosine",
+    oracle=f"""{_EMB_NORM_CTE.format(extra="")},
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               {_PAIR_COSINE_SQL} AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ),
+    thresholds AS (
+        SELECT unnest([{', '.join(str(t) for t in DEDUP_SWEEP_THRESHOLDS)}])
+            AS threshold
+    ),
+    tot AS (SELECT count(*) AS n_vecs FROM v),
+    hits AS (
+        SELECT t.threshold, p.va, p.vb
+        FROM thresholds t JOIN pairs p ON p.cosine >= t.threshold
+    ),
+    touched AS (
+        SELECT threshold, count(DISTINCT vec) AS n_docs_with_dup
+        FROM (
+            SELECT threshold, va AS vec FROM hits
+            UNION ALL
+            SELECT threshold, vb AS vec FROM hits
+        ) GROUP BY threshold
+    )
+    SELECT t.threshold,
+           CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(tc.n_docs_with_dup, 0) AS BIGINT)
+               AS n_docs_with_dup,
+           CAST(COALESCE(tc.n_docs_with_dup, 0) AS DOUBLE)
+               / tot.n_vecs AS dup_doc_rate
+    FROM thresholds t
+    LEFT JOIN (
+        SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY 1
+    ) h USING (threshold)
+    LEFT JOIN touched tc USING (threshold)
+    CROSS JOIN tot
+    """,
+    tags=("dedup", "similarity", "evaluation"),
+)
+def dedup_threshold_sweep_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cosine-threshold calibration sweep for embedding near-dup: the
+    (threshold -> pair count, affected-doc count, dup-doc rate) curve
+    a pipeline reads BEFORE committing to a dedup cutoff — too low
+    and SemDeDup-style pruning deletes topical clusters wholesale,
+    too high and boilerplate survives; the elbow of this curve is the
+    operational answer, and re-running the sweep per ingest batch
+    turns threshold choice from folklore into a measured dial.
+
+    Exactness: cosines come from the shared per-term DECIMAL(18,12)
+    kernel (same as dedup_embedding_cosine_allpairs); thresholds are
+    literals compared against exact-pipeline doubles; all counts are
+    integers.
+
+    Scale: written over the exact all-pairs kernel (the embeddings
+    table is bounded; same small-n-exact role as the allpairs op).
+    At corpus scale the pair stream comes from the banded-LSH
+    candidate kernel instead — the sweep's counting stage (threshold
+    fan-out x distinct-union) is unchanged and stays
+    output-bounded.  The threshold join fans each candidate pair out
+    at most {len(DEDUP_SWEEP_THRESHOLDS)}x."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    n = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
+    n_vecs = n.count()  # one scalar, sizes the rate denominator
+    a, b = n.alias("a"), n.alias("b")
+    cos = cosine_exact(
+        F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        cos.alias("cosine"),
+    )
+    thresholds = spark.createDataFrame(
+        [(float(t),) for t in DEDUP_SWEEP_THRESHOLDS],
+        "threshold double",
+    )
+    hits = F.broadcast(thresholds).join(
+        pairs, F.col("cosine") >= F.col("threshold")
+    )
+    n_pairs = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    touched = (
+        hits.select("threshold", F.col("va").alias("vec"))
+        .unionByName(hits.select("threshold", F.col("vb").alias("vec")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("vec").alias("n_docs_with_dup"))
+    )
+    return (
+        thresholds.join(n_pairs, "threshold", "left")
+        .join(touched, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce("n_docs_with_dup", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_with_dup"),
+            (
+                F.coalesce("n_docs_with_dup", F.lit(0)).cast("double")
+                / F.lit(n_vecs)
+            ).alias("dup_doc_rate"),
+        )
+    )

@@ -5927,3 +5927,91 @@ def quality_friedman_daily_mix(
         crit.alias("critical_005"),
         (F.col("q_stat") > crit).alias("drift"),
     )
+
+
+@register(
+    "quality_cochran_armitage_trend",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT n_chars // {KANON_BUCKET_CHARS} AS w,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    bins AS (
+        SELECT w, count(*) AS n, SUM(y) AS r
+        FROM rows_t GROUP BY w
+    ),
+    s AS (
+        SELECT SUM(n) AS nn, SUM(r) AS rr, count(*) AS n_bins,
+               SUM(w * r) AS a, SUM(w * n) AS b,
+               SUM(w * w * n) AS c
+        FROM bins
+    ),
+    stat AS (
+        SELECT CAST(nn AS BIGINT) AS n,
+               CAST(rr AS BIGINT) AS n_positive,
+               CAST(n_bins AS BIGINT) AS n_bins,
+               CAST(nn * a - rr * b AS BIGINT) AS t_prime,
+               CAST(nn * a - rr * b AS DOUBLE)
+                   / sqrt(CAST(rr * (nn - rr) AS DOUBLE)
+                          * (nn * c - b * b) / nn) AS z
+        FROM s
+    )
+    SELECT n, n_positive, n_bins, t_prime, z,
+           abs(z) > {Z_CRIT_005} AS trend_005
+    FROM stat
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: does the proportion of English
+    documents drift MONOTONICALLY across ordered length bins?  The
+    chi-squared gate treats categories as unordered and needs a large
+    scattered deviation to fire; Cochran-Armitage weights each bin by
+    its ordinal score, so a steady composition SLOPE across document
+    sizes — the classic symptom of one crawler feeding long docs from
+    a different language mix — is detected with full power in one
+    statistic.  Scores w = the bin index itself (n_chars div
+    {KANON_BUCKET_CHARS}, the k-anonymity op's bucket convention).
+
+    Statistic (integer-exact form): with per-bin (n_i, r_i) and
+    A = sum w r, B = sum w n, C = sum w^2 n, the centered numerator
+    T' = N*A - R*B is an exact BIGINT; Var(T') = R(N-R)(N*C - B^2)/N
+    where N*C - B^2 is an exact BIGINT and the product/final divide
+    are one mirrored IEEE chain; z = T'/sqrt(Var) is asymptotically
+    standard normal (two-sided gate at the shared Z_CRIT literal).
+
+    Scale: one map-side-combined groupBy to the length-bin table,
+    then ONE aggregate of five integer moments — the chi-squared
+    gate's cost class exactly."""
+    rows_t = table(spark, sf_dir, "documents").select(
+        F.expr(f"n_chars div {KANON_BUCKET_CHARS}").alias("w"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+    bins = rows_t.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("r")
+    )
+    s = bins.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.col("w") * F.col("r")).alias("a"),
+        F.sum(F.col("w") * F.col("n")).alias("b"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).alias("c"),
+    )
+    t_prime = F.col("nn") * F.col("a") - F.col("rr") * F.col("b")
+    z = t_prime.cast("double") / F.sqrt(
+        (F.col("rr") * (F.col("nn") - F.col("rr"))).cast("double")
+        * (F.col("nn") * F.col("c") - F.col("b") * F.col("b"))
+        / F.col("nn")
+    )
+    return s.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("rr").cast("bigint").alias("n_positive"),
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+        t_prime.cast("bigint").alias("t_prime"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(Z_CRIT_005)).alias("trend_005"),
+    )

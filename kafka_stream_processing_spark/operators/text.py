@@ -1856,3 +1856,101 @@ def text_readability_ari_cli(
         ).alias("ari"),
         F.when(F.col("n_words") > 0, cli).alias("cli"),
     )
+
+
+#: Chi-squared dof=1 critical value at alpha = 0.05 (literal, shared
+#: reading convention with the CHI2_CRIT_005 table in quality.py).
+MCNEMAR_CRIT_005 = 3.841
+
+
+@register(
+    "text_mcnemar_langid_vs_majority",
+    oracle=f"""
+    WITH preds AS ({_LANGID_ORACLE}),
+    paired AS (
+        SELECT CASE WHEN predicted_lang = labeled_lang
+                    THEN 1 ELSE 0 END AS a_right,
+               CASE WHEN labeled_lang = 'en' THEN 1 ELSE 0 END AS b_right
+        FROM preds
+    ),
+    cells AS (
+        SELECT CAST(SUM(a_right * b_right) AS BIGINT) AS both_right,
+               CAST(SUM(a_right * (1 - b_right)) AS BIGINT) AS only_a,
+               CAST(SUM((1 - a_right) * b_right) AS BIGINT) AS only_b,
+               CAST(SUM((1 - a_right) * (1 - b_right)) AS BIGINT)
+                   AS both_wrong
+        FROM paired
+    )
+    SELECT both_right, only_a, only_b, both_wrong,
+           CASE WHEN only_a + only_b > 0 THEN
+               CAST((abs(only_a - only_b) - 1)
+                    * (abs(only_a - only_b) - 1) AS DOUBLE)
+                   / (only_a + only_b)
+           END AS mcnemar_chi2,
+           CASE WHEN only_a + only_b > 0 THEN
+               CAST((abs(only_a - only_b) - 1)
+                    * (abs(only_a - only_b) - 1) AS DOUBLE)
+                   / (only_a + only_b) > {MCNEMAR_CRIT_005}
+           END AS differs_005
+    FROM cells
+    """,
+    tags=("text", "evaluation", "statistics"),
+)
+def text_mcnemar_langid_vs_majority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar's test: is the marker-voting language identifier
+    actually BETTER than the majority-class baseline (always predict
+    'en') on the same documents?  Accuracy comparisons on shared data
+    are PAIRED — comparing two unpaired accuracy rates wastes the
+    per-document correlation and over/under-states significance — and
+    McNemar is the canonical paired test: only the DISCORDANT
+    documents (exactly one classifier right) carry information, via
+    the continuity-corrected chi2 = (|b-c|-1)^2/(b+c) with 1 dof.
+    This is the gate a pipeline runs before swapping in a new
+    language filter: 'its accuracy is 2 points higher' means nothing
+    until McNemar says the discordance is not coin-flip noise.
+
+    Predictions are the registered text_language_id query verbatim
+    (shared _LANGID_ORACLE CTE, shared Spark callable).  All four
+    contingency cells are exact integer conditional sums off one
+    scan; the statistic is one mirrored division, gated at the
+    dof=1 literal {MCNEMAR_CRIT_005}; NULL verdict when there are no
+    discordant documents (the statistic is undefined — mirrored).
+
+    Scale: the lang-ID scan dominates (measured linear); the paired
+    table folds to FOUR integers in one map-side-combined aggregate."""
+    preds = text_language_id(spark, sf_dir)
+    a_right = (
+        F.col("predicted_lang") == F.col("labeled_lang")
+    ).cast("bigint")
+    b_right = (F.col("labeled_lang") == "en").cast("bigint")
+    cells = preds.select(
+        a_right.alias("ar"), b_right.alias("br")
+    ).agg(
+        F.sum(F.col("ar") * F.col("br")).cast("bigint").alias(
+            "both_right"
+        ),
+        F.sum(F.col("ar") * (1 - F.col("br"))).cast("bigint").alias(
+            "only_a"
+        ),
+        F.sum((1 - F.col("ar")) * F.col("br")).cast("bigint").alias(
+            "only_b"
+        ),
+        F.sum((1 - F.col("ar")) * (1 - F.col("br")))
+        .cast("bigint")
+        .alias("both_wrong"),
+    )
+    disc = F.col("only_a") + F.col("only_b")
+    diff = F.abs(F.col("only_a") - F.col("only_b"))
+    chi2 = ((diff - 1) * (diff - 1)).cast("double") / disc
+    return cells.select(
+        "both_right",
+        "only_a",
+        "only_b",
+        "both_wrong",
+        F.when(disc > 0, chi2).alias("mcnemar_chi2"),
+        F.when(disc > 0, chi2 > F.lit(MCNEMAR_CRIT_005)).alias(
+            "differs_005"
+        ),
+    )

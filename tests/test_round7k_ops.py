@@ -195,3 +195,83 @@ def test_stream_ece_monitor_first_chunk_replay(spark, sf_small):
     assert first.n_bins == n_bins
     assert abs(first.ece - num / den) < 1e-9
     assert abs(first.mce - mce) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Batch E: Cochran-Armitage, McNemar, threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def test_cochran_armitage_float_replay(spark, sf_small):
+    """z from the textbook float form (p-bar, per-bin deviations)
+    instead of the engine's integer-moment form."""
+    rows = duckdb.connect().execute(
+        f"""SELECT n_chars // 100, count(*),
+        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        FROM '{sf_small}/documents.parquet' GROUP BY 1"""
+    ).fetchall()
+    n_tot = sum(n for _, n, _ in rows)
+    r_tot = sum(r for _, _, r in rows)
+    pbar = r_tot / n_tot
+    t = sum(w * (r - n * pbar) for w, n, r in rows)
+    sw = sum(w * n for w, n, _ in rows)
+    sw2 = sum(w * w * n for w, n, _ in rows)
+    var = pbar * (1 - pbar) * (sw2 - sw * sw / n_tot)
+    z_ref = t / math.sqrt(var)
+    row = SPECS["quality_cochran_armitage_trend"].fn(
+        spark, sf_small
+    ).collect()[0]
+    assert row.n == n_tot
+    assert row.n_positive == r_tot
+    assert row.n_bins == len(rows)
+    assert abs(row.z - z_ref) < 1e-9
+    assert row.trend_005 == (abs(row.z) > 1.959963984540054)
+
+
+def test_mcnemar_cells_replay(spark, sf_small):
+    """Contingency cells from the registered langid predictions (the
+    op's declared input), statistic from the textbook formula."""
+    preds = SPECS["text_language_id"].fn(spark, sf_small).collect()
+    b = sum(
+        1
+        for p in preds
+        if p.predicted_lang == p.labeled_lang and p.labeled_lang != "en"
+    )
+    c = sum(
+        1
+        for p in preds
+        if p.predicted_lang != p.labeled_lang and p.labeled_lang == "en"
+    )
+    row = SPECS["text_mcnemar_langid_vs_majority"].fn(
+        spark, sf_small
+    ).collect()[0]
+    assert (row.only_a, row.only_b) == (b, c)
+    assert (
+        row.both_right + row.only_a + row.only_b + row.both_wrong
+        == len(preds)
+    )
+    if b + c:
+        chi2 = (abs(b - c) - 1) ** 2 / (b + c)
+        assert abs(row.mcnemar_chi2 - chi2) < 1e-12
+        assert row.differs_005 == (chi2 > 3.841)
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_small):
+    """Counts must be non-increasing in the threshold, and the 0.4 row
+    must agree with dedup_embedding_cosine_allpairs (threshold 0.4)."""
+    rows = sorted(
+        SPECS["dedup_threshold_sweep_cosine"].fn(
+            spark, sf_small
+        ).collect(),
+        key=lambda r: r.threshold,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_with_dup >= b.n_docs_with_dup
+    allpairs = SPECS["dedup_embedding_cosine_allpairs"].fn(
+        spark, sf_small
+    ).collect()
+    at04 = next(r for r in rows if abs(r.threshold - 0.4) < 1e-12)
+    assert at04.n_pairs == len(allpairs)
+    docs = {v for r in allpairs for v in (r.vec_a, r.vec_b)}
+    assert at04.n_docs_with_dup == len(docs)
