@@ -6015,3 +6015,129 @@ def quality_cochran_armitage_trend(
         z.alias("z"),
         (F.abs(z) > F.lit(Z_CRIT_005)).alias("trend_005"),
     )
+
+
+@register(
+    "quality_anova_f_drift",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, count(*) AS n,
+               SUM(n_chars) AS s, SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, SUM(s) AS ss, SUM(s2) AS ss2,
+               count(*) AS k,
+               SUM(CAST(round(CAST(s AS DOUBLE) * s / n, 6)
+                   AS DECIMAL(38,6))) AS sgs
+        FROM g
+    ),
+    stat AS (
+        SELECT CAST(nn AS BIGINT) AS n,
+               CAST(k AS INT) AS k,
+               CAST(sgs AS DOUBLE)
+                   - CAST(ss AS DOUBLE) * ss / nn AS ssb,
+               CAST(ss2 AS DOUBLE) - CAST(sgs AS DOUBLE) AS ssw,
+               CAST(k - 1 AS INT) AS dof_between,
+               CAST(nn - k AS BIGINT) AS dof_within
+        FROM tot
+    ),
+    f AS (
+        SELECT n, k, ssb, ssw, dof_between, dof_within,
+               (ssb / dof_between) / (ssw / dof_within) AS f_stat
+        FROM stat
+    ),
+    q AS (
+        SELECT *, CAST(dof_between AS INT) AS dof,
+               dof_between * f_stat AS chi2_approx
+        FROM f
+    )
+    SELECT n, k, ssb, ssw, dof_between, dof_within, f_stat,
+           chi2_approx,
+           {{crit}} AS critical_005,
+           chi2_approx > {{crit}} AS drift
+    FROM q
+    """.replace("{crit}", _CHI2_CRIT_SQL),
+    tags=("quality", "drift", "statistics"),
+)
+def quality_anova_f_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way ANOVA F omnibus on document length across sources —
+    the MEANS companion of the rank-based Kruskal-Wallis gate (KW
+    detects any location shift distribution-free; F is the classical
+    equal-means test whose between/within sum-of-squares decomposition
+    also READS as 'how much of the length variance is explained by
+    source' — eta^2 = SSB/(SSB+SSW) falls straight out of the output).
+    Verdict via the large-N chi-squared limit (k-1)*F -> chi2_(k-1)
+    (with dof_within in the hundreds of thousands the F and chi2
+    critical points agree to three decimals), reusing the literal
+    CHI2_CRIT_005 table + Wilson-Hilferty fallback — the same
+    asymptotic convention as every other gate.
+
+    Exactness: per-group (n, sum x, sum x^2) are exact BIGINTs
+    (n_chars is integer); each group's S^2/n term rounds to 6
+    decimals into a DECIMAL(38,6) sum (order-independent); SSB, SSW,
+    and F are one mirrored IEEE chain.
+
+    Scale: ONE map-side-combined groupBy(source) to a k-row moment
+    table, then k-row algebra — the cheapest possible omnibus; the
+    KW gate costs a value-histogram more."""
+    g = table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("s2").alias("ss2"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("n"), 6
+            ).cast("decimal(38,6)")
+        ).alias("sgs"),
+    )
+    ssb = F.col("sgs").cast("double") - F.col("ss").cast(
+        "double"
+    ) * F.col("ss") / F.col("nn")
+    ssw = F.col("ss2").cast("double") - F.col("sgs").cast("double")
+    stat = tot.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("k").cast("int").alias("k"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (F.col("k") - 1).cast("int").alias("dof_between"),
+        (F.col("nn") - F.col("k")).cast("bigint").alias("dof_within"),
+    )
+    f_stat = (F.col("ssb") / F.col("dof_between")) / (
+        F.col("ssw") / F.col("dof_within")
+    )
+    q = stat.select(
+        "*",
+        f_stat.alias("f_stat"),
+        F.col("dof_between").alias("dof"),
+        (F.col("dof_between") * f_stat).alias("chi2_approx"),
+    )
+    dof_d = F.col("dof").cast("double")
+    wh_b = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dof_d)
+        + F.lit(_WH_Z095) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof_d))
+    )
+    crit = dof_d * wh_b * wh_b * wh_b
+    for kk, vv in CHI2_CRIT_005.items():
+        crit = F.when(F.col("dof") == kk, F.lit(vv)).otherwise(crit)
+    return q.select(
+        "n",
+        "k",
+        "ssb",
+        "ssw",
+        "dof_between",
+        "dof_within",
+        "f_stat",
+        "chi2_approx",
+        crit.alias("critical_005"),
+        (F.col("chi2_approx") > crit).alias("drift"),
+    )

@@ -3385,3 +3385,168 @@ def stream_ece_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece"),
         F.max(gap).alias("mce"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact-quantile monitor
+# ---------------------------------------------------------------------------
+
+#: Quantiles the streaming monitor reports per ingest batch.
+QUANTILE_MONITOR_QS = (0.5, 0.9, 0.99)
+
+
+def _quantile_monitor_oracle() -> str:
+    qcols = ",\n           ".join(
+        f"""max(CASE WHEN cum >= CAST(ceil({q} * nb) AS BIGINT)
+                 AND cum - c < CAST(ceil({q} * nb) AS BIGINT)
+            THEN v END) AS p{str(q)[2:]}"""
+        for q in QUANTILE_MONITOR_QS
+    )
+    return f"""
+    WITH train AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, n_chars AS v, rn // ((n + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id,
+               count(*) AS nb
+        FROM chunked GROUP BY chunk_id
+    ),
+    hist AS (
+        SELECT chunk_id, v, count(*) AS c
+        FROM chunked GROUP BY 1, 2
+    ),
+    cum_t AS (
+        SELECT chunk_id, v, c,
+               SUM(c) OVER (PARTITION BY chunk_id ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    j AS (
+        SELECT c.chunk_id, c.v, c.c, c.cum, k.nb
+        FROM cum_t c JOIN keys k USING (chunk_id)
+    ),
+    agg AS (
+        SELECT chunk_id,
+           {qcols}
+        FROM j GROUP BY chunk_id
+    )
+    SELECT k.chunk_min_doc_id,
+           CAST(k.nb AS BIGINT) AS n_batch,
+           CAST(a.p5 AS BIGINT) AS p50,
+           CAST(a.p9 AS BIGINT) AS p90,
+           CAST(a.p99 AS BIGINT) AS p99
+    FROM agg a JOIN keys k USING (chunk_id)
+    """
+
+
+@register(
+    "stream_quantile_monitor",
+    oracle=_quantile_monitor_oracle(),
+    tags=("streaming", "quality", "statistics"),
+)
+def stream_quantile_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch EXACT length quantiles (p50/p90/p99) of the
+    ingest stream — the size dashboard a pipeline trends per batch
+    (p99 length jumping is the first symptom of boilerplate floods or
+    truncation bugs, before any distribution test fires).  Quantiles
+    are the lower discrete statistic (smallest v with cumulative
+    count >= ceil(q*n)) computed from the per-batch VALUE HISTOGRAM:
+    each trigger folds to integer (value, count) cells — n_chars is
+    domain-bounded, so per-trigger state is histogram-sized however
+    large the batch — and the order statistics are read off the
+    cumulative counts post-stream in Spark expressions; integer
+    in, integer out, no interpolation, no floats anywhere.  Batches
+    key by min doc_id (order-independent verdicts; the oracle
+    rebuilds the same ingest slices relationally).
+
+    Scale: the exact-histogram trick is the point — a naive per-batch
+    sort is a per-trigger global sort, while the histogram is one
+    map-side-combined groupBy whose size is the value domain, not the
+    batch; for unbounded-domain columns the documented swap is the
+    approx_percentile sketch (quality_approx_quantiles), same
+    table shape."""
+    from pyspark.sql import Window
+
+    rows: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("doc_id").alias("k")).collect()[0]["k"]
+        if key is None:
+            return
+        hist = (
+            batch_df.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # value-domain-sized per trigger
+        )
+        for r in hist:
+            rows.append((int(key), int(r["v"]), int(r["c"])))
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    hist = spark.createDataFrame(
+        rows, "chunk_min_doc_id bigint, v bigint, c bigint"
+    )
+    keys = hist.groupBy("chunk_min_doc_id").agg(
+        F.sum("c").alias("nb")
+    )
+    w_cum = (
+        Window.partitionBy("chunk_min_doc_id")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_t = hist.select(
+        "chunk_min_doc_id",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+    ).join(keys, "chunk_min_doc_id")
+    aggs = [
+        F.max(
+            F.when(
+                (
+                    F.col("cum")
+                    >= F.ceil(F.lit(q) * F.col("nb")).cast("bigint")
+                )
+                & (
+                    F.col("cum") - F.col("c")
+                    < F.ceil(F.lit(q) * F.col("nb")).cast("bigint")
+                ),
+                F.col("v"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"p{str(q)[2:]}")
+        for q in QUANTILE_MONITOR_QS
+    ]
+    out = cum_t.groupBy("chunk_min_doc_id").agg(*aggs)
+    return out.join(keys, "chunk_min_doc_id").select(
+        "chunk_min_doc_id",
+        F.col("nb").cast("bigint").alias("n_batch"),
+        F.col("p5").alias("p50"),
+        F.col("p9").alias("p90"),
+        "p99",
+    )

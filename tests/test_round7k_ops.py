@@ -275,3 +275,66 @@ def test_threshold_sweep_monotone_and_consistent(spark, sf_small):
     assert at04.n_pairs == len(allpairs)
     docs = {v for r in allpairs for v in (r.vec_a, r.vec_b)}
     assert at04.n_docs_with_dup == len(docs)
+
+
+# ---------------------------------------------------------------------------
+# Batch F: ANOVA F, streaming quantile monitor
+# ---------------------------------------------------------------------------
+
+
+def test_anova_f_statistics_replay(spark, sf_small):
+    """F from the textbook mean-deviation form (per-group means,
+    squared deviations row by row) vs the engine's power-sum form."""
+    rows = duckdb.connect().execute(
+        f"SELECT source, n_chars FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    by_src = defaultdict(list)
+    for s, v in rows:
+        by_src[s].append(v)
+    all_v = [v for vs in by_src.values() for v in vs]
+    mu = sum(all_v) / len(all_v)
+    ssb = sum(
+        len(vs) * (sum(vs) / len(vs) - mu) ** 2
+        for vs in by_src.values()
+    )
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2
+        for vs in by_src.values()
+        for v in vs
+    )
+    k, n = len(by_src), len(all_v)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    row = SPECS["quality_anova_f_drift"].fn(spark, sf_small).collect()[0]
+    assert (row.n, row.k) == (n, k)
+    assert (row.dof_between, row.dof_within) == (k - 1, n - k)
+    assert abs(row.ssb - ssb) / ssb < 1e-9
+    assert abs(row.ssw - ssw) / ssw < 1e-9
+    assert abs(row.f_stat - f_ref) / f_ref < 1e-9
+    assert abs(row.chi2_approx - (k - 1) * f_ref) / f_ref < 1e-8
+    assert row.drift == (row.chi2_approx > row.critical_005)
+    # eta^2 decomposition identity: SSB + SSW == total SS
+    sst = sum((v - mu) ** 2 for v in all_v)
+    assert abs((row.ssb + row.ssw) - sst) / sst < 1e-9
+
+
+def test_stream_quantile_monitor_sort_replay(spark, sf_small):
+    """p50/p90/p99 per chunk from a plain python sort of the raw
+    chunk values (order-statistic definition), vs the engine's
+    histogram/cumulative form."""
+    docs = duckdb.connect().execute(
+        f"""SELECT doc_id, n_chars FROM '{sf_small}/documents.parquet'
+        WHERE source <> 'src0' ORDER BY doc_id"""
+    ).fetchall()
+    step = (len(docs) + 2) // 3
+    rows = SPECS["stream_quantile_monitor"].fn(spark, sf_small).collect()
+    assert len(rows) == 3
+    got = {r.chunk_min_doc_id: r for r in rows}
+    for ci in range(3):
+        chunk = docs[ci * step : (ci + 1) * step]
+        if not chunk:
+            continue
+        vals = sorted(v for _, v in chunk)
+        r = got[chunk[0][0]]
+        assert r.n_batch == len(vals)
+        for q, col in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            assert col == vals[math.ceil(q * len(vals)) - 1]
