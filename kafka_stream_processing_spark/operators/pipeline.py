@@ -1668,3 +1668,112 @@ def pipeline_curriculum_order(
         .cast("bigint")
         .alias("curriculum_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sweep mixture calibration
+# ---------------------------------------------------------------------------
+
+#: Temperatures the sweep evaluates, chosen so every power is an exact
+#: IEEE sqrt chain (n^1, n^(1/2), n^(1/4)) — no libm pow anywhere.
+TEMP_SWEEP_TAUS = (1.0, 0.5, 0.25)
+
+
+@register(
+    "sample_temperature_sweep",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, count(*) AS n_docs
+        FROM documents GROUP BY source, lang
+    ),
+    taus AS (SELECT unnest([1.0, 0.5, 0.25]) AS tau),
+    w AS (
+        SELECT t.tau, c.source, c.lang, c.n_docs,
+               CAST(CASE t.tau
+                    WHEN 1.0 THEN CAST(c.n_docs AS DOUBLE)
+                    WHEN 0.5 THEN sqrt(CAST(c.n_docs AS DOUBLE))
+                    ELSE sqrt(sqrt(CAST(c.n_docs AS DOUBLE)))
+               END AS DECIMAL(18,12)) AS wdec
+        FROM taus t CROSS JOIN counts c
+    ),
+    tot AS (
+        SELECT tau, CAST(SUM(wdec) AS DOUBLE) AS wsum,
+               count(*) AS n_cells
+        FROM w GROUP BY tau
+    ),
+    shares AS (
+        SELECT w.tau, CAST(w.wdec AS DOUBLE) / t.wsum AS share
+        FROM w JOIN tot t USING (tau)
+    )
+    SELECT s.tau,
+           CAST(any_value(t.n_cells) AS BIGINT) AS n_cells,
+           max(s.share) AS max_share,
+           1.0 / CAST(SUM(CAST(round(s.share * s.share, 12)
+                AS DECIMAL(38,12))) AS DOUBLE) AS eff_cells_inv_simpson
+    FROM shares s JOIN tot t USING (tau)
+    GROUP BY s.tau
+    """,
+    tags=("sampling", "mixture", "evaluation"),
+)
+def sample_temperature_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature sweep for mixture balancing — the calibration curve
+    over sample_temperature_weights' single operating point: for
+    tau in (1, 1/2, 1/4) (proportional, mT5's T=2, heavier T=4
+    flattening), the resulting mixture's concentration read as
+    max_share (how dominant the head domain stays) and the
+    inverse-Simpson effective cell count 1/sum(share^2) (how many
+    domains the mixture 'really' samples from).  A pipeline picks tau
+    where effective cells approach the domain count without
+    epochs_at_budget exploding on the tail — this op gives the left
+    side of that trade-off in one pass.
+
+    Exactness: every power is an exact IEEE sqrt chain (n, sqrt n,
+    sqrt sqrt n — no libm pow), quantized to DECIMAL(18,12) before the
+    order-independent weight sum; shares are single double divisions;
+    share^2 terms round-12 into a DECIMAL(38,12) sum; inverse Simpson
+    avoids exp (the entropy-based effective count would need it).
+
+    Scale: ONE groupBy to the (source, lang) cell table, a 3x literal
+    fan-out, cell-domain-sized algebra — nothing corpus-sized after
+    the scan."""
+    counts = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in TEMP_SWEEP_TAUS], "tau double"
+    )
+    n_d = F.col("n_docs").cast("double")
+    wdec = (
+        F.when(F.col("tau") == 1.0, n_d)
+        .when(F.col("tau") == 0.5, F.sqrt(n_d))
+        .otherwise(F.sqrt(F.sqrt(n_d)))
+        .cast("decimal(18,12)")
+    )
+    w = F.broadcast(taus).crossJoin(counts).select(
+        "tau", wdec.alias("wdec")
+    )
+    tot = w.groupBy("tau").agg(
+        F.sum("wdec").cast("double").alias("wsum"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    shares = w.join(tot, "tau").select(
+        "tau",
+        "n_cells",
+        (F.col("wdec").cast("double") / F.col("wsum")).alias("share"),
+    )
+    return shares.groupBy("tau").agg(
+        F.any_value("n_cells").cast("bigint").alias("n_cells"),
+        F.max("share").alias("max_share"),
+        (
+            F.lit(1.0)
+            / F.sum(
+                F.round(F.col("share") * F.col("share"), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).cast("double")
+        ).alias("eff_cells_inv_simpson"),
+    )

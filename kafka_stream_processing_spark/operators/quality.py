@@ -6141,3 +6141,100 @@ def quality_anova_f_drift(
         crit.alias("critical_005"),
         (F.col("chi2_approx") > crit).alias("drift"),
     )
+
+
+#: ln(2) literal — the entropy-l-diversity gate at l = 2, read in log
+#: space so neither engine calls exp (the round-ln convention).
+LN2_LITERAL = 0.6931471805599453
+
+
+@register(
+    "quality_l_diversity_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, n_chars // {KANON_BUCKET_CHARS} AS len_bucket,
+               source, count(*) AS c
+        FROM documents GROUP BY 1, 2, 3
+    ),
+    groups AS (
+        SELECT lang, len_bucket,
+               SUM(c) AS k,
+               count(*) AS l_distinct,
+               SUM(CAST(round(c * ln(c), 12) AS DECIMAL(38,12))) AS s
+        FROM cells GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT *,
+               round(ln(CAST(k AS DOUBLE)), 12)
+                   - CAST(s AS DOUBLE) / k AS h
+        FROM groups
+    )
+    SELECT CASE WHEN l_distinct = 1 THEN 'l=1 leak'
+                WHEN l_distinct = 2 THEN 'l=2'
+                ELSE 'l>=3' END AS band,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(min(l_distinct) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN h < {LN2_LITERAL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_entropy_below_l2
+    FROM scored
+    GROUP BY 1
+    """,
+    tags=("quality", "privacy"),
+)
+def quality_l_diversity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure half of the
+    privacy pair (the k-anonymity op bounds RE-IDENTIFICATION; this
+    bounds what an attacker LEARNS once they pin the group: a QI group
+    that is 50-anonymous but single-source still discloses everyone's
+    source).  Quasi-identifiers (lang, length bucket — same
+    {KANON_BUCKET_CHARS}-char convention), sensitive attribute =
+    source.  Per group: distinct-l (how many sensitive values appear)
+    and entropy l-diversity, read in LOG space — H >= ln(l) iff
+    entropy-l >= l — against the ln(2) literal, so no engine calls
+    exp (Machanavajjhala et al. 2007's both definitions).  Output is
+    the release-gate band histogram: every group in the 'l=1 leak'
+    band discloses its members' source outright.
+
+    Exactness: H = ln(k) - (1/k) sum c ln c with every ln rounded to
+    12 decimals before use and the c*ln(c) terms summed as
+    DECIMAL(38,12) — the round-ln convention; all counts are exact
+    BIGINTs off one groupBy.
+
+    Scale: one map-side-combined groupBy over (QI, sensitive) cells
+    (bounded by the attribute-domain product), one groupBy to QI
+    groups, a 3-row band aggregate — corpus-size-independent state."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang",
+        F.expr(f"n_chars div {KANON_BUCKET_CHARS}").alias("len_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    groups = cells.groupBy("lang", "len_bucket").agg(
+        F.sum("c").alias("k"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")), 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("s"),
+    )
+    h = F.round(F.log(F.col("k").cast("double")), 12) - F.col(
+        "s"
+    ).cast("double") / F.col("k")
+    scored = groups.select("k", "l_distinct", h.alias("h"))
+    band = (
+        F.when(F.col("l_distinct") == 1, F.lit("l=1 leak"))
+        .when(F.col("l_distinct") == 2, F.lit("l=2"))
+        .otherwise(F.lit("l>=3"))
+    )
+    return scored.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("l_distinct").cast("bigint").alias("min_l"),
+        F.sum((F.col("h") < F.lit(LN2_LITERAL)).cast("int"))
+        .cast("bigint")
+        .alias("n_entropy_below_l2"),
+    )

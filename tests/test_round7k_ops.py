@@ -338,3 +338,73 @@ def test_stream_quantile_monitor_sort_replay(spark, sf_small):
         assert r.n_batch == len(vals)
         for q, col in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
             assert col == vals[math.ceil(q * len(vals)) - 1]
+
+
+# ---------------------------------------------------------------------------
+# Batch G: l-diversity, temperature sweep
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_python_replay(spark, sf_small):
+    rows = duckdb.connect().execute(
+        f"""SELECT lang, n_chars // 100, source, count(*)
+        FROM '{sf_small}/documents.parquet' GROUP BY 1, 2, 3"""
+    ).fetchall()
+    groups = defaultdict(lambda: defaultdict(int))
+    for lang, lb, src, c in rows:
+        groups[(lang, lb)][src] += c
+    bands = defaultdict(lambda: [0, 0, 10**9, 0])
+    for srcs in groups.values():
+        k = sum(srcs.values())
+        l = len(srcs)
+        h = math.log(k) - sum(c * math.log(c) for c in srcs.values()) / k
+        band = "l=1 leak" if l == 1 else ("l=2" if l == 2 else "l>=3")
+        b = bands[band]
+        b[0] += 1
+        b[1] += k
+        b[2] = min(b[2], l)
+        if h < math.log(2):
+            b[3] += 1
+    got = {
+        r.band: r
+        for r in SPECS["quality_l_diversity_audit"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert set(got) == set(bands)
+    for band, (ng, nr, ml, ne) in bands.items():
+        r = got[band]
+        assert (r.n_groups, r.n_rows, r.min_l) == (ng, nr, ml)
+        assert r.n_entropy_below_l2 == ne
+    # entropy-l can never exceed distinct-l: every l=1 group must fail
+    if "l=1 leak" in got:
+        assert (
+            got["l=1 leak"].n_entropy_below_l2
+            == got["l=1 leak"].n_groups
+        )
+
+
+def test_temperature_sweep_flattening_monotone(spark, sf_small):
+    """Lower tau must flatten the mixture: max_share non-increasing,
+    effective cells non-decreasing as tau drops; tau=1 row must equal
+    the raw proportional mixture computed in python."""
+    rows = duckdb.connect().execute(
+        f"""SELECT source, lang, count(*)
+        FROM '{sf_small}/documents.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    n_tot = sum(c for _, _, c in rows)
+    shares = [c / n_tot for _, _, c in rows]
+    out = sorted(
+        SPECS["sample_temperature_sweep"].fn(spark, sf_small).collect(),
+        key=lambda r: -r.tau,
+    )
+    assert [r.tau for r in out] == [1.0, 0.5, 0.25]
+    assert all(r.n_cells == len(rows) for r in out)
+    assert abs(out[0].max_share - max(shares)) < 1e-9
+    assert abs(
+        out[0].eff_cells_inv_simpson - 1 / sum(s * s for s in shares)
+    ) < 1e-6
+    for hi, lo in zip(out, out[1:]):
+        assert lo.max_share <= hi.max_share + 1e-12
+        assert lo.eff_cells_inv_simpson >= hi.eff_cells_inv_simpson - 1e-9
+        assert lo.eff_cells_inv_simpson <= lo.n_cells + 1e-9
