@@ -3268,3 +3268,165 @@ def embedding_hubness_audit(
         )
         .orderBy("k_occurrence")
     )
+
+
+@register(
+    "embedding_twonn_ivf_shortlist",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, emb, {_argmin_cell_sql()} AS cell FROM v
+    ),
+    probes AS (
+        SELECT vec_id AS i, emb AS qemb,
+               unnest({_probe_cells_sql(2)}) AS pc
+        FROM v
+    ),
+    pairs AS (
+        SELECT p.i, d.vec_id AS j,
+               {_dist2_sql('p.qemb', 'd.emb')} AS d2
+        FROM probes p
+        JOIN assigned d ON d.cell = p.pc AND d.vec_id <> p.i
+    ),
+    ranked AS (
+        SELECT i, d2,
+               row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+        FROM pairs
+    ),
+    two AS (
+        SELECT i,
+               MAX(CASE WHEN rn = 1 THEN d2 END) AS d1sq,
+               MAX(CASE WHEN rn = 2 THEN d2 END) AS d2sq
+        FROM ranked WHERE rn <= 2 GROUP BY i
+    ),
+    full_t AS (
+        SELECT v.vec_id, two.d1sq, two.d2sq
+        FROM v LEFT JOIN two ON two.i = v.vec_id
+    ),
+    terms AS (
+        SELECT vec_id,
+               CASE WHEN d2sq IS NULL THEN 1 ELSE 0 END AS short,
+               CASE WHEN d2sq IS NOT NULL AND d1sq = 0
+                    THEN 1 ELSE 0 END AS excl,
+               CASE WHEN d2sq IS NOT NULL AND d1sq > 0 THEN
+                   round(0.5 * ln(CAST(d2sq AS DOUBLE)
+                                  / CAST(d1sq AS DOUBLE)), 12)
+               END AS log_mu
+        FROM full_t
+    ),
+    agg AS (
+        SELECT count(*) AS n_points,
+               CAST(SUM(short) AS BIGINT) AS n_short,
+               CAST(SUM(excl) AS BIGINT) AS n_excluded,
+               SUM(CAST(log_mu AS DECIMAL(38,12))) AS s
+        FROM terms
+    )
+    SELECT CAST(n_points AS BIGINT) AS n_points,
+           n_short, n_excluded,
+           CAST(s AS DOUBLE) AS sum_log_mu,
+           CAST(n_points - n_short - n_excluded AS DOUBLE)
+               / CAST(s AS DOUBLE) AS twonn_dim
+    FROM agg
+    """,
+    tags=("similarity", "embedding", "ann", "statistics"),
+)
+def embedding_twonn_ivf_shortlist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TwoNN intrinsic dimension over IVF-SHORTLISTED neighbor lists —
+    the production form of embedding_intrinsic_dimension_twonn: each
+    point's top-2 candidates come from its nprobe=2 nearest coarse
+    cells (the registered IVF kernel: same centroids, same sorted-
+    struct probe expression, same exact DECIMAL distance kernel, same
+    (d2, j) tiebreak), so the self-join shrinks from all-pairs n^2 to
+    sum over cells of (2-probe membership x cell size) — with the
+    production sqrt(n)-cell quantizer that is ~n^1.5, and the cells
+    are also the physical partitioning, so candidates co-locate.
+    Points whose shortlist yields fewer than two candidates are
+    reported (n_short) and excluded from the MLE alongside exact
+    duplicates (n_excluded), making the estimator's evidence base
+    explicit — shortlist recall loss shows up as a (reported,
+    bounded) perturbation of d, pinned against the exact op by test.
+
+    Exactness: identical discipline to the exact op — decimal d2,
+    round-ln(12) terms, DECIMAL(38,12) sum, one mirrored final
+    division; the probe list is the IVF ops' deterministic sorted-
+    struct cut, so the candidate SET is bit-identical cross-engine.
+
+    Scale: this IS the scale path (the exact op keeps the small-n
+    oracle role); estimator stage O(n) after the cell-bounded join."""
+    from pyspark.sql import Window
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    assigned = v.select(
+        F.col("vec_id").alias("j"),
+        F.col("emb").alias("emb_j"),
+        ivf_cell(F.col("emb")).alias("cell"),
+    )
+    probes = v.select(
+        F.col("vec_id").alias("i"),
+        F.col("emb").alias("qemb"),
+        F.explode(probe_cells(F.col("emb"), 2)).alias("pc"),
+    )
+    pairs = probes.join(
+        assigned,
+        (F.col("cell") == F.col("pc")) & (F.col("j") != F.col("i")),
+    ).select(
+        "i",
+        "j",
+        dist2_exact(F.col("qemb"), F.col("emb_j")).alias("d2"),
+    )
+    w = Window.partitionBy("i").orderBy("d2", "j")
+    two = (
+        pairs.select("i", "d2", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .groupBy("i")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1sq"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2sq"),
+        )
+    )
+    full_t = v.select("vec_id").join(
+        two, F.col("vec_id") == F.col("i"), "left"
+    )
+    short = F.col("d2sq").isNull().cast("bigint")
+    excl = (
+        F.col("d2sq").isNotNull() & (F.col("d1sq") == 0)
+    ).cast("bigint")
+    log_mu = F.when(
+        F.col("d2sq").isNotNull() & (F.col("d1sq") > 0),
+        F.round(
+            F.lit(0.5)
+            * F.log(
+                F.col("d2sq").cast("double")
+                / F.col("d1sq").cast("double")
+            ),
+            12,
+        ),
+    )
+    agg = full_t.select(
+        short.alias("short"), excl.alias("excl"), log_mu.alias("log_mu")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("short").cast("bigint").alias("n_short"),
+        F.sum("excl").cast("bigint").alias("n_excluded"),
+        F.sum(F.col("log_mu").cast("decimal(38,12)")).alias("s"),
+    )
+    return agg.select(
+        F.col("n_points").cast("bigint").alias("n_points"),
+        "n_short",
+        "n_excluded",
+        F.col("s").cast("double").alias("sum_log_mu"),
+        (
+            (
+                F.col("n_points") - F.col("n_short") - F.col("n_excluded")
+            ).cast("double")
+            / F.col("s").cast("double")
+        ).alias("twonn_dim"),
+    )

@@ -363,3 +363,25 @@ def test_local_cc_triangle_mass_matches_global_count(spark, sf_small):
         spark, sf_small
     ).collect()
     assert sum(r.n_triangles for r in rows) == 3 * tri_total
+
+
+def test_twonn_ivf_shortlist_close_to_exact(spark, sf_small):
+    """The shortlisted estimator must (a) report its evidence base
+    honestly (n_short + n_excluded + used = n_points), and (b) land
+    near the exact all-pairs estimate — with nprobe=2 of 8 cells the
+    true NN is in a probed cell for almost every point, so the
+    estimate should agree within a loose 15% band (it is an
+    approximation, not a reimplementation)."""
+    exact = SPECS["embedding_intrinsic_dimension_twonn"].fn(
+        spark, sf_small
+    ).collect()[0]
+    short = SPECS["embedding_twonn_ivf_shortlist"].fn(
+        spark, sf_small
+    ).collect()[0]
+    assert short.n_points == exact.n_points
+    used = short.n_points - short.n_short - short.n_excluded
+    assert used > 0.9 * short.n_points
+    assert abs(short.twonn_dim - exact.twonn_dim) < 0.15 * exact.twonn_dim
+    # shortlisted distances can only be >= true NN distances, so the
+    # per-point ratios shrink or grow but the estimator stays positive
+    assert short.twonn_dim > 0
