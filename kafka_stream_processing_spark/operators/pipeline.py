@@ -1777,3 +1777,100 @@ def sample_temperature_sweep(
             ).cast("double")
         ).alias("eff_cells_inv_simpson"),
     )
+
+
+@register(
+    "quality_filter_interaction_matrix",
+    oracle="""
+    WITH feats AS (
+        SELECT len(string_split(text, ' ')) AS n_words,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                                  w -> length(w)), 'sum')
+                    AS BIGINT) AS total_chars,
+               list_max(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   w -> len(list_filter(string_split(text, ' '),
+                                        t -> t = w)))) AS n_top,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                   AS n_stop
+        FROM documents
+    ),
+    flagged AS (
+        SELECT (n_words >= 30)                                  AS ok_minlen,
+               (total_chars >= 3 * n_words
+                AND total_chars <= 8 * n_words)                 AS ok_meanlen,
+               (n_top * 8 <= n_words)                           AS ok_repetition,
+               (n_stop >= 1)                                    AS ok_stopword
+        FROM feats
+    ),
+    tot AS (SELECT count(*) AS n FROM flagged)
+    SELECT ok_minlen, ok_meanlen, ok_repetition, ok_stopword,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / any_value(t.n) AS share,
+           (CAST(ok_minlen AS INT) + CAST(ok_meanlen AS INT)
+            + CAST(ok_repetition AS INT) + CAST(ok_stopword AS INT) = 3)
+               AS solely_blocked
+    FROM flagged, tot t
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("pipeline", "quality"),
+)
+def quality_filter_interaction_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filter interaction matrix for the Gopher rule chain — the
+    ablation table quality_gopher_filters' per-rule marginals cannot
+    give: per PASS/FAIL COMBINATION of the four rules, how many
+    documents land there.  Reads off directly: which rules are
+    redundant (their fail set is a subset of another's — the combo
+    rows where only they fail are empty), which docs are 'solely
+    blocked' by exactly one rule (flagged: relaxing that one rule
+    admits exactly those rows), and the true joint keep rate (the
+    all-true row) versus what independent marginals would predict.
+    This is how a curation team decides which filter to tune without
+    re-running the corpus 2^4 times.
+
+    Exactness: the four flags are the SAME integer cross-product rule
+    expressions as quality_gopher_filters (built on the exported
+    gopher_feature_columns kernel); everything else is integer
+    counting plus one share division.
+
+    Scale: one projection over the scan (higher-order array
+    functions, no explode), then one groupBy onto at most 16 rows —
+    corpus-size-independent state, identical cost to the marginal
+    audit it extends."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    feats = d.select(*gopher_feature_columns())
+    flagged = feats.select(
+        (F.col("n_words") >= 30).alias("ok_minlen"),
+        (
+            (F.col("total_chars") >= 3 * F.col("n_words"))
+            & (F.col("total_chars") <= 8 * F.col("n_words"))
+        ).alias("ok_meanlen"),
+        (F.col("n_top") * 8 <= F.col("n_words")).alias("ok_repetition"),
+        (F.col("n_stop") >= 1).alias("ok_stopword"),
+    )
+    tot = flagged.agg(F.count(F.lit(1)).alias("n"))
+    n_ok = (
+        F.col("ok_minlen").cast("int")
+        + F.col("ok_meanlen").cast("int")
+        + F.col("ok_repetition").cast("int")
+        + F.col("ok_stopword").cast("int")
+    )
+    return (
+        flagged.groupBy(
+            "ok_minlen", "ok_meanlen", "ok_repetition", "ok_stopword"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ok_minlen",
+            "ok_meanlen",
+            "ok_repetition",
+            "ok_stopword",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n")).alias("share"),
+            (n_ok == 3).alias("solely_blocked"),
+        )
+    )

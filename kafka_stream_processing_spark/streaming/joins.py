@@ -3550,3 +3550,127 @@ def stream_quantile_monitor(
         F.col("p9").alias("p90"),
         "p99",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation-yield monitor (Gopher rule chain per ingest batch)
+# ---------------------------------------------------------------------------
+
+_YIELD_MONITOR_ORACLE = """
+    WITH train AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    feats AS (
+        SELECT doc_id, rn // ((n + 2) // 3) AS chunk_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                                  w -> length(w)), 'sum')
+                    AS BIGINT) AS total_chars,
+               list_max(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   w -> len(list_filter(string_split(text, ' '),
+                                        t -> t = w)))) AS n_top,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the', 'a', 'of', 'and', 'to',
+                                          'in'))) AS n_stop
+        FROM train
+    ),
+    flagged AS (
+        SELECT chunk_id, doc_id,
+               CASE WHEN n_words >= 30
+                     AND total_chars >= 3 * n_words
+                     AND total_chars <= 8 * n_words
+                     AND n_top * 8 <= n_words
+                     AND n_stop >= 1 THEN 1 ELSE 0 END AS keep
+        FROM feats
+    )
+    SELECT min(doc_id) AS chunk_min_doc_id,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST(SUM(keep) AS DOUBLE) / count(*) AS keep_rate
+    FROM flagged GROUP BY chunk_id
+    """
+
+
+@register(
+    "stream_filter_yield_monitor",
+    oracle=_YIELD_MONITOR_ORACLE,
+    tags=("streaming", "pipeline", "quality"),
+)
+def stream_filter_yield_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch Gopher-filter keep rate — the curation-yield
+    dashboard cell a streaming ingest pipeline watches per trigger: a
+    keep-rate cliff on one batch means the upstream crawl changed
+    (encoding break, boilerplate flood) long before any distribution
+    gate fires.  The four rules are quality_gopher_filters' exact
+    integer cross-product expressions (shared gopher_feature_columns
+    kernel) evaluated INSIDE the stream as a stateless narrow
+    projection — zero streaming state, verdicts final per batch,
+    keyed by min doc_id so the oracle rebuilds the same ingest slices
+    relationally.
+
+    Scale: the filter is embarrassingly parallel per document; the
+    per-trigger driver traffic is TWO integers (kept, total).  This
+    is the operator the reference's linear topology most resembles —
+    a per-record scorer folded to a per-window count — done with
+    bounded state."""
+    from kafka_stream_processing_spark.operators.pipeline import (
+        gopher_feature_columns,
+    )
+
+    rows: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        feats = batch_df.select(
+            "doc_id", *gopher_feature_columns()
+        )
+        keep = (
+            (F.col("n_words") >= 30)
+            & (F.col("total_chars") >= 3 * F.col("n_words"))
+            & (F.col("total_chars") <= 8 * F.col("n_words"))
+            & (F.col("n_top") * 8 <= F.col("n_words"))
+            & (F.col("n_stop") >= 1)
+        ).cast("bigint")
+        agg = feats.select(
+            "doc_id", keep.alias("keep")
+        ).agg(
+            F.min("doc_id").alias("k"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("keep").alias("kept"),
+        ).collect()[0]
+        if agg["k"] is None:
+            return
+        rows.append((int(agg["k"]), int(agg["n"]), int(agg["kept"])))
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "text")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    out = spark.createDataFrame(
+        rows, "chunk_min_doc_id bigint, n_batch bigint, n_keep bigint"
+    )
+    return out.select(
+        "chunk_min_doc_id",
+        "n_batch",
+        "n_keep",
+        (F.col("n_keep").cast("double") / F.col("n_batch")).alias(
+            "keep_rate"
+        ),
+    )

@@ -408,3 +408,75 @@ def test_temperature_sweep_flattening_monotone(spark, sf_small):
         assert lo.max_share <= hi.max_share + 1e-12
         assert lo.eff_cells_inv_simpson >= hi.eff_cells_inv_simpson - 1e-9
         assert lo.eff_cells_inv_simpson <= lo.n_cells + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Batch I: filter interaction matrix + streaming yield monitor
+# ---------------------------------------------------------------------------
+
+
+def _gopher_flags(text: str) -> tuple[bool, bool, bool, bool]:
+    toks = text.split(" ")
+    n_words = len(toks)
+    total_chars = sum(len(w) for w in toks)
+    n_top = max(toks.count(w) for w in set(toks)) if toks else 0
+    n_stop = sum(
+        1 for t in toks if t in ("the", "a", "of", "and", "to", "in")
+    )
+    return (
+        n_words >= 30,
+        3 * n_words <= total_chars <= 8 * n_words,
+        n_top * 8 <= n_words,
+        n_stop >= 1,
+    )
+
+
+def test_filter_interaction_matrix_replay(spark, sf_small):
+    docs = duckdb.connect().execute(
+        f"SELECT text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    combos = Counter(_gopher_flags(t) for (t,) in docs)
+    rows = SPECS["quality_filter_interaction_matrix"].fn(
+        spark, sf_small
+    ).collect()
+    got = {
+        (r.ok_minlen, r.ok_meanlen, r.ok_repetition, r.ok_stopword): r
+        for r in rows
+    }
+    assert got.keys() == combos.keys()
+    n_tot = len(docs)
+    for combo, n in combos.items():
+        r = got[combo]
+        assert r.n_docs == n
+        assert abs(r.share - n / n_tot) < 1e-12
+        assert r.solely_blocked == (sum(combo) == 3)
+    # consistency with the marginal audit: all-true row == sum n_keep
+    marg = SPECS["quality_gopher_filters"].fn(spark, sf_small).collect()
+    keep_total = sum(r.n_keep for r in marg)
+    all_true = got.get((True, True, True, True))
+    assert (all_true.n_docs if all_true else 0) == keep_total
+
+
+def test_stream_filter_yield_chunks_sum_to_batch(spark, sf_small):
+    """The three chunk keep-counts must partition the batch keep count
+    computed by the interaction matrix's all-true cell over the
+    training pool."""
+    docs = duckdb.connect().execute(
+        f"""SELECT doc_id, text FROM '{sf_small}/documents.parquet'
+        WHERE source <> 'src0' ORDER BY doc_id"""
+    ).fetchall()
+    keeps = [all(_gopher_flags(t)) for _, t in docs]
+    step = (len(docs) + 2) // 3
+    rows = sorted(
+        SPECS["stream_filter_yield_monitor"].fn(
+            spark, sf_small
+        ).collect(),
+        key=lambda r: r.chunk_min_doc_id,
+    )
+    assert len(rows) == 3
+    for ci, r in enumerate(rows):
+        chunk = keeps[ci * step : (ci + 1) * step]
+        assert r.chunk_min_doc_id == docs[ci * step][0]
+        assert r.n_batch == len(chunk)
+        assert r.n_keep == sum(chunk)
+        assert abs(r.keep_rate - sum(chunk) / len(chunk)) < 1e-12
