@@ -1954,3 +1954,123 @@ def text_mcnemar_langid_vs_majority(
             "differs_005"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language profiles — the documented marker-list upgrade
+# ---------------------------------------------------------------------------
+
+#: Profile size: top-K character trigrams per labeled language.
+NGRAM_PROFILE_K = 50
+
+_TRIGRAMS_SQL = (
+    "list_transform(range(1, length(text) - 1), p -> substr(text, p, 3))"
+)
+
+
+@register(
+    "text_langid_char_ngram_profile",
+    oracle=f"""
+    WITH tris AS (
+        SELECT doc_id, lang, unnest({_TRIGRAMS_SQL}) AS tri
+        FROM documents WHERE length(text) >= 3
+    ),
+    counts AS (
+        SELECT lang, tri, count(*) AS c FROM tris GROUP BY 1, 2
+    ),
+    profiles AS (
+        SELECT lang AS plang, tri FROM (
+            SELECT lang, tri,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, tri) AS rn
+            FROM counts
+        ) WHERE rn <= {NGRAM_PROFILE_K}
+    ),
+    scores AS (
+        SELECT t.doc_id, p.plang, count(*) AS score
+        FROM tris t JOIN profiles p ON p.tri = t.tri
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, plang FROM (
+            SELECT doc_id, plang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, plang) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           d.lang AS labeled_lang,
+           COALESCE(b.plang, 'und') AS predicted_lang
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """,
+    tags=("text", "evaluation"),
+)
+def text_langid_char_ngram_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Character-trigram-profile language ID — the upgrade the
+    marker-list op's docstring promises ('a real pipeline swaps the
+    marker lists for character-n-gram profiles'): per labeled
+    language, the top-{NGRAM_PROFILE_K} character trigrams by corpus
+    count form its profile (Cavnar-Trenkle's out-of-place method
+    simplified to profile-hit counting, which keeps every score an
+    exact integer); each document is scored by how many of its
+    trigram OCCURRENCES hit each profile, argmax with (score desc,
+    lang asc) determinism, 'und' when nothing hits.  Training and
+    inference are the same corpus pass — the self-trained form a
+    curation pipeline bootstraps with before it has labels elsewhere.
+
+    Determinism: trigram extraction is pure substring windows
+    (identical both engines), profile cut and argmax both carry
+    explicit tiebreaks, scores are integers — no floats anywhere.
+
+    Scale: the trigram explode is linear in corpus BYTES (the text
+    ops' common cost); profiles are |langs| x K rows and BROADCAST
+    into the scoring join; scoring collapses per (doc, lang) with
+    map-side combine.  Nothing vocab-scale shuffles except the
+    training groupBy, bounded by the trigram domain."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tris = d.filter(F.length("text") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), "
+                "p -> substring(text, p, 3))"
+            )
+        ).alias("tri"),
+    )
+    counts = tris.groupBy("lang", "tri").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "tri")
+    profiles = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NGRAM_PROFILE_K)
+        .select(F.col("lang").alias("plang"), "tri")
+    )
+    scores = (
+        tris.join(F.broadcast(profiles), "tri")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), "plang"
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "plang")
+    )
+    return d.select("doc_id", F.col("lang").alias("labeled_lang")).join(
+        best, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "labeled_lang",
+        F.coalesce(F.col("plang"), F.lit("und")).alias(
+            "predicted_lang"
+        ),
+    )

@@ -6121,3 +6121,177 @@ def window_theil_inequality_decomposition(
         (share * t_within).alias("within_contrib"),
         between.alias("between_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Damped-trend Holt — the flattening member of the smoothing ladder
+# ---------------------------------------------------------------------------
+
+#: Damping factor (Gardner-McKenzie).  0.9 is representable exactly
+#: enough as a double literal that both engines multiply by the SAME
+#: IEEE value; the 10-step damped sum below is a python-computed
+#: literal so neither engine calls pow.
+HOLT_DAMPING_PHI = 0.9
+
+#: sum_{h=1..10} phi^h as one literal (the 10-step-ahead trend
+#: multiplier under damping).
+_PHI_SUM_10 = sum(HOLT_DAMPING_PHI**h for h in range(1, 11))
+
+
+def _holt_damped_fold(pdf):
+    """Per-series DAMPED Holt fold (alpha = beta = 1/2, phi = 0.9) —
+    `_holt_fold` with the trend damped by phi in both the level
+    update and its own persistence; same C-style half-away round-6
+    per step as every fold so the trajectory is bit-identical to the
+    oracle's recursive CTE."""
+    import math
+
+    import pandas as pd
+
+    phi = HOLT_DAMPING_PHI
+
+    def r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    cols = [
+        "event_type",
+        "day",
+        "idx",
+        "revenue",
+        "level",
+        "trend",
+        "forecast",
+        "forecast_h10",
+        "residual",
+    ]
+    pdf = pdf.sort_values("i").reset_index(drop=True)
+    if len(pdf) < 2:
+        return pd.DataFrame(columns=cols)
+    xs = list(pdf["x"])
+    out = []
+    l_prev = xs[0]
+    b_prev = xs[1] - xs[0]
+    out.append(
+        (1, xs[0], l_prev, b_prev, None, l_prev + b_prev * _PHI_SUM_10, None)
+    )
+    for t in range(2, len(xs) + 1):
+        x = xs[t - 1]
+        f = l_prev + phi * b_prev
+        l_new = r6(0.5 * x + 0.5 * (l_prev + phi * b_prev))
+        b_new = r6(0.5 * (l_new - l_prev) + 0.5 * phi * b_prev)
+        out.append(
+            (t, x, l_new, b_new, f, l_new + b_new * _PHI_SUM_10, x - f)
+        )
+        l_prev, b_prev = l_new, b_new
+    res = pd.DataFrame(
+        out,
+        columns=[
+            "idx",
+            "revenue",
+            "level",
+            "trend",
+            "forecast",
+            "forecast_h10",
+            "residual",
+        ],
+    )
+    res.insert(0, "event_type", pdf["event_type"].iloc[0])
+    res.insert(1, "day", list(pdf["day"]))
+    return res[cols]
+
+
+@register(
+    "window_holt_damped_trend",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i
+        FROM daily
+    ),
+    rec(event_type, i, l, b) AS (
+        SELECT i1.event_type, 1, i1.x, i2.x - i1.x
+        FROM idx i1 JOIN idx i2
+          ON i2.event_type = i1.event_type AND i2.i = 2
+        WHERE i1.i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               round(0.5 * d.x
+                     + 0.5 * (r.l + {HOLT_DAMPING_PHI} * r.b), 6),
+               round(0.5 * (round(0.5 * d.x
+                     + 0.5 * (r.l + {HOLT_DAMPING_PHI} * r.b), 6)
+                            - r.l)
+                     + 0.5 * {HOLT_DAMPING_PHI} * r.b, 6)
+        FROM rec r JOIN idx d
+          ON d.event_type = r.event_type AND d.i = r.i + 1
+    )
+    SELECT r.event_type,
+           CAST(d.day AS VARCHAR) AS day,
+           CAST(r.i AS BIGINT) AS idx,
+           d.x AS revenue,
+           r.l AS level,
+           r.b AS trend,
+           CASE WHEN r.i = 1 THEN NULL
+                ELSE p.l + {HOLT_DAMPING_PHI} * p.b END AS forecast,
+           r.l + r.b * {_PHI_SUM_10!r} AS forecast_h10,
+           CASE WHEN r.i = 1 THEN NULL
+                ELSE d.x - (p.l + {HOLT_DAMPING_PHI} * p.b)
+           END AS residual
+    FROM rec r
+    JOIN idx d ON d.event_type = r.event_type AND d.i = r.i
+    LEFT JOIN rec p
+      ON p.event_type = r.event_type AND p.i = r.i - 1
+    """,
+    tags=("windowed", "timeseries", "forecast", "stateful"),
+)
+def window_holt_damped_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAMPED-trend Holt smoothing (Gardner-McKenzie, phi = 0.9) of
+    per-event-type daily revenue — the smoothing-ladder member the
+    plain Holt op deliberately lacks: undamped Holt extrapolates its
+    last trend linearly FOREVER (the classic long-horizon blowup),
+    while damping multiplies the trend by phi at every step so the
+    h-step forecast flattens toward l + b*phi/(1-phi).
+    forecast_h10 = l + b * sum(phi^h, h=1..10) exposes the flattened
+    10-step view per row — the python-literal damped sum means
+    neither engine calls pow.
+
+    Same machinery as window_holt_linear_smoothing (one
+    applyInPandas fold per series, round-6 per step, scalar-state
+    recursive-CTE oracle); the recursion differs only in the two phi
+    multiplications, mirrored literal-for-literal.
+
+    Scale: per-series linear fold, O(1) state; series parallelize
+    across tasks — the smoothing family's shared shape."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+    )
+    idx = daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    return idx.groupBy("event_type").applyInPandas(
+        _holt_damped_fold,
+        schema=(
+            "event_type string, day string, idx bigint, "
+            "revenue double, level double, trend double, "
+            "forecast double, forecast_h10 double, residual double"
+        ),
+    )

@@ -203,3 +203,93 @@ def test_theil_decomposition_identity(spark, sf_small):
             r.between_contrib
             - (sum(vals) / yy) * math.log(mg / mu)
         ) < 1e-6
+
+
+def test_holt_damped_sequential_replay(spark, sf_small):
+    """Damped recursion replayed in plain python; damping must also
+    flatten: |forecast_h10 - level| <= 10*|trend| strictly below the
+    undamped linear extrapolation when trend != 0."""
+    PHI = 0.9
+    PHI_SUM = sum(PHI**h for h in range(1, 11))
+
+    def r6(v):
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    series = _daily_by_type(sf_small)
+    rows = SPECS["window_holt_damped_trend"].fn(
+        spark, sf_small
+    ).collect()
+    got = {(r.event_type, r.idx): r for r in rows}
+    for t, pts in series.items():
+        xs = [x for _, x in pts]
+        if len(xs) < 2:
+            continue
+        l, b = xs[0], xs[1] - xs[0]
+        assert got[(t, 1)].forecast is None
+        assert abs(got[(t, 1)].forecast_h10 - (l + b * PHI_SUM)) < 1e-6
+        for i in range(2, len(xs) + 1):
+            x = xs[i - 1]
+            f = l + PHI * b
+            l_new = r6(0.5 * x + 0.5 * (l + PHI * b))
+            b_new = r6(0.5 * (l_new - l) + 0.5 * PHI * b)
+            r = got[(t, i)]
+            assert abs(r.forecast - f) < 1e-9
+            assert abs(r.level - l_new) < 1e-9
+            assert abs(r.trend - b_new) < 1e-9
+            assert abs(r.forecast_h10 - (l_new + b_new * PHI_SUM)) < 1e-6
+            # damped 10-step extrapolation is strictly inside the
+            # undamped one whenever there is any trend at all
+            if abs(b_new) > 1e-9:
+                assert abs(r.forecast_h10 - r.level) < 10 * abs(
+                    b_new
+                )
+            l, b = l_new, b_new
+
+
+def test_char_ngram_langid_python_replay(spark, sf_small):
+    """Profiles and predictions replayed with plain dict counting."""
+    from collections import Counter, defaultdict
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    by_lang = defaultdict(Counter)
+    tri_of = {}
+    for doc_id, lang, text in docs:
+        tris = [text[p : p + 3] for p in range(len(text) - 2)]
+        tri_of[doc_id] = tris
+        by_lang[lang].update(tris)
+    profiles = {
+        lang: {
+            t
+            for t, _ in sorted(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:50]
+        }
+        for lang, cnt in by_lang.items()
+    }
+    rows = SPECS["text_langid_char_ngram_profile"].fn(
+        spark, sf_small
+    ).collect()
+    assert len(rows) == len(docs)
+    got = {r.doc_id: r for r in rows}
+    n_correct = 0
+    for doc_id, lang, text in docs:
+        scores = {
+            pl: sum(1 for t in tri_of[doc_id] if t in prof)
+            for pl, prof in profiles.items()
+        }
+        best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        pred = best[0] if best[1] > 0 else "und"
+        r = got[doc_id]
+        assert r.labeled_lang == lang
+        assert r.predicted_lang == pred
+        n_correct += pred == lang
+    # factual floor only: predictions live in the label space and at
+    # least SOME docs are classified correctly.  (On this synthetic
+    # corpus the languages share one vocabulary pool, so trigram
+    # profiles overlap heavily — absolute accuracy is a property of
+    # the DATA, not of the operator, and is not asserted.)
+    labels = {lang for _, lang, _ in docs}
+    assert {r.predicted_lang for r in rows} <= labels | {"und"}
+    assert n_correct > 0
