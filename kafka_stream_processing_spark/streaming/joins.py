@@ -3674,3 +3674,241 @@ def stream_filter_yield_monitor(
             "keep_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 history maintenance
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               sum(is_change) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked
+    ),
+    hist AS (
+        SELECT user_id, event_type, run_id,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from, run_id))
+               AS valid_to_us,
+           n_events
+    FROM hist
+    """
+
+
+@register(
+    "stream_scd2_incremental",
+    oracle=_SCD2_ORACLE,
+    tags=("streaming", "scd", "cdc"),
+)
+def stream_scd2_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SCD2 maintenance: the slowly-changing-dimension
+    history that scd2_user_type_history derives in one batch pass,
+    maintained INCREMENTALLY as events arrive — each micro-batch
+    folds its own per-user runs (the same change-flag/run-id windows,
+    batch-local), then MERGEs against the table's OPEN rows: an open
+    run whose type matches the batch's first run for that user is
+    extended (n_events accumulates, valid_from survives); otherwise
+    it closes at the new run's start.  Same generational-parquet
+    target as the CDC op (atomic generation swap = crash safety;
+    per-key state lives in the TABLE, not the state store).  The
+    oracle is scd2_user_type_history's oracle VERBATIM — replaying
+    the stream provably reconstructs the batch-derived history, the
+    core incremental-maintenance contract.
+
+    Correctness lever: the staged event chunks are globally
+    (ts, event_id)-ordered, so every batch strictly follows the
+    previous one per user — the head-merge is the only cross-batch
+    interaction; run ordering inside a batch carries the run's first
+    event_id so valid_to closure resolves ties exactly as the batch
+    oracle's (valid_from, run_id) lead does.
+
+    Scale: each merge touches open rows (≤ one per user) plus one
+    batch; closed history is append-only and never rewritten — at
+    100 TB the open-row table hash-partitions by user and the merge
+    rewrites only matching partitions, while the batch-local run
+    collapse shuffles once on user_id (the event stream's standard
+    key)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join("/tmp", "kssp_scd2_target", key)
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 3600
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        try:
+            if entry.startswith("run_") and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent sweep — already gone
+    base = tempfile.mkdtemp(prefix="run_", dir=root)
+    state = {"gen": -1}
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        marked = batch_df.select(
+            "user_id", "event_type", "ts", "event_id"
+        ).withColumn(
+            "is_change",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        runs = marked.withColumn(
+            "run_id",
+            F.sum("is_change").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        batch_runs = runs.groupBy("user_id", "run_id").agg(
+            F.any_value("event_type").alias("event_type"),
+            F.unix_micros(F.min("ts")).alias("valid_from_us"),
+            F.min(F.struct("ts", "event_id"))["event_id"].alias(
+                "first_event_id"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        if state["gen"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(base, f"gen={state['gen']}")
+            )
+        else:
+            prev = batch_df.sparkSession.createDataFrame(
+                [],
+                "user_id bigint, event_type string, "
+                "valid_from_us bigint, valid_to_us bigint, "
+                "n_events bigint, first_event_id bigint",
+            )
+        closed_prev = prev.filter(F.col("valid_to_us").isNotNull())
+        open_prev = prev.filter(F.col("valid_to_us").isNull())
+        first_runs = batch_runs.filter(F.col("run_id") == 1).select(
+            F.col("user_id").alias("fu"),
+            F.col("event_type").alias("ft"),
+            F.col("valid_from_us").alias("ff"),
+            F.col("n_events").alias("fn"),
+        )
+        op = open_prev.join(
+            first_runs, F.col("user_id") == F.col("fu"), "left"
+        )
+        # open rows: untouched users carry over; same-type heads extend;
+        # different-type heads close the open row at the new run start.
+        carried = op.filter(F.col("fu").isNull()).select(*prev.columns)
+        extended = op.filter(
+            F.col("fu").isNotNull() & (F.col("ft") == F.col("event_type"))
+        ).select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            F.lit(None).cast("bigint").alias("valid_to_us"),
+            (F.col("n_events") + F.col("fn")).alias("n_events"),
+            "first_event_id",
+        )
+        closed_now = op.filter(
+            F.col("fu").isNotNull() & (F.col("ft") != F.col("event_type"))
+        ).select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            F.col("ff").alias("valid_to_us"),
+            "n_events",
+            "first_event_id",
+        )
+        # batch runs that were absorbed into an extended open row drop out
+        absorbed = op.filter(
+            F.col("fu").isNotNull() & (F.col("ft") == F.col("event_type"))
+        ).select(F.col("user_id").alias("au"))
+        fresh = batch_runs.join(
+            absorbed,
+            (F.col("user_id") == F.col("au")) & (F.col("run_id") == 1),
+            "left_anti",
+        ).select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            F.lit(None).cast("bigint").alias("valid_to_us"),
+            "n_events",
+            "first_event_id",
+        )
+        # close within the union of (extended + fresh) per user: each
+        # non-last run ends where the next begins — (valid_from,
+        # first_event_id) mirrors the oracle's (valid_from, run_id).
+        live = extended.unionByName(fresh)
+        w_close = Window.partitionBy("user_id").orderBy(
+            "valid_from_us", "first_event_id"
+        )
+        live_closed = live.withColumn(
+            "valid_to_us",
+            F.lead("valid_from_us").over(w_close),
+        )
+        out = (
+            closed_prev.unionByName(carried)
+            .unionByName(closed_now)
+            .unionByName(live_closed.select(*prev.columns))
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(base, f"gen={state['gen'] + 1}")
+        )
+        state["gen"] += 1
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    if state["gen"] < 0:
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError(
+            "stream_scd2_incremental: the event stream delivered zero "
+            f"micro-batches from {path} — no generation materialized"
+        )
+    final = (
+        spark.read.parquet(os.path.join(base, f"gen={state['gen']}"))
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return final

@@ -141,16 +141,29 @@ def _stream_chunked_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
     arithmetically (stream_update_mode_running_counts) mirror the same
     two-key order; pyarrow's stable sort on ts alone would leave tie
     order to file order while DuckDB's row_number() tie order is
-    unspecified (ADVICE r06)."""
+    unspecified (ADVICE r06).
+
+    "v3" key suffix: chunk files now carry strictly increasing
+    whole-second mtimes.  FileStreamSource picks files
+    oldest-mtime-first at millisecond granularity, so the fast
+    consecutive writes of the v2 staging could TIE and deliver
+    micro-batches in arbitrary order — harmless for the
+    order-independent consumers (CDC last-writer-wins, per-batch-keyed
+    monitors), fatal for order-SENSITIVE incremental maintenance
+    (stream_scd2_incremental's head-merge assumes each batch strictly
+    follows the last).  Same fix as _stage_doc_chunks in
+    streaming/joins.py."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(
         "/tmp", "kssp_stream_src", key,
-        f"events_chunks{n_chunks}v2_{int(st.st_mtime_ns)}_{st.st_size}",
+        f"events_chunks{n_chunks}v3_{int(st.st_mtime_ns)}_{st.st_size}",
     )
 
     def build(tmp: str) -> None:
+        import time
+
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
@@ -161,10 +174,13 @@ def _stream_chunked_source_dir(sf_dir: str, n_chunks: int = 3) -> str:
         ))
         n = t.num_rows
         step = (n + n_chunks - 1) // n_chunks
+        base = int(time.time()) - 2 * (n_chunks + 2)
         for i in range(n_chunks):
             chunk = t.slice(i * step, step)
             if chunk.num_rows:
-                pq.write_table(chunk, os.path.join(tmp, f"chunk-{i}.parquet"))
+                p = os.path.join(tmp, f"chunk-{i}.parquet")
+                pq.write_table(chunk, p)
+                os.utime(p, (base + 2 * i, base + 2 * i))
 
     return publish_staged_dir(d, build)
 

@@ -480,3 +480,39 @@ def test_stream_filter_yield_chunks_sum_to_batch(spark, sf_small):
         assert r.n_batch == len(chunk)
         assert r.n_keep == sum(chunk)
         assert abs(r.keep_rate - sum(chunk) / len(chunk)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Batch K: streaming SCD2 incremental maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_stream_scd2_equals_batch_history(spark, sf_small):
+    """The incremental maintenance contract: replaying the stream must
+    reconstruct EXACTLY the batch-derived SCD2 history (same oracle,
+    same rows), with exactly one open row per user and contiguous
+    [valid_from, valid_to) intervals."""
+    stream_rows = SPECS["stream_scd2_incremental"].fn(
+        spark, sf_small
+    ).collect()
+    batch_rows = SPECS["scd2_user_type_history"].fn(
+        spark, sf_small
+    ).collect()
+    key = lambda r: (  # noqa: E731
+        r.user_id,
+        r.valid_from_us,
+        r.event_type,
+        r.valid_to_us,
+        r.n_events,
+    )
+    assert sorted(map(key, stream_rows)) == sorted(map(key, batch_rows))
+    by_user = defaultdict(list)
+    for r in stream_rows:
+        by_user[r.user_id].append(r)
+    for u, rows in by_user.items():
+        opens = [r for r in rows if r.valid_to_us is None]
+        assert len(opens) == 1
+        ordered = sorted(rows, key=lambda r: r.valid_from_us)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.valid_to_us == b.valid_from_us
+        assert ordered[-1].valid_to_us is None
