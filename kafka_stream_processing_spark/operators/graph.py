@@ -1417,3 +1417,171 @@ def graph_local_clustering_coefficient(
             ).alias("local_cc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Widest (maximum-bottleneck) paths from the hub
+# ---------------------------------------------------------------------------
+
+#: Relaxation rounds for the widest-path iteration — at least the
+#: sparsified graph's diameter (BFS measures ≤ 5 here; 8 gives slack
+#: and the oracle unrolls the SAME count, so the two engines compare
+#: identical fixpoints even if a future graph needed more rounds).
+WIDEST_ROUNDS = 8
+
+
+def _widest_sql() -> str:
+    """Unrolled widest-path relaxation (the PageRank-oracle trick:
+    fixed iterations as chained CTEs, since the max/min semiring has
+    no closed form and recursive SQL cannot carry the monotone
+    max-merge)."""
+    steps = []
+    prev = "w0"
+    for i in range(1, WIDEST_ROUNDS + 1):
+        steps.append(f"""
+    w{i} AS MATERIALIZED (
+        SELECT node, max(v) AS val FROM (
+            SELECT node, val AS v FROM {prev}
+            UNION ALL
+            SELECT e.v AS node, least(p.val, e.w) AS v
+            FROM {prev} p JOIN wedges e ON e.u = p.node
+        ) GROUP BY node
+    )""")
+        prev = f"w{i}"
+    return ",".join(steps), prev
+
+
+_WIDEST_STEPS, _WIDEST_LAST = _widest_sql()
+
+
+@register(
+    "graph_widest_path_from_hub",
+    oracle=f"""
+    WITH edges AS MATERIALIZED ({{edges}}),
+    sig AS (
+        SELECT e.src, e.dst, e.w
+        FROM edges e,
+             (SELECT count(*) AS ne, SUM(w) AS tw FROM edges) t
+        WHERE e.w * t.ne >= {{minw}} * t.tw
+    ),
+    und AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+               SUM(w) AS w
+        FROM sig GROUP BY 1, 2
+    ),
+    wedges AS MATERIALIZED (
+        SELECT a AS u, b AS v, w FROM und
+        UNION ALL
+        SELECT b AS u, a AS v, w FROM und
+    ),
+    cap AS (SELECT SUM(w) + 1 AS c FROM und),
+    src0 AS (SELECT min(u) AS s FROM wedges),
+    w0 AS (
+        SELECT s AS node, CAST(c AS BIGINT) AS val
+        FROM src0, cap
+    ),{_WIDEST_STEPS}
+    SELECT w.node, CAST(w.val AS BIGINT) AS bottleneck
+    FROM {_WIDEST_LAST} w, src0
+    WHERE w.node <> src0.s
+    """.replace("{edges}", _edges_sql()).replace(
+        "{minw}", str(LINKPRED_MIN_W_NUM)
+    ),
+    tags=("graph", "iterative"),
+)
+def graph_widest_path_from_hub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Widest-path (maximum-bottleneck) distances from the hub nation
+    over the significance-sparsified WEIGHTED trade graph — the
+    capacity view the BFS op's hop counts flatten away: between two
+    trade partners the constraining quantity is the THINNEST link on
+    the best route, i.e. W(v) = max over paths of min edge weight,
+    the max/min-semiring shortest path (bottleneck routing, the
+    percolation backbone).  Same iteration scheme as BFS/PageRank:
+    {WIDEST_ROUNDS} relaxation rounds of W'(v) = max(W(v),
+    max_u min(W(u), w_uv)) — each round ONE join + ONE groupBy-max —
+    from the lexicographically smallest node (the BFS source
+    convention) seeded with total-weight+1 (an exact integer 'inf'
+    no bottleneck can reach).  All state is exact BIGINT; the oracle
+    unrolls the SAME {WIDEST_ROUNDS} rounds as chained CTEs (the
+    PageRank-oracle trick), so both engines compare identical
+    fixpoints.
+
+    Scale: per round one frontier-table ⋈ edge-list hash join (state
+    is node-sized, edges partition by u — bucketed at a billion
+    edges, like BFS); rounds bounded by the diameter, and the
+    max-merge is monotone so early rounds' work never reverses."""
+    edges = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            table(spark, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            table(spark, sf_dir, "nation").alias("n1"),
+            F.col("n1.n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "nation").alias("n2"),
+            F.col("n2.n_nationkey") == F.col("c_nationkey"),
+        )
+        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
+        .groupBy(
+            F.col("n1.n_name").alias("src"),
+            F.col("n2.n_name").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = edges.agg(
+        F.count(F.lit(1)).alias("ne"), F.sum("w").alias("tw")
+    )
+    sig = edges.crossJoin(F.broadcast(tot)).filter(
+        F.col("w") * F.col("ne") >= LINKPRED_MIN_W_NUM * F.col("tw")
+    )
+    und = sig.groupBy(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).agg(F.sum("w").alias("w"))
+    wedges = (
+        und.select(
+            F.col("a").alias("u"), F.col("b").alias("v"), "w"
+        )
+        .unionByName(
+            und.select(
+                F.col("b").alias("u"), F.col("a").alias("v"), "w"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    cap_row = und.agg((F.sum("w") + 1).alias("c")).collect()[0]
+    src_row = wedges.agg(F.min("u").alias("s")).collect()[0]
+    cap, src = int(cap_row["c"]), src_row["s"]
+    state = spark.createDataFrame(
+        [(src, cap)], "node string, val bigint"
+    ).localCheckpoint(eager=True)
+    for _ in range(WIDEST_ROUNDS):
+        relaxed = (
+            state.join(wedges, state["node"] == wedges["u"])
+            .select(
+                F.col("v").alias("node"),
+                F.least(F.col("val"), F.col("w")).alias("v2"),
+            )
+        )
+        state = (
+            state.select("node", F.col("val").alias("v2"))
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.max("v2").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    return state.filter(F.col("node") != src).select(
+        "node", F.col("val").cast("bigint").alias("bottleneck")
+    )

@@ -2074,3 +2074,116 @@ def text_langid_char_ngram_profile(
             "predicted_lang"
         ),
     )
+
+
+#: Vocabulary-profile size for the source-overlap matrix.
+VOCAB_OVERLAP_K = 50
+
+
+@register(
+    "text_source_vocab_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    tops AS (
+        SELECT source, w FROM (
+            SELECT source, w,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, w) AS rn
+            FROM counts
+        ) WHERE rn <= {VOCAB_OVERLAP_K}
+    ),
+    sizes AS (
+        SELECT source, count(*) AS k FROM tops GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_common
+        FROM tops a JOIN tops b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(p.n_common, 0) AS DOUBLE)
+               / (sa.k + sb.k - COALESCE(p.n_common, 0)) AS jaccard
+    FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN pairs p
+      ON p.source_a = sa.source AND p.source_b = sb.source
+    """,
+    tags=("text", "corpus", "dedup"),
+)
+def text_source_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source-by-source vocabulary-overlap matrix: Jaccard similarity
+    between every pair of sources' top-{VOCAB_OVERLAP_K} word
+    profiles — near-duplicate detection at the SOURCE level, where
+    document-level dedup cannot see it (two crawls of the same site
+    share almost no exact documents but nearly identical head
+    vocabularies).  A curation pipeline reads high-Jaccard pairs as
+    merge candidates before computing mixture weights, so one corpus
+    doesn't get double its intended sampling share under two names.
+
+    Determinism: profile cut is (count desc, word asc) — the
+    char-ngram profiler's convention; overlap counting and Jaccard
+    are exact integers plus one division.  The complete pair grid
+    comes from the sizes table (absent pairs = 0 overlap, not absent
+    rows).
+
+    Scale: one token-count groupBy (map-side combined, vocab-domain
+    shuffle), a per-source top-K window over vocab-sized partitions,
+    then a K·|sources|-row self-join — |sources|² output, trivially
+    broadcastable; the corpus is scanned exactly once."""
+    from pyspark.sql import Window
+
+    toks = table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    counts = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("c"), "w")
+    tops = (
+        counts.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= VOCAB_OVERLAP_K)
+        .select("source", "w")
+    )
+    sizes = tops.groupBy("source").agg(F.count(F.lit(1)).alias("k"))
+    a, b = tops.alias("a"), tops.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    grid = sa.join(
+        sb, F.col("sa.source") < F.col("sb.source")
+    ).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        F.col("sa.k").alias("ka"),
+        F.col("sb.k").alias("kb"),
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return grid.join(pairs, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        nc.cast("bigint").alias("n_common"),
+        (
+            nc.cast("double")
+            / (F.col("ka") + F.col("kb") - nc)
+        ).alias("jaccard"),
+    )

@@ -516,3 +516,88 @@ def test_stream_scd2_equals_batch_history(spark, sf_small):
         for a, b in zip(ordered, ordered[1:]):
             assert a.valid_to_us == b.valid_from_us
         assert ordered[-1].valid_to_us is None
+
+
+# ---------------------------------------------------------------------------
+# Batch L: widest path, source vocab overlap
+# ---------------------------------------------------------------------------
+
+
+def test_widest_path_dijkstra_replay(spark, sf_small):
+    """Max-bottleneck distances via a python Dijkstra-style best-first
+    search (a different ALGORITHM from the engine's fixed-round
+    relaxation) over the same sparsified weighted adjacency."""
+    import heapq
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS FROM '{sf_small}/{t}.parquet'")
+    edges = con.execute(
+        """SELECT n1.n_name, n2.n_name, count(*) FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE n1.n_name <> n2.n_name GROUP BY 1, 2"""
+    ).fetchall()
+    ne = len(edges)
+    tw = sum(w for _, _, w in edges)
+    und: dict[tuple[str, str], int] = {}
+    for s, d, w in edges:
+        if w * ne >= 2 * tw:
+            k = (min(s, d), max(s, d))
+            und[k] = und.get(k, 0) + w
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for (a, b), w in und.items():
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    src = min(adj)
+    cap = sum(und.values()) + 1
+    best = {src: cap}
+    heap = [(-cap, src)]
+    while heap:
+        negw, u = heapq.heappop(heap)
+        if -negw < best.get(u, 0):
+            continue
+        for v, w in adj.get(u, []):
+            cand = min(-negw, w)
+            if cand > best.get(v, 0):
+                best[v] = cand
+                heapq.heappush(heap, (-cand, v))
+    rows = SPECS["graph_widest_path_from_hub"].fn(
+        spark, sf_small
+    ).collect()
+    got = {r.node: r.bottleneck for r in rows}
+    expected = {n: w for n, w in best.items() if n != src}
+    assert got == expected
+
+
+def test_source_vocab_overlap_replay(spark, sf_small):
+    from collections import Counter, defaultdict
+
+    docs = duckdb.connect().execute(
+        f"SELECT source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    by_src = defaultdict(Counter)
+    for s, t in docs:
+        by_src[s].update(t.split(" "))
+    tops = {
+        s: {
+            w
+            for w, _ in sorted(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:50]
+        }
+        for s, cnt in by_src.items()
+    }
+    rows = SPECS["text_source_vocab_overlap"].fn(
+        spark, sf_small
+    ).collect()
+    srcs = sorted(tops)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        inter = len(tops[r.source_a] & tops[r.source_b])
+        union = len(tops[r.source_a] | tops[r.source_b])
+        assert r.n_common == inter
+        assert abs(r.jaccard - inter / union) < 1e-12
