@@ -394,3 +394,74 @@ def test_cvm_terms_stay_histogram_sized(spark, sf_small):
         rep.text[:4000]
     )
     assert "Scan ExistingRDD" in rep.text, rep.text[:4000]
+
+
+def test_twonn_ivf_shortlist_is_cell_equi_join(spark, sf_small):
+    """The shortlisted TwoNN's candidate pairs must come from the
+    cell equi-join (hash/sort-merge on cell = probe_cell), never a
+    cartesian/broadcast-nested-loop over the corpus — the whole point
+    of the IVF swap over the exact all-pairs op."""
+    specs = registry.all_specs()
+    rep = plan_report(
+        specs["embedding_twonn_ivf_shortlist"].fn(spark, sf_small)
+    )
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.text[:4000]
+
+
+def test_croston_has_no_fold_and_no_corpus_sort(spark, sf_small):
+    """Croston's dyadic closed form must plan with NO Python stage
+    (no applyInPandas/ArrowEvalPython — the fold it replaces) and no
+    global Sort (per-part windows only)."""
+    specs = registry.all_specs()
+    rep = plan_report(
+        specs["window_croston_intermittent"].fn(spark, sf_small)
+    )
+    assert "FlatMapGroupsInPandas" not in rep.text, rep.text[:4000]
+    assert "ArrowEvalPython" not in rep.text, rep.text[:4000]
+
+
+def test_markov_attribution_counting_is_distributed(spark, sf_small):
+    """The attribution op's OUTPUT is a tiny driver-built frame, but
+    its transition counting must run distributed: spot-check the
+    intermediate (the same expressions the op collects) plans as
+    window + hash aggregate with no cartesian join."""
+    from kafka_stream_processing_spark.sources.tables import table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    evs = table(spark, sf_small, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    w_seq = Window.partitionBy("user_id", "day").orderBy(
+        "ts", "event_id"
+    )
+    seq = evs.select(
+        "user_id",
+        "day",
+        F.coalesce(
+            F.lag("event_type").over(w_seq), F.lit("__START__")
+        ).alias("from_state"),
+        F.col("event_type").alias("to_state"),
+    )
+    cells = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rep = plan_report(cells)
+    assert "CartesianProduct" not in rep.text
+    assert "HashAggregate" in rep.text, rep.text[:4000]
+
+
+def test_vocab_overlap_profile_join_broadcasts(spark, sf_small):
+    """The K*|sources| profile self-join must broadcast (both sides
+    are tiny after the top-K cut) — no shuffle of the token table
+    ever reaches the pair stage."""
+    specs = registry.all_specs()
+    rep = plan_report(
+        specs["text_source_vocab_overlap"].fn(spark, sf_small)
+    )
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]
