@@ -1563,6 +1563,13 @@ def graph_widest_path_from_hub(
     )
     cap_row = und.agg((F.sum("w") + 1).alias("c")).collect()[0]
     src_row = wedges.agg(F.min("u").alias("s")).collect()[0]
+    if cap_row["c"] is None or src_row["s"] is None:
+        # The significance cut can empty out on a near-uniform dense
+        # graph (no edge reaches 2x the mean weight) — the oracle
+        # degrades to zero rows through its NULL source the same way.
+        return spark.createDataFrame(
+            [], "node string, bottleneck bigint"
+        )
     cap, src = int(cap_row["c"]), src_row["s"]
     state = spark.createDataFrame(
         [(src, cap)], "node string, val bigint"

@@ -6238,3 +6238,104 @@ def quality_l_diversity_audit(
         .cast("bigint")
         .alias("n_entropy_below_l2"),
     )
+
+
+#: z_{0.80} — the 80%-power point of the standard normal (literal, so
+#: both engines compute the identical MDE).
+Z_POWER_080 = 0.8416212335729143
+
+
+@register(
+    "quality_ab_minimum_detectable_effect",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    agg AS (
+        SELECT
+            SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+            SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+            SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+            SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+        FROM e
+    ),
+    p AS (
+        SELECT *,
+               CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        FROM agg
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           p_pool,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE ({Z_CRIT_005} + {Z_POWER_080})
+                     * sqrt(p_pool * (1.0 - p_pool)
+                            * (1.0 / n_a + 1.0 / n_b))
+           END AS mde_abs,
+           CASE WHEN n_a = 0 OR n_b = 0 OR p_pool = 0 THEN NULL
+                ELSE ({Z_CRIT_005} + {Z_POWER_080})
+                     * sqrt(p_pool * (1.0 - p_pool)
+                            * (1.0 / n_a + 1.0 / n_b)) / p_pool
+           END AS mde_rel
+    FROM p
+    """,
+    tags=("quality", "statistics", "abtest"),
+)
+def quality_ab_minimum_detectable_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Minimum detectable effect for the A/B conversion test — the
+    POWER half the z-test family is incomplete without: a
+    non-significant quality_two_proportion_ztest result means nothing
+    until you know what effect the sample COULD have detected.  MDE
+    at alpha = 0.05 (two-sided) and 80% power is
+    (z_alpha/2 + z_0.80) * sqrt(p(1-p)(1/n_a + 1/n_b)) on the pooled
+    rate — the number an experimentation pipeline compares against
+    the business-relevant effect size before declaring 'no
+    difference', and the sizing rule for how long to keep the
+    experiment running.  Same variant/conversion cells as the z-test
+    op (user_id parity, purchase conversion), both z points literals,
+    NULL-guarded for empty variants (the z-test ops' convention).
+
+    Exactness: four integer cells from one conditional-sum aggregate;
+    the MDE is one mirrored IEEE chain (sqrt correctly rounded).
+
+    Scale: one map-side-combined aggregate over the scan — the
+    cheapest cost class in the registry."""
+    e = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    agg = e.agg(
+        F.sum((F.col("variant") == 0).cast("int")).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum((F.col("variant") == 1).cast("int")).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    pp = agg.select("n_a", "n_b", p_pool.alias("p_pool"))
+    mde = (
+        F.lit(Z_CRIT_005) + F.lit(Z_POWER_080)
+    ) * F.sqrt(
+        F.col("p_pool")
+        * (F.lit(1.0) - F.col("p_pool"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return pp.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "p_pool",
+        F.when(ok, mde).alias("mde_abs"),
+        F.when(ok & (F.col("p_pool") != 0), mde / F.col("p_pool")).alias(
+            "mde_rel"
+        ),
+    )

@@ -601,3 +601,35 @@ def test_source_vocab_overlap_replay(spark, sf_small):
         union = len(tops[r.source_a] | tops[r.source_b])
         assert r.n_common == inter
         assert abs(r.jaccard - inter / union) < 1e-12
+
+
+def test_ab_mde_textbook_replay(spark, sf_small):
+    """MDE from the textbook formula over cells recomputed in python;
+    consistency: an observed |p_a - p_b| below the MDE must not be
+    flagged significant by the z-test op at ~the same alpha (the
+    power relationship, checked directionally)."""
+    rows = duckdb.connect().execute(
+        f"""SELECT user_id % 2,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+        count(*) FROM '{sf_small}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    cells = {int(v): (int(c), int(n)) for v, c, n in rows}
+    (ca, na), (cb, nb) = cells[0], cells[1]
+    p = (ca + cb) / (na + nb)
+    mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        p * (1 - p) * (1 / na + 1 / nb)
+    )
+    r = SPECS["quality_ab_minimum_detectable_effect"].fn(
+        spark, sf_small
+    ).collect()[0]
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.p_pool - p) < 1e-12
+    assert abs(r.mde_abs - mde) < 1e-12
+    assert abs(r.mde_rel - mde / p) < 1e-12
+    z = SPECS["quality_two_proportion_ztest"].fn(
+        spark, sf_small
+    ).collect()[0]
+    # directional power check: an observed gap well under the MDE
+    # cannot be a significant z-test result
+    if abs(z.p_a - z.p_b) < 0.5 * r.mde_abs:
+        assert not z.significant_005
