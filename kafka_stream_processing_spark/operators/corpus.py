@@ -1041,3 +1041,108 @@ def corpus_good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_types").cast("double"))
         .alias("chao1_richness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) distinct-count sketch — the oracle-checkable sketch
+# ---------------------------------------------------------------------------
+
+#: Sketch size for the bottom-k distinct estimator.  64 keeps the
+#: sketch FULL at the driver-check scales (150 distinct users at
+#: sf0.01) so the estimator path is what gets hash-checked, while the
+#: not-full exact path exercises at sf0.001 (15 users).
+BOTTOMK_K = 64
+
+#: 16^15 = 2^60 — the hash-domain size of dedup.hash64, an exact
+#: power-of-two double literal.
+_H64_DOMAIN = 1152921504606846976.0
+
+
+@register(
+    "sketch_bottomk_distinct",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT CAST(('0x' || substr(
+            md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn,
+               count(*) OVER () AS n
+        FROM hashes
+    ),
+    kth AS (
+        SELECT any_value(n) AS n_exact,
+               max(CASE WHEN rn = {BOTTOMK_K} THEN h END) AS h_k
+        FROM ranked WHERE rn <= {BOTTOMK_K}
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST({BOTTOMK_K} AS INT) AS k,
+           h_k IS NOT NULL AS sketch_full,
+           h_k,
+           CASE WHEN h_k IS NULL THEN CAST(n_exact AS DOUBLE)
+                ELSE ({BOTTOMK_K} - 1.0) * {_H64_DOMAIN!r}
+                     / CAST(h_k AS DOUBLE)
+           END AS est_distinct,
+           abs(CASE WHEN h_k IS NULL THEN CAST(n_exact AS DOUBLE)
+                ELSE ({BOTTOMK_K} - 1.0) * {_H64_DOMAIN!r}
+                     / CAST(h_k AS DOUBLE)
+           END - n_exact) / n_exact AS rel_err
+    FROM kth
+    """,
+    tags=("corpus", "sketch", "sampling"),
+)
+def sketch_bottomk_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bottom-k (KMV) distinct-count sketch of the user population —
+    the registry's HASH-CHECKABLE sketch: unlike HLL (engine-specific
+    register layouts, rows-only forever), the k minimum values of a
+    deterministic cross-engine hash are a well-defined SET, so the
+    estimate (k-1)/U_(k) with U_(k) = h_k / 2^60 (Bar-Yossef et al.'s
+    KMV estimator) is bit-identical in both engines and the driver
+    hash-checks it like any exact query.  Bottom-k sketches are also
+    trivially mergeable (union then re-cut — pinned by test) and
+    support set operations HLL cannot (intersection via k-min
+    overlap), which is why warehouse engines ship them alongside HLL.
+    When fewer than k distinct keys exist the sketch IS the exact set
+    and the estimate degrades to the exact count (the sf0.001 path).
+
+    Exactness: hashes are dedup.hash64 (top-15-hex md5 — the engine's
+    only cross-engine hash); the k-th order statistic is an exact
+    BIGINT via TakeOrderedAndProject; the estimator is one mirrored
+    IEEE chain with the 2^60 domain as an exact power-of-two literal.
+
+    Scale: distinct-hash collapse (the flagship's partial-distinct
+    cost class) then a k-row TakeOrderedAndProject — no global sort;
+    per-partition bottom-k merges associatively, which IS the
+    production incremental form (same table shape per day/shard)."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    hashes = (
+        table(spark, sf_dir, "events")
+        .select(hash64(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    n_exact = hashes.count()  # one scalar — sizes the error readout
+    bottom = hashes.orderBy("h").limit(BOTTOMK_K)
+    kth = bottom.agg(
+        F.count(F.lit(1)).alias("in_sketch"),
+        F.max("h").alias("h_k_candidate"),
+    )
+    full = F.col("in_sketch") == BOTTOMK_K
+    h_k = F.when(full, F.col("h_k_candidate"))
+    est = F.when(
+        full,
+        (F.lit(BOTTOMK_K) - F.lit(1.0))
+        * F.lit(_H64_DOMAIN)
+        / F.col("h_k_candidate").cast("double"),
+    ).otherwise(F.lit(float(n_exact)))
+    return kth.select(
+        F.lit(n_exact).cast("bigint").alias("n_exact"),
+        F.lit(BOTTOMK_K).cast("int").alias("k"),
+        full.alias("sketch_full"),
+        h_k.alias("h_k"),
+        est.alias("est_distinct"),
+        (F.abs(est - n_exact) / n_exact).alias("rel_err"),
+    )

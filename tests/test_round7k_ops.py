@@ -633,3 +633,43 @@ def test_ab_mde_textbook_replay(spark, sf_small):
     # cannot be a significant z-test result
     if abs(z.p_a - z.p_b) < 0.5 * r.mde_abs:
         assert not z.significant_005
+
+
+def test_bottomk_sketch_replay_and_mergeability(spark, sf_small):
+    """KMV replay in python (md5 order statistics) + the merge law:
+    bottom-k of the union of per-day bottom-k sets == global
+    bottom-k — the property that makes the sketch incremental."""
+    import hashlib
+
+    rows = duckdb.connect().execute(
+        f"""SELECT DISTINCT user_id, CAST(ts AS DATE)
+        FROM '{sf_small}/events.parquet'"""
+    ).fetchall()
+    def h64(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    users = {u for u, _ in rows}
+    hashes = sorted({h64(u) for u in users})
+    k = 64
+    r = SPECS["sketch_bottomk_distinct"].fn(spark, sf_small).collect()[0]
+    assert r.n_exact == len(hashes)
+    assert r.k == k
+    if len(hashes) >= k:
+        hk = hashes[k - 1]
+        assert r.sketch_full and r.h_k == hk
+        est = (k - 1.0) * (16**15) / hk
+        assert abs(r.est_distinct - est) < 1e-6
+    else:
+        assert not r.sketch_full and r.h_k is None
+        assert r.est_distinct == len(hashes)
+        assert r.rel_err == 0.0
+    # mergeability on per-day sketches
+    from collections import defaultdict
+
+    per_day = defaultdict(set)
+    for u, d in rows:
+        per_day[d].add(h64(u))
+    merged = set()
+    for hs in per_day.values():
+        merged |= set(sorted(hs)[:k])
+    assert sorted(merged)[:k] == hashes[:k]
