@@ -1146,3 +1146,109 @@ def sketch_bottomk_distinct(
         est.alias("est_distinct"),
         (F.abs(est - n_exact) / n_exact).alias("rel_err"),
     )
+
+
+@register(
+    "sketch_bottomk_jaccard",
+    oracle=f"""
+    WITH flags AS (
+        SELECT CAST(('0x' || substr(
+                   md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS in_a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT h, in_a, in_b,
+               row_number() OVER (ORDER BY h) AS rn
+        FROM flags
+    ),
+    sk AS (
+        SELECT count(*) AS k_used,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both_sketch
+        FROM ranked WHERE rn <= {BOTTOMK_K}
+    ),
+    exact AS (
+        SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+               count(*) AS n_union
+        FROM flags
+    )
+    SELECT CAST({BOTTOMK_K} AS INT) AS k,
+           CAST(sk.k_used AS BIGINT) AS k_used,
+           sk.n_both_sketch,
+           CAST(sk.n_both_sketch AS DOUBLE) / sk.k_used AS jaccard_est,
+           CAST(exact.n_inter AS DOUBLE) / exact.n_union
+               AS jaccard_exact,
+           abs(CAST(sk.n_both_sketch AS DOUBLE) / sk.k_used
+               - CAST(exact.n_inter AS DOUBLE) / exact.n_union)
+               AS abs_err
+    FROM sk, exact
+    """,
+    tags=("corpus", "sketch", "evaluation"),
+)
+def sketch_bottomk_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience-overlap Jaccard from the bottom-k sketch — the set
+    OPERATION HLL cannot do and the reason KMV sketches earn their
+    place beside it: the k minimum hashes of the UNION are a uniform
+    sample of the union, so the fraction of them belonging to both
+    audiences estimates J(A, B) (Bar-Yossef et al.) — here click vs
+    purchase user sets, with the exact Jaccard (the registered
+    setops op's quantity) computed alongside so the driver
+    hash-checks estimator AND ground truth in one row.  At production
+    scale only the two k-row sketches move; the exact column is the
+    small-data audit.
+
+    Exactness: the union's bottom-k is a deterministic set (cross-
+    engine md5 order statistics); membership flags and overlap counts
+    are integers; both ratios are single mirrored divisions.
+
+    Scale: one groupBy(user) with map-side combine to per-user flags
+    (the setops op's shuffle), a k-row TakeOrderedAndProject, two
+    scalar aggregates — and the sketch form is MERGEABLE: per-shard
+    (h, in_a, in_b) bottom-k tables union-then-recut exactly like the
+    distinct sketch."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+
+    flags = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(hash64(F.col("user_id").cast("string")).alias("h"))
+        .agg(
+            F.max(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("in_a"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("in_b"),
+        )
+    )
+    exact = flags.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"),
+    ).collect()[0]
+    sk = (
+        flags.orderBy("h")
+        .limit(BOTTOMK_K)
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias(
+                "n_both_sketch"
+            ),
+        )
+    )
+    j_exact = float(exact["n_inter"]) / float(exact["n_union"])
+    j_est = F.col("n_both_sketch").cast("double") / F.col("k_used")
+    return sk.select(
+        F.lit(BOTTOMK_K).cast("int").alias("k"),
+        F.col("k_used").cast("bigint").alias("k_used"),
+        F.col("n_both_sketch").cast("bigint").alias("n_both_sketch"),
+        j_est.alias("jaccard_est"),
+        F.lit(j_exact).alias("jaccard_exact"),
+        F.abs(j_est - F.lit(j_exact)).alias("abs_err"),
+    )

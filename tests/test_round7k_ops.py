@@ -673,3 +673,31 @@ def test_bottomk_sketch_replay_and_mergeability(spark, sf_small):
     for hs in per_day.values():
         merged |= set(sorted(hs)[:k])
     assert sorted(merged)[:k] == hashes[:k]
+
+
+def test_bottomk_jaccard_replay(spark, sf_small):
+    import hashlib
+
+    rows = duckdb.connect().execute(
+        f"""SELECT user_id, event_type
+        FROM '{sf_small}/events.parquet'
+        WHERE event_type IN ('click', 'purchase')"""
+    ).fetchall()
+    a = {u for u, t in rows if t == "click"}
+    b = {u for u, t in rows if t == "purchase"}
+    def h64(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    union = a | b
+    hashes = sorted((h64(u), u) for u in union)
+    k = 64
+    sketch = hashes[:k]
+    n_both = sum(1 for _, u in sketch if u in a and u in b)
+    r = SPECS["sketch_bottomk_jaccard"].fn(spark, sf_small).collect()[0]
+    assert r.k == k
+    assert r.k_used == min(k, len(union))
+    assert r.n_both_sketch == n_both
+    j_exact = len(a & b) / len(union)
+    assert abs(r.jaccard_exact - j_exact) < 1e-12
+    assert abs(r.jaccard_est - n_both / r.k_used) < 1e-12
+    assert abs(r.abs_err - abs(r.jaccard_est - j_exact)) < 1e-12
