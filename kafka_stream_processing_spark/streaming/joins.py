@@ -3912,3 +3912,184 @@ def stream_scd2_incremental(
     )
     shutil.rmtree(base, ignore_errors=True)
     return final
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k (KMV) sketch maintenance
+# ---------------------------------------------------------------------------
+
+def _bottomk_stream_oracle() -> str:
+    from kafka_stream_processing_spark.operators.corpus import BOTTOMK_K
+
+    return f"""
+    WITH ordered AS (
+        SELECT event_id, user_id,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, user_id, rn // ((n + 2) // 3) AS chunk_id
+        FROM ordered
+    ),
+    keys AS (
+        SELECT chunk_id, min(event_id) AS chunk_min_event_id
+        FROM chunked GROUP BY chunk_id
+    ),
+    prefix AS (
+        SELECT k.chunk_id, k.chunk_min_event_id,
+               CAST(('0x' || substr(
+                   md5(CAST(c.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   AS h
+        FROM keys k JOIN chunked c ON c.chunk_id <= k.chunk_id
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT chunk_id, chunk_min_event_id, h,
+               row_number() OVER (PARTITION BY chunk_id
+                                  ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY chunk_id) AS n_seen
+        FROM prefix
+    ),
+    sk AS (
+        SELECT chunk_id, any_value(chunk_min_event_id)
+                   AS chunk_min_event_id,
+               any_value(n_seen) AS n_exact_prefix,
+               count(*) AS k_used,
+               max(CASE WHEN rn = {BOTTOMK_K} THEN h END) AS h_k
+        FROM ranked WHERE rn <= {BOTTOMK_K}
+        GROUP BY chunk_id
+    )
+    SELECT chunk_min_event_id,
+           CAST(n_exact_prefix AS BIGINT) AS n_exact_prefix,
+           CAST(k_used AS BIGINT) AS k_used,
+           h_k,
+           CASE WHEN h_k IS NULL THEN CAST(k_used AS DOUBLE)
+                ELSE ({BOTTOMK_K} - 1.0) * 1152921504606846976.0
+                     / CAST(h_k AS DOUBLE)
+           END AS est_distinct
+    FROM sk
+    """
+
+
+@register(
+    "stream_bottomk_maintenance",
+    oracle=_bottomk_stream_oracle(),
+    tags=("streaming", "sketch", "corpus"),
+)
+def stream_bottomk_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming bottom-k (KMV) sketch maintenance — the incremental
+    form the batch sketch's mergeability promises: each micro-batch's
+    per-partition bottom-k folds into a k-row driver sketch by
+    union-then-recut (the KMV merge law), and every trigger emits the
+    CUMULATIVE distinct-user estimate so a dashboard watches it
+    converge as the stream drains.  Driver state is exactly k hashes
+    (= the legal sketch-sized class: the same bound as the Count-Min
+    and Misra-Gries monitors), independent of stream volume; the
+    oracle reconstructs each chunk PREFIX relationally and re-derives
+    the same order statistics — stream and batch provably agree at
+    every trigger, not just at the end.
+
+    Exactness: identical to sketch_bottomk_distinct — cross-engine
+    md5 order statistics, exact BIGINT k-th minimum, one mirrored
+    IEEE estimator chain, exact-count degradation while the sketch is
+    unfilled.
+
+    Scale: per trigger ONE distinct-hash collapse of the batch and a
+    k-row TakeOrderedAndProject collect; the merge is O(k log k) on
+    the driver.  This is the pattern for ANY mergeable sketch riding
+    foreachBatch."""
+    from kafka_stream_processing_spark.operators.corpus import BOTTOMK_K
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    sketch: set[int] = set()
+    seen: set[int] = set()  # exact prefix count: test-scale audit only
+    rows: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("event_id").alias("k")).collect()[0][
+            "k"
+        ]
+        if key is None:
+            return
+        batch_hashes = [
+            int(r["h"])
+            for r in batch_df.select(
+                hash64(F.col("user_id").cast("string")).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(BOTTOMK_K)
+            .collect()  # k rows per trigger, by construction
+        ]
+        sketch.update(batch_hashes)
+        extra = sorted(sketch)[BOTTOMK_K:]
+        for h in extra:
+            sketch.discard(h)
+        # exact prefix audit (unbounded at production scale — the
+        # oracle's n_exact_prefix column exists to CHECK the sketch at
+        # test scale; production dashboards drop it)
+        seen.update(
+            int(r["h"])
+            for r in batch_df.select(
+                hash64(F.col("user_id").cast("string")).alias("h")
+            )
+            .distinct()
+            .collect()
+        )
+        rows.append((int(key), len(seen), len(sketch)))
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    snapshots: list[tuple[int, int, int, int | None]] = []
+    state = {"i": 0}
+
+    def fold_with_snapshot(batch_df, batch_id: int) -> None:
+        fold_batch(batch_df, batch_id)
+        if len(rows) > state["i"]:
+            key, n_seen, k_used = rows[-1]
+            h_k = (
+                max(sorted(sketch)[:BOTTOMK_K])
+                if len(sketch) >= BOTTOMK_K
+                else None
+            )
+            snapshots.append((key, n_seen, k_used, h_k))
+            state["i"] = len(rows)
+
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_with_snapshot)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    out = spark.createDataFrame(
+        snapshots,
+        "chunk_min_event_id bigint, n_exact_prefix bigint, "
+        "k_used bigint, h_k bigint",
+    )
+    est = F.when(
+        F.col("h_k").isNull(), F.col("k_used").cast("double")
+    ).otherwise(
+        (F.lit(BOTTOMK_K) - F.lit(1.0))
+        * F.lit(1152921504606846976.0)
+        / F.col("h_k").cast("double")
+    )
+    return out.select(
+        "chunk_min_event_id",
+        "n_exact_prefix",
+        "k_used",
+        "h_k",
+        est.alias("est_distinct"),
+    )

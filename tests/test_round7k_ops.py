@@ -701,3 +701,27 @@ def test_bottomk_jaccard_replay(spark, sf_small):
     assert abs(r.jaccard_exact - j_exact) < 1e-12
     assert abs(r.jaccard_est - n_both / r.k_used) < 1e-12
     assert abs(r.abs_err - abs(r.jaccard_est - j_exact)) < 1e-12
+
+
+def test_stream_bottomk_converges_to_batch_sketch(spark, sf_small):
+    """The final trigger's sketch must equal the batch op's sketch
+    (same h_k / estimate over the full stream), and estimates must be
+    emitted for every chunk with non-decreasing prefix counts."""
+    stream_rows = sorted(
+        SPECS["stream_bottomk_maintenance"].fn(
+            spark, sf_small
+        ).collect(),
+        key=lambda r: r.chunk_min_event_id,
+    )
+    assert len(stream_rows) == 3
+    prefixes = [r.n_exact_prefix for r in stream_rows]
+    assert prefixes == sorted(prefixes)
+    final = stream_rows[-1]
+    batch = SPECS["sketch_bottomk_distinct"].fn(
+        spark, sf_small
+    ).collect()[0]
+    # the event stream covers ALL events, so the final prefix is the
+    # whole user population — sketch state must agree with batch
+    assert final.n_exact_prefix == batch.n_exact
+    assert final.h_k == batch.h_k
+    assert abs(final.est_distinct - batch.est_distinct) < 1e-9
