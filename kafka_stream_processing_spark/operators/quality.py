@@ -6339,3 +6339,165 @@ def quality_ab_minimum_detectable_effect(
             "mde_rel"
         ),
     )
+
+
+@register(
+    "quality_welch_anova_drift",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, count(*) AS n,
+               SUM(n_chars) AS s, SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY source HAVING count(*) >= 2
+    ),
+    w AS (
+        SELECT source, n,
+               CAST(s AS DOUBLE) / n AS xbar,
+               CAST(n AS DOUBLE)
+                   / ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1)) AS wj
+        FROM g
+    ),
+    tot AS (
+        SELECT count(*) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(round(wj, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS wtot,
+               CAST(SUM(CAST(round(wj * xbar, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS m
+        FROM w
+    ),
+    dev AS (
+        SELECT t.k, t.n_total, t.wtot,
+               CAST(SUM(CAST(round(
+                   w.wj * (w.xbar - t.m / t.wtot)
+                        * (w.xbar - t.m / t.wtot), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS num,
+               CAST(SUM(CAST(round(
+                   (1.0 - w.wj / t.wtot) * (1.0 - w.wj / t.wtot)
+                       / (w.n - 1), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS lam
+        FROM w CROSS JOIN tot t
+        GROUP BY t.k, t.n_total, t.wtot
+    ),
+    stat AS (
+        SELECT CAST(k AS INT) AS k, n_total,
+               (num / (k - 1))
+                   / (1.0 + (2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1))
+                            * lam) AS w_stat,
+               CAST(k - 1 AS INT) AS dof
+        FROM dev
+    )
+    SELECT k, n_total, w_stat, dof,
+           (k - 1) * w_stat AS chi2_approx,
+           {{crit}} AS critical_005,
+           (k - 1) * w_stat > {{crit}} AS drift
+    FROM stat
+    """.replace("{crit}", _CHI2_CRIT_SQL),
+    tags=("quality", "drift", "statistics"),
+)
+def quality_welch_anova_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's heteroscedastic ANOVA on document length across
+    sources — the omnibus the classical F test (quality_anova_f_drift)
+    gets WRONG when group variances differ (its pooled SSW assumes
+    homoscedasticity; with unequal n and unequal variance its size is
+    badly off): Welch weights each group by w_j = n_j/s_j², centers at
+    the weighted grand mean, and corrects the denominator by the
+    Λ = Σ(1-w_j/W)²/(n_j-1) imbalance term (the k-sample extension of
+    the registered pairwise Welch t).  Verdict via the same large-N
+    (k-1)·W → chi²_(k-1) convention as the F gate, on the shared
+    literal table.  Groups need n ≥ 2 (s² undefined below — mirrored
+    HAVING).
+
+    Exactness: per-group (n, Σx, Σx²) exact BIGINTs; x̄, s², w_j are
+    fixed mirrored IEEE chains; the four cross-group sums (W, Σw x̄,
+    numerator deviations, Λ) each quantize to round-12 DECIMAL(38,12)
+    so they are order-independent.
+
+    Scale: one map-side-combined groupBy(source) + k-row algebra with
+    a broadcast totals row — the F gate's exact cost class."""
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    xbar = F.col("s").cast("double") / F.col("n")
+    s2 = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    w = g.select(
+        "source",
+        "n",
+        xbar.alias("xbar"),
+        (F.col("n").cast("double") / s2).alias("wj"),
+    )
+    tot = w.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.round(F.col("wj"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("wtot"),
+        F.sum(
+            F.round(F.col("wj") * F.col("xbar"), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("m"),
+    )
+    j = w.crossJoin(F.broadcast(tot))
+    ctr = F.col("xbar") - F.col("m") / F.col("wtot")
+    dev = j.groupBy("k", "n_total", "wtot").agg(
+        F.sum(
+            F.round(F.col("wj") * ctr * ctr, 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(
+            F.round(
+                (F.lit(1.0) - F.col("wj") / F.col("wtot"))
+                * (F.lit(1.0) - F.col("wj") / F.col("wtot"))
+                / (F.col("n") - 1),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("lam"),
+    )
+    k_d = F.col("k").cast("double")
+    w_stat = (F.col("num") / (F.col("k") - 1)) / (
+        F.lit(1.0)
+        + (F.lit(2.0) * (F.col("k") - 2) / (k_d * F.col("k") - 1))
+        * F.col("lam")
+    )
+    stat = dev.select(
+        F.col("k").cast("int").alias("k"),
+        "n_total",
+        w_stat.alias("w_stat"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+    )
+    dof_d = F.col("dof").cast("double")
+    wh_b = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dof_d)
+        + F.lit(_WH_Z095) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof_d))
+    )
+    crit = dof_d * wh_b * wh_b * wh_b
+    for kk, vv in CHI2_CRIT_005.items():
+        crit = F.when(F.col("dof") == kk, F.lit(vv)).otherwise(crit)
+    return stat.select(
+        "k",
+        "n_total",
+        "w_stat",
+        "dof",
+        ((F.col("k") - 1) * F.col("w_stat")).alias("chi2_approx"),
+        crit.alias("critical_005"),
+        ((F.col("k") - 1) * F.col("w_stat") > crit).alias("drift"),
+    )

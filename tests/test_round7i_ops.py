@@ -385,3 +385,30 @@ def test_twonn_ivf_shortlist_close_to_exact(spark, sf_small):
     # shortlisted distances can only be >= true NN distances, so the
     # per-point ratios shrink or grow but the estimator stays positive
     assert short.twonn_dim > 0
+
+
+def test_welch_anova_textbook_replay(spark, sf_small):
+    """W from textbook float arithmetic (statistics.variance per
+    group) vs the engine's integer-moment/round-12 form."""
+    import statistics
+
+    by_src = _lengths_by_source(sf_small)
+    groups = {s: v for s, v in by_src.items() if len(v) >= 2}
+    k = len(groups)
+    w = {s: len(v) / statistics.variance(v) for s, v in groups.items()}
+    xbar = {s: sum(v) / len(v) for s, v in groups.items()}
+    wtot = sum(w.values())
+    xt = sum(w[s] * xbar[s] for s in groups) / wtot
+    num = sum(w[s] * (xbar[s] - xt) ** 2 for s in groups) / (k - 1)
+    lam = sum(
+        (1 - w[s] / wtot) ** 2 / (len(groups[s]) - 1) for s in groups
+    )
+    w_ref = num / (1 + (2 * (k - 2) / (k * k - 1)) * lam)
+    row = SPECS["quality_welch_anova_drift"].fn(
+        spark, sf_small
+    ).collect()[0]
+    assert row.k == k
+    assert row.n_total == sum(len(v) for v in groups.values())
+    assert abs(row.w_stat - w_ref) / w_ref < 1e-6
+    assert abs(row.chi2_approx - (k - 1) * w_ref) / w_ref < 1e-5
+    assert row.drift == (row.chi2_approx > row.critical_005)
