@@ -6501,3 +6501,139 @@ def quality_welch_anova_drift(
         crit.alias("critical_005"),
         ((F.col("k") - 1) * F.col("w_stat") > crit).alias("drift"),
     )
+
+
+@register(
+    "quality_bartlett_homoscedasticity",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, count(*) AS n,
+               SUM(n_chars) AS s, SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY source HAVING count(*) >= 2
+    ),
+    v AS (
+        SELECT source, n,
+               (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                   / (n - 1) AS var_j
+        FROM g
+    ),
+    tot AS (
+        SELECT count(*) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(round((n - 1) * var_j, 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS ssw,
+               CAST(SUM(CAST(round((n - 1) * ln(var_j), 12)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS sum_ln,
+               CAST(SUM(CAST(round(1.0 / (n - 1), 12)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS sum_inv
+        FROM v
+    ),
+    stat AS (
+        SELECT CAST(k AS INT) AS k, n_total,
+               ((n_total - k)
+                    * round(ln(ssw / (n_total - k)), 12)
+                - sum_ln)
+               / (1.0 + (sum_inv - 1.0 / (n_total - k))
+                        / (3.0 * (k - 1))) AS k2,
+               CAST(k - 1 AS INT) AS dof
+        FROM tot
+    )
+    SELECT k, n_total, k2, dof,
+           {{crit}} AS critical_005,
+           k2 > {{crit}} AS heteroscedastic
+    FROM stat
+    """.replace("{crit}", _CHI2_CRIT_SQL),
+    tags=("quality", "statistics"),
+)
+def quality_bartlett_homoscedasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartlett's test for equal variances across sources — the
+    PRECONDITION check for the classical ANOVA F gate (its pooled SSW
+    assumes homoscedasticity) and the classical twin of the robust
+    Brown-Forsythe op: K² = [(N-k)ln(s_p²) - Σ(n_j-1)ln(s_j²)] / C
+    with the standard C = 1 + (Σ1/(n_j-1) - 1/(N-k))/(3(k-1)), χ²_(k-1)
+    under H0 on the shared literal table.  The decision tree this
+    completes: Bartlett fires → trust Welch ANOVA / Brown-Forsythe;
+    quiet → the F gate's pooled variance is safe.
+
+    Exactness: per-group (n, Σx, Σx²) exact BIGINTs; s_j² one
+    mirrored chain; every ln is round-12 before use and every
+    cross-group sum quantizes to DECIMAL (the pooled SSW at round-6
+    DECIMAL(38,6), the ln and 1/(n-1) sums at round-12) so all three
+    sums are order-independent; the final K² is one mirrored chain.
+    Groups need n ≥ 2 (mirrored HAVING).
+
+    Scale: the F/Welch gates' exact cost class — one
+    map-side-combined groupBy(source), k-row algebra."""
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    var_j = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    v = g.select("source", "n", var_j.alias("var_j"))
+    tot = v.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(
+            F.round((F.col("n") - 1) * F.col("var_j"), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("ssw"),
+        F.sum(
+            F.round(
+                (F.col("n") - 1) * F.log(F.col("var_j")), 12
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sum_ln"),
+        F.sum(
+            F.round(F.lit(1.0) / (F.col("n") - 1), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sum_inv"),
+    )
+    nk = F.col("n_total") - F.col("k")
+    k2 = (
+        nk * F.round(F.log(F.col("ssw") / nk), 12) - F.col("sum_ln")
+    ) / (
+        F.lit(1.0)
+        + (F.col("sum_inv") - F.lit(1.0) / nk)
+        / (F.lit(3.0) * (F.col("k") - 1))
+    )
+    stat = tot.select(
+        F.col("k").cast("int").alias("k"),
+        "n_total",
+        k2.alias("k2"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+    )
+    dof_d = F.col("dof").cast("double")
+    wh_b = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dof_d)
+        + F.lit(_WH_Z095) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof_d))
+    )
+    crit = dof_d * wh_b * wh_b * wh_b
+    for kk, vv in CHI2_CRIT_005.items():
+        crit = F.when(F.col("dof") == kk, F.lit(vv)).otherwise(crit)
+    return stat.select(
+        "k",
+        "n_total",
+        "k2",
+        "dof",
+        crit.alias("critical_005"),
+        (F.col("k2") > crit).alias("heteroscedastic"),
+    )

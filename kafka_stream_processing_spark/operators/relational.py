@@ -2049,3 +2049,151 @@ def join_attribution_markov_removal(
         "attribution_share double, attributed_conversions double, "
         "p_conversion double, n_conversions bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Apriori frequent triples
+# ---------------------------------------------------------------------------
+
+#: Minimum support for the Apriori op, as an exact integer
+#: cross-product: support*20 >= n_baskets  (i.e. 5% of baskets).
+APRIORI_MIN_SUPPORT_X20 = 20
+
+
+@register(
+    "agg_apriori_frequent_triples",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    nb AS (
+        SELECT count(*) AS n FROM (
+            SELECT DISTINCT user_id, day FROM items
+        )
+    )
+    SELECT a.event_type AS item_a,
+           b.event_type AS item_b,
+           c.event_type AS item_c,
+           CAST(count(*) AS BIGINT) AS support_count,
+           CAST(count(*) AS DOUBLE) / any_value(nb.n) AS support_frac
+    FROM items a
+    JOIN items b ON b.user_id = a.user_id AND b.day = a.day
+                AND a.event_type < b.event_type
+    JOIN items c ON c.user_id = a.user_id AND c.day = a.day
+                AND b.event_type < c.event_type
+    CROSS JOIN nb
+    GROUP BY 1, 2, 3
+    HAVING count(*) * {APRIORI_MIN_SUPPORT_X20} >= any_value(nb.n)
+    """,
+    tags=("behavioral", "statistics"),
+)
+def agg_apriori_frequent_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequent event-type TRIPLES over (user, day) baskets by honest
+    level-wise Apriori — the market-basket step beyond
+    agg_cooccurrence_lift's pairs, run with the real algorithm: L1
+    (frequent items) prunes the pair candidates, L2 (frequent pairs)
+    prunes the triple candidates via ALL THREE sub-pairs before any
+    triple is counted — the downward-closure property that makes
+    frequent-itemset mining feasible when the item domain is large.
+    The ORACLE is the opposite algorithm (brute-force triple count
+    with a HAVING) — Apriori's output must equal it exactly, which is
+    precisely the property the pruning must preserve.  Support is the
+    exact integer cross-product count*20 >= n_baskets (5%).
+
+    Scale: each level is one semi-join against the previous level's
+    (item-domain-sized, broadcast) survivors followed by a
+    map-side-combined groupBy — the candidate set never outgrows the
+    frequent-set closure, which is the algorithm's entire point; the
+    basket table shuffles once on (user, day)."""
+    items = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    n_baskets = items.select("user_id", "day").distinct().count()
+    thr = lambda cnt: cnt * APRIORI_MIN_SUPPORT_X20 >= F.lit(  # noqa: E731
+        n_baskets
+    )
+    l1 = (
+        items.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(thr(F.col("c")))
+        .select(F.col("event_type").alias("item"))
+    )
+    pruned1 = items.join(
+        F.broadcast(l1), items["event_type"] == l1["item"], "left_semi"
+    )
+    a, b = pruned1.alias("a"), pruned1.alias("b")
+    pair_base = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.day").alias("day"),
+        F.col("a.event_type").alias("i1"),
+        F.col("b.event_type").alias("i2"),
+    )
+    l2 = (
+        pair_base.groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(thr(F.col("c")))
+        .select("i1", "i2")
+    )
+    # candidate triples: extend frequent pairs by a third frequent
+    # item, then Apriori-prune on ALL sub-pairs before counting
+    t = pair_base.alias("p").join(
+        pruned1.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.day") == F.col("c.day"))
+        & (F.col("p.i2") < F.col("c.event_type")),
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.day").alias("day"),
+        F.col("p.i1").alias("i1"),
+        F.col("p.i2").alias("i2"),
+        F.col("c.event_type").alias("i3"),
+    )
+    l2_12 = l2.select(
+        F.col("i1").alias("j1"), F.col("i2").alias("j2")
+    )
+    t = t.join(
+        F.broadcast(l2_12),
+        (F.col("i1") == F.col("j1")) & (F.col("i2") == F.col("j2")),
+        "left_semi",
+    )
+    t = t.join(
+        F.broadcast(l2_12),
+        (F.col("i1") == F.col("j1")) & (F.col("i3") == F.col("j2")),
+        "left_semi",
+    )
+    t = t.join(
+        F.broadcast(l2_12),
+        (F.col("i2") == F.col("j1")) & (F.col("i3") == F.col("j2")),
+        "left_semi",
+    )
+    return (
+        t.groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("support_count"))
+        .filter(thr(F.col("support_count")))
+        .select(
+            F.col("i1").alias("item_a"),
+            F.col("i2").alias("item_b"),
+            F.col("i3").alias("item_c"),
+            F.col("support_count").cast("bigint").alias(
+                "support_count"
+            ),
+            (
+                F.col("support_count").cast("double")
+                / F.lit(n_baskets)
+            ).alias("support_frac"),
+        )
+    )

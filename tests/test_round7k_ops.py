@@ -725,3 +725,71 @@ def test_stream_bottomk_converges_to_batch_sketch(spark, sf_small):
     assert final.n_exact_prefix == batch.n_exact
     assert final.h_k == batch.h_k
     assert abs(final.est_distinct - batch.est_distinct) < 1e-9
+
+
+def test_bartlett_textbook_replay(spark, sf_small):
+    import statistics
+
+    by_src = defaultdict(list)
+    for s, v in duckdb.connect().execute(
+        f"SELECT source, n_chars FROM '{sf_small}/documents.parquet'"
+    ).fetchall():
+        by_src[s].append(v)
+    groups = {s: v for s, v in by_src.items() if len(v) >= 2}
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    sp2 = sum(
+        (len(v) - 1) * statistics.variance(v) for v in groups.values()
+    ) / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (len(v) - 1) * math.log(statistics.variance(v))
+        for v in groups.values()
+    )
+    c = 1 + (
+        sum(1 / (len(v) - 1) for v in groups.values()) - 1 / (n - k)
+    ) / (3 * (k - 1))
+    k2_ref = num / c
+    row = SPECS["quality_bartlett_homoscedasticity"].fn(
+        spark, sf_small
+    ).collect()[0]
+    assert (row.k, row.n_total, row.dof) == (k, n, k - 1)
+    assert abs(row.k2 - k2_ref) / abs(k2_ref) < 1e-6
+    assert row.heteroscedastic == (row.k2 > row.critical_005)
+
+
+def test_apriori_equals_bruteforce_and_closure(spark, sf_small):
+    """Brute-force python triple counting must equal the level-wise
+    output, and downward closure must hold: every frequent triple's
+    sub-pairs are themselves frequent at the same support."""
+    rows = duckdb.connect().execute(
+        f"""SELECT DISTINCT user_id, CAST(ts AS DATE), event_type
+        FROM '{sf_small}/events.parquet'"""
+    ).fetchall()
+    baskets = defaultdict(set)
+    for u, d, t in rows:
+        baskets[(u, d)].add(t)
+    n = len(baskets)
+    from itertools import combinations
+
+    tri = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        for c3 in combinations(sorted(items), 3):
+            tri[c3] += 1
+        for c2 in combinations(sorted(items), 2):
+            pair[c2] += 1
+    freq_tri = {t: c for t, c in tri.items() if c * 20 >= n}
+    got = {
+        (r.item_a, r.item_b, r.item_c): r
+        for r in SPECS["agg_apriori_frequent_triples"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert got.keys() == freq_tri.keys()
+    for t3, c in freq_tri.items():
+        r = got[t3]
+        assert r.support_count == c
+        assert abs(r.support_frac - c / n) < 1e-12
+        a, b, c3 = t3
+        for sub in ((a, b), (a, c3), (b, c3)):
+            assert pair[sub] * 20 >= n  # downward closure
