@@ -4093,3 +4093,158 @@ def stream_bottomk_maintenance(
         "h_k",
         est.alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming privacy (l-diversity) monitor
+# ---------------------------------------------------------------------------
+
+def _l_diversity_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.quality import (
+        KANON_BUCKET_CHARS,
+    )
+
+    return f"""
+    WITH train AS (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, lang, source,
+               n_chars // {KANON_BUCKET_CHARS} AS len_bucket,
+               rn // ((n + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id,
+               count(*) AS nb
+        FROM chunked GROUP BY chunk_id
+    ),
+    groups AS (
+        SELECT chunk_id, lang, len_bucket,
+               count(*) AS k,
+               count(DISTINCT source) AS l_distinct
+        FROM chunked GROUP BY 1, 2, 3
+    ),
+    agg AS (
+        SELECT chunk_id,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(l_distinct) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l_distinct = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leak_groups,
+               CAST(SUM(CASE WHEN l_distinct = 1 THEN k ELSE 0 END)
+                    AS BIGINT) AS n_leak_rows
+        FROM groups GROUP BY chunk_id
+    )
+    SELECT k.chunk_min_doc_id,
+           CAST(k.nb AS BIGINT) AS n_batch,
+           a.n_groups, a.min_l, a.n_leak_groups, a.n_leak_rows,
+           CAST(a.n_leak_rows AS DOUBLE) / k.nb AS leak_row_rate
+    FROM agg a JOIN keys k USING (chunk_id)
+    """
+
+
+@register(
+    "stream_l_diversity_monitor",
+    oracle=_l_diversity_monitor_oracle(),
+    tags=("streaming", "privacy", "quality"),
+)
+def stream_l_diversity_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch l-diversity audit — the privacy gate run at
+    INGEST time rather than at release: each arriving batch's
+    quasi-identifier groups (lang × length bucket, the batch audit's
+    convention) are checked for single-source disclosure BEFORE the
+    batch joins the corpus, so a crawl slice that would create l=1
+    groups is quarantined while it is still one batch, not discovered
+    at release review.  Per-trigger state is the QI-domain-bounded
+    group table (the Benford/PSI monitors' histogram class); counts
+    are integers, the leak rate one mirrored division; batches key by
+    min doc_id so the oracle rebuilds the same ingest slices
+    relationally.
+
+    Note the deliberate semantics: the audit is WITHIN-batch (what
+    does this slice disclose by itself) — the release-level audit
+    over the accumulated corpus is the batch op; the pair mirrors the
+    KS-monitor / KS-batch relationship.
+
+    Scale: one groupBy per trigger bounded by the QI domain; zero
+    state-store use; restart replays cleanly."""
+    from kafka_stream_processing_spark.operators.quality import (
+        KANON_BUCKET_CHARS,
+    )
+
+    rows: list[tuple[int, int, int, int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key_row = batch_df.agg(
+            F.min("doc_id").alias("k"), F.count(F.lit(1)).alias("nb")
+        ).collect()[0]
+        if key_row["k"] is None:
+            return
+        groups = (
+            batch_df.groupBy(
+                "lang",
+                F.expr(f"n_chars div {KANON_BUCKET_CHARS}").alias(
+                    "len_bucket"
+                ),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.count_distinct("source").alias("l_distinct"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.min("l_distinct").alias("min_l"),
+                F.sum(
+                    (F.col("l_distinct") == 1).cast("int")
+                ).alias("n_leak_groups"),
+                F.sum(
+                    F.when(F.col("l_distinct") == 1, F.col("k")).otherwise(
+                        0
+                    )
+                ).alias("n_leak_rows"),
+            )
+            .collect()[0]  # QI-domain-sized per trigger
+        )
+        rows.append(
+            (
+                int(key_row["k"]),
+                int(key_row["nb"]),
+                int(groups["n_groups"]),
+                int(groups["min_l"]),
+                int(groups["n_leak_groups"]),
+                int(groups["n_leak_rows"]),
+            )
+        )
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    out = spark.createDataFrame(
+        rows,
+        "chunk_min_doc_id bigint, n_batch bigint, n_groups bigint, "
+        "min_l bigint, n_leak_groups bigint, n_leak_rows bigint",
+    )
+    return out.select(
+        "*",
+        (
+            F.col("n_leak_rows").cast("double") / F.col("n_batch")
+        ).alias("leak_row_rate"),
+    )

@@ -793,3 +793,37 @@ def test_apriori_equals_bruteforce_and_closure(spark, sf_small):
         a, b, c3 = t3
         for sub in ((a, b), (a, c3), (b, c3)):
             assert pair[sub] * 20 >= n  # downward closure
+
+
+def test_stream_l_diversity_chunk_replay(spark, sf_small):
+    docs = duckdb.connect().execute(
+        f"""SELECT doc_id, lang, source, n_chars
+        FROM '{sf_small}/documents.parquet'
+        WHERE source <> 'src0' ORDER BY doc_id"""
+    ).fetchall()
+    step = (len(docs) + 2) // 3
+    rows = sorted(
+        SPECS["stream_l_diversity_monitor"].fn(
+            spark, sf_small
+        ).collect(),
+        key=lambda r: r.chunk_min_doc_id,
+    )
+    assert len(rows) == 3
+    for ci, r in enumerate(rows):
+        chunk = docs[ci * step : (ci + 1) * step]
+        groups = defaultdict(set)
+        sizes = Counter()
+        for _, lang, src, n_chars in chunk:
+            qi = (lang, n_chars // 100)
+            groups[qi].add(src)
+            sizes[qi] += 1
+        leaks = [qi for qi, s in groups.items() if len(s) == 1]
+        assert r.chunk_min_doc_id == chunk[0][0]
+        assert r.n_batch == len(chunk)
+        assert r.n_groups == len(groups)
+        assert r.min_l == min(len(s) for s in groups.values())
+        assert r.n_leak_groups == len(leaks)
+        assert r.n_leak_rows == sum(sizes[qi] for qi in leaks)
+        assert abs(
+            r.leak_row_rate - r.n_leak_rows / r.n_batch
+        ) < 1e-12
