@@ -6637,3 +6637,198 @@ def quality_bartlett_homoscedasticity(
         crit.alias("critical_005"),
         (F.col("k2") > crit).alias("heteroscedastic"),
     )
+
+
+#: Benjamini-Hochberg two-sided z thresholds for m = 19 simultaneous
+#: tests at FDR alpha = 0.05: entry i is Phi^{-1}(1 - (0.05*i/19)/2).
+#: Computed offline by tools/gen_bh_z_table.py (Acklam inverse-normal
+#: + Newton refinement on math.erfc; round-trip error < 2e-16, and
+#: entry 19 equals the plain Z_CRIT_005 literal by construction since
+#: alpha_19 = 0.05) and pinned here as literals so both engines
+#: compare against identical doubles — the chi2-table convention.
+BH_Z_CRIT_M19 = {
+    1: 3.0077865564732678, 2: 2.7904699910890725, 3: 2.6565387878196844,
+    4: 2.55804272698677, 5: 2.479466885301666, 6: 2.413745803735221,
+    7: 2.357044229768459, 8: 2.3070392593928246, 9: 2.262213582661452,
+    10: 2.2215195883378365, 11: 2.1842025393757645, 12: 2.149700064344467,
+    13: 2.1175815000165485, 14: 2.0875094772894127, 15: 2.0592146098716695,
+    16: 2.032478253088416, 17: 2.0071204231255324, 18: 1.9829911235270514,
+    19: 1.9599639845400538,
+}
+
+_BH_Z_SQL = "CASE " + " ".join(
+    f"WHEN rank = {i} THEN {v!r}" for i, v in BH_Z_CRIT_M19.items()
+) + " END"
+
+
+@register(
+    "quality_mw_drift_fdr",
+    oracle=f"""
+    WITH x AS (SELECT source, n_chars AS v FROM documents),
+    srcs AS (SELECT DISTINCT source AS s FROM x WHERE source <> 'src0'),
+    ref_hist AS (
+        SELECT v, count(*) AS a FROM x WHERE source = 'src0' GROUP BY v
+    ),
+    src_hist AS (
+        SELECT source AS s, v, count(*) AS b
+        FROM x WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT s, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT s, v, 0 AS a, b FROM src_hist
+            UNION ALL
+            SELECT srcs.s, r.v, r.a, 0 AS b FROM srcs CROSS JOIN ref_hist r
+        ) GROUP BY 1, 2
+    ),
+    ranked_v AS (
+        SELECT s, a, b, a + b AS m,
+               COALESCE(SUM(a + b) OVER (PARTITION BY s ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS sb
+        FROM merged
+    ),
+    stats AS (
+        SELECT s, SUM(a) AS na, SUM(b) AS nb,
+               SUM(b * (2 * sb + m + 1)) AS r2,
+               SUM(m * m * m - m) AS tie
+        FROM ranked_v GROUP BY s
+    ),
+    zs AS (
+        SELECT s,
+               (CAST(r2 - nb * (nb + 1) AS DOUBLE)
+                    - CAST(na * nb AS DOUBLE))
+               / (2.0 * sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+                   * ((na + nb + 1.0)
+                      - CAST(tie AS DOUBLE)
+                        / (CAST(na + nb AS DOUBLE) * (na + nb - 1.0)))))
+                   AS z
+        FROM stats
+    ),
+    ordered AS (
+        SELECT s, z,
+               row_number() OVER (ORDER BY abs(z) DESC, s) AS rank,
+               count(*) OVER () AS m_tests
+        FROM zs
+    ),
+    crits AS (
+        SELECT *,
+               CASE WHEN m_tests = 19 THEN {_BH_Z_SQL} END AS z_crit
+        FROM ordered
+    ),
+    cut AS (
+        SELECT *,
+               max(CASE WHEN abs(z) >= z_crit THEN rank END)
+                   OVER () AS i_star
+        FROM crits
+    )
+    SELECT s AS source, z,
+           CAST(rank AS INT) AS rank,
+           z_crit,
+           abs(z) > {Z_CRIT_005} AS raw_reject,
+           CASE WHEN z_crit IS NULL THEN NULL
+                ELSE i_star IS NOT NULL AND rank <= i_star
+           END AS fdr_reject
+    FROM cut
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_mw_drift_fdr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control across the per-source
+    Mann-Whitney drift tests — the MULTIPLICITY fix the per-source
+    gates are incomplete without: at alpha = 0.05 a 19-source
+    dashboard expects ~1 false drift alarm per refresh, so acting on
+    raw per-test verdicts means chasing ghosts.  BH's step-up rule
+    (reject ranks 1..i*, i* = max i with p_(i) <= alpha*i/m) bounds
+    the EXPECTED FALSE-DISCOVERY FRACTION at 5% while keeping far
+    more power than Bonferroni.  Both verdicts are emitted per
+    source (raw_reject vs fdr_reject) so the dashboard can show what
+    multiplicity control changed.
+
+    No p-values needed: BH on two-sided z-tests is equivalent to
+    comparing |z|_(i) against Phi^{{-1}}(1 - (alpha*i/m)/2), and for
+    the fixed m = 19 sources those thresholds are LITERALS
+    (BH_Z_CRIT_M19, generated offline with an erfc-verified inverse
+    normal — the chi2-critical-table convention extended to a rank
+    table; entry 19 is the plain two-sided 5% point, one ulp from the
+    quoted Z_CRIT literal, since alpha_m = alpha).  If a future corpus changes the source count the verdict
+    degrades to NULL rather than silently using wrong thresholds
+    (mirrored CASE in both engines).
+
+    Scale: the MW kernel's histogram cost (shared shape with
+    quality_mannwhitney_drift) plus windows over the m-row z table —
+    the multiplicity layer is free."""
+    from pyspark.sql import Window
+
+    merged = _ref_vs_source_hist(spark, sf_dir)
+    w_cum = (
+        Window.partitionBy("s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = F.col("a") + F.col("b")
+    ranked_v = merged.select(
+        "s",
+        "a",
+        "b",
+        m.alias("m"),
+        F.coalesce(F.sum(m).over(w_cum), F.lit(0)).alias("sb"),
+    )
+    stats = ranked_v.groupBy("s").agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(F.col("b") * (2 * F.col("sb") + F.col("m") + 1)).alias(
+            "r2"
+        ),
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("tie"),
+    )
+    nn = F.col("na") + F.col("nb")
+    z = (
+        (F.col("r2") - F.col("nb") * (F.col("nb") + 1)).cast("double")
+        - (F.col("na") * F.col("nb")).cast("double")
+    ) / (
+        F.lit(2.0)
+        * F.sqrt(
+            (F.col("na").cast("double") * F.col("nb") / F.lit(12.0))
+            * (
+                (nn + F.lit(1.0))
+                - F.col("tie").cast("double")
+                / (nn.cast("double") * (nn - F.lit(1.0)))
+            )
+        )
+    )
+    zs = stats.select("s", z.alias("z"))
+    w_rank = Window.orderBy(F.abs(F.col("z")).desc(), "s")
+    ordered = zs.select(
+        "s",
+        "z",
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m_tests"),
+    )
+    z_crit = F.lit(None).cast("double")
+    for i, v in BH_Z_CRIT_M19.items():
+        z_crit = F.when(F.col("rank") == i, F.lit(v)).otherwise(z_crit)
+    crits = ordered.select(
+        "*",
+        F.when(F.col("m_tests") == 19, z_crit).alias("z_crit"),
+    )
+    i_star = F.max(
+        F.when(F.abs(F.col("z")) >= F.col("z_crit"), F.col("rank"))
+    ).over(Window.partitionBy())
+    cut = crits.select("*", i_star.alias("i_star"))
+    return cut.select(
+        F.col("s").alias("source"),
+        "z",
+        F.col("rank").cast("int").alias("rank"),
+        "z_crit",
+        (F.abs(F.col("z")) > F.lit(Z_CRIT_005)).alias("raw_reject"),
+        F.when(
+            F.col("z_crit").isNull(), F.lit(None).cast("boolean")
+        ).otherwise(
+            F.col("i_star").isNotNull()
+            & (F.col("rank") <= F.col("i_star"))
+        ).alias("fdr_reject"),
+    )

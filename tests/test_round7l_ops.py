@@ -1,0 +1,82 @@
+"""Round-7 twelfth wave: BH FDR over the per-source Mann-Whitney drift
+tests, plus the pinned-literal reproduction check for the BH z table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from kafka_stream_processing_spark.operators.quality import (
+    BH_Z_CRIT_M19,
+    Z_CRIT_005,
+)
+from kafka_stream_processing_spark.registry import all_specs
+from kafka_stream_processing_spark.tools.gen_bh_z_table import (
+    bh_z_table,
+)
+
+SPECS = all_specs()
+
+
+def test_bh_z_table_reproduces_and_roundtrips():
+    """The pinned literals must be bit-identical to the generator's
+    output, every entry must erfc-round-trip to its alpha_i within
+    2e-16, the table must be monotone decreasing, and entry m must be
+    the plain two-sided Z_CRIT literal (alpha_m = alpha)."""
+    regen = bh_z_table()
+    assert regen == BH_Z_CRIT_M19
+    m = 19
+    for i, z in BH_Z_CRIT_M19.items():
+        alpha_i = 0.05 * i / m
+        assert abs(math.erfc(z / math.sqrt(2)) - alpha_i) < 2e-16
+    vals = [BH_Z_CRIT_M19[i] for i in range(1, m + 1)]
+    assert vals == sorted(vals, reverse=True)
+    # entry m IS the plain two-sided critical point (alpha_m = alpha);
+    # the legacy Z_CRIT_005 literal is the commonly quoted value one
+    # ulp away from the erfc-exact root, so compare to 1 ulp
+    assert abs(BH_Z_CRIT_M19[m] - Z_CRIT_005) < 5e-16
+
+
+def test_mw_fdr_step_up_replay(spark, sf_small):
+    """Replay the BH step-up in python over the registered MW op's
+    z-scores (the declared shared kernel), and check the containment
+    law: FDR rejections are a subset of raw rejections ONLY when the
+    step-up cut falls below the raw threshold rank — in general BH at
+    the same alpha rejects a superset of Bonferroni and a subset-or-
+    equal of raw per-test verdicts is NOT guaranteed, so assert the
+    exact step-up definition instead."""
+    mw = {
+        r.source: r.z
+        for r in SPECS["quality_mannwhitney_drift"].fn(
+            spark, sf_small
+        ).collect()
+    }
+    ordered = sorted(mw.items(), key=lambda kv: (-abs(kv[1]), kv[0]))
+    m = len(ordered)
+    assert m == 19
+    flags = [
+        abs(z) >= BH_Z_CRIT_M19[i + 1]
+        for i, (_, z) in enumerate(ordered)
+    ]
+    i_star = max(
+        (i + 1 for i, f in enumerate(flags) if f), default=None
+    )
+    expected = {
+        s: (i_star is not None and i + 1 <= i_star)
+        for i, (s, _) in enumerate(ordered)
+    }
+    rows = SPECS["quality_mw_drift_fdr"].fn(spark, sf_small).collect()
+    got = {r.source: r for r in rows}
+    assert set(got) == set(mw)
+    for i, (s, z) in enumerate(ordered):
+        r = got[s]
+        assert abs(r.z - z) < 1e-12
+        assert r.rank == i + 1
+        assert abs(r.z_crit - BH_Z_CRIT_M19[i + 1]) < 1e-15
+        assert r.raw_reject == (abs(z) > Z_CRIT_005)
+        assert r.fdr_reject == expected[s]
+    # step-up sanity: rejections form a prefix of the rank order
+    rejected_ranks = sorted(
+        r.rank for r in rows if r.fdr_reject
+    )
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
