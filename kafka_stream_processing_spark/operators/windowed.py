@@ -6295,3 +6295,120 @@ def window_holt_damped_trend(
             "forecast double, forecast_h10 double, residual double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shewhart individuals / moving-range control chart
+# ---------------------------------------------------------------------------
+
+#: d2-based I-MR chart constant: 3/d2 with d2 = 1.128 for n = 2
+#: (the standard 2.66 rounding is avoided — both engines use the same
+#: full-precision literal).
+SHEWHART_IMR_K = 3.0 / 1.128
+
+
+@register(
+    "window_shewhart_imr_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    mr AS (
+        SELECT event_type, day, x,
+               abs(x - lag(x) OVER (PARTITION BY event_type
+                                    ORDER BY day)) AS mrv
+        FROM daily
+    ),
+    lims AS (
+        SELECT event_type,
+               CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS center,
+               CAST(SUM(CAST(round(mrv, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(mrv) AS mrbar
+        FROM mr GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.day AS VARCHAR) AS day,
+           m.x,
+           m.mrv AS moving_range,
+           l.center,
+           l.center + {SHEWHART_IMR_K!r} * l.mrbar AS ucl,
+           l.center - {SHEWHART_IMR_K!r} * l.mrbar AS lcl,
+           m.x > l.center + {SHEWHART_IMR_K!r} * l.mrbar
+               OR m.x < l.center - {SHEWHART_IMR_K!r} * l.mrbar
+               AS out_of_control
+    FROM mr m JOIN lims l USING (event_type)
+    """,
+    tags=("windowed", "timeseries", "quality"),
+)
+def window_shewhart_imr_chart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shewhart individuals/moving-range control chart on per-type
+    daily revenue — the SPC family's POINT-ALARM member beside the
+    registry's sequential detectors (CUSUM accumulates small drifts,
+    Page-Hinkley tracks running means, EWMA smooths; Shewhart flags
+    any SINGLE day outside center ± 3*sigma_hat): sigma is estimated
+    from the mean moving range MRbar/d2 (d2 = 1.128 for spans of 2),
+    the classic I-MR construction that stays valid without a variance
+    estimate from a training window.  Every out_of_control day is a
+    point alarm an on-call dashboard pages on; the sequential
+    detectors then say whether it is a blip or a level change.
+
+    Exactness: daily x and moving ranges are exact-decimal derived;
+    center and MRbar are round-6 DECIMAL sums over the calendar with
+    single double divisions; the 3/d2 factor is one full-precision
+    literal (not the textbook's rounded 2.66), so the limits are one
+    mirrored IEEE chain.
+
+    Scale: one map-side-combined groupBy to the (series x calendar)
+    table, one lag window per series, a per-series limits row
+    broadcast back — calendar-sized everything."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(w)).alias("mrv"),
+    )
+    lims = mr.groupBy("event_type").agg(
+        (
+            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("center"),
+        (
+            F.sum(F.round(F.col("mrv"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("mrv")
+        ).alias("mrbar"),
+    )
+    j = mr.join(F.broadcast(lims), "event_type")
+    ucl = F.col("center") + F.lit(SHEWHART_IMR_K) * F.col("mrbar")
+    lcl = F.col("center") - F.lit(SHEWHART_IMR_K) * F.col("mrbar")
+    return j.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "x",
+        F.col("mrv").alias("moving_range"),
+        "center",
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((F.col("x") > ucl) | (F.col("x") < lcl)).alias(
+            "out_of_control"
+        ),
+    )

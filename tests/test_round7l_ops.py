@@ -80,3 +80,47 @@ def test_mw_fdr_step_up_replay(spark, sf_small):
         r.rank for r in rows if r.fdr_reject
     )
     assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+
+
+def test_shewhart_imr_python_replay(spark, sf_small):
+    import duckdb
+    from collections import defaultdict
+
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type,
+        CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR),
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        FROM '{sf_small}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(list)
+    for t, d, x in rows:
+        series[t].append((d, x))
+    got = {
+        (r.event_type, r.day): r
+        for r in SPECS["window_shewhart_imr_chart"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    k = 3.0 / 1.128
+    n_ooc = 0
+    for t, pts in series.items():
+        xs = [x for _, x in pts]
+        mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+        center = sum(xs) / len(xs)
+        mrbar = sum(mrs) / len(mrs)
+        ucl, lcl = center + k * mrbar, center - k * mrbar
+        for i, (d, x) in enumerate(pts):
+            r = got[(t, d)]
+            assert abs(r.x - x) < 1e-9
+            if i == 0:
+                assert r.moving_range is None
+            else:
+                assert abs(r.moving_range - mrs[i - 1]) < 1e-9
+            assert abs(r.center - center) < 1e-4
+            assert abs(r.ucl - ucl) < 1e-4
+            assert abs(r.lcl - lcl) < 1e-4
+            assert r.out_of_control == (x > r.ucl or x < r.lcl)
+            n_ooc += r.out_of_control
+    # the chart must be calibrated enough that alarms are the
+    # exception, not the rule (~99.7% coverage under normality)
+    assert n_ooc < 0.1 * len(got)
