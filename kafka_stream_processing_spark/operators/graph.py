@@ -1592,3 +1592,108 @@ def graph_widest_path_from_hub(
     return state.filter(F.col("node") != src).select(
         "node", F.col("val").cast("bigint").alias("bottleneck")
     )
+
+
+@register(
+    "graph_closeness_centrality",
+    oracle=f"""
+    WITH RECURSIVE adj AS ({_sig_adj_sql()}),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    nodes AS (SELECT DISTINCT u AS s FROM sym),
+    reach(src, node, hops) AS (
+        SELECT s, s, 0 FROM nodes
+        UNION
+        SELECT reach.src, sym.v, reach.hops + 1
+        FROM reach JOIN sym ON sym.u = reach.node
+        WHERE reach.hops < {BFS_MAX_HOPS}
+    ),
+    dist AS (
+        SELECT src, node, MIN(hops) AS d
+        FROM reach GROUP BY src, node
+    ),
+    agg AS (
+        SELECT src,
+               count(*) - 1 AS n_reached,
+               SUM(d) AS total_d
+        FROM dist GROUP BY src
+    )
+    SELECT src AS node,
+           CAST(n_reached AS BIGINT) AS n_reached,
+           CAST(total_d AS BIGINT) AS total_hops,
+           CASE WHEN total_d > 0 THEN
+               CAST(n_reached AS DOUBLE) / total_d
+           END AS closeness
+    FROM agg
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_closeness_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closeness centrality over the sparsified trade graph — the
+    DISTANCE member of the centrality family (PageRank weights by
+    inbound mass, k-core by cohesion; closeness = (n_reached)/Σ hops
+    ranks nodes by how FEW hops they need to reach everyone — the
+    'where to place the depot' score).  Computed as ALL-SOURCES BFS:
+    the single-source op's frontier loop with (source, node) keyed
+    state, so every level is still ONE hash join + one anti-join, now
+    over a frontier that is at most nodes² rows — exactly Pregel's
+    multi-source flood.  Disconnected components rank by their own
+    reachable set (the standard per-component normalization: closeness
+    over unreachable pairs is undefined, not zero), NULL when a node
+    reaches nobody.
+
+    Exactness: everything is integer hop counting; closeness is one
+    mirrored division.
+
+    Scale: state is (nodes x nodes) pairs at worst — for centrality
+    on a BOUNDED entity graph (nations, data centers, suppliers),
+    which is closeness's use case; on a billion-node graph nobody
+    computes exact closeness — the documented swap is pivot sampling
+    (Eppstein-Wang: BFS from O(log n / eps^2) sampled pivots, same
+    loop with a sampled source list)."""
+    adj = _sig_adj_df(spark, sf_dir)
+    sym = (
+        adj.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            adj.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        sym.select(F.col("u").alias("src"))
+        .distinct()
+        .select("src", F.col("src").alias("node"), F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    agg = visited.groupBy("src").agg(
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
+        F.sum("hops").alias("total_d"),
+    )
+    return agg.select(
+        F.col("src").alias("node"),
+        F.col("n_reached").cast("bigint").alias("n_reached"),
+        F.col("total_d").cast("bigint").alias("total_hops"),
+        F.when(
+            F.col("total_d") > 0,
+            F.col("n_reached").cast("double") / F.col("total_d"),
+        ).alias("closeness"),
+    )

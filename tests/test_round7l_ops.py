@@ -124,3 +124,40 @@ def test_shewhart_imr_python_replay(spark, sf_small):
     # the chart must be calibrated enough that alarms are the
     # exception, not the rule (~99.7% coverage under normality)
     assert n_ooc < 0.1 * len(got)
+
+
+def test_closeness_python_bfs_replay(spark, sf_small):
+    """All-sources BFS replayed with a python deque walk over the
+    sparsified adjacency (reuses the test-local rebuild from
+    test_round7i_ops), plus the component consistency law: nodes in
+    one component share n_reached."""
+    from collections import deque
+
+    from tests.test_round7i_ops import _sparsified_adj
+
+    adj = _sparsified_adj(sf_small)
+    nbrs = {}
+    for a, b in adj:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    rows = SPECS["graph_closeness_centrality"].fn(
+        spark, sf_small
+    ).collect()
+    got = {r.node: r for r in rows}
+    assert set(got) == set(nbrs)
+    for s in nbrs:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        r = got[s]
+        assert r.n_reached == len(dist) - 1
+        assert r.total_hops == sum(dist.values())
+        if r.total_hops:
+            assert abs(
+                r.closeness - r.n_reached / r.total_hops
+            ) < 1e-12
