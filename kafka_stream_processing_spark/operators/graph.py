@@ -1594,6 +1594,42 @@ def graph_widest_path_from_hub(
     )
 
 
+def _all_pairs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-sources BFS hop distances over the sparsified adjacency —
+    the multi-source Pregel flood with (src, node)-keyed state, shared
+    by closeness centrality and eccentricity/diameter (reuse
+    guard-tested)."""
+    adj = _sig_adj_df(spark, sf_dir)
+    sym = (
+        adj.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            adj.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        sym.select(F.col("u").alias("src"))
+        .distinct()
+        .select("src", F.col("src").alias("node"), F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 @register(
     "graph_closeness_centrality",
     oracle=f"""
@@ -1656,34 +1692,7 @@ def graph_closeness_centrality(
     computes exact closeness — the documented swap is pivot sampling
     (Eppstein-Wang: BFS from O(log n / eps^2) sampled pivots, same
     loop with a sampled source list)."""
-    adj = _sig_adj_df(spark, sf_dir)
-    sym = (
-        adj.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionByName(
-            adj.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    visited = (
-        sym.select(F.col("u").alias("src"))
-        .distinct()
-        .select("src", F.col("src").alias("node"), F.lit(0).alias("hops"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited
-    for h in range(1, BFS_MAX_HOPS + 1):
-        nxt = (
-            frontier.join(sym, frontier["node"] == sym["u"])
-            .select("src", F.col("v").alias("node"))
-            .distinct()
-            .join(visited, ["src", "node"], "left_anti")
-            .select("src", "node", F.lit(h).alias("hops"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    visited = _all_pairs_hops(spark, sf_dir)
     agg = visited.groupBy("src").agg(
         (F.count(F.lit(1)) - 1).alias("n_reached"),
         F.sum("hops").alias("total_d"),
@@ -1696,4 +1705,77 @@ def graph_closeness_centrality(
             F.col("total_d") > 0,
             F.col("n_reached").cast("double") / F.col("total_d"),
         ).alias("closeness"),
+    )
+
+
+@register(
+    "graph_eccentricity_diameter",
+    oracle=f"""
+    WITH RECURSIVE adj AS ({_sig_adj_sql()}),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    nodes AS (SELECT DISTINCT u AS s FROM sym),
+    reach(src, node, hops) AS (
+        SELECT s, s, 0 FROM nodes
+        UNION
+        SELECT reach.src, sym.v, reach.hops + 1
+        FROM reach JOIN sym ON sym.u = reach.node
+        WHERE reach.hops < {BFS_MAX_HOPS}
+    ),
+    dist AS (
+        SELECT src, node, MIN(hops) AS d
+        FROM reach GROUP BY src, node
+    ),
+    ecc AS (
+        SELECT src, MAX(d) AS eccentricity FROM dist GROUP BY src
+    ),
+    summary AS (
+        SELECT MAX(eccentricity) AS diameter,
+               MIN(eccentricity) AS radius
+        FROM ecc
+    )
+    SELECT e.src AS node,
+           CAST(e.eccentricity AS INT) AS eccentricity,
+           CAST(s.diameter AS INT) AS diameter,
+           CAST(s.radius AS INT) AS radius,
+           e.eccentricity = s.radius AS is_center
+    FROM ecc e CROSS JOIN summary s
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_eccentricity_diameter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node eccentricity with the graph's diameter and radius —
+    the EXTREMAL companions of closeness (closeness averages a node's
+    distances; eccentricity takes the worst case, and its max/min
+    over nodes are the graph diameter and radius, with the radius
+    attainers being the graph CENTER — 'the worst-case latency if we
+    place the hub here').  Rides the SAME all-sources BFS kernel as
+    closeness (`_all_pairs_hops`, reuse guard-tested): one extra
+    groupBy-max per source and a 2-value summary broadcast.
+
+    Exactness: pure integer hop arithmetic; the center flag is one
+    integer comparison.
+
+    Scale: the kernel's bound (nodes² pair state on a bounded entity
+    graph; pivot-sampling swap documented on the closeness op).  The
+    eccentricity layer adds node-sized aggregation only."""
+    visited = _all_pairs_hops(spark, sf_dir)
+    ecc = visited.groupBy("src").agg(
+        F.max("hops").alias("eccentricity")
+    )
+    summary = ecc.agg(
+        F.max("eccentricity").alias("diameter"),
+        F.min("eccentricity").alias("radius"),
+    )
+    return ecc.crossJoin(F.broadcast(summary)).select(
+        F.col("src").alias("node"),
+        F.col("eccentricity").cast("int").alias("eccentricity"),
+        F.col("diameter").cast("int").alias("diameter"),
+        F.col("radius").cast("int").alias("radius"),
+        (F.col("eccentricity") == F.col("radius")).alias("is_center"),
     )

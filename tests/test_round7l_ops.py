@@ -161,3 +161,65 @@ def test_closeness_python_bfs_replay(spark, sf_small):
             assert abs(
                 r.closeness - r.n_reached / r.total_hops
             ) < 1e-12
+
+
+def test_eccentricity_diameter_replay_and_kernel_reuse(spark, sf_small):
+    """Eccentricity/diameter/radius from the python BFS walk, plus the
+    reuse guard: the op must call the shared _all_pairs_hops kernel
+    (same function object closeness uses)."""
+    import inspect
+    from collections import deque
+
+    from kafka_stream_processing_spark.operators import graph as g
+    from tests.test_round7i_ops import _sparsified_adj
+
+    assert "_all_pairs_hops" in inspect.getsource(
+        g.graph_eccentricity_diameter.__wrapped__
+    )
+    assert "_all_pairs_hops" in inspect.getsource(
+        g.graph_closeness_centrality.__wrapped__
+    )
+    adj = _sparsified_adj(sf_small)
+    nbrs = {}
+    for a, b in adj:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    eccs = {}
+    for s in nbrs:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        eccs[s] = max(dist.values())
+    diameter, radius = max(eccs.values()), min(eccs.values())
+    rows = SPECS["graph_eccentricity_diameter"].fn(
+        spark, sf_small
+    ).collect()
+    got = {r.node: r for r in rows}
+    assert set(got) == set(eccs)
+    for s, e in eccs.items():
+        r = got[s]
+        assert r.eccentricity == e
+        assert r.diameter == diameter
+        assert r.radius == radius
+        assert r.is_center == (e == radius)
+    # radius <= diameter <= 2*radius holds within ONE connected
+    # component (a small satellite component can hold the global
+    # radius while the main component holds the diameter, so the law
+    # is only asserted when the graph is connected)
+    comp = set()
+    start = next(iter(nbrs))
+    q = deque([start])
+    comp.add(start)
+    while q:
+        u = q.popleft()
+        for v in nbrs[u]:
+            if v not in comp:
+                comp.add(v)
+                q.append(v)
+    if comp == set(nbrs):
+        assert radius <= diameter <= 2 * radius
