@@ -6832,3 +6832,107 @@ def quality_mw_drift_fdr(
             & (F.col("rank") <= F.col("i_star"))
         ).alias("fdr_reject"),
     )
+
+
+@register(
+    "quality_tukey_fences_outliers",
+    oracle="""
+    WITH fences AS (
+        SELECT event_type,
+               count(*) AS n,
+               round(quantile_cont(value, 0.25), 6) AS q1,
+               round(quantile_cont(value, 0.75), 6) AS q3
+        FROM events GROUP BY event_type
+    ),
+    lims AS (
+        SELECT event_type, n, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo,
+               q3 + 1.5 * (q3 - q1) AS hi
+        FROM fences
+    ),
+    flagged AS (
+        SELECT l.event_type, l.n, l.q1, l.q3, l.lo, l.hi,
+               CAST(SUM(CASE WHEN e.value < l.lo OR e.value > l.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN lims l USING (event_type)
+        GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           q1, q3, lo, hi, n_outliers,
+           CAST(n_outliers AS DOUBLE) / n AS outlier_rate
+    FROM flagged
+    """,
+    tags=("quality", "statistics"),
+)
+def quality_tukey_fences_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tukey boxplot fences per event type — the IQR outlier gate
+    that completes the robust-outlier pair (the MAD op fences around
+    the MEDIAN with a scale constant; Tukey fences at Q1/Q3 ±
+    1.5*IQR are the boxplot convention every reviewer already reads,
+    asymmetric when the distribution is): per type the quartiles,
+    fences, and the exact count/rate of values outside them.  An
+    outlier rate far above the ~0.7% a normal distribution implies
+    flags heavy tails; one near zero flags clipped/synthetic data.
+
+    Exactness: exact linear-interpolated quartiles (Spark percentile
+    == DuckDB quantile_cont — the QQ op's convention), round-6 to
+    absorb the interpolation's last ulp; fences one mirrored chain;
+    outlier counting is integer conditional summing against those
+    exact fence doubles.
+
+    Scale: exact per-group quantiles buffer each group (documented
+    cost of exactness; event types are few — the approx_percentile
+    swap keeps the table shape for unbounded groups); the counting
+    pass is one scan joined against the broadcast type-sized fence
+    table."""
+    ev = table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.expr("percentile(value, 0.25)"), 6
+        ).alias("q1"),
+        F.round(
+            F.expr("percentile(value, 0.75)"), 6
+        ).alias("q3"),
+    )
+    lims = fences.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias(
+            "lo"
+        ),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias(
+            "hi"
+        ),
+    )
+    flagged = (
+        ev.join(F.broadcast(lims), "event_type")
+        .groupBy("event_type", "n", "q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(
+                (
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return flagged.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "q1",
+        "q3",
+        "lo",
+        "hi",
+        "n_outliers",
+        (F.col("n_outliers").cast("double") / F.col("n")).alias(
+            "outlier_rate"
+        ),
+    )

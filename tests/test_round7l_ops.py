@@ -223,3 +223,34 @@ def test_eccentricity_diameter_replay_and_kernel_reuse(spark, sf_small):
                 q.append(v)
     if comp == set(nbrs):
         assert radius <= diameter <= 2 * radius
+
+
+def test_tukey_fences_numpy_replay(spark, sf_small):
+    import duckdb
+    import numpy as np
+    from collections import defaultdict
+
+    rows = duckdb.connect().execute(
+        f"SELECT event_type, value FROM '{sf_small}/events.parquet'"
+    ).fetchall()
+    by_type = defaultdict(list)
+    for t, v in rows:
+        by_type[t].append(v)
+    got = {
+        r.event_type: r
+        for r in SPECS["quality_tukey_fences_outliers"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert set(got) == set(by_type)
+    for t, vs in by_type.items():
+        q1 = round(float(np.percentile(vs, 25, method="linear")), 6)
+        q3 = round(float(np.percentile(vs, 75, method="linear")), 6)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        n_out = sum(1 for v in vs if v < lo or v > hi)
+        r = got[t]
+        assert r.n == len(vs)
+        assert abs(r.q1 - q1) < 1e-9 and abs(r.q3 - q3) < 1e-9
+        assert abs(r.lo - lo) < 1e-9 and abs(r.hi - hi) < 1e-9
+        assert r.n_outliers == n_out
+        assert abs(r.outlier_rate - n_out / len(vs)) < 1e-12
