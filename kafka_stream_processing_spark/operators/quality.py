@@ -6936,3 +6936,123 @@ def quality_tukey_fences_outliers(
             "outlier_rate"
         ),
     )
+
+
+@register(
+    "quality_wasserstein_drift",
+    oracle="""
+    WITH x AS (SELECT source, n_chars AS v FROM documents),
+    srcs AS (SELECT DISTINCT source AS s FROM x WHERE source <> 'src0'),
+    ref_hist AS (
+        SELECT v, count(*) AS a FROM x WHERE source = 'src0' GROUP BY v
+    ),
+    src_hist AS (
+        SELECT source AS s, v, count(*) AS b
+        FROM x WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT s, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT s, v, 0 AS a, b FROM src_hist
+            UNION ALL
+            SELECT srcs.s, r.v, r.a, 0 AS b FROM srcs CROSS JOIN ref_hist r
+        ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT s, SUM(a) AS na, SUM(b) AS nb FROM merged GROUP BY s),
+    walked AS (
+        SELECT m.s, m.v, t.na, t.nb,
+               SUM(m.a) OVER (PARTITION BY m.s ORDER BY m.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS ca,
+               SUM(m.b) OVER (PARTITION BY m.s ORDER BY m.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cb,
+               lead(m.v) OVER (PARTITION BY m.s ORDER BY m.v)
+                   AS v_next
+        FROM merged m JOIN tot t ON t.s = m.s
+    ),
+    terms AS (
+        SELECT s, na, nb,
+               round(abs(CAST(ca AS DOUBLE) / na
+                         - CAST(cb AS DOUBLE) / nb)
+                     * (v_next - v), 6) AS term
+        FROM walked WHERE v_next IS NOT NULL
+    )
+    SELECT s AS source,
+           CAST(any_value(na) AS BIGINT) AS n_ref,
+           CAST(any_value(nb) AS BIGINT) AS n_src,
+           CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
+               AS wasserstein_1
+    FROM terms GROUP BY s
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_wasserstein_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance per source vs src0 over
+    document length — the HORIZONTAL drift metric the vertical family
+    cannot express: TV/Hellinger/JS compare probability MASS per value
+    and are blind to how FAR the mass moved (shifting every document
+    by one character and by a thousand characters score identically);
+    W1 = integral |F_a - F_b| dv is exactly the average number of
+    characters each document must 'travel' to turn one distribution
+    into the other, in the column's own units — the quantity a
+    capacity planner or tokenizer-budget owner actually wants.
+
+    Computed exactly from the shared ref-vs-source histogram: W1 =
+    sum over consecutive distinct values of |ECDF gap| * value gap
+    (the closed form of the integral for step ECDFs — no binning, no
+    approximation).  ECDF ratios are single double divisions of exact
+    BIGINT cumulatives; each term rounds to 6 decimals into an
+    order-independent DECIMAL(38,6) sum.
+
+    Scale: the KS/CvM/AD kernel cost exactly — histogram groupBys,
+    cumulative + lead windows over distinct values per source, one
+    scalar row out per source."""
+    from pyspark.sql import Window
+
+    merged = _ref_vs_source_hist(spark, sf_dir)
+    tot = merged.groupBy("s").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    w_cum = (
+        Window.partitionBy("s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("s").orderBy("v")
+    walked = merged.join(tot, "s").select(
+        "s",
+        "v",
+        "na",
+        "nb",
+        F.sum("a").over(w_cum).alias("ca"),
+        F.sum("b").over(w_cum).alias("cb"),
+        F.lead("v").over(w_lead).alias("v_next"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("ca").cast("double") / F.col("na")
+            - F.col("cb").cast("double") / F.col("nb")
+        )
+        * (F.col("v_next") - F.col("v")),
+        6,
+    )
+    return (
+        walked.filter(F.col("v_next").isNotNull())
+        .select("s", "na", "nb", term.alias("term"))
+        .groupBy("s")
+        .agg(
+            F.any_value("na").cast("bigint").alias("n_ref"),
+            F.any_value("nb").cast("bigint").alias("n_src"),
+            F.sum(F.col("term").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("wasserstein_1"),
+        )
+        .select(
+            F.col("s").alias("source"),
+            "n_ref",
+            "n_src",
+            "wasserstein_1",
+        )
+    )

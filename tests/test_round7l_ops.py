@@ -254,3 +254,54 @@ def test_tukey_fences_numpy_replay(spark, sf_small):
         assert abs(r.lo - lo) < 1e-9 and abs(r.hi - hi) < 1e-9
         assert r.n_outliers == n_out
         assert abs(r.outlier_rate - n_out / len(vs)) < 1e-12
+
+
+def test_wasserstein_scipy_free_replay(spark, sf_small):
+    """W1 from the sorted-sample definition (mean |quantile gap| via
+    the dual transport formulation on raw values) — a genuinely
+    different algorithm from the engine's ECDF-gap integral, plus the
+    lower bound |mean_a - mean_b| <= W1."""
+    from collections import defaultdict
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT source, n_chars FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    by_src = defaultdict(list)
+    for s, v in rows:
+        by_src[s].append(v)
+    ref = sorted(by_src["src0"])
+
+    def w1(a, b):
+        # integral of |F_a - F_b| via the merged-breakpoint sweep on
+        # raw sorted samples
+        import itertools
+
+        pts = sorted(set(a) | set(b))
+        tot = 0.0
+        ia = ib = 0
+        for v, v_next in itertools.pairwise(pts):
+            while ia < len(a) and a[ia] <= v:
+                ia += 1
+            while ib < len(b) and b[ib] <= v:
+                ib += 1
+            tot += abs(ia / len(a) - ib / len(b)) * (v_next - v)
+        return tot
+
+    got = {
+        r.source: r
+        for r in SPECS["quality_wasserstein_drift"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    for s, vs in by_src.items():
+        if s == "src0":
+            continue
+        expected = w1(ref, sorted(vs))
+        r = got[s]
+        assert (r.n_ref, r.n_src) == (len(ref), len(vs))
+        assert abs(r.wasserstein_1 - expected) < 1e-3
+        mean_gap = abs(
+            sum(ref) / len(ref) - sum(vs) / len(vs)
+        )
+        assert r.wasserstein_1 >= mean_gap - 1e-9
