@@ -4248,3 +4248,190 @@ def stream_l_diversity_monitor(
             F.col("n_leak_rows").cast("double") / F.col("n_batch")
         ).alias("leak_row_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming 1-Wasserstein drift monitor
+# ---------------------------------------------------------------------------
+
+_W1_MONITOR_ORACLE = """
+    WITH train AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, n_chars AS v, rn // ((n + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id,
+               count(*) AS nb
+        FROM chunked GROUP BY chunk_id
+    ),
+    ref AS (
+        SELECT n_chars AS v, count(*) AS a
+        FROM documents WHERE source = 'src0' GROUP BY 1
+    ),
+    ref_n AS (SELECT SUM(a) AS na FROM ref),
+    cur AS (
+        SELECT chunk_id, v, count(*) AS b
+        FROM chunked GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT chunk_id, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT c.chunk_id, c.v, 0 AS a, c.b FROM cur c
+            UNION ALL
+            SELECT k.chunk_id, r.v, r.a, 0 AS b
+            FROM keys k CROSS JOIN ref r
+        ) GROUP BY 1, 2
+    ),
+    walked AS (
+        SELECT m.chunk_id, m.v,
+               SUM(m.a) OVER (PARTITION BY m.chunk_id ORDER BY m.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS ca,
+               SUM(m.b) OVER (PARTITION BY m.chunk_id ORDER BY m.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cb,
+               lead(m.v) OVER (PARTITION BY m.chunk_id ORDER BY m.v)
+                   AS v_next
+        FROM merged m
+    ),
+    terms AS (
+        SELECT w.chunk_id,
+               round(abs(CAST(w.ca AS DOUBLE) / rn.na
+                         - CAST(w.cb AS DOUBLE) / k.nb)
+                     * (w.v_next - w.v), 6) AS term
+        FROM walked w
+        JOIN keys k USING (chunk_id)
+        CROSS JOIN ref_n rn
+        WHERE w.v_next IS NOT NULL
+    )
+    SELECT k.chunk_min_doc_id,
+           CAST(k.nb AS BIGINT) AS n_batch,
+           CAST(SUM(CAST(t.term AS DECIMAL(38,6))) AS DOUBLE)
+               AS wasserstein_1
+    FROM terms t JOIN keys k USING (chunk_id)
+    GROUP BY k.chunk_min_doc_id, k.nb
+    """
+
+
+@register(
+    "stream_wasserstein_monitor",
+    oracle=_W1_MONITOR_ORACLE,
+    tags=("streaming", "drift", "quality"),
+)
+def stream_wasserstein_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch 1-Wasserstein distance against the trusted src0
+    reference — the HORIZONTAL member of the drift-monitor family (KS
+    watches the largest ECDF gap, PSI the binned mass shift; W1 reads
+    'how many characters did the typical document move', in the
+    column's own units, so an alarm threshold is a business number
+    rather than a statistic).  Each ingest batch folds to its integer
+    value histogram per trigger (the exact-quantile monitor's bound —
+    domain-sized state however large the batch) and the step-ECDF
+    integral runs post-stream in Spark expressions mirroring the
+    batch quality_wasserstein_drift gate exactly.
+
+    Scale: per-trigger state is one value histogram; the reference
+    histogram computes once; verdict math is windows over distinct
+    values per chunk — zero state store, order-independent batch keys,
+    relational chunk reconstruction in the oracle."""
+    from pyspark.sql import Window
+
+    from kafka_stream_processing_spark.sources.tables import table
+
+    rows: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("doc_id").alias("k")).collect()[0]["k"]
+        if key is None:
+            return
+        hist = (
+            batch_df.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # value-domain-sized per trigger
+        )
+        for r in hist:
+            rows.append((int(key), int(r["v"]), int(r["c"])))
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    cur = spark.createDataFrame(
+        rows, "chunk_min_doc_id bigint, v bigint, b bigint"
+    )
+    ref = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    ref_n = ref.agg(F.sum("a").alias("na"))
+    keys = cur.groupBy("chunk_min_doc_id").agg(
+        F.sum("b").alias("nb")
+    )
+    merged = (
+        cur.select("chunk_min_doc_id", "v", F.lit(0).cast("bigint").alias("a"), "b")
+        .unionByName(
+            keys.select("chunk_min_doc_id").crossJoin(ref).select(
+                "chunk_min_doc_id", "v", "a",
+                F.lit(0).cast("bigint").alias("b"),
+            )
+        )
+        .groupBy("chunk_min_doc_id", "v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+    w_cum = (
+        Window.partitionBy("chunk_min_doc_id")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("chunk_min_doc_id").orderBy("v")
+    walked = merged.select(
+        "chunk_min_doc_id",
+        "v",
+        F.sum("a").over(w_cum).alias("ca"),
+        F.sum("b").over(w_cum).alias("cb"),
+        F.lead("v").over(w_lead).alias("v_next"),
+    ).join(keys, "chunk_min_doc_id").crossJoin(F.broadcast(ref_n))
+    term = F.round(
+        F.abs(
+            F.col("ca").cast("double") / F.col("na")
+            - F.col("cb").cast("double") / F.col("nb")
+        )
+        * (F.col("v_next") - F.col("v")),
+        6,
+    )
+    return (
+        walked.filter(F.col("v_next").isNotNull())
+        .select("chunk_min_doc_id", "nb", term.alias("term"))
+        .groupBy("chunk_min_doc_id", "nb")
+        .agg(
+            F.sum(F.col("term").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("wasserstein_1")
+        )
+        .select(
+            "chunk_min_doc_id",
+            F.col("nb").cast("bigint").alias("n_batch"),
+            "wasserstein_1",
+        )
+    )

@@ -305,3 +305,46 @@ def test_wasserstein_scipy_free_replay(spark, sf_small):
             sum(ref) / len(ref) - sum(vs) / len(vs)
         )
         assert r.wasserstein_1 >= mean_gap - 1e-9
+
+
+def test_stream_wasserstein_chunk_replay(spark, sf_small):
+    """Per-chunk W1 vs the src0 reference, replayed with the
+    sorted-sample breakpoint sweep over raw values."""
+    import itertools
+    from collections import defaultdict
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"""SELECT doc_id, source, n_chars
+        FROM '{sf_small}/documents.parquet' ORDER BY doc_id"""
+    ).fetchall()
+    ref = sorted(v for _, s, v in docs if s == "src0")
+    train = [(d, v) for d, s, v in docs if s != "src0"]
+    step = (len(train) + 2) // 3
+
+    def w1(a, b):
+        pts = sorted(set(a) | set(b))
+        tot = 0.0
+        ia = ib = 0
+        for v, v_next in itertools.pairwise(pts):
+            while ia < len(a) and a[ia] <= v:
+                ia += 1
+            while ib < len(b) and b[ib] <= v:
+                ib += 1
+            tot += abs(ia / len(a) - ib / len(b)) * (v_next - v)
+        return tot
+
+    rows = sorted(
+        SPECS["stream_wasserstein_monitor"].fn(
+            spark, sf_small
+        ).collect(),
+        key=lambda r: r.chunk_min_doc_id,
+    )
+    assert len(rows) == 3
+    for ci, r in enumerate(rows):
+        chunk = train[ci * step : (ci + 1) * step]
+        vals = sorted(v for _, v in chunk)
+        assert r.chunk_min_doc_id == chunk[0][0]
+        assert r.n_batch == len(vals)
+        assert abs(r.wasserstein_1 - w1(ref, vals)) < 1e-3
