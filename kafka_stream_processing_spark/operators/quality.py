@@ -7056,3 +7056,170 @@ def quality_wasserstein_drift(
             "wasserstein_1",
         )
     )
+
+
+@register(
+    "quality_energy_distance_drift",
+    oracle="""
+    WITH x AS (SELECT source, n_chars AS v FROM documents),
+    srcs AS (SELECT DISTINCT source AS s FROM x WHERE source <> 'src0'),
+    ref_hist AS (
+        SELECT v, count(*) AS a FROM x WHERE source = 'src0' GROUP BY v
+    ),
+    src_hist AS (
+        SELECT source AS s, v, count(*) AS b
+        FROM x WHERE source <> 'src0' GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT s, v, SUM(a) AS a, SUM(b) AS b FROM (
+            SELECT s, v, 0 AS a, b FROM src_hist
+            UNION ALL
+            SELECT srcs.s, r.v, r.a, 0 AS b FROM srcs CROSS JOIN ref_hist r
+        ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT s, SUM(a) AS na, SUM(b) AS nb FROM merged GROUP BY s),
+    walked AS (
+        SELECT m.s, m.v, t.na, t.nb,
+               SUM(m.a) OVER (PARTITION BY m.s ORDER BY m.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS ca,
+               SUM(m.b) OVER (PARTITION BY m.s ORDER BY m.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cb,
+               lead(m.v) OVER (PARTITION BY m.s ORDER BY m.v)
+                   AS v_next
+        FROM merged m JOIN tot t ON t.s = m.s
+    ),
+    terms AS (
+        SELECT s, na, nb,
+               round(CAST(v_next - v AS DOUBLE)
+                     * (ca * (nb - cb) + cb * (na - ca))
+                     / (CAST(na AS DOUBLE) * nb), 6) AS e_xy,
+               round(CAST(v_next - v AS DOUBLE)
+                     * (2.0 * ca * (na - ca))
+                     / (CAST(na AS DOUBLE) * na), 6) AS e_xx,
+               round(CAST(v_next - v AS DOUBLE)
+                     * (2.0 * cb * (nb - cb))
+                     / (CAST(nb AS DOUBLE) * nb), 6) AS e_yy
+        FROM walked WHERE v_next IS NOT NULL
+    ),
+    agg AS (
+        SELECT s, CAST(any_value(na) AS BIGINT) AS n_ref,
+               CAST(any_value(nb) AS BIGINT) AS n_src,
+               CAST(SUM(CAST(e_xy AS DECIMAL(38,6))) AS DOUBLE) AS exy,
+               CAST(SUM(CAST(e_xx AS DECIMAL(38,6))) AS DOUBLE) AS exx,
+               CAST(SUM(CAST(e_yy AS DECIMAL(38,6))) AS DOUBLE) AS eyy
+        FROM terms GROUP BY s
+    )
+    SELECT s AS source, n_ref, n_src,
+           exy AS e_cross, exx AS e_within_ref, eyy AS e_within_src,
+           2.0 * exy - exx - eyy AS energy_distance
+    FROM agg
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_energy_distance_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy distance per source vs src0 — the two-sample metric
+    that is zero IFF the distributions are IDENTICAL (Székely-Rizzo):
+    E = 2*E|X-Y| - E|X-X'| - E|Y-Y'|.  KS/CvM/AD read ECDF gaps, W1
+    reads transport cost; energy distance is the member with a
+    characteristic-function guarantee (it powers the energy
+    two-sample test and distance correlation), and its three
+    components are diagnostic on their own: e_cross vs the two
+    within-sample mean absolute differences says whether the gap is
+    location (cross up, withins flat) or dispersion (withins moved).
+
+    The O(n^2) pair expectations collapse to O(distinct values): for
+    sorted values, sum|x-y| = sum over consecutive gaps g_j of g_j *
+    (#pairs straddling the gap) — CA*(nb-CB) + CB*(na-CA) for the
+    cross term, 2*CA*(na-CA) within — all exact BIGINT counts from
+    the SAME cumulative walk as the W1 op (one more column on one
+    shared window pass at 100 TB).
+
+    Exactness: integer straddle counts x integer gaps, one double
+    division per term, round-6 DECIMAL(38,6) sums, mirrored final
+    chain.
+
+    Scale: the KS/W1 kernel class — histogram groupBys + per-source
+    distinct-value windows, scalar rows out."""
+    from pyspark.sql import Window
+
+    merged = _ref_vs_source_hist(spark, sf_dir)
+    tot = merged.groupBy("s").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    w_cum = (
+        Window.partitionBy("s")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("s").orderBy("v")
+    walked = merged.join(tot, "s").select(
+        "s",
+        "v",
+        "na",
+        "nb",
+        F.sum("a").over(w_cum).alias("ca"),
+        F.sum("b").over(w_cum).alias("cb"),
+        F.lead("v").over(w_lead).alias("v_next"),
+    )
+    gap = (F.col("v_next") - F.col("v")).cast("double")
+    e_xy = F.round(
+        gap
+        * (
+            F.col("ca") * (F.col("nb") - F.col("cb"))
+            + F.col("cb") * (F.col("na") - F.col("ca"))
+        )
+        / (F.col("na").cast("double") * F.col("nb")),
+        6,
+    )
+    e_xx = F.round(
+        gap
+        * (F.lit(2.0) * F.col("ca") * (F.col("na") - F.col("ca")))
+        / (F.col("na").cast("double") * F.col("na")),
+        6,
+    )
+    e_yy = F.round(
+        gap
+        * (F.lit(2.0) * F.col("cb") * (F.col("nb") - F.col("cb")))
+        / (F.col("nb").cast("double") * F.col("nb")),
+        6,
+    )
+    agg = (
+        walked.filter(F.col("v_next").isNotNull())
+        .select(
+            "s",
+            "na",
+            "nb",
+            e_xy.alias("e_xy"),
+            e_xx.alias("e_xx"),
+            e_yy.alias("e_yy"),
+        )
+        .groupBy("s")
+        .agg(
+            F.any_value("na").cast("bigint").alias("n_ref"),
+            F.any_value("nb").cast("bigint").alias("n_src"),
+            F.sum(F.col("e_xy").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("exy"),
+            F.sum(F.col("e_xx").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("exx"),
+            F.sum(F.col("e_yy").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("eyy"),
+        )
+    )
+    return agg.select(
+        F.col("s").alias("source"),
+        "n_ref",
+        "n_src",
+        F.col("exy").alias("e_cross"),
+        F.col("exx").alias("e_within_ref"),
+        F.col("eyy").alias("e_within_src"),
+        (
+            F.lit(2.0) * F.col("exy") - F.col("exx") - F.col("eyy")
+        ).alias("energy_distance"),
+    )

@@ -129,12 +129,12 @@ def _load() -> None:
 #: exactly 50.  stream_watermark_late_data rotates out (fresh r06
 #: hash-green row).
 #:
-#: Post-r07 state of the registry: 372 registered (365 oracle-checked,
+#: Post-r07 state of the registry: 373 registered (366 oracle-checked,
 #: 7 rows-only: two HLL sketches, approx quantiles, the three
 #: power-iteration PCA ops, and join_attribution_markov_removal —
 #: matrix inversion / per-pass literals no single oracle statement can
-#: express).  Round 7 added 153 queries in four sessions
-#: (21 + 35 + 45 + 52); all 153 sit AFTER rank 50, so they queue for
+#: express).  Round 7 added 154 queries in four sessions
+#: (21 + 35 + 45 + 53); all 154 sit AFTER rank 50, so they queue for
 #: the r08 rotation together with the remaining 17 r02-stale names
 #: (listed below rank 50).  When rebuilding for r08: 12 §2 pins + 17
 #: r02-stale + 21 of the r07 additions = 50; the remaining ~130 fill
