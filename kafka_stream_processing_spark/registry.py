@@ -118,27 +118,18 @@ def _load() -> None:
 #: which queries get fresh evidence — the safety net is that
 #: tests/test_oracle_parity.py sweeps ALL registered queries with the
 #: identical differential check every round regardless.  Round-7 table:
-#: after r06 the registry held 219 queries with cumulative driver
-#: coverage 202/219 — 49 hash-green rows landed in CORRECTNESS_r06
-#: (plus 1 rows-only-by-design), and the 17 never-driver-checked
-#: queries are the 2 deliberately deferred self-auditors plus the 15
-#: round-6 additions.  36 more queries' newest driver row is r02.
-#: Never-checked queries outrank re-confirmation (VERDICT r05/r06
-#: item 1), so this table pins the 12 reference-parity (§2) slots,
-#: then the 17 never-checked, then 21 names of the r02-stale block —
-#: exactly 50.  stream_watermark_late_data rotates out (fresh r06
-#: hash-green row).
-#:
-#: Post-r07 state of the registry: 373 registered (366 oracle-checked,
-#: 7 rows-only: two HLL sketches, approx quantiles, the three
-#: power-iteration PCA ops, and join_attribution_markov_removal —
-#: matrix inversion / per-pass literals no single oracle statement can
-#: express).  Round 7 added 154 queries in four sessions
-#: (21 + 35 + 45 + 53); all 154 sit AFTER rank 50, so they queue for
-#: the r08 rotation together with the remaining 17 r02-stale names
-#: (listed below rank 50).  When rebuilding for r08: 12 §2 pins + 17
-#: r02-stale + 21 of the r07 additions = 50; the remaining ~130 fill
-#: r09-r10.
+#: Round-8 table (VERDICT r07 item 1): after r07 the registry holds
+#: 373 queries (366 oracle-checked, 7 rows-only by design) with
+#: cumulative driver coverage 219/373 — the 154 round-7 additions all
+#: queue behind rank 50.  This table pins the 12 reference-parity (§2)
+#: slots, then the 17 queries whose newest driver row is still r02
+#: (clears every pre-r03 row), then the 21 oldest never-driver-checked
+#: r07 additions in registration order — exactly 50.  The remaining 133
+#: never-checked names follow below rank 50 in registration order so
+#: the r09/r10 rebuilds are a pure slice; target cumulative coverage
+#: after r08 is 269/373 (72%), climbing to full by ~r11.  New
+#: registrations are CAPPED below ~20/round until coverage recovers
+#: (VERDICT r07 item 1).
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -153,55 +144,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "filter_project_events",
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
-    # -- the 17 never-driver-checked queries: the 2 deferred
-    # -- self-auditors first (VERDICT r06 item 1), then the 15
-    # -- round-6 additions --
-    "sketch_heavy_hitters_mg",
-    "dedup_minhash_estimate_eval",
-    "similarity_matryoshka_recall_eval",
-    "text_keyword_textrank",
-    "quality_bootstrap_mean_ci",
-    "quality_fourgram_kneser_ney",
-    "stream_update_mode_running_counts",
-    "sketch_countmin_freq",
-    "quality_k_anonymity_audit",
-    "quality_key_skew_gini",
-    "pipeline_split_leakage_audit",
-    "join_point_in_time_scd2",
-    "sample_contrastive_pairs",
-    "stream_countmin_incremental",
-    "text_bigram_entropy",
-    "stream_ivf_index_maintenance",
-    "quality_benford_digit_drift",
-    # -- r02-stale re-confirmations, first 21 of 36 (VERDICT r06
-    # -- item 4; the remaining 15 head the r08 rotation) --
-    "q2_min_price_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q10_returned_items",
-    "q12_priority_shipping_classes",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q16_part_supplier_coverage",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_heavy_promo_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_customer_balances",
-    "subquery_q4_order_priority",
-    "subquery_q13_customer_distribution",
-    "subquery_q18_large_volume_customers",
-    "subquery_in_large_lineitems",
-    "subquery_scalar_above_avg_price",
-    "scalar_date_order_features",
-    # ---------------------------------------------------------------
-    # entries below rank 50 still order ahead of unlisted queries but
-    # get no driver row this round; r08 rotation = the remaining
-    # r02-stale names below, then any r07 additions (appended at the
-    # very end as they land), then re-confirmation of the oldest
-    # green rows.
+    # -- the 17 r02-stale re-confirmations (VERDICT r07 item 1:
+    # -- clears every pre-r03 driver row) --
     "scalar_math_lineitem",
     "array_higher_order_functions",
     "array_word_explode_stats",
@@ -219,11 +163,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_stream_join_click_purchase",
     "stream_unique_users_sliding",
     "stream_user_topk_stateful",
-    # -- rotated out with fresh r06 rows (examples; unlisted names
-    # -- keep registration order after these) --
-    "stream_watermark_late_data",
-    # -- new in r07 (pytest + sweep evidence this round; driver rows
-    # -- queue for r08) --
+    # -- the 21 oldest never-driver-checked r07 additions, in
+    # -- registration order (ranks 30-50) --
     "quality_winsorized_stats",
     "stream_benford_digit_monitor",
     "stream_split_leakage_incremental",
@@ -245,6 +186,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "graph_kcore_decomposition",
     "stream_good_turing_novelty",
     "embedding_pca_deflation_top3",
+    # ---------------------------------------------------------------
+    # entries below rank 50 get no driver row this round; they are
+    # the remaining 133 never-driver-checked r07 additions in
+    # registration order — the r09/r10 rotations take the next 38+12
+    # and 38+12 slices from here (12 §2 pins stay).
     "quality_psi_drift",
     "quality_cramers_v_assoc",
     "quality_two_proportion_ztest",
@@ -325,6 +271,59 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_roc_auc_length_classifier",
     "window_ljung_box_residuals",
     "window_cohort_ltv_curve",
+    "similarity_ndcg_eval",
+    "embedding_calinski_harabasz",
+    "embedding_intrinsic_dimension_twonn",
+    "embedding_hubness_audit",
+    "embedding_twonn_ivf_shortlist",
+    "dedup_threshold_sweep_cosine",
+    "sketch_bottomk_distinct",
+    "sketch_bottomk_jaccard",
+    "graph_local_clustering_coefficient",
+    "graph_widest_path_from_hub",
+    "graph_closeness_centrality",
+    "graph_eccentricity_diameter",
+    "quality_cliffs_delta_effect",
+    "quality_kruskal_wallis_drift",
+    "quality_welch_ttest_drift",
+    "quality_expected_calibration_error",
+    "quality_anderson_darling_drift",
+    "quality_hellinger_tv_drift",
+    "quality_friedman_daily_mix",
+    "quality_cochran_armitage_trend",
+    "quality_anova_f_drift",
+    "quality_l_diversity_audit",
+    "quality_ab_minimum_detectable_effect",
+    "quality_welch_anova_drift",
+    "quality_bartlett_homoscedasticity",
+    "quality_mw_drift_fdr",
+    "quality_tukey_fences_outliers",
+    "quality_wasserstein_drift",
+    "quality_energy_distance_drift",
+    "sample_temperature_sweep",
+    "quality_filter_interaction_matrix",
+    "join_attribution_markov_removal",
+    "agg_apriori_frequent_triples",
+    "text_readability_ari_cli",
+    "text_mcnemar_langid_vs_majority",
+    "text_langid_char_ngram_profile",
+    "text_source_vocab_overlap",
+    "window_nelson_aalen_hazard",
+    "window_logrank_test_cohorts",
+    "window_holt_winters_multiplicative",
+    "window_croston_intermittent",
+    "window_seasonal_mann_kendall",
+    "window_theil_inequality_decomposition",
+    "window_holt_damped_trend",
+    "window_shewhart_imr_chart",
+    "stream_attribution_monitor",
+    "stream_ece_monitor",
+    "stream_quantile_monitor",
+    "stream_filter_yield_monitor",
+    "stream_scd2_incremental",
+    "stream_bottomk_maintenance",
+    "stream_l_diversity_monitor",
+    "stream_wasserstein_monitor",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new
