@@ -1946,7 +1946,7 @@ LORENZ_BUCKETS = 10
     tags=("windowed", "statistics", "concentration"),
 )
 def window_lorenz_curve_customers(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, frontier: str = "exact"
 ) -> DataFrame:
     """Lorenz concentration curve of order revenue across customers —
     the 10-point curve behind the Gini scalar (quality_key_skew_gini
@@ -1961,12 +1961,17 @@ def window_lorenz_curve_customers(
     two share divisions the only IEEE steps.
 
     Scale: the ntile needs a total order over customers — at test SF
-    the exact single-range sort is the checked form; the 100 TB path
-    replaces it with frontier.quantile_cuts(mode="approx") bucket
-    edges (percentile_approx sketch) + one broadcast-range join,
-    exactly the documented rank-frontier swap (operators/frontier.py),
-    with the same downstream decile aggregate.  Revenue aggregation
-    itself is one map-side-combined groupBy."""
+    the exact single-range sort is the checked (oracle) form;
+    ``frontier="approx"`` is the IMPLEMENTED billion-customer path:
+    nine percentile_approx decile edges (operators.frontier.
+    quantile_cuts — GK sketch, map-side built + merged, NO total
+    sort), broadcast onto the per-customer revenue table, decile =
+    first edge ≥ r.  Identical output shape and the same downstream
+    decile aggregate; an assignment can differ from the exact rank
+    form only for customers whose revenue EQUALS a decile edge (value
+    semantics keep ties together; ntile splits them by custkey) —
+    agreement pinned in tests/test_frontier.py.  Revenue aggregation
+    itself is one map-side-combined groupBy either way."""
     from pyspark.sql import Window
 
     cust = table(spark, sf_dir, "customer").select("c_custkey")
@@ -1984,10 +1989,35 @@ def window_lorenz_curve_customers(
             ).alias("r")
         )
     )
-    wt = Window.orderBy("r", "c_custkey")
-    tiled = rev.select(
-        "r", F.ntile(LORENZ_BUCKETS).over(wt).alias("decile")
-    )
+    if frontier == "approx":
+        from kafka_stream_processing_spark.operators.frontier import (
+            quantile_cuts,
+        )
+
+        edges = quantile_cuts(
+            rev,
+            "r",
+            [(i, LORENZ_BUCKETS) for i in range(1, LORENZ_BUCKETS)],
+            mode="approx",
+        )
+        assign = None
+        for i in range(LORENZ_BUCKETS - 1):
+            cond = F.col("r") <= F.col(f"cut_{i}")
+            assign = (
+                F.when(cond, i + 1)
+                if assign is None
+                else assign.when(cond, i + 1)
+            )
+        tiled = rev.crossJoin(F.broadcast(edges)).select(
+            "r", assign.otherwise(LORENZ_BUCKETS).alias("decile")
+        )
+    elif frontier == "exact":
+        wt = Window.orderBy("r", "c_custkey")
+        tiled = rev.select(
+            "r", F.ntile(LORENZ_BUCKETS).over(wt).alias("decile")
+        )
+    else:
+        raise ValueError(f"unknown frontier mode {frontier!r}")
     agg = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("r").alias("dr"),

@@ -269,3 +269,79 @@ def test_zipf_distributed_rank_window_is_partitioned(spark, sf_small):
 
     specs = re.findall(r"windowspecdefinition\(([^,]+)", p_exact)
     assert all(s.startswith("c#") for s in specs), specs
+
+
+def test_lorenz_approx_matches_exact_up_to_boundary_ties(
+    spark, sf_small
+):
+    """VERDICT r07 item 3: the Lorenz curve's frontier="approx" path
+    (nine percentile_approx decile edges + broadcast bucket assign)
+    must agree with the exact ntile form up to boundary-tie semantics:
+    the approx CUMULATIVE decile population must equal the count of
+    customers at-or-below some value in the one-rank neighborhood of
+    the exact decile boundary rank (value semantics keep a tie group
+    together; ntile splits it by custkey), and totals must be
+    preserved exactly."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        LORENZ_BUCKETS,
+        window_lorenz_curve_customers,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    exact = window_lorenz_curve_customers(spark, sf_small).collect()
+    approx = window_lorenz_curve_customers(
+        spark, sf_small, frontier="approx"
+    ).collect()
+
+    n_e = sum(r["n_customers"] for r in exact)
+    n_a = sum(r["n_customers"] for r in approx)
+    assert n_e == n_a
+    assert sum(r["revenue"] for r in exact) == pytest.approx(
+        sum(r["revenue"] for r in approx), rel=1e-12
+    )
+    for rows in (exact, approx):
+        last = max(rows, key=lambda r: r["decile"])
+        assert last["cum_share"] == pytest.approx(1.0, abs=1e-12)
+        shares = [r["cum_share"] for r in sorted(rows, key=lambda r: r["decile"])]
+        assert shares == sorted(shares)
+
+    # Reconstruct the per-customer revenue multiset and check the
+    # approx cumulative populations against the one-rank-neighborhood
+    # tie-group bound.
+    cust = table(spark, sf_small, "customer").select("c_custkey")
+    orders = table(spark, sf_small, "orders")
+    rev_rows = (
+        cust.join(
+            orders,
+            cust["c_custkey"] == orders["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("r")
+        )
+        .collect()
+    )
+    vals = sorted(r["r"] for r in rev_rows)
+    n = len(vals)
+    assert n == n_e
+    cum_a = {}
+    running = 0
+    for r in sorted(approx, key=lambda r: r["decile"]):
+        running += r["n_customers"]
+        cum_a[r["decile"]] = running
+    for d in range(1, LORENZ_BUCKETS):
+        if d not in cum_a:
+            continue
+        b = (n * d + LORENZ_BUCKETS - 1) // LORENZ_BUCKETS  # ceil rank
+        allowed = set()
+        for rank in (b - 1, b, b + 1):
+            if 1 <= rank <= n:
+                v = vals[rank - 1]
+                allowed.add(sum(1 for x in vals if x <= v))
+        assert cum_a[d] in allowed, (
+            f"decile {d}: cumulative {cum_a[d]} not in {sorted(allowed)}"
+        )
