@@ -58,7 +58,36 @@ BASELINE_SAME_BOX: dict[str, float] = {
     "q3_shipping_priority": 0.7389,
     "q5_region_revenue": 0.8364,
     "window_topk_orders_per_customer": 0.3806,
-    "unique_users_per_minute": 0.2505,
+    # Re-anchored r08 (VERDICT r07 item 2 control).  The r05-box
+    # measurement was 0.2505, but the multiplicative host model breaks
+    # on this sub-second query: its cost is dominated by fixed per-job
+    # scheduling overhead, which does NOT scale with the compute-bound
+    # calibration workload.  Same-box control on the r08 box (one quiet
+    # session, 2026-08-15, protocol identical to this harness —
+    # SAME_BOX_CONTROL_R08 below holds the raw numbers): the frozen
+    # c31115b tree itself scored 0.549 s at calibration 0.511 s — i.e.
+    # the frozen BASELINE tree read 2.7x against its own old anchor,
+    # while the CURRENT tree scored 0.416 s on the same box in the same
+    # session (0.76x of frozen — faster than baseline, no regression).
+    # New anchor = 0.549 * (0.6399 / 0.5114) — the r08 control
+    # converted into r05-box units through the calibration ratio.
+    "unique_users_per_minute": 0.6870,
+}
+#: Raw same-box control evidence for the r08 re-anchor above — both
+#: trees timed back-to-back on the r08 box under the bench protocol
+#: (warm + best-of-3, calibration sample riding inside each pass).
+SAME_BOX_CONTROL_R08: dict[str, dict[str, float | list[float]]] = {
+    "frozen_c31115b": {
+        "flagship_best": 0.5490,
+        "flagship_all": [0.6144, 0.5490, 0.5607],
+        "cal_best": 0.5114,
+    },
+    "current_tree": {
+        "flagship_best": 0.4162,
+        "flagship_all": [0.6026, 0.4735, 0.4162],
+        "cal_best": 0.5512,
+    },
+    "flagship_ratio_current_vs_frozen": 0.7581,
 }
 #: Streaming baselines were frozen from BENCH_r02.json (commit f8725e6
 #: — streaming queries did not exist at c31115b); that tree re-benched
@@ -228,6 +257,10 @@ def main() -> None:
                 for q in timings
                 if q in expected and expected[q] > 0
             },
+            # r08 same-box control evidence behind the flagship's
+            # re-anchored expected-baseline constant (see
+            # SAME_BOX_CONTROL_R08 at the top of this file).
+            "flagship_same_box_control_r08": SAME_BOX_CONTROL_R08,
             "streaming_baseline_commit": STREAMING_REF_COMMIT,
             "ratio_streaming": {
                 q: round(streaming[q] / (STREAMING_SAME_BOX[q] * scale), 4)
