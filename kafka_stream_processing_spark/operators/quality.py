@@ -7223,3 +7223,404 @@ def quality_energy_distance_drift(
             F.lit(2.0) * F.col("exy") - F.col("exx") - F.col("eyy")
         ).alias("energy_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distance correlation (Székely-Rizzo) between hourly click and
+# purchase volumes — exact integer pair kernel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_distance_correlation_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hourly),
+    pair_sums AS (
+        SELECT CAST(SUM(abs(a.x - b.x) * abs(a.y - b.y)) AS BIGINT) AS t1,
+               CAST(SUM(abs(a.x - b.x) * abs(a.x - b.x)) AS BIGINT) AS t1x,
+               CAST(SUM(abs(a.y - b.y) * abs(a.y - b.y)) AS BIGINT) AS t1y,
+               CAST(SUM(abs(a.x - b.x)) AS BIGINT) AS sa,
+               CAST(SUM(abs(a.y - b.y)) AS BIGINT) AS sb
+        FROM hourly a, hourly b
+    ),
+    row_sums AS (
+        SELECT a.h,
+               CAST(SUM(abs(a.x - b.x)) AS BIGINT) AS r,
+               CAST(SUM(abs(a.y - b.y)) AS BIGINT) AS s
+        FROM hourly a, hourly b GROUP BY a.h
+    ),
+    cross_sums AS (
+        SELECT CAST(SUM(r * s) AS BIGINT) AS tr,
+               CAST(SUM(r * r) AS BIGINT) AS trx,
+               CAST(SUM(s * s) AS BIGINT) AS try_
+        FROM row_sums
+    ),
+    parts AS (
+        SELECT tot.n,
+               CAST(tot.n * tot.n * p.t1
+                    - 2 * tot.n * c.tr + p.sa * p.sb AS BIGINT)
+                   AS dcov2_num,
+               CAST(tot.n * tot.n * p.t1x
+                    - 2 * tot.n * c.trx + p.sa * p.sa AS BIGINT)
+                   AS dvar2_x,
+               CAST(tot.n * tot.n * p.t1y
+                    - 2 * tot.n * c.try_ + p.sb * p.sb AS BIGINT)
+                   AS dvar2_y
+        FROM tot, pair_sums p, cross_sums c
+    )
+    SELECT n AS n_hours, dcov2_num, dvar2_x, dvar2_y,
+           sqrt(CAST(dcov2_num AS DOUBLE)
+                / sqrt(CAST(dvar2_x AS DOUBLE)
+                       * CAST(dvar2_y AS DOUBLE))) AS dcor
+    FROM parts
+    """,
+    tags=("quality", "statistics", "drift"),
+)
+def quality_distance_correlation_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distance correlation (Székely-Rizzo-Bakirov 2007) between hourly
+    click volume and hourly purchase volume — the dependence number the
+    Pearson/Spearman/Kendall trio cannot deliver: dCor = 0 iff the two
+    series are INDEPENDENT (not merely uncorrelated), so it catches the
+    nonlinear/non-monotone couplings a funnel actually produces (e.g. a
+    saturating click→purchase response reads near-zero in Pearson but
+    not here).  Completes the pair-kernel family beside the energy
+    distance (same |a-b| walk, two-sample flavor) and 1-Wasserstein.
+
+    All three V-statistics are computed EXACTLY in integers via the
+    double-centering identity n⁴·dCov² = n²·Σᵢⱼaᵢⱼbᵢⱼ − 2n·Σᵢrᵢsᵢ +
+    (Σa)(Σb) with rᵢ the distance-matrix row sums — no per-row mean
+    divisions, so both engines agree bit-for-bit on the three BIGINT
+    components and the final dcor is one shared IEEE sqrt/division
+    chain.  dcor² = n⁴dCov² / sqrt(n⁴dVarx · n⁴dVary).
+
+    Scale: the heavy input scan collapses to the hour grid in ONE
+    map-side-combined groupBy; the O(n²) pair kernel runs on the GRID,
+    whose size is the TIME SPAN (n=720 hours for this corpus, n²=518k
+    pair rows — a decade is ~9e4 hours), never the corpus row count.
+    For multi-decade spans, re-grid to days (same operator shape,
+    n=3650) — the grid choice, not the kernel, is the scale knob; the
+    O(n log n) Huo-Székely merge is the known alternative if a fine
+    grid over a long span is ever required."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    dx = F.abs(F.col("a.x") - F.col("b.x"))
+    dy = F.abs(F.col("a.y") - F.col("b.y"))
+    pair_sums = a.crossJoin(b).agg(
+        F.sum(dx * dy).cast("bigint").alias("t1"),
+        F.sum(dx * dx).cast("bigint").alias("t1x"),
+        F.sum(dy * dy).cast("bigint").alias("t1y"),
+        F.sum(dx).cast("bigint").alias("sa"),
+        F.sum(dy).cast("bigint").alias("sb"),
+    )
+    row_sums = (
+        a.crossJoin(b)
+        .groupBy(F.col("a.h"))
+        .agg(
+            F.sum(dx).cast("bigint").alias("r"),
+            F.sum(dy).cast("bigint").alias("s"),
+        )
+    )
+    cross_sums = row_sums.agg(
+        F.sum(F.col("r") * F.col("s")).cast("bigint").alias("tr"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("trx"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("try_"),
+    )
+    tot = hourly.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    parts = (
+        tot.crossJoin(pair_sums)
+        .crossJoin(cross_sums)
+        .select(
+            F.col("n"),
+            (
+                F.col("n") * F.col("n") * F.col("t1")
+                - 2 * F.col("n") * F.col("tr")
+                + F.col("sa") * F.col("sb")
+            )
+            .cast("bigint")
+            .alias("dcov2_num"),
+            (
+                F.col("n") * F.col("n") * F.col("t1x")
+                - 2 * F.col("n") * F.col("trx")
+                + F.col("sa") * F.col("sa")
+            )
+            .cast("bigint")
+            .alias("dvar2_x"),
+            (
+                F.col("n") * F.col("n") * F.col("t1y")
+                - 2 * F.col("n") * F.col("try_")
+                + F.col("sb") * F.col("sb")
+            )
+            .cast("bigint")
+            .alias("dvar2_y"),
+        )
+    )
+    return parts.select(
+        F.col("n").alias("n_hours"),
+        "dcov2_num",
+        "dvar2_x",
+        "dvar2_y",
+        F.sqrt(
+            F.col("dcov2_num").cast("double")
+            / F.sqrt(
+                F.col("dvar2_x").cast("double")
+                * F.col("dvar2_y").cast("double")
+            )
+        ).alias("dcor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hoeffding's D between hourly click and purchase volumes — exact
+# dominance-histogram kernel with midrank tie credits
+# ---------------------------------------------------------------------------
+
+
+#: Shared final-step arithmetic for Hoeffding's D: written ONCE as SQL
+#: text and executed verbatim by both engines (F.expr on the Spark
+#: side), so the IEEE operation order is identical by construction.
+_HOEFFDING_D_EXPR = (
+    "30.0 * (CAST((n_hours - 2) * (n_hours - 3) AS DOUBLE)"
+    " * CAST(d1_16 AS DOUBLE)"
+    " + CAST(d2_16 AS DOUBLE)"
+    " - 2.0 * CAST(n_hours - 2 AS DOUBLE) * CAST(d3_16 AS DOUBLE))"
+    " / (16.0 * CAST(n_hours AS DOUBLE) * CAST(n_hours - 1 AS DOUBLE)"
+    " * CAST(n_hours - 2 AS DOUBLE) * CAST(n_hours - 3 AS DOUBLE)"
+    " * CAST(n_hours - 4 AS DOUBLE))"
+)
+
+
+@register(
+    "quality_hoeffding_d_hourly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    cells AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS nc
+        FROM hourly GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hourly),
+    mx AS (
+        SELECT x,
+               CAST(2 * (coalesce(SUM(t) OVER (ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)) + t - 1 AS BIGINT) AS r2
+        FROM (SELECT x, CAST(count(*) AS BIGINT) AS t
+              FROM hourly GROUP BY x)
+    ),
+    my AS (
+        SELECT y,
+               CAST(2 * (coalesce(SUM(t) OVER (ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)) + t - 1 AS BIGINT) AS s2
+        FROM (SELECT y, CAST(count(*) AS BIGINT) AS t
+              FROM hourly GROUP BY y)
+    ),
+    q AS (
+        SELECT a.x, a.y, a.nc,
+               CAST(4 + coalesce(SUM(CASE
+                   WHEN b.x < a.x AND b.y < a.y THEN 4 * b.nc
+                   WHEN b.x = a.x AND b.y < a.y THEN 2 * b.nc
+                   WHEN b.x < a.x AND b.y = a.y THEN 2 * b.nc
+                   WHEN b.x = a.x AND b.y = a.y THEN b.nc - 1
+               END), 0) AS BIGINT) AS q4
+        FROM cells a LEFT JOIN cells b
+          ON b.x <= a.x AND b.y <= a.y
+        GROUP BY a.x, a.y, a.nc
+    ),
+    terms AS (
+        SELECT CAST(SUM(q.nc * (q.q4 - 4) * (q.q4 - 8)) AS BIGINT)
+                   AS d1_16,
+               CAST(SUM(q.nc * mx.r2 * (mx.r2 - 2)
+                        * my.s2 * (my.s2 - 2)) AS BIGINT) AS d2_16,
+               CAST(SUM(q.nc * (mx.r2 - 2) * (my.s2 - 2)
+                        * (q.q4 - 4)) AS BIGINT) AS d3_16
+        FROM q
+        JOIN mx ON mx.x = q.x
+        JOIN my ON my.y = q.y
+    )
+    SELECT n AS n_hours, d1_16, d2_16, d3_16,
+           {_HOEFFDING_D_EXPR} AS hoeffding_d
+    FROM terms, tot
+    """,
+    tags=("quality", "statistics", "drift"),
+)
+def quality_hoeffding_d_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hoeffding's D (1948) between hourly click volume and hourly
+    purchase volume — the RANK-based independence test beside the
+    distance correlation's metric one: D estimates ∫(F_xy − F_xF_y)²,
+    is invariant to monotone transforms of either margin (dCor is
+    not), and its D1/D2/D3 sums are the classical published form
+    D = 30·((n−2)(n−3)D1 + D2 − 2(n−2)D3) / (n(n−1)(n−2)(n−3)(n−4)),
+    D1 = Σ(Qᵢ−1)(Qᵢ−2), D2 = Σ(Rᵢ−1)(Rᵢ−2)(Sᵢ−1)(Sᵢ−2),
+    D3 = Σ(Rᵢ−2)(Sᵢ−2)(Qᵢ−1), with midrank tie credits (½ for a
+    single-coordinate tie, ¼ for a double tie) in R, S and Q.
+
+    Exactness: midranks live on a half-integer grid and Q on a quarter
+    grid, so the engine carries R2 = 2(R−1), S2 = 2(S−1), Q4 = 4Q and
+    the three sums D1_16/D2_16/D3_16 = 16·D1/D2/D3 as exact BIGINTs —
+    hash-identical cross-engine; the single IEEE step is the final
+    scalar, evaluated from ONE shared SQL expression text
+    (_HOEFFDING_D_EXPR) so the operation order matches bit-for-bit.
+
+    Scale: like quality_kendall_tau_corr, the kernel never touches
+    observation pairs — ranks come from the MARGINAL histograms
+    (domain-sized cumulative windows) and Q from a dominance join over
+    the JOINT value histogram, cost (distinct cells)², bounded by the
+    value-domain product whatever the corpus size; the corpus itself
+    is scanned once into the hour grid (map-side combined).  For
+    high-cardinality metrics, quantize to the engine's decimal grid
+    first — the documented Kendall discipline."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    cells = hourly.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    )
+    tot = hourly.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    from pyspark.sql import Window
+
+    def midrank2(col: str, out: str) -> DataFrame:
+        # R2 = 2*(#{v' < v}) + #{v' = v} - 1  (= 2*(midrank - 1)),
+        # from the marginal histogram — the cumulative window frame is
+        # domain-sized, not corpus-sized.
+        marg = hourly.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("t")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return marg.select(
+            F.col(col),
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t")
+                - 1
+            )
+            .cast("bigint")
+            .alias(out),
+        )
+
+    mx = midrank2("x", "r2")
+    my = midrank2("y", "s2")
+    a, b = cells.alias("a"), cells.alias("b")
+    w_q = (
+        F.when(
+            (F.col("b.x") < F.col("a.x"))
+            & (F.col("b.y") < F.col("a.y")),
+            4 * F.col("b.nc"),
+        )
+        .when(
+            (F.col("b.x") == F.col("a.x"))
+            & (F.col("b.y") < F.col("a.y")),
+            2 * F.col("b.nc"),
+        )
+        .when(
+            (F.col("b.x") < F.col("a.x"))
+            & (F.col("b.y") == F.col("a.y")),
+            2 * F.col("b.nc"),
+        )
+        .when(
+            (F.col("b.x") == F.col("a.x"))
+            & (F.col("b.y") == F.col("a.y")),
+            F.col("b.nc") - 1,
+        )
+    )
+    q = (
+        a.join(
+            b,
+            (F.col("b.x") <= F.col("a.x"))
+            & (F.col("b.y") <= F.col("a.y")),
+            "left",
+        )
+        .groupBy(F.col("a.x"), F.col("a.y"), F.col("a.nc"))
+        .agg(
+            (4 + F.coalesce(F.sum(w_q), F.lit(0)))
+            .cast("bigint")
+            .alias("q4")
+        )
+    )
+    terms = (
+        q.join(mx, "x")
+        .join(my, "y")
+        .agg(
+            F.sum(
+                F.col("nc")
+                * (F.col("q4") - 4)
+                * (F.col("q4") - 8)
+            )
+            .cast("bigint")
+            .alias("d1_16"),
+            F.sum(
+                F.col("nc")
+                * F.col("r2")
+                * (F.col("r2") - 2)
+                * F.col("s2")
+                * (F.col("s2") - 2)
+            )
+            .cast("bigint")
+            .alias("d2_16"),
+            F.sum(
+                F.col("nc")
+                * (F.col("r2") - 2)
+                * (F.col("s2") - 2)
+                * (F.col("q4") - 4)
+            )
+            .cast("bigint")
+            .alias("d3_16"),
+        )
+    )
+    return (
+        terms.crossJoin(tot)
+        .select(
+            F.col("n").alias("n_hours"),
+            "d1_16",
+            "d2_16",
+            "d3_16",
+        )
+        .withColumn("hoeffding_d", F.expr(_HOEFFDING_D_EXPR))
+    )

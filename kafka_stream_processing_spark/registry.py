@@ -324,6 +324,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_bottomk_maintenance",
     "stream_l_diversity_monitor",
     "stream_wasserstein_monitor",
+    # -- new in r08 (targeted differential green at sf0.001+sf0.01;
+    # -- driver rows queue behind the coverage backlog) --
+    "quality_distance_correlation_hourly",
+    "quality_hoeffding_d_hourly",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -1,0 +1,144 @@
+"""Round-8 ops: distance correlation and Hoeffding's D between hourly
+click and purchase volumes — brute-force python replays of both exact
+integer kernels (the engine computes them via pair-sum identities and
+dominance histograms; the replay walks raw observation pairs)."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from kafka_stream_processing_spark.registry import all_specs
+from kafka_stream_processing_spark.sources.tables import table
+
+SPECS = all_specs()
+
+
+def _hourly_xy(spark, sf_dir):
+    """(x, y) = per-hour click/purchase counts, reconstructed in python
+    from the raw events table (truncation done on epoch seconds, not
+    via the engine's date_trunc, so the grid derivation is independent
+    too)."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.unix_timestamp("ts").alias("sec"),
+            "event_type",
+        )
+        .collect()
+    )
+    grid: dict[int, list[int]] = {}
+    for r in rows:
+        h = r["sec"] // 3600
+        cell = grid.setdefault(h, [0, 0])
+        if r["event_type"] == "click":
+            cell[0] += 1
+        elif r["event_type"] == "purchase":
+            cell[1] += 1
+    return [tuple(v) for _, v in sorted(grid.items())]
+
+
+def test_distance_correlation_brute_force_replay(spark, sf_small):
+    """The engine's three BIGINT components equal the brute-force
+    pair-sum values, AND the double-centering identity holds: the
+    Fraction-exact mean of A_ij*B_ij over the centered distance
+    matrices equals dcov2_num / n^4."""
+    eng = SPECS["quality_distance_correlation_hourly"].fn(
+        spark, sf_small
+    ).collect()[0]
+    pts = _hourly_xy(spark, sf_small)
+    n = len(pts)
+    assert eng["n_hours"] == n
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    t1 = t1x = t1y = sa = sb = 0
+    r = [0] * n
+    s = [0] * n
+    for i in range(n):
+        for j in range(n):
+            dx = abs(xs[i] - xs[j])
+            dy = abs(ys[i] - ys[j])
+            t1 += dx * dy
+            t1x += dx * dx
+            t1y += dy * dy
+            sa += dx
+            sb += dy
+            r[i] += dx
+            s[i] += dy
+    tr = sum(ri * si for ri, si in zip(r, s))
+    trx = sum(ri * ri for ri in r)
+    try_ = sum(si * si for si in s)
+    num = n * n * t1 - 2 * n * tr + sa * sb
+    vx = n * n * t1x - 2 * n * trx + sa * sa
+    vy = n * n * t1y - 2 * n * try_ + sb * sb
+    assert eng["dcov2_num"] == num
+    assert eng["dvar2_x"] == vx
+    assert eng["dvar2_y"] == vy
+    # identity check against the textbook double-centered form
+    ra = [Fraction(ri, n) for ri in r]
+    ca = Fraction(sa, n * n)
+    rb = [Fraction(si, n) for si in s]
+    cb = Fraction(sb, n * n)
+    acc = Fraction(0)
+    for i in range(n):
+        for j in range(n):
+            aij = abs(xs[i] - xs[j]) - ra[i] - ra[j] + ca
+            bij = abs(ys[i] - ys[j]) - rb[i] - rb[j] + cb
+            acc += aij * bij
+    assert acc / (n * n) == Fraction(num, n**4)
+    assert 0.0 <= eng["dcor"] <= 1.0
+
+
+def test_hoeffding_d_brute_force_replay(spark, sf_small):
+    """The engine's D1_16/D2_16/D3_16 equal a brute-force replay over
+    observation pairs with midrank tie credits (R2 = 2(R-1) on the
+    half-integer grid, Q4 = 4Q on the quarter grid)."""
+    eng = SPECS["quality_hoeffding_d_hourly"].fn(
+        spark, sf_small
+    ).collect()[0]
+    pts = _hourly_xy(spark, sf_small)
+    n = len(pts)
+    assert eng["n_hours"] == n
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    d1 = d2 = d3 = 0
+    for i in range(n):
+        r2 = sum(
+            2 if xs[j] < xs[i] else (1 if xs[j] == xs[i] else 0)
+            for j in range(n)
+            if j != i
+        )
+        s2 = sum(
+            2 if ys[j] < ys[i] else (1 if ys[j] == ys[i] else 0)
+            for j in range(n)
+            if j != i
+        )
+        q4 = 4
+        for j in range(n):
+            if j == i:
+                continue
+            if xs[j] < xs[i] and ys[j] < ys[i]:
+                q4 += 4
+            elif xs[j] == xs[i] and ys[j] < ys[i]:
+                q4 += 2
+            elif xs[j] < xs[i] and ys[j] == ys[i]:
+                q4 += 2
+            elif xs[j] == xs[i] and ys[j] == ys[i]:
+                q4 += 1
+        d1 += (q4 - 4) * (q4 - 8)
+        d2 += r2 * (r2 - 2) * s2 * (s2 - 2)
+        d3 += (r2 - 2) * (s2 - 2) * (q4 - 4)
+    assert eng["d1_16"] == d1
+    assert eng["d2_16"] == d2
+    assert eng["d3_16"] == d3
+    expect_d = (
+        30.0
+        * (float((n - 2) * (n - 3)) * float(d1) + float(d2)
+           - 2.0 * float(n - 2) * float(d3))
+        / (16.0 * float(n) * float(n - 1) * float(n - 2)
+           * float(n - 3) * float(n - 4))
+    )
+    assert abs(eng["hoeffding_d"] - expect_d) < 1e-12
+    # scaled-D bound: 30*integral form lies in [-0.5, 1]
+    assert -0.5 <= eng["hoeffding_d"] <= 1.0
