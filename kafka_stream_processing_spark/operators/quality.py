@@ -7624,3 +7624,322 @@ def quality_hoeffding_d_hourly(
         )
         .withColumn("hoeffding_d", F.expr(_HOEFFDING_D_EXPR))
     )
+
+
+# ---------------------------------------------------------------------------
+# Kuiper two-sample drift (cyclic-sensitive KS variant) — exact
+# integer gap maxima on the shared histogram walk
+# ---------------------------------------------------------------------------
+
+#: Asymptotic 5% critical constant of the two-sample Kuiper V statistic
+#: (V* = V·sqrt(na·nb/(na+nb)); published one/two-sample asymptotic
+#: table value — asymptotic, like the KS 1.358 gate above).
+KUIPER_C005 = 1.747
+
+
+@register(
+    "quality_kuiper_drift",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS is_b
+        FROM documents
+    ),
+    hist AS (
+        SELECT v, SUM(is_a) AS ca_i, SUM(is_b) AS cb_i
+        FROM rows_t GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(ca_i) OVER (ORDER BY v) AS ca,
+               SUM(cb_i) OVER (ORDER BY v) AS cb
+        FROM hist
+    ),
+    tot AS (SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM rows_t),
+    gaps AS (
+        SELECT CAST(greatest(0, max(cum.ca * tot.nb - cum.cb * tot.na))
+                    AS BIGINT) AS dplus_num,
+               CAST(greatest(0, max(cum.cb * tot.na - cum.ca * tot.nb))
+                    AS BIGINT) AS dminus_num,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(tot.na AS BIGINT) AS na,
+               CAST(tot.nb AS BIGINT) AS nb
+        FROM cum, tot GROUP BY tot.na, tot.nb
+    )
+    SELECT na, nb, n_values, dplus_num, dminus_num,
+           CAST(dplus_num + dminus_num AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS kuiper_v,
+           {KUIPER_C005} * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+               AS critical_005,
+           CAST(dplus_num + dminus_num AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             > {KUIPER_C005} * sqrt((CAST(na AS DOUBLE)
+                    + CAST(nb AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drift
+    FROM gaps
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_kuiper_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kuiper drift test — V = D⁺ + D⁻, the sum of the
+    largest ECDF gap in EACH direction, where KS takes only the larger
+    of the two.  The practical payoffs: (a) equal sensitivity in both
+    tails (KS is center-weighted — a source that simultaneously gains
+    short and loses long documents can cancel in D but not in V), and
+    (b) invariance under cyclic shifts of the support, making this the
+    correct gate for circular metrics (hour-of-day, day-of-week
+    ingestion mix) where KS's origin-dependence is a bug.  Same
+    src0-vs-rest split over document length as quality_ks_drift_nchars,
+    so the two verdicts are directly comparable.
+
+    Exactness: both directed gaps are carried as EXACT INTEGER maxima
+    of ca·nb − cb·na on the cumulative histogram (0-floored — the sup
+    of an ECDF difference is ≥ 0 since the gap vanishes at ±∞); the
+    only IEEE steps are the final division and the asymptotic critical
+    line (1.747 literal, same convention as the KS/AD gates).
+
+    Scale: identical to the KS kernel — one map-side-combined groupBy
+    to the value-distinct histogram, one cumulative window over
+    DISTINCT VALUES (bin continuous columns first), scalar output."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    is_a = (F.col("source") == "src0").cast("bigint")
+    rows_t = d.select(
+        F.col("n_chars").alias("v"),
+        is_a.alias("is_a"),
+        (1 - is_a).alias("is_b"),
+    )
+    hist = rows_t.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"), F.sum("is_b").alias("cb_i")
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        F.sum("ca_i").over(w).alias("ca"),
+        F.sum("cb_i").over(w).alias("cb"),
+    )
+    tot = rows_t.agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    gplus = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    gaps = j.groupBy("na", "nb").agg(
+        F.greatest(F.lit(0), F.max(gplus))
+        .cast("bigint")
+        .alias("dplus_num"),
+        F.greatest(F.lit(0), F.max(-gplus))
+        .cast("bigint")
+        .alias("dminus_num"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+    )
+    v_stat = (
+        (F.col("dplus_num") + F.col("dminus_num")).cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    crit = F.lit(KUIPER_C005) * F.sqrt(
+        (F.col("na").cast("double") + F.col("nb").cast("double"))
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return gaps.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        "n_values",
+        "dplus_num",
+        "dminus_num",
+        v_stat.alias("kuiper_v"),
+        crit.alias("critical_005"),
+        (v_stat > crit).alias("drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blomqvist beta (median quadrant association) — exact order-statistic
+# medians + one counting aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_blomqvist_beta_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    mx AS (
+        SELECT x AS med_x FROM (
+            SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                   count(*) OVER () AS n
+            FROM hourly
+        ) WHERE rn = (n + 1) // 2
+    ),
+    my AS (
+        SELECT y AS med_y FROM (
+            SELECT y, row_number() OVER (ORDER BY y) AS rn,
+                   count(*) OVER () AS n
+            FROM hourly
+        ) WHERE rn = (n + 1) // 2
+    ),
+    q AS (
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_hours,
+            CAST(SUM(CASE WHEN x > med_x AND y > med_y
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pp,
+            CAST(SUM(CASE WHEN x < med_x AND y < med_y
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_mm,
+            CAST(SUM(CASE WHEN x > med_x AND y < med_y
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pm,
+            CAST(SUM(CASE WHEN x < med_x AND y > med_y
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_mp,
+            CAST(SUM(CASE WHEN x = med_x OR y = med_y
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_on_median,
+            CAST(any_value(med_x) AS BIGINT) AS med_x,
+            CAST(any_value(med_y) AS BIGINT) AS med_y
+        FROM hourly, mx, my
+    )
+    SELECT n_hours, med_x, med_y, n_pp, n_mm, n_pm, n_mp, n_on_median,
+           CAST(n_pp + n_mm - n_pm - n_mp AS DOUBLE)
+               / CAST(n_pp + n_mm + n_pm + n_mp AS DOUBLE) AS beta
+    FROM q
+    """,
+    tags=("quality", "statistics", "robust"),
+)
+def quality_blomqvist_beta_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blomqvist's β (1950 medial correlation) between hourly click and
+    purchase volumes — the cheapest member of the association ladder
+    (Pearson → Spearman → Kendall → Hoeffding → dCor): sign agreement
+    relative to the MEDIANS, β = (n₊₊ + n₋₋ − n₊₋ − n₋₊)/(total off
+    median), maximally robust (50% breakdown in each margin) and the
+    one association number a monitoring dashboard can afford on every
+    tick.  Points lying ON either median are excluded from the
+    denominator (the classical discrete-margin convention) and
+    reported in n_on_median so the exclusion mass is auditable.
+
+    Exactness: both medians are the engine's standard LOWER order
+    statistic at rank ⌈n/2⌉ ((n+1) div 2 — the lower-median convention
+    of quality_length_outlier_mad), quadrant counts are exact integer
+    comparisons against them, and the single IEEE step is the final
+    ratio.
+
+    Scale: one scan → hour grid (map-side combined); the median rank
+    windows run over the GRID (time-span-sized — the Kendall/Hoeffding
+    discipline); production frontier for an entity-scale variant is
+    frontier.quantile_cuts(mode="approx") exactly as the Lorenz/RFM
+    swap; one broadcast of the two scalars; one counting aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def lower_median(col: str, out: str) -> DataFrame:
+        w = Window.orderBy(col)
+        wn = Window.partitionBy()
+        return (
+            hourly.select(
+                F.col(col),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(F.col(col).cast("bigint").alias(out))
+        )
+
+    meds = lower_median("x", "med_x").crossJoin(
+        lower_median("y", "med_y")
+    )
+    j = hourly.crossJoin(F.broadcast(meds))
+    q = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(
+            F.when(
+                (F.col("x") > F.col("med_x"))
+                & (F.col("y") > F.col("med_y")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pp"),
+        F.sum(
+            F.when(
+                (F.col("x") < F.col("med_x"))
+                & (F.col("y") < F.col("med_y")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mm"),
+        F.sum(
+            F.when(
+                (F.col("x") > F.col("med_x"))
+                & (F.col("y") < F.col("med_y")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pm"),
+        F.sum(
+            F.when(
+                (F.col("x") < F.col("med_x"))
+                & (F.col("y") > F.col("med_y")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mp"),
+        F.sum(
+            F.when(
+                (F.col("x") == F.col("med_x"))
+                | (F.col("y") == F.col("med_y")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_on_median"),
+        F.any_value(F.col("med_x")).alias("med_x"),
+        F.any_value(F.col("med_y")).alias("med_y"),
+    )
+    return q.select(
+        "n_hours",
+        "med_x",
+        "med_y",
+        "n_pp",
+        "n_mm",
+        "n_pm",
+        "n_mp",
+        "n_on_median",
+        (
+            (
+                F.col("n_pp")
+                + F.col("n_mm")
+                - F.col("n_pm")
+                - F.col("n_mp")
+            ).cast("double")
+            / (
+                F.col("n_pp")
+                + F.col("n_mm")
+                + F.col("n_pm")
+                + F.col("n_mp")
+            ).cast("double")
+        ).alias("beta"),
+    )

@@ -328,6 +328,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- driver rows queue behind the coverage backlog) --
     "quality_distance_correlation_hourly",
     "quality_hoeffding_d_hourly",
+    "quality_kuiper_drift",
+    "quality_blomqvist_beta_hourly",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -142,3 +142,66 @@ def test_hoeffding_d_brute_force_replay(spark, sf_small):
     assert abs(eng["hoeffding_d"] - expect_d) < 1e-12
     # scaled-D bound: 30*integral form lies in [-0.5, 1]
     assert -0.5 <= eng["hoeffding_d"] <= 1.0
+
+
+def test_kuiper_brute_force_replay_and_ks_bound(spark, sf_small):
+    """Integer gap maxima replay from raw (value, source) rows, plus
+    the ordering law V >= D: Kuiper's statistic dominates the KS
+    statistic on the same split by construction."""
+    eng = SPECS["quality_kuiper_drift"].fn(spark, sf_small).collect()[0]
+    rows = (
+        table(spark, sf_small, "documents")
+        .select("n_chars", "source")
+        .collect()
+    )
+    a = sorted(r["n_chars"] for r in rows if r["source"] == "src0")
+    b = sorted(r["n_chars"] for r in rows if r["source"] != "src0")
+    na, nb = len(a), len(b)
+    assert (eng["na"], eng["nb"]) == (na, nb)
+    values = sorted(set(a) | set(b))
+    assert eng["n_values"] == len(values)
+    dplus = dminus = 0
+    ca = cb = 0
+    ia = ib = 0
+    for v in values:
+        while ia < na and a[ia] <= v:
+            ia += 1
+        while ib < nb and b[ib] <= v:
+            ib += 1
+        ca, cb = ia, ib
+        dplus = max(dplus, ca * nb - cb * na)
+        dminus = max(dminus, cb * na - ca * nb)
+    assert eng["dplus_num"] == dplus
+    assert eng["dminus_num"] == dminus
+    assert eng["kuiper_v"] == (dplus + dminus) / (na * nb)
+    ks = SPECS["quality_ks_drift_nchars"].fn(spark, sf_small).collect()[0]
+    assert eng["kuiper_v"] >= ks["ks_d"] - 1e-15
+
+
+def test_blomqvist_beta_replay_and_partition_law(spark, sf_small):
+    """Lower-median + quadrant-count replay; the five counts must
+    partition the grid exactly and beta must be the signed quadrant
+    ratio."""
+    eng = SPECS["quality_blomqvist_beta_hourly"].fn(
+        spark, sf_small
+    ).collect()[0]
+    pts = _hourly_xy(spark, sf_small)
+    n = len(pts)
+    xs = sorted(p[0] for p in pts)
+    ys = sorted(p[1] for p in pts)
+    med_x = xs[(n + 1) // 2 - 1]
+    med_y = ys[(n + 1) // 2 - 1]
+    assert (eng["med_x"], eng["med_y"]) == (med_x, med_y)
+    npp = sum(1 for x, y in pts if x > med_x and y > med_y)
+    nmm = sum(1 for x, y in pts if x < med_x and y < med_y)
+    npm = sum(1 for x, y in pts if x > med_x and y < med_y)
+    nmp = sum(1 for x, y in pts if x < med_x and y > med_y)
+    non = sum(1 for x, y in pts if x == med_x or y == med_y)
+    assert (eng["n_pp"], eng["n_mm"], eng["n_pm"], eng["n_mp"]) == (
+        npp, nmm, npm, nmp,
+    )
+    assert eng["n_on_median"] == non
+    assert npp + nmm + npm + nmp + non == n == eng["n_hours"]
+    denom = npp + nmm + npm + nmp
+    assert eng["beta"] == (npp + nmm - npm - nmp) / denom
+    assert -1.0 <= eng["beta"] <= 1.0
