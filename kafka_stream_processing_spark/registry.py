@@ -330,6 +330,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_hoeffding_d_hourly",
     "quality_kuiper_drift",
     "quality_blomqvist_beta_hourly",
+    "stream_frequent_pairs_stateful",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -205,3 +205,41 @@ def test_blomqvist_beta_replay_and_partition_law(spark, sf_small):
     denom = npp + nmm + npm + nmp
     assert eng["beta"] == (npp + nmm - npm - nmp) / denom
     assert -1.0 <= eng["beta"] <= 1.0
+
+
+def test_frequent_pairs_stream_matches_python_replay(spark, sf_small):
+    """The streamed per-user bitmask fold must land exactly on the
+    batch truth: python replay of per-user type sets → pair supports,
+    plus the anti-monotone Apriori law support(AB) <= min(support(A),
+    support(B))."""
+    from kafka_stream_processing_spark.streaming.stateful import (
+        PAIR_TYPES,
+    )
+
+    rows = (
+        table(spark, sf_small, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    seen: dict[int, set] = {}
+    for r in rows:
+        seen.setdefault(r["user_id"], set()).add(r["event_type"])
+    n_users = len(seen)
+    singles = {
+        t: sum(1 for s in seen.values() if t in s) for t in PAIR_TYPES
+    }
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in SPECS["stream_frequent_pairs_stateful"].fn(
+            spark, sf_small
+        ).collect()
+    }
+    assert len(out) == len(PAIR_TYPES) * (len(PAIR_TYPES) - 1) // 2
+    for (ta, tb), r in out.items():
+        both = sum(
+            1 for s in seen.values() if ta in s and tb in s
+        )
+        assert r["n_users_both"] == both
+        assert r["n_users_total"] == n_users
+        assert r["support"] == both / n_users
+        assert r["n_users_both"] <= min(singles[ta], singles[tb])
