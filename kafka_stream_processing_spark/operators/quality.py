@@ -7943,3 +7943,145 @@ def quality_blomqvist_beta_hourly(
             ).cast("double")
         ).alias("beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watson U² two-sample drift (cyclic CvM variant) — exact integer
+# mean-centered gap sums on the shared histogram walk
+# ---------------------------------------------------------------------------
+
+#: Asymptotic 5% critical value of Watson's U² statistic (published
+#: table value of the limiting distribution — asymptotic, like the KS
+#: 1.358 / CvM 0.461 / Kuiper 1.747 gates).
+WATSON_U2_CRIT_005 = 0.187
+
+
+@register(
+    "quality_watson_u2_drift",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS is_b
+        FROM documents
+    ),
+    hist AS (
+        SELECT v, SUM(is_a) AS ca_i, SUM(is_b) AS cb_i
+        FROM rows_t GROUP BY v
+    ),
+    cum AS (
+        SELECT v, ca_i + cb_i AS m,
+               SUM(ca_i) OVER (ORDER BY v) AS ca,
+               SUM(cb_i) OVER (ORDER BY v) AS cb
+        FROM hist
+    ),
+    tot AS (SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM rows_t),
+    sums AS (
+        SELECT CAST(SUM(m * (ca * tot.nb - cb * tot.na)) AS BIGINT)
+                   AS s1,
+               CAST(SUM(m * (ca * tot.nb - cb * tot.na)
+                          * (ca * tot.nb - cb * tot.na)) AS BIGINT)
+                   AS s2,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(tot.na AS BIGINT) AS na,
+               CAST(tot.nb AS BIGINT) AS nb
+        FROM cum, tot GROUP BY tot.na, tot.nb
+    ),
+    parts AS (
+        SELECT na, nb, n_values,
+               CAST((na + nb) * s2 - s1 * s1 AS BIGINT) AS u2_num
+        FROM sums
+    )
+    SELECT na, nb, n_values, u2_num,
+           CAST(u2_num AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                  * CAST(na + nb AS DOUBLE)) AS watson_u2,
+           CAST(u2_num AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                  * CAST(na + nb AS DOUBLE))
+             > {WATSON_U2_CRIT_005} AS drift
+    FROM parts
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_watson_u2_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watson's U² two-sample drift test — the MEAN-CENTERED CvM:
+    U² = (na·nb/N²)·Σᵢ(dᵢ − d̄)² over the N combined observations,
+    dᵢ = F_A(xᵢ) − F_B(xᵢ).  Subtracting the mean gap makes U²
+    invariant under CYCLIC rotations of the support — the CvM-class
+    companion of quality_kuiper_drift (sup-metric) and the correct
+    quadratic-EDF gate for circular metrics (hour-of-day, day-of-week
+    mix), while on the line it behaves like CvM with equalized tail
+    sensitivity.  Same src0-vs-rest split over document length as the
+    KS/CvM/AD/Kuiper family, so all five verdicts line up on one
+    dashboard row.
+
+    Exactness: with gᵥ = ca·nb − cb·na and multiplicity mᵥ on the
+    distinct-value walk, U²·na·nb·N³ = N·Σmg² − (Σmg)² — carried as
+    ONE exact BIGINT (u2_num); the only IEEE steps are the final
+    division and the asymptotic 0.187 critical line.  The replay test
+    pins the rotation-invariance theorem itself: cyclically shifting
+    the binned support leaves u2_num unchanged.
+
+    Scale: the KS kernel verbatim — one map-side-combined histogram
+    groupBy, one cumulative window over DISTINCT VALUES (bin
+    continuous columns first), scalar output."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    is_a = (F.col("source") == "src0").cast("bigint")
+    rows_t = d.select(
+        F.col("n_chars").alias("v"),
+        is_a.alias("is_a"),
+        (1 - is_a).alias("is_b"),
+    )
+    hist = rows_t.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"), F.sum("is_b").alias("cb_i")
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        (F.col("ca_i") + F.col("cb_i")).alias("m"),
+        F.sum("ca_i").over(w).alias("ca"),
+        F.sum("cb_i").over(w).alias("cb"),
+    )
+    tot = rows_t.agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    g = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    sums = j.groupBy("na", "nb").agg(
+        F.sum(F.col("m") * g).cast("bigint").alias("s1"),
+        F.sum(F.col("m") * g * g).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+    )
+    n_comb = F.col("na") + F.col("nb")
+    u2_num = (n_comb * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "bigint"
+    )
+    parts = sums.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        "n_values",
+        u2_num.alias("u2_num"),
+    )
+    denom = (
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        * (F.col("na") + F.col("nb")).cast("double")
+        * (F.col("na") + F.col("nb")).cast("double")
+        * (F.col("na") + F.col("nb")).cast("double")
+    )
+    u2 = F.col("u2_num").cast("double") / denom
+    return parts.select(
+        "na",
+        "nb",
+        "n_values",
+        "u2_num",
+        u2.alias("watson_u2"),
+        (u2 > F.lit(WATSON_U2_CRIT_005)).alias("drift"),
+    )

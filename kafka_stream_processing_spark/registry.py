@@ -331,6 +331,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_kuiper_drift",
     "quality_blomqvist_beta_hourly",
     "stream_frequent_pairs_stateful",
+    "quality_watson_u2_drift",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -243,3 +243,45 @@ def test_frequent_pairs_stream_matches_python_replay(spark, sf_small):
         assert r["n_users_total"] == n_users
         assert r["support"] == both / n_users
         assert r["n_users_both"] <= min(singles[ta], singles[tb])
+
+
+def test_watson_u2_replay_and_rotation_invariance(spark, sf_small):
+    """Integer replay of u2_num from raw rows, plus the theorem the op
+    exists for: cyclically rotating the (binned) support leaves u2_num
+    EXACTLY unchanged — checked for several shifts in exact integers."""
+    eng = SPECS["quality_watson_u2_drift"].fn(
+        spark, sf_small
+    ).collect()[0]
+    rows = (
+        table(spark, sf_small, "documents")
+        .select("n_chars", "source")
+        .collect()
+    )
+    a = [r["n_chars"] for r in rows if r["source"] == "src0"]
+    b = [r["n_chars"] for r in rows if r["source"] != "src0"]
+    na, nb = len(a), len(b)
+
+    def u2_num(avals, bvals):
+        values = sorted(set(avals) | set(bvals))
+        from collections import Counter
+
+        ca_h, cb_h = Counter(avals), Counter(bvals)
+        ca = cb = 0
+        s1 = s2 = 0
+        for v in values:
+            ca += ca_h[v]
+            cb += cb_h[v]
+            m = ca_h[v] + cb_h[v]
+            g = ca * nb - cb * na
+            s1 += m * g
+            s2 += m * g * g
+        return (na + nb) * s2 - s1 * s1
+
+    base = u2_num(a, b)
+    assert eng["u2_num"] == base
+    assert eng["watson_u2"] == base / (na * nb * (na + nb) ** 3)
+    mod = max(a + b) + 1
+    for shift in (1, 7, mod // 3, mod - 2):
+        ar = [(v + shift) % mod for v in a]
+        br = [(v + shift) % mod for v in b]
+        assert u2_num(ar, br) == base, f"shift {shift} broke invariance"
