@@ -8085,3 +8085,149 @@ def quality_watson_u2_drift(
         u2.alias("watson_u2"),
         (u2 > F.lit(WATSON_U2_CRIT_005)).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Circadian drift: Watson U² + Kuiper on the hour-of-day circle,
+# clicks vs purchases — the cyclic gates applied to a genuinely
+# circular metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_circadian_drift_clicks_purchases",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    hist AS (
+        SELECT v, SUM(is_a) AS ca_i, SUM(is_b) AS cb_i
+        FROM rows_t GROUP BY v
+    ),
+    cum AS (
+        SELECT v, ca_i + cb_i AS m,
+               SUM(ca_i) OVER (ORDER BY v) AS ca,
+               SUM(cb_i) OVER (ORDER BY v) AS cb
+        FROM hist
+    ),
+    tot AS (SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM rows_t),
+    sums AS (
+        SELECT CAST(SUM(m * (ca * tot.nb - cb * tot.na)) AS BIGINT)
+                   AS s1,
+               CAST(SUM(m * (ca * tot.nb - cb * tot.na)
+                          * (ca * tot.nb - cb * tot.na)) AS BIGINT)
+                   AS s2,
+               CAST(greatest(0, max(ca * tot.nb - cb * tot.na))
+                    AS BIGINT) AS dplus_num,
+               CAST(greatest(0, max(cb * tot.na - ca * tot.nb))
+                    AS BIGINT) AS dminus_num,
+               CAST(count(*) AS BIGINT) AS n_hours_present,
+               CAST(tot.na AS BIGINT) AS na,
+               CAST(tot.nb AS BIGINT) AS nb
+        FROM cum, tot GROUP BY tot.na, tot.nb
+    )
+    SELECT na, nb, n_hours_present,
+           CAST((na + nb) * s2 - s1 * s1 AS BIGINT) AS u2_num,
+           dplus_num, dminus_num,
+           CAST((na + nb) * s2 - s1 * s1 AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                  * CAST(na + nb AS DOUBLE)) AS watson_u2,
+           CAST(dplus_num + dminus_num AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS kuiper_v,
+           CAST((na + nb) * s2 - s1 * s1 AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                  * CAST(na + nb AS DOUBLE))
+             > {WATSON_U2_CRIT_005} AS circadian_drift
+    FROM sums
+    """,
+    tags=("quality", "drift", "statistics", "circular"),
+)
+def quality_circadian_drift_clicks_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Circadian-mix drift: do PURCHASES follow the same hour-of-day
+    profile as CLICKS?  Hour-of-day is a genuinely CIRCULAR variable —
+    23:00 and 00:00 are neighbors — so the linear KS/CvM gates are
+    origin-dependent there (their verdict would change if the day
+    'started' at a different hour), and this op deploys BOTH
+    rotation-invariant statistics on the shared 24-point walk: Watson's
+    U² (quadratic, the verdict gate at the asymptotic 0.187 line) and
+    Kuiper's V (sup-form, reported alongside).  A click→purchase
+    funnel whose conversions lag into different hours shows up here
+    before it shows up in volume; the test pins that both numbers are
+    invariant to rotating the 24-hour dial, which is the entire point.
+
+    Exactness: identical integer carriers as the parent ops —
+    u2_num = N·Σmg² − (Σmg)² and the two 0-floored directed gap
+    maxima, all BIGINT on the hour histogram; IEEE only in the two
+    final divisions and the critical line.
+
+    Scale: ONE scan with the hour() projection pushed to it, one
+    map-side-combined 24-row histogram, one 24-row window — the
+    cheapest drift gate in the registry; state and output are
+    O(24) forever."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_a = (F.col("event_type") == "click").cast("bigint")
+    rows_t = ev.select(
+        F.hour("ts").cast("bigint").alias("v"),
+        is_a.alias("is_a"),
+        (1 - is_a).alias("is_b"),
+    )
+    hist = rows_t.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"), F.sum("is_b").alias("cb_i")
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        (F.col("ca_i") + F.col("cb_i")).alias("m"),
+        F.sum("ca_i").over(w).alias("ca"),
+        F.sum("cb_i").over(w).alias("cb"),
+    )
+    tot = rows_t.agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    g = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    sums = j.groupBy("na", "nb").agg(
+        F.sum(F.col("m") * g).cast("bigint").alias("s1"),
+        F.sum(F.col("m") * g * g).cast("bigint").alias("s2"),
+        F.greatest(F.lit(0), F.max(g)).cast("bigint").alias("dplus_num"),
+        F.greatest(F.lit(0), F.max(-g))
+        .cast("bigint")
+        .alias("dminus_num"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours_present"),
+    )
+    n_comb = (F.col("na") + F.col("nb")).cast("bigint")
+    u2_num = (n_comb * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "bigint"
+    )
+    u2 = u2_num.cast("double") / (
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        * n_comb.cast("double")
+        * n_comb.cast("double")
+        * n_comb.cast("double")
+    )
+    kv = (F.col("dplus_num") + F.col("dminus_num")).cast("double") / (
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return sums.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        "n_hours_present",
+        u2_num.alias("u2_num"),
+        "dplus_num",
+        "dminus_num",
+        u2.alias("watson_u2"),
+        kv.alias("kuiper_v"),
+        (u2 > F.lit(WATSON_U2_CRIT_005)).alias("circadian_drift"),
+    )

@@ -332,6 +332,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_blomqvist_beta_hourly",
     "stream_frequent_pairs_stateful",
     "quality_watson_u2_drift",
+    "quality_circadian_drift_clicks_purchases",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -285,3 +285,55 @@ def test_watson_u2_replay_and_rotation_invariance(spark, sf_small):
         ar = [(v + shift) % mod for v in a]
         br = [(v + shift) % mod for v in b]
         assert u2_num(ar, br) == base, f"shift {shift} broke invariance"
+
+
+def test_circadian_drift_replay_and_dial_rotation(spark, sf_small):
+    """Replay both circular statistics from raw hour-of-day samples
+    and pin the dial-rotation theorem: u2_num AND the Kuiper gap SUM
+    are exactly invariant under (h + s) % 24 for every shift s."""
+    import pyspark.sql.functions as F
+    from collections import Counter
+
+    eng = SPECS["quality_circadian_drift_clicks_purchases"].fn(
+        spark, sf_small
+    ).collect()[0]
+    rows = (
+        table(spark, sf_small, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.hour("ts").alias("h"), "event_type")
+        .collect()
+    )
+    a = [r["h"] for r in rows if r["event_type"] == "click"]
+    b = [r["h"] for r in rows if r["event_type"] == "purchase"]
+    na, nb = len(a), len(b)
+    assert (eng["na"], eng["nb"]) == (na, nb)
+
+    def stats(avals, bvals):
+        ca_h, cb_h = Counter(avals), Counter(bvals)
+        ca = cb = s1 = s2 = 0
+        dplus = dminus = 0
+        for v in sorted(set(avals) | set(bvals)):
+            ca += ca_h[v]
+            cb += cb_h[v]
+            m = ca_h[v] + cb_h[v]
+            g = ca * nb - cb * na
+            s1 += m * g
+            s2 += m * g * g
+            dplus = max(dplus, g)
+            dminus = max(dminus, -g)
+        return (
+            (na + nb) * s2 - s1 * s1,
+            max(0, dplus) + max(0, dminus),
+        )
+
+    u2_base, v_base = stats(a, b)
+    assert eng["u2_num"] == u2_base
+    assert eng["dplus_num"] + eng["dminus_num"] == v_base
+    assert eng["watson_u2"] == u2_base / (na * nb * (na + nb) ** 3)
+    assert eng["kuiper_v"] == v_base / (na * nb)
+    for shift in range(1, 24):
+        ar = [(h + shift) % 24 for h in a]
+        br = [(h + shift) % 24 for h in b]
+        u2_r, v_r = stats(ar, br)
+        assert u2_r == u2_base, f"U2 broke at shift {shift}"
+        assert v_r == v_base, f"Kuiper broke at shift {shift}"
