@@ -465,3 +465,32 @@ def test_vocab_overlap_profile_join_broadcasts(spark, sf_small):
         specs["text_source_vocab_overlap"].fn(spark, sf_small)
     )
     assert "CartesianProduct" not in rep.text, rep.text[:4000]
+
+
+def test_circadian_filter_pushed_and_histogram_sized(spark, sf_small):
+    """The circadian gate's event-type IN filter must reach the parquet
+    scan (only click/purchase rows ever leave the source) and the plan
+    must aggregate map-side before the single histogram exchange — the
+    whole-corpus walk collapses to O(24) rows immediately."""
+    spec = registry.all_specs()[
+        "quality_circadian_drift_clicks_purchases"
+    ]
+    rep = plan_report(spec.fn(spark, sf_small))
+    assert "In(event_type" in rep.text or "IN (click,purchase" in rep.text
+    assert "CartesianProduct" not in rep.text
+    assert "HashAggregate" in rep.text
+
+
+def test_hoeffding_kernel_never_touches_observation_pairs(spark, sf_small):
+    """Hoeffding's D must run on the joint-value-histogram dominance
+    join (cells², domain-bounded), never a corpus-pair join: the plan
+    may contain the small BNLJ over cells but no cartesian product of
+    the events scan with itself before aggregation collapsed it."""
+    spec = registry.all_specs()["quality_hoeffding_d_hourly"]
+    df = spec.fn(spark, sf_small)
+    rep = plan_report(df)
+    # the only join inputs are post-aggregation (HashAggregate feeds
+    # the join) — a pre-aggregation scan-scan join would show two
+    # FileScans directly under the join operators
+    assert rep.text.count("FileScan") <= 2  # events scan reused per branch
+    assert "HashAggregate" in rep.text
