@@ -4435,3 +4435,229 @@ def stream_wasserstein_monitor(
             "wasserstein_1",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming circadian drift monitor (per-batch Watson U² + Kuiper on
+# the hour-of-day circle)
+# ---------------------------------------------------------------------------
+
+def _circadian_monitor_oracle() -> str:
+    from kafka_stream_processing_spark.operators.quality import (
+        WATSON_U2_CRIT_005,
+    )
+
+    return f"""
+    WITH ordered AS (
+        SELECT event_id, ts, event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, ts, event_type,
+               rn // ((n + 2) // 3) AS chunk_id
+        FROM ordered
+    ),
+    keys AS (
+        SELECT chunk_id, min(event_id) AS chunk_min_event_id
+        FROM chunked GROUP BY chunk_id
+    ),
+    hist AS (
+        SELECT chunk_id, CAST(hour(ts) AS BIGINT) AS v,
+               SUM(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) AS ca_i,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS cb_i
+        FROM chunked WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT chunk_id, v, ca_i + cb_i AS m,
+               SUM(ca_i) OVER (PARTITION BY chunk_id ORDER BY v) AS ca,
+               SUM(cb_i) OVER (PARTITION BY chunk_id ORDER BY v) AS cb
+        FROM hist
+    ),
+    tot AS (
+        SELECT chunk_id, SUM(ca_i) AS na, SUM(cb_i) AS nb
+        FROM hist GROUP BY chunk_id
+    ),
+    sums AS (
+        SELECT c.chunk_id,
+               CAST(t.na AS BIGINT) AS na,
+               CAST(t.nb AS BIGINT) AS nb,
+               CAST(SUM(c.m * (c.ca * t.nb - c.cb * t.na)) AS BIGINT)
+                   AS s1,
+               CAST(SUM(c.m * (c.ca * t.nb - c.cb * t.na)
+                            * (c.ca * t.nb - c.cb * t.na)) AS BIGINT)
+                   AS s2,
+               CAST(greatest(0, max(c.ca * t.nb - c.cb * t.na))
+                    AS BIGINT) AS dplus_num,
+               CAST(greatest(0, max(c.cb * t.na - c.ca * t.nb))
+                    AS BIGINT) AS dminus_num
+        FROM cum c JOIN tot t ON t.chunk_id = c.chunk_id
+        GROUP BY c.chunk_id, t.na, t.nb
+    ),
+    parts AS (
+        SELECT chunk_id, na, nb,
+               CAST((na + nb) * s2 - s1 * s1 AS BIGINT) AS u2_num,
+               dplus_num, dminus_num
+        FROM sums
+    )
+    SELECT k.chunk_min_event_id, p.na, p.nb, p.u2_num,
+           CASE WHEN p.na = 0 OR p.nb = 0 THEN NULL
+                ELSE CAST(p.u2_num AS DOUBLE)
+                     / (CAST(p.na AS DOUBLE) * CAST(p.nb AS DOUBLE)
+                        * CAST(p.na + p.nb AS DOUBLE)
+                        * CAST(p.na + p.nb AS DOUBLE)
+                        * CAST(p.na + p.nb AS DOUBLE))
+           END AS watson_u2,
+           CASE WHEN p.na = 0 OR p.nb = 0 THEN NULL
+                ELSE CAST(p.dplus_num + p.dminus_num AS DOUBLE)
+                     / (CAST(p.na AS DOUBLE) * CAST(p.nb AS DOUBLE))
+           END AS kuiper_v,
+           CASE WHEN p.na = 0 OR p.nb = 0 THEN NULL
+                ELSE CAST(p.u2_num AS DOUBLE)
+                     / (CAST(p.na AS DOUBLE) * CAST(p.nb AS DOUBLE)
+                        * CAST(p.na + p.nb AS DOUBLE)
+                        * CAST(p.na + p.nb AS DOUBLE)
+                        * CAST(p.na + p.nb AS DOUBLE))
+                     > {WATSON_U2_CRIT_005}
+           END AS circadian_drift
+    FROM parts p JOIN keys k ON k.chunk_id = p.chunk_id
+    """
+
+
+@register(
+    "stream_circadian_monitor",
+    oracle=_circadian_monitor_oracle(),
+    tags=("streaming", "drift", "circular"),
+)
+def stream_circadian_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch circadian-mix drift — the streaming deployment
+    of quality_circadian_drift_clicks_purchases: each arriving events
+    batch folds to its ≤24-row hour-of-day click/purchase histogram
+    (one histogram-sized collect per trigger, the PSI monitor's bound)
+    and the rotation-invariant verdict pair — Watson's U² (gate) and
+    Kuiper's V (reported) — is computed POST-stream from the collected
+    integer histograms in expressions identical to the batch gate, so
+    every u2_num BIGINT is hash-stable cross-engine.  Batches are
+    keyed by min event_id (batch-ORDER independent; the oracle
+    reconstructs the same chunks via the (ts, event_id) staging-sort
+    row_number — the stream_ab_ztest_monitor convention), and a chunk
+    with an empty arm reports NULL, not inf.
+
+    Scale: per-trigger state is a ≤24-cell integer histogram whatever
+    the batch size; nothing in the streaming state store — restarts
+    lose no state, verdicts are per-batch final."""
+    from kafka_stream_processing_spark.operators.quality import (
+        WATSON_U2_CRIT_005,
+    )
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    rows: list[tuple[int, int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("event_id").alias("k")).collect()[0][
+            "k"
+        ]
+        if key is None:
+            return
+        hist = (
+            batch_df.filter(
+                F.col("event_type").isin("click", "purchase")
+            )
+            .groupBy(F.hour("ts").cast("bigint").alias("v"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "click", F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias("ca_i"),
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias("cb_i"),
+            )
+            .collect()  # <= 24 rows per trigger, by construction
+        )
+        for r in hist:
+            rows.append(
+                (int(key), int(r["v"]), int(r["ca_i"]), int(r["cb_i"]))
+            )
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    from pyspark.sql import Window
+
+    hist = spark.createDataFrame(
+        rows, "chunk_min_event_id bigint, v bigint, ca_i bigint, cb_i bigint"
+    )
+    w = (
+        Window.partitionBy("chunk_min_event_id")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wc = Window.partitionBy("chunk_min_event_id")
+    cum = hist.select(
+        "chunk_min_event_id",
+        "v",
+        (F.col("ca_i") + F.col("cb_i")).alias("m"),
+        F.sum("ca_i").over(w).alias("ca"),
+        F.sum("cb_i").over(w).alias("cb"),
+        F.sum("ca_i").over(wc).alias("na"),
+        F.sum("cb_i").over(wc).alias("nb"),
+    )
+    g = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    sums = cum.groupBy("chunk_min_event_id", "na", "nb").agg(
+        F.sum(F.col("m") * g).cast("bigint").alias("s1"),
+        F.sum(F.col("m") * g * g).cast("bigint").alias("s2"),
+        F.greatest(F.lit(0), F.max(g)).cast("bigint").alias("dplus_num"),
+        F.greatest(F.lit(0), F.max(-g))
+        .cast("bigint")
+        .alias("dminus_num"),
+    )
+    n_comb = (F.col("na") + F.col("nb")).cast("bigint")
+    u2_num = (n_comb * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "bigint"
+    )
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
+    u2 = u2_num.cast("double") / (
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        * n_comb.cast("double")
+        * n_comb.cast("double")
+        * n_comb.cast("double")
+    )
+    kv = (F.col("dplus_num") + F.col("dminus_num")).cast("double") / (
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return sums.select(
+        "chunk_min_event_id",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        u2_num.alias("u2_num"),
+        F.when(both, u2).alias("watson_u2"),
+        F.when(both, kv).alias("kuiper_v"),
+        F.when(both, u2 > F.lit(WATSON_U2_CRIT_005)).alias(
+            "circadian_drift"
+        ),
+    )

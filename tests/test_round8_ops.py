@@ -337,3 +337,73 @@ def test_circadian_drift_replay_and_dial_rotation(spark, sf_small):
         u2_r, v_r = stats(ar, br)
         assert u2_r == u2_base, f"U2 broke at shift {shift}"
         assert v_r == v_base, f"Kuiper broke at shift {shift}"
+
+
+def test_stream_circadian_monitor_chunk_replay(spark, sf_small):
+    """Python replay of the deterministic (ts, event_id)-sorted
+    third-chunking and of each chunk's u2_num / gap sums — the stream's
+    per-trigger folds must land exactly on the replayed integers, and
+    the chunks' totals must add up to the whole-corpus click/purchase
+    counts."""
+    import pyspark.sql.functions as F
+    from collections import Counter
+
+    out = {
+        r["chunk_min_event_id"]: r
+        for r in SPECS["stream_circadian_monitor"].fn(
+            spark, sf_small
+        ).collect()
+    }
+    rows = (
+        table(spark, sf_small, "events")
+        .select(
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.hour("ts").alias("h"),
+            "event_type",
+        )
+        .collect()
+    )
+    ordered = sorted(rows, key=lambda r: (r["us"], r["event_id"]))
+    n = len(ordered)
+    size = (n + 2) // 3
+    tot_na = tot_nb = 0
+    seen_chunks = 0
+    for c in range(3):
+        chunk = ordered[c * size : (c + 1) * size]
+        if not chunk:
+            continue
+        seen_chunks += 1
+        key = min(r["event_id"] for r in chunk)
+        a = [r["h"] for r in chunk if r["event_type"] == "click"]
+        b = [r["h"] for r in chunk if r["event_type"] == "purchase"]
+        na, nb = len(a), len(b)
+        tot_na += na
+        tot_nb += nb
+        ca_h, cb_h = Counter(a), Counter(b)
+        ca = cb = s1 = s2 = 0
+        dplus = dminus = 0
+        for v in sorted(set(a) | set(b)):
+            ca += ca_h[v]
+            cb += cb_h[v]
+            m = ca_h[v] + cb_h[v]
+            g = ca * nb - cb * na
+            s1 += m * g
+            s2 += m * g * g
+            dplus = max(dplus, g)
+            dminus = max(dminus, -g)
+        eng = out[key]
+        assert (eng["na"], eng["nb"]) == (na, nb)
+        assert eng["u2_num"] == (na + nb) * s2 - s1 * s1
+        if na and nb:
+            assert eng["watson_u2"] == eng["u2_num"] / (
+                na * nb * (na + nb) ** 3
+            )
+            assert eng["kuiper_v"] == (
+                max(0, dplus) + max(0, dminus)
+            ) / (na * nb)
+    assert len(out) == seen_chunks
+    batch = SPECS["quality_circadian_drift_clicks_purchases"].fn(
+        spark, sf_small
+    ).collect()[0]
+    assert (batch["na"], batch["nb"]) == (tot_na, tot_nb)
