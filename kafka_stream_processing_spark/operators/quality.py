@@ -8231,3 +8231,177 @@ def quality_circadian_drift_clicks_purchases(
         kv.alias("kuiper_v"),
         (u2 > F.lit(WATSON_U2_CRIT_005)).alias("circadian_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cucconi two-sample location-scale test — exact squared-midrank sums
+# on the shared histogram walk
+# ---------------------------------------------------------------------------
+
+#: 5% critical value of the asymptotic Cucconi C statistic: under H0,
+#: C is asymptotically standard-bivariate-normal quadratic, giving
+#: p ≈ exp(−C) (Cucconi 1968; Marozzi 2009) — so the 5% line is
+#: −ln(0.05), full double precision (asymptotic, like the KS/AD/Kuiper
+#: gates).
+CUCCONI_CRIT_005 = 2.995732273553991
+
+#: Shared final-step arithmetic for the Cucconi C statistic, written
+#: ONCE as SQL text and executed verbatim by both engines (F.expr on
+#: the Spark side) so the IEEE operation order is identical.  Inputs:
+#: na, nb (BIGINT), s4 = Σ_A(2a)² and t4 = Σ_A(2(N+1)−2a)² (BIGINT
+#: squared doubled-midrank sums over sample A), with N = na + nb.
+_CUCCONI_C_EXPR = (
+    "(power((CAST(s4 AS DOUBLE) / 4.0"
+    " - CAST(na AS DOUBLE) * CAST(na + nb + 1 AS DOUBLE)"
+    "   * CAST(2 * (na + nb) + 1 AS DOUBLE) / 6.0)"
+    " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    "   * CAST(na + nb + 1 AS DOUBLE)"
+    "   * CAST(2 * (na + nb) + 1 AS DOUBLE)"
+    "   * CAST(8 * (na + nb) + 11 AS DOUBLE) / 180.0), 2)"
+    " + power((CAST(t4 AS DOUBLE) / 4.0"
+    " - CAST(na AS DOUBLE) * CAST(na + nb + 1 AS DOUBLE)"
+    "   * CAST(2 * (na + nb) + 1 AS DOUBLE) / 6.0)"
+    " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    "   * CAST(na + nb + 1 AS DOUBLE)"
+    "   * CAST(2 * (na + nb) + 1 AS DOUBLE)"
+    "   * CAST(8 * (na + nb) + 11 AS DOUBLE) / 180.0), 2)"
+    " - 2.0 * (2.0 * (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)"
+    "   - 4.0)"
+    "   / (CAST(2 * (na + nb) + 1 AS DOUBLE)"
+    "      * CAST(8 * (na + nb) + 11 AS DOUBLE)) - 1.0)"
+    " * ((CAST(s4 AS DOUBLE) / 4.0"
+    " - CAST(na AS DOUBLE) * CAST(na + nb + 1 AS DOUBLE)"
+    "   * CAST(2 * (na + nb) + 1 AS DOUBLE) / 6.0)"
+    " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    "   * CAST(na + nb + 1 AS DOUBLE)"
+    "   * CAST(2 * (na + nb) + 1 AS DOUBLE)"
+    "   * CAST(8 * (na + nb) + 11 AS DOUBLE) / 180.0))"
+    " * ((CAST(t4 AS DOUBLE) / 4.0"
+    " - CAST(na AS DOUBLE) * CAST(na + nb + 1 AS DOUBLE)"
+    "   * CAST(2 * (na + nb) + 1 AS DOUBLE) / 6.0)"
+    " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    "   * CAST(na + nb + 1 AS DOUBLE)"
+    "   * CAST(2 * (na + nb) + 1 AS DOUBLE)"
+    "   * CAST(8 * (na + nb) + 11 AS DOUBLE) / 180.0)))"
+    " / (2.0 * (1.0"
+    " - power(2.0 * (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)"
+    "   - 4.0)"
+    "   / (CAST(2 * (na + nb) + 1 AS DOUBLE)"
+    "      * CAST(8 * (na + nb) + 11 AS DOUBLE)) - 1.0, 2)))"
+)
+
+
+@register(
+    "quality_cucconi_drift",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS is_b
+        FROM documents
+    ),
+    hist AS (
+        SELECT v, SUM(is_a) AS ca_i, SUM(is_b) AS cb_i
+        FROM rows_t GROUP BY v
+    ),
+    walk AS (
+        SELECT v, ca_i,
+               coalesce(SUM(ca_i + cb_i) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lt,
+               ca_i + cb_i AS m
+        FROM hist
+    ),
+    tot AS (SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM rows_t),
+    sums AS (
+        SELECT CAST(tot.na AS BIGINT) AS na,
+               CAST(tot.nb AS BIGINT) AS nb,
+               CAST(SUM(w.ca_i * (2 * w.lt + w.m + 1)
+                              * (2 * w.lt + w.m + 1)) AS BIGINT) AS s4,
+               CAST(SUM(w.ca_i
+                    * (2 * (tot.na + tot.nb + 1) - (2 * w.lt + w.m + 1))
+                    * (2 * (tot.na + tot.nb + 1) - (2 * w.lt + w.m + 1)))
+                    AS BIGINT) AS t4
+        FROM walk w, tot GROUP BY tot.na, tot.nb
+    )
+    SELECT na, nb, s4, t4,
+           {_CUCCONI_C_EXPR} AS cucconi_c,
+           exp(-({_CUCCONI_C_EXPR})) AS p_asymptotic,
+           {_CUCCONI_C_EXPR} > {CUCCONI_CRIT_005} AS drift
+    FROM sums
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_cucconi_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cucconi two-sample location-SCALE drift test — the rank test
+    that watches BOTH moments at once: C combines the standardized sum
+    of squared ranks (U, scale-and-location sensitive from the right)
+    with the standardized sum of squared CONTRARY ranks (V, from the
+    left), C = (U² + V² − 2ρUV)/(2(1−ρ²)), predating and often
+    out-powering the better-known Lepage combination.  The MW gate
+    (quality_mannwhitney_drift) misses a pure variance change and
+    Bartlett/Brown-Forsythe miss a pure shift; a corpus source whose
+    document lengths drift in EITHER moment trips this single gate.
+    Same src0-vs-rest split over n_chars as the EDF family, so all the
+    drift verdicts line up on one dashboard row.
+
+    Exactness: midranks on the doubled grid — 2a = 2·(#below) + m + 1
+    on the distinct-value walk — make Σ_A(2a)² and the contrary sum
+    EXACT BIGINTs (s4/t4, hash-stable); U, V, ρ and C are evaluated
+    from them in ONE shared SQL expression text (_CUCCONI_C_EXPR,
+    F.expr'd on the Spark side) so the IEEE operation order matches
+    bit-for-bit; the 5% line is the full-precision −ln(0.05) literal
+    and p ≈ exp(−C) is reported alongside (asymptotic, like the KS/AD
+    gates; ties enter through midranks, the standard large-sample
+    treatment).
+
+    Scale: the KS kernel verbatim — one map-side-combined histogram
+    groupBy, one cumulative window over DISTINCT VALUES (bin
+    continuous columns first), scalar output."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    is_a = (F.col("source") == "src0").cast("bigint")
+    rows_t = d.select(
+        F.col("n_chars").alias("v"),
+        is_a.alias("is_a"),
+        (1 - is_a).alias("is_b"),
+    )
+    hist = rows_t.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"), F.sum("is_b").alias("cb_i")
+    )
+    w_lt = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    walk = hist.select(
+        "ca_i",
+        F.coalesce(
+            F.sum(F.col("ca_i") + F.col("cb_i")).over(w_lt), F.lit(0)
+        ).alias("lt"),
+        (F.col("ca_i") + F.col("cb_i")).alias("m"),
+    )
+    tot = rows_t.agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    j = walk.crossJoin(F.broadcast(tot))
+    r2 = 2 * F.col("lt") + F.col("m") + 1
+    r2c = 2 * (F.col("na") + F.col("nb") + 1) - r2
+    sums = j.groupBy("na", "nb").agg(
+        F.sum(F.col("ca_i") * r2 * r2).cast("bigint").alias("s4"),
+        F.sum(F.col("ca_i") * r2c * r2c).cast("bigint").alias("t4"),
+    )
+    parts = sums.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        "s4",
+        "t4",
+    )
+    return (
+        parts.withColumn("cucconi_c", F.expr(_CUCCONI_C_EXPR))
+        .withColumn("p_asymptotic", F.exp(-F.col("cucconi_c")))
+        .withColumn(
+            "drift", F.col("cucconi_c") > F.lit(CUCCONI_CRIT_005)
+        )
+    )

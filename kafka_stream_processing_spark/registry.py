@@ -334,6 +334,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_watson_u2_drift",
     "quality_circadian_drift_clicks_purchases",
     "stream_circadian_monitor",
+    "quality_cucconi_drift",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -407,3 +407,64 @@ def test_stream_circadian_monitor_chunk_replay(spark, sf_small):
         spark, sf_small
     ).collect()[0]
     assert (batch["na"], batch["nb"]) == (tot_na, tot_nb)
+
+
+def test_cucconi_replay_and_sensitivity(spark, sf_small):
+    """Exact squared-midrank sums replayed from raw values; C
+    recomputed in python floats must match the engine's shared-SQL
+    evaluation; and the test's own power sanity: injecting a large
+    location shift OR a pure scale inflation into sample A must raise
+    the replayed C far above the null-ish observed value."""
+    import math
+
+    eng = SPECS["quality_cucconi_drift"].fn(spark, sf_small).collect()[0]
+    rows = (
+        table(spark, sf_small, "documents")
+        .select("n_chars", "source")
+        .collect()
+    )
+    a = [r["n_chars"] for r in rows if r["source"] == "src0"]
+    b = [r["n_chars"] for r in rows if r["source"] != "src0"]
+
+    def sums(avals, bvals):
+        from collections import Counter
+
+        allv = Counter(avals) + Counter(bvals)
+        ca_h = Counter(avals)
+        lt = 0
+        s4 = t4 = 0
+        n = len(avals) + len(bvals)
+        for v in sorted(allv):
+            m = allv[v]
+            r2 = 2 * lt + m + 1  # doubled midrank
+            r2c = 2 * (n + 1) - r2
+            s4 += ca_h[v] * r2 * r2
+            t4 += ca_h[v] * r2c * r2c
+            lt += m
+        return s4, t4
+
+    def c_stat(s4, t4, na, nb):
+        n = na + nb
+        mean = na * (n + 1) * (2 * n + 1) / 6.0
+        var = na * nb * (n + 1) * (2 * n + 1) * (8 * n + 11) / 180.0
+        u = (s4 / 4.0 - mean) / math.sqrt(var)
+        v = (t4 / 4.0 - mean) / math.sqrt(var)
+        rho = 2.0 * (n * n - 4.0) / ((2 * n + 1) * (8 * n + 11)) - 1.0
+        return (u * u + v * v - 2 * rho * u * v) / (
+            2.0 * (1.0 - rho * rho)
+        )
+
+    na, nb = len(a), len(b)
+    s4, t4 = sums(a, b)
+    assert (eng["na"], eng["nb"]) == (na, nb)
+    assert (eng["s4"], eng["t4"]) == (s4, t4)
+    c = c_stat(s4, t4, na, nb)
+    assert abs(eng["cucconi_c"] - c) < 1e-9
+    assert abs(eng["p_asymptotic"] - math.exp(-c)) < 1e-12
+    # power sanity on the replay: shift and scale disturbances both
+    # blow up C
+    shifted = [v + 10_000 for v in a]
+    assert c_stat(*sums(shifted, b), na, nb) > max(10.0, 5 * c)
+    center = sorted(a)[len(a) // 2]
+    inflated = [center + 50 * (v - center) for v in a]
+    assert c_stat(*sums(inflated, b), na, nb) > max(10.0, 5 * c)
