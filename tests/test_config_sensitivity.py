@@ -28,6 +28,12 @@ QUERIES = (
     # r04: PQ encode/rank — multi-codebook broadcast compose + ranking
     # window; the decimal ADC sums must survive any join strategy.
     "similarity_pq_adc_topk",
+    # r08: the two new pair-kernel families — the grid cross join
+    # (distance correlation) and the cell dominance join (Hoeffding)
+    # must deliver the same exact BIGINT components when broadcasts
+    # are disabled and the shuffle is squeezed to 3 partitions.
+    "quality_distance_correlation_hourly",
+    "quality_hoeffding_d_hourly",
 )
 
 #: NOTE: no adaptive.enabled=false here — the registry wrapper
