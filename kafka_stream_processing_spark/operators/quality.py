@@ -8405,3 +8405,132 @@ def quality_cucconi_drift(
             "drift", F.col("cucconi_c") > F.lit(CUCCONI_CRIT_005)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mood two-sample scale test — exact squared-central-midrank sum on
+# the shared histogram walk
+# ---------------------------------------------------------------------------
+
+#: Shared final-step arithmetic for the Mood z-score (ONE SQL text,
+#: both engines): M = m4/4, z = (M − na(N²−1)/12) /
+#: sqrt(na·nb(N+1)(N²−4)/180), N = na+nb.
+_MOOD_Z_EXPR = (
+    "(CAST(m4 AS DOUBLE) / 4.0"
+    " - CAST(na AS DOUBLE)"
+    "   * (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE) - 1.0)"
+    "   / 12.0)"
+    " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    "   * CAST(na + nb + 1 AS DOUBLE)"
+    "   * (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE) - 4.0)"
+    "   / 180.0)"
+)
+
+
+@register(
+    "quality_mood_scale_drift",
+    oracle=f"""
+    WITH rows_t AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS is_b
+        FROM documents
+    ),
+    hist AS (
+        SELECT v, SUM(is_a) AS ca_i, SUM(is_b) AS cb_i
+        FROM rows_t GROUP BY v
+    ),
+    walk AS (
+        SELECT v, ca_i,
+               coalesce(SUM(ca_i + cb_i) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lt,
+               ca_i + cb_i AS m
+        FROM hist
+    ),
+    tot AS (SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM rows_t),
+    sums AS (
+        SELECT CAST(tot.na AS BIGINT) AS na,
+               CAST(tot.nb AS BIGINT) AS nb,
+               CAST(SUM(w.ca_i
+                    * ((2 * w.lt + w.m + 1) - (tot.na + tot.nb + 1))
+                    * ((2 * w.lt + w.m + 1) - (tot.na + tot.nb + 1)))
+                    AS BIGINT) AS m4
+        FROM walk w, tot GROUP BY tot.na, tot.nb
+    )
+    SELECT na, nb, m4,
+           {_MOOD_Z_EXPR} AS z_mood,
+           abs({_MOOD_Z_EXPR}) > {Z_CRIT_005} AS scale_drift
+    FROM sums
+    """,
+    tags=("quality", "drift", "statistics"),
+)
+def quality_mood_scale_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood two-sample SCALE test — the rank-based variance gate that
+    completes the triad on one walk: Mann-Whitney watches pure
+    location (quality_mannwhitney_drift), this watches pure scale
+    (M = Σ_A (aᵢ − (N+1)/2)², large when sample A's lengths spread
+    into both tails of the pooled ranking), and Cucconi
+    (quality_cucconi_drift) watches both jointly.  Unlike
+    Bartlett/Brown-Forsythe (quality_bartlett_homoscedasticity), Mood
+    needs no moment assumptions — a heavy-tailed length distribution
+    cannot fake it out through its variance estimate.  Same
+    src0-vs-rest split over n_chars as the whole drift family.
+
+    Exactness: on the doubled-midrank grid, (2a − (N+1)) is an exact
+    integer deviation, so M4 = Σ_A(2a − (N+1))² = 4M is ONE exact
+    BIGINT (hash-stable); z is evaluated from it in ONE shared SQL
+    expression text (_MOOD_Z_EXPR) against the full-precision
+    ±1.96 literal — asymptotic with midrank ties, the standard
+    large-sample treatment (same caveat class as the MW/Cucconi
+    gates).
+
+    Scale: the KS kernel verbatim — one map-side-combined histogram
+    groupBy, one cumulative window over DISTINCT VALUES, scalar
+    output."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    is_a = (F.col("source") == "src0").cast("bigint")
+    rows_t = d.select(
+        F.col("n_chars").alias("v"),
+        is_a.alias("is_a"),
+        (1 - is_a).alias("is_b"),
+    )
+    hist = rows_t.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"), F.sum("is_b").alias("cb_i")
+    )
+    w_lt = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    walk = hist.select(
+        "ca_i",
+        F.coalesce(
+            F.sum(F.col("ca_i") + F.col("cb_i")).over(w_lt), F.lit(0)
+        ).alias("lt"),
+        (F.col("ca_i") + F.col("cb_i")).alias("m"),
+    )
+    tot = rows_t.agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    j = walk.crossJoin(F.broadcast(tot))
+    devi = (
+        2 * F.col("lt") + F.col("m") + 1
+        - (F.col("na") + F.col("nb") + 1)
+    )
+    sums = j.groupBy("na", "nb").agg(
+        F.sum(F.col("ca_i") * devi * devi).cast("bigint").alias("m4")
+    )
+    parts = sums.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        "m4",
+    )
+    return (
+        parts.withColumn("z_mood", F.expr(_MOOD_Z_EXPR))
+        .withColumn(
+            "scale_drift", F.abs(F.col("z_mood")) > F.lit(Z_CRIT_005)
+        )
+    )

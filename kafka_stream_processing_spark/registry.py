@@ -335,6 +335,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_circadian_drift_clicks_purchases",
     "stream_circadian_monitor",
     "quality_cucconi_drift",
+    "quality_mood_scale_drift",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

