@@ -8534,3 +8534,217 @@ def quality_mood_scale_drift(
             "scale_drift", F.abs(F.col("z_mood")) > F.lit(Z_CRIT_005)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/held-out LM generalization gap — the memorization audit
+# ---------------------------------------------------------------------------
+
+#: Deterministic 90/10 document split for the generalization audit
+#: (doc_id % HELDOUT_MOD == 0 → held out; the join_point_in_time_scd2
+#: event_id % 17 probe convention).
+HELDOUT_MOD = 10
+
+
+@register(
+    "quality_lm_train_heldout_gap",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, w,
+               CASE WHEN doc_id % {HELDOUT_MOD} = 0
+                    THEN 1 ELSE 0 END AS held
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+    ),
+    vocab AS (
+        SELECT w, count(*) AS c FROM occ WHERE held = 0 GROUP BY w
+    ),
+    consts AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS v
+        FROM vocab
+    ),
+    lm AS (
+        SELECT w,
+               CAST(round(-ln(CAST(c + 1 AS DOUBLE)
+                              / (consts.n_tok + consts.v + 1)), 6)
+                    AS DECIMAL(18,6)) AS surp
+        FROM vocab, consts
+    ),
+    unk AS (
+        SELECT CAST(round(-ln(1.0 / (consts.n_tok + consts.v + 1)), 6)
+                    AS DECIMAL(18,6)) AS surp
+        FROM consts
+    ),
+    wcnt AS (
+        SELECT held, w, count(*) AS k FROM occ GROUP BY held, w
+    ),
+    scored AS (
+        SELECT wc.held, wc.k,
+               coalesce(lm.surp, unk.surp) AS surp,
+               CASE WHEN lm.w IS NULL THEN wc.k ELSE 0 END AS oov_k
+        FROM wcnt wc
+        LEFT JOIN lm ON lm.w = wc.w
+        CROSS JOIN unk
+    ),
+    sides AS (
+        SELECT held,
+               CAST(SUM(k) AS BIGINT) AS tokens,
+               CAST(SUM(oov_k) AS BIGINT) AS oov_tokens,
+               SUM(k * surp) AS surp_sum
+        FROM scored GROUP BY held
+    ),
+    docs AS (
+        SELECT CAST(SUM(CASE WHEN doc_id % {HELDOUT_MOD} <> 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_train_docs,
+               CAST(SUM(CASE WHEN doc_id % {HELDOUT_MOD} = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_heldout_docs
+        FROM documents
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN held = 0 THEN tokens END) AS train_tokens,
+            max(CASE WHEN held = 1 THEN tokens END) AS heldout_tokens,
+            max(CASE WHEN held = 1 THEN oov_tokens END)
+                AS heldout_oov_tokens,
+            max(CASE WHEN held = 0 THEN surp_sum END) AS ts,
+            max(CASE WHEN held = 1 THEN surp_sum END) AS hs
+        FROM sides
+    )
+    SELECT d.n_train_docs, d.n_heldout_docs,
+           w.train_tokens, w.heldout_tokens, w.heldout_oov_tokens,
+           CAST(w.heldout_oov_tokens AS DOUBLE) / w.heldout_tokens
+               AS oov_rate_heldout,
+           CAST(w.ts AS DOUBLE) / w.train_tokens
+               AS mean_surprisal_train,
+           CAST(w.hs AS DOUBLE) / w.heldout_tokens
+               AS mean_surprisal_heldout,
+           CAST(w.hs AS DOUBLE) / w.heldout_tokens
+               - CAST(w.ts AS DOUBLE) / w.train_tokens
+               AS generalization_gap
+    FROM wide w, docs d
+    """,
+    tags=("quality", "lm", "evaluation"),
+)
+def quality_lm_train_heldout_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/held-out surprisal gap — the GENERALIZATION audit every
+    corpus-trained quality model in the registry is missing: all the
+    existing LM ops (unigram → 4-gram KN) train on the corpus they
+    score, so their surprisals conflate model quality with
+    memorization.  This op trains an add-one-smoothed unigram LM on
+    the deterministic 90% document split (doc_id % {HELDOUT_MOD} ≠ 0)
+    and scores BOTH sides: held-out mean surprisal minus train mean
+    surprisal is the generalization gap — near zero for a split whose
+    sides share the distribution (or a leaky split: pair with
+    pipeline_split_leakage_audit), ballooning when the vocabulary is
+    bursty/duplicated inside train (memorized mass scores cheap where
+    it trained and expensive where it didn't).  Held-out OOV tokens
+    take the UNK probability 1/(N+V+1) of the same Laplace frame and
+    are reported as oov_rate_heldout beside the per-source OOV audit
+    (quality_oov_rate_by_source).
+
+    Exactness: per-word surprisal is round(−ln p, 6) DECIMAL(18,6)
+    (the shared round-ln convention; Laplace numerator c+1 and
+    denominator N+V+1 are exact integers), side sums are exact decimal
+    k·surp accumulations over (side, word) counts, and the three
+    output doubles divide/subtract identical operands on both engines.
+
+    Scale: exactly the unigram LM's plan — ONE train-side
+    groupBy(word) (Heaps-sublinear vocab, broadcastable), scoring
+    joins on (side, word) COUNTS, never raw occurrences; the split
+    predicate is a pushed-down integer filter, no shuffle added."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    held = (F.col("doc_id") % HELDOUT_MOD == 0).cast("int")
+    occ = d.select(
+        held.alias("held"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    vocab = occ.filter(F.col("held") == 0).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    consts = vocab.agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lm = vocab.crossJoin(F.broadcast(consts)).select(
+        "w",
+        F.round(
+            -F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_tok") + F.col("v") + 1)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("surp"),
+    )
+    unk = consts.select(
+        F.round(
+            -F.log(
+                F.lit(1.0)
+                / (F.col("n_tok") + F.col("v") + 1)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("unk_surp")
+    )
+    wcnt = occ.groupBy("held", "w").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    scored = (
+        wcnt.join(F.broadcast(lm), "w", "left")
+        .crossJoin(F.broadcast(unk))
+        .select(
+            "held",
+            "k",
+            F.coalesce("surp", "unk_surp").alias("surp"),
+            F.when(F.col("surp").isNull(), F.col("k"))
+            .otherwise(F.lit(0))
+            .alias("oov_k"),
+        )
+    )
+    sides = scored.groupBy("held").agg(
+        F.sum("k").cast("bigint").alias("tokens"),
+        F.sum("oov_k").cast("bigint").alias("oov_tokens"),
+        F.sum(F.col("k") * F.col("surp")).alias("surp_sum"),
+    )
+    docs = d.agg(
+        F.sum(1 - held).cast("bigint").alias("n_train_docs"),
+        F.sum(held).cast("bigint").alias("n_heldout_docs"),
+    )
+    wide = sides.agg(
+        F.max(F.when(F.col("held") == 0, F.col("tokens"))).alias(
+            "train_tokens"
+        ),
+        F.max(F.when(F.col("held") == 1, F.col("tokens"))).alias(
+            "heldout_tokens"
+        ),
+        F.max(F.when(F.col("held") == 1, F.col("oov_tokens"))).alias(
+            "heldout_oov_tokens"
+        ),
+        F.max(F.when(F.col("held") == 0, F.col("surp_sum"))).alias("ts"),
+        F.max(F.when(F.col("held") == 1, F.col("surp_sum"))).alias("hs"),
+    )
+    mt = F.col("ts").cast("double") / F.col("train_tokens")
+    mh = F.col("hs").cast("double") / F.col("heldout_tokens")
+    return wide.crossJoin(F.broadcast(docs)).select(
+        "n_train_docs",
+        "n_heldout_docs",
+        F.col("train_tokens").cast("bigint").alias("train_tokens"),
+        F.col("heldout_tokens").cast("bigint").alias("heldout_tokens"),
+        F.col("heldout_oov_tokens")
+        .cast("bigint")
+        .alias("heldout_oov_tokens"),
+        (
+            F.col("heldout_oov_tokens").cast("double")
+            / F.col("heldout_tokens")
+        ).alias("oov_rate_heldout"),
+        mt.alias("mean_surprisal_train"),
+        mh.alias("mean_surprisal_heldout"),
+        (mh - mt).alias("generalization_gap"),
+    )

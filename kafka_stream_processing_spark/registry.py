@@ -336,6 +336,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_circadian_monitor",
     "quality_cucconi_drift",
     "quality_mood_scale_drift",
+    "quality_lm_train_heldout_gap",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

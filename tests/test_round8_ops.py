@@ -518,3 +518,68 @@ def test_mood_replay_and_triad_consistency(spark, sf_small):
     center = sorted(a)[len(a) // 2]
     inflated = [center + 50 * (v - center) for v in a]
     assert z_of(m4_of(inflated, b)) > max(5.0, abs(eng["z_mood"]) * 3)
+
+
+def test_lm_train_heldout_gap_replay(spark, sf_small):
+    """Full python replay of the Laplace LM and both surprisal sums
+    (half-up 6-decimal quantization mirroring the engines' round()),
+    plus the partition laws: tokens split exactly, and every held-out
+    OOV token scores exactly the UNK surprisal."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kafka_stream_processing_spark.operators.quality import (
+        HELDOUT_MOD,
+    )
+
+    eng = SPECS["quality_lm_train_heldout_gap"].fn(
+        spark, sf_small
+    ).collect()[0]
+    rows = (
+        table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    train_toks: Counter = Counter()
+    held_toks: Counter = Counter()
+    n_train_docs = n_held_docs = 0
+    for r in rows:
+        words = r["text"].split(" ")
+        if r["doc_id"] % HELDOUT_MOD == 0:
+            n_held_docs += 1
+            held_toks.update(words)
+        else:
+            n_train_docs += 1
+            train_toks.update(words)
+    assert (eng["n_train_docs"], eng["n_heldout_docs"]) == (
+        n_train_docs,
+        n_held_docs,
+    )
+    n_tok = sum(train_toks.values())
+    v = len(train_toks)
+    assert eng["train_tokens"] == n_tok
+    assert eng["heldout_tokens"] == sum(held_toks.values())
+
+    def q6(x: float) -> Decimal:
+        return Decimal(x).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    denom = n_tok + v + 1
+    surp = {
+        w: q6(-math.log((c + 1) / denom))
+        for w, c in train_toks.items()
+    }
+    unk = q6(-math.log(1.0 / denom))
+    ts = sum(k * surp[w] for w, k in train_toks.items())
+    hs = sum(
+        k * surp.get(w, unk) for w, k in held_toks.items()
+    )
+    oov = sum(k for w, k in held_toks.items() if w not in surp)
+    assert eng["heldout_oov_tokens"] == oov
+    mt = float(ts) / n_tok
+    mh = float(hs) / sum(held_toks.values())
+    assert abs(eng["mean_surprisal_train"] - mt) < 1e-9
+    assert abs(eng["mean_surprisal_heldout"] - mh) < 1e-9
+    assert abs(eng["generalization_gap"] - (mh - mt)) < 1e-9
