@@ -127,9 +127,11 @@ def _load() -> None:
 #: r07 additions in registration order — exactly 50.  The remaining 133
 #: never-checked names follow below rank 50 in registration order so
 #: the r09/r10 rebuilds are a pure slice; target cumulative coverage
-#: after r08 is 269/373 (72%), climbing to full by ~r11.  New
+#: after r08 is 269/384 (70%), climbing to full by ~r11-r12.  New
 #: registrations are CAPPED below ~20/round until coverage recovers
-#: (VERDICT r07 item 1).
+#: (VERDICT r07 item 1) — round 8 added 11, all appended at the very
+#: END of this table (behind even the never-checked backlog), so they
+#: queue last for driver rows.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
