@@ -151,11 +151,14 @@ _PAIR_OUTPUT_SCHEMA = "user_id bigint, mask bigint"
 
 def _update_type_mask(key, pdfs, state: GroupState):
     """Per-user seen-type bitmask — 1 bigint of state per user, the
-    minimal sufficient statistic for every level-2 itemset count."""
+    minimal sufficient statistic for every level-2 itemset count.
+    Stays vectorized: ``unique()`` collapses the batch C-side, so the
+    python loop runs over ≤ |PAIR_TYPES| distinct values, never rows
+    (the _update_user_stats discipline)."""
     mask = state.get[0] if state.exists else 0
     bit_of = {t: 1 << i for i, t in enumerate(PAIR_TYPES)}
     for pdf in pdfs:
-        for t in pdf["event_type"]:
+        for t in pdf["event_type"].unique():
             b = bit_of.get(t)
             if b is not None:
                 mask |= b
