@@ -618,13 +618,17 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts").cast("string")
     )
-    last_day = events.agg(F.max("day")).collect()[0][0]
+    # Broadcast max-day join (house pattern, see the RFM horizon below)
+    # instead of a driver collect(): keeps the split a single lazy plan
+    # with no extra job before it is built.
+    last_day = events.agg(F.max("day").alias("last_day"))
+    events = events.crossJoin(F.broadcast(last_day))
     daily = lambda df: df.groupBy("day").agg(  # noqa: E731
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value")).alias("total_dec"),
     )
-    history = daily(events.filter(F.col("day") != last_day))
-    newest = daily(events.filter(F.col("day") == last_day))
+    history = daily(events.filter(F.col("day") != F.col("last_day")))
+    newest = daily(events.filter(F.col("day") == F.col("last_day")))
     merged = (
         history.unionByName(newest)
         .groupBy("day")

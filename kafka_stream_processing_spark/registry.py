@@ -112,26 +112,27 @@ def _load() -> None:
 
 #: The verification driver checks the FIRST 50 entries of ``queries()``
 #: in iteration order.  This is OBSERVED driver behavior, not a
-#: documented contract (CORRECTNESS_r01..r05.json each hold exactly the
+#: documented contract (CORRECTNESS_r01..r08.json each hold exactly the
 #: first 50 names in iteration order); if a future driver changed its
 #: selection rule, this rotation table would silently stop steering
 #: which queries get fresh evidence — the safety net is that
 #: tests/test_oracle_parity.py sweeps ALL registered queries with the
-#: identical differential check every round regardless.  Round-7 table:
-#: Round-8 table (VERDICT r07 item 1): after r07 the registry holds
-#: 373 queries (366 oracle-checked, 7 rows-only by design) with
-#: cumulative driver coverage 219/373 — the 154 round-7 additions all
-#: queue behind rank 50.  This table pins the 12 reference-parity (§2)
-#: slots, then the 17 queries whose newest driver row is still r02
-#: (clears every pre-r03 row), then the 21 oldest never-driver-checked
-#: r07 additions in registration order — exactly 50.  The remaining 133
-#: never-checked names follow below rank 50 in registration order so
-#: the r09/r10 rebuilds are a pure slice; target cumulative coverage
-#: after r08 is 269/384 (70%), climbing to full by ~r11-r12.  New
-#: registrations are CAPPED below ~20/round until coverage recovers
-#: (VERDICT r07 item 1) — round 8 added 11, all appended at the very
-#: END of this table (behind even the never-checked backlog), so they
-#: queue last for driver rows.
+#: identical differential check every round regardless.
+#: Round-9 table (VERDICT r08 items 1-2): cumulative driver coverage
+#: entering r09 is 240/384 (the r08 HANDOFF's "269 after r08" was bad
+#: arithmetic — the 17 r02-stale slots were re-confirmations, not new
+#: coverage).  This table pins the 12 reference-parity (§2) slots, then
+#: 38 never-driver-checked names: the first 34 of the backlog slice in
+#: registration order (quality_psi_drift .. window_holt_linear_smoothing,
+#: which includes multimodal_payload_dedup/multimodal_resize), plus the
+#: 4 highest scale-risk ops promoted per VERDICT r08 item 2
+#: (multimodal_phash_near_dup + the TwoNN/hubness trio, shortlist
+#: first).  Target cumulative coverage after r09: 278/384 (72%); the
+#: remaining 106 never-checked names follow below rank 50 (the 4 window
+#: ops deferred by the promotion lead, then registration order, then
+#: the r08 additions) so r10/r11 stay pure slices; clears ~r12.  New
+#: registrations stay CAPPED below ~20/round until then; r09 additions
+#: append at the very END of this table.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -146,53 +147,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "filter_project_events",
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
-    # -- the 17 r02-stale re-confirmations (VERDICT r07 item 1:
-    # -- clears every pre-r03 driver row) --
-    "scalar_math_lineitem",
-    "array_higher_order_functions",
-    "array_word_explode_stats",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "dedup_embedding_cosine",
-    "dedup_simhash_banded",
-    "dense_minutes_gap_filled",
-    "stream_chained_window_agg",
-    "stream_global_topk_foreachbatch",
-    "stream_stateful_user_stats",
-    "stream_stream_join_click_purchase",
-    "stream_unique_users_sliding",
-    "stream_user_topk_stateful",
-    # -- the 21 oldest never-driver-checked r07 additions, in
-    # -- registration order (ranks 30-50) --
-    "quality_winsorized_stats",
-    "stream_benford_digit_monitor",
-    "stream_split_leakage_incremental",
-    "connector_bucketed_join_colocated",
-    "join_asof_nearest_click",
-    "quality_simpson_diversity",
-    "pipeline_leakage_remediation",
-    "quality_mannwhitney_drift",
-    "stream_mannwhitney_monitor",
-    "text_rake_keyphrases",
-    "window_cusum_changepoint",
-    "embedding_top_pc_power_iteration",
-    "corpus_good_turing_mass",
-    "sample_neyman_allocation",
-    "quality_oov_rate_by_source",
-    "window_ewma_residuals",
-    "quality_brown_forsythe_drift",
-    "graph_link_prediction_common_neighbors",
-    "graph_kcore_decomposition",
-    "stream_good_turing_novelty",
-    "embedding_pca_deflation_top3",
-    # ---------------------------------------------------------------
-    # entries below rank 50 get no driver row this round; they are
-    # the remaining 133 never-driver-checked r07 additions in
-    # registration order — the r09/r10 rotations take the next 38+12
-    # and 38+12 slices from here (12 §2 pins stay).
+    # -- 38 never-driver-checked (ranks 13-50): 34-name backlog
+    # -- slice + 4 promoted scale-risk ops (VERDICT r08 item 2) --
     "quality_psi_drift",
     "quality_cramers_v_assoc",
     "quality_two_proportion_ztest",
@@ -227,6 +183,15 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "multimodal_payload_dedup",
     "multimodal_resize",
     "window_holt_linear_smoothing",
+    "multimodal_phash_near_dup",
+    "embedding_twonn_ivf_shortlist",
+    "embedding_intrinsic_dimension_twonn",
+    "embedding_hubness_audit",
+    # ---------------------------------------------------------------
+    # entries below rank 50 get no driver row this round: the 106
+    # remaining never-driver-checked names (4 promotion-deferred
+    # window ops first, then registration order, r08 additions last);
+    # the r10/r11 rotations take the next 38+12 slices from here.
     "window_classical_decomposition",
     "window_holt_winters_additive",
     "window_pacf_daily_revenue",
@@ -260,7 +225,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_interevent_burstiness",
     "graph_trade_reciprocity",
     "stream_funnel_monitor",
-    "multimodal_phash_near_dup",
     "text_vocab_coverage_spectrum",
     "window_top_event_paths",
     "window_record_days_trend",
@@ -275,9 +239,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_cohort_ltv_curve",
     "similarity_ndcg_eval",
     "embedding_calinski_harabasz",
-    "embedding_intrinsic_dimension_twonn",
-    "embedding_hubness_audit",
-    "embedding_twonn_ivf_shortlist",
     "dedup_threshold_sweep_cosine",
     "sketch_bottomk_distinct",
     "sketch_bottomk_jaccard",
@@ -326,8 +287,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_bottomk_maintenance",
     "stream_l_diversity_monitor",
     "stream_wasserstein_monitor",
-    # -- new in r08 (targeted differential green at sf0.001+sf0.01;
-    # -- driver rows queue behind the coverage backlog) --
     "quality_distance_correlation_hourly",
     "quality_hoeffding_d_hourly",
     "quality_kuiper_drift",
