@@ -565,7 +565,7 @@ def sample_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: excess (reducible) loss; salts distinguish the two proxy models.
 #: The proxy kernel (buckets x Knuth-hash centi-weights) is
 #: quality_model_score_linear's — imported so the two stay one model.
-from kafka_stream_processing_spark.operators.quality import (  # noqa: E402
+from kafka_stream_processing_spark.operators.quality_lm import (  # noqa: E402
     MODEL_BUCKETS as _RHO_BUCKETS,
     _WEIGHT_MULT as _RHO_MULT,
 )

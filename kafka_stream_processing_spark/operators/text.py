@@ -1859,7 +1859,7 @@ def text_readability_ari_cli(
 
 
 #: Chi-squared dof=1 critical value at alpha = 0.05 (literal, shared
-#: reading convention with the CHI2_CRIT_005 table in quality.py).
+#: reading convention with the CHI2_CRIT_005 table in quality_kernel.py).
 MCNEMAR_CRIT_005 = 3.841
 
 

@@ -2205,7 +2205,7 @@ def window_mann_kendall_trend(
     (≤ days²/2), map-side-combined aggregates, no global sort.  The
     two ops share one scan shape; run both in one pass at 100 TB by
     caching the daily table."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         Z_CRIT_005,
     )
 
@@ -5320,7 +5320,7 @@ def window_nelson_aalen_hazard(
 
 
 #: z_{0.975} for the log-rank verdict (same literal as the U/Welch
-#: gates in operators/quality.py).
+#: gates in operators/quality_edf.py).
 LOGRANK_Z_CRIT_005 = 1.959963984540054
 
 
@@ -5947,7 +5947,7 @@ def window_seasonal_mann_kendall(
     Scale: the per-season pair join is 7x CHEAPER than the plain MK's
     (sum over seasons of (n/7)^2 vs n^2 pairs per series); everything
     else is calendar-bounded map-side-combined aggregation."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         Z_CRIT_005,
     )
     daily = (

@@ -86,7 +86,13 @@ def _load() -> None:
         multimodal,
         pipeline,
         python_udfs,
-        quality,
+        quality_assoc,
+        quality_audit,
+        quality_calibration,
+        quality_edf,
+        quality_kernel,
+        quality_lm,
+        quality_rank,
         relational,
         retrieval,
         scalar,

@@ -1152,8 +1152,10 @@ def stream_ivf_index_maintenance(
 # ---------------------------------------------------------------------------
 
 def _benford_monitor_oracle() -> str:
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_edf import (
         _BENFORD_P_SQL,
+    )
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         CHI2_CRIT_005,
     )
 
@@ -1243,8 +1245,8 @@ def stream_benford_digit_monitor(
     Scale: per-trigger state is the 9-cell histogram regardless of
     batch size (map-side combined); nothing enters the streaming state
     store; verdicts are per-batch final, so a restart loses no state."""
-    from kafka_stream_processing_spark.operators.quality import (
-        BENFORD_P,
+    from kafka_stream_processing_spark.operators.quality_edf import BENFORD_P
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         CHI2_CRIT_005,
     )
     from kafka_stream_processing_spark.streaming.unique_users import (
@@ -1475,7 +1477,7 @@ def stream_split_leakage_incremental(
 # ---------------------------------------------------------------------------
 
 def _mwu_monitor_oracle() -> str:
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_rank import (
         MWU_Z_CRIT_005,
     )
 
@@ -1571,7 +1573,7 @@ def stream_mannwhitney_monitor(
     reference histogram (both distinct-values-sized); verdicts are
     per-batch final — nothing in the streaming state store, restart
     loses nothing."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_rank import (
         MWU_Z_CRIT_005,
     )
     from kafka_stream_processing_spark.sources.tables import table
@@ -1862,7 +1864,7 @@ def stream_good_turing_novelty(
 # ---------------------------------------------------------------------------
 
 def _psi_monitor_oracle() -> str:
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_edf import (
         PSI_BUCKET_CHARS,
         PSI_DRIFT_THRESHOLD,
         PSI_SMOOTH,
@@ -1970,7 +1972,7 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reads the reference, verdicts are per-batch final."""
     from pyspark.sql import Window
 
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_edf import (
         PSI_BUCKET_CHARS,
         PSI_DRIFT_THRESHOLD,
         PSI_SMOOTH,
@@ -2091,7 +2093,9 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _ztest_monitor_oracle() -> str:
-    from kafka_stream_processing_spark.operators.quality import Z_CRIT_005
+    from kafka_stream_processing_spark.operators.quality_kernel import (
+        Z_CRIT_005,
+    )
 
     return f"""
     WITH ordered AS (
@@ -2169,7 +2173,7 @@ def stream_ab_ztest_monitor(
     Scale: per-trigger state is 4 integers whatever the batch size;
     nothing in the streaming state store — restarts lose no state and
     verdicts are per-batch final."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         Z_CRIT_005,
     )
     from kafka_stream_processing_spark.streaming.unique_users import (
@@ -2279,7 +2283,7 @@ def stream_ab_ztest_monitor(
 # ---------------------------------------------------------------------------
 
 def _isotonic_monitor_oracle() -> str:
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_BIN_CHARS,
         ISO_TOKEN_THRESHOLD,
     )
@@ -2367,7 +2371,7 @@ def stream_isotonic_recalibration(
     Scale: per-trigger state is the bin histogram; the O(B³) minimax
     joins run per chunk on bin tables.  Nothing in the streaming
     state store."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_BIN_CHARS,
         ISO_TOKEN_THRESHOLD,
         isotonic_minimax_fit,
@@ -3214,7 +3218,7 @@ def stream_attribution_monitor(
 # ---------------------------------------------------------------------------
 
 def _ece_monitor_oracle() -> str:
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_BIN_CHARS,
         ISO_TOKEN_THRESHOLD,
     )
@@ -3294,7 +3298,7 @@ def stream_ece_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: zero state-store use — per-trigger state is one bin
     histogram; the train table is bin-sized and computed once.
     Restart replays cleanly (verdicts are per-batch final)."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_BIN_CHARS,
         ISO_TOKEN_THRESHOLD,
     )
@@ -4100,7 +4104,7 @@ def stream_bottomk_maintenance(
 # ---------------------------------------------------------------------------
 
 def _l_diversity_monitor_oracle() -> str:
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         KANON_BUCKET_CHARS,
     )
 
@@ -4173,7 +4177,7 @@ def stream_l_diversity_monitor(
 
     Scale: one groupBy per trigger bounded by the QI domain; zero
     state-store use; restart replays cleanly."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         KANON_BUCKET_CHARS,
     )
 
@@ -4443,7 +4447,7 @@ def stream_wasserstein_monitor(
 # ---------------------------------------------------------------------------
 
 def _circadian_monitor_oracle() -> str:
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_edf import (
         WATSON_U2_CRIT_005,
     )
 
@@ -4552,7 +4556,7 @@ def stream_circadian_monitor(
     Scale: per-trigger state is a ≤24-cell integer histogram whatever
     the batch size; nothing in the streaming state store — restarts
     lose no state, verdicts are per-batch final."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_edf import (
         WATSON_U2_CRIT_005,
     )
     from kafka_stream_processing_spark.streaming.unique_users import (

@@ -1,4 +1,4 @@
-"""Offline generator for BH_Z_CRIT_M19 (quality.py) — the
+"""Offline generator for BH_Z_CRIT_M19 (quality_rank.py) — the
 Benjamini-Hochberg two-sided z thresholds for m = 19 simultaneous
 tests at FDR alpha = 0.05: entry i is Phi^{-1}(1 - (0.05*i/19)/2).
 

@@ -103,7 +103,7 @@ def test_dsir_approx_keepset_agrees_off_boundary(spark, sf_small):
 
 
 def test_mad_approx_output_matches_exact(spark, sf_small):
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_audit import (
         quality_length_outlier_mad,
     )
 
@@ -208,7 +208,7 @@ def test_rfm_approx_buckets_differ_only_at_cut_values(spark, sf_small):
 
 
 def test_gini_histogram_bit_identical(spark, sf_small):
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_audit import (
         quality_key_skew_gini,
     )
 

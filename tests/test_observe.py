@@ -2,7 +2,7 @@
 that ride the SAME action as the query — no second scan.  At 100 TB a
 pipeline cannot afford a separate validation pass per batch; observe
 attaches accumulator-style aggregates to the existing job, which is how
-the engine's quality rules (operators/quality.py) deploy in production
+the engine’s quality rules (operators/quality_*.py) deploy in production
 streams (`StreamingQueryListener` surfaces the same metrics per batch).
 """
 

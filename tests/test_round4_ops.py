@@ -22,7 +22,7 @@ from kafka_stream_processing_spark.operators.clustering import (
     KMEANS_K,
     cluster_kmeans_embeddings,
 )
-from kafka_stream_processing_spark.operators.quality import (
+from kafka_stream_processing_spark.operators.quality_lm import (
     quality_model_score_linear,
 )
 from kafka_stream_processing_spark.operators.text import (

@@ -13,7 +13,10 @@ from kafka_stream_processing_spark.operators.python_udfs import (
     HH_K,
     _mg_sketch_partition,
 )
-from kafka_stream_processing_spark.operators.quality import LM_BOS, LM_LAMBDA
+from kafka_stream_processing_spark.operators.quality_lm import (
+    LM_BOS,
+    LM_LAMBDA,
+)
 from kafka_stream_processing_spark.plans.explain import plan_report
 
 SPECS = registry.all_specs()
@@ -95,7 +98,7 @@ def test_bigram_lm_join_is_not_forced_broadcast(spark, sf_small):
     a broadcast (AQE may still choose one at toy sizes)."""
     import inspect
 
-    from kafka_stream_processing_spark.operators import quality
+    from kafka_stream_processing_spark.operators import quality_lm as quality
 
     src = inspect.getsource(quality.quality_bigram_lm_interpolated)
     assert "broadcast(lm" not in src

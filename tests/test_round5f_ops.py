@@ -14,7 +14,10 @@ from kafka_stream_processing_spark.operators.dedup import (
     CONTAINMENT_NUM,
     MAX_SHINGLE_DF,
 )
-from kafka_stream_processing_spark.operators.quality import KN_DISCOUNT, LM_BOS
+from kafka_stream_processing_spark.operators.quality_lm import (
+    KN_DISCOUNT,
+    LM_BOS,
+)
 
 SPECS = registry.all_specs()
 

@@ -170,7 +170,7 @@ def test_langid_confusion_margins_and_blind_spot(spark, sf_small):
 def test_ks_drift_matches_python_ecdf(spark, sf_small):
     import math
 
-    from kafka_stream_processing_spark.operators.quality import KS_C005
+    from kafka_stream_processing_spark.operators.quality_edf import KS_C005
 
     con = duckdb.connect()
     rows = con.execute(
@@ -285,7 +285,9 @@ def test_data_card_reconciles_with_corpus(spark, sf_small):
 
 
 def test_chi2_drift_matches_python(spark, sf_small):
-    from kafka_stream_processing_spark.operators.quality import CHI2_CRIT_005
+    from kafka_stream_processing_spark.operators.quality_kernel import (
+        CHI2_CRIT_005,
+    )
 
     con = duckdb.connect()
     cells = con.execute(

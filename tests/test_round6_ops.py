@@ -12,8 +12,8 @@ import duckdb
 import numpy as np
 
 from kafka_stream_processing_spark import registry
-from kafka_stream_processing_spark.operators.quality import (
-    BOOT_B,
+from kafka_stream_processing_spark.operators.quality_calibration import BOOT_B
+from kafka_stream_processing_spark.operators.quality_lm import (
     KN_DISCOUNT,
     LM_BOS,
 )
@@ -204,7 +204,7 @@ def test_bootstrap_ci_brackets_and_python_reference(spark, sf_small):
         row.point_mean - sum(c for _, c in docs) / len(docs)
     ) < 1e-12
 
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         BOOT_POISSON_CDF,
         _BOOT_SCALE,
     )

@@ -74,7 +74,7 @@ def test_stream_benford_three_chunks_full_frames(spark, sf_small):
     # spans ~4 decades, so unlike lineitem prices it sits NEAR Benford
     # at this size — the gate must not fire spuriously, and must fire
     # iff chi2 crosses the dof=8 line)
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         CHI2_CRIT_005,
     )
 
@@ -329,7 +329,7 @@ def test_mannwhitney_python_reference(spark, sf_small):
         ) ** 0.5
         z = (u - na * nb / 2) / sigma
         assert abs(r.z - z) < 1e-9
-        from kafka_stream_processing_spark.operators.quality import (
+        from kafka_stream_processing_spark.operators.quality_rank import (
             MWU_Z_CRIT_005,
         )
 

@@ -12,7 +12,7 @@ SPECS = all_specs()
 def test_stream_mwu_three_batches_python_replay(spark, sf_small):
     """Each micro-batch verdict equals a pure-Python midrank rank-sum
     of that doc_id-rank third against the src0 reference."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_rank import (
         MWU_Z_CRIT_005,
     )
 

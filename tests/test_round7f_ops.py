@@ -13,12 +13,12 @@ import math
 
 import duckdb
 
-from kafka_stream_processing_spark.operators.quality import (
+from kafka_stream_processing_spark.operators.quality_edf import (
     PSI_BUCKET_CHARS,
     PSI_DRIFT_THRESHOLD,
     PSI_SMOOTH,
-    Z_CRIT_005,
 )
+from kafka_stream_processing_spark.operators.quality_kernel import Z_CRIT_005
 from kafka_stream_processing_spark.registry import all_specs
 
 SPECS = all_specs()
@@ -320,7 +320,7 @@ def test_stream_psi_monitor_python_replay(spark, sf_small):
     doc_id-ordered train slices vs the src0 reference histogram."""
     import math
 
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_edf import (
         PSI_BUCKET_CHARS,
         PSI_DRIFT_THRESHOLD,
         PSI_SMOOTH,
@@ -453,7 +453,7 @@ def test_pearson_python_replay(spark, sf_small):
     rows = (
         SPECS["quality_pearson_corr_lineitem"].fn(spark, sf_small).collect()
     )
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_assoc import (
         PEARSON_COLS,
     )
 
@@ -499,7 +499,7 @@ def test_isotonic_matches_sequential_pava(spark, sf_small):
     Fraction-exact), and the fit is monotone non-decreasing."""
     from fractions import Fraction
 
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_BIN_CHARS,
         ISO_TOKEN_THRESHOLD,
     )
@@ -553,7 +553,7 @@ def test_stream_ab_ztest_monitor_python_replay(spark, sf_small):
     gate's global cells."""
     import math
 
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         Z_CRIT_005,
     )
 
@@ -758,7 +758,7 @@ def test_kaplan_meier_python_replay(spark, sf_small):
 def test_runs_test_python_replay(spark, sf_small):
     import math
 
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         Z_CRIT_005,
     )
 
@@ -976,7 +976,7 @@ def test_pmi_python_replay(spark, sf_small):
 def test_jarque_bera_python_replay(spark, sf_small):
     import math
 
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         CHI2_CRIT_005,
     )
 
@@ -1015,7 +1015,7 @@ def test_jarque_bera_python_replay(spark, sf_small):
 def test_mann_kendall_python_replay(spark, sf_small):
     import math
 
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         Z_CRIT_005,
     )
 
@@ -1145,8 +1145,8 @@ def test_stream_isotonic_recalibration_python_replay(spark, sf_small):
     import inspect
     from fractions import Fraction
 
-    from kafka_stream_processing_spark.operators import quality
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators import quality_calibration as quality
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_BIN_CHARS,
         ISO_TOKEN_THRESHOLD,
     )

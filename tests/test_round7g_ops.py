@@ -265,7 +265,7 @@ def test_ztest_guard_passthrough(spark, sf_small):
     """The empty-variant guard must not perturb the populated case:
     both variants are non-empty on this data, so z and the verdict
     are non-NULL and consistent."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_kernel import (
         Z_CRIT_005,
     )
 
@@ -575,7 +575,7 @@ def test_cvm_drift_rank_definition_replay(spark, sf_small):
     """Replays 4U by the per-element DEFINITION (doubled midranks from
     the sorted combined sample; the engine uses the per-value-block
     closed form — different algorithm), then the T arithmetic."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_edf import (
         CVM_CRIT_005,
     )
 
@@ -1233,7 +1233,7 @@ def test_brier_murphy_replay(spark, sf_small):
     """Train rates, test evaluation, and the Murphy identity replayed
     in python; Brier == REL − RES + UNC exactly (bin-constant
     forecasts) and all three parts are non-negative."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_BIN_CHARS,
         ISO_TOKEN_THRESHOLD,
     )
@@ -1772,7 +1772,7 @@ def test_roc_auc_bruteforce_replay(spark, sf_small):
     """AUC replayed by the brute-force pair DEFINITION
     P(s⁺>s⁻) + ½P(s⁺=s⁻) (the engine uses the rank identity —
     different algorithm); AUC in [0, 1]."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_TOKEN_THRESHOLD,
     )
 

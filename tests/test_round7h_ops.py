@@ -351,7 +351,7 @@ def test_ece_python_replay_and_brier_bin_consistency(spark, sf_small):
     """ECE/MCE replayed from raw documents with a dict loop, and the
     reliability table (f_pred, obs_rate per bin) must agree exactly
     with the Brier op's — one diagram, three scores."""
-    from kafka_stream_processing_spark.operators.quality import (
+    from kafka_stream_processing_spark.operators.quality_calibration import (
         ISO_BIN_CHARS,
         ISO_TOKEN_THRESHOLD,
     )

@@ -6,10 +6,8 @@ from __future__ import annotations
 
 import math
 
-from kafka_stream_processing_spark.operators.quality import (
-    BH_Z_CRIT_M19,
-    Z_CRIT_005,
-)
+from kafka_stream_processing_spark.operators.quality_kernel import Z_CRIT_005
+from kafka_stream_processing_spark.operators.quality_rank import BH_Z_CRIT_M19
 from kafka_stream_processing_spark.registry import all_specs
 from kafka_stream_processing_spark.tools.gen_bh_z_table import (
     bh_z_table,

@@ -529,9 +529,7 @@ def test_lm_train_heldout_gap_replay(spark, sf_small):
     from collections import Counter
     from decimal import ROUND_HALF_UP, Decimal
 
-    from kafka_stream_processing_spark.operators.quality import (
-        HELDOUT_MOD,
-    )
+    from kafka_stream_processing_spark.operators.quality_lm import HELDOUT_MOD
 
     eng = SPECS["quality_lm_train_heldout_gap"].fn(
         spark, sf_small
