@@ -1196,3 +1196,179 @@ def quality_blomqvist_beta_hourly(
         ).alias("beta"),
     )
 
+
+
+#: Bucket width for the n_chars axis of the weighted dCor grid — the
+#: quantization knob the hourly kernel's docstring promises: the pair
+#: kernel runs on the (length-bucket x vocab) VALUE GRID, so its cost
+#: is grid-cardinality-squared regardless of corpus row count.
+DCOR_LEN_BUCKET = 16
+
+#: Shared combination step for the weighted-grid distance covariance:
+#: n^4*dCov^2 = n^2*T1 - 2n*TR + SA*SB evaluated in DECIMAL(38,0) so
+#: the identity stays EXACT past BIGINT range (the components are
+#: count-products that grow as n^2 and n^3 of the document count; the
+#: combination grows as n^4, which overflows BIGINT beyond ~55k docs).
+#: ONE SQL text per component, executed verbatim by both engines.
+_DCOR_W_NUM = (
+    "CAST("
+    "CAST(CAST(CAST(n AS DECIMAL(20,0)) * CAST(n AS DECIMAL(10,0))"
+    " AS DECIMAL(20,0)) * CAST({t1} AS DECIMAL(18,0))"
+    " AS DECIMAL(38,0))"
+    " - CAST(CAST(2 * n AS DECIMAL(20,0)) * CAST({tr} AS DECIMAL(18,0))"
+    " AS DECIMAL(38,0))"
+    " + CAST(CAST({sa} AS DECIMAL(20,0)) * CAST({sb} AS DECIMAL(18,0))"
+    " AS DECIMAL(38,0))"
+    " AS DECIMAL(38,0))"
+)
+_DCOR_W_PARTS = {
+    "dcov2_num": _DCOR_W_NUM.format(t1="t1", tr="tr", sa="sa", sb="sb"),
+    "dvar2_x": _DCOR_W_NUM.format(t1="t1x", tr="trx", sa="sa", sb="sa"),
+    "dvar2_y": _DCOR_W_NUM.format(t1="t1y", tr="try_", sa="sb", sb="sb"),
+}
+_DCOR_W_FINAL = (
+    "sqrt(CAST({num} AS DOUBLE) / sqrt(CAST({vx} AS DOUBLE)"
+    " * CAST({vy} AS DOUBLE)))"
+).format(
+    num=_DCOR_W_PARTS["dcov2_num"],
+    vx=_DCOR_W_PARTS["dvar2_x"],
+    vy=_DCOR_W_PARTS["dvar2_y"],
+)
+
+
+@register(
+    "quality_dcor_length_vocab",
+    oracle="""
+    WITH docs AS (
+        SELECT CAST(n_chars // {B} AS BIGINT) AS xv,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS yv
+        FROM documents
+    ),
+    cells AS (
+        SELECT xv, yv, CAST(count(*) AS BIGINT) AS m
+        FROM docs GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM cells),
+    pair_sums AS (
+        SELECT CAST(SUM(a.m * b.m * abs(a.xv - b.xv)
+                        * abs(a.yv - b.yv)) AS BIGINT) AS t1,
+               CAST(SUM(a.m * b.m * abs(a.xv - b.xv)
+                        * abs(a.xv - b.xv)) AS BIGINT) AS t1x,
+               CAST(SUM(a.m * b.m * abs(a.yv - b.yv)
+                        * abs(a.yv - b.yv)) AS BIGINT) AS t1y,
+               CAST(SUM(a.m * b.m * abs(a.xv - b.xv)) AS BIGINT) AS sa,
+               CAST(SUM(a.m * b.m * abs(a.yv - b.yv)) AS BIGINT) AS sb
+        FROM cells a, cells b
+    ),
+    row_sums AS (
+        SELECT a.xv, a.yv, max(a.m) AS m,
+               CAST(SUM(b.m * abs(a.xv - b.xv)) AS BIGINT) AS r,
+               CAST(SUM(b.m * abs(a.yv - b.yv)) AS BIGINT) AS s
+        FROM cells a, cells b GROUP BY a.xv, a.yv
+    ),
+    cross_sums AS (
+        SELECT CAST(SUM(m * r * s) AS BIGINT) AS tr,
+               CAST(SUM(m * r * r) AS BIGINT) AS trx,
+               CAST(SUM(m * s * s) AS BIGINT) AS try_
+        FROM row_sums
+    )
+    SELECT tot.n AS n_docs,
+           CAST({NUM} AS DOUBLE) AS dcov2_num,
+           CAST({VX} AS DOUBLE) AS dvar2_x,
+           CAST({VY} AS DOUBLE) AS dvar2_y,
+           {FINAL} AS dcor
+    FROM tot, pair_sums, cross_sums
+    """.replace("{B}", str(DCOR_LEN_BUCKET))
+    .replace("{NUM}", _DCOR_W_PARTS["dcov2_num"])
+    .replace("{VX}", _DCOR_W_PARTS["dvar2_x"])
+    .replace("{VY}", _DCOR_W_PARTS["dvar2_y"])
+    .replace("{FINAL}", _DCOR_W_FINAL),
+    tags=("quality", "statistics", "text"),
+)
+def quality_dcor_length_vocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distance correlation between document LENGTH (n_chars, bucketed)
+    and per-document VOCABULARY size — the weighted-grid deployment the
+    hourly dCor kernel's docstring promises: dCor = 0 iff the two
+    quality signals are independent, so a corpus whose vocabulary
+    saturates nonlinearly with length (the usual shape — Pearson reads
+    it near zero once the saturation flattens) still shows up.  A data
+    curator uses this to decide whether length and lexical diversity
+    are separate filter axes or one.
+
+    Unlike quality_distance_correlation_hourly (one row per hour), the
+    input here is one row per DOCUMENT, so the pair kernel cannot run
+    on rows: documents collapse to the (length-bucket x vocab) VALUE
+    GRID with multiplicity m per cell, and every V-statistic becomes a
+    multiplicity-weighted grid sum — the identity n^4*dCov^2 =
+    n^2*Sum(m_i*m_j*a_ij*b_ij) - 2n*Sum(m_i*r_i*s_i) + (Sa)(Sb) holds
+    verbatim with r_i the weighted row sums.  Components stay exact
+    BIGINTs (bounded by n^3 * grid-span ~ 1e17 at 5e4 docs); the n^4
+    combination step runs in DECIMAL(38,0) via ONE shared SQL text
+    (_DCOR_W_NUM) because it overflows BIGINT beyond ~55k documents —
+    the cast to DOUBLE happens once, on identical exact decimals.
+
+    Scale: one map-side-combined groupBy collapses the corpus to the
+    grid (<= (max_chars/16) * max_vocab cells ~ 1.2k here); the O(g^2)
+    pair kernel never touches corpus rows.  At 100 TB the grid is the
+    same size — the scan dominates and is one pass."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        (F.col("n_chars") / DCOR_LEN_BUCKET)
+        .cast("bigint")
+        .alias("xv"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("yv"),
+    )
+    cells = docs.groupBy("xv", "yv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    mm = F.col("a.m") * F.col("b.m")
+    dx = F.abs(F.col("a.xv") - F.col("b.xv"))
+    dy = F.abs(F.col("a.yv") - F.col("b.yv"))
+    pair_sums = a.crossJoin(b).agg(
+        F.sum(mm * dx * dy).cast("bigint").alias("t1"),
+        F.sum(mm * dx * dx).cast("bigint").alias("t1x"),
+        F.sum(mm * dy * dy).cast("bigint").alias("t1y"),
+        F.sum(mm * dx).cast("bigint").alias("sa"),
+        F.sum(mm * dy).cast("bigint").alias("sb"),
+    )
+    row_sums = (
+        a.crossJoin(b)
+        .groupBy(F.col("a.xv"), F.col("a.yv"))
+        .agg(
+            F.max(F.col("a.m")).alias("m"),
+            F.sum(F.col("b.m") * dx).cast("bigint").alias("r"),
+            F.sum(F.col("b.m") * dy).cast("bigint").alias("s"),
+        )
+    )
+    cross_sums = row_sums.agg(
+        F.sum(F.col("m") * F.col("r") * F.col("s"))
+        .cast("bigint")
+        .alias("tr"),
+        F.sum(F.col("m") * F.col("r") * F.col("r"))
+        .cast("bigint")
+        .alias("trx"),
+        F.sum(F.col("m") * F.col("s") * F.col("s"))
+        .cast("bigint")
+        .alias("try_"),
+    )
+    tot = cells.agg(F.sum("m").cast("bigint").alias("n"))
+    joined = tot.crossJoin(pair_sums).crossJoin(cross_sums)
+    return joined.select(
+        F.col("n").alias("n_docs"),
+        F.expr(_DCOR_W_PARTS["dcov2_num"])
+        .cast("double")
+        .alias("dcov2_num"),
+        F.expr(_DCOR_W_PARTS["dvar2_x"])
+        .cast("double")
+        .alias("dvar2_x"),
+        F.expr(_DCOR_W_PARTS["dvar2_y"])
+        .cast("double")
+        .alias("dvar2_y"),
+        F.expr(_DCOR_W_FINAL).alias("dcor"),
+    )

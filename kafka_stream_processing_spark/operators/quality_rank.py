@@ -2434,3 +2434,138 @@ def quality_mood_scale_drift(
         )
     )
 
+
+
+#: Shared final-step arithmetic for the Ansari-Bradley z: ONE SQL text
+#: executed verbatim by both engines (F.expr on the Spark side) so the
+#: IEEE operation order is identical by construction.  All inputs are
+#: exact BIGINTs on the doubled-score grid; the tie-corrected variance
+#: is the generic linear-rank-statistic form Var(T) = na*nb/(N^2(N-1))
+#: * (N*sum(a_i^2) - (sum a_i)^2) evaluated on the doubled scores.
+_AB_Z_EXPR = (
+    "(CAST(t2 AS DOUBLE)"
+    " - CAST(na AS DOUBLE) * CAST(sum_s2 AS DOUBLE)"
+    " / CAST(na + nb AS DOUBLE))"
+    " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    " * (CAST(na + nb AS DOUBLE) * CAST(sum_s4 AS DOUBLE)"
+    " - CAST(sum_s2 AS DOUBLE) * CAST(sum_s2 AS DOUBLE))"
+    " / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)"
+    " * CAST(na + nb - 1 AS DOUBLE)))"
+)
+
+
+@register(
+    "quality_ansari_bradley_drift",
+    oracle="""
+    WITH rows_t AS (
+        SELECT n_chars AS v,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS is_b
+        FROM documents
+    ),
+    hist AS (
+        SELECT v, SUM(is_a) AS ca_i, SUM(is_b) AS cb_i
+        FROM rows_t GROUP BY v
+    ),
+    tot AS (SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM rows_t),
+    walk AS (
+        SELECT v, ca_i,
+               coalesce(SUM(ca_i + cb_i) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS lt,
+               ca_i + cb_i AS m
+        FROM hist
+    ),
+    scored AS (
+        SELECT w.ca_i, w.m,
+               (tot.na + tot.nb + 1)
+               - abs((2 * w.lt + w.m + 1) - (tot.na + tot.nb + 1))
+                   AS s2
+        FROM walk w, tot
+    ),
+    sums AS (
+        SELECT CAST(tot.na AS BIGINT) AS na,
+               CAST(tot.nb AS BIGINT) AS nb,
+               CAST(SUM(s.ca_i * s.s2) AS BIGINT) AS t2,
+               CAST(SUM(s.m * s.s2) AS BIGINT) AS sum_s2,
+               CAST(SUM(s.m * s.s2 * s.s2) AS BIGINT) AS sum_s4
+        FROM scored s, tot GROUP BY tot.na, tot.nb
+    )
+    SELECT na, nb, t2, sum_s2, sum_s4,
+           {AB_EXPR} AS z_ab,
+           abs({AB_EXPR}) > {ZCRIT} AS scale_drift
+    FROM sums
+    """.replace("{AB_EXPR}", _AB_Z_EXPR).replace(
+        "{ZCRIT}", repr(Z_CRIT_005)
+    ),
+    tags=("quality", "drift", "statistics"),
+)
+def quality_ansari_bradley_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test — the folded-rank sibling
+    of quality_mood_scale_drift on the identical histogram walk: where
+    Mood squares the centered rank, A-B scores each observation by its
+    distance from the NEAREST END of the pooled ordering (s_i = (N+1)/2
+    - |r_i - (N+1)/2|), so a sample squeezed into the middle scores
+    high and one pushed into the tails scores low.  Folded scores are
+    location-sensitive in a different way than squared ones (linear,
+    not quadratic, in the tail depth), so the two gates disagree
+    exactly on the heavy-tail-vs-shoulder alternatives a length
+    distribution drifts through — running both is the standard
+    practice this pair of operators mirrors.
+
+    Exactness: on the doubled-midrank grid the folded score
+    s2 = (N+1) - |2r - (N+1)| is an exact integer, so T2 = Sum_A s2,
+    Sum m*s2 and Sum m*s2^2 are three exact BIGINTs; z uses the
+    GENERIC tie-corrected linear-rank variance (no no-ties moment
+    formula), evaluated in ONE shared SQL expression text (_AB_Z_EXPR)
+    — stricter than the Mood/MW asymptotic treatment, exact under any
+    tie pattern.
+
+    Scale: the KS kernel verbatim — one map-side-combined histogram
+    groupBy over DISTINCT VALUES, one cumulative window, scalar
+    output; state is value-cardinality-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    is_a = (F.col("source") == "src0").cast("bigint")
+    rows_t = d.select(
+        F.col("n_chars").alias("v"),
+        is_a.alias("is_a"),
+        (1 - is_a).alias("is_b"),
+    )
+    hist = rows_t.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"), F.sum("is_b").alias("cb_i")
+    )
+    w_lt = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    walk = hist.select(
+        "ca_i",
+        F.coalesce(
+            F.sum(F.col("ca_i") + F.col("cb_i")).over(w_lt), F.lit(0)
+        ).alias("lt"),
+        (F.col("ca_i") + F.col("cb_i")).alias("m"),
+    )
+    tot = rows_t.agg(
+        F.sum("is_a").alias("na"), F.sum("is_b").alias("nb")
+    )
+    j = walk.crossJoin(F.broadcast(tot))
+    n1 = F.col("na") + F.col("nb") + 1
+    s2 = n1 - F.abs(2 * F.col("lt") + F.col("m") + 1 - n1)
+    sums = j.groupBy("na", "nb").agg(
+        F.sum(F.col("ca_i") * s2).cast("bigint").alias("t2"),
+        F.sum(F.col("m") * s2).cast("bigint").alias("sum_s2"),
+        F.sum(F.col("m") * s2 * s2).cast("bigint").alias("sum_s4"),
+    )
+    parts = sums.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        "t2",
+        "sum_s2",
+        "sum_s4",
+    )
+    return parts.withColumn("z_ab", F.expr(_AB_Z_EXPR)).withColumn(
+        "scale_drift", F.abs(F.col("z_ab")) > F.lit(Z_CRIT_005)
+    )

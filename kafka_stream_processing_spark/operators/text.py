@@ -2187,3 +2187,170 @@ def text_source_vocab_overlap(
             / (F.col("ka") + F.col("kb") - nc)
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (token n-gram form)
+# ---------------------------------------------------------------------------
+
+#: Gopher-inspired repetition gates (Rae et al. 2021 table A1 uses
+#: character fractions; these are the token-occurrence analogues since
+#: this corpus is single-line space-separated text): a document is
+#: repetitive when its most frequent bigram covers more than 20% of
+#: tokens, or duplicate trigrams (count >= 2) cover more than 18% of
+#: trigram occurrences.
+TOP_BIGRAM_FRAC_MAX = 0.20
+DUP_TRIGRAM_FRAC_MAX = 0.18
+
+
+@register(
+    "text_repetition_gopher_rules",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks WHERE len(t) >= 2
+    ),
+    bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+    bia AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt
+        FROM bic GROUP BY 1
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+    tria AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_trigram_occ
+        FROM tric GROUP BY 1
+    )
+    SELECT k.doc_id, k.source,
+           CAST(len(k.t) AS BIGINT) AS n_tokens,
+           coalesce(bia.top_bigram_cnt, 0) AS top_bigram_cnt,
+           coalesce(tria.n_trigrams, 0) AS n_trigrams,
+           coalesce(tria.dup_trigram_occ, 0) AS dup_trigram_occ,
+           CAST(2 * coalesce(bia.top_bigram_cnt, 0) AS DOUBLE)
+               / len(k.t) AS top_bigram_frac,
+           CASE WHEN coalesce(tria.n_trigrams, 0) > 0
+                THEN CAST(tria.dup_trigram_occ AS DOUBLE)
+                     / tria.n_trigrams
+                ELSE 0.0 END AS dup_trigram_frac,
+           (CAST(2 * coalesce(bia.top_bigram_cnt, 0) AS DOUBLE)
+               / len(k.t) > {TOP_BIGRAM_FRAC_MAX}
+            OR CASE WHEN coalesce(tria.n_trigrams, 0) > 0
+                    THEN CAST(tria.dup_trigram_occ AS DOUBLE)
+                         / tria.n_trigrams
+                    ELSE 0.0 END > {DUP_TRIGRAM_FRAC_MAX})
+               AS repetitive
+    FROM toks k
+    LEFT JOIN bia ON bia.doc_id = k.doc_id
+    LEFT JOIN tria ON tria.doc_id = k.doc_id
+    """,
+    tags=("text", "quality", "dedup"),
+)
+def text_repetition_gopher_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Intra-document repetition gates in the Gopher/MassiveText style
+    (Rae et al. 2021, table A1): the most-frequent-bigram coverage and
+    the duplicate-trigram coverage, per document, with the keep/drop
+    flag a pretraining pipeline applies before any cross-document
+    dedup.  text_quality_score watches lexical composition;
+    dedup_* watch BETWEEN-document copies; this is the third axis —
+    WITHIN-document loops (boilerplate, crawler traps, template spam)
+    that poison an LM even when each document is globally unique.
+
+    Both fractions are per-row IEEE divisions of exact integers (no
+    cross-row float accumulation), so the threshold comparisons are
+    bit-stable cross-engine.  The reference's pipeline has no document
+    surface at all; the n-gram construction reuses the corpus-family
+    convention (word n-grams from one split, occurrences kept).
+
+    Scale: grams explode to ~2x corpus tokens, but both aggregations
+    are (doc_id, gram)-keyed with map-side combine and collapse right
+    back to one row per document — the same shuffle shape as
+    text_tfidf_top_terms; no corpus-wide state."""
+    from kafka_stream_processing_spark.operators.corpus import (
+        _word_grams_all,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("t")
+    )
+    base = toks.select(
+        "doc_id",
+        "source",
+        F.size("t").cast("bigint").alias("n_tokens"),
+    )
+    bi = (
+        toks.select(
+            "doc_id", F.explode(_word_grams_all(F.col("t"), 2)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("top_bigram_cnt"))
+    )
+    tri = (
+        toks.select(
+            "doc_id", F.explode(_word_grams_all(F.col("t"), 3)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_trigrams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_trigram_occ"),
+        )
+    )
+    joined = (
+        base.join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias(
+                "top_bigram_cnt"
+            ),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("dup_trigram_occ", F.lit(0)).alias(
+                "dup_trigram_occ"
+            ),
+        )
+    )
+    top_frac = (2 * F.col("top_bigram_cnt")).cast("double") / F.col(
+        "n_tokens"
+    )
+    dup_frac = F.when(
+        F.col("n_trigrams") > 0,
+        F.col("dup_trigram_occ").cast("double") / F.col("n_trigrams"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "top_bigram_cnt",
+        "n_trigrams",
+        "dup_trigram_occ",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_trigram_frac"),
+        (
+            (top_frac > F.lit(TOP_BIGRAM_FRAC_MAX))
+            | (dup_frac > F.lit(DUP_TRIGRAM_FRAC_MAX))
+        ).alias("repetitive"),
+    )

@@ -6446,3 +6446,146 @@ def window_shewhart_imr_chart(
             "out_of_control"
         ),
     )
+
+
+#: The six ordinal patterns of an embedding-dimension-3 window, keyed
+#: by the three stable pairwise comparisons (a = x1<x0, b = x2<x0,
+#: c = x2<x1; ties break to the EARLIER index, the Bandt-Pompe
+#: convention) — combinations a0b1c0 and a1b0c1 are order-theoretically
+#: impossible, leaving exactly 3! = 6.
+PERM_PATTERNS = {
+    (0, 0, 0): "p012",
+    (0, 0, 1): "p021",
+    (0, 1, 1): "p201",
+    (1, 0, 0): "p102",
+    (1, 1, 0): "p120",
+    (1, 1, 1): "p210",
+}
+
+#: Shared entropy arithmetic over the six fixed pattern-count columns:
+#: ONE SQL text (fixed term order, no cross-row float accumulation)
+#: executed verbatim by both engines.  ln(6) normalizes to [0, 1].
+_PERM_ENTROPY_EXPR = " + ".join(
+    f"(CASE WHEN {c} > 0 THEN -(CAST({c} AS DOUBLE)"
+    f" / CAST(n_windows AS DOUBLE))"
+    f" * ln(CAST({c} AS DOUBLE) / CAST(n_windows AS DOUBLE))"
+    f" ELSE 0.0 END)"
+    for c in sorted(PERM_PATTERNS.values())
+)
+
+
+@register(
+    "window_permutation_entropy_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT rev AS x0,
+               lead(rev, 1) OVER (ORDER BY day) AS x1,
+               lead(rev, 2) OVER (ORDER BY day) AS x2
+        FROM daily
+    ),
+    pat AS (
+        SELECT CASE WHEN x1 < x0 THEN 1 ELSE 0 END AS a,
+               CASE WHEN x2 < x0 THEN 1 ELSE 0 END AS b,
+               CASE WHEN x2 < x1 THEN 1 ELSE 0 END AS c
+        FROM lagged WHERE x2 IS NOT NULL
+    ),
+    counts AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN a=0 AND b=0 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS p012,
+               CAST(SUM(CASE WHEN a=0 AND b=0 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS p021,
+               CAST(SUM(CASE WHEN a=1 AND b=0 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS p102,
+               CAST(SUM(CASE WHEN a=1 AND b=1 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS p120,
+               CAST(SUM(CASE WHEN a=0 AND b=1 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS p201,
+               CAST(SUM(CASE WHEN a=1 AND b=1 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS p210
+        FROM pat
+    )
+    SELECT n_windows, p012, p021, p102, p120, p201, p210,
+           {H_EXPR} AS perm_entropy,
+           ({H_EXPR}) / ln(6.0) AS perm_entropy_norm
+    FROM counts
+    """.replace("{H_EXPR}", _PERM_ENTROPY_EXPR),
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_permutation_entropy_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe, order m=3) of the daily
+    revenue series — the model-free complexity gauge that closes the
+    trend/changepoint battery from the opposite side: Mann-Kendall and
+    Pettitt ask "is there structure?", this asks "how close to NOISE is
+    the day-to-day dynamic?" (near 1 = the six ordinal patterns of
+    consecutive revenue triples are equiprobable; near 0 = a few
+    motifs dominate, i.e. ramps or saw-tooth seasonality).  Ordinal
+    patterns ignore magnitude entirely, so one blowout day cannot
+    move the reading — the robustness that makes it the standard
+    pre-screen before fitting any forecaster.
+
+    Exactness: daily revenues are DECIMAL(18,6) sums, so the three
+    strict comparisons per window (ties to the earlier index — the
+    Bandt-Pompe stable convention) are exact and identical in both
+    engines; pattern counts are integers, and the entropy is ONE
+    shared SQL expression text over the six fixed count columns
+    (_PERM_ENTROPY_EXPR) — fixed term order, no cross-row float sums.
+
+    Scale: the corpus collapses to the day grid in one map-side-
+    combined groupBy; the lead() window runs on the GRID (one
+    partition of ~2.4k rows — span-bounded, documented single-pass),
+    and the pattern fold is a 6-column conditional aggregate."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("rev").alias("x0"),
+        F.lead("rev", 1).over(w).alias("x1"),
+        F.lead("rev", 2).over(w).alias("x2"),
+    ).filter(F.col("x2").isNotNull())
+    pat = lagged.select(
+        (F.col("x1") < F.col("x0")).cast("int").alias("a"),
+        (F.col("x2") < F.col("x0")).cast("int").alias("b"),
+        (F.col("x2") < F.col("x1")).cast("int").alias("c"),
+    )
+    flags = {
+        "p012": (0, 0, 0),
+        "p021": (0, 0, 1),
+        "p102": (1, 0, 0),
+        "p120": (1, 1, 0),
+        "p201": (0, 1, 1),
+        "p210": (1, 1, 1),
+    }
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_windows")]
+    for name, (av, bv, cv) in flags.items():
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("a") == av)
+                    & (F.col("b") == bv)
+                    & (F.col("c") == cv),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    counts = pat.agg(*aggs)
+    return counts.select(
+        "n_windows",
+        "p012",
+        "p021",
+        "p102",
+        "p120",
+        "p201",
+        "p210",
+        F.expr(_PERM_ENTROPY_EXPR).alias("perm_entropy"),
+        F.expr(f"({_PERM_ENTROPY_EXPR}) / ln(6.0)").alias(
+            "perm_entropy_norm"
+        ),
+    )

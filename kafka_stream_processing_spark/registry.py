@@ -304,6 +304,13 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_cucconi_drift",
     "quality_mood_scale_drift",
     "quality_lm_train_heldout_gap",
+    # -- new in r09 (targeted differential green at sf0.001+sf0.01;
+    # -- driver rows queue behind the coverage backlog) --
+    "quality_ansari_bradley_drift",
+    "quality_dcor_length_vocab",
+    "text_repetition_gopher_rules",
+    "window_permutation_entropy_daily",
+    "stream_frequent_triples_stateful",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

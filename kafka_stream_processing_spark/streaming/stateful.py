@@ -296,3 +296,213 @@ def stream_frequent_pairs_stateful(
         support.alias("support"),
         (support >= F.lit(PAIR_MIN_SUPPORT)).alias("frequent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming frequent-triple (Apriori level-3) support maintenance
+# ---------------------------------------------------------------------------
+
+
+def _frequent_triples_oracle() -> str:
+    flags = ",\n               ".join(
+        f"max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(PAIR_TYPES)
+    )
+    n = len(PAIR_TYPES)
+    selects = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                pair_gates = " AND ".join(
+                    f"max(p.s{a}_{b}) >= {PAIR_MIN_SUPPORT}"
+                    for a, b in ((i, j), (i, k), (j, k))
+                )
+                selects.append(
+                    f"SELECT '{PAIR_TYPES[i]}' AS type_a,"
+                    f" '{PAIR_TYPES[j]}' AS type_b,"
+                    f" '{PAIR_TYPES[k]}' AS type_c,"
+                    f" CAST(SUM(f{i} * f{j} * f{k}) AS BIGINT)"
+                    " AS n_users_all3,"
+                    " CAST(count(*) AS BIGINT) AS n_users_total"
+                    f" FROM u, p HAVING {pair_gates}"
+                )
+    body = "\n    UNION ALL\n    ".join(selects)
+    pair_cols = ",\n               ".join(
+        f"CAST(SUM(f{i} * f{j}) AS DOUBLE) / count(*) AS s{i}_{j}"
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               {flags}
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT {pair_cols}
+        FROM u
+    ),
+    t AS (
+    {body}
+    )
+    SELECT type_a, type_b, type_c, n_users_all3, n_users_total,
+           CAST(n_users_all3 AS DOUBLE) / CAST(n_users_total AS DOUBLE)
+               AS support,
+           CAST(n_users_all3 AS DOUBLE) / CAST(n_users_total AS DOUBLE)
+             >= {PAIR_MIN_SUPPORT} AS frequent
+    FROM t
+    """
+
+
+@register(
+    "stream_frequent_triples_stateful",
+    oracle=_frequent_triples_oracle(),
+    tags=("streaming", "stateful", "itemsets"),
+)
+def stream_frequent_triples_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Apriori LEVEL-3 on the level-2 masks — the downward-
+    closure extension stream_frequent_pairs_stateful's docstring
+    promises: the per-user seen-type BITMASK (the same 8 bytes of
+    applyInPandasWithState state, same _update_type_mask kernel — ONE
+    state representation serves every itemset level) is folded twice:
+    first into the 10 pair supports, then candidate triples are PRUNED
+    to those whose three sub-pairs are all frequent (the anti-monotone
+    Apriori gate: support({a,b,c}) <= min over sub-pairs, so no
+    surviving triple can have been wrongly pruned), and only the
+    survivors get a support count.  The oracle replicates the gate
+    relationally (HAVING over the same pair-support scalars), so the
+    emitted ROW SET — not just the numbers — pins the pruning.
+
+    Scale: pruning is the whole point at large vocabularies — level-3
+    candidates grow as |T| choose 3, but the gate admits only triples
+    over already-frequent pairs (Agrawal-Srikant 1994); here all the
+    candidate plumbing is broadcast-sized DataFrame joins (10 pair
+    rows, <= 10 triple rows), the masks stay one bigint per user, and
+    the two folds are conditional aggregates over users — no shuffle
+    beyond the user-key state exchange the pairs op already pays."""
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    name = f"freqtriples_{next(_uniq)}"
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    ).select("user_id", "event_type")
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _update_type_mask,
+        outputStructType=_PAIR_OUTPUT_SCHEMA,
+        stateStructType=_PAIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            updated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    final_masks = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("mask").alias("mask"))
+    )
+    n = len(PAIR_TYPES)
+    pairs = [
+        (PAIR_TYPES[i], PAIR_TYPES[j], 1 << i, 1 << j)
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    pairs_df = spark.createDataFrame(
+        pairs, "ta string, tb string, bit_a bigint, bit_b bigint"
+    )
+    pair_support = (
+        final_masks.crossJoin(F.broadcast(pairs_df))
+        .groupBy("ta", "tb")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("mask").bitwiseAND(F.col("bit_a")) != 0)
+                        & (
+                            F.col("mask").bitwiseAND(F.col("bit_b"))
+                            != 0
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("s")
+        )
+    )
+    freq_pairs = pair_support.filter(
+        F.col("s") >= F.lit(PAIR_MIN_SUPPORT)
+    ).select("ta", "tb")
+    triples = [
+        (
+            PAIR_TYPES[i],
+            PAIR_TYPES[j],
+            PAIR_TYPES[k],
+            (1 << i) | (1 << j) | (1 << k),
+        )
+        for i in range(n)
+        for j in range(i + 1, n)
+        for k in range(j + 1, n)
+    ]
+    triples_df = spark.createDataFrame(
+        triples, "type_a string, type_b string, type_c string, bits bigint"
+    )
+    fp = F.broadcast(freq_pairs)
+    candidates = (
+        triples_df.join(
+            fp.withColumnRenamed("ta", "type_a").withColumnRenamed(
+                "tb", "type_b"
+            ),
+            ["type_a", "type_b"],
+        )
+        .join(
+            fp.withColumnRenamed("ta", "type_a").withColumnRenamed(
+                "tb", "type_c"
+            ),
+            ["type_a", "type_c"],
+        )
+        .join(
+            fp.withColumnRenamed("ta", "type_b").withColumnRenamed(
+                "tb", "type_c"
+            ),
+            ["type_b", "type_c"],
+        )
+    )
+    counted = (
+        final_masks.crossJoin(F.broadcast(candidates))
+        .groupBy("type_a", "type_b", "type_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("mask").bitwiseAND(F.col("bits"))
+                    == F.col("bits"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_users_all3"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users_total"),
+        )
+    )
+    support = F.col("n_users_all3").cast("double") / F.col(
+        "n_users_total"
+    ).cast("double")
+    return counted.select(
+        "type_a",
+        "type_b",
+        "type_c",
+        "n_users_all3",
+        "n_users_total",
+        support.alias("support"),
+        (support >= F.lit(PAIR_MIN_SUPPORT)).alias("frequent"),
+    )
