@@ -60,12 +60,21 @@ def scoped_state_partitions(spark: SparkSession, n: int | None = None):
     partitions` at FIRST run (baked into the checkpoint thereafter) — a
     per-query sizing decision tied to key cardinality and throughput,
     independent of how batch shuffles are sized.  Locally the test
-    streams carry O(100) keys, so the batch default (32) just multiplies
-    per-trigger task overhead ~4x (measured: chained window agg 3.3 s →
-    1.7 s at 8).  On a cluster, size UP per expected keys instead — same
+    streams carry O(10k) keys at most, and the HDFS-backed state store
+    pays a FIXED per-partition commit cost (delta-file write + fsync)
+    per stateful operator per trigger, so fewer partitions win until a
+    partition's state stops fitting comfortably: measured at sf0.1
+    (r09, 5 reps, median wall): chained window agg 1.47 s at 8 → 1.20 s
+    at 4 → 1.15 s at 2 (commitTimeMs scales ~linearly with partition
+    count while addBatch is flat); stream_unique_users 1.74 → 1.44 best
+    at 4; session windows 2.28 → 2.17.  Default is 4 — low enough to
+    cut the commit overhead, high enough that the largest local state
+    (~39k minute windows) still spreads ~10k keys/partition.  Earlier
+    steps of the same measurement: 32 → 8 took chained from 3.3 s to
+    1.7 s.  On a cluster, size UP per expected keys instead — same
     knob, opposite direction.  Restores the session conf on exit;
     serialized via _STATE_SCOPE_LOCK (see note above)."""
-    n = n or int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    n = n or int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
     key = "spark.sql.shuffle.partitions"
     with _STATE_SCOPE_LOCK:
         old = spark.conf.get(key)
@@ -288,7 +297,18 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate topic; here it's one plan with two state stores.
 
     Scale/state: stage 1 holds open minute windows, stage 2 open hour
-    windows; both watermark-evicted."""
+    windows; both watermark-evicted.
+
+    Cost profile (r09, sf0.1, recentProgress durationMs): the second
+    stateful operator adds ~0.3 s of addBatch compute and ~0.5 s of
+    state-store commit per run at 8 state partitions — the commit side
+    is FIXED per-partition delta-file overhead, not re-aggregation
+    work, and scales ~linearly with the partition count (profiled 2/4/
+    8/16).  That is why the engine default is 4 (scoped_state_
+    partitions); a foreachBatch rollup reusing stage-1 output would
+    drop the second state store but forfeit the one-plan chaining this
+    operator exists to demonstrate, and would not touch the dominant
+    cost class."""
     path = _stream_source_dir(sf_dir)
     raw_schema = spark.read.parquet(path).schema
     name = f"chained_{next(_run_counter)}"
