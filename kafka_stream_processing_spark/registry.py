@@ -314,11 +314,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new
-#: operators, then to re-confirming the oldest green rows.  After r07
-#: lands, cumulative coverage should be 219/219 registered-as-of-r06;
-#: r08 fills with the remaining 15 r02-stale names + any r07
-#: additions, which clears every pre-r03 row.  Everything rotated out
-#: stays covered by the identical differential check in
+#: operators, then to re-confirming the oldest green rows.  Everything
+#: rotated out stays covered by the identical differential check in
 #: tests/test_oracle_parity.py each round.
 
 
