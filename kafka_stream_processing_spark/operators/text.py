@@ -2203,6 +2203,77 @@ TOP_BIGRAM_FRAC_MAX = 0.20
 DUP_TRIGRAM_FRAC_MAX = 0.18
 
 
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Shared per-document repetition kernel (doc_id, text in; doc_id,
+    n_tokens, top_bigram_cnt, n_trigrams, dup_trigram_occ out) — used
+    by the batch gate below AND stream_repetition_monitor, so the two
+    evaluate ONE construction (the shared-kernel discipline the filter
+    monitors follow)."""
+    from kafka_stream_processing_spark.operators.corpus import (
+        _word_grams_all,
+    )
+
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    base = toks.select(
+        "doc_id", F.size("t").cast("bigint").alias("n_tokens")
+    )
+    bi = (
+        toks.select(
+            "doc_id", F.explode(_word_grams_all(F.col("t"), 2)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("top_bigram_cnt"))
+    )
+    tri = (
+        toks.select(
+            "doc_id", F.explode(_word_grams_all(F.col("t"), 3)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_trigrams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_trigram_occ"),
+        )
+    )
+    return (
+        base.join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias(
+                "top_bigram_cnt"
+            ),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("dup_trigram_occ", F.lit(0)).alias(
+                "dup_trigram_occ"
+            ),
+        )
+    )
+
+
+def repetition_flag() -> Column:
+    """The keep/drop rule over repetition_metrics' columns — one
+    expression, shared by the batch gate and the streaming monitor."""
+    top_frac = (2 * F.col("top_bigram_cnt")).cast("double") / F.col(
+        "n_tokens"
+    )
+    dup_frac = F.when(
+        F.col("n_trigrams") > 0,
+        F.col("dup_trigram_occ").cast("double") / F.col("n_trigrams"),
+    ).otherwise(F.lit(0.0))
+    return (top_frac > F.lit(TOP_BIGRAM_FRAC_MAX)) | (
+        dup_frac > F.lit(DUP_TRIGRAM_FRAC_MAX)
+    )
+
+
 @register(
     "text_repetition_gopher_rules",
     oracle=f"""
@@ -2281,58 +2352,9 @@ def text_repetition_gopher_rules(
     are (doc_id, gram)-keyed with map-side combine and collapse right
     back to one row per document — the same shuffle shape as
     text_tfidf_top_terms; no corpus-wide state."""
-    from kafka_stream_processing_spark.operators.corpus import (
-        _word_grams_all,
-    )
-
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.split(F.col("text"), " ").alias("t")
-    )
-    base = toks.select(
-        "doc_id",
-        "source",
-        F.size("t").cast("bigint").alias("n_tokens"),
-    )
-    bi = (
-        toks.select(
-            "doc_id", F.explode(_word_grams_all(F.col("t"), 2)).alias("g")
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").cast("bigint").alias("top_bigram_cnt"))
-    )
-    tri = (
-        toks.select(
-            "doc_id", F.explode(_word_grams_all(F.col("t"), 3)).alias("g")
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_trigrams"),
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-            .cast("bigint")
-            .alias("dup_trigram_occ"),
-        )
-    )
-    joined = (
-        base.join(bi, "doc_id", "left")
-        .join(tri, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            F.coalesce("top_bigram_cnt", F.lit(0)).alias(
-                "top_bigram_cnt"
-            ),
-            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
-            F.coalesce("dup_trigram_occ", F.lit(0)).alias(
-                "dup_trigram_occ"
-            ),
-        )
-    )
+    metrics = repetition_metrics(d.select("doc_id", "text"))
+    joined = d.select("doc_id", "source").join(metrics, "doc_id")
     top_frac = (2 * F.col("top_bigram_cnt")).cast("double") / F.col(
         "n_tokens"
     )
@@ -2349,8 +2371,5 @@ def text_repetition_gopher_rules(
         "dup_trigram_occ",
         top_frac.alias("top_bigram_frac"),
         dup_frac.alias("dup_trigram_frac"),
-        (
-            (top_frac > F.lit(TOP_BIGRAM_FRAC_MAX))
-            | (dup_frac > F.lit(DUP_TRIGRAM_FRAC_MAX))
-        ).alias("repetitive"),
+        repetition_flag().alias("repetitive"),
     )

@@ -311,6 +311,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "text_repetition_gopher_rules",
     "window_permutation_entropy_daily",
     "stream_frequent_triples_stateful",
+    "stream_repetition_monitor",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

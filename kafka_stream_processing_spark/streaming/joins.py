@@ -4665,3 +4665,132 @@ def stream_circadian_monitor(
             "circadian_drift"
         ),
     )
+
+
+_REPETITION_MONITOR_ORACLE = """
+    WITH train AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    toks AS (
+        SELECT doc_id, rn // ((n + 2) // 3) AS chunk_id,
+               string_split(text, ' ') AS t
+        FROM train
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks WHERE len(t) >= 2
+    ),
+    bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+    bia AS (SELECT doc_id, max(c) AS top_bigram_cnt FROM bic GROUP BY 1),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+    tria AS (
+        SELECT doc_id,
+               SUM(c) AS n_trigrams,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_trigram_occ
+        FROM tric GROUP BY 1
+    ),
+    flagged AS (
+        SELECT k.chunk_id, k.doc_id,
+               CASE WHEN
+                   CAST(2 * coalesce(bia.top_bigram_cnt, 0) AS DOUBLE)
+                       / len(k.t) > 0.2
+                   OR (coalesce(tria.n_trigrams, 0) > 0
+                       AND CAST(tria.dup_trigram_occ AS DOUBLE)
+                           / tria.n_trigrams > 0.18)
+               THEN 1 ELSE 0 END AS rep
+        FROM toks k
+        LEFT JOIN bia ON bia.doc_id = k.doc_id
+        LEFT JOIN tria ON tria.doc_id = k.doc_id
+    )
+    SELECT min(doc_id) AS chunk_min_doc_id,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(SUM(rep) AS BIGINT) AS n_repetitive,
+           CAST(SUM(rep) AS DOUBLE) / count(*) AS repetitive_rate
+    FROM flagged GROUP BY chunk_id
+    """
+
+
+@register(
+    "stream_repetition_monitor",
+    oracle=_REPETITION_MONITOR_ORACLE,
+    tags=("streaming", "quality", "text"),
+)
+def stream_repetition_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch REPETITION rate — the within-document loop gauge
+    deployed incrementally, completing the streaming curation dashboard
+    next to stream_filter_yield_monitor (lexical composition) and
+    stream_contamination_scan (eval overlap): a repetitive-rate spike
+    on one batch means the crawler hit a template farm or a pagination
+    trap in that slice of the crawl.  The per-document metrics are
+    text.repetition_metrics and the keep/drop rule is text.
+    repetition_flag — the SAME construction the batch gate
+    text_repetition_gopher_rules evaluates, imported, not re-written
+    (the shared-kernel discipline the filter monitors follow), and the
+    oracle rebuilds the same ingest slices relationally so stream and
+    batch provably agree per chunk.
+
+    Scale: stateless per trigger — the n-gram aggregations are
+    (doc_id, gram)-keyed with map-side combine INSIDE each batch and
+    collapse to one flag per document; per-trigger driver traffic is
+    two integers.  Zero streaming state, verdicts final per batch,
+    min-doc_id keyed so batch order cannot matter."""
+    from kafka_stream_processing_spark.operators.text import (
+        repetition_flag,
+        repetition_metrics,
+    )
+
+    rows: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        flags = repetition_metrics(
+            batch_df.select("doc_id", "text")
+        ).select("doc_id", repetition_flag().cast("bigint").alias("rep"))
+        agg = flags.agg(
+            F.min("doc_id").alias("k"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rep").alias("nrep"),
+        ).collect()[0]
+        if agg["k"] is None:
+            return
+        rows.append((int(agg["k"]), int(agg["n"]), int(agg["nrep"])))
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "text")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    out = spark.createDataFrame(
+        rows, "chunk_min_doc_id bigint, n_batch bigint, n_repetitive bigint"
+    )
+    return out.select(
+        "chunk_min_doc_id",
+        "n_batch",
+        "n_repetitive",
+        (
+            F.col("n_repetitive").cast("double") / F.col("n_batch")
+        ).alias("repetitive_rate"),
+    )

@@ -311,3 +311,38 @@ def test_frequent_triples_anti_monotone_and_closure(spark, sf_small):
                     ]
                 )
                 assert (t in emitted) == gate
+
+
+# --------------------------------------------- streaming repetition
+
+
+def test_repetition_monitor_chunks_sum_to_batch(spark, sf_small):
+    """The monitor's chunk flags sum to the batch gate's train-side
+    totals, and the shared-kernel guard: both the batch gate and the
+    monitor call repetition_metrics/repetition_flag."""
+    import inspect
+
+    from kafka_stream_processing_spark.operators import text as text_mod
+    from kafka_stream_processing_spark.streaming import joins
+
+    batch = (
+        SPECS["text_repetition_gopher_rules"].fn(spark, sf_small)
+        .filter("source <> 'src0'")
+        .collect()
+    )
+    chunks = SPECS["stream_repetition_monitor"].fn(
+        spark, sf_small
+    ).collect()
+    assert sum(c["n_batch"] for c in chunks) == len(batch)
+    assert sum(c["n_repetitive"] for c in chunks) == sum(
+        1 for r in batch if r["repetitive"]
+    )
+    for fn in (
+        text_mod.text_repetition_gopher_rules,
+        joins.stream_repetition_monitor,
+    ):
+        src = inspect.getsource(
+            fn.__wrapped__ if hasattr(fn, "__wrapped__") else fn
+        )
+        assert "repetition_metrics(" in src
+        assert "repetition_flag(" in src
