@@ -1874,3 +1874,145 @@ def quality_filter_interaction_matrix(
             (n_ok == 3).alias("solely_blocked"),
         )
     )
+
+
+#: Token budget for the water-fill allocation, as a fraction of the
+#: corpus: numerator/denominator of an EXACT rational so the budget is
+#: an integer floor both engines compute identically.
+WATERFILL_BUDGET_NUM = 1
+WATERFILL_BUDGET_DEN = 2
+
+
+@register(
+    "sample_token_budget_waterfill",
+    oracle=f"""
+    WITH supply AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS total,
+               CAST(SUM(s) * {WATERFILL_BUDGET_NUM}
+                    // {WATERFILL_BUDGET_DEN} AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM supply
+    ),
+    ranked AS (
+        SELECT source, s,
+               row_number() OVER (ORDER BY s, source) AS k,
+               coalesce(SUM(s) OVER (ORDER BY s, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS prefix,
+               lag(s, 1, 0) OVER (ORDER BY s, source) AS s_prev
+        FROM supply
+    ),
+    brk AS (
+        SELECT r.k AS brk_k, r.prefix AS brk_prefix,
+               CAST(tot.b - r.prefix AS DOUBLE)
+                   / CAST(tot.n - r.k + 1 AS DOUBLE) AS level
+        FROM ranked r, tot
+        WHERE (tot.b - r.prefix) >= r.s_prev * (tot.n - r.k + 1)
+          AND (tot.b - r.prefix) <= r.s * (tot.n - r.k + 1)
+        ORDER BY r.k
+        LIMIT 1
+    )
+    SELECT r.source,
+           r.s AS supply_tokens,
+           tot.b AS budget_tokens,
+           brk.level AS fill_level,
+           r.k < brk.brk_k AS clamped,
+           CASE WHEN r.k < brk.brk_k THEN CAST(r.s AS DOUBLE)
+                ELSE brk.level END AS allocation_tokens,
+           CASE WHEN r.k < brk.brk_k THEN 1.0
+                ELSE brk.level / CAST(r.s AS DOUBLE) END AS epochs
+    FROM ranked r, tot, brk
+    """,
+    tags=("pipeline", "sampling", "planning"),
+)
+def sample_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget WATER-FILLING across sources — the allocation a
+    data-constrained pretraining run computes when the target mixture
+    wants equal shares but some domains run out of tokens (the repeat-
+    factor planning of data-constrained scaling, Muennighoff et al.
+    2023): given a budget B (here an exact half of the corpus), raise
+    one common fill level L so every source contributes min(supply, L)
+    and the contributions sum to B.  Sources below the level are
+    CLAMPED (epochs = 1.0 — fully consumed); sources above it
+    contribute L tokens (epochs = L/supply < 1).  sample_mixture_
+    weights decides proportions; this op turns proportions plus FINITE
+    supplies into an achievable plan.
+
+    Exactness: supplies and the budget are exact BIGINTs; the unique
+    breakpoint k — the rank where the level lands between the (k-1)th
+    and kth smallest supplies — is selected by CROSS-MULTIPLIED integer
+    inequalities (B - prefix ⋛ s·(n-k+1)), no division; L itself is
+    ONE IEEE division of identical integers, and every output column
+    derives from it per-row.  Boundary ties (level exactly at a
+    supply) admit adjacent k candidates with identical L; both engines
+    take the smallest k (ORDER BY k LIMIT 1 / orderBy.limit(1)), so
+    the clamped set is pinned too.
+
+    Scale: one map-side-combined token-count groupBy (the corpus scan
+    is the whole cost) collapses to |sources| rows; the fill-level
+    search is a window over that tiny table — at 100 TB the plan is
+    scan → per-source partials → O(sources) algebra, no second pass."""
+    d = table(spark, sf_dir, "documents")
+    supply = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("s")
+    )
+    tot = supply.agg(
+        F.sum("s").cast("bigint").alias("total"),
+        # integer DIV, not floor(double): stays exact past 2^53 tokens
+        F.expr(
+            f"CAST(SUM(s) * {WATERFILL_BUDGET_NUM}"
+            f" DIV {WATERFILL_BUDGET_DEN} AS BIGINT)"
+        ).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("s", "source")
+    ranked = supply.select(
+        "source",
+        "s",
+        F.row_number().over(w).alias("k"),
+        F.coalesce(
+            F.sum("s").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prefix"),
+        F.lag("s", 1, 0).over(w).alias("s_prev"),
+    )
+    cand = ranked.crossJoin(F.broadcast(tot))
+    rem = F.col("b") - F.col("prefix")
+    slots = F.col("n") - F.col("k") + 1
+    brk = (
+        cand.filter(
+            (rem >= F.col("s_prev") * slots) & (rem <= F.col("s") * slots)
+        )
+        .orderBy("k")
+        .limit(1)
+        .select(
+            F.col("k").alias("brk_k"),
+            (rem.cast("double") / slots.cast("double")).alias("level"),
+        )
+    )
+    out = ranked.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(brk))
+    clamped = F.col("k") < F.col("brk_k")
+    return out.select(
+        "source",
+        F.col("s").alias("supply_tokens"),
+        F.col("b").alias("budget_tokens"),
+        F.col("level").alias("fill_level"),
+        clamped.alias("clamped"),
+        F.when(clamped, F.col("s").cast("double"))
+        .otherwise(F.col("level"))
+        .alias("allocation_tokens"),
+        F.when(clamped, F.lit(1.0))
+        .otherwise(F.col("level") / F.col("s").cast("double"))
+        .alias("epochs"),
+    )

@@ -312,6 +312,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_permutation_entropy_daily",
     "stream_frequent_triples_stateful",
     "stream_repetition_monitor",
+    "sample_token_budget_waterfill",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -346,3 +346,42 @@ def test_repetition_monitor_chunks_sum_to_batch(spark, sf_small):
         )
         assert "repetition_metrics(" in src
         assert "repetition_flag(" in src
+
+
+# --------------------------------------------- token-budget water-fill
+
+
+def test_waterfill_conservation_and_level(spark, sf_small):
+    """Allocations sum to the budget (within one fill-level ULP per
+    source), clamped sources are exactly the ones below the level,
+    unclamped allocations all equal the level, and a python replay of
+    the water-fill gives the same breakpoint and level."""
+    rows = SPECS["sample_token_budget_waterfill"].fn(
+        spark, sf_small
+    ).collect()
+    b = rows[0]["budget_tokens"]
+    level = rows[0]["fill_level"]
+    assert all(r["fill_level"] == level for r in rows)
+    assert abs(sum(r["allocation_tokens"] for r in rows) - b) < 1e-6 * b
+    for r in rows:
+        if r["clamped"]:
+            assert r["supply_tokens"] <= level + 1e-9
+            assert r["allocation_tokens"] == float(r["supply_tokens"])
+            assert r["epochs"] == 1.0
+        else:
+            assert r["allocation_tokens"] == level
+            assert r["epochs"] <= 1.0 + 1e-12
+    # python replay
+    supplies = sorted(r["supply_tokens"] for r in rows)
+    n = len(supplies)
+    prefix = 0
+    expected_level = None
+    for k, s in enumerate(supplies, start=1):
+        s_prev = supplies[k - 2] if k > 1 else 0
+        rem = b - prefix
+        if s_prev * (n - k + 1) <= rem <= s * (n - k + 1):
+            expected_level = rem / (n - k + 1)
+            break
+        prefix += s
+    assert expected_level is not None
+    assert abs(level - expected_level) < 1e-9
