@@ -124,21 +124,21 @@ def _load() -> None:
 #: which queries get fresh evidence — the safety net is that
 #: tests/test_oracle_parity.py sweeps ALL registered queries with the
 #: identical differential check every round regardless.
-#: Round-9 table (VERDICT r08 items 1-2): cumulative driver coverage
-#: entering r09 is 240/384 (the r08 HANDOFF's "269 after r08" was bad
-#: arithmetic — the 17 r02-stale slots were re-confirmations, not new
-#: coverage).  This table pins the 12 reference-parity (§2) slots, then
-#: 38 never-driver-checked names: the first 34 of the backlog slice in
-#: registration order (quality_psi_drift .. window_holt_linear_smoothing,
-#: which includes multimodal_payload_dedup/multimodal_resize), plus the
-#: 4 highest scale-risk ops promoted per VERDICT r08 item 2
-#: (multimodal_phash_near_dup + the TwoNN/hubness trio, shortlist
-#: first).  Target cumulative coverage after r09: 278/384 (72%); the
-#: remaining 106 never-checked names follow below rank 50 (the 4 window
-#: ops deferred by the promotion lead, then registration order, then
-#: the r08 additions) so r10/r11 stay pure slices; clears ~r12.  New
-#: registrations stay CAPPED below ~20/round until then; r09 additions
-#: append at the very END of this table.
+#: Round-10 table (VERDICT r09 item 1).  Two ledger counters, kept
+#: SEPARATE per VERDICT r09 item 3 (both reproduce from the union over
+#: CORRECTNESS_r01..r09.json — see tools/coverage_ledger.py):
+#:   driver-CHECKED entering r10:    278/384  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r10: 272/384  (the rotation currency)
+#: This table pins the 12 reference-parity (§2) slots, then the next 38
+#: never-hash-green names in backlog order (the 4 promotion-deferred
+#: window ops window_classical_decomposition ..
+#: window_pettitt_changepoint first, then registration order) — all 38
+#: were pre-checked green at sf0.01 on the final r09 tree.  Target
+#: hash-green after r10: 310/384 (81%); the remaining 74 backlog names
+#: follow below rank 50 (registration order, r08/r09 additions last) so
+#: r11 takes the next 38-slice and the backlog clears ~r12.  New
+#: registrations stay CAPPED below ~20/round; r10 additions append at
+#: the very END of this table.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -153,51 +153,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "filter_project_events",
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
-    # -- 38 never-driver-checked (ranks 13-50): 34-name backlog
-    # -- slice + 4 promoted scale-risk ops (VERDICT r08 item 2) --
-    "quality_psi_drift",
-    "quality_cramers_v_assoc",
-    "quality_two_proportion_ztest",
-    "window_seasonal_naive_backtest",
-    "window_theil_sen_trend",
-    "window_acf_daily_revenue",
-    "graph_bfs_hops_from_source",
-    "stream_psi_monitor",
-    "quality_mutual_information",
-    "quality_spearman_corr",
-    "quality_pearson_corr_lineitem",
-    "quality_isotonic_calibration",
-    "stream_ab_ztest_monitor",
-    "quality_cohens_kappa_langid",
-    "text_word_burstiness",
-    "window_rolling_zscore_anomalies",
-    "window_kaplan_meier_retention",
-    "quality_runs_test_daily",
-    "window_lorenz_curve_customers",
-    "window_debounce_events",
-    "join_skyline_parts",
-    "graph_degree_assortativity",
-    "text_bigram_pmi_collocations",
-    "quality_jarque_bera_nchars",
-    "window_mann_kendall_trend",
-    "embedding_pca_block_iteration_top3",
-    "stream_isotonic_recalibration",
-    "sample_dsir_ess_diagnostic",
-    "quality_kendall_tau_corr",
-    "window_km_retention_by_cohort",
-    "text_keyness_loglikelihood",
-    "multimodal_payload_dedup",
-    "multimodal_resize",
-    "window_holt_linear_smoothing",
-    "multimodal_phash_near_dup",
-    "embedding_twonn_ivf_shortlist",
-    "embedding_intrinsic_dimension_twonn",
-    "embedding_hubness_audit",
-    # ---------------------------------------------------------------
-    # entries below rank 50 get no driver row this round: the 106
-    # remaining never-driver-checked names (4 promotion-deferred
-    # window ops first, then registration order, r08 additions last);
-    # the r10/r11 rotations take the next 38+12 slices from here.
+    # -- 38 never-hash-green (ranks 13-50): the r10 backlog slice,
+    # -- pre-checked green at sf0.01 on the final r09 tree --
     "window_classical_decomposition",
     "window_holt_winters_additive",
     "window_pacf_daily_revenue",
@@ -236,6 +193,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_record_days_trend",
     "quality_capture_recapture_users",
     "window_hw_skill_vs_naive",
+    # ---------------------------------------------------------------
+    # entries below rank 50 get no driver row this round: the 74
+    # remaining never-hash-green names (registration order, r08/r09
+    # additions last); r11 takes the next 38-slice from here.
     "graph_rich_club_coefficient",
     "window_intraday_seasonal_profile",
     "window_user_growth_curve",
@@ -271,7 +232,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_energy_distance_drift",
     "sample_temperature_sweep",
     "quality_filter_interaction_matrix",
-    "join_attribution_markov_removal",
     "agg_apriori_frequent_triples",
     "text_readability_ari_cli",
     "text_mcnemar_langid_vs_majority",
@@ -304,8 +264,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_cucconi_drift",
     "quality_mood_scale_drift",
     "quality_lm_train_heldout_gap",
-    # -- new in r09 (targeted differential green at sf0.001+sf0.01;
-    # -- driver rows queue behind the coverage backlog) --
     "quality_ansari_bradley_drift",
     "quality_dcor_length_vocab",
     "text_repetition_gopher_rules",

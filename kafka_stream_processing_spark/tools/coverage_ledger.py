@@ -1,0 +1,77 @@
+"""Reproduce the driver-coverage ledger from CORRECTNESS_r*.json.
+
+VERDICT r09 item 3: the rotation math must be computed from TWO explicit
+counters, not one —
+
+- ``driver-checked``: names with at least one driver row that ran without
+  an engine error (hash-green rows PLUS rows-only ``err == "no_oracle"``
+  rows, which are the by-design non-SQL-expressible queries);
+- ``driver-hash-green``: names with at least one ``hash_match: true``
+  row.  THIS is the currency the rotation targets — the backlog is
+  "registered with an oracle, never hash-green".
+
+Run from the repo root::
+
+    python -m kafka_stream_processing_spark.tools.coverage_ledger
+
+Prints both counters, the rows-only set, and the ordered backlog
+(current ``all_specs()`` iteration order), so HANDOFF.md numbers can be
+checked against it verbatim.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+
+def compute(repo_root: str = ".") -> dict:
+    hash_green: set[str] = set()
+    rows_only: set[str] = set()
+    errored: dict[str, str] = {}
+    files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+    for f in files:
+        with open(f) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if row.get("hash_match") is True:
+                hash_green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                rows_only.add(name)
+            elif row.get("err"):
+                errored[name] = f"{os.path.basename(f)}: {row['err']}"
+    rows_only -= hash_green
+    return {
+        "files": [os.path.basename(f) for f in files],
+        "hash_green": sorted(hash_green),
+        "rows_only": sorted(rows_only),
+        "checked": len(hash_green) + len(rows_only),
+        "errored": errored,
+    }
+
+
+def main() -> None:
+    from kafka_stream_processing_spark import registry
+
+    ledger = compute()
+    specs = registry.all_specs()
+    with_oracle = [n for n, s in specs.items() if s.oracle is not None]
+    green = set(ledger["hash_green"])
+    backlog = [n for n in with_oracle if n not in green]
+    print(f"correctness files: {len(ledger['files'])} "
+          f"({ledger['files'][0]} .. {ledger['files'][-1]})")
+    print(f"registered: {len(specs)}  with-oracle: {len(with_oracle)}")
+    print(f"driver-checked:    {ledger['checked']}/{len(with_oracle)} "
+          f"(incl {len(ledger['rows_only'])} rows-only: "
+          f"{', '.join(ledger['rows_only'])})")
+    print(f"driver-hash-green: {len(green)}/{len(with_oracle)}")
+    if ledger["errored"]:
+        print(f"ERRORED rows (should be empty): {ledger['errored']}")
+    print(f"backlog (never hash-green, rotation order): {len(backlog)}")
+    for n in backlog:
+        print(f"  {n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -129,21 +129,97 @@ def test_js_divergence_sparse_no_vocab_grid(spark, sf_small):
 
 
 def test_simhash_banded_not_cartesian(spark, sf_small):
-    """The banded SimHash must candidate-join on (band, nibble) — no
-    cartesian/nested-loop stage (VERDICT.md item 3) — and produce the
-    exact pair set of the all-pairs formulation (hamming<=1 pairs share
-    >=3 of 4 nibbles, so banding loses nothing)."""
+    """The banded SimHash must candidate-join on (band, bandval) — no
+    cartesian/nested-loop stage — and banding must be LOSSLESS against
+    the 64-bit all-pairs formulation: Hamming <= 3 flips at most 3 of
+    the 4 16-bit bands, so every true near-pair agrees exactly on >= 1
+    band (Manku et al. pigeonhole; r09 VERDICT item 1)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.operators.dedup import (
+        SIMHASH64_MAX_HAMMING,
+        SIMHASH64_N_BANDS,
+        _simhash64_band_values,
+    )
+
     specs = registry.all_specs()
     banded_df = specs["dedup_simhash_banded"].fn(spark, sf_small)
     rep = plan_report(banded_df)
     assert "BroadcastNestedLoopJoin" not in rep.text, rep.text[:4000]
     assert "CartesianProduct" not in rep.text, rep.text[:4000]
 
-    allpairs = {
-        tuple(r) for r in specs["dedup_simhash"].fn(spark, sf_small).collect()
-    }
+    # All-pairs twin over the SAME 64-bit signatures (test-only: the
+    # quadratic formulation exists nowhere in the registered surface).
+    sims = _simhash64_band_values(spark, sf_small)
+    a, b = sims.alias("a"), sims.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(SIMHASH64_N_BANDS)
+    )
+    allpairs_df = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH64_MAX_HAMMING)
+    )
+    allpairs = {tuple(r) for r in allpairs_df.collect()}
     banded = {tuple(r) for r in banded_df.collect()}
     assert banded == allpairs
+    assert allpairs, "fixture should contain at least one near-dup pair"
+
+
+def test_simhash_banded_key_cardinality(spark, sf_small):
+    """The r09 nibble banding was quadratic because its entire join-key
+    domain was 4 bands × 16 nibble values = 64 keys — every bucket held
+    ~n/16 of the corpus regardless of corpus size.  Pin the fix: with
+    16-bit bands the observed key cardinality must SCALE with the corpus
+    (unrelated docs draw ~uniform band values over 2¹⁶), and no bucket
+    may hold a corpus-fraction of docs (the embedding-dedup bucket-pin
+    pattern, test_embedding_dedup_buckets_not_nested_loop)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.operators.dedup import (
+        SIMHASH64_N_BANDS,
+        _simhash64_band_values,
+    )
+
+    sims = _simhash64_band_values(spark, sf_small).cache()
+    try:
+        n_docs = sims.count()
+        bands = sims.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            F.col(f"b{k}").alias("bandval"),
+                        )
+                        for k in range(SIMHASH64_N_BANDS)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.band", "e.bandval")
+        per_bucket = bands.groupBy("band", "bandval").count()
+        stats = per_bucket.agg(
+            F.count(F.lit(1)).alias("n_keys"), F.max("count").alias("max_df")
+        ).first()
+        # Old nibble scheme: n_keys <= 64 no matter the corpus.  New
+        # scheme at n docs over 2^16 values: near-distinct band values
+        # (collisions only from true near-dups + birthday-rate noise).
+        assert stats.n_keys >= SIMHASH64_N_BANDS * n_docs * 0.5, (
+            f"band-key cardinality {stats.n_keys} does not scale with "
+            f"corpus ({n_docs} docs) — banding has degenerated"
+        )
+        # No bucket holds a corpus-fraction: the quadratic scheme put
+        # ~n/16 docs in every bucket; real near-dup clusters are tiny.
+        assert stats.max_df <= max(8, n_docs // 16), (
+            f"largest band bucket holds {stats.max_df} of {n_docs} docs"
+        )
+    finally:
+        sims.unpersist()
 
 
 def test_q6_is_pure_pushdown_single_exchange(spark, sf_small):
