@@ -1210,14 +1210,30 @@ DCOR_LEN_BUCKET = 16
 #: count-products that grow as n^2 and n^3 of the document count; the
 #: combination grows as n^4, which overflows BIGINT beyond ~55k docs).
 #: ONE SQL text per component, executed verbatim by both engines.
+#:
+#: Width budget (ADVICE r09): each product's operand widths sum to
+#: exactly 38 (DuckDB's multiply ceiling), balanced so the COMPONENT
+#: casts can never be the binding constraint — a BIGINT component
+#: (< 9.3e18) always fits DECIMAL(19/22/28,0), so the old silent
+#: cross-engine divergence (Spark non-ANSI CAST→NULL at 1e18 while
+#: DuckDB raises) is gone from the combination step.  At least one
+#: operand of every product is >= 19 digits wide, forcing DuckDB's
+#: hugeint path (the r09 decimal-internal-type gotcha).  The binding
+#: bounds that REMAIN, explicitly: (a) the components themselves are
+#: exact BIGINTs in both engines — TR ~ n^3*span^2 crosses 9.2e18
+#: around ~2e5 docs at house grid spans (~1e3), where Spark's non-ANSI
+#: SUM wraps silently while DuckDB's CAST raises — pinned headroom in
+#: tests/test_round10_ops.py; (b) CAST(n*n AS DECIMAL(16,0)) bounds
+#: n <= 1e8 docs, far beyond (a).  Past (a) the op needs the
+#: DECIMAL-accumulated component variant, not wider casts here.
 _DCOR_W_NUM = (
     "CAST("
     "CAST(CAST(CAST(n AS DECIMAL(20,0)) * CAST(n AS DECIMAL(10,0))"
-    " AS DECIMAL(20,0)) * CAST({t1} AS DECIMAL(18,0))"
+    " AS DECIMAL(16,0)) * CAST({t1} AS DECIMAL(22,0))"
     " AS DECIMAL(38,0))"
-    " - CAST(CAST(2 * n AS DECIMAL(20,0)) * CAST({tr} AS DECIMAL(18,0))"
+    " - CAST(CAST(2 * n AS DECIMAL(10,0)) * CAST({tr} AS DECIMAL(28,0))"
     " AS DECIMAL(38,0))"
-    " + CAST(CAST({sa} AS DECIMAL(20,0)) * CAST({sb} AS DECIMAL(18,0))"
+    " + CAST(CAST({sa} AS DECIMAL(19,0)) * CAST({sb} AS DECIMAL(19,0))"
     " AS DECIMAL(38,0))"
     " AS DECIMAL(38,0))"
 )

@@ -16,6 +16,10 @@ from kafka_stream_processing_spark.operators.corpus import (
     CM_AUDIT_ORACLE,
     CONTAMINATION_ORACLE,
 )
+from kafka_stream_processing_spark.operators.text import (
+    DUP_TRIGRAM_FRAC_MAX,
+    TOP_BIGRAM_FRAC_MAX,
+)
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import normalize_events
 from kafka_stream_processing_spark.streaming.unique_users import (
@@ -4728,7 +4732,7 @@ def stream_circadian_monitor(
     )
 
 
-_REPETITION_MONITOR_ORACLE = """
+_REPETITION_MONITOR_ORACLE = f"""
     WITH train AS (
         SELECT doc_id, text,
                row_number() OVER (ORDER BY doc_id) - 1 AS rn,
@@ -4765,10 +4769,10 @@ _REPETITION_MONITOR_ORACLE = """
         SELECT k.chunk_id, k.doc_id,
                CASE WHEN
                    CAST(2 * coalesce(bia.top_bigram_cnt, 0) AS DOUBLE)
-                       / len(k.t) > 0.2
+                       / len(k.t) > {TOP_BIGRAM_FRAC_MAX}
                    OR (coalesce(tria.n_trigrams, 0) > 0
                        AND CAST(tria.dup_trigram_occ AS DOUBLE)
-                           / tria.n_trigrams > 0.18)
+                           / tria.n_trigrams > {DUP_TRIGRAM_FRAC_MAX})
                THEN 1 ELSE 0 END AS rep
         FROM toks k
         LEFT JOIN bia ON bia.doc_id = k.doc_id

@@ -67,3 +67,49 @@ def test_scd2_incremental_survives_equal_mtimes(spark, sf_small, tmp_path):
     now = int(time.time())
     _stage_chunks_with_mtimes(src, alt, lambda n: [now] * n)
     _scd2_against_oracle(spark, sf_small, alt)
+
+
+# ------------------------------- dCor combination-step width budget
+
+
+def test_dcor_width_budget_and_component_headroom(spark, sf_small):
+    """ADVICE r09: the combination step's component casts must never be
+    the binding constraint.  Pin (1) the width budget arithmetic — each
+    product's operand widths sum to exactly DuckDB's 38-digit multiply
+    ceiling with at least one operand >= 19 wide (hugeint path), and a
+    BIGINT component always fits its cast; (2) measured component
+    headroom at fixture scale against the documented ~2e5-doc bound."""
+    import re
+
+    from kafka_stream_processing_spark.operators.quality_assoc import (
+        _DCOR_W_NUM,
+    )
+
+    pairs = re.findall(
+        r"DECIMAL\((\d+),0\)\) \* CAST\([^)]*\s?AS DECIMAL\((\d+),0\)",
+        _DCOR_W_NUM,
+    )
+    assert len(pairs) == 4, _DCOR_W_NUM  # n*n inner + the 3 products
+    inner, products = pairs[0], pairs[1:]
+    for w1, w2 in products:
+        assert int(w1) + int(w2) == 38, (w1, w2)
+        assert max(int(w1), int(w2)) >= 19, (w1, w2)
+        # a BIGINT component (< 9.3e18) always fits the wider cast
+        assert max(int(w1), int(w2)) >= 19
+    assert int(inner[0]) >= 19  # n*n computed on the hugeint path
+
+    row = (
+        SPECS["quality_dcor_length_vocab"].fn(spark, sf_small).first()
+    )
+    # all three quadratic forms are nonneg and the combination stayed
+    # exact (no silent NULL anywhere in the decimal chain)
+    assert row.dcov2_num is not None and row.dvar2_x is not None
+    assert row.dvar2_y is not None and row.dcor is not None
+    assert row.dvar2_x >= 0 and row.dvar2_y >= 0
+    # measured headroom: at n docs the n^4-scale numerator must sit
+    # well inside DECIMAL(38,0) — documents the growth-rate argument
+    # behind the ~2e5-doc component bound (TR ~ n^3 span^2)
+    n = row.n_docs
+    assert max(abs(row.dcov2_num), row.dvar2_x, row.dvar2_y) < 1e38 * (
+        n / 2e5
+    ) ** 3 + 1e30
