@@ -1252,16 +1252,10 @@ _DCOR_W_FINAL = (
 )
 
 
-@register(
-    "quality_dcor_length_vocab",
-    oracle="""
-    WITH docs AS (
-        SELECT CAST(n_chars // {B} AS BIGINT) AS xv,
-               CAST(len(list_distinct(string_split(text, ' ')))
-                    AS BIGINT) AS yv
-        FROM documents
-    ),
-    cells AS (
+#: Shared grid tail of the weighted-grid dCor oracles: everything from
+#: the (xv, yv, m) cell collapse through the exact-decimal combination —
+#: the docs CTE (which axes, which bucketing) is the only per-op part.
+_DCOR_GRID_TAIL = """cells AS (
         SELECT xv, yv, CAST(count(*) AS BIGINT) AS m
         FROM docs GROUP BY 1, 2
     ),
@@ -1295,50 +1289,26 @@ _DCOR_W_FINAL = (
            CAST({VY} AS DOUBLE) AS dvar2_y,
            {FINAL} AS dcor
     FROM tot, pair_sums, cross_sums
-    """.replace("{B}", str(DCOR_LEN_BUCKET))
-    .replace("{NUM}", _DCOR_W_PARTS["dcov2_num"])
-    .replace("{VX}", _DCOR_W_PARTS["dvar2_x"])
-    .replace("{VY}", _DCOR_W_PARTS["dvar2_y"])
-    .replace("{FINAL}", _DCOR_W_FINAL),
-    tags=("quality", "statistics", "text"),
-)
-def quality_dcor_length_vocab(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Distance correlation between document LENGTH (n_chars, bucketed)
-    and per-document VOCABULARY size — the weighted-grid deployment the
-    hourly dCor kernel's docstring promises: dCor = 0 iff the two
-    quality signals are independent, so a corpus whose vocabulary
-    saturates nonlinearly with length (the usual shape — Pearson reads
-    it near zero once the saturation flattens) still shows up.  A data
-    curator uses this to decide whether length and lexical diversity
-    are separate filter axes or one.
+    """
 
-    Unlike quality_distance_correlation_hourly (one row per hour), the
-    input here is one row per DOCUMENT, so the pair kernel cannot run
-    on rows: documents collapse to the (length-bucket x vocab) VALUE
-    GRID with multiplicity m per cell, and every V-statistic becomes a
-    multiplicity-weighted grid sum — the identity n^4*dCov^2 =
-    n^2*Sum(m_i*m_j*a_ij*b_ij) - 2n*Sum(m_i*r_i*s_i) + (Sa)(Sb) holds
-    verbatim with r_i the weighted row sums.  Components stay exact
-    BIGINTs (bounded by n^3 * grid-span ~ 1e17 at 5e4 docs); the n^4
-    combination step runs in DECIMAL(38,0) via ONE shared SQL text
-    (_DCOR_W_NUM) because it overflows BIGINT beyond ~55k documents —
-    the cast to DOUBLE happens once, on identical exact decimals.
 
-    Scale: one map-side-combined groupBy collapses the corpus to the
-    grid (<= (max_chars/16) * max_vocab cells ~ 1.2k here); the O(g^2)
-    pair kernel never touches corpus rows.  At 100 TB the grid is the
-    same size — the scan dominates and is one pass."""
-    d = table(spark, sf_dir, "documents")
-    docs = d.select(
-        (F.col("n_chars") / DCOR_LEN_BUCKET)
-        .cast("bigint")
-        .alias("xv"),
-        F.size(F.array_distinct(F.split(F.col("text"), " ")))
-        .cast("bigint")
-        .alias("yv"),
+def _dcor_grid_oracle(docs_cte: str) -> str:
+    """Full oracle text for a weighted-grid dCor op: per-op docs CTE
+    (must yield columns xv, yv) + the shared exact-combination tail."""
+    return (
+        ("\n    WITH docs AS (" + docs_cte + "\n    ),\n    "
+         + _DCOR_GRID_TAIL)
+        .replace("{NUM}", _DCOR_W_PARTS["dcov2_num"])
+        .replace("{VX}", _DCOR_W_PARTS["dvar2_x"])
+        .replace("{VY}", _DCOR_W_PARTS["dvar2_y"])
+        .replace("{FINAL}", _DCOR_W_FINAL)
     )
+
+
+def _dcor_from_grid(docs: DataFrame) -> DataFrame:
+    """Spark side of the shared grid kernel: collapse (xv, yv) docs to
+    the multiplicity grid, run the O(g^2) pair kernel on CELLS, and
+    combine through the exact decimal identity (_DCOR_W_NUM)."""
     cells = docs.groupBy("xv", "yv").agg(
         F.count(F.lit(1)).cast("bigint").alias("m")
     )
@@ -1388,3 +1358,137 @@ def quality_dcor_length_vocab(
         .alias("dvar2_y"),
         F.expr(_DCOR_W_FINAL).alias("dcor"),
     )
+
+
+@register(
+    "quality_dcor_length_vocab",
+    oracle=_dcor_grid_oracle(
+        """
+        SELECT CAST(n_chars // {B} AS BIGINT) AS xv,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS yv
+        FROM documents""".replace("{B}", str(DCOR_LEN_BUCKET))
+    ),
+    tags=("quality", "statistics", "text"),
+)
+def quality_dcor_length_vocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distance correlation between document LENGTH (n_chars, bucketed)
+    and per-document VOCABULARY size — the weighted-grid deployment the
+    hourly dCor kernel's docstring promises: dCor = 0 iff the two
+    quality signals are independent, so a corpus whose vocabulary
+    saturates nonlinearly with length (the usual shape — Pearson reads
+    it near zero once the saturation flattens) still shows up.  A data
+    curator uses this to decide whether length and lexical diversity
+    are separate filter axes or one.
+
+    Unlike quality_distance_correlation_hourly (one row per hour), the
+    input here is one row per DOCUMENT, so the pair kernel cannot run
+    on rows: documents collapse to the (length-bucket x vocab) VALUE
+    GRID with multiplicity m per cell, and every V-statistic becomes a
+    multiplicity-weighted grid sum — the identity n^4*dCov^2 =
+    n^2*Sum(m_i*m_j*a_ij*b_ij) - 2n*Sum(m_i*r_i*s_i) + (Sa)(Sb) holds
+    verbatim with r_i the weighted row sums.  Components stay exact
+    BIGINTs (bounded by n^3 * grid-span ~ 1e17 at 5e4 docs); the n^4
+    combination step runs in DECIMAL(38,0) via ONE shared SQL text
+    (_DCOR_W_NUM) because it overflows BIGINT beyond ~55k documents —
+    the cast to DOUBLE happens once, on identical exact decimals.
+
+    Scale: one map-side-combined groupBy collapses the corpus to the
+    grid (<= (max_chars/16) * max_vocab cells ~ 1.2k here); the O(g^2)
+    pair kernel never touches corpus rows.  At 100 TB the grid is the
+    same size — the scan dominates and is one pass."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        (F.col("n_chars") / DCOR_LEN_BUCKET)
+        .cast("bigint")
+        .alias("xv"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("yv"),
+    )
+    return _dcor_from_grid(docs)
+
+
+#: Token-count bucket width for the tokens×violations dCor grid —
+#: same role as DCOR_LEN_BUCKET on the length axis.
+DCOR_TOK_BUCKET = 8
+
+
+@register(
+    "quality_dcor_tokens_violations",
+    oracle=_dcor_grid_oracle(
+        """
+        SELECT CAST(n_words // {B} AS BIGINT) AS xv,
+               CAST((CASE WHEN n_words >= 30 THEN 0 ELSE 1 END)
+                  + (CASE WHEN total_chars >= 3 * n_words
+                          AND total_chars <= 8 * n_words
+                     THEN 0 ELSE 1 END)
+                  + (CASE WHEN n_top * 8 <= n_words THEN 0 ELSE 1 END)
+                  + (CASE WHEN n_stop >= 1 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS yv
+        FROM (
+            SELECT len(string_split(text, ' ')) AS n_words,
+                   CAST(list_aggregate(
+                       list_transform(string_split(text, ' '),
+                                      w -> length(w)), 'sum')
+                        AS BIGINT) AS total_chars,
+                   list_max(list_transform(
+                       list_distinct(string_split(text, ' ')),
+                       w -> len(list_filter(string_split(text, ' '),
+                                            t -> t = w)))) AS n_top,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('the', 'a', 'of', 'and',
+                                              'to', 'in'))) AS n_stop
+            FROM documents
+        )""".replace("{B}", str(DCOR_TOK_BUCKET))
+    ),
+    tags=("quality", "statistics", "text", "pipeline"),
+)
+def quality_dcor_tokens_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distance correlation between document TOKEN COUNT (bucketed) and
+    the number of Gopher-rule VIOLATIONS (0-4, the same four rules as
+    quality_gopher_filters / quality_filter_interaction_matrix) — the
+    HANDOFF r09 seed: the weighted-grid dCor kernel deployed on a
+    second exact-integer pair.  The interaction matrix says WHICH rule
+    combinations co-fire; this one number says whether quality failure
+    is a length phenomenon AT ALL (dCor ~ 0 ⇒ the rule chain prunes
+    independently of length, so a length filter adds information;
+    large dCor ⇒ the violations are length-driven and a second length
+    cut would double-count).
+
+    Exactness: token counts and violation counts are exact integers
+    from the SHARED gopher_feature_columns kernel (the Spark side) and
+    its verbatim SQL (the oracle side), so the grid, every V-statistic
+    component, and the DECIMAL(38,0) combination are bit-identical —
+    the whole op rides _dcor_from_grid / _dcor_grid_oracle, ONE kernel
+    text with quality_dcor_length_vocab.
+
+    Scale: identical to the length×vocab deployment — one map-side
+    groupBy to the (token-bucket × violations) grid (y-span is 5, so
+    the grid is ~5× the token-bucket count), O(g²) pair kernel on
+    cells, never corpus rows."""
+    from kafka_stream_processing_spark.operators.pipeline import (
+        gopher_feature_columns,
+    )
+    from kafka_stream_processing_spark.sources.tables import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    feats = d.select(*gopher_feature_columns())
+    violations = (
+        (F.col("n_words") < 30).cast("int")
+        + (
+            (F.col("total_chars") < 3 * F.col("n_words"))
+            | (F.col("total_chars") > 8 * F.col("n_words"))
+        ).cast("int")
+        + (F.col("n_top") * 8 > F.col("n_words")).cast("int")
+        + (F.col("n_stop") < 1).cast("int")
+    )
+    docs = feats.select(
+        (F.col("n_words") / DCOR_TOK_BUCKET).cast("bigint").alias("xv"),
+        violations.cast("bigint").alias("yv"),
+    )
+    return _dcor_from_grid(docs)

@@ -6589,3 +6589,160 @@ def window_permutation_entropy_daily(
             "perm_entropy_norm"
         ),
     )
+
+
+#: Time-delay (stride) scales for the multiscale deployment below.
+#: Stride-s ordinal patterns — triples (x_t, x_{t+s}, x_{t+2s}) — keep
+#: every comparison on the EXACT decimal daily revenues (the standard
+#: coarse-graining alternative averages s-blocks, which would reintroduce
+#: cross-engine float drift the m=3 kernel was built to avoid).
+MPE_SCALES = (1, 2, 3, 5)
+
+
+def _mpe_oracle() -> str:
+    offsets = sorted({k * s for s in MPE_SCALES for k in (1, 2)})
+    leads = ",\n               ".join(
+        f"lead(rev, {k}) OVER (ORDER BY day) AS l{k}" for k in offsets
+    )
+    branches = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({s} AS BIGINT) AS scale,
+               CASE WHEN l{s} < x0 THEN 1 ELSE 0 END AS a,
+               CASE WHEN l{2 * s} < x0 THEN 1 ELSE 0 END AS b,
+               CASE WHEN l{2 * s} < l{s} THEN 1 ELSE 0 END AS c
+        FROM lagged WHERE l{2 * s} IS NOT NULL"""
+        for s in MPE_SCALES
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT rev AS x0,
+               {leads}
+        FROM daily
+    ),
+    pat AS (
+{branches}
+    ),
+    counts AS (
+        SELECT scale,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN a=0 AND b=0 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS p012,
+               CAST(SUM(CASE WHEN a=0 AND b=0 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS p021,
+               CAST(SUM(CASE WHEN a=1 AND b=0 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS p102,
+               CAST(SUM(CASE WHEN a=1 AND b=1 AND c=0 THEN 1 ELSE 0 END) AS BIGINT) AS p120,
+               CAST(SUM(CASE WHEN a=0 AND b=1 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS p201,
+               CAST(SUM(CASE WHEN a=1 AND b=1 AND c=1 THEN 1 ELSE 0 END) AS BIGINT) AS p210
+        FROM pat GROUP BY scale
+    )
+    SELECT scale, n_windows, p012, p021, p102, p120, p201, p210,
+           {{H_EXPR}} AS perm_entropy,
+           ({{H_EXPR}}) / ln(6.0) AS perm_entropy_norm
+    FROM counts
+    """.replace("{H_EXPR}", _PERM_ENTROPY_EXPR)
+
+
+@register(
+    "window_multiscale_permutation_entropy",
+    oracle=_mpe_oracle(),
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_multiscale_permutation_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiscale permutation entropy of daily revenue: the m=3
+    Bandt-Pompe kernel above evaluated at time-delay strides s ∈
+    {1, 2, 3, 5} — one entropy reading per scale.  The single-scale op
+    answers "is the day-to-day dynamic noise?"; the multiscale profile
+    separates WHERE the structure lives: weekly seasonality shows as an
+    entropy dip near its period's divisors while white noise stays flat
+    across scales, and a profile that falls with s is the classic
+    signature of long-range correlation (Costa-style multiscale
+    reading, on ordinal patterns).
+
+    Exactness: stride-s triples (x_t, x_{t+s}, x_{t+2s}) compare the
+    EXACT decimal daily sums — no coarse-grain averaging, so every
+    comparison, count, and the ONE shared entropy SQL text
+    (_PERM_ENTROPY_EXPR) are bit-identical across engines, per scale.
+
+    Scale: same shape as the single-scale op — one map-side-combined
+    groupBy to the day grid, ONE ordered-window pass computing all
+    max(2s) leads at once, then a |scales| × grid explode and a
+    6-column conditional aggregate per scale.  The window still runs on
+    the span-bounded day grid (~2.4k rows), never corpus rows."""
+    from pyspark.sql import Window
+
+    offsets = sorted({k * s for s in MPE_SCALES for k in (1, 2)})
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("rev").alias("x0"),
+        *[F.lead("rev", k).over(w).alias(f"l{k}") for k in offsets],
+    )
+    stacked = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("bigint").alias("scale"),
+                            F.col("x0").alias("x0"),
+                            F.col(f"l{s}").alias("x1"),
+                            F.col(f"l{2 * s}").alias("x2"),
+                        )
+                        for s in MPE_SCALES
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .filter(F.col("x2").isNotNull())
+    )
+    pat = stacked.select(
+        "scale",
+        (F.col("x1") < F.col("x0")).cast("int").alias("a"),
+        (F.col("x2") < F.col("x0")).cast("int").alias("b"),
+        (F.col("x2") < F.col("x1")).cast("int").alias("c"),
+    )
+    flags = {
+        "p012": (0, 0, 0),
+        "p021": (0, 0, 1),
+        "p102": (1, 0, 0),
+        "p120": (1, 1, 0),
+        "p201": (0, 1, 1),
+        "p210": (1, 1, 1),
+    }
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_windows")]
+    for name, (av, bv, cv) in flags.items():
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("a") == av)
+                    & (F.col("b") == bv)
+                    & (F.col("c") == cv),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    counts = pat.groupBy("scale").agg(*aggs)
+    return counts.select(
+        "scale",
+        "n_windows",
+        "p012",
+        "p021",
+        "p102",
+        "p120",
+        "p201",
+        "p210",
+        F.expr(_PERM_ENTROPY_EXPR).alias("perm_entropy"),
+        F.expr(f"({_PERM_ENTROPY_EXPR}) / ln(6.0)").alias(
+            "perm_entropy_norm"
+        ),
+    )

@@ -271,6 +271,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_frequent_triples_stateful",
     "stream_repetition_monitor",
     "sample_token_budget_waterfill",
+    # -- new in r10 (targeted differential green at sf0.001+sf0.01;
+    # -- driver rows queue behind the coverage backlog) --
+    "window_multiscale_permutation_entropy",
+    "quality_dcor_tokens_violations",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -7,6 +7,8 @@ import os
 import shutil
 import time
 
+import pyspark.sql.functions as F
+
 from kafka_stream_processing_spark.registry import all_specs
 from tests.oracle_util import compare_frames, duckdb_connection
 
@@ -113,3 +115,99 @@ def test_dcor_width_budget_and_component_headroom(spark, sf_small):
     assert max(abs(row.dcov2_num), row.dvar2_x, row.dvar2_y) < 1e38 * (
         n / 2e5
     ) ** 3 + 1e30
+
+
+# ----------------------------- multiscale permutation entropy
+
+
+def test_mpe_scale1_equals_single_scale_op(spark, sf_small):
+    """The stride-1 row of the multiscale op must reproduce the
+    single-scale op exactly (same kernel, same fold) — the
+    shared-kernel guard."""
+    single = (
+        SPECS["window_permutation_entropy_daily"]
+        .fn(spark, sf_small)
+        .first()
+        .asDict()
+    )
+    multi = {
+        r.scale: r.asDict()
+        for r in SPECS["window_multiscale_permutation_entropy"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    s1 = dict(multi[1])
+    s1.pop("scale")
+    assert s1 == single
+
+
+def test_mpe_counts_and_entropy_laws(spark, sf_small):
+    """Per scale: pattern counts partition the windows, entropy is in
+    [0, ln 6], and longer strides see fewer windows (2s fewer rows
+    survive the lead-null filter per extra stride unit)."""
+    import math
+
+    from kafka_stream_processing_spark.operators.windowed import (
+        MPE_SCALES,
+    )
+
+    rows = {
+        r.scale: r
+        for r in SPECS["window_multiscale_permutation_entropy"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert sorted(rows) == sorted(MPE_SCALES)
+    n_prev = None
+    for s in sorted(rows):
+        r = rows[s]
+        parts = r.p012 + r.p021 + r.p102 + r.p120 + r.p201 + r.p210
+        assert parts == r.n_windows, (s, parts, r.n_windows)
+        assert 0.0 <= r.perm_entropy <= math.log(6.0) + 1e-12
+        assert 0.0 <= r.perm_entropy_norm <= 1.0 + 1e-12
+        if n_prev is not None:
+            assert r.n_windows < n_prev  # strictly fewer windows per s
+        n_prev = r.n_windows
+
+
+# ----------------------------- dCor tokens x violations
+
+
+def test_dcor_tokens_violations_consistent_with_interaction_matrix(
+    spark, sf_small
+):
+    """Shared-kernel guard: the zero-violation document count implied
+    by the dCor op's grid must equal the all-rules-pass row of
+    quality_filter_interaction_matrix (both ride
+    gopher_feature_columns), and dCor must be a valid reading."""
+    from kafka_stream_processing_spark.operators.pipeline import (
+        gopher_feature_columns,
+    )
+    from kafka_stream_processing_spark.operators.quality_assoc import (
+        DCOR_TOK_BUCKET,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    row = SPECS["quality_dcor_tokens_violations"].fn(spark, sf_small).first()
+    assert row.dvar2_x >= 0 and row.dvar2_y >= 0
+    assert row.dcor is not None and 0.0 <= row.dcor <= 1.0 + 1e-12
+
+    feats = table(spark, sf_small, "documents").select(
+        *gopher_feature_columns()
+    )
+    n_clean = feats.filter(
+        (F.col("n_words") >= 30)
+        & (F.col("total_chars") >= 3 * F.col("n_words"))
+        & (F.col("total_chars") <= 8 * F.col("n_words"))
+        & (F.col("n_top") * 8 <= F.col("n_words"))
+        & (F.col("n_stop") >= 1)
+    ).count()
+    matrix = {
+        (r.ok_minlen, r.ok_meanlen, r.ok_repetition, r.ok_stopword): r.n_docs
+        for r in SPECS["quality_filter_interaction_matrix"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert matrix.get((True, True, True, True), 0) == n_clean
+    assert row.n_docs == sum(matrix.values())
+    assert DCOR_TOK_BUCKET > 0
