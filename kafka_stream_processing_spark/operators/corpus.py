@@ -1252,3 +1252,126 @@ def sketch_bottomk_jaccard(
         F.lit(j_exact).alias("jaccard_exact"),
         F.abs(j_est - F.lit(j_exact)).alias("abs_err"),
     )
+
+
+#: Number of corpus-order buckets for the novelty curve below.
+NOVELTY_BUCKETS = 20
+
+
+@register(
+    "corpus_ngram_novelty_curve",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, g AS sh FROM (
+            SELECT doc_id, unnest({_GRAMS_SQL}) AS g
+            FROM t WHERE len(t) >= 3
+        )
+    ),
+    first AS (
+        SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM sh s JOIN first f ON f.sh = s.sh
+        GROUP BY s.doc_id
+    ),
+    mx AS (SELECT max(doc_id) AS max_id FROM documents),
+    bucketed AS (
+        SELECT d.doc_id * {NOVELTY_BUCKETS} // (mx.max_id + 1) AS bucket,
+               coalesce(p.n_shingles, 0) AS n_shingles,
+               coalesce(p.n_novel, 0) AS n_novel
+        FROM documents d
+        LEFT JOIN per_doc p ON p.doc_id = d.doc_id, mx
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           CASE WHEN SUM(n_shingles) > 0
+                THEN CAST(SUM(n_novel) AS DOUBLE) / SUM(n_shingles)
+                ELSE NULL END AS novelty_rate
+    FROM bucketed GROUP BY bucket
+    """,
+    tags=("corpus", "dedup", "pipeline"),
+)
+def corpus_ngram_novelty_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N-gram novelty curve in corpus order: for each of 20 equal
+    doc_id-range slices, what fraction of the slice's distinct
+    word-3-grams had NEVER appeared in any earlier document?  This is
+    the data-scaling diagnostic the dedup family cannot give: dedup_*
+    find near-copies, but a corpus can be copy-free and still
+    exhausted — a novelty curve that decays toward zero says additional
+    crawl batches stop contributing new token patterns (the
+    data-constrained-scaling regime sample_token_budget_waterfill then
+    plans repeats for), while a flat curve says the source still has
+    headroom.  Read with tokenizer_fertility for the full
+    "is more of this source worth it" answer.
+
+    Exactness: novelty is pure integer set logic — a shingle's first
+    occurrence is min(doc_id) over an equi-join, bucket ids are integer
+    floor arithmetic on (doc_id, max_id) — so both engines agree
+    bit-for-bit; the one division is guarded and final.
+
+    Scale: the inverted-index shape shared with the n-gram Jaccard
+    dedup — shingle fan-out, one groupBy shingle (min doc_id as the
+    mergeable partial), one equi-join back on the shingle key, then a
+    20-row aggregate.  No window over corpus rows anywhere: the bucket
+    id comes from a broadcast max-id crossJoin (the house
+    incremental_daily_rollup pattern), NOT an ntile over a single
+    global sort."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.explode(_word_shingles(F.split("text", " "))).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    bucketed = (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            # integer floor division — exact at any corpus size (the
+            # double-division shortcut is only exact below 2^53)
+            F.expr(f"doc_id * {NOVELTY_BUCKETS} div (max_id + 1)")
+            .cast("bigint")
+            .alias("bucket"),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        )
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+        F.sum("n_novel").cast("bigint").alias("n_novel"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_shingles",
+        "n_novel",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_novel").cast("double") / F.col("n_shingles"),
+        ).alias("novelty_rate"),
+    )

@@ -275,6 +275,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- driver rows queue behind the coverage backlog) --
     "window_multiscale_permutation_entropy",
     "quality_dcor_tokens_violations",
+    "corpus_ngram_novelty_curve",
+    "stream_permutation_entropy_monitor",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

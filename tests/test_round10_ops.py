@@ -211,3 +211,63 @@ def test_dcor_tokens_violations_consistent_with_interaction_matrix(
     assert matrix.get((True, True, True, True), 0) == n_clean
     assert row.n_docs == sum(matrix.values())
     assert DCOR_TOK_BUCKET > 0
+
+
+# ----------------------------- corpus n-gram novelty curve
+
+
+def test_ngram_novelty_conservation_and_decay(spark, sf_small):
+    """Set-logic laws: novel shingles across buckets partition the
+    distinct-shingle universe (each shingle is novel exactly once, in
+    its first doc's bucket), docs partition the corpus, rates live in
+    [0,1], and the curve decays front-to-back on the fixture (later
+    slices repeat earlier patterns)."""
+    from kafka_stream_processing_spark.operators.dedup import (
+        _word_shingles,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    rows = sorted(
+        SPECS["corpus_ngram_novelty_curve"].fn(spark, sf_small).collect(),
+        key=lambda r: r.bucket,
+    )
+    d = table(spark, sf_small, "documents")
+    n_docs = d.count()
+    n_distinct_shingles = (
+        d.select(
+            F.explode(_word_shingles(F.split("text", " "))).alias("sh")
+        )
+        .select("sh")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_novel for r in rows) == n_distinct_shingles
+    for r in rows:
+        if r.novelty_rate is not None:
+            assert 0.0 <= r.novelty_rate <= 1.0
+            assert r.n_novel <= r.n_shingles
+    assert rows[0].novelty_rate > rows[-1].novelty_rate
+
+
+# ----------------------------- streaming permutation-entropy monitor
+
+
+def test_stream_perm_entropy_monitor_laws(spark, sf_small):
+    """Per chunk: the six pattern counts partition the stride-1
+    windows, entropy obeys its [0, ln 6] range, and the monitor emits
+    one row per staged chunk keyed by min event_id."""
+    import math
+
+    rows = (
+        SPECS["stream_permutation_entropy_monitor"]
+        .fn(spark, sf_small)
+        .collect()
+    )
+    assert len(rows) == 3  # the staged 3-chunk stream
+    assert len({r.chunk_min_event_id for r in rows}) == 3
+    for r in rows:
+        parts = r.p012 + r.p021 + r.p102 + r.p120 + r.p201 + r.p210
+        assert parts == r.n_windows
+        assert 0.0 <= r.perm_entropy <= math.log(6.0) + 1e-12
+        assert 0.0 <= r.perm_entropy_norm <= 1.0 + 1e-12
