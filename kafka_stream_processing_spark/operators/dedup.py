@@ -627,6 +627,113 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_recall_oracle() -> str:
+    vbits, bands = _simhash64_band_exprs()
+    vote_cols = ",\n               ".join(vbits)
+    band_cols = ",\n               ".join(
+        f"{expr} AS b{k}" for k, expr in enumerate(bands)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(sa.b{k}, sb.b{k}))"
+        for k in range(SIMHASH64_N_BANDS)
+    )
+    return f"""
+    WITH truth AS (
+        {JACCARD_ORACLE}
+    ),
+    stoks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sdistinct AS (
+        SELECT DISTINCT doc_id, sh AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS sh
+            FROM stoks
+            WHERE len(t) >= 3
+        )
+    ),
+    shashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) AS h2
+        FROM sdistinct
+    ),
+    sbits AS (
+        SELECT doc_id,
+               {vote_cols}
+        FROM shashed
+        GROUP BY doc_id
+    ),
+    ssims AS (
+        SELECT doc_id,
+               {band_cols}
+        FROM sbits
+    )
+    SELECT t.doc_a, t.doc_b, t.jaccard,
+           CAST({hamming} AS BIGINT) AS hamming,
+           ({hamming}) <= {SIMHASH64_MAX_HAMMING} AS recovered
+    FROM truth t
+    JOIN ssims sa ON sa.doc_id = t.doc_a
+    JOIN ssims sb ON sb.doc_id = t.doc_b
+    """
+
+
+@register(
+    "dedup_simhash_recall_eval",
+    oracle=_simhash_recall_oracle(),
+    tags=("dedup", "evaluation"),
+)
+def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall calibration for the 64-bit banded SimHash against exact
+    ground truth — the third evaluation harness (with
+    similarity_ann_recall_eval and dedup_minhash_estimate_eval), added
+    with the r10 re-banding: for every TRUE near-dup pair (exact word-
+    3-gram Jaccard ≥ 0.3, the registered dedup_ngram_jaccard kernel),
+    its 64-bit SimHash Hamming distance and whether the banded pass
+    (Hamming ≤ 3) would recover it.  This is the table that turns the
+    Manku parameter choice (64 bits / 4 bands / Hamming 3) from
+    folklore into a measured recall number before a 100 TB dedup run —
+    pairs the banding misses sit at hamming 4+, and their jaccard
+    column says how much real duplication that recall gap costs.
+
+    Exactness: ground truth rides the inverted-index Jaccard kernel
+    verbatim; signatures ride _simhash64_band_values verbatim; Hamming
+    is integer popcount arithmetic — both engines agree bit-for-bit on
+    every column.
+
+    Scale: the ground-truth join is the bounded Σ df² inverted-index
+    stage (documented at dedup_ngram_jaccard); signatures join on
+    doc_id twice — narrow keys, hash joins; output is truth-pair-sized
+    (near-dup pairs only, not all pairs)."""
+    truth = dedup_ngram_jaccard(spark, sf_dir)
+    sims = _simhash64_band_values(spark, sf_dir)
+    sa = sims.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(SIMHASH64_N_BANDS)],
+    )
+    sb = sims.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(SIMHASH64_N_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}")))
+        for k in range(SIMHASH64_N_BANDS)
+    )
+    return (
+        truth.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            hamming.cast("bigint").alias("hamming"),
+            (hamming <= SIMHASH64_MAX_HAMMING).alias("recovered"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

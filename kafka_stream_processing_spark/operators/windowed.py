@@ -6746,3 +6746,176 @@ def window_multiscale_permutation_entropy(
             "perm_entropy_norm"
         ),
     )
+
+
+#: Tolerance rank for sample entropy: the q-th percentile (by rank
+#: selection, ceil(q·(n-1))-th smallest) of absolute successive daily
+#: moves.  Rank selection keeps the tolerance an EXACT integer both
+#: engines pick identically — the float-free analog of the classical
+#: 0.2σ, scale-free under heavy-tailed revenue (σ itself would need a
+#: sqrt and a float multiply, reintroducing cross-engine drift into
+#: every template comparison).
+SAMPEN_TOL_RANK_NUM = 4
+SAMPEN_TOL_RANK_DEN = 5
+
+
+@register(
+    "window_sample_entropy_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, xm,
+               lead(xm, 1) OVER (ORDER BY day) AS x1,
+               lead(xm, 2) OVER (ORDER BY day) AS x2,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    moves AS (
+        SELECT abs(x1 - xm) AS mv, day FROM seq WHERE x1 IS NOT NULL
+    ),
+    tol AS (
+        SELECT mv AS r_tol FROM (
+            SELECT mv, row_number() OVER (ORDER BY mv, day) AS rk,
+                   count(*) OVER () AS nm
+            FROM moves
+        ) WHERE rk = (nm * {SAMPEN_TOL_RANK_NUM}
+                      + {SAMPEN_TOL_RANK_DEN} - 1)
+                     // {SAMPEN_TOL_RANK_DEN}
+    ),
+    tpl AS (
+        SELECT day, xm, x1, x2 FROM seq WHERE x2 IS NOT NULL
+    ),
+    pairs AS (
+        SELECT CAST(count(*) AS BIGINT) AS b_count,
+               CAST(SUM(CASE WHEN abs(a.x2 - b.x2) <= t.r_tol
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+        FROM tpl a JOIN tpl b ON a.day < b.day, tol t
+        WHERE abs(a.xm - b.xm) <= t.r_tol
+          AND abs(a.x1 - b.x1) <= t.r_tol
+    )
+    SELECT (SELECT max(n) FROM seq) AS n_days,
+           t.r_tol AS r_tol,
+           p.b_count, p.a_count,
+           CASE WHEN p.a_count > 0 AND p.b_count > 0
+                THEN -ln(CAST(p.a_count AS DOUBLE)
+                         / CAST(p.b_count AS DOUBLE))
+                ELSE NULL END AS sampen
+    FROM pairs p, tol t
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_sample_entropy_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample entropy (Richman-Moorman, m=2) of daily revenue — the
+    magnitude-AWARE complexity gauge beside the permutation-entropy
+    ops' ordinal one: SampEn asks "given two days that moved alike for
+    two steps (within tolerance r), how often do they keep matching a
+    third step?"; −ln(A/B) near 0 = the series repeats its own motifs
+    (strong regularity), large = each excursion is new.  Ordinal
+    patterns miss amplitude regularity entirely (a sawtooth with
+    growing amplitude is ordinally periodic but SampEn-irregular), so
+    the two kernels disagree exactly when magnitude matters.
+
+    Exactness: daily revenues are exact micro-unit BIGINTs; the
+    tolerance is RANK-SELECTED (the ceil(4/5·(n-1))-th smallest
+    absolute successive move, day-tiebroken) rather than 0.2σ, so every
+    Chebyshev template comparison |x_i−x_j| ≤ r is pure integer
+    arithmetic in both engines; A/B counts are integers and the single
+    −ln division is final.  Template index range follows the standard
+    convention: ONE common range (days with a full m+1 template) for
+    both the m- and (m+1)-length counts, self-matches excluded by the
+    day < day pairing.
+
+    Scale: the pair stage is grid² on the CALENDAR day grid (~2.4k
+    rows → ~2.9M pair rows), invariant to corpus size — the same
+    documented span-bounded class as the hourly dCor/Hoeffding pair
+    kernels; re-grid to weeks for multi-decade spans.  The corpus
+    itself is touched once, by the map-side-combined daily groupBy."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 1000000)
+        .cast("bigint")
+        .alias("xm")
+    )
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        "xm",
+        F.lead("xm", 1).over(w).alias("x1"),
+        F.lead("xm", 2).over(w).alias("x2"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    moves = seq.filter(F.col("x1").isNotNull()).select(
+        F.abs(F.col("x1") - F.col("xm")).alias("mv"), "day"
+    )
+    wm = Window.orderBy("mv", "day")
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tol = (
+        moves.select(
+            "mv",
+            F.row_number().over(wm).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("nm"),
+        )
+        .filter(
+            F.col("rk")
+            == F.expr(
+                f"(nm * {SAMPEN_TOL_RANK_NUM} + {SAMPEN_TOL_RANK_DEN} - 1)"
+                f" div {SAMPEN_TOL_RANK_DEN}"
+            )
+        )
+        .select(F.col("mv").alias("r_tol"))
+    )
+    tpl = seq.filter(F.col("x2").isNotNull())
+    a, b = tpl.alias("a"), tpl.alias("b")
+    pairs = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .crossJoin(F.broadcast(tol))
+        .filter(
+            (F.abs(F.col("a.xm") - F.col("b.xm")) <= F.col("r_tol"))
+            & (F.abs(F.col("a.x1") - F.col("b.x1")) <= F.col("r_tol"))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("b_count"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("a.x2") - F.col("b.x2"))
+                    <= F.col("r_tol"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a_count"),
+        )
+    )
+    n_days = seq.agg(F.max("n").alias("n_days"))
+    return (
+        pairs.crossJoin(F.broadcast(tol))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "r_tol",
+            "b_count",
+            "a_count",
+            F.when(
+                (F.col("a_count") > 0) & (F.col("b_count") > 0),
+                -F.log(
+                    F.col("a_count").cast("double")
+                    / F.col("b_count").cast("double")
+                ),
+            ).alias("sampen"),
+        )
+    )

@@ -277,6 +277,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_dcor_tokens_violations",
     "corpus_ngram_novelty_curve",
     "stream_permutation_entropy_monitor",
+    "window_sample_entropy_daily",
+    "dedup_simhash_recall_eval",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

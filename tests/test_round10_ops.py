@@ -271,3 +271,63 @@ def test_stream_perm_entropy_monitor_laws(spark, sf_small):
         assert parts == r.n_windows
         assert 0.0 <= r.perm_entropy <= math.log(6.0) + 1e-12
         assert 0.0 <= r.perm_entropy_norm <= 1.0 + 1e-12
+
+
+# ----------------------------- sample entropy
+
+
+def test_sample_entropy_laws(spark, sf_small):
+    """A >= matches are a subset of B matches (the third comparison
+    only removes pairs), the tolerance is an actual observed move, and
+    a constant series has SampEn exactly 0 (every template matches)."""
+    row = SPECS["window_sample_entropy_daily"].fn(spark, sf_small).first()
+    assert row.a_count <= row.b_count
+    assert row.r_tol >= 0
+    if row.sampen is not None:
+        assert row.sampen >= 0.0
+    # synthetic constant-series replay through the same kernel shape:
+    # all |d|=0 <= any r, so A == B and sampen == 0 — checked in pure
+    # python to pin the convention (index range, self-match exclusion)
+    xs = [5] * 10
+    n = len(xs)
+    tpl = [(xs[i], xs[i + 1], xs[i + 2]) for i in range(n - 2)]
+    r = 0
+    b = sum(
+        1
+        for i in range(len(tpl))
+        for j in range(i + 1, len(tpl))
+        if abs(tpl[i][0] - tpl[j][0]) <= r
+        and abs(tpl[i][1] - tpl[j][1]) <= r
+    )
+    a_ = sum(
+        1
+        for i in range(len(tpl))
+        for j in range(i + 1, len(tpl))
+        if abs(tpl[i][0] - tpl[j][0]) <= r
+        and abs(tpl[i][1] - tpl[j][1]) <= r
+        and abs(tpl[i][2] - tpl[j][2]) <= r
+    )
+    assert a_ == b and b > 0  # -ln(A/B) == 0
+
+
+# ----------------------------- simhash recall eval
+
+
+def test_simhash_recall_eval_consistency(spark, sf_small):
+    """The eval's pair set is exactly the registered exact-Jaccard
+    truth set; `recovered` agrees with membership in the banded op's
+    output (banding is lossless at hamming<=3, so recovered pairs ARE
+    banded pairs restricted to the truth set)."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, sf_small).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_simhash_banded"].fn(spark, sf_small).collect()
+    }
+    rows = SPECS["dedup_simhash_recall_eval"].fn(spark, sf_small).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == truth
+    for r in rows:
+        assert r.recovered == (r.hamming <= 3)
+        assert r.recovered == ((r.doc_a, r.doc_b) in banded)
