@@ -1718,7 +1718,7 @@ def _gt_novelty_oracle() -> str:
     tags=("streaming", "corpus", "statistics"),
 )
 def stream_good_turing_novelty(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, _source_path: str | None = None
 ) -> DataFrame:
     """Good-Turing novelty monitor at INGEST time — the streaming
     deployment of corpus_good_turing_mass (corpus.py:994), run over
@@ -1737,9 +1737,12 @@ def stream_good_turing_novelty(
     derived doubles are single IEEE divisions from those ints, so each
     batch's row is bit-identical to the oracle's relational
     reconstruction (cumulative shingle counts via a chunk≤c join).
-    Micro-batch ORDER is pinned by the staging's strictly-increasing
-    chunk mtimes (cumulative state makes this the one monitor where
-    arrival order is semantics, not presentation).
+    Micro-batch ORDER is data-derived, not filesystem-derived:
+    cumulative state makes this the one monitor where arrival order is
+    semantics, so each arriving batch is keyed by the ordinal in its
+    chunk FILENAME and stashed, and folds drain in ordinal order (the
+    scd2 stash-drain pattern, r10) — shuffled or equal chunk mtimes
+    change nothing (pinned in tests/test_round10_ops.py).
 
     State: the accumulated vocab count table lives as atomic parquet
     generations (the CDC/split-leakage convention — crash leaves the
@@ -1753,11 +1756,12 @@ def stream_good_turing_novelty(
     target) keyed by word so the per-batch merge never reshuffles the
     accumulated side."""
     import os
+    import re
     import shutil
     import tempfile
     import time
 
-    path = _all_docs_chunked_source_dir(sf_dir)
+    path = _source_path or _all_docs_chunked_source_dir(sf_dir)
     raw_schema = spark.read.parquet(path).schema
 
     key = sf_dir.strip("/").replace("/", "_")
@@ -1772,10 +1776,16 @@ def stream_good_turing_novelty(
         except OSError:
             pass  # raced with a concurrent sweep — already gone
     base = tempfile.mkdtemp(prefix="run_", dir=root)
-    state = {"gen": -1}
+    ordinals = sorted(
+        int(m.group(1))
+        for f in os.listdir(path)
+        if (m := re.match(r"chunk-(\d+)\.parquet$", f))
+    )
+    state = {"gen": -1, "idx": 0, "stashed": set()}
+    pend_root = os.path.join(base, "pending")
     results: list[tuple[int, int, int, int, int, int, float, float]] = []
 
-    def fold_batch(batch_df, batch_id: int) -> None:
+    def apply_batch(batch_df) -> None:
         s = batch_df.sparkSession
         toks = F.split("text", " ")
         grams = F.when(
@@ -1836,6 +1846,36 @@ def stream_good_turing_novelty(
             (min_doc, n_new, nt, ntok, n1, n2, n1 / ntok, chao1)
         )
 
+    def fold_batch(batch_df, batch_id: int) -> None:
+        # one chunk file per trigger; the filename ordinal — not the
+        # arrival position — decides when the cumulative fold runs
+        row = batch_df.select(F.input_file_name().alias("f")).first()
+        if row is None:
+            return  # empty micro-batch
+        m = re.search(r"chunk-(\d+)\.parquet", row["f"] or "")
+        if m is None:
+            raise RuntimeError(
+                "stream_good_turing_novelty: micro-batch carries no "
+                f"chunk ordinal (input_file_name={row['f']!r})"
+            )
+        ordinal = int(m.group(1))
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(pend_root, f"o={ordinal}")
+        )
+        state["stashed"].add(ordinal)
+        while (
+            state["idx"] < len(ordinals)
+            and ordinals[state["idx"]] in state["stashed"]
+        ):
+            o = ordinals[state["idx"]]
+            apply_batch(
+                batch_df.sparkSession.read.parquet(
+                    os.path.join(pend_root, f"o={o}")
+                )
+            )
+            state["stashed"].discard(o)
+            state["idx"] += 1
+
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -1854,6 +1894,12 @@ def stream_good_turing_novelty(
         raise RuntimeError(
             "stream_good_turing_novelty: the document stream delivered "
             f"zero micro-batches from {path}"
+        )
+    if state["idx"] < len(ordinals):
+        raise RuntimeError(
+            "stream_good_turing_novelty: stream terminated with chunks "
+            f"{ordinals[state['idx']:]} never delivered — the novelty "
+            "trajectory is incomplete"
         )
     return spark.createDataFrame(
         results,

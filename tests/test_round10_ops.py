@@ -331,3 +331,32 @@ def test_simhash_recall_eval_consistency(spark, sf_small):
     for r in rows:
         assert r.recovered == (r.hamming <= 3)
         assert r.recovered == ((r.doc_a, r.doc_b) in banded)
+
+
+# ------------------------- Good-Turing monitor mtime independence
+
+
+def test_good_turing_novelty_survives_reversed_mtimes(
+    spark, sf_small, tmp_path
+):
+    """The cumulative-vocabulary monitor was the last op whose
+    semantics relied on FileStreamSource's oldest-mtime-first delivery.
+    After the r10 stash-drain port: reversed chunk mtimes (delivery in
+    exactly the wrong order) must still produce the oracle's novelty
+    trajectory bit-for-bit."""
+    from kafka_stream_processing_spark.streaming.joins import (
+        _all_docs_chunked_source_dir,
+    )
+
+    src = _all_docs_chunked_source_dir(sf_small)
+    alt = str(tmp_path / "gt_reversed")
+    now = int(time.time())
+    _stage_chunks_with_mtimes(
+        src, alt, lambda n: [now - 2 * i for i in range(n)]
+    )
+    spec = SPECS["stream_good_turing_novelty"]
+    actual = spec.fn(spark, sf_small, _source_path=alt).toPandas()
+    with duckdb_connection(sf_small) as con:
+        expected = con.execute(spec.oracle).fetchdf()
+    problems = compare_frames(actual, expected, "stream_good_turing")
+    assert not problems, problems[:3]
