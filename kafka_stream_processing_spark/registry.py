@@ -279,6 +279,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_permutation_entropy_monitor",
     "window_sample_entropy_daily",
     "dedup_simhash_recall_eval",
+    "quality_jonckheere_terpstra_trend",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -360,3 +360,62 @@ def test_good_turing_novelty_survives_reversed_mtimes(
         expected = con.execute(spec.oracle).fetchdf()
     problems = compare_frames(actual, expected, "stream_good_turing")
     assert not problems, problems[:3]
+
+
+# ------------------------- Jonckheere-Terpstra
+
+
+def test_jonckheere_terpstra_brute_force(spark, sf_small):
+    """Independent replay: brute-force J4 over raw cross-group pairs
+    and the Hollander-Wolfe tie-corrected variance from first
+    principles must reproduce the operator's row exactly."""
+    import duckdb
+    import math
+
+    rows = duckdb.connect().execute(
+        f"SELECT source, n_chars FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    groups = {}
+    for s, x in rows:
+        groups.setdefault(s, []).append(x)
+    keys = sorted(groups)
+    j4 = 0
+    for i, g in enumerate(keys):
+        for h in keys[i + 1:]:
+            for x in groups[g]:
+                for y in groups[h]:
+                    if x < y:
+                        j4 += 4
+                    elif x == y:
+                        j4 += 2
+    n = len(rows)
+    sizes = [len(groups[k]) for k in keys]
+    from collections import Counter
+
+    ties = Counter(x for _, x in rows)
+    e4 = n * n - sum(m * m for m in sizes)
+    a_term = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(m * (m - 1) * (2 * m + 5) for m in sizes)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    )
+    sn3 = sum(m * (m - 1) * (m - 2) for m in sizes)
+    st3 = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    sn2 = sum(m * (m - 1) for m in sizes)
+    st2 = sum(t * (t - 1) for t in ties.values())
+    var = (
+        a_term / 72.0
+        + sn3 * st3 / (36.0 * n * (n - 1) * (n - 2))
+        + sn2 * st2 / (8.0 * n * (n - 1))
+    )
+    z = (j4 - e4) / (4.0 * math.sqrt(var))
+
+    row = (
+        SPECS["quality_jonckheere_terpstra_trend"]
+        .fn(spark, sf_small)
+        .first()
+    )
+    assert row.n_total == n and row.n_groups == len(keys)
+    assert row.j4 == j4 and row.e4 == e4
+    assert math.isclose(row.var_j, var, rel_tol=1e-12)
+    assert math.isclose(row.z_stat, z, rel_tol=1e-12)
