@@ -1199,6 +1199,31 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     by MAX_SHINGLE_DF, shuffles on shingle then (doc_a, doc_b); the
     directed fan-out doubles only the (tiny) post-threshold row set's
     input, not the join."""
+    directed, sizes = _containment_frames(spark, sf_dir)
+    return (
+        directed.join(
+            sizes.withColumnRenamed("doc_id", "inner_doc"), "inner_doc"
+        )
+        .filter(
+            F.col("c") * CONTAINMENT_DEN >= F.col("n") * CONTAINMENT_NUM
+        )
+        .select(
+            "inner_doc",
+            "outer_doc",
+            F.col("n").cast("bigint").alias("n_inner"),
+            F.col("c").cast("bigint").alias("n_shared"),
+            (F.col("c").cast("double") / F.col("n")).alias("containment"),
+        )
+    )
+
+
+def _containment_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared containment kernel: (directed intersect rows, per-doc
+    filtered-shingle sizes) — the inverted-index stage of
+    dedup_shingle_containment, factored so the keep-policy op below
+    reuses the identical frames instead of rescanning."""
     from pyspark.sql import Window
 
     d = fanout(table(spark, sf_dir, "documents"))
@@ -1238,19 +1263,146 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
         )
     )
-    return (
+    return directed, sizes
+
+
+@register(
+    "dedup_containment_keep_policy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS sh
+            FROM toks
+            WHERE len(t) >= 3
+        )
+    ),
+    filtered AS (
+        SELECT doc_id, sh FROM sh
+        QUALIFY count(*) OVER (PARTITION BY sh) <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM filtered GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM filtered a
+        JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT doc_a AS inner_doc, doc_b AS outer_doc, c FROM inter
+        UNION ALL
+        SELECT doc_b, doc_a, c FROM inter
+    ),
+    contained AS (
+        SELECT d.inner_doc, d.outer_doc,
+               si.n AS n_inner, so.n AS n_outer
+        FROM directed d
+        JOIN sizes si ON si.doc_id = d.inner_doc
+        JOIN sizes so ON so.doc_id = d.outer_doc
+        WHERE d.c * {CONTAINMENT_DEN} >= si.n * {CONTAINMENT_NUM}
+    ),
+    involved AS (
+        SELECT inner_doc AS doc_id FROM contained
+        UNION
+        SELECT outer_doc FROM contained
+    ),
+    dom AS (
+        SELECT inner_doc AS doc_id, count(*) AS n_dominating
+        FROM contained
+        WHERE n_outer > n_inner
+           OR (n_outer = n_inner AND outer_doc < inner_doc)
+        GROUP BY 1
+    )
+    SELECT i.doc_id,
+           CAST(s.n AS BIGINT) AS n_shingles,
+           CAST(COALESCE(d.n_dominating, 0) AS BIGINT)
+               AS n_dominating_containers,
+           COALESCE(d.n_dominating, 0) = 0 AS kept
+    FROM involved i
+    JOIN sizes s ON s.doc_id = i.doc_id
+    LEFT JOIN dom d ON d.doc_id = i.doc_id
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_containment_keep_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SHIP decision for asymmetric near-dup: dedup_shingle_
+    containment emits directed containment evidence; this op turns it
+    into the keep/drop verdict modern crawl dedup applies (keep the
+    SUPERSET, drop contained fragments — the Jaccard-cluster policy in
+    dedup_pipeline_keep_stats keeps min-doc_id instead, which is the
+    WRONG survivor for wrapper/fragment pairs: it can keep the quote
+    and drop the article).  A document is dropped iff some containing
+    document DOMINATES it — strictly more filtered shingles, or equal
+    size with a smaller doc_id.  Dominance is a strict partial order
+    (size strictly decreases, ties broken by id), so mutual-containment
+    pairs keep exactly one survivor and no containment chain can drop
+    all its members: every chain's maximal element is kept.
+
+    Exactness: dominance is pure integer comparison on shingle counts
+    and ids; the containment frontier is the same c·5 ≥ n·4 integer
+    cross-product as the evidence op; output counts are BIGINTs.
+
+    Scale: the expensive stage is the shared inverted-index kernel
+    (_containment_frames, Σ df² bounded by the stop-shingle cap); the
+    policy itself is two joins on doc_id over the (tiny)
+    post-threshold containment rows."""
+    directed, sizes = _containment_frames(spark, sf_dir)
+    contained = (
         directed.join(
-            sizes.withColumnRenamed("doc_id", "inner_doc"), "inner_doc"
+            sizes.select(
+                F.col("doc_id").alias("inner_doc"),
+                F.col("n").alias("n_inner"),
+            ),
+            "inner_doc",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("outer_doc"),
+                F.col("n").alias("n_outer"),
+            ),
+            "outer_doc",
         )
         .filter(
-            F.col("c") * CONTAINMENT_DEN >= F.col("n") * CONTAINMENT_NUM
+            F.col("c") * CONTAINMENT_DEN
+            >= F.col("n_inner") * CONTAINMENT_NUM
         )
+        .select("inner_doc", "outer_doc", "n_inner", "n_outer")
+    )
+    involved = (
+        contained.select(F.col("inner_doc").alias("doc_id"))
+        .unionByName(contained.select(F.col("outer_doc").alias("doc_id")))
+        .distinct()
+    )
+    dom = (
+        contained.filter(
+            (F.col("n_outer") > F.col("n_inner"))
+            | (
+                (F.col("n_outer") == F.col("n_inner"))
+                & (F.col("outer_doc") < F.col("inner_doc"))
+            )
+        )
+        .groupBy(F.col("inner_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_dominating"))
+    )
+    return (
+        involved.join(sizes, "doc_id")
+        .join(dom, "doc_id", "left")
         .select(
-            "inner_doc",
-            "outer_doc",
-            F.col("n").cast("bigint").alias("n_inner"),
-            F.col("c").cast("bigint").alias("n_shared"),
-            (F.col("c").cast("double") / F.col("n")).alias("containment"),
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_dominating"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dominating_containers"),
+            (F.coalesce(F.col("n_dominating"), F.lit(0)) == 0).alias(
+                "kept"
+            ),
         )
     )
 

@@ -280,6 +280,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_sample_entropy_daily",
     "dedup_simhash_recall_eval",
     "quality_jonckheere_terpstra_trend",
+    "dedup_containment_keep_policy",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -419,3 +419,40 @@ def test_jonckheere_terpstra_brute_force(spark, sf_small):
     assert row.j4 == j4 and row.e4 == e4
     assert math.isclose(row.var_j, var, rel_tol=1e-12)
     assert math.isclose(row.z_stat, z, rel_tol=1e-12)
+
+
+# ------------------------- containment keep policy
+
+
+def test_containment_keep_policy_laws(spark, sf_small):
+    """Policy laws: the involved-doc set is exactly the union of both
+    sides of the evidence op's rows; every containment relation has a
+    kept participant (no chain drops all its members — the dominance
+    order's maximal element survives); dropped docs have at least one
+    dominating container."""
+    evidence = (
+        SPECS["dedup_shingle_containment"].fn(spark, sf_small).collect()
+    )
+    policy = {
+        r.doc_id: r
+        for r in SPECS["dedup_containment_keep_policy"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    involved = {r.inner_doc for r in evidence} | {
+        r.outer_doc for r in evidence
+    }
+    assert set(policy) == involved
+    assert any(r.kept for r in policy.values()) or not policy
+    for r in policy.values():
+        assert r.kept == (r.n_dominating_containers == 0)
+    # each containment component keeps its dominance-maximal member:
+    # the doc with the most shingles (ties to smallest id) among any
+    # related pair can never be dominated by the other
+    for e in evidence:
+        pi, po = policy[e.inner_doc], policy[e.outer_doc]
+        assert pi.kept or po.kept or (
+            # both may be dropped only via THIRD-party dominators
+            pi.n_dominating_containers > 0
+            and po.n_dominating_containers > 0
+        )
