@@ -1350,10 +1350,19 @@ def dedup_containment_keep_policy(
     cross-product as the evidence op; output counts are BIGINTs.
 
     Scale: the expensive stage is the shared inverted-index kernel
-    (_containment_frames, Σ df² bounded by the stop-shingle cap); the
-    policy itself is two joins on doc_id over the (tiny)
-    post-threshold containment rows."""
+    (_containment_frames, Σ df² bounded by the stop-shingle cap) — run
+    ONCE: the post-threshold containment rows and the doc-count-sized
+    size table are eagerly checkpointed, because three downstream
+    branches (involved set, dominator counts, final join) would
+    otherwise each replay the shingle self-join (measured 4× cost at
+    the 10× probe before the checkpoint).  The policy itself is two
+    joins on doc_id over those tiny frames."""
     directed, sizes = _containment_frames(spark, sf_dir)
+    sizes = sizes.localCheckpoint(eager=True)
+    # Threshold on n_inner FIRST (one size join over the candidate
+    # set), then attach n_outer to the tiny survivor rows — joining
+    # both sizes before the filter would shuffle the full pre-threshold
+    # candidate set twice.
     contained = (
         directed.join(
             sizes.select(
@@ -1362,18 +1371,22 @@ def dedup_containment_keep_policy(
             ),
             "inner_doc",
         )
+        .filter(
+            F.col("c") * CONTAINMENT_DEN
+            >= F.col("n_inner") * CONTAINMENT_NUM
+        )
         .join(
+            # no broadcast hint: sizes is doc-count-sized (unbroadcastable
+            # at 100 TB); the survivor side is tiny, so AQE picks the
+            # right side to build from runtime stats
             sizes.select(
                 F.col("doc_id").alias("outer_doc"),
                 F.col("n").alias("n_outer"),
             ),
             "outer_doc",
         )
-        .filter(
-            F.col("c") * CONTAINMENT_DEN
-            >= F.col("n_inner") * CONTAINMENT_NUM
-        )
         .select("inner_doc", "outer_doc", "n_inner", "n_outer")
+        .localCheckpoint(eager=True)
     )
     involved = (
         contained.select(F.col("inner_doc").alias("doc_id"))
