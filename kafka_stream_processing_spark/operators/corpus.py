@@ -1321,29 +1321,32 @@ def corpus_ngram_novelty_curve(
     bit-for-bit; the one division is guarded and final.
 
     Scale: the inverted-index shape shared with the n-gram Jaccard
-    dedup — shingle fan-out, one groupBy shingle (min doc_id as the
-    mergeable partial), one equi-join back on the shingle key, then a
-    20-row aggregate.  No window over corpus rows anywhere: the bucket
-    id comes from a broadcast max-id crossJoin (the house
+    dedup — shingle fan-out, then first-occurrence via min(doc_id)
+    OVER (PARTITION BY shingle): ONE shuffle on the shingle key serves
+    the whole op (the jaccard op's df-window trick — a groupBy +
+    join-back would recompute the fan-out for both join sides, 2× the
+    dominant cost), then a 20-row aggregate.  No window over corpus
+    ROWS keyed globally: the shingle window partitions by shingle, and
+    the bucket id comes from a broadcast max-id crossJoin (the house
     incremental_daily_rollup pattern), NOT an ntile over a single
     global sort."""
+    from pyspark.sql import Window
+
     d = fanout(table(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id",
         F.explode(_word_shingles(F.split("text", " "))).alias("sh"),
     )
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        sh.join(first, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_novel"),
+    marked = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("sh"))
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
         )
+        .cast("bigint")
+        .alias("n_novel"),
     )
     mx = d.agg(F.max("doc_id").alias("max_id"))
     bucketed = (
