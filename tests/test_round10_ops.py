@@ -456,3 +456,18 @@ def test_containment_keep_policy_laws(spark, sf_small):
             pi.n_dominating_containers > 0
             and po.n_dominating_containers > 0
         )
+
+
+def test_containment_keep_policy_no_kernel_replay(spark, sf_small):
+    """The policy's FINAL plan must read only the eagerly checkpointed
+    frames — zero parquet scans means none of the three downstream
+    branches can replay the shingle self-join (the 45 s → 18 s fix at
+    the 10× probe)."""
+    df = SPECS["dedup_containment_keep_policy"].fn(spark, sf_small)
+    text = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Scan parquet" not in text, text[:4000]
+    assert "ExistingRDD" in text, text[:4000]
