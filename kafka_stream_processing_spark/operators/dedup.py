@@ -784,12 +784,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors.  The oracle embeds the identical bucket expression, so the
     driver checks the bucketed semantics (ANN recall profile and all).
 
-    Scale: the candidate stage is an equi-join on bucket id (plans as a
-    hash join, never BroadcastNestedLoopJoin) — the corpus shuffles once
-    on a 1-int key and only ~1/2^P of pairs are scored.  At cosine
+    Scale — stated precisely (r10 self-audit, the simhash-banding
+    lesson): the candidate stage is an equi-join on bucket id (plans
+    as a hash join, never BroadcastNestedLoopJoin; corpus shuffles
+    once on a 1-int key), but the bucket domain is FIXED at 2^P = 16
+    values, so the within-bucket pair count is Σ df² ≈ n²/16 — a
+    CONSTANT-factor reduction, not an asymptotic one (unlike the
+    64-bit simhash bands, whose 2¹⁶ content-derived domain scales with
+    the corpus).  Hyperplane LSH cannot fix this at cosine threshold
+    0.4: pairs at θ≈66° split on each plane with p≈0.37, so widening P
+    for smaller buckets collapses recall as (1−θ/π)^P.  This op is
+    therefore the INGEST-BATCH tool (dedupe a bounded batch against
+    itself); the corpus-scale embedding-dedup default is
+    dedup_semantic_semdedup, whose cluster-then-pairwise candidates
+    are Σ cell² with the cell count k as an explicit knob that grows
+    with the corpus (SemDeDup, the standard practice).  At cosine
     threshold 0.4 near-dup vectors point the same way, so bucket-split
-    misses are the documented LSH recall trade-off; the exact all-pairs
-    formulation survives as dedup_embedding_cosine_allpairs."""
+    misses are the documented LSH recall trade-off; the exact
+    all-pairs formulation survives as
+    dedup_embedding_cosine_allpairs."""
     emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )
