@@ -6919,3 +6919,233 @@ def window_sample_entropy_daily(
             ).alias("sampen"),
         )
     )
+
+
+#: Block sizes for the rescaled-range (R/S) Hurst estimate.  Fixed at
+#: authoring time so the log-log regression pivots the per-size means
+#: into COLUMNS and the slope is ONE fixed-order SQL expression — no
+#: float aggregation over rows anywhere in the final chain.
+HURST_BLOCK_SIZES = (8, 16, 32, 64, 128)
+
+
+def _hurst_slope_expr() -> str:
+    """Closed-form OLS slope of ln(mean R/S) on ln(s) over the fixed
+    block sizes, as one shared SQL text (u-values are compile-time
+    float literals; v-columns are mrs_<s>)."""
+    import math
+
+    us = {s: repr(math.log(s)) for s in HURST_BLOCK_SIZES}
+    k = len(HURST_BLOCK_SIZES)
+    su = " + ".join(us[s] for s in HURST_BLOCK_SIZES)
+    suu = " + ".join(f"{us[s]} * {us[s]}" for s in HURST_BLOCK_SIZES)
+    sv = " + ".join(f"ln(mrs_{s})" for s in HURST_BLOCK_SIZES)
+    suv = " + ".join(f"{us[s]} * ln(mrs_{s})" for s in HURST_BLOCK_SIZES)
+    return (
+        f"(({k} * ({suv}) - ({su}) * ({sv}))"
+        f" / ({k} * ({suu}) - ({su}) * ({su})))"
+    )
+
+
+@register(
+    "window_hurst_rs_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT xm, row_number() OVER (ORDER BY day) - 1 AS t FROM daily
+    ),
+    blocks AS (
+        SELECT s.s, idx.t // s.s AS block_id, idx.t, idx.xm
+        FROM idx, (SELECT unnest(ARRAY{list(HURST_BLOCK_SIZES)}) AS s) s
+    ),
+    stats AS (
+        SELECT s, block_id,
+               CAST(count(*) AS BIGINT) AS nb,
+               CAST(SUM(xm) AS BIGINT) AS sx,
+               CAST(SUM(CAST(CAST(xm AS DECIMAL(20,0))
+                             * CAST(xm AS DECIMAL(18,0))
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM blocks GROUP BY 1, 2
+    ),
+    walk AS (
+        SELECT b.s, b.block_id,
+               SUM(b.xm) OVER (PARTITION BY b.s, b.block_id ORDER BY b.t
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (PARTITION BY b.s, b.block_id
+                                  ORDER BY b.t) AS k
+        FROM blocks b
+    ),
+    dev AS (
+        SELECT w.s, w.block_id,
+               CAST(max(w.s * w.cum - w.k * st.sx)
+                    - min(w.s * w.cum - w.k * st.sx) AS BIGINT)
+                   AS r_scaled
+        FROM walk w
+        JOIN stats st ON st.s = w.s AND st.block_id = w.block_id
+        WHERE st.nb = w.s
+        GROUP BY 1, 2
+    ),
+    rs AS (
+        SELECT d.s, d.block_id,
+               CAST(d.r_scaled AS DOUBLE)
+                   / sqrt(CAST(
+                         CAST(CAST(st.sxx AS DECIMAL(30,0))
+                              * CAST(st.nb AS DECIMAL(8,0))
+                              AS DECIMAL(38,0))
+                         - CAST(CAST(st.sx AS DECIMAL(20,0))
+                                * CAST(st.sx AS DECIMAL(18,0))
+                                AS DECIMAL(38,0))
+                     AS DOUBLE)) AS rs_val
+        FROM dev d
+        JOIN stats st ON st.s = d.s AND st.block_id = d.block_id
+        WHERE CAST(CAST(st.sxx AS DECIMAL(30,0))
+                   * CAST(st.nb AS DECIMAL(8,0)) AS DECIMAL(38,0))
+              > CAST(CAST(st.sx AS DECIMAL(20,0))
+                     * CAST(st.sx AS DECIMAL(18,0)) AS DECIMAL(38,0))
+    ),
+    means AS (
+        SELECT s,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CAST(round(rs_val, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) / count(*) AS mean_rs
+        FROM rs GROUP BY s
+    ),
+    pivoted AS (
+        SELECT {", ".join(f"MAX(CASE WHEN s = {s} THEN mean_rs END) AS mrs_{s}" for s in HURST_BLOCK_SIZES)},
+               {", ".join(f"MAX(CASE WHEN s = {s} THEN n_blocks END) AS nb_{s}" for s in HURST_BLOCK_SIZES)}
+        FROM means
+    )
+    SELECT {", ".join(f"CAST(nb_{s} AS BIGINT) AS nb_{s}, mrs_{s}" for s in HURST_BLOCK_SIZES)},
+           {_hurst_slope_expr()} AS hurst_h
+    FROM pivoted
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range Hurst exponent of daily revenue — the long-range-
+    dependence gauge that completes the dynamics battery: ACF/PACF see
+    short-lag structure, Mann-Kendall/Pettitt see trend and level
+    shifts, the entropy pair sees motif regularity; H answers "do
+    excursions PERSIST?" (H≈0.5 random walk increments, H>0.5
+    persistent/trending, H<0.5 mean-reverting) — the difference between
+    a revenue series you can forecast with momentum and one you must
+    model as noise.
+
+    Exactness: per block of s consecutive days, the mean-adjusted
+    cumulative walk is kept INTEGER by scaling through s (s·Y_k =
+    s·cum_k − k·Σx, exact BIGINT), so the range R_scaled = s·R is an
+    exact integer; s²·Var = s·Σx² − (Σx)² is exact DECIMAL(38,0) via
+    the width-budget discipline (30+8 and 20+18 products), and the s
+    factors CANCEL in R/S = R_scaled/sqrt(s²Var) — one IEEE division
+    of exact quantities per block, bit-identical cross-engine.
+    Per-size means use the round-to-12-then-exact-decimal-sum house
+    pattern; the log-log slope pivots the {len(HURST_BLOCK_SIZES)}
+    sizes into columns and evaluates ONE fixed-order shared SQL text
+    (no float aggregation over rows).  Degenerate blocks (zero
+    variance) are excluded on both engines by the same integer
+    comparison; partial tail blocks are dropped (nb = s).
+
+    Scale: one map-side-combined groupBy to the day grid; blocks
+    explode the grid ×|sizes| (calendar-bounded); per-block windows
+    partition by (s, block) — thousands of tiny partitions, no global
+    sort; everything after the grid is span-sized."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 1000000)
+        .cast("bigint")
+        .alias("xm")
+    )
+    idx = daily.select(
+        "xm",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in HURST_BLOCK_SIZES], "s int"
+    )
+    blocks = idx.crossJoin(F.broadcast(sizes)).select(
+        "s", F.expr("t div s").alias("block_id"), "t", "xm"
+    )
+    xm_sq = (
+        F.col("xm").cast("decimal(20,0)")
+        * F.col("xm").cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    stats = blocks.groupBy("s", "block_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("xm").cast("bigint").alias("sx"),
+        F.sum(xm_sq).cast("decimal(38,0)").alias("sxx"),
+    )
+    wwalk = Window.partitionBy("s", "block_id").orderBy("t")
+    walk = blocks.select(
+        "s",
+        "block_id",
+        F.sum("xm")
+        .over(wwalk.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.row_number().over(wwalk).alias("k"),
+    )
+    dev = (
+        walk.join(stats, ["s", "block_id"])
+        .filter(F.col("nb") == F.col("s"))
+        .groupBy("s", "block_id")
+        .agg(
+            (
+                F.max(F.col("s") * F.col("cum") - F.col("k") * F.col("sx"))
+                - F.min(
+                    F.col("s") * F.col("cum") - F.col("k") * F.col("sx")
+                )
+            )
+            .cast("bigint")
+            .alias("r_scaled")
+        )
+    )
+    s2var = (
+        F.col("sxx").cast("decimal(30,0)")
+        * F.col("nb").cast("decimal(8,0)")
+    ).cast("decimal(38,0)") - (
+        F.col("sx").cast("decimal(20,0)")
+        * F.col("sx").cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    rs = (
+        dev.join(stats, ["s", "block_id"])
+        .filter(s2var > 0)
+        .select(
+            "s",
+            (
+                F.col("r_scaled").cast("double")
+                / F.sqrt(s2var.cast("double"))
+            ).alias("rs_val"),
+        )
+    )
+    means = rs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (
+            F.sum(F.round(F.col("rs_val"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_rs"),
+    )
+    pivot_cols = []
+    for s in HURST_BLOCK_SIZES:
+        pivot_cols.append(
+            F.max(F.when(F.col("s") == s, F.col("mean_rs"))).alias(
+                f"mrs_{s}"
+            )
+        )
+        pivot_cols.append(
+            F.max(F.when(F.col("s") == s, F.col("n_blocks")))
+            .cast("bigint")
+            .alias(f"nb_{s}")
+        )
+    pivoted = means.agg(*pivot_cols)
+    out_cols = []
+    for s in HURST_BLOCK_SIZES:
+        out_cols.extend([f"nb_{s}", f"mrs_{s}"])
+    return pivoted.select(
+        *out_cols, F.expr(_hurst_slope_expr()).alias("hurst_h")
+    )

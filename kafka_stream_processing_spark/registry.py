@@ -281,6 +281,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "dedup_simhash_recall_eval",
     "quality_jonckheere_terpstra_trend",
     "dedup_containment_keep_policy",
+    "window_hurst_rs_daily",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -471,3 +471,56 @@ def test_containment_keep_policy_no_kernel_replay(spark, sf_small):
     )
     assert "Scan parquet" not in text, text[:4000]
     assert "ExistingRDD" in text, text[:4000]
+
+
+# ------------------------- Hurst R/S
+
+
+def test_hurst_rs_python_replay(spark, sf_small):
+    """Independent replay: block R/S values, per-size means, and the
+    log-log slope recomputed in pure python from the exact micro-unit
+    daily sums must match the operator to 1e-9."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                   AS BIGINT)
+            FROM '{sf_small}/orders.parquet'
+            GROUP BY o_orderdate ORDER BY o_orderdate"""
+    ).fetchall()
+    xs = [r[0] for r in rows]
+    from kafka_stream_processing_spark.operators.windowed import (
+        HURST_BLOCK_SIZES,
+    )
+
+    means = {}
+    for s in HURST_BLOCK_SIZES:
+        vals = []
+        for b0 in range(0, len(xs) - s + 1, s):
+            blk = xs[b0 : b0 + s]
+            sx = sum(blk)
+            cum = 0
+            walk = []
+            for k, x in enumerate(blk, start=1):
+                cum += x
+                walk.append(s * cum - k * sx)
+            r_scaled = max(walk) - min(walk)
+            s2var = s * sum(x * x for x in blk) - sx * sx
+            if s2var > 0:
+                vals.append(r_scaled / math.sqrt(s2var))
+        means[s] = (len(vals), sum(round(v, 12) for v in vals) / len(vals))
+    us = [math.log(s) for s in HURST_BLOCK_SIZES]
+    vs = [math.log(means[s][1]) for s in HURST_BLOCK_SIZES]
+    k = len(us)
+    slope = (
+        k * sum(u * v for u, v in zip(us, vs)) - sum(us) * sum(vs)
+    ) / (k * sum(u * u for u in us) - sum(us) ** 2)
+
+    row = SPECS["window_hurst_rs_daily"].fn(spark, sf_small).first()
+    for s in HURST_BLOCK_SIZES:
+        assert row[f"nb_{s}"] == means[s][0]
+        assert math.isclose(row[f"mrs_{s}"], means[s][1], rel_tol=1e-9)
+    assert math.isclose(row.hurst_h, slope, rel_tol=1e-9)
+    assert 0.0 < row.hurst_h < 1.0
