@@ -7149,3 +7149,438 @@ def window_hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         *out_cols, F.expr(_hurst_slope_expr()).alias("hurst_h")
     )
+
+
+#: Aggregation horizons (in daily steps) for the Lo-MacKinlay variance
+#: ratio.  Fixed at authoring time so the overlapping-difference stack
+#: is a compile-time UNION/explode and every horizon's statistics share
+#: one grouped aggregate — no data-dependent lag generation.
+VR_Q_PERIODS = (2, 5, 10, 20)
+
+#: Shared float tail for the variance ratio: all inputs are EXACT
+#: integers (variance numerators in DECIMAL(38,0), counts in BIGINT)
+#: converted once to DOUBLE, then one fixed-order expression — the
+#: cross-engine bit-identity pattern.  VR(q) = (num_q·n²)/(q·m²·num_1)
+#: because vq = num_q/m², v1 = num_1/n², VR = vq/(q·v1).
+_VR_EXPR = (
+    "CASE WHEN num_1 > 0 THEN"
+    " (CAST(num_q AS DOUBLE) * CAST(n_incr AS DOUBLE)"
+    "  * CAST(n_incr AS DOUBLE))"
+    " / (CAST(q AS DOUBLE) * CAST(m_overlap AS DOUBLE)"
+    "    * CAST(m_overlap AS DOUBLE) * CAST(num_1 AS DOUBLE))"
+    " ELSE NULL END"
+)
+
+#: Homoskedastic Lo-MacKinlay z: (VR−1)/sqrt(2(2q−1)(q−1)/(3q·n)).
+#: Literals are E0-notation so BOTH engines parse them as DOUBLE —
+#: Spark types a bare `2.0` as DECIMAL(2,1), which would drag the sqrt
+#: argument through decimal division (observed 1e-9 z drift).
+_VR_Z_EXPR = (
+    f"(({_VR_EXPR}) - 1.0E0)"
+    " * sqrt((3.0E0 * q * n_incr)"
+    "        / (2.0E0 * (2.0E0 * q - 1.0E0) * (q - 1.0E0)))"
+)
+
+
+def _vr_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"lag(xm, {q}) OVER (ORDER BY day) AS p{q}"
+        for q in VR_Q_PERIODS
+    )
+    diff_union = "\n        UNION ALL ".join(
+        f"SELECT {q} AS q, xm - p{q} AS e FROM lagd"
+        f" WHERE p{q} IS NOT NULL"
+        for q in VR_Q_PERIODS
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT day, xm,
+               lag(xm, 1) OVER (ORDER BY day) AS p1,
+               {lag_cols}
+        FROM daily
+    ),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_incr,
+               CAST(SUM(xm - p1) AS BIGINT) AS sd,
+               CAST(SUM(CAST(CAST(xm - p1 AS DECIMAL(20,0))
+                             * CAST(xm - p1 AS DECIMAL(18,0))
+                             AS DECIMAL(38,0))) AS DECIMAL(34,0)) AS sdd
+        FROM lagd WHERE p1 IS NOT NULL
+    ),
+    diffs AS (
+        {diff_union}
+    ),
+    qs AS (
+        SELECT q, CAST(count(*) AS BIGINT) AS m_overlap,
+               CAST(SUM(e) AS BIGINT) AS se,
+               CAST(SUM(CAST(CAST(e AS DECIMAL(20,0))
+                             * CAST(e AS DECIMAL(18,0))
+                             AS DECIMAL(38,0))) AS DECIMAL(34,0)) AS see
+        FROM diffs GROUP BY 1
+    ),
+    nums AS (
+        SELECT q, m_overlap,
+               CAST(CAST(m_overlap AS DECIMAL(4,0)) * see
+                    AS DECIMAL(38,0))
+               - CAST(CAST(se AS DECIMAL(20,0))
+                      * CAST(se AS DECIMAL(18,0))
+                      AS DECIMAL(38,0)) AS num_q
+        FROM qs
+    ),
+    base2 AS (
+        SELECT n_incr,
+               CAST(CAST(n_incr AS DECIMAL(4,0)) * sdd
+                    AS DECIMAL(38,0))
+               - CAST(CAST(sd AS DECIMAL(20,0))
+                      * CAST(sd AS DECIMAL(18,0))
+                      AS DECIMAL(38,0)) AS num_1
+        FROM base
+    )
+    SELECT CAST(q AS BIGINT) AS q, n_incr, m_overlap,
+           CAST(num_1 AS DOUBLE) AS num_1_d,
+           CAST(num_q AS DOUBLE) AS num_q_d,
+           {_VR_EXPR} AS vr,
+           {_VR_Z_EXPR} AS z_homo
+    FROM nums, base2
+    """
+
+
+@register(
+    "window_variance_ratio_daily",
+    oracle=_vr_oracle(),
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_variance_ratio_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on daily revenue — the
+    random-walk diagnostic that reads the SAME long-range question as
+    the Hurst op through variance scaling instead of range scaling:
+    under uncorrelated increments the variance of a q-day overlapping
+    difference is q× the 1-day variance, so VR(q) ≈ 1; VR > 1 means
+    positively autocorrelated (trending) revenue, VR < 1 mean
+    reversion.  z_homo is the homoskedastic Lo-MacKinlay statistic
+    (VR−1)/sqrt(2(2q−1)(q−1)/(3q·n)) — the classical asymptotic
+    N(0,1) gauge.  Definition note: each horizon's variance numerator
+    demeans by its OWN sample mean (the plain sample-variance VR),
+    not the paper's common-drift μ̂ = (x_N−x_0)/n; the difference is
+    O(1/n) and the own-mean form keeps every numerator a single
+    exact quadratic.
+
+    Exactness: daily revenues are exact micro-unit BIGINTs; the q-day
+    overlapping difference e_t = x_t − x_{t−q} is BIGINT; each
+    variance numerator num = cnt·Σe² − (Σe)² is exact DECIMAL(38,0)
+    under the width-budget discipline (e² and (Σe)² as 20+18-wide
+    products, Σe² declared DECIMAL(34,0) before the 4-wide count
+    multiply — bound: Σe² < 1e34, i.e. RMS daily move < ~6e8 currency
+    units over a ≤9,999-day span, documented headroom >1e5× at sf1).
+    VR and z are ONE shared fixed-order float text (_VR_EXPR) over the
+    exact integers, bit-identical cross-engine; a constant series
+    (num_1 = 0) yields NULL on both engines by the same guard.
+
+    Scale: one map-side-combined groupBy to the day grid; ONE ordered
+    window pass over the span-bounded grid (~2.4k rows) produces all
+    |Q|+1 lags; the explode is grid × |Q| and the rest is a 4-group
+    aggregate.  The corpus is touched exactly once."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 1000000)
+        .cast("bigint")
+        .alias("xm")
+    )
+    w = Window.orderBy("day")
+    lagd = daily.select(
+        "xm",
+        F.lag("xm", 1).over(w).alias("p1"),
+        *[F.lag("xm", q).over(w).alias(f"p{q}") for q in VR_Q_PERIODS],
+    )
+
+    def sq(col: F.Column) -> F.Column:
+        return (
+            col.cast("decimal(20,0)") * col.cast("decimal(18,0)")
+        ).cast("decimal(38,0)")
+
+    d = F.col("xm") - F.col("p1")
+    base = (
+        lagd.filter(F.col("p1").isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incr"),
+            F.sum(d).cast("bigint").alias("sd"),
+            F.sum(sq(d)).cast("decimal(34,0)").alias("sdd"),
+        )
+    )
+    diffs = (
+        lagd.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).cast("int").alias("q"),
+                            (F.col("xm") - F.col(f"p{q}")).alias("e"),
+                        )
+                        for q in VR_Q_PERIODS
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+        .filter(F.col("e").isNotNull())
+    )
+    qs = diffs.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_overlap"),
+        F.sum("e").cast("bigint").alias("se"),
+        F.sum(sq(F.col("e"))).cast("decimal(34,0)").alias("see"),
+    )
+    nums = qs.select(
+        "q",
+        "m_overlap",
+        (
+            (
+                F.col("m_overlap").cast("decimal(4,0)") * F.col("see")
+            ).cast("decimal(38,0)")
+            - sq(F.col("se"))
+        ).alias("num_q"),
+    )
+    base2 = base.select(
+        "n_incr",
+        (
+            (
+                F.col("n_incr").cast("decimal(4,0)") * F.col("sdd")
+            ).cast("decimal(38,0)")
+            - sq(F.col("sd"))
+        ).alias("num_1"),
+    )
+    return nums.crossJoin(F.broadcast(base2)).select(
+        F.col("q").cast("bigint").alias("q"),
+        "n_incr",
+        "m_overlap",
+        F.col("num_1").cast("double").alias("num_1_d"),
+        F.col("num_q").cast("double").alias("num_q_d"),
+        F.expr(_VR_EXPR).alias("vr"),
+        F.expr(_VR_Z_EXPR).alias("z_homo"),
+    )
+
+
+#: Time-delay strides for multiscale sample entropy — same grid as the
+#: multiscale permutation-entropy op so the two profiles are read
+#: side-by-side (ordinal vs magnitude-aware, per scale).
+SAMPEN_SCALES = (1, 2, 3, 5)
+
+
+def _msse_oracle() -> str:
+    offsets = sorted({k * s for s in SAMPEN_SCALES for k in (1, 2)})
+    lead_cols = ",\n               ".join(
+        f"lead(xm, {k}) OVER (ORDER BY day) AS l{k}" for k in offsets
+    )
+    stack_union = "\n        UNION ALL ".join(
+        f"SELECT {s} AS scale, day, xm AS x0, l{s} AS x1,"
+        f" l{2 * s} AS x2 FROM seq"
+        for s in SAMPEN_SCALES
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, xm,
+               {lead_cols}
+        FROM daily
+    ),
+    stacked AS (
+        {stack_union}
+    ),
+    moves AS (
+        SELECT scale, abs(x1 - x0) AS mv, day
+        FROM stacked WHERE x1 IS NOT NULL
+    ),
+    tol AS (
+        SELECT scale, mv AS r_tol FROM (
+            SELECT scale, mv,
+                   row_number() OVER (PARTITION BY scale
+                                      ORDER BY mv, day) AS rk,
+                   count(*) OVER (PARTITION BY scale) AS nm
+            FROM moves
+        ) WHERE rk = (nm * {SAMPEN_TOL_RANK_NUM}
+                      + {SAMPEN_TOL_RANK_DEN} - 1)
+                     // {SAMPEN_TOL_RANK_DEN}
+    ),
+    tpl AS (
+        SELECT scale, day, x0, x1, x2 FROM stacked
+        WHERE x2 IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.scale,
+               CAST(count(*) AS BIGINT) AS b_count,
+               CAST(SUM(CASE WHEN abs(a.x2 - b.x2) <= t.r_tol
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+        FROM tpl a
+        JOIN tpl b ON a.scale = b.scale AND a.day < b.day
+        JOIN tol t ON t.scale = a.scale
+        WHERE abs(a.x0 - b.x0) <= t.r_tol
+          AND abs(a.x1 - b.x1) <= t.r_tol
+        GROUP BY 1
+    ),
+    ntpl AS (
+        SELECT scale, CAST(count(*) AS BIGINT) AS n_tpl
+        FROM tpl GROUP BY 1
+    )
+    SELECT CAST(n.scale AS BIGINT) AS scale, n.n_tpl, t.r_tol,
+           p.b_count, p.a_count,
+           CASE WHEN p.a_count > 0 AND p.b_count > 0
+                THEN -ln(CAST(p.a_count AS DOUBLE)
+                         / CAST(p.b_count AS DOUBLE))
+                ELSE NULL END AS sampen
+    FROM ntpl n
+    JOIN tol t ON t.scale = n.scale
+    LEFT JOIN pairs p ON p.scale = n.scale
+    """
+
+
+@register(
+    "window_multiscale_sample_entropy",
+    oracle=_msse_oracle(),
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_multiscale_sample_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiscale sample entropy of daily revenue: the m=2
+    Richman-Moorman kernel evaluated on stride-s template triples
+    (x_t, x_{t+s}, x_{t+2s}) for s ∈ {1, 2, 3, 5} — the magnitude-aware
+    counterpart of the multiscale permutation-entropy profile.  Read
+    jointly: a SampEn profile that RISES with scale while the ordinal
+    profile stays flat means amplitude regularity lives at short lags
+    only (motifs recur day-to-day but not week-to-week); Costa's MSE
+    signature (falling profile) marks long-range amplitude structure.
+    Stride embedding (not coarse-grain averaging) is used at every
+    scale — identical to the MPE op's choice, and for the same reason:
+    averages would leave the exact-integer grid.
+
+    Exactness: template comparisons are pure BIGINT Chebyshev tests
+    against a PER-SCALE rank-selected tolerance (the
+    ceil(4/5·n_s)-th smallest absolute stride-s move, day-tiebroken) —
+    the single-scale op's convention applied within each scale
+    partition, so every A/B count is integer-exact cross-engine and
+    the one −ln division is final.  The scale-1 row reproduces
+    window_sample_entropy_daily bit-for-bit (pinned).
+
+    Scale: one map-side-combined groupBy to the day grid; ONE ordered
+    window pass computes all max(2s) leads; the explode is grid ×
+    |scales| and the pair stage is grid² PER SCALE on the
+    calendar-bounded day grid (~4 × 2.9M comparisons at the TPC-H
+    span) — the same documented span-bounded class as the hourly
+    dCor/Hoeffding kernels; the corpus is touched once."""
+    from pyspark.sql import Window
+
+    offsets = sorted({k * s for s in SAMPEN_SCALES for k in (1, 2)})
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 1000000)
+        .cast("bigint")
+        .alias("xm")
+    )
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        "xm",
+        *[F.lead("xm", k).over(w).alias(f"l{k}") for k in offsets],
+    )
+    stacked = seq.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("scale"),
+                        F.col("day").alias("day"),
+                        F.col("xm").alias("x0"),
+                        F.col(f"l{s}").alias("x1"),
+                        F.col(f"l{2 * s}").alias("x2"),
+                    )
+                    for s in SAMPEN_SCALES
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    moves = stacked.filter(F.col("x1").isNotNull()).select(
+        "scale", F.abs(F.col("x1") - F.col("x0")).alias("mv"), "day"
+    )
+    wm = Window.partitionBy("scale").orderBy("mv", "day")
+    wp = Window.partitionBy("scale")
+    tol = (
+        moves.select(
+            "scale",
+            "mv",
+            F.row_number().over(wm).alias("rk"),
+            F.count(F.lit(1)).over(wp).alias("nm"),
+        )
+        .filter(
+            F.col("rk")
+            == F.expr(
+                f"(nm * {SAMPEN_TOL_RANK_NUM} + {SAMPEN_TOL_RANK_DEN} - 1)"
+                f" div {SAMPEN_TOL_RANK_DEN}"
+            )
+        )
+        .select("scale", F.col("mv").alias("r_tol"))
+    )
+    tpl = stacked.filter(F.col("x2").isNotNull())
+    a, b = tpl.alias("a"), tpl.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.scale") == F.col("b.scale"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .join(
+            F.broadcast(tol.alias("t")),
+            F.col("t.scale") == F.col("a.scale"),
+        )
+        .filter(
+            (F.abs(F.col("a.x0") - F.col("b.x0")) <= F.col("r_tol"))
+            & (F.abs(F.col("a.x1") - F.col("b.x1")) <= F.col("r_tol"))
+        )
+        .groupBy(F.col("a.scale").alias("scale"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("b_count"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("a.x2") - F.col("b.x2"))
+                    <= F.col("r_tol"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a_count"),
+        )
+    )
+    ntpl = tpl.groupBy("scale").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tpl")
+    )
+    return (
+        ntpl.join(tol, "scale")
+        .join(pairs, "scale", "left")
+        .select(
+            F.col("scale").cast("bigint").alias("scale"),
+            "n_tpl",
+            "r_tol",
+            "b_count",
+            "a_count",
+            F.when(
+                (F.col("a_count") > 0) & (F.col("b_count") > 0),
+                -F.log(
+                    F.col("a_count").cast("double")
+                    / F.col("b_count").cast("double")
+                ),
+            ).alias("sampen"),
+        )
+    )

@@ -524,3 +524,113 @@ def test_hurst_rs_python_replay(spark, sf_small):
         assert math.isclose(row[f"mrs_{s}"], means[s][1], rel_tol=1e-9)
     assert math.isclose(row.hurst_h, slope, rel_tol=1e-9)
     assert 0.0 < row.hurst_h < 1.0
+
+
+# ------------------------- Lo-MacKinlay variance ratio
+
+
+def test_variance_ratio_python_replay(spark, sf_small):
+    """Independent replay: exact integer variance numerators, VR(q),
+    and the homoskedastic z recomputed in pure python from the
+    micro-unit daily sums must match the operator to 1e-12."""
+    import math
+
+    import duckdb
+
+    from kafka_stream_processing_spark.operators.windowed import (
+        VR_Q_PERIODS,
+    )
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                   AS BIGINT)
+            FROM '{sf_small}/orders.parquet'
+            GROUP BY o_orderdate ORDER BY o_orderdate"""
+    ).fetchall()
+    xs = [r[0] for r in rows]
+
+    def var_num(diffs):
+        cnt = len(diffs)
+        return cnt * sum(e * e for e in diffs) - sum(diffs) ** 2, cnt
+
+    num1, n = var_num([b - a for a, b in zip(xs, xs[1:])])
+    got = {
+        r.q: r
+        for r in SPECS["window_variance_ratio_daily"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert set(got) == set(VR_Q_PERIODS)
+    for q in VR_Q_PERIODS:
+        numq, m = var_num([xs[i] - xs[i - q] for i in range(q, len(xs))])
+        vr = (numq * n * n) / (q * m * m * num1)
+        z = (vr - 1.0) * math.sqrt(
+            (3.0 * q * n) / (2.0 * (2.0 * q - 1.0) * (q - 1.0))
+        )
+        r = got[q]
+        assert r.n_incr == n and r.m_overlap == m
+        assert math.isclose(r.num_1_d, float(num1), rel_tol=1e-12)
+        assert math.isclose(r.num_q_d, float(numq), rel_tol=1e-12)
+        assert math.isclose(r.vr, vr, rel_tol=1e-12)
+        assert math.isclose(r.z_homo, z, rel_tol=1e-12)
+        # variance numerators are nonnegative quadratics by construction
+        assert r.num_q_d >= 0 and r.num_1_d > 0
+
+
+def test_variance_ratio_width_budget():
+    """Pin the decimal width-budget discipline on the shared SQL text:
+    every product's operand widths sum to exactly 38 with at least one
+    operand >= 19 wide (DuckDB hugeint path), and the count operand of
+    the count*sum product is 4 wide against the declared 34-wide sum
+    (bound: sum of squares < 1e34 over a <= 9,999-day span)."""
+    import re
+
+    from kafka_stream_processing_spark.registry import all_specs
+
+    oracle = all_specs()["window_variance_ratio_daily"].oracle
+    pairs = re.findall(
+        r"DECIMAL\((\d+),0\)\)\s*\* CAST\([^)]*\s?AS DECIMAL\((\d+),0\)",
+        oracle,
+    )
+    assert len(pairs) >= 4, oracle
+    for w1, w2 in pairs:
+        assert int(w1) + int(w2) == 38, (w1, w2)
+        assert max(int(w1), int(w2)) >= 19, (w1, w2)
+    assert "DECIMAL(34,0)" in oracle and "DECIMAL(4,0)" in oracle
+
+
+# ------------------------- multiscale sample entropy
+
+
+def test_multiscale_sample_entropy_scale1_reproduces_single(
+    spark, sf_small
+):
+    """The stride-1 row of the multiscale op must reproduce the
+    single-scale SampEn bit-for-bit (same tolerance selection, same
+    template convention, same counts)."""
+    import math
+
+    rows = {
+        r.scale: r
+        for r in SPECS["window_multiscale_sample_entropy"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    from kafka_stream_processing_spark.operators.windowed import (
+        SAMPEN_SCALES,
+    )
+
+    assert set(rows) == set(SAMPEN_SCALES)
+    one = SPECS["window_sample_entropy_daily"].fn(spark, sf_small).first()
+    r1 = rows[1]
+    assert r1.r_tol == one.r_tol
+    assert r1.b_count == one.b_count and r1.a_count == one.a_count
+    assert math.isclose(r1.sampen, one.sampen, rel_tol=0)
+    # template-count law: stride-s loses exactly 2s tail rows vs the
+    # day-grid length, so n_tpl is strictly decreasing in s
+    ns = [rows[s].n_tpl for s in sorted(rows)]
+    assert ns == sorted(ns, reverse=True) and ns[0] == one.n_days - 2
+    # A-subset-of-B law per scale
+    for r in rows.values():
+        assert 0 <= r.a_count <= r.b_count
+        assert r.sampen is None or r.sampen >= 0
