@@ -337,6 +337,105 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Salt width for the within-cell pair stage of the SemDeDup audit —
+#: see the plan note inside _semdedup_cell_audit.
+SEMDEDUP_PAIR_SALT = 32
+
+
+def _semdedup_cell_audit(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Per-cell SemDeDup audit at cluster count ``k`` — the single
+    source of truth for dedup_semantic_semdedup (k = KMEANS_K) and
+    every row of dedup_semdedup_k_sweep: seed-centroid assignment,
+    within-cell exact-decimal cosine pairs, keep-lowest-vec_id drops.
+
+    Plan note (measured, r10): keep the trailing sizes-LEFT-JOIN-drops
+    aggregate ON TOP of the pair stage — with it Catalyst compiles the
+    cosine into a codegen'd broadcast-join stage (251k pairs in ~1.3 s
+    at sf0.1 for any k in the sweep); a bare join+filter+count of the
+    same pair stage planned as an interpreted SortMergeJoin condition
+    and ran 15-60x slower (22-89 s)."""
+    from kafka_stream_processing_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+    )
+    from kafka_stream_processing_spark.operators.similarity import (
+        _as_double_array,
+        cosine_exact,
+        l2_norm_exact,
+    )
+    from kafka_stream_processing_spark.sources.tables import fanout, table
+
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    n = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cvec")
+    )
+    members = assign_nearest(n, cents).select(
+        "cluster_id", "vec_id", "emb", "nrm"
+    )
+    # Salted within-cell pair join (r10, measured): the pair stage's
+    # decimal cosine costs ~0.1 ms/pair interpreted, and with only k
+    # join keys AQE coalesces the tiny pre-join shuffle to ONE task —
+    # the whole quadratic stage ran serially (28 s at sf0.1, identical
+    # wall at 4 and 32 cores).  Salting b by vec_id and replicating a
+    # over all salt values keeps the pair set identical while giving
+    # k x SALT join keys; the explicit repartition on the join keys is
+    # user-specified, so AQE keeps the fan-out.  At 100 TB this is the
+    # standard skew treatment: n x SALT replicated member rows shuffle,
+    # which is << the Σ cell² candidate set they unlock.
+    a = (
+        members.withColumn(
+            "salt",
+            F.explode(
+                F.array(
+                    *[F.lit(s) for s in range(SEMDEDUP_PAIR_SALT)]
+                )
+            ),
+        )
+        .repartition(
+            SEMDEDUP_PAIR_SALT, F.col("cluster_id"), F.col("salt")
+        )
+        .alias("a")
+    )
+    b = members.withColumn(
+        "salt", F.pmod(F.col("vec_id"), F.lit(SEMDEDUP_PAIR_SALT))
+    ).alias("b")
+    cos = cosine_exact(
+        F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    drops = pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("vec_b").alias("n_dropped"),
+    )
+    return sizes.join(drops, "cluster_id", "left").select(
+        "cluster_id",
+        "n_vecs",
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+    )
+
+
 def _semdedup_oracle() -> str:
     """Assemble the SemDeDup oracle from dedup.py's shared norm/cosine SQL
     fragments and this module's _SEED_ASSIGN_CTES — single source of truth
@@ -394,57 +493,123 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on cluster_id (hash join, AQE skew-split on hot cells).
     This is the architecture the SemDeDup paper runs on its 100-cluster
     LAION sweep, re-expressed as two Spark joins."""
+    return _semdedup_cell_audit(spark, sf_dir, KMEANS_K)
+
+
+#: Cluster counts for the SemDeDup calibration sweep.  Includes
+#: KMEANS_K so one sweep row is pinned against the registered
+#: single-k operator (shared assignment + cosine kernels).
+SEMDEDUP_K_SWEEP = (2, 4, 8, 16, 32)
+
+
+def _semdedup_k_sweep_oracle() -> str:
     from kafka_stream_processing_spark.operators.dedup import (
+        _EMB_NORM_CTE,
+        _PAIR_COSINE_SQL,
         COSINE_DUP_THRESHOLD,
     )
-    from kafka_stream_processing_spark.operators.similarity import (
-        _as_double_array,
-        cosine_exact,
-        l2_norm_exact,
-    )
-    from kafka_stream_processing_spark.sources.tables import fanout, table
 
-    emb = fanout(table(spark, sf_dir, "embeddings")).select(
-        "vec_id", _as_double_array("embedding").alias("emb")
+    return f"""{_EMB_NORM_CTE.format(extra="")},
+    ks AS (SELECT unnest(ARRAY{list(SEMDEDUP_K_SWEEP)}) AS k),
+    d AS (
+        SELECT ks.k, x.vec_id, c.vec_id AS cluster_id,
+               list_aggregate(list_transform(range(1, {KMEANS_DIM + 1}),
+                   i -> CAST((x.emb[i] - c.emb[i])
+                             * (x.emb[i] - c.emb[i])
+                             AS DECIMAL(18,12))), 'sum') AS dist2
+        FROM n x, ks, n c
+        WHERE c.vec_id < ks.k
+    ),
+    a AS (
+        SELECT k, vec_id, cluster_id,
+               row_number() OVER (PARTITION BY k, vec_id
+                                  ORDER BY dist2, cluster_id) AS rn
+        FROM d
+    ),
+    m AS (
+        SELECT a.k, a.cluster_id, x.vec_id, x.emb, x.nrm
+        FROM a JOIN n x ON x.vec_id = a.vec_id WHERE a.rn = 1
+    ),
+    cells AS (
+        SELECT k, cluster_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM m GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT)
+                   AS candidate_pairs
+        FROM cells GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.k, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM m a
+        JOIN m b ON a.k = b.k AND a.cluster_id = b.cluster_id
+               AND a.vec_id < b.vec_id
+        WHERE {_PAIR_COSINE_SQL} >= {COSINE_DUP_THRESHOLD}
+    ),
+    drops AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+               CAST(count(DISTINCT vec_b) AS BIGINT) AS n_dropped
+        FROM pairs GROUP BY 1
     )
-    n = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cvec")
-    )
-    members = assign_nearest(n, cents).select(
-        "cluster_id", "vec_id", "emb", "nrm"
-    )
-    a, b = members.alias("a"), members.alias("b")
-    cos = cosine_exact(
-        F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    SELECT CAST(s.k AS BIGINT) AS k, s.n_cells, s.candidate_pairs,
+           CAST(COALESCE(d2.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(d2.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM sizes s LEFT JOIN drops d2 ON d2.k = s.k
+    """
+
+
+@register(
+    "dedup_semdedup_k_sweep",
+    oracle=_semdedup_k_sweep_oracle(),
+    tags=("dedup", "clustering", "embeddings", "calibration"),
+)
+def dedup_semdedup_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup k-calibration sweep — the table the paper's 100-cluster
+    LAION choice comes from: for each cluster count k, how much
+    duplicate mass does within-cell search still recover, and what does
+    the candidate stage cost?  Per k: non-empty cells, Σ size·(size−1)/2
+    candidate pairs (the quadratic term a planner budgets), duplicate
+    pairs found, and distinct dropped vectors.  Read the curve from the
+    k=2 row (near all-pairs recall, near all-pairs cost) down: the
+    operating point is the largest k whose n_dropped is still flat —
+    past it, cross-cell near-dups start escaping.  The k=KMEANS_K row
+    is pinned equal to aggregating dedup_semantic_semdedup's per-cell
+    audit (shared assignment seed, tie-break, and decimal-cosine
+    kernels — single source of truth).
+
+    Exactness: assignment distances and pair cosines use the exact
+    DECIMAL(18,12) kernels shared with the k-means trainer and the
+    single-k op, so cell frontiers and the ≥-threshold verdicts are
+    bit-identical cross-engine; every output is a BIGINT count.
+
+    Scale: each row aggregates ONE _semdedup_cell_audit pass — the
+    broadcast-centroid assignment (corpus vectors never shuffle;
+    ≤ Σk = 62 centroids broadcast in total) plus the cluster-keyed pair
+    equi-join whose cost is exactly the candidate_pairs column being
+    reported — the sweep MEASURES its own quadratic term per k.  See
+    the helper's plan note for why the per-cell aggregate must stay on
+    top of the pair stage.  Run at audit cadence to pick k, then ship
+    dedup_semantic_semdedup at that k."""
+    out = None
+    for k in SEMDEDUP_K_SWEEP:
+        audit = _semdedup_cell_audit(spark, sf_dir, k)
+        row = audit.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.expr("(n_vecs * (n_vecs - 1)) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+            F.sum("n_dup_pairs").cast("bigint").alias("n_dup_pairs"),
+            F.sum("n_dropped").cast("bigint").alias("n_dropped"),
+        ).select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_cells",
+            "candidate_pairs",
+            "n_dup_pairs",
+            "n_dropped",
         )
-        .select(
-            F.col("a.cluster_id").alias("cluster_id"),
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-    )
-    sizes = members.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_vecs")
-    )
-    drops = pairs.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"),
-        F.countDistinct("vec_b").alias("n_dropped"),
-    )
-    return sizes.join(drops, "cluster_id", "left").select(
-        "cluster_id",
-        "n_vecs",
-        F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
-        F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
-    )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @register(

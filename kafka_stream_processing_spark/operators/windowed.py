@@ -7584,3 +7584,216 @@ def window_multiscale_sample_entropy(
             ).alias("sampen"),
         )
     )
+
+
+def _apen_oracle() -> str:
+    tol_pick = (
+        f"(nm * {SAMPEN_TOL_RANK_NUM} + {SAMPEN_TOL_RANK_DEN} - 1)"
+        f" // {SAMPEN_TOL_RANK_DEN}"
+    )
+    phi = (
+        "CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)),"
+        " 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE)"
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, xm,
+               lead(xm, 1) OVER (ORDER BY day) AS x1,
+               lead(xm, 2) OVER (ORDER BY day) AS x2,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    moves AS (
+        SELECT abs(x1 - xm) AS mv, day FROM seq WHERE x1 IS NOT NULL
+    ),
+    tol AS (
+        SELECT mv AS r_tol FROM (
+            SELECT mv, row_number() OVER (ORDER BY mv, day) AS rk,
+                   count(*) OVER () AS nm
+            FROM moves
+        ) WHERE rk = {tol_pick}
+    ),
+    t2 AS (SELECT day, xm AS x0, x1 FROM seq WHERE x1 IS NOT NULL),
+    t3 AS (
+        SELECT day, xm AS x0, x1, x2 FROM seq WHERE x2 IS NOT NULL
+    ),
+    c2 AS (
+        SELECT a.day, CAST(count(*) AS BIGINT) AS c
+        FROM t2 a, t2 b, tol t
+        WHERE abs(a.x0 - b.x0) <= t.r_tol
+          AND abs(a.x1 - b.x1) <= t.r_tol
+        GROUP BY 1
+    ),
+    c3 AS (
+        SELECT a.day, CAST(count(*) AS BIGINT) AS c
+        FROM t3 a, t3 b, tol t
+        WHERE abs(a.x0 - b.x0) <= t.r_tol
+          AND abs(a.x1 - b.x1) <= t.r_tol
+          AND abs(a.x2 - b.x2) <= t.r_tol
+        GROUP BY 1
+    ),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM t2),
+    n3 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM t3),
+    phi2 AS (
+        SELECT {phi} AS phi FROM c2, n2
+    ),
+    phi3 AS (
+        SELECT {phi} AS phi FROM c3, n3
+    )
+    SELECT (SELECT max(n) FROM seq) AS n_days,
+           t.r_tol,
+           (SELECT nn FROM n2) AS n_tpl2,
+           (SELECT nn FROM n3) AS n_tpl3,
+           p2.phi AS phi2, p3.phi AS phi3,
+           p2.phi - p3.phi AS apen
+    FROM phi2 p2, phi3 p3, tol t
+    """
+
+
+@register(
+    "window_approximate_entropy_daily",
+    oracle=_apen_oracle(),
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_approximate_entropy_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate entropy (Pincus, m=2) of daily revenue — SampEn's
+    biased ancestor, shipped BESIDE it because the pair is the standard
+    regularity cross-check: ApEn counts self-matches and averages
+    ln(C_i) per template (so it is defined even when SampEn's A count
+    is 0), at the cost of a known bias toward regularity; a large
+    ApEn−SampEn gap flags that the match counts are self-match
+    dominated, i.e. the tolerance is too tight for the series length —
+    the calibration failure mode neither op detects alone.
+
+    Exactness: same exact micro-unit BIGINT series, the SAME
+    rank-selected integer tolerance as window_sample_entropy_daily
+    (shared constants, so the two ops' template comparisons are the
+    identical integer predicate); per-template match counts C_i are
+    integers including the self-match (C_i ≥ 1, so every ln is
+    defined); Φ_m = mean of ln(C_i/N_m) uses the round-12-then-
+    exact-decimal-sum house pattern — ln over exact integer ratios was
+    measured bit-stable cross-engine (entropy/keyness/powerlaw ops),
+    and the rounding removes any residual last-ulp exposure.  ApEn =
+    Φ₂ − Φ₃ per the standard template convention (m-length templates
+    run over their OWN index range, unlike SampEn's common range).
+
+    Scale: the two count stages are grid² on the calendar day grid —
+    the documented span-bounded class (the corpus is touched once by
+    the daily groupBy); re-grid to weeks for multi-decade spans."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 1000000)
+        .cast("bigint")
+        .alias("xm")
+    )
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "day",
+        "xm",
+        F.lead("xm", 1).over(w).alias("x1"),
+        F.lead("xm", 2).over(w).alias("x2"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    moves = seq.filter(F.col("x1").isNotNull()).select(
+        F.abs(F.col("x1") - F.col("xm")).alias("mv"), "day"
+    )
+    wm = Window.orderBy("mv", "day")
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tol = (
+        moves.select(
+            "mv",
+            F.row_number().over(wm).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("nm"),
+        )
+        .filter(
+            F.col("rk")
+            == F.expr(
+                f"(nm * {SAMPEN_TOL_RANK_NUM} + {SAMPEN_TOL_RANK_DEN} - 1)"
+                f" div {SAMPEN_TOL_RANK_DEN}"
+            )
+        )
+        .select(F.col("mv").alias("r_tol"))
+    )
+
+    def phi_frame(tpl: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+        a, b = tpl.alias("a"), tpl.alias("b")
+        cond = None
+        for c in cols:
+            this = (
+                F.abs(F.col(f"a.{c}") - F.col(f"b.{c}"))
+                <= F.col("r_tol")
+            )
+            cond = this if cond is None else (cond & this)
+        counts = (
+            a.crossJoin(F.broadcast(tol))
+            .join(b, cond)
+            .groupBy(F.col("a.day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        nn = tpl.agg(
+            F.count(F.lit(1)).cast("bigint").alias("nn")
+        )
+        return (
+            counts.crossJoin(F.broadcast(nn))
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            F.log(
+                                F.col("c").cast("double")
+                                / F.col("nn").cast("double")
+                            ),
+                            12,
+                        ).cast("decimal(38,12)")
+                    ).cast("double")
+                    / F.max("nn").cast("double")
+                ).alias("phi"),
+                F.max("nn").alias("n_tpl"),
+            )
+        )
+
+    t2 = seq.filter(F.col("x1").isNotNull()).select(
+        "day", F.col("xm").alias("x0"), "x1"
+    )
+    t3 = seq.filter(F.col("x2").isNotNull()).select(
+        "day", F.col("xm").alias("x0"), "x1", "x2"
+    )
+    p2 = phi_frame(t2, ("x0", "x1")).select(
+        F.col("phi").alias("phi2"), F.col("n_tpl").alias("n_tpl2")
+    )
+    p3 = phi_frame(t3, ("x0", "x1", "x2")).select(
+        F.col("phi").alias("phi3"), F.col("n_tpl").alias("n_tpl3")
+    )
+    n_days = seq.agg(F.max("n").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(tol))
+        .crossJoin(p2)
+        .crossJoin(p3)
+        .select(
+            "n_days",
+            "r_tol",
+            "n_tpl2",
+            "n_tpl3",
+            "phi2",
+            "phi3",
+            (F.col("phi2") - F.col("phi3")).alias("apen"),
+        )
+    )

@@ -282,6 +282,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_jonckheere_terpstra_trend",
     "dedup_containment_keep_policy",
     "window_hurst_rs_daily",
+    # -- new in r10 session 2 (same targeted-differential gate) --
+    "window_variance_ratio_daily",
+    "window_multiscale_sample_entropy",
+    "dedup_semdedup_k_sweep",
+    "window_approximate_entropy_daily",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

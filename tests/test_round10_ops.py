@@ -634,3 +634,94 @@ def test_multiscale_sample_entropy_scale1_reproduces_single(
     for r in rows.values():
         assert 0 <= r.a_count <= r.b_count
         assert r.sampen is None or r.sampen >= 0
+
+
+# ------------------------- SemDeDup k-sweep calibration
+
+
+def test_semdedup_k_sweep_pins_single_k_row(spark, sf_small):
+    """The k=KMEANS_K sweep row must equal the aggregate of the
+    registered single-k operator's per-cell audit (shared seed,
+    tie-break, and decimal-cosine kernels), and the sweep's cost law
+    must hold: candidate_pairs strictly decreases in k while n_cells
+    equals k (every seed keeps itself)."""
+    from kafka_stream_processing_spark.operators.clustering import (
+        KMEANS_K,
+        SEMDEDUP_K_SWEEP,
+    )
+
+    rows = {
+        r.k: r
+        for r in SPECS["dedup_semdedup_k_sweep"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert set(rows) == set(SEMDEDUP_K_SWEEP)
+    single = (
+        SPECS["dedup_semantic_semdedup"].fn(spark, sf_small).collect()
+    )
+    r8 = rows[KMEANS_K]
+    assert r8.n_cells == len(single) == KMEANS_K
+    assert r8.n_dup_pairs == sum(r.n_dup_pairs for r in single)
+    # cells are disjoint, so per-cell distinct vec_b sums to the global
+    assert r8.n_dropped == sum(r.n_dropped for r in single)
+    assert r8.candidate_pairs == sum(
+        r.n_vecs * (r.n_vecs - 1) // 2 for r in single
+    )
+    ks = sorted(rows)
+    cand = [rows[k].candidate_pairs for k in ks]
+    assert cand == sorted(cand, reverse=True)
+    for k in ks:
+        assert rows[k].n_cells == k
+        assert 0 <= rows[k].n_dropped <= rows[k].n_dup_pairs
+        assert rows[k].n_dup_pairs <= rows[k].candidate_pairs
+
+
+# ------------------------- approximate entropy
+
+
+def test_approximate_entropy_python_replay(spark, sf_small):
+    """Independent replay: rank-selected tolerance, per-template match
+    counts, and both Φ means recomputed in pure python must match the
+    operator (1e-9; the round-12 decimal-sum makes the Φs reproducible
+    to that scale), and the shared-tolerance law with SampEn holds."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                   AS BIGINT)
+            FROM '{sf_small}/orders.parquet'
+            GROUP BY o_orderdate ORDER BY o_orderdate"""
+    ).fetchall()
+    xs = [r[0] for r in rows]
+    moves = sorted(abs(b - a) for a, b in zip(xs, xs[1:]))
+    r_tol = moves[(len(moves) * 4 + 4) // 5 - 1]
+
+    def phi(m):
+        tpls = [tuple(xs[i : i + m]) for i in range(len(xs) - m + 1)]
+        n = len(tpls)
+        total = 0
+        for a in tpls:
+            c = sum(
+                all(abs(u - v) <= r_tol for u, v in zip(a, b))
+                for b in tpls
+            )
+            total += round(math.log(c / n), 12)
+        return total / n, n
+
+    p2, n2 = phi(2)
+    p3, n3 = phi(3)
+    row = (
+        SPECS["window_approximate_entropy_daily"].fn(spark, sf_small).first()
+    )
+    assert row.r_tol == r_tol and row.n_tpl2 == n2 and row.n_tpl3 == n3
+    assert math.isclose(row.phi2, p2, rel_tol=1e-9)
+    assert math.isclose(row.phi3, p3, rel_tol=1e-9)
+    assert math.isclose(row.apen, p2 - p3, rel_tol=1e-9)
+    # self-match law: every C_i >= 1 so both Φ means are <= 0, and the
+    # tolerance is the SAME integer SampEn selected (shared constants)
+    assert row.phi2 <= 0 and row.phi3 <= 0
+    one = SPECS["window_sample_entropy_daily"].fn(spark, sf_small).first()
+    assert one.r_tol == row.r_tol
