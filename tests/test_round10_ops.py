@@ -725,3 +725,70 @@ def test_approximate_entropy_python_replay(spark, sf_small):
     assert row.phi2 <= 0 and row.phi3 <= 0
     one = SPECS["window_sample_entropy_daily"].fn(spark, sf_small).first()
     assert one.r_tol == row.r_tol
+
+
+def test_semdedup_two_tier_equals_all_exact_kernel(spark, sf_small):
+    """The float-prefilter band logic must emit EXACTLY the pair set
+    the all-exact decimal kernel emits: rebuild the within-cell pairs
+    with the pure cosine_exact >= threshold verdict for every pair and
+    compare to the shipped audit's counts."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.operators.clustering import (
+        KMEANS_K,
+        assign_nearest,
+    )
+    from kafka_stream_processing_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+    )
+    from kafka_stream_processing_spark.operators.similarity import (
+        _as_double_array,
+        cosine_exact,
+        l2_norm_exact,
+    )
+    from kafka_stream_processing_spark.sources.tables import fanout, table
+
+    emb = fanout(table(spark, sf_small, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    n = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cvec")
+    )
+    members = assign_nearest(n, cents).select(
+        "cluster_id", "vec_id", "emb", "nrm"
+    )
+    a, b = members.alias("a"), members.alias("b")
+    cos = cosine_exact(
+        F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    exact = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct("vec_b").alias("n_dropped"),
+        )
+        .collect()
+    )
+    want = {
+        r.cluster_id: (r.n_dup_pairs, r.n_dropped) for r in exact
+    }
+    got = {
+        r.cluster_id: (r.n_dup_pairs, r.n_dropped)
+        for r in SPECS["dedup_semantic_semdedup"]
+        .fn(spark, sf_small)
+        .collect()
+        if r.n_dup_pairs > 0
+    }
+    assert got == want
