@@ -361,7 +361,7 @@ def _semdedup_cell_audit(
     )
     from kafka_stream_processing_spark.operators.similarity import (
         _as_double_array,
-        cosine_exact,
+        cosine_ge_two_tier,
         l2_norm_exact,
     )
     from kafka_stream_processing_spark.sources.tables import fanout, table
@@ -403,32 +403,15 @@ def _semdedup_cell_audit(
     b = members.withColumn(
         "salt", F.pmod(F.col("vec_id"), F.lit(SEMDEDUP_PAIR_SALT))
     ).alias("b")
-    # Two-tier threshold test (r10 session 2, measured): the exact
-    # decimal dot kernel costs ~10x the plain double one in interpreted
-    # HOF evaluation, so evaluate the cheap float dot first and let it
-    # decide every pair that is CLEARLY in or out; the exact kernel
-    # runs only inside a frontier band around the threshold.  The band
-    # half-width dominates the worst-case |dec_dot - fl_dot|: per-term
-    # HALF_UP quantization to 1e-12 contributes <= 64 * 0.5e-12 and
-    # float64 summation <= ~7e-15 * nrm_a*nrm_b (Cauchy-Schwarz), so
-    # eps = 1e-9 * (1 + nrm_a*nrm_b) carries a >30x safety margin —
-    # the emitted pair set is bit-identical to the all-exact kernel
-    # (the CASE evaluates the decimal kernel lazily, band rows only).
-    cos = cosine_exact(
-        F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
-    )
-    fl_dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nanb = F.col("a.nrm") * F.col("b.nrm")
-    eps = F.lit(1e-9) * (F.lit(1.0) + nanb)
-    thr = F.lit(COSINE_DUP_THRESHOLD) * nanb
-    is_dup = (
-        F.when(fl_dot >= thr + eps, F.lit(True))
-        .when(fl_dot <= thr - eps, F.lit(False))
-        .otherwise(cos >= COSINE_DUP_THRESHOLD)
+    # Two-tier threshold test — float prefilter, exact decimal kernel
+    # on the frontier band only; verdict bit-identical to the all-exact
+    # kernel.  Shared helper: similarity.cosine_ge_two_tier.
+    is_dup = cosine_ge_two_tier(
+        F.col("a.emb"),
+        F.col("b.emb"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
+        COSINE_DUP_THRESHOLD,
     )
     pairs = (
         a.join(

@@ -1678,26 +1678,38 @@ def dedup_threshold_sweep_cosine(
     fan-out x distinct-union) is unchanged and stays
     output-bounded.  The threshold join fans each candidate pair out
     at most {len(DEDUP_SWEEP_THRESHOLDS)}x."""
+    from kafka_stream_processing_spark.operators.similarity import (
+        cosine_ge_two_tier,
+    )
+
     emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )
     n = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
     n_vecs = n.count()  # one scalar, sizes the rate denominator
     a, b = n.alias("a"), n.alias("b")
-    cos = cosine_exact(
-        F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
-    )
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("va"),
         F.col("b.vec_id").alias("vb"),
-        cos.alias("cosine"),
+        F.col("a.emb").alias("ea"),
+        F.col("b.emb").alias("eb"),
+        F.col("a.nrm").alias("na"),
+        F.col("b.nrm").alias("nb"),
     )
     thresholds = spark.createDataFrame(
         [(float(t),) for t in DEDUP_SWEEP_THRESHOLDS],
         "threshold double",
     )
+    # Two-tier verdict per (pair, threshold): the float dot decides
+    # clear cases, the exact decimal kernel runs only in the frontier
+    # band — bit-identical pair sets, ~10x cheaper (r10; see
+    # similarity.cosine_ge_two_tier).
     hits = F.broadcast(thresholds).join(
-        pairs, F.col("cosine") >= F.col("threshold")
+        pairs,
+        cosine_ge_two_tier(
+            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"),
+            F.col("threshold"),
+        ),
     )
     n_pairs = hits.groupBy("threshold").agg(
         F.count(F.lit(1)).alias("n_pairs")

@@ -87,6 +87,41 @@ def cosine_exact(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column
     return dot_exact(a, b) / (norm_a * norm_b)
 
 
+def cosine_ge_two_tier(
+    a: Column,
+    b: Column,
+    norm_a: Column,
+    norm_b: Column,
+    threshold: Column | float,
+) -> Column:
+    """Boolean ``cosine_exact(a, b) >= threshold`` evaluated the cheap
+    way: a plain float dot decides every pair that is CLEARLY in or
+    out, and the 10×-costlier exact decimal kernel runs only inside a
+    frontier band around the threshold (r10, measured 3.6 s vs 0.36 s
+    kernel time over 499 k pairs).
+
+    Exactness: the band half-width eps = 1e-9·(1 + nrm_a·nrm_b)
+    dominates the worst-case |dec_dot − fl_dot| — per-term HALF_UP
+    quantization to 1e-12 contributes ≤ 64·0.5e-12 and float64
+    summation ≤ ~7e-15·nrm_a·nrm_b (Cauchy-Schwarz) — by >30×, so the
+    verdict is bit-identical to the all-exact kernel (pinned in
+    tests/test_round10_ops.py).  Both OR branches short-circuit, so
+    the exact kernel is evaluated for band rows only."""
+    thr = threshold if isinstance(threshold, Column) else F.lit(threshold)
+    fl_dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nanb = norm_a * norm_b
+    eps = F.lit(1e-9) * (F.lit(1.0) + nanb)
+    dot_thr = thr * nanb
+    return (fl_dot >= dot_thr + eps) | (
+        (fl_dot > dot_thr - eps)
+        & (cosine_exact(a, b, norm_a, norm_b) >= thr)
+    )
+
+
 @register(
     "similarity_bruteforce_topk",
     oracle=f"""
