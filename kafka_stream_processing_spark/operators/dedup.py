@@ -812,7 +812,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm_exact(F.col("emb")).alias("nrm"),
         lsh_bucket(F.col("emb")).alias("bucket"),
     )
-    a, b = n.alias("a"), n.alias("b")
+    # Salted bucket join + two-tier reject (r10 session 2): the bucket
+    # domain is fixed at 2^4 values, so the unsalted equi-join funnels
+    # into <=16 tasks (and AQE coalesces the tiny shuffle further);
+    # salting by vec_id%32 restores fan-out with an identical pair
+    # set.  The two-tier filter rejects the ~all non-dup candidates on
+    # the cheap float dot; the exact decimal cosine (the op's output
+    # column) is computed only for survivors.
+    from kafka_stream_processing_spark.operators.similarity import (
+        cosine_ge_two_tier,
+    )
+
+    salt_n = 32
+    a = (
+        n.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(s) for s in range(salt_n)])),
+        )
+        .repartition(salt_n, F.col("bucket"), F.col("salt"))
+        .alias("a")
+    )
+    b = n.withColumn(
+        "salt", F.pmod(F.col("vec_id"), F.lit(salt_n))
+    ).alias("b")
     cos = cosine_exact(
         F.col("a.emb"), F.col("b.emb"), F.col("a.nrm"), F.col("b.nrm")
     )
@@ -820,14 +842,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            cosine_ge_two_tier(
+                F.col("a.emb"), F.col("b.emb"),
+                F.col("a.nrm"), F.col("b.nrm"),
+                COSINE_DUP_THRESHOLD,
+            )
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
 
 
@@ -849,6 +878,10 @@ def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFra
     emb = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double_array("embedding").alias("emb")
     )
+    from kafka_stream_processing_spark.operators.similarity import (
+        cosine_ge_two_tier,
+    )
+
     n = emb.withColumn("nrm", l2_norm_exact(F.col("emb")))
     a, b = n.alias("a"), n.alias("b")
     cos = cosine_exact(
@@ -856,12 +889,18 @@ def dedup_embedding_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            cosine_ge_two_tier(
+                F.col("a.emb"), F.col("b.emb"),
+                F.col("a.nrm"), F.col("b.nrm"),
+                COSINE_DUP_THRESHOLD,
+            )
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
 
 
