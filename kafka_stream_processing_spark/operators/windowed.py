@@ -7797,3 +7797,275 @@ def window_approximate_entropy_daily(
             (F.col("phi2") - F.col("phi3")).alias("apen"),
         )
     )
+
+
+#: Block sizes for detrended fluctuation analysis — same grid as the
+#: R/S Hurst op so the two long-range-dependence readings pivot over
+#: identical calendar blocks.
+DFA_BLOCK_SIZES = (8, 16, 32, 64, 128)
+
+
+def _dfa_c(s: int) -> int:
+    """S_kk·s for the 1..s integer grid: C = s²(s²−1)/12, exact."""
+    return s * s * (s * s - 1) // 12
+
+
+def _dfa_slope_expr() -> str:
+    """Closed-form OLS slope of ln(mean F) on ln(s) — the Hurst op's
+    pivot/slope structure with F-columns mf_<s>."""
+    import math
+
+    us = {s: repr(math.log(s)) for s in DFA_BLOCK_SIZES}
+    k = len(DFA_BLOCK_SIZES)
+    su = " + ".join(us[s] for s in DFA_BLOCK_SIZES)
+    suu = " + ".join(f"{us[s]} * {us[s]}" for s in DFA_BLOCK_SIZES)
+    sv = " + ".join(f"ln(mf_{s})" for s in DFA_BLOCK_SIZES)
+    suv = " + ".join(f"{us[s]} * ln(mf_{s})" for s in DFA_BLOCK_SIZES)
+    return (
+        f"(({k} * ({suv}) - ({su}) * ({sv}))"
+        f" / ({k} * ({suu}) - ({su}) * ({su})))"
+    )
+
+
+def _dfa_oracle() -> str:
+    f2_cases = " ".join(
+        f"WHEN s = {s} THEN CAST(acb AS DOUBLE)"
+        f" / {float(s**4 * _dfa_c(s))!r}"
+        for s in DFA_BLOCK_SIZES
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT xm, row_number() OVER (ORDER BY day) - 1 AS t FROM daily
+    ),
+    blocks AS (
+        SELECT s.s, idx.t // s.s AS block_id, idx.t, idx.xm
+        FROM idx, (SELECT unnest(ARRAY{list(DFA_BLOCK_SIZES)}) AS s) s
+    ),
+    sums AS (
+        SELECT s, block_id, CAST(count(*) AS BIGINT) AS nb,
+               CAST(SUM(xm) AS BIGINT) AS sx
+        FROM blocks GROUP BY 1, 2
+    ),
+    walk AS (
+        SELECT b.s, b.block_id,
+               row_number() OVER (PARTITION BY b.s, b.block_id
+                                  ORDER BY b.t) AS k,
+               SUM(b.xm) OVER (PARTITION BY b.s, b.block_id ORDER BY b.t
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM blocks b
+    ),
+    w AS (
+        SELECT w.s, w.block_id, w.k,
+               CAST(w.s * w.cum - w.k * su.sx AS BIGINT) AS wv
+        FROM walk w
+        JOIN sums su ON su.s = w.s AND su.block_id = w.block_id
+        WHERE su.nb = w.s
+    ),
+    stats AS (
+        SELECT s, block_id,
+               CAST(SUM(wv) AS BIGINT) AS sw,
+               CAST(SUM(CAST(CAST(wv AS DECIMAL(25,0))
+                             * CAST(wv AS DECIMAL(13,0))
+                             AS DECIMAL(38,0))) AS DECIMAL(34,0)) AS sww,
+               CAST(SUM(k * wv) AS BIGINT) AS skw
+        FROM w GROUP BY 1, 2
+    ),
+    ab AS (
+        SELECT s, block_id,
+               CAST(CAST(s AS DECIMAL(4,0)) * sww AS DECIMAL(38,0))
+               - CAST(CAST(sw AS DECIMAL(20,0))
+                      * CAST(sw AS DECIMAL(18,0))
+                      AS DECIMAL(38,0)) AS a_num,
+               CAST(s AS BIGINT) * skw
+               - (CAST(s AS BIGINT) * (s + 1) / 2) * sw AS b_num
+        FROM stats
+    ),
+    f2 AS (
+        SELECT s, block_id,
+               CAST(CAST(a_num AS DECIMAL(30,0))
+                    * CAST(CASE {" ".join(f"WHEN s = {s} THEN {_dfa_c(s)}" for s in DFA_BLOCK_SIZES)} END
+                      AS DECIMAL(8,0)) AS DECIMAL(38,0))
+               - CAST(CAST(b_num AS DECIMAL(20,0))
+                      * CAST(b_num AS DECIMAL(18,0))
+                      AS DECIMAL(38,0)) AS acb
+        FROM ab
+    ),
+    fs AS (
+        SELECT s, block_id,
+               sqrt(CASE {f2_cases} END) AS f_val
+        FROM f2
+        WHERE acb > 0
+    ),
+    means AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CAST(round(f_val, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) / count(*) AS mean_f
+        FROM fs GROUP BY s
+    ),
+    pivoted AS (
+        SELECT {", ".join(f"MAX(CASE WHEN s = {s} THEN mean_f END) AS mf_{s}" for s in DFA_BLOCK_SIZES)},
+               {", ".join(f"MAX(CASE WHEN s = {s} THEN n_blocks END) AS nb_{s}" for s in DFA_BLOCK_SIZES)}
+        FROM means
+    )
+    SELECT {", ".join(f"CAST(nb_{s} AS BIGINT) AS nb_{s}, mf_{s}" for s in DFA_BLOCK_SIZES)},
+           {_dfa_slope_expr()} AS dfa_alpha
+    FROM pivoted
+    """
+
+
+@register(
+    "window_dfa_alpha_daily",
+    oracle=_dfa_oracle(),
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_dfa_alpha_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis (Peng et al.) of the daily ORDER
+    COUNT — the R/S Hurst op's canonical companion: R/S is biased by
+    local linear trends in a block, DFA removes the per-block OLS
+    trend before measuring fluctuation, so α ≈ H on trend-free series
+    and the (α, H) PAIR separates genuine long-range dependence from
+    piecewise drift.  Run on arrival counts rather than revenue: it
+    isolates ARRIVAL dynamics from price dynamics (the Hurst op reads
+    revenue), and the integer magnitudes keep every detrended
+    quadratic exact (below).
+
+    Exactness: per block of s days, the mean-adjusted walk is scaled
+    through s exactly as the Hurst op (W_k = s·cum_k − k·Σx, BIGINT);
+    the OLS residual sum of squares of W on the fixed 1..s grid is
+    SS·s·C = A·C − B² with A = s·ΣW² − (ΣW)², B = s·ΣkW − Σk·ΣW and
+    C = s²(s²−1)/12 a compile-time constant — A·C − B² is computed
+    EXACTLY in DECIMAL(38,0) under the width-budget discipline
+    (25+13 and 20+18 products, 34-wide ΣW², 30+8 A·C; documented
+    bound: daily count < 1e7, i.e. ~10 PB at TPC-H density, keeps
+    |B| < 1e18 via B ≤ √(A·C)).  F(s) per block = √((A·C−B²)/(s⁴·C))
+    — ONE division of an exact integer by the compile-time constant
+    s⁴·C (≤ 6e15, exactly representable in a double), so the float
+    tail is a single shared fixed-order text; per-size means use the
+    round-12-exact-decimal-sum pattern and the log-log slope is the
+    Hurst op's pivoted closed form.  Degenerate blocks (zero residual
+    variance) are excluded by the same exact integer comparison on
+    both engines; partial tail blocks dropped (nb = s).
+
+    Scale: identical shape to window_hurst_rs_daily — one map-side
+    combined groupBy to the day grid, ×|sizes| calendar-bounded block
+    explode, per-block windows partitioned by (s, block), slope on one
+    pivoted row.  The corpus is touched once."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("xm")
+    )
+    idx = daily.select(
+        "xm",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in DFA_BLOCK_SIZES], "s int"
+    )
+    blocks = idx.crossJoin(F.broadcast(sizes)).select(
+        "s", F.expr("t div s").alias("block_id"), "t", "xm"
+    )
+    sums = blocks.groupBy("s", "block_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("xm").cast("bigint").alias("sx"),
+    )
+    wwalk = Window.partitionBy("s", "block_id").orderBy("t")
+    walk = blocks.select(
+        "s",
+        "block_id",
+        F.row_number().over(wwalk).alias("k"),
+        F.sum("xm")
+        .over(wwalk.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    w = (
+        walk.join(sums, ["s", "block_id"])
+        .filter(F.col("nb") == F.col("s"))
+        .select(
+            "s",
+            "block_id",
+            "k",
+            (F.col("s") * F.col("cum") - F.col("k") * F.col("sx"))
+            .cast("bigint")
+            .alias("wv"),
+        )
+    )
+    ww_sq = (
+        F.col("wv").cast("decimal(25,0)")
+        * F.col("wv").cast("decimal(13,0)")
+    ).cast("decimal(38,0)")
+    stats = w.groupBy("s", "block_id").agg(
+        F.sum("wv").cast("bigint").alias("sw"),
+        F.sum(ww_sq).cast("decimal(34,0)").alias("sww"),
+        F.sum(F.col("k") * F.col("wv")).cast("bigint").alias("skw"),
+    )
+    a_num = (
+        F.col("s").cast("decimal(4,0)") * F.col("sww")
+    ).cast("decimal(38,0)") - (
+        F.col("sw").cast("decimal(20,0)")
+        * F.col("sw").cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    b_num = F.col("s").cast("bigint") * F.col("skw") - (
+        F.col("s").cast("bigint") * (F.col("s") + 1) / 2
+    ).cast("bigint") * F.col("sw")
+    c_expr = "CASE " + " ".join(
+        f"WHEN s = {s} THEN {_dfa_c(s)}" for s in DFA_BLOCK_SIZES
+    ) + " END"
+    ab = stats.select(
+        "s",
+        "block_id",
+        a_num.alias("a_num"),
+        b_num.alias("b_num"),
+    )
+    acb = (
+        (
+            F.col("a_num").cast("decimal(30,0)")
+            * F.expr(c_expr).cast("decimal(8,0)")
+        ).cast("decimal(38,0)")
+        - (
+            F.col("b_num").cast("decimal(20,0)")
+            * F.col("b_num").cast("decimal(18,0)")
+        ).cast("decimal(38,0)")
+    )
+    f2_cases = "CASE " + " ".join(
+        f"WHEN s = {s} THEN CAST(acb AS DOUBLE)"
+        f" / {float(s**4 * _dfa_c(s))!r}"
+        for s in DFA_BLOCK_SIZES
+    ) + " END"
+    fs = (
+        ab.select("s", "block_id", acb.alias("acb"))
+        .filter(F.col("acb") > 0)
+        .select("s", F.sqrt(F.expr(f2_cases)).alias("f_val"))
+    )
+    means = fs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (
+            F.sum(F.round(F.col("f_val"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_f"),
+    )
+    pivot_cols = []
+    for s in DFA_BLOCK_SIZES:
+        pivot_cols.append(
+            F.max(F.when(F.col("s") == s, F.col("mean_f"))).alias(
+                f"mf_{s}"
+            )
+        )
+        pivot_cols.append(
+            F.max(F.when(F.col("s") == s, F.col("n_blocks")))
+            .cast("bigint")
+            .alias(f"nb_{s}")
+        )
+    pivoted = means.agg(*pivot_cols)
+    out_cols = []
+    for s in DFA_BLOCK_SIZES:
+        out_cols.extend([f"nb_{s}", f"mf_{s}"])
+    return pivoted.select(
+        *out_cols, F.expr(_dfa_slope_expr()).alias("dfa_alpha")
+    )

@@ -792,3 +792,66 @@ def test_semdedup_two_tier_equals_all_exact_kernel(spark, sf_small):
         if r.n_dup_pairs > 0
     }
     assert got == want
+
+
+# ------------------------- DFA
+
+
+def test_dfa_alpha_python_replay(spark, sf_small):
+    """Independent replay: per-block exact OLS-detrended fluctuation,
+    per-size means, and the log-log slope recomputed in pure python
+    from the daily order counts must match the operator to 1e-9; the
+    exact integer A·C−B² must be nonnegative everywhere."""
+    import math
+
+    import duckdb
+
+    from kafka_stream_processing_spark.operators.windowed import (
+        DFA_BLOCK_SIZES,
+        _dfa_c,
+    )
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST(count(*) AS BIGINT)
+            FROM '{sf_small}/orders.parquet'
+            GROUP BY o_orderdate ORDER BY o_orderdate"""
+    ).fetchall()
+    xs = [r[0] for r in rows]
+    means = {}
+    for s in DFA_BLOCK_SIZES:
+        c = _dfa_c(s)
+        vals = []
+        for b0 in range(0, len(xs) - s + 1, s):
+            blk = xs[b0 : b0 + s]
+            sx = sum(blk)
+            cum = 0
+            ws = []
+            for k, x in enumerate(blk, start=1):
+                cum += x
+                ws.append(s * cum - k * sx)
+            a = s * sum(v * v for v in ws) - sum(ws) ** 2
+            b = s * sum(k * v for k, v in enumerate(ws, start=1)) - (
+                s * (s + 1) // 2
+            ) * sum(ws)
+            acb = a * c - b * b
+            assert acb >= 0
+            if acb > 0:
+                vals.append(math.sqrt(acb / float(s**4 * c)))
+        means[s] = (
+            len(vals),
+            sum(round(v, 12) for v in vals) / len(vals),
+        )
+    us = [math.log(s) for s in DFA_BLOCK_SIZES]
+    vs = [math.log(means[s][1]) for s in DFA_BLOCK_SIZES]
+    k = len(us)
+    slope = (
+        k * sum(u * v for u, v in zip(us, vs)) - sum(us) * sum(vs)
+    ) / (k * sum(u * u for u in us) - sum(us) ** 2)
+    row = SPECS["window_dfa_alpha_daily"].fn(spark, sf_small).first()
+    for s in DFA_BLOCK_SIZES:
+        assert row[f"nb_{s}"] == means[s][0]
+        assert math.isclose(row[f"mf_{s}"], means[s][1], rel_tol=1e-9)
+    assert math.isclose(row.dfa_alpha, slope, rel_tol=1e-9)
+    # white-noise-ish arrivals: alpha should land near 0.5, far from
+    # the degenerate 0/1 edges
+    assert 0.1 < row.dfa_alpha < 0.9
