@@ -391,7 +391,10 @@ def _semdedup_cell_audit(
             "salt",
             F.explode(
                 F.array(
-                    *[F.lit(s) for s in range(SEMDEDUP_PAIR_SALT)]
+                    *[
+                        F.lit(s).cast("bigint")
+                        for s in range(SEMDEDUP_PAIR_SALT)
+                    ]
                 )
             ),
         )

@@ -827,7 +827,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = (
         n.withColumn(
             "salt",
-            F.explode(F.array(*[F.lit(s) for s in range(salt_n)])),
+            F.explode(
+                F.array(
+                    *[F.lit(s).cast("bigint") for s in range(salt_n)]
+                )
+            ),
         )
         .repartition(salt_n, F.col("bucket"), F.col("salt"))
         .alias("a")

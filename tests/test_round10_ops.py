@@ -855,3 +855,25 @@ def test_dfa_alpha_python_replay(spark, sf_small):
     # white-noise-ish arrivals: alpha should land near 0.5, far from
     # the degenerate 0/1 edges
     assert 0.1 < row.dfa_alpha < 0.9
+
+
+def test_semdedup_salted_pair_stage_plan(spark, sf_small):
+    """Pin the serial-funnel fix: the pair stage must fan out over the
+    salted composite key via the user-specified repartition (exempt
+    from AQE coalescing), with salt types aligned so no cast-induced
+    re-exchange sneaks back in after it."""
+    df = SPECS["dedup_semantic_semdedup"].fn(spark, sf_small)
+    df.collect()
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in txt
+    import re
+
+    rep = [
+        ln for ln in txt.splitlines()
+        if "REPARTITION_BY_NUM" in ln and "salt" in ln
+    ]
+    assert rep, txt[:3000]
+    # mismatched salt types would re-shuffle through a cast
+    assert "cast(salt" not in txt, [
+        ln.strip() for ln in txt.splitlines() if "cast(salt" in ln
+    ]
