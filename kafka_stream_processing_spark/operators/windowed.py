@@ -8069,3 +8069,56 @@ def window_dfa_alpha_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         *out_cols, F.expr(_dfa_slope_expr()).alias("dfa_alpha")
     )
+
+
+#: Chow-Denning 5% critical value for the studentized maximum modulus
+#: with m = len(VR_Q_PERIODS) = 4 comparisons and infinite df — the
+#: standard joint-test table value (Chow & Denning 1993, SMM(0.05, 4,
+#: ∞); Stoline & Ury tables).  Compile-time literal so both engines
+#: compare against the identical constant.
+CHOW_DENNING_CRIT_5PCT = 2.491
+
+
+@register(
+    "window_variance_ratio_joint",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_horizons,
+           CAST(max(n_incr) AS BIGINT) AS n_incr,
+           max(abs(z_homo)) AS max_abs_z,
+           CAST(CASE WHEN max(abs(z_homo)) > {CHOW_DENNING_CRIT_5PCT}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_rw_5pct
+    FROM ({_vr_oracle()}) vr
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_variance_ratio_joint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chow-Denning joint variance-ratio test — the multiple-comparison
+    closure of window_variance_ratio_daily: testing VR(q) = 1 at four
+    horizons separately inflates the false-alarm rate ~4×, so the
+    joint test compares max_q |z(q)| against the studentized-maximum-
+    modulus 5% critical value (2.491 for 4 comparisons, the Chow &
+    Denning 1993 table) and rejects the random-walk null once, with
+    size controlled across the whole horizon family.  This is the row
+    a monitoring pipeline alerts on; the per-q op is the diagnostic it
+    drills into.
+
+    Exactness: consumes the SAME per-horizon z statistics (one shared
+    CTE text — the oracle literally nests _vr_oracle()); max/abs over
+    4 values and one literal comparison add no float ambiguity.
+
+    Scale: identical to the per-q op (one corpus scan, span-bounded
+    grid work) plus a 4-row aggregate."""
+    vr = window_variance_ratio_daily(spark, sf_dir)
+    return vr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_horizons"),
+        F.max("n_incr").cast("bigint").alias("n_incr"),
+        F.max(F.abs(F.col("z_homo"))).alias("max_abs_z"),
+        F.when(
+            F.max(F.abs(F.col("z_homo"))) > CHOW_DENNING_CRIT_5PCT, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("reject_rw_5pct"),
+    )

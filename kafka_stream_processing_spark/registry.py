@@ -288,6 +288,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "dedup_semdedup_k_sweep",
     "window_approximate_entropy_daily",
     "window_dfa_alpha_daily",
+    "window_variance_ratio_joint",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -877,3 +877,83 @@ def test_semdedup_salted_pair_stage_plan(spark, sf_small):
     assert "cast(salt" not in txt, [
         ln.strip() for ln in txt.splitlines() if "cast(salt" in ln
     ]
+
+
+def test_stage_x10_replicates_facts_consistently(tmp_path, sf_small):
+    """The committed ×10 staging must (a) replicate each fact table
+    exactly REPLICAS×, (b) keep dims untouched, (c) offset lineitem's
+    orderkey in lockstep with orders so the join degree profile is
+    preserved, and (d) keep primary keys unique."""
+    import duckdb
+
+    from kafka_stream_processing_spark.tools.stage_x10 import (
+        DIMS,
+        FACTS,
+        REPLICAS,
+        stage,
+    )
+
+    dst = str(tmp_path / "x10")
+    stage(sf_small, dst)
+    con = duckdb.connect()
+    for t in FACTS:
+        n0 = con.execute(
+            f"SELECT count(*) FROM '{sf_small}/{t}.parquet'"
+        ).fetchone()[0]
+        n1 = con.execute(
+            f"SELECT count(*) FROM '{dst}/{t}.parquet'"
+        ).fetchone()[0]
+        assert n1 == REPLICAS * n0, t
+    for t in DIMS:
+        n0 = con.execute(
+            f"SELECT count(*) FROM '{sf_small}/{t}.parquet'"
+        ).fetchone()[0]
+        n1 = con.execute(
+            f"SELECT count(*) FROM '{dst}/{t}.parquet'"
+        ).fetchone()[0]
+        assert n1 == n0, t
+    # primary keys stay unique after offsetting
+    for t, (keys, _) in FACTS.items():
+        if t == "lineitem":
+            continue  # composite (orderkey, linenumber) — checked below
+        k = keys[0]
+        dup = con.execute(
+            f"SELECT count(*) - count(DISTINCT {k}) "
+            f"FROM '{dst}/{t}.parquet'"
+        ).fetchone()[0]
+        assert dup == 0, t
+    # orders<->lineitem joins in lockstep: per-replica join cardinality
+    # equals REPLICAS x the original
+    j0 = con.execute(
+        f"""SELECT count(*) FROM '{sf_small}/orders.parquet' o
+            JOIN '{sf_small}/lineitem.parquet' l
+              ON l.l_orderkey = o.o_orderkey"""
+    ).fetchone()[0]
+    j1 = con.execute(
+        f"""SELECT count(*) FROM '{dst}/orders.parquet' o
+            JOIN '{dst}/lineitem.parquet' l
+              ON l.l_orderkey = o.o_orderkey"""
+    ).fetchone()[0]
+    assert j1 == REPLICAS * j0
+
+
+def test_variance_ratio_joint_consistent_with_per_q(spark, sf_small):
+    """The joint row must be the exact max-|z| fold of the per-q op
+    (shared kernel), and the reject flag must follow the SMM literal."""
+    import math
+
+    from kafka_stream_processing_spark.operators.windowed import (
+        CHOW_DENNING_CRIT_5PCT,
+        VR_Q_PERIODS,
+    )
+
+    per_q = (
+        SPECS["window_variance_ratio_daily"].fn(spark, sf_small).collect()
+    )
+    joint = (
+        SPECS["window_variance_ratio_joint"].fn(spark, sf_small).first()
+    )
+    assert joint.n_horizons == len(VR_Q_PERIODS) == len(per_q)
+    want = max(abs(r.z_homo) for r in per_q)
+    assert math.isclose(joint.max_abs_z, want, rel_tol=0)
+    assert joint.reject_rw_5pct == int(want > CHOW_DENNING_CRIT_5PCT)
