@@ -8122,3 +8122,212 @@ def window_variance_ratio_joint(
         .cast("bigint")
         .alias("reject_rw_5pct"),
     )
+
+
+#: Shared float tail for the m=2 BDS statistic.  All inputs are exact
+#: BIGINTs (pair counts p1/p2, per-point neighbor-count fold t_sum,
+#: template count m_tpl); E0 literals keep every constant DOUBLE in
+#: both engines.  For m=2 the Brock-Dechert-Scheinkman variance
+#: polynomial collapses: sigma^2 = 4[K^2 + 2KC^2 + C^4 - 4KC^2]
+#: = 4(K - C^2)^2, so sigma = 2(K - C^2) (K >= C^2 by
+#: Cauchy-Schwarz), giving V = sqrt(M)(C2 - C1^2) / (2(K - C1^2)).
+_BDS_C1 = (
+    "(2.0E0 * CAST(p1 AS DOUBLE)"
+    " / (CAST(m_tpl AS DOUBLE) * (CAST(m_tpl AS DOUBLE) - 1.0E0)))"
+)
+_BDS_C2 = (
+    "(2.0E0 * CAST(p2 AS DOUBLE)"
+    " / (CAST(m_tpl AS DOUBLE) * (CAST(m_tpl AS DOUBLE) - 1.0E0)))"
+)
+_BDS_K = (
+    "(CAST(t_sum AS DOUBLE)"
+    " / (CAST(m_tpl AS DOUBLE) * (CAST(m_tpl AS DOUBLE) - 1.0E0)"
+    "    * (CAST(m_tpl AS DOUBLE) - 2.0E0)))"
+)
+_BDS_Z = (
+    f"CASE WHEN {_BDS_K} > {_BDS_C1} * {_BDS_C1} THEN"
+    f" sqrt(CAST(m_tpl AS DOUBLE))"
+    f" * ({_BDS_C2} - {_BDS_C1} * {_BDS_C1})"
+    f" / (2.0E0 * ({_BDS_K} - {_BDS_C1} * {_BDS_C1}))"
+    " ELSE NULL END"
+)
+
+
+@register(
+    "window_bds_test_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, xm,
+               lead(xm, 1) OVER (ORDER BY day) AS x1
+        FROM daily
+    ),
+    moves AS (
+        SELECT abs(x1 - xm) AS mv, day FROM seq WHERE x1 IS NOT NULL
+    ),
+    tol AS (
+        SELECT mv AS r_tol FROM (
+            SELECT mv, row_number() OVER (ORDER BY mv, day) AS rk,
+                   count(*) OVER () AS nm
+            FROM moves
+        ) WHERE rk = (nm * {SAMPEN_TOL_RANK_NUM}
+                      + {SAMPEN_TOL_RANK_DEN} - 1)
+                     // {SAMPEN_TOL_RANK_DEN}
+    ),
+    tpl AS (
+        SELECT day, xm AS x0, x1 FROM seq WHERE x1 IS NOT NULL
+    ),
+    flags AS (
+        SELECT a.day AS da, b.day AS db,
+               CASE WHEN abs(a.x0 - b.x0) <= t.r_tol
+                    THEN 1 ELSE 0 END AS ch0,
+               CASE WHEN abs(a.x0 - b.x0) <= t.r_tol
+                     AND abs(a.x1 - b.x1) <= t.r_tol
+                    THEN 1 ELSE 0 END AS ch2
+        FROM tpl a JOIN tpl b ON a.day < b.day, tol t
+    ),
+    base AS (
+        SELECT CAST(SUM(ch0) AS BIGINT) AS p1,
+               CAST(SUM(ch2) AS BIGINT) AS p2
+        FROM flags
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_tpl FROM tpl),
+    cnt AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT da AS d FROM flags WHERE ch0 = 1
+            UNION ALL
+            SELECT db FROM flags WHERE ch0 = 1
+        ) GROUP BY 1
+    ),
+    tsum AS (
+        SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) AS t_sum
+        FROM cnt
+    )
+    SELECT m.m_tpl, t.r_tol, b.p1, b.p2, ts.t_sum,
+           {_BDS_C1} AS c1, {_BDS_C2} AS c2, {_BDS_K} AS k_hat,
+           {_BDS_Z} AS bds_z
+    FROM base b, m, tsum ts, tol t
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_bds_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BDS independence test (Brock-Dechert-Scheinkman, m=2) on daily
+    revenue — the NONLINEAR-dependence closure of the dynamics
+    battery: the variance-ratio family only sees linear
+    autocorrelation, the entropy pair sees motif regularity without a
+    null distribution; BDS tests the i.i.d. null through correlation
+    integrals (does proximity at dimension 2 factor into the product
+    of dimension-1 proximities?) and is consistent against ANY
+    departure — linear, nonlinear, or chaotic.  bds_z is asymptotically
+    N(0,1) under i.i.d.
+
+    Exactness: pair proximity counts P1/P2 over the m=2 common
+    template range are pure integer Chebyshev tests against the SAME
+    rank-selected tolerance the SampEn/ApEn ops select (shared
+    constants); K's triple sum collapses to the per-point fold
+    Σ_j c_j(c_j−1) (c_j = 1-dim neighbor count of template j: a
+    center-indexed count of neighbor PAIRS, each unordered triple
+    counted once per center it has), so every statistic enters the
+    ONE shared float text (_BDS_Z, E0 literals) as an exact BIGINT.
+    For m=2 the BDS variance polynomial collapses algebraically to
+    4(K−C²)² (derivation in the tail's comment), so the z is one
+    fixed-order expression — bit-identical cross-engine; a degenerate
+    series (K = C²) yields NULL on both engines by the same guard.
+
+    Scale: one map-side-combined groupBy to the day grid; ONE grid²
+    pair pass (calendar-bounded, ~2.9M flag rows at the TPC-H span)
+    feeds both the global P1/P2 fold and the per-point count fold;
+    the corpus is touched once."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(dec("o_totalprice")) * 1000000)
+        .cast("bigint")
+        .alias("xm")
+    )
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "day", "xm", F.lead("xm", 1).over(w).alias("x1")
+    )
+    moves = seq.filter(F.col("x1").isNotNull()).select(
+        F.abs(F.col("x1") - F.col("xm")).alias("mv"), "day"
+    )
+    wm = Window.orderBy("mv", "day")
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tol = (
+        moves.select(
+            "mv",
+            F.row_number().over(wm).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("nm"),
+        )
+        .filter(
+            F.col("rk")
+            == F.expr(
+                f"(nm * {SAMPEN_TOL_RANK_NUM} + {SAMPEN_TOL_RANK_DEN} - 1)"
+                f" div {SAMPEN_TOL_RANK_DEN}"
+            )
+        )
+        .select(F.col("mv").alias("r_tol"))
+    )
+    tpl = seq.filter(F.col("x1").isNotNull()).select(
+        "day", F.col("xm").alias("x0"), "x1"
+    )
+    a, b = tpl.alias("a"), tpl.alias("b")
+    ch0 = (
+        F.abs(F.col("a.x0") - F.col("b.x0")) <= F.col("r_tol")
+    ).cast("int")
+    ch2 = (
+        (F.abs(F.col("a.x0") - F.col("b.x0")) <= F.col("r_tol"))
+        & (F.abs(F.col("a.x1") - F.col("b.x1")) <= F.col("r_tol"))
+    ).cast("int")
+    flags = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .crossJoin(F.broadcast(tol))
+        .select(
+            F.col("a.day").alias("da"),
+            F.col("b.day").alias("db"),
+            ch0.alias("ch0"),
+            ch2.alias("ch2"),
+        )
+    )
+    base = flags.agg(
+        F.sum("ch0").cast("bigint").alias("p1"),
+        F.sum("ch2").cast("bigint").alias("p2"),
+    )
+    m = tpl.agg(F.count(F.lit(1)).cast("bigint").alias("m_tpl"))
+    hits = flags.filter(F.col("ch0") == 1)
+    cnt = (
+        hits.select(F.col("da").alias("d"))
+        .unionByName(hits.select(F.col("db").alias("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tsum = cnt.agg(
+        F.coalesce(F.sum(F.col("c") * (F.col("c") - 1)), F.lit(0))
+        .cast("bigint")
+        .alias("t_sum")
+    )
+    return (
+        base.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tsum))
+        .crossJoin(F.broadcast(tol))
+        .select(
+            "m_tpl",
+            "r_tol",
+            "p1",
+            "p2",
+            "t_sum",
+            F.expr(_BDS_C1).alias("c1"),
+            F.expr(_BDS_C2).alias("c2"),
+            F.expr(_BDS_K).alias("k_hat"),
+            F.expr(_BDS_Z).alias("bds_z"),
+        )
+    )

@@ -289,6 +289,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_approximate_entropy_daily",
     "window_dfa_alpha_daily",
     "window_variance_ratio_joint",
+    "window_bds_test_daily",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -957,3 +957,48 @@ def test_variance_ratio_joint_consistent_with_per_q(spark, sf_small):
     want = max(abs(r.z_homo) for r in per_q)
     assert math.isclose(joint.max_abs_z, want, rel_tol=0)
     assert joint.reject_rw_5pct == int(want > CHOW_DENNING_CRIT_5PCT)
+
+
+def test_bds_python_replay(spark, sf_small):
+    """Independent replay of the m=2 BDS statistic — pair counts,
+    per-point neighbor fold, correlation integrals, and the collapsed
+    m=2 variance — in pure python to 1e-12, plus the law K >= C1^2
+    (Cauchy-Schwarz) that the variance collapse relies on."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                   AS BIGINT)
+            FROM '{sf_small}/orders.parquet'
+            GROUP BY o_orderdate ORDER BY o_orderdate"""
+    ).fetchall()
+    xs = [r[0] for r in rows]
+    moves = sorted(abs(b - a) for a, b in zip(xs, xs[1:]))
+    r_tol = moves[(len(moves) * 4 + 4) // 5 - 1]
+    tpl = list(zip(xs, xs[1:]))
+    m = len(tpl)
+    p1 = p2 = 0
+    c = [0] * m
+    for i in range(m):
+        for j in range(i + 1, m):
+            if abs(tpl[i][0] - tpl[j][0]) <= r_tol:
+                p1 += 1
+                c[i] += 1
+                c[j] += 1
+                if abs(tpl[i][1] - tpl[j][1]) <= r_tol:
+                    p2 += 1
+    t_sum = sum(v * (v - 1) for v in c)
+    c1 = 2.0 * p1 / (m * (m - 1.0))
+    c2 = 2.0 * p2 / (m * (m - 1.0))
+    k = t_sum / (m * (m - 1.0) * (m - 2.0))
+    assert k >= c1 * c1
+    z = math.sqrt(m) * (c2 - c1 * c1) / (2.0 * (k - c1 * c1))
+    row = SPECS["window_bds_test_daily"].fn(spark, sf_small).first()
+    assert row.m_tpl == m and row.r_tol == r_tol
+    assert row.p1 == p1 and row.p2 == p2 and row.t_sum == t_sum
+    assert math.isclose(row.c1, c1, rel_tol=1e-12)
+    assert math.isclose(row.c2, c2, rel_tol=1e-12)
+    assert math.isclose(row.k_hat, k, rel_tol=1e-12)
+    assert math.isclose(row.bds_z, z, rel_tol=1e-12)
