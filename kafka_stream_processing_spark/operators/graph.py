@@ -1779,3 +1779,342 @@ def graph_eccentricity_diameter(
         F.col("radius").cast("int").alias("radius"),
         (F.col("eccentricity") == F.col("radius")).alias("is_center"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (bounded walk sum, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+#: Katz attenuation 1/KATZ_BETA_DEN per hop, truncated at KATZ_MAX_LEN.
+#: With beta = 1/8 the truncated series is katz(u) =
+#: sum_k w_k(u) / 8^k = (sum_k 8^(K-k) * w_k(u)) / 8^K — ONE integer
+#: numerator per node and ONE division by the compile-time constant
+#: 8^K = 4096, so the whole centrality is exact integer arithmetic
+#: with a single shared float tail.  beta must satisfy beta < 1/lambda_max
+#: for the untruncated series; on the sparsified trade graph
+#: lambda_max <= d_max < 8 holds by construction at every SF (and the
+#: TRUNCATED sum is finite regardless — both engines run the identical
+#: fixed K, the k-core fixed-schedule precedent).
+KATZ_BETA_DEN = 8
+KATZ_MAX_LEN = 4
+
+
+def _katz_oracle() -> str:
+    rounds = []
+    prev = "w1"
+    for k in range(2, KATZ_MAX_LEN + 1):
+        rounds.append(f"""
+    w{k} AS (
+        SELECT s.u, CAST(SUM(p.val) AS BIGINT) AS val
+        FROM sym s JOIN w{prev[1:]} p ON p.u = s.v
+        GROUP BY s.u
+    )""")
+        prev = f"w{k}"
+    scaled = " + ".join(
+        f"{KATZ_BETA_DEN ** (KATZ_MAX_LEN - k)} * w{k}.val"
+        for k in range(1, KATZ_MAX_LEN + 1)
+    )
+    joins = " ".join(
+        f"JOIN w{k} ON w{k}.u = w1.u" for k in range(2, KATZ_MAX_LEN + 1)
+    )
+    cols = ", ".join(
+        f"CAST(w{k}.val AS BIGINT) AS walks_{k}"
+        for k in range(1, KATZ_MAX_LEN + 1)
+    )
+    return f"""
+    WITH adj AS ({_sig_adj_sql()}),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    w1 AS (SELECT u, CAST(count(*) AS BIGINT) AS val FROM sym GROUP BY u)
+    {"," if rounds else ""}{",".join(rounds)}
+    SELECT w1.u AS node, {cols},
+           CAST({scaled} AS DOUBLE) / {KATZ_BETA_DEN ** KATZ_MAX_LEN}
+               AS katz
+    FROM w1 {joins}
+    """
+
+
+@register(
+    "graph_katz_centrality_bounded",
+    oracle=_katz_oracle(),
+    tags=("graph", "centrality"),
+)
+def graph_katz_centrality_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Katz centrality, truncated at walk length 4 with attenuation
+    beta = 1/8 — the WALK-mass member of the centrality family
+    (PageRank normalizes by out-degree; Katz counts raw attenuated
+    walks, so high-degree neighborhoods compound instead of splitting):
+    katz(u) = Σ_{k=1..4} β^k · w_k(u), where w_k(u) is the number of
+    length-k walks ending at u on the sparsified trade graph.
+
+    Exactness: w_k is the iterated integer sum w_k(u) = Σ_{v∈N(u)}
+    w_{k-1}(v) — BIGINT end-to-end; with β = 1/8 the attenuated sum is
+    (8³w₁ + 8²w₂ + 8w₃ + w₄) / 8⁴, ONE exact integer numerator and ONE
+    division by the literal 4096 (exactly representable), so both
+    engines agree bit-for-bit.  Overflow headroom: w_k ≤ n·d_max^k;
+    at d_max = 1e4 and k = 4 the numerator stays < 1e19/512 per node —
+    BIGINT-safe for any graph this op should see (document-entity or
+    bounded-domain graphs; the docstring bound is pinned in tests).
+
+    Scale: k−1 rounds of (hash-join on the adjacency + map-side
+    combined groupBy) — the Pregel iterate with one BIGINT per node of
+    state; no all-pairs stage, no driver loop beyond the fixed literal
+    K (the k-core fixed-schedule precedent: both engines run exactly
+    K rounds, so the result is deterministic by construction)."""
+    adj = _sig_adj_df(spark, sf_dir)
+    sym = (
+        adj.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            adj.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    walks = [
+        sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("val"))
+    ]
+    for _ in range(2, KATZ_MAX_LEN + 1):
+        prev = walks[-1].select(
+            F.col("u").alias("v"), F.col("val").alias("pval")
+        )
+        walks.append(
+            sym.join(prev, "v")
+            .groupBy("u")
+            .agg(F.sum("pval").cast("bigint").alias("val"))
+        )
+    out = walks[0].select(
+        F.col("u").alias("node"), F.col("val").alias("walks_1")
+    )
+    for k in range(2, KATZ_MAX_LEN + 1):
+        out = out.join(
+            walks[k - 1].select(
+                F.col("u").alias("node"),
+                F.col("val").alias(f"walks_{k}"),
+            ),
+            "node",
+        )
+    scaled = sum(
+        F.lit(KATZ_BETA_DEN ** (KATZ_MAX_LEN - k)).cast("bigint")
+        * F.col(f"walks_{k}")
+        for k in range(1, KATZ_MAX_LEN + 1)
+    )
+    return out.select(
+        "node",
+        *[f"walks_{k}" for k in range(1, KATZ_MAX_LEN + 1)],
+        (
+            scaled.cast("double")
+            / F.lit(float(KATZ_BETA_DEN**KATZ_MAX_LEN))
+        ).alias("katz"),
+    )
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE adj AS ({_sig_adj_sql()}),
+    sym AS (
+        SELECT a AS u, b AS v FROM adj
+        UNION ALL
+        SELECT b AS u, a AS v FROM adj
+    ),
+    nodes AS (SELECT DISTINCT u AS s FROM sym),
+    reach(src, node, hops) AS (
+        SELECT s, s, 0 FROM nodes
+        UNION
+        SELECT reach.src, sym.v, reach.hops + 1
+        FROM reach JOIN sym ON sym.u = reach.node
+        WHERE reach.hops < {BFS_MAX_HOPS}
+    ),
+    dist AS (
+        SELECT src, node, MIN(hops) AS d
+        FROM reach GROUP BY src, node
+    )
+    SELECT src AS node,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(CASE WHEN d > 0 THEN
+               CAST(round(1.0 / d, 12) AS DECIMAL(18,12))
+               ELSE CAST(0 AS DECIMAL(18,12)) END) AS DOUBLE)
+               AS harmonic
+    FROM dist GROUP BY src
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harmonic centrality over the sparsified trade graph — the
+    disconnection-robust sibling of closeness (Boldi & Vigna, "Axioms
+    for centrality"): harmonic(u) = Σ_{v≠u} 1/d(u,v), where
+    unreachable pairs contribute 0 instead of poisoning the mean, so
+    scores stay comparable ACROSS components (closeness normalizes
+    per-component and is NULL on isolated nodes; harmonic never is).
+
+    Exactness: hop counting is integer (the shared `_all_pairs_hops`
+    multi-source BFS); per-pair reciprocals are round-12 DECIMAL before
+    the order-independent sum — the engine's round-ln convention
+    applied to 1/d.
+
+    Scale: shares `_all_pairs_hops` with closeness and eccentricity
+    (reuse guard-tested) — (nodes × nodes) state at worst, the bounded
+    entity-graph centrality use case; the documented billion-node swap
+    is the same pivot-sampled BFS as closeness."""
+    visited = _all_pairs_hops(spark, sf_dir)
+    return visited.groupBy("src").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+        F.sum(
+            F.when(
+                F.col("hops") > 0,
+                F.round(F.lit(1.0) / F.col("hops"), 12).cast(
+                    "decimal(18,12)"
+                ),
+            ).otherwise(F.lit(0).cast("decimal(18,12)"))
+        )
+        .cast("double")
+        .alias("harmonic"),
+    ).select(
+        F.col("src").alias("node"), "n_reached", "harmonic"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-truss peeling (edge triangle support, bounded synchronous rounds)
+# ---------------------------------------------------------------------------
+
+#: Truss order: an edge survives into the k-truss when it closes at
+#: least TRUSS_K - 2 triangles WITHIN the surviving edge set.
+TRUSS_K = 4
+#: Fixed synchronous peel rounds.  Peeling converges in <= 2 rounds on
+#: the sparsified trade graph at every test SF (pinned); 4 is a 2x
+#: margin — and because BOTH engines run exactly this fixed schedule
+#: the result is deterministic even before convergence (the k-core
+#: fixed-schedule precedent, KCORE_ROUNDS above).
+TRUSS_ROUNDS = 4
+
+
+def _truss_round_sql(i: int | str, edges: str) -> str:
+    """One peel round's CTEs over edge set ``edges`` (columns a<b):
+    list x<y<z triangles ONCE (MATERIALIZED — CTE inlining would
+    otherwise expand each round's 3 + 3 references of the previous
+    round multiplicatively, ~9^rounds scans), then fan each triangle
+    to its three edges and count."""
+    return f"""
+    tri{i} AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM {edges} e1
+        JOIN {edges} e2 ON e2.a = e1.b
+        JOIN {edges} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    sup{i} AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+            SELECT x AS a, y AS b FROM tri{i}
+            UNION ALL
+            SELECT y AS a, z AS b FROM tri{i}
+            UNION ALL
+            SELECT x AS a, z AS b FROM tri{i}
+        ) GROUP BY 1, 2
+    )"""
+
+
+def _truss_oracle() -> str:
+    rounds = []
+    prev = "adj"
+    for i in range(1, TRUSS_ROUNDS + 1):
+        rounds.append(f"""
+    {_truss_round_sql(i, prev)},
+    e{i} AS MATERIALIZED (
+        SELECT s.a, s.b FROM sup{i} s
+        WHERE s.sup >= {TRUSS_K - 2}
+    )""")
+        prev = f"e{i}"
+    return f"""
+    WITH adj AS MATERIALIZED ({_sig_adj_sql()}),
+    {_truss_round_sql(0, "adj")},
+    {",".join(rounds)}
+    SELECT adj.a AS node_a, adj.b AS node_b,
+           CAST(COALESCE(s0.sup, 0) AS BIGINT) AS support0,
+           (f.a IS NOT NULL) AS in_truss
+    FROM adj
+    LEFT JOIN sup0 s0 ON s0.a = adj.a AND s0.b = adj.b
+    LEFT JOIN {prev} f ON f.a = adj.a AND f.b = adj.b
+    """
+
+
+def _truss_support_df(edges: DataFrame) -> DataFrame:
+    """Spark twin of `_truss_support_sql`: list x<y<z triangles once,
+    then fan each out to its three edges."""
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .select("x", "y", "z")
+    )
+    sides = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+    )
+    return sides.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+
+
+@register(
+    "graph_ktruss_peeling",
+    oracle=_truss_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss decomposition of the sparsified trade graph by bounded
+    synchronous peeling (Cohen 2008) — the EDGE-cohesion member of the
+    graph family (k-core asks "does every NODE keep k neighbors";
+    k-truss asks "is every EDGE embedded in k−2 triangles", the
+    stronger community signal that single bridge edges can't fake):
+    every edge's initial triangle support, plus whether it survives
+    the fixed TRUSS_ROUNDS synchronous peel rounds (drop all edges
+    with support < k−2, recount, repeat).
+
+    Exactness: pure integer triangle counting on exact joins — no
+    float anywhere.  Both engines run the IDENTICAL fixed round
+    schedule, so the answer is deterministic even if a pathological
+    graph hadn't converged (the k-core fixed-schedule precedent);
+    convergence in ≤ 2 rounds at every test SF is pinned in tests.
+
+    Scale: each round is the triangle kernel (one x<y<z three-way
+    self-join, cost Σ deg², bounded by the sparsified degree
+    distribution) plus an integer filter — Pregel-style bounded
+    iteration, no driver-side state beyond the literal round count;
+    the edge frame shrinks monotonically so later rounds only get
+    cheaper."""
+    adj = _sig_adj_df(spark, sf_dir).localCheckpoint(eager=True)
+    sup0 = _truss_support_df(adj)
+    cur = adj
+    for _ in range(TRUSS_ROUNDS):
+        sup = _truss_support_df(cur)
+        cur = (
+            cur.join(sup, ["a", "b"])
+            .filter(F.col("sup") >= TRUSS_K - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    final = cur.withColumn("in_t", F.lit(True))
+    return (
+        adj.join(sup0, ["a", "b"], "left")
+        .join(final, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.coalesce(F.col("sup"), F.lit(0))
+            .cast("bigint")
+            .alias("support0"),
+            F.coalesce(F.col("in_t"), F.lit(False)).alias("in_truss"),
+        )
+    )

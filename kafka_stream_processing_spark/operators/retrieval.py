@@ -409,3 +409,336 @@ def similarity_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rrf")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood ranking (Dirichlet smoothing)
+# ---------------------------------------------------------------------------
+
+#: Dirichlet smoothing mass (Zhai & Lafferty 2001 recommend 500-2500;
+#: 1000 is the standard default).  In shared SQL text the constant is
+#: written in E-notation so BOTH engines parse it as DOUBLE — a bare
+#: `1000.0` parses as DECIMAL in DuckDB/Spark and drags decimal
+#: division through the score (the r10 session-2 literal gotcha).
+QL_MU = 1000.0
+_QL_MU_SQL = "1.0E3"
+QL_TOPK = 10
+
+
+@register(
+    "retrieval_query_likelihood_dirichlet",
+    oracle=f"""
+    WITH queries(query_id, term) AS (VALUES {_bm25_values_sql()}),
+    {_BM25_BASE_CTES},
+    ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dls),
+    cf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cf
+        FROM toks WHERE term IN (SELECT term FROM queries)
+        GROUP BY 1
+    ),
+    qv AS (
+        SELECT q.query_id, q.term,
+               {_QL_MU_SQL} * cf.cf / ctot.c AS mu_pc
+        FROM queries q JOIN cf USING (term) CROSS JOIN ctot
+    ),
+    qconst AS (
+        SELECT query_id, count(*) AS n_q,
+               SUM(CAST(round(ln(mu_pc), 6) AS DECIMAL(18,6))) AS b
+        FROM qv GROUP BY 1
+    ),
+    tf AS (
+        SELECT qv.query_id, t.doc_id, qv.term, qv.mu_pc,
+               count(*) AS tf, max(t.dl) AS dl
+        FROM toks t JOIN qv ON qv.term = t.term
+        GROUP BY 1, 2, 3, 4
+    ),
+    matched AS (
+        SELECT query_id, doc_id,
+               count(*) AS n_matched,
+               max(dl) AS dl,
+               SUM(CAST(round(ln((tf + mu_pc) / mu_pc), 6)
+                        AS DECIMAL(18,6))) AS a
+        FROM tf GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT m.query_id, m.doc_id, m.n_matched,
+               CAST(m.a + qc.b
+                    - CAST(qc.n_q AS DECIMAL(4,0))
+                      * CAST(round(ln(m.dl + {_QL_MU_SQL}), 6)
+                             AS DECIMAL(18,6))
+                    AS DOUBLE) AS ql
+        FROM matched m JOIN qconst qc USING (query_id)
+    )
+    SELECT query_id, doc_id,
+           CAST(n_matched AS BIGINT) AS n_matched, ql
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ql DESC, doc_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {QL_TOPK}
+    """,
+    tags=("retrieval", "text"),
+)
+def retrieval_query_likelihood_dirichlet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    SIGIR 2001) for the fixed BM25 query set — the language-model
+    member of the sparse-retrieval family (BM25 weights tf·idf
+    heuristically; QL scores ln P(q|d) under a document language model
+    smoothed toward the collection).  The score is decomposed so only
+    MATCHED postings are ever touched:
+
+        ln P(q|d) = Σ_{{t∈q∩d}} ln((tf + μ·p_t)/(μ·p_t))    (matched)
+                  + Σ_{{t∈q}} ln(μ·p_t)                      (per query)
+                  − |q|·ln(dl + μ)                           (per doc)
+
+    with p_t = cf_t/|C|.  Query terms absent from the collection are
+    dropped on BOTH engines (standard OOV handling — their smoothed
+    probability is undefined).
+
+    Exactness: every ln term is round-6 DECIMAL(18,6) before the
+    order-independent sums (the engine's round-ln convention); the
+    length term multiplies ONE rounded decimal by the integer |q|;
+    μ is E-notation DOUBLE in the shared constants so no decimal
+    literal sneaks into float math.
+
+    Scale: identical shape to text_bm25_topk — the (tiny) query table
+    broadcasts to the postings stream; cf and tf are the only
+    shuffles; doc length rides inside the tf aggregate; |C| and the
+    per-query constants are one broadcast row each.  Candidate docs =
+    docs sharing ≥1 query term, never the full corpus."""
+    toks, _ = _doc_tokens(spark, sf_dir)
+    d = fanout(table(spark, sf_dir, "documents"))
+    ctot = d.select(F.size(F.split("text", " ")).alias("dl")).agg(
+        F.sum("dl").cast("bigint").alias("c")
+    )
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("int").alias("query_id"),
+                F.lit(t).alias("term"),
+            )
+            for qid, terms in BM25_QUERIES
+            for t in terms
+        ]
+    )
+    queries = spark.range(1).select(F.inline(qarr))
+    cf = (
+        toks.join(F.broadcast(queries.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    )
+    qv = (
+        queries.join(cf, "term")
+        .crossJoin(ctot)
+        .select(
+            "query_id",
+            "term",
+            (F.lit(QL_MU) * F.col("cf") / F.col("c")).alias("mu_pc"),
+        )
+    )
+    qconst = qv.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_q"),
+        F.sum(
+            F.round(F.log(F.col("mu_pc")), 6).cast("decimal(18,6)")
+        ).alias("b"),
+    )
+    tf = (
+        toks.join(F.broadcast(qv), "term")
+        .groupBy("query_id", "doc_id", "term", "mu_pc")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    matched = tf.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.max("dl").alias("dl"),
+        F.sum(
+            F.round(
+                F.log((F.col("tf") + F.col("mu_pc")) / F.col("mu_pc")), 6
+            ).cast("decimal(18,6)")
+        ).alias("a"),
+    )
+    scored = matched.join(F.broadcast(qconst), "query_id").select(
+        "query_id",
+        "doc_id",
+        "n_matched",
+        (
+            F.col("a")
+            + F.col("b")
+            - F.col("n_q").cast("decimal(4,0)")
+            * F.round(F.log(F.col("dl") + F.lit(QL_MU)), 6).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("ql"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ql").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QL_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            "ql",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Known-item retrieval evaluation against the exact near-dup truth
+# ---------------------------------------------------------------------------
+
+KNOWN_ITEM_TOPK = 10
+
+
+def _known_item_oracle() -> str:
+    from kafka_stream_processing_spark.operators.dedup import JACCARD_ORACLE
+
+    return f"""
+    WITH truth AS (
+        {JACCARD_ORACLE}
+    ),
+    partners AS (
+        SELECT doc_a AS query_id, doc_b AS partner FROM truth
+        UNION ALL
+        SELECT doc_b AS query_id, doc_a AS partner FROM truth
+    ),
+    {_BM25_BASE_CTES},
+    qterms AS (
+        SELECT DISTINCT t.doc_id AS query_id, t.term
+        FROM toks t
+        WHERE t.doc_id IN (SELECT query_id FROM partners)
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM toks
+        WHERE term IN (SELECT term FROM qterms)
+        GROUP BY 1
+    ),
+    tf AS (
+        SELECT q.query_id, t.doc_id, t.term,
+               count(*) AS tf, max(t.dl) AS dl
+        FROM toks t JOIN qterms q ON q.term = t.term
+        WHERE t.doc_id <> q.query_id
+        GROUP BY 1, 2, 3
+    ),
+    sparse_scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum({_BM25_COMPONENT_SQL}) AS DOUBLE) AS bm25
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, rn FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY bm25 DESC, doc_id) AS rn
+            FROM sparse_scored
+        ) WHERE rn <= {KNOWN_ITEM_TOPK}
+    ),
+    m AS (
+        SELECT p.query_id,
+               count(*) AS n_truth,
+               min(r.rn) AS first_hit_rank,
+               count(r.rn) AS hits
+        FROM partners p LEFT JOIN ranked r
+          ON r.query_id = p.query_id AND r.doc_id = p.partner
+        GROUP BY 1
+    )
+    SELECT query_id,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(first_hit_rank AS BIGINT) AS first_hit_rank,
+           CASE WHEN first_hit_rank IS NOT NULL
+                THEN 1.0E0 / first_hit_rank ELSE 0.0E0 END AS rr,
+           CAST(hits AS DOUBLE) / n_truth AS recall_at_10
+    FROM m
+    """
+
+
+@register(
+    "retrieval_known_item_recall_eval",
+    oracle=_known_item_oracle(),
+    tags=("retrieval", "evaluation", "dedup"),
+)
+def retrieval_known_item_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Known-item evaluation of sparse retrieval as a DECONTAMINATION
+    tool — the fourth evaluation harness (with the ANN recall sweep,
+    the MinHash estimate eval, and the SimHash recall eval): every doc
+    that has a TRUE near-dup partner (exact word-3-gram Jaccard ≥ 0.3,
+    the registered dedup_ngram_jaccard kernel) is issued as a BM25
+    query (its distinct tokens, self excluded), and the table reports
+    per query how the lexical retriever surfaces the known partners:
+    reciprocal rank of the first partner, recall@10, and the partner
+    count.  This is the measured answer to "can the BM25 index serve
+    benchmark-decontamination lookups?" — the standard practice of
+    querying the training corpus with eval-set items before training.
+
+    Exactness: truth rides the inverted-index Jaccard kernel verbatim;
+    BM25 rides the shared `_sparse_scored` kernel (round-6 decimal
+    components); RR and recall are single mirrored IEEE divisions of
+    exact integers.
+
+    Scale: the query side is truth-doc-sized (an evaluation sample by
+    construction — near-dup pairs only); the postings join is the
+    text_bm25_topk shape (broadcast query terms into the exploded
+    token stream, tf/df the only shuffles); metrics collapse to one
+    row per query via one left join of the partner list against the
+    top-10 lists."""
+    from kafka_stream_processing_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    partners = truth.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("partner")
+    ).unionByName(
+        truth.select(
+            F.col("doc_b").alias("query_id"), F.col("doc_a").alias("partner")
+        )
+    )
+    toks, stats = _doc_tokens(spark, sf_dir)
+    qids = partners.select("query_id").distinct()
+    qterms = (
+        toks.join(
+            F.broadcast(qids), toks["doc_id"] == qids["query_id"]
+        )
+        .select("query_id", "term")
+        .distinct()
+    )
+    scored = _sparse_scored(toks, qterms, stats, exclude_self=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNOWN_ITEM_TOPK)
+        .select("query_id", F.col("doc_id").alias("partner"), "rn")
+    )
+    m = (
+        partners.join(ranked, ["query_id", "partner"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.min("rn").alias("first_hit_rank"),
+            F.count("rn").alias("hits"),
+        )
+    )
+    return m.select(
+        "query_id",
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("first_hit_rank").cast("bigint").alias("first_hit_rank"),
+        F.when(
+            F.col("first_hit_rank").isNotNull(),
+            F.lit(1.0) / F.col("first_hit_rank"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+        (F.col("hits").cast("double") / F.col("n_truth")).alias(
+            "recall_at_10"
+        ),
+    )

@@ -7881,7 +7881,7 @@ def _dfa_oracle() -> str:
                       * CAST(sw AS DECIMAL(18,0))
                       AS DECIMAL(38,0)) AS a_num,
                CAST(s AS BIGINT) * skw
-               - (CAST(s AS BIGINT) * (s + 1) / 2) * sw AS b_num
+               - (CAST(s AS BIGINT) * (s + 1) // 2) * sw AS b_num
         FROM stats
     ),
     f2 AS (
@@ -7941,7 +7941,10 @@ def window_dfa_alpha_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY in DECIMAL(38,0) under the width-budget discipline
     (25+13 and 20+18 products, 34-wide ΣW², 30+8 A·C; documented
     bound: daily count < 1e7, i.e. ~10 PB at TPC-H density, keeps
-    |B| < 1e18 via B ≤ √(A·C)).  F(s) per block = √((A·C−B²)/(s⁴·C))
+    |B| < 1e18 via B ≤ √(A·C); the oracle keeps B BIGINT end-to-end —
+    the Σk triangular term uses DuckDB integer division ``//``, exact
+    because s·(s+1) is always even — so the headroom holds on BOTH
+    engines, not just Spark).  F(s) per block = √((A·C−B²)/(s⁴·C))
     — ONE division of an exact integer by the compile-time constant
     s⁴·C (≤ 6e15, exactly representable in a double), so the float
     tail is a single shared fixed-order text; per-size means use the
@@ -8330,4 +8333,174 @@ def window_bds_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_BDS_K).alias("k_hat"),
             F.expr(_BDS_Z).alias("bds_z"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higuchi fractal dimension on the daily order-count series
+# ---------------------------------------------------------------------------
+
+#: Higuchi time-interval set (k = 1..k_max, the standard small-k_max
+#: configuration).  Compile-time literals so the per-(k,m) length
+#: normalization and the log-log slope are identical fixed-order text
+#: in both engines.
+HIGUCHI_K_SET = (1, 2, 3, 4, 5)
+
+
+def _higuchi_slope_expr() -> str:
+    """Closed-form OLS slope of ln(L(k)) on ln(k) — the DFA/Hurst
+    pivot/slope structure with L-columns lk_<k>."""
+    import math
+
+    us = {k: repr(math.log(k)) for k in HIGUCHI_K_SET}
+    n = len(HIGUCHI_K_SET)
+    su = " + ".join(us[k] for k in HIGUCHI_K_SET)
+    suu = " + ".join(f"{us[k]} * {us[k]}" for k in HIGUCHI_K_SET)
+    sv = " + ".join(f"ln(lk_{k})" for k in HIGUCHI_K_SET)
+    suv = " + ".join(f"{us[k]} * ln(lk_{k})" for k in HIGUCHI_K_SET)
+    return (
+        f"(({n} * ({suv}) - ({su}) * ({sv}))"
+        f" / ({n} * ({suu}) - ({su}) * ({su})))"
+    )
+
+
+def _higuchi_oracle() -> str:
+    pivots = ", ".join(
+        f"MAX(CASE WHEN k = {k} THEN n_m END) AS nm_{k},"
+        f" MAX(CASE WHEN k = {k} THEN l_k END) AS lk_{k}"
+        for k in HIGUCHI_K_SET
+    )
+    outs = ", ".join(
+        f"CAST(nm_{k} AS BIGINT) AS nm_{k}, lk_{k}"
+        for k in HIGUCHI_K_SET
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT xm, row_number() OVER (ORDER BY day) - 1 AS t FROM daily
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+    ks AS (SELECT unnest(ARRAY{list(HIGUCHI_K_SET)}) AS k),
+    diffs AS (
+        SELECT ks.k, (b.t % ks.k) + 1 AS m, abs(a.xm - b.xm) AS ad
+        FROM ks CROSS JOIN idx b JOIN idx a ON a.t = b.t + ks.k
+    ),
+    series AS (
+        SELECT k, m, CAST(SUM(ad) AS BIGINT) AS a_sum,
+               CAST(count(*) AS BIGINT) AS mm
+        FROM diffs GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT k, m,
+               CAST(round(CAST(a_sum * (tot.n - 1) AS DOUBLE)
+                          / (mm * k * k), 12)
+                    AS DECIMAL(38,12)) AS lm
+        FROM series, tot
+    ),
+    lks AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_m,
+               CAST(SUM(lm) AS DOUBLE) / k AS l_k
+        FROM terms GROUP BY 1
+    ),
+    pivoted AS (SELECT {pivots} FROM lks)
+    SELECT {outs},
+           -({_higuchi_slope_expr()}) AS higuchi_d
+    FROM pivoted
+    """
+
+
+@register(
+    "window_higuchi_fd_daily",
+    oracle=_higuchi_oracle(),
+    tags=("window", "timeseries", "complexity"),
+)
+def window_higuchi_fd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higuchi fractal dimension of the daily order-count series
+    (Higuchi, Physica D 1988) — the curve-length member of the
+    complexity family (Hurst R/S reads range scaling, DFA detrended
+    variance scaling, Higuchi reads the LENGTH of the curve traced at
+    coarser and coarser time intervals): for interval k and offset
+    m ∈ 1..k, the normalized curve length is
+
+        L_m(k) = (Σ_i |x(m+ik) − x(m+(i−1)k)|) · (N−1) / (M_mk · k²)
+
+    with M_mk = ⌊(N−m)/k⌋; L(k) = (Σ_m L_m(k))/k scales as k^(−D)
+    with D ∈ [1, 2] the fractal dimension (D ≈ 1.5 for a random walk,
+    → 2 for plane-filling noise).  Reported per k (series count and
+    mean length) plus the log-log OLS slope as higuchi_d.
+
+    Exactness: every |difference| sum A_mk is BIGINT (integer daily
+    counts); the numerator A_mk·(N−1) stays BIGINT-exact (documented
+    bound: daily count < 1e7 over < 1e4 days keeps it < 2⁵³, the DFA
+    headroom argument); ONE division by the exact integer M_mk·k²,
+    then the round-12-exact-decimal-sum pattern per k and the shared
+    fixed-order slope text — the Hurst/DFA float-tail discipline.
+
+    Scale: one map-side combined groupBy to the day grid; the k-lag
+    pairing is a |K|-way self-equi-join on the day index (narrow,
+    calendar-bounded); everything after the (k, m) aggregate is
+    |K|·k_max rows on one pivoted row.  The corpus is touched once."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("xm")
+    )
+    idx = daily.select(
+        "xm",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    )
+    tot = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ks = spark.createDataFrame(
+        [(k,) for k in HIGUCHI_K_SET], "k int"
+    )
+    b = idx.select(F.col("t").alias("tb"), F.col("xm").alias("xb"))
+    a = idx.select(F.col("t").alias("ta"), F.col("xm").alias("xa"))
+    diffs = (
+        b.crossJoin(F.broadcast(ks))
+        .join(a, F.col("ta") == F.col("tb") + F.col("k"))
+        .select(
+            "k",
+            ((F.col("tb") % F.col("k")) + 1).alias("m"),
+            F.abs(F.col("xa") - F.col("xb")).alias("ad"),
+        )
+    )
+    series = diffs.groupBy("k", "m").agg(
+        F.sum("ad").cast("bigint").alias("a_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("mm"),
+    )
+    terms = series.crossJoin(F.broadcast(tot)).select(
+        "k",
+        F.round(
+            (F.col("a_sum") * (F.col("n") - 1)).cast("double")
+            / (F.col("mm") * F.col("k") * F.col("k")),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("lm"),
+    )
+    lks = terms.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        (F.sum("lm").cast("double") / F.col("k")).alias("l_k"),
+    )
+    pivot_cols = []
+    for k in HIGUCHI_K_SET:
+        pivot_cols.append(
+            F.max(F.when(F.col("k") == k, F.col("n_m")))
+            .cast("bigint")
+            .alias(f"nm_{k}")
+        )
+        pivot_cols.append(
+            F.max(F.when(F.col("k") == k, F.col("l_k"))).alias(f"lk_{k}")
+        )
+    pivoted = lks.agg(*pivot_cols)
+    out_cols = []
+    for k in HIGUCHI_K_SET:
+        out_cols.extend([f"nm_{k}", f"lk_{k}"])
+    return pivoted.select(
+        *out_cols,
+        (-F.expr(_higuchi_slope_expr())).alias("higuchi_d"),
     )

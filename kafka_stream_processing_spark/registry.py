@@ -124,21 +124,22 @@ def _load() -> None:
 #: which queries get fresh evidence — the safety net is that
 #: tests/test_oracle_parity.py sweeps ALL registered queries with the
 #: identical differential check every round regardless.
-#: Round-10 table (VERDICT r09 item 1).  Two ledger counters, kept
-#: SEPARATE per VERDICT r09 item 3 (both reproduce from the union over
-#: CORRECTNESS_r01..r09.json — see tools/coverage_ledger.py):
-#:   driver-CHECKED entering r10:    278/384  (includes 6 rows-only)
-#:   driver-HASH-GREEN entering r10: 272/384  (the rotation currency)
+#: Round-11 table (VERDICT r10 item 1).  Two ledger counters, kept
+#: SEPARATE (both reproduce from the union over
+#: CORRECTNESS_r01..r10.json — see tools/coverage_ledger.py):
+#:   driver-CHECKED entering r11:    316/400  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r11: 310/400  (the rotation currency)
 #: This table pins the 12 reference-parity (§2) slots, then the next 38
-#: never-hash-green names in backlog order (the 4 promotion-deferred
-#: window ops window_classical_decomposition ..
-#: window_pettitt_changepoint first, then registration order) — all 38
-#: were pre-checked green at sf0.01 on the final r09 tree.  Target
-#: hash-green after r10: 310/384 (81%); the remaining 74 backlog names
-#: follow below rank 50 (registration order, r08/r09 additions last) so
-#: r11 takes the next 38-slice and the backlog clears ~r12.  New
-#: registrations stay CAPPED below ~20/round; r10 additions append at
-#: the very END of this table.
+#: never-hash-green names in backlog order (graph_rich_club_coefficient
+#: .. text_mcnemar_langid_vs_majority) — all 38 were pre-checked green
+#: at sf0.01 on the final r10 tree (HANDOFF.md r11 plan) and
+#: re-confirmed on this tree before commit.  Target hash-green after
+#: r11: 348/400 (87%); the remaining 52 backlog names follow below
+#: rank 50 so r12 finishes the registry.  Names that went hash-green in
+#: r10 drop out of the table (they fall back to registration order; the
+#: per-round differential in tests/test_oracle_parity.py still sweeps
+#: them).  New registrations stay CAPPED below ~20/round; r11 additions
+#: append at the very END of this table.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned: reference-parity §2 (flagship first) --
     "unique_users_per_minute",
@@ -153,50 +154,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "filter_project_events",
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
-    # -- 38 never-hash-green (ranks 13-50): the r10 backlog slice,
-    # -- pre-checked green at sf0.01 on the final r09 tree --
-    "window_classical_decomposition",
-    "window_holt_winters_additive",
-    "window_pacf_daily_revenue",
-    "window_pettitt_changepoint",
-    "window_markov_event_transitions",
-    "join_attribution_multitouch",
-    "window_ccf_click_purchase",
-    "window_lagged_ols_clicks_purchases",
-    "setops_audience_overlap_jaccard",
-    "agg_cooccurrence_lift",
-    "window_page_hinkley_drift",
-    "embedding_centroid_separation",
-    "stream_pettitt_monitor",
-    "quality_cvm_drift",
-    "quality_hodges_lehmann_shift",
-    "quality_qq_deciles_sources",
-    "stream_markov_transition_monitor",
-    "window_abc_classification",
-    "window_forecast_skill_scores",
-    "text_yule_k_diversity",
-    "graph_degree_powerlaw_mle",
-    "sample_weighted_reservoir_es",
-    "pipeline_curriculum_order",
-    "embedding_davies_bouldin_index",
-    "window_decomposition_strength_by_type",
-    "window_markov_entropy_rate",
-    "embedding_silhouette_lite",
-    "funnel_view_click_purchase_24h",
-    "stream_weighted_sample_merge",
-    "quality_brier_calibration_split",
-    "window_interevent_burstiness",
-    "graph_trade_reciprocity",
-    "stream_funnel_monitor",
-    "text_vocab_coverage_spectrum",
-    "window_top_event_paths",
-    "window_record_days_trend",
-    "quality_capture_recapture_users",
-    "window_hw_skill_vs_naive",
-    # ---------------------------------------------------------------
-    # entries below rank 50 get no driver row this round: the 74
-    # remaining never-hash-green names (registration order, r08/r09
-    # additions last); r11 takes the next 38-slice from here.
+    # -- 38 never-hash-green (ranks 13-50): the r11 backlog slice,
+    # -- pre-checked green at sf0.01 on the final r10 tree --
     "graph_rich_club_coefficient",
     "window_intraday_seasonal_profile",
     "window_user_growth_curve",
@@ -235,6 +194,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "agg_apriori_frequent_triples",
     "text_readability_ari_cli",
     "text_mcnemar_langid_vs_majority",
+    # ---------------------------------------------------------------
+    # entries below rank 50 get no driver row this round: the 52
+    # remaining never-hash-green names (backlog order, r10 additions
+    # last); r12 takes the final slice from here.
     "text_langid_char_ngram_profile",
     "text_source_vocab_overlap",
     "window_nelson_aalen_hazard",
@@ -290,6 +253,14 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_dfa_alpha_daily",
     "window_variance_ratio_joint",
     "window_bds_test_daily",
+    # -- new in r11 (targeted differential green at sf0.001+sf0.01;
+    # -- driver rows queue behind the coverage backlog) --
+    "graph_katz_centrality_bounded",
+    "graph_harmonic_centrality",
+    "retrieval_query_likelihood_dirichlet",
+    "retrieval_known_item_recall_eval",
+    "window_higuchi_fd_daily",
+    "graph_ktruss_peeling",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

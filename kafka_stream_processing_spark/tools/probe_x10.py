@@ -52,10 +52,24 @@ def main(names: list[str], x10_dir: str) -> None:
         )
 
 
-if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+def parse_argv(argv: list[str]) -> tuple[list[str], str]:
+    """Split op names from flags.  The token AFTER --x10-dir is the
+    flag's VALUE, not an op name — consume it (ADVICE r10: the old
+    startswith('--') filter collected the value into the name list and
+    crashed the specs lookup)."""
+    names: list[str] = []
     x10 = "/tmp/kssp_x10/data"
-    for i, a in enumerate(sys.argv):
+    it = iter(argv)
+    for a in it:
         if a == "--x10-dir":
-            x10 = sys.argv[i + 1]
-    main(args, x10)
+            x10 = next(it)
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}")
+        else:
+            names.append(a)
+    return names, x10
+
+
+if __name__ == "__main__":
+    names, x10 = parse_argv(sys.argv[1:])
+    main(names, x10)

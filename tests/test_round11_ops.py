@@ -1,0 +1,205 @@
+"""Round-11 operator and tooling tests.
+
+Covers the r10 ADVICE fixes (probe_x10 CLI parsing, DFA oracle integer
+division) plus every operator registered in round 11.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_probe_x10_parse_argv_consumes_flag_value():
+    """ADVICE r10 (low): the value of --x10-dir must NOT be collected
+    into the op-name list (the old startswith('--') filter did, and
+    crashed the specs lookup with KeyError '/tmp/foo')."""
+    from kafka_stream_processing_spark.tools.probe_x10 import parse_argv
+
+    names, x10 = parse_argv(["op_a", "--x10-dir", "/tmp/foo", "op_b"])
+    assert names == ["op_a", "op_b"]
+    assert x10 == "/tmp/foo"
+
+    # default dir when the flag is absent
+    names, x10 = parse_argv(["op_a"])
+    assert names == ["op_a"]
+    assert x10 == "/tmp/kssp_x10/data"
+
+    with pytest.raises(SystemExit):
+        parse_argv(["--bogus-flag", "op_a"])
+
+
+def test_dfa_oracle_b_num_is_bigint_end_to_end():
+    """ADVICE r10 (medium): the DFA oracle's b_num triangular term must
+    use DuckDB integer division (``//``) so b_num stays BIGINT — float
+    division makes it DOUBLE and the later DECIMAL casts silently round
+    above 2^53, shrinking the documented |B| < 1e18 headroom to ~9e15.
+    s·(s+1) is always even so ``//`` is exact."""
+    import __spark_entry__ as e
+
+    sql = e.oracle_sql()["window_dfa_alpha_daily"]
+    assert "// 2) * sw" in sql, "b_num must use integer division"
+    assert "/ 2) * sw" not in sql.replace("// 2) * sw", "")
+
+    # Prove the typing claim directly on DuckDB: the triangular-number
+    # expression stays BIGINT under // and would be DOUBLE under /.
+    import duckdb
+
+    con = duckdb.connect()
+    (t_int,) = con.execute(
+        "SELECT typeof(CAST(7 AS BIGINT) * (7 + 1) // 2)"
+    ).fetchone()
+    (t_float,) = con.execute(
+        "SELECT typeof(CAST(7 AS BIGINT) * (7 + 1) / 2)"
+    ).fetchone()
+    assert t_int == "BIGINT"
+    assert t_float == "DOUBLE"
+
+
+def test_embedding_cosine_docstring_and_corpus_scale_guard(
+    spark, sf_small, monkeypatch
+):
+    """VERDICT r10 'What's wrong' 1: the docstring must scope the op as
+    the ingest-batch tool (its LSH bucket domain is FIXED at 16 values,
+    so candidates ~ n^2/16 — constant-factor), and a corpus-scale guard
+    must refuse oversized inputs with a redirect to
+    dedup_semantic_semdedup."""
+    from kafka_stream_processing_spark.operators import dedup
+
+    doc = dedup.dedup_embedding_cosine.__doc__
+    first_line = doc.strip().splitlines()[0]
+    assert "INGEST-BATCH" in first_line
+    assert "100 TB path" not in doc
+
+    # Guard trips below the input size and names the redirect.
+    monkeypatch.setenv("KSSP_EMBEDDING_COSINE_MAX_ROWS", "10")
+    with pytest.raises(ValueError, match="dedup_semantic_semdedup"):
+        dedup.dedup_embedding_cosine(spark, sf_small)
+
+    # Default limit admits the ingest-batch sizes the op is for.
+    monkeypatch.delenv("KSSP_EMBEDDING_COSINE_MAX_ROWS")
+    assert dedup.dedup_embedding_cosine(spark, sf_small).count() >= 0
+
+
+# -- r11 registrations ------------------------------------------------------
+
+
+def test_katz_walks1_is_degree_and_scaled_sum(spark, sf_small):
+    """walks_1 must equal the node degree on the symmetric sparsified
+    adjacency, and katz must equal the exact scaled-integer numerator
+    divided by 8^4 — i.e. the single shared float tail."""
+    from kafka_stream_processing_spark.operators import graph as g
+
+    out = g.graph_katz_centrality_bounded(spark, sf_small).toPandas()
+    adj = g._sig_adj_df(spark, sf_small).toPandas()
+    import collections
+
+    deg = collections.Counter()
+    for _, r in adj.iterrows():
+        deg[r["a"]] += 1
+        deg[r["b"]] += 1
+    for _, r in out.iterrows():
+        assert r["walks_1"] == deg[r["node"]]
+        scaled = (
+            512 * r["walks_1"]
+            + 64 * r["walks_2"]
+            + 8 * r["walks_3"]
+            + r["walks_4"]
+        )
+        assert r["katz"] == scaled / 4096.0
+
+
+def test_harmonic_bounds_and_reach_consistency(spark, sf_small):
+    """harmonic = sum of 1/d over reached nodes: bounded above by
+    n_reached (every term <= 1) and below by n_reached/BFS_MAX_HOPS;
+    n_reached must agree with the closeness op (shared kernel)."""
+    from kafka_stream_processing_spark.operators import graph as g
+
+    h = g.graph_harmonic_centrality(spark, sf_small).toPandas()
+    c = (
+        g.graph_closeness_centrality(spark, sf_small)
+        .toPandas()
+        .set_index("node")
+    )
+    for _, r in h.iterrows():
+        assert 0 <= r["harmonic"] <= r["n_reached"] + 1e-9
+        if r["n_reached"]:
+            assert r["harmonic"] >= r["n_reached"] / g.BFS_MAX_HOPS - 1e-9
+        assert r["n_reached"] == c.loc[r["node"], "n_reached"]
+
+
+def test_query_likelihood_ranks_matching_docs(spark, sf_small):
+    """Every returned doc matches >=1 query term, per-query lists are
+    exactly top-QL_TOPK (or fewer), and scores are finite."""
+    import numpy as np
+
+    from kafka_stream_processing_spark.operators import retrieval as r
+
+    out = r.retrieval_query_likelihood_dirichlet(spark, sf_small).toPandas()
+    assert (out["n_matched"] >= 1).all()
+    assert np.isfinite(out["ql"]).all()
+    assert out.groupby("query_id").size().max() <= r.QL_TOPK
+    qids = {qid for qid, _ in r.BM25_QUERIES}
+    assert set(out["query_id"]) <= qids
+
+
+def test_higuchi_fd_structure(spark, sf_small):
+    """Per-k series counts must equal k (offsets m = 1..k all present),
+    curve lengths positive, and the dimension in the meaningful band
+    (a 1-D curve has D in [1, 2]; allow numerical slack)."""
+    from kafka_stream_processing_spark.operators import windowed as wd
+
+    row = wd.window_higuchi_fd_daily(spark, sf_small).toPandas().iloc[0]
+    for k in wd.HIGUCHI_K_SET:
+        assert row[f"nm_{k}"] == k
+        assert row[f"lk_{k}"] > 0
+    assert 0.5 <= row["higuchi_d"] <= 2.5
+
+
+def test_ktruss_fixed_point_and_necessity(spark, sf_small):
+    """The fixed TRUSS_ROUNDS schedule must have converged at test
+    scale (every surviving edge keeps support >= TRUSS_K-2 WITHIN the
+    survivor set — one extra round would change nothing), and
+    surviving needs initial support >= TRUSS_K-2 (necessity)."""
+    from kafka_stream_processing_spark.operators import graph as g
+
+    out = g.graph_ktruss_peeling(spark, sf_small).toPandas()
+    survivors = {
+        (r["node_a"], r["node_b"])
+        for _, r in out.iterrows()
+        if r["in_truss"]
+    }
+    for _, r in out.iterrows():
+        if r["in_truss"]:
+            assert r["support0"] >= g.TRUSS_K - 2
+    # recount support inside the survivor set: the fixed point check
+    nodes = sorted({n for e in survivors for n in e})
+    for a, b in survivors:
+        sup = sum(
+            1
+            for z in nodes
+            if z not in (a, b)
+            and (min(a, z), max(a, z)) in survivors
+            and (min(b, z), max(b, z)) in survivors
+        )
+        assert sup >= g.TRUSS_K - 2, (a, b, sup)
+
+
+def test_known_item_eval_metric_consistency(spark, sf_small):
+    """rr must be 1/first_hit_rank when a partner was found and 0
+    otherwise; recall_at_10 in [0,1]; every query is a truth doc."""
+    from kafka_stream_processing_spark.operators import retrieval as r
+    from kafka_stream_processing_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    out = r.retrieval_known_item_recall_eval(spark, sf_small).toPandas()
+    truth = dedup_ngram_jaccard(spark, sf_small).toPandas()
+    truth_docs = set(truth["doc_a"]) | set(truth["doc_b"])
+    assert set(out["query_id"]) == truth_docs
+    for _, row in out.iterrows():
+        assert 0.0 <= row["recall_at_10"] <= 1.0
+        if row["first_hit_rank"] == row["first_hit_rank"]:  # not NaN
+            assert row["rr"] == 1.0 / row["first_hit_rank"]
+            assert row["recall_at_10"] > 0
+        else:
+            assert row["rr"] == 0.0
