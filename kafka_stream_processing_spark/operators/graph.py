@@ -90,23 +90,10 @@ def _oracle() -> str:
     """
 
 
-@register(
-    "graph_pagerank_trade",
-    oracle=_oracle(),
-    tags=("graph", "iterative"),
-)
-def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (5 power iterations, damping 0.85) over the nation trade
-    graph — the iterative-numeric complement of the min-label-propagation
-    components operator.
-
-    Scale: the rank table is one row per node (25 here; millions on a
-    real graph) — each iteration is edges ⋈ ranks (hash join on src,
-    ranks broadcast when small) + one map-side-combined sum per dst.
-    Edge fractions are computed ONCE outside the loop.  Per-iteration
-    quantization (see module docstring) keeps every iteration's ranks
-    bit-identical to the oracle's, so 5 compounding iterations still
-    hash-match exactly."""
+def _trade_frac_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree-normalized trade edge fractions (src, dst, frac),
+    checkpointed — the power-iteration kernel shared by PageRank and
+    personalized PageRank (reuse guard-tested)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -142,6 +129,27 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # clustering.connected_components).
         .localCheckpoint(eager=True)
     )
+    return frac
+
+
+@register(
+    "graph_pagerank_trade",
+    oracle=_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power iterations, damping 0.85) over the nation trade
+    graph — the iterative-numeric complement of the min-label-propagation
+    components operator.
+
+    Scale: the rank table is one row per node (25 here; millions on a
+    real graph) — each iteration is edges ⋈ ranks (hash join on src,
+    ranks broadcast when small) + one map-side-combined sum per dst.
+    Edge fractions are computed ONCE outside the loop.  Per-iteration
+    quantization (see module docstring) keeps every iteration's ranks
+    bit-identical to the oracle's, so 5 compounding iterations still
+    hash-match exactly."""
+    frac = _trade_frac_df(spark, sf_dir)
     nodes = table(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
     ranks = nodes.withColumn("r", F.lit(0.04).cast("double"))
     for _ in range(_ITERATIONS):
@@ -2117,4 +2125,140 @@ def graph_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("support0"),
             F.coalesce(F.col("in_t"), F.lit(False)).alias("in_truss"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from the hub nation
+# ---------------------------------------------------------------------------
+
+#: PPR teleport mass (back to the SOURCE, not uniform) and iteration
+#: count.  One extra round vs global PageRank because personalized mass
+#: spreads from a single node; the oracle unrolls the identical count.
+PPR_ALPHA = 0.15
+PPR_DAMPING = 0.85
+PPR_ITERATIONS = 6
+
+
+def _ppr_oracle() -> str:
+    steps = []
+    prev = "p0"
+    for i in range(1, PPR_ITERATIONS + 1):
+        steps.append(f"""
+    p{i} AS (
+        SELECT n.node,
+               (CASE WHEN n.node = s.hub THEN {PPR_ALPHA} ELSE 0.0E0 END)
+               + {PPR_DAMPING} * CAST(coalesce(SUM(
+                   CAST(p.r * e.frac AS DECIMAL(18,12))
+               ), 0) AS DOUBLE) AS r
+        FROM nodes n CROSS JOIN src0 s
+        LEFT JOIN frac e ON e.dst = n.node
+        LEFT JOIN {prev} p ON p.node = e.src
+        GROUP BY n.node, s.hub
+    )""")
+        prev = f"p{i}"
+    return f"""
+    WITH edges AS (
+        {_edges_sql()}
+    ),
+    nodes AS (
+        SELECT n_name AS node FROM nation
+    ),
+    src0 AS (SELECT min(src) AS hub FROM edges),
+    outw AS (
+        SELECT src, SUM(w) AS total FROM edges GROUP BY 1
+    ),
+    frac AS (
+        SELECT e.src, e.dst,
+               CAST(e.w AS DOUBLE) / CAST(o.total AS DOUBLE) AS frac
+        FROM edges e JOIN outw o ON o.src = e.src
+    ),
+    p0 AS (
+        SELECT n.node,
+               CASE WHEN n.node = s.hub THEN 1.0E0 ELSE 0.0E0 END AS r
+        FROM nodes n CROSS JOIN src0 s
+    ),{",".join(steps)}
+    SELECT p.node AS nation, round(p.r, 9) AS ppr,
+           (p.node = s.hub) AS is_source
+    FROM {prev} p CROSS JOIN src0 s
+    """
+
+
+@register(
+    "graph_ppr_single_source",
+    oracle=_ppr_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_ppr_single_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank from the hub nation (lexicographic-min
+    edge source, the widest-path hub convention) — the LOCAL member of
+    the power-iteration family (global PageRank asks "who matters
+    overall"; PPR asks "who matters FROM HERE", the standard random-
+    walk-with-restart proximity that seeds recommendation, local
+    community detection, and link-spam audits): teleport mass α = 0.15
+    returns to the SOURCE each step instead of spreading uniformly, so
+    the stationary mass decays with walk distance from the hub.
+
+    Exactness: identical discipline to graph_pagerank_trade — per-edge
+    contributions in DOUBLE, quantized DECIMAL(18,12) BEFORE the
+    per-node sum (order-independent reduction), damped update back in
+    DOUBLE; both engines unroll the identical fixed 6 iterations, and
+    teleport literals are E-notation DOUBLE.  Mass leaked through
+    dangling nodes is NOT redistributed (matches the global op's
+    documented convention).
+
+    Scale: the kernel is `_trade_frac_df` (shared with PageRank, reuse
+    guard-tested) — each iteration is one hash join of the edge
+    fractions against a one-row-per-node rank table plus a map-side
+    combined sum; the personalization vector adds nothing to the
+    state.  On a billion-node graph the documented swap is
+    forward-push/residual PPR (Andersen-Chung-Lang), which localizes
+    work to the source's neighborhood; the power form here is the
+    oracle-checkable fixed-schedule twin."""
+    frac = _trade_frac_df(spark, sf_dir)
+    hub_row = frac.agg(F.min("src").alias("hub"))
+    nodes = table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("node")
+    )
+    ranks = nodes.crossJoin(F.broadcast(hub_row)).select(
+        "node",
+        "hub",
+        F.when(F.col("node") == F.col("hub"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    )
+    for _ in range(PPR_ITERATIONS):
+        contrib = (
+            frac.join(ranks, frac.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("r") * F.col("frac")).cast(_DEC).alias("term"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("term").alias("sum_dec"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(hub_row))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                "hub",
+                (
+                    F.when(
+                        F.col("node") == F.col("hub"), F.lit(PPR_ALPHA)
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(PPR_DAMPING)
+                    * F.coalesce(
+                        F.col("sum_dec").cast("double"), F.lit(0.0)
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("nation"),
+        F.round("r", 9).alias("ppr"),
+        (F.col("node") == F.col("hub")).alias("is_source"),
     )

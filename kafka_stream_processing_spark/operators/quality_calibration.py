@@ -845,3 +845,142 @@ def quality_ab_minimum_detectable_effect(
         ),
     )
 
+
+
+@register(
+    "quality_pr_auc_length_classifier",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT n_chars AS score,
+               CASE WHEN len(string_split(text, ' '))
+                        > {ISO_TOKEN_THRESHOLD} THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    hist AS (
+        SELECT score, SUM(y) AS pos, count(*) - SUM(y) AS neg
+        FROM labeled GROUP BY score
+    ),
+    cum AS (
+        SELECT score,
+               SUM(pos) OVER (ORDER BY score DESC) AS tp,
+               SUM(neg) OVER (ORDER BY score DESC) AS fp,
+               coalesce(SUM(pos) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS tp_prev
+        FROM hist
+    ),
+    tot AS (SELECT SUM(pos) AS n1, SUM(neg) AS n0 FROM hist),
+    terms AS (
+        SELECT score, tp, fp,
+               CAST(round(CAST((tp - tp_prev) * tp AS DOUBLE)
+                          / (tp + fp), 12) AS DECIMAL(28,12)) AS term
+        FROM cum
+    ),
+    ap AS (
+        SELECT CAST(SUM(term) AS DOUBLE) / t.n1 AS average_precision
+        FROM terms, tot t GROUP BY t.n1
+    )
+    SELECT c.score, CAST(c.tp AS BIGINT) AS tp,
+           CAST(c.fp AS BIGINT) AS fp,
+           CAST(c.tp AS DOUBLE) / (c.tp + c.fp) AS precision_at,
+           CAST(c.tp AS DOUBLE) / t.n1 AS recall_at,
+           CAST(t.n1 AS BIGINT) AS n_pos,
+           CAST(t.n0 AS BIGINT) AS n_neg,
+           a.average_precision
+    FROM cum c, tot t, ap a
+    """,
+    tags=("quality", "calibration", "statistics"),
+)
+def quality_pr_auc_length_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Average precision (area under the precision-recall step curve)
+    of document length as a classifier for the long-document outcome —
+    the PR counterpart of quality_roc_auc_length_classifier, and the
+    metric that matters when positives are rare (ROC-AUC is
+    prevalence-blind; AP weights by the positive class): the step-sum
+    AP = Σ_t (R_t − R_{{t−1}})·P_t over score-distinct thresholds —
+    exactly the sklearn average_precision_score definition, which is
+    TIE-ROBUST because tied scores collapse into one threshold (no
+    per-row ranking, no tie-order dependence).
+
+    Exactness: tp/fp are cumulative integers on the score-distinct
+    histogram (one descending window, the ROC op's cost class);
+    ΔTP·TP is BIGINT-exact, each threshold term has ONE division by
+    the integer (TP+FP) then round-12 DECIMAL before the
+    order-independent sum; AP divides once by n_pos.  Output is the
+    full PR curve (per-threshold precision/recall) with AP attached
+    to every row.
+
+    Scale: histogram-sized state (score-distinct); one window over the
+    score domain — identical bound to the ROC op."""
+    docs = table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(
+            F.size(F.split("text", " ")) > ISO_TOKEN_THRESHOLD,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    hist = labeled.groupBy("score").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    from pyspark.sql import Window
+
+    desc = Window.orderBy(F.col("score").desc())
+    cum = hist.select(
+        "score",
+        F.sum("pos")
+        .over(desc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("tp"),
+        F.sum("neg")
+        .over(desc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("fp"),
+        F.coalesce(
+            F.sum("pos").over(
+                desc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("tp_prev"),
+    )
+    tot = hist.agg(F.sum("pos").alias("n1"), F.sum("neg").alias("n0"))
+    terms = cum.select(
+        F.round(
+            ((F.col("tp") - F.col("tp_prev")) * F.col("tp")).cast(
+                "double"
+            )
+            / (F.col("tp") + F.col("fp")),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term")
+    )
+    ap = (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("n1")
+        .agg(
+            (F.sum("term").cast("double") / F.col("n1")).alias(
+                "average_precision"
+            )
+        )
+        .select("average_precision")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ap))
+        .select(
+            "score",
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            (
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+            ).alias("precision_at"),
+            (F.col("tp").cast("double") / F.col("n1")).alias("recall_at"),
+            F.col("n1").cast("bigint").alias("n_pos"),
+            F.col("n0").cast("bigint").alias("n_neg"),
+            "average_precision",
+        )
+    )

@@ -425,90 +425,12 @@ _QL_MU_SQL = "1.0E3"
 QL_TOPK = 10
 
 
-@register(
-    "retrieval_query_likelihood_dirichlet",
-    oracle=f"""
-    WITH queries(query_id, term) AS (VALUES {_bm25_values_sql()}),
-    {_BM25_BASE_CTES},
-    ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dls),
-    cf AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS cf
-        FROM toks WHERE term IN (SELECT term FROM queries)
-        GROUP BY 1
-    ),
-    qv AS (
-        SELECT q.query_id, q.term,
-               {_QL_MU_SQL} * cf.cf / ctot.c AS mu_pc
-        FROM queries q JOIN cf USING (term) CROSS JOIN ctot
-    ),
-    qconst AS (
-        SELECT query_id, count(*) AS n_q,
-               SUM(CAST(round(ln(mu_pc), 6) AS DECIMAL(18,6))) AS b
-        FROM qv GROUP BY 1
-    ),
-    tf AS (
-        SELECT qv.query_id, t.doc_id, qv.term, qv.mu_pc,
-               count(*) AS tf, max(t.dl) AS dl
-        FROM toks t JOIN qv ON qv.term = t.term
-        GROUP BY 1, 2, 3, 4
-    ),
-    matched AS (
-        SELECT query_id, doc_id,
-               count(*) AS n_matched,
-               max(dl) AS dl,
-               SUM(CAST(round(ln((tf + mu_pc) / mu_pc), 6)
-                        AS DECIMAL(18,6))) AS a
-        FROM tf GROUP BY 1, 2
-    ),
-    scored AS (
-        SELECT m.query_id, m.doc_id, m.n_matched,
-               CAST(m.a + qc.b
-                    - CAST(qc.n_q AS DECIMAL(4,0))
-                      * CAST(round(ln(m.dl + {_QL_MU_SQL}), 6)
-                             AS DECIMAL(18,6))
-                    AS DOUBLE) AS ql
-        FROM matched m JOIN qconst qc USING (query_id)
-    )
-    SELECT query_id, doc_id,
-           CAST(n_matched AS BIGINT) AS n_matched, ql
-    FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY ql DESC, doc_id) AS rn
-        FROM scored
-    )
-    WHERE rn <= {QL_TOPK}
-    """,
-    tags=("retrieval", "text"),
-)
-def retrieval_query_likelihood_dirichlet(
+def _ql_scored(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
-    SIGIR 2001) for the fixed BM25 query set — the language-model
-    member of the sparse-retrieval family (BM25 weights tf·idf
-    heuristically; QL scores ln P(q|d) under a document language model
-    smoothed toward the collection).  The score is decomposed so only
-    MATCHED postings are ever touched:
-
-        ln P(q|d) = Σ_{{t∈q∩d}} ln((tf + μ·p_t)/(μ·p_t))    (matched)
-                  + Σ_{{t∈q}} ln(μ·p_t)                      (per query)
-                  − |q|·ln(dl + μ)                           (per doc)
-
-    with p_t = cf_t/|C|.  Query terms absent from the collection are
-    dropped on BOTH engines (standard OOV handling — their smoothed
-    probability is undefined).
-
-    Exactness: every ln term is round-6 DECIMAL(18,6) before the
-    order-independent sums (the engine's round-ln convention); the
-    length term multiplies ONE rounded decimal by the integer |q|;
-    μ is E-notation DOUBLE in the shared constants so no decimal
-    literal sneaks into float math.
-
-    Scale: identical shape to text_bm25_topk — the (tiny) query table
-    broadcasts to the postings stream; cf and tf are the only
-    shuffles; doc length rides inside the tf aggregate; |C| and the
-    per-query constants are one broadcast row each.  Candidate docs =
-    docs sharing ≥1 query term, never the full corpus."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Spark twin of `_ql_scored_ctes`: returns (scored, toks, qv) —
+    the per-(query, doc) Dirichlet-QL scores, the exploded postings
+    stream, and the in-vocab query-term frame (query_id, term, mu_pc)."""
     toks, _ = _doc_tokens(spark, sf_dir)
     d = fanout(table(spark, sf_dir, "documents"))
     ctot = d.select(F.size(F.split("text", " ")).alias("dl")).agg(
@@ -574,6 +496,101 @@ def retrieval_query_likelihood_dirichlet(
         .cast("double")
         .alias("ql"),
     )
+    return scored, toks, qv
+
+
+def _ql_scored_ctes() -> str:
+    """The Dirichlet-QL scoring chain (queries → scored) as shared CTE
+    text — used verbatim by the QL ranking oracle and as the stage-1
+    retriever of the RM3 expansion oracle."""
+    return f"""queries(query_id, term) AS (VALUES {_bm25_values_sql()}),
+    {_BM25_BASE_CTES},
+    ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dls),
+    cf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cf
+        FROM toks WHERE term IN (SELECT term FROM queries)
+        GROUP BY 1
+    ),
+    qv AS (
+        SELECT q.query_id, q.term,
+               {_QL_MU_SQL} * cf.cf / ctot.c AS mu_pc
+        FROM queries q JOIN cf USING (term) CROSS JOIN ctot
+    ),
+    qconst AS (
+        SELECT query_id, count(*) AS n_q,
+               SUM(CAST(round(ln(mu_pc), 6) AS DECIMAL(18,6))) AS b
+        FROM qv GROUP BY 1
+    ),
+    tf AS (
+        SELECT qv.query_id, t.doc_id, qv.term, qv.mu_pc,
+               count(*) AS tf, max(t.dl) AS dl
+        FROM toks t JOIN qv ON qv.term = t.term
+        GROUP BY 1, 2, 3, 4
+    ),
+    matched AS (
+        SELECT query_id, doc_id,
+               count(*) AS n_matched,
+               max(dl) AS dl,
+               SUM(CAST(round(ln((tf + mu_pc) / mu_pc), 6)
+                        AS DECIMAL(18,6))) AS a
+        FROM tf GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT m.query_id, m.doc_id, m.n_matched,
+               CAST(m.a + qc.b
+                    - CAST(qc.n_q AS DECIMAL(4,0))
+                      * CAST(round(ln(m.dl + {_QL_MU_SQL}), 6)
+                             AS DECIMAL(18,6))
+                    AS DOUBLE) AS ql
+        FROM matched m JOIN qconst qc USING (query_id)
+    )"""
+
+
+@register(
+    "retrieval_query_likelihood_dirichlet",
+    oracle=f"""
+    WITH {_ql_scored_ctes()}
+    SELECT query_id, doc_id,
+           CAST(n_matched AS BIGINT) AS n_matched, ql
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ql DESC, doc_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {QL_TOPK}
+    """,
+    tags=("retrieval", "text"),
+)
+def retrieval_query_likelihood_dirichlet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    SIGIR 2001) for the fixed BM25 query set — the language-model
+    member of the sparse-retrieval family (BM25 weights tf·idf
+    heuristically; QL scores ln P(q|d) under a document language model
+    smoothed toward the collection).  The score is decomposed so only
+    MATCHED postings are ever touched:
+
+        ln P(q|d) = Σ_{{t∈q∩d}} ln((tf + μ·p_t)/(μ·p_t))    (matched)
+                  + Σ_{{t∈q}} ln(μ·p_t)                      (per query)
+                  − |q|·ln(dl + μ)                           (per doc)
+
+    with p_t = cf_t/|C|.  Query terms absent from the collection are
+    dropped on BOTH engines (standard OOV handling — their smoothed
+    probability is undefined).
+
+    Exactness: every ln term is round-6 DECIMAL(18,6) before the
+    order-independent sums (the engine's round-ln convention); the
+    length term multiplies ONE rounded decimal by the integer |q|;
+    μ is E-notation DOUBLE in the shared constants so no decimal
+    literal sneaks into float math.
+
+    Scale: identical shape to text_bm25_topk — the (tiny) query table
+    broadcasts to the postings stream; cf and tf are the only
+    shuffles; doc length rides inside the tf aggregate; |C| and the
+    per-query constants are one broadcast row each.  Candidate docs =
+    docs sharing ≥1 query term, never the full corpus."""
+    scored, _, _ = _ql_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.col("ql").desc(), "doc_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -592,6 +609,15 @@ def retrieval_query_likelihood_dirichlet(
 # ---------------------------------------------------------------------------
 
 KNOWN_ITEM_TOPK = 10
+#: Evaluation-sample bound: at most this many truth docs (smallest
+#: doc_ids, deterministic) are issued as queries.  Without it the
+#: query side is truth-doc-sized, which the ×10 replica-clique staging
+#: proved degenerates to CORPUS-sized (every doc gains 9 exact copies,
+#: so every doc is a truth doc and the broadcast-qterms postings join
+#: goes quadratic — measured as a stuck ×10 probe, r11).  An eval
+#: harness samples by design; the bound makes that explicit and
+#: enforced.
+KNOWN_ITEM_MAX_QUERIES = 200
 
 
 def _known_item_oracle() -> str:
@@ -606,11 +632,15 @@ def _known_item_oracle() -> str:
         UNION ALL
         SELECT doc_b AS query_id, doc_a AS partner FROM truth
     ),
+    qsel AS (
+        SELECT DISTINCT query_id FROM partners
+        ORDER BY query_id LIMIT {KNOWN_ITEM_MAX_QUERIES}
+    ),
     {_BM25_BASE_CTES},
     qterms AS (
         SELECT DISTINCT t.doc_id AS query_id, t.term
         FROM toks t
-        WHERE t.doc_id IN (SELECT query_id FROM partners)
+        WHERE t.doc_id IN (SELECT query_id FROM qsel)
     ),
     df AS (
         SELECT term, count(DISTINCT doc_id) AS df
@@ -644,7 +674,9 @@ def _known_item_oracle() -> str:
                count(*) AS n_truth,
                min(r.rn) AS first_hit_rank,
                count(r.rn) AS hits
-        FROM partners p LEFT JOIN ranked r
+        FROM partners p
+        JOIN qsel USING (query_id)
+        LEFT JOIN ranked r
           ON r.query_id = p.query_id AND r.doc_id = p.partner
         GROUP BY 1
     )
@@ -702,7 +734,16 @@ def retrieval_known_item_recall_eval(
         )
     )
     toks, stats = _doc_tokens(spark, sf_dir)
-    qids = partners.select("query_id").distinct()
+    # Bounded evaluation sample (KNOWN_ITEM_MAX_QUERIES smallest truth
+    # docs) — orderBy().limit() plans as TakeOrderedAndProject, so the
+    # selection never global-sorts even when truth is corpus-sized.
+    qids = (
+        partners.select("query_id")
+        .distinct()
+        .orderBy("query_id")
+        .limit(KNOWN_ITEM_MAX_QUERIES)
+    )
+    partners = partners.join(F.broadcast(qids), "query_id")
     qterms = (
         toks.join(
             F.broadcast(qids), toks["doc_id"] == qids["query_id"]
@@ -740,5 +781,460 @@ def retrieval_known_item_recall_eval(
         .alias("rr"),
         (F.col("hits").cast("double") / F.col("n_truth")).alias(
             "recall_at_10"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+#: RM3 configuration (Lavrenko & Croft 2001; Abdul-Jaleel et al.,
+#: TREC 2004): feedback depth, expansion-term count, and the
+#: interpolation weight of the ORIGINAL query model.  Lambda is
+#: E-notation in shared SQL so both engines parse DOUBLE.
+RM3_FDBK_DOCS = 5
+RM3_EXP_TERMS = 5
+RM3_LAMBDA = 0.5
+_RM3_LAMBDA_SQL = "5.0E-1"
+
+
+@register(
+    "retrieval_rm3_expansion",
+    oracle=f"""
+    WITH {_ql_scored_ctes()},
+    fdbk AS MATERIALIZED (
+        SELECT query_id, doc_id, ql FROM (
+            SELECT query_id, doc_id, ql,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ql DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn <= {RM3_FDBK_DOCS}
+    ),
+    wmax AS (SELECT query_id, max(ql) AS mq FROM fdbk GROUP BY 1),
+    uw AS (
+        SELECT f.query_id, f.doc_id,
+               CAST(round(exp(f.ql - w.mq), 12) AS DECIMAL(18,12)) AS uw
+        FROM fdbk f JOIN wmax w USING (query_id)
+    ),
+    wsum AS (SELECT query_id, SUM(uw) AS su FROM uw GROUP BY 1),
+    wts AS (
+        SELECT u.query_id, u.doc_id,
+               CAST(u.uw AS DOUBLE) / CAST(s.su AS DOUBLE) AS wd
+        FROM uw u JOIN wsum s USING (query_id)
+    ),
+    ftf AS (
+        SELECT w.query_id, w.wd, t.doc_id, t.term,
+               count(*) AS tf, max(t.dl) AS dl
+        FROM toks t JOIN wts w ON w.doc_id = t.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    relmodel AS (
+        SELECT query_id, term,
+               SUM(CAST(round(wd * tf / dl, 12) AS DECIMAL(38,12)))
+                   AS s_t
+        FROM ftf GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT r.query_id, r.term, r.s_t
+        FROM relmodel r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM queries q
+            WHERE q.query_id = r.query_id AND q.term = r.term
+        )
+    ),
+    exp_sel AS (
+        SELECT query_id, term, s_t FROM (
+            SELECT query_id, term, s_t,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s_t DESC, term) AS rn
+            FROM cand
+        ) WHERE rn <= {RM3_EXP_TERMS}
+    ),
+    exp_norm AS (SELECT query_id, SUM(s_t) AS tot FROM exp_sel GROUP BY 1)
+    SELECT query_id, term, weight, is_original FROM (
+        SELECT q.query_id, q.term,
+               {_RM3_LAMBDA_SQL} / qc.n_q AS weight,
+               TRUE AS is_original
+        FROM qv q JOIN qconst qc USING (query_id)
+        UNION ALL
+        SELECT e.query_id, e.term,
+               (1.0E0 - {_RM3_LAMBDA_SQL})
+               * (CAST(e.s_t AS DOUBLE) / CAST(n.tot AS DOUBLE))
+                   AS weight,
+               FALSE AS is_original
+        FROM exp_sel e JOIN exp_norm n USING (query_id)
+    )
+    """,
+    tags=("retrieval", "text"),
+)
+def retrieval_rm3_expansion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    2001 relevance models; the RM3 interpolation of Abdul-Jaleel et
+    al.) — the FEEDBACK member of the sparse-retrieval family (BM25 /
+    QL rank with the raw query; RM3 reads what the top-ranked docs are
+    ABOUT and returns the expanded query model): stage-1 Dirichlet-QL
+    retrieves the top-5 feedback docs per query; their softmax-
+    normalized likelihoods weight a relevance model P(t|R) =
+    Σ_d w_d·tf_{t,d}/dl_d over ALL feedback-doc terms; the top-5
+    non-query terms are interpolated with the uniform original query
+    model at λ = 0.5.  Output: one row per (query, term) of the
+    expanded model with its weight and an is_original flag — the table
+    a downstream retriever would consume.
+
+    Exactness: stage-1 rides `_ql_scored` verbatim (shared CTE text);
+    softmax weights are exp(ql − max_ql) quantized round-12 DECIMAL
+    before the normalizing sum (max-subtraction keeps exp in [e⁻ˣ, 1],
+    so round-12 loses nothing); relevance-model terms quantize
+    round-12 before the order-independent sum; every remaining
+    division is a single mirrored IEEE op on exact operands.
+
+    Scale: stage-1 is the QL shape (broadcast query terms, postings
+    shuffle); the feedback join touches only the postings of
+    |queries|·5 docs (broadcast doc list, one semi-join); the
+    relevance model is feedback-vocabulary-sized.  Nothing beyond
+    stage-1 ever rescans the corpus."""
+    scored, toks, qv = _ql_scored(spark, sf_dir)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("ql").desc(), "doc_id"
+    )
+    fdbk = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= RM3_FDBK_DOCS)
+        .select("query_id", "doc_id", "ql")
+    )
+    wmax = fdbk.groupBy("query_id").agg(F.max("ql").alias("mq"))
+    uw = fdbk.join(F.broadcast(wmax), "query_id").select(
+        "query_id",
+        "doc_id",
+        F.round(F.exp(F.col("ql") - F.col("mq")), 12)
+        .cast("decimal(18,12)")
+        .alias("uw"),
+    )
+    wsum = uw.groupBy("query_id").agg(F.sum("uw").alias("su"))
+    wts = uw.join(F.broadcast(wsum), "query_id").select(
+        "query_id",
+        "doc_id",
+        (F.col("uw").cast("double") / F.col("su").cast("double")).alias(
+            "wd"
+        ),
+    )
+    ftf = (
+        toks.join(F.broadcast(wts), "doc_id")
+        .groupBy("query_id", "wd", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    relmodel = ftf.groupBy("query_id", "term").agg(
+        F.sum(
+            F.round(
+                F.col("wd") * F.col("tf") / F.col("dl"), 12
+            ).cast("decimal(38,12)")
+        ).alias("s_t")
+    )
+    cand = relmodel.join(
+        qv.select("query_id", "term"), ["query_id", "term"], "left_anti"
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("s_t").desc(), "term"
+    )
+    exp_sel = (
+        cand.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= RM3_EXP_TERMS)
+        .select("query_id", "term", "s_t")
+    )
+    exp_norm = exp_sel.groupBy("query_id").agg(F.sum("s_t").alias("tot"))
+    n_q = qv.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
+    originals = qv.join(F.broadcast(n_q), "query_id").select(
+        "query_id",
+        "term",
+        (F.lit(RM3_LAMBDA) / F.col("n_q")).alias("weight"),
+        F.lit(True).alias("is_original"),
+    )
+    expansions = exp_sel.join(F.broadcast(exp_norm), "query_id").select(
+        "query_id",
+        "term",
+        (
+            F.lit(1.0 - RM3_LAMBDA)
+            * (F.col("s_t").cast("double") / F.col("tot").cast("double"))
+        ).alias("weight"),
+        F.lit(False).alias("is_original"),
+    )
+    return originals.unionByName(expansions)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (MMR) diversity reranking
+# ---------------------------------------------------------------------------
+
+#: MMR configuration (Carbonell & Goldstein, SIGIR 1998): stage-1
+#: shortlist depth, picks, and the relevance/diversity trade-off
+#: lambda (E-notation in shared SQL so both engines parse DOUBLE).
+MMR_N_QUERIES = 3
+MMR_SHORTLIST = 20
+MMR_K = 10
+MMR_LAMBDA = 0.7
+_MMR_LAMBDA_SQL = "7.0E-1"
+
+_MMR_COS_SQL = (
+    "CAST(list_aggregate(list_transform(range(1, 65),"
+    " i -> CAST(q.emb[i] * d.emb[i] AS DECIMAL(18,12))), 'sum')"
+    " AS DOUBLE) / (q.nrm * d.nrm)"
+)
+
+
+def _mmr_oracle() -> str:
+    score = (
+        f"{_MMR_LAMBDA_SQL} * r.rel"
+        f" - (1.0E0 - {_MMR_LAMBDA_SQL}) * r.ms"
+    )
+    rounds = []
+    for i in range(2, MMR_K + 1):
+        rounds.append(f"""
+    rem{i} AS (
+        SELECT s.query_id, s.doc_id, s.rel FROM shortlist s
+        WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} p
+                          WHERE p.query_id = s.query_id
+                            AND p.doc_id = s.doc_id)
+    ),
+    cand{i} AS (
+        SELECT r.query_id, r.doc_id, r.rel,
+               (SELECT max(pc.cos) FROM pairs pc JOIN sel{i - 1} p
+                 ON pc.query_id = r.query_id AND pc.da = r.doc_id
+                AND pc.db = p.doc_id AND p.query_id = r.query_id)
+                   AS ms
+        FROM rem{i} r
+    ),
+    pick{i} AS (
+        SELECT query_id, doc_id, rel, ms, {i} AS rank FROM (
+            SELECT r.*, row_number() OVER (
+                PARTITION BY r.query_id
+                ORDER BY {score} DESC, r.doc_id) AS rn
+            FROM cand{i} r
+        ) r WHERE rn = 1
+    ),
+    sel{i} AS MATERIALIZED (
+        SELECT * FROM sel{i - 1}
+        UNION ALL
+        SELECT query_id, doc_id, rel, ms, rank FROM pick{i}
+    )""")
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS MATERIALIZED (
+        SELECT vec_id, emb,
+               sqrt(CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> CAST(emb[i] * emb[i] AS DECIMAL(18,12))),
+                   'sum') AS DOUBLE)) AS nrm
+        FROM v
+    ),
+    cos AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               {_MMR_COS_SQL} AS rel
+        FROM n q JOIN n d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < {MMR_N_QUERIES}
+    ),
+    shortlist AS MATERIALIZED (
+        SELECT query_id, doc_id, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, doc_id) AS rn
+            FROM cos
+        ) WHERE rn <= {MMR_SHORTLIST}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT s1.query_id, s1.doc_id AS da, s2.doc_id AS db,
+               {_MMR_COS_SQL} AS cos
+        FROM shortlist s1
+        JOIN shortlist s2 ON s2.query_id = s1.query_id
+                         AND s2.doc_id <> s1.doc_id
+        JOIN n q ON q.vec_id = s1.doc_id
+        JOIN n d ON d.vec_id = s2.doc_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, doc_id, rel, 0.0E0 AS ms, 1 AS rank FROM (
+            SELECT s.*, row_number() OVER (
+                PARTITION BY s.query_id
+                ORDER BY {_MMR_LAMBDA_SQL} * s.rel
+                         - (1.0E0 - {_MMR_LAMBDA_SQL}) * 0.0E0 DESC,
+                         s.doc_id) AS rn
+            FROM shortlist s
+        ) s WHERE rn = 1
+    ),
+    {",".join(rounds)}
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rel,
+           {_MMR_LAMBDA_SQL} * rel
+           - (1.0E0 - {_MMR_LAMBDA_SQL}) * ms AS mmr_score
+    FROM sel{MMR_K}
+    """
+
+
+@register(
+    "retrieval_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "similarity", "rerank"),
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity reranking (Carbonell &
+    Goldstein, SIGIR 1998) over the dense retriever — the RERANK
+    member of the retrieval family (BM25/QL/hybrid produce a
+    relevance-ordered list; MMR re-orders it so each pick adds
+    information instead of repeating the last one — the standard
+    answer to near-dup-saturated neighborhoods, which is exactly what
+    a deduplicating corpus pipeline queries look like): greedily pick
+    K=10 of a 20-doc exact-cosine shortlist, each round maximizing
+    λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s) with λ = 0.7.
+
+    Exactness: every cosine rides the exact-decimal dot kernel with a
+    single float division (the similarity-family convention), so both
+    engines score candidates identically; each greedy round is an
+    argmax over ≤20 rows with a doc_id tie-break — the k-core
+    fixed-schedule precedent applied to selection (both engines run
+    the IDENTICAL K unrolled rounds).  ms for the first pick is the
+    empty-set maximum, pinned to 0 in both engines.
+
+    Scale: stage-1 is the broadcast-query brute-force scan already
+    audited (corpus never shuffles); everything after is
+    (queries × shortlist²) rows — MMR is only ever run on a shortlist
+    by construction, so the greedy loop costs K tiny joins regardless
+    of corpus size."""
+    emb = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double_array("embedding").alias("emb")
+    )
+    n = emb.select(
+        "vec_id", "emb", l2_norm_exact(F.col("emb")).alias("nrm")
+    )
+    queries = n.filter(F.col("vec_id") < MMR_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        n.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine_exact(
+                F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+            ).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+    shortlist = (
+        cos.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .select("query_id", "doc_id", "rel")
+        .localCheckpoint(eager=True)
+    )
+    na = n.select(
+        F.col("vec_id").alias("da"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    nb = n.select(
+        F.col("vec_id").alias("db"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    s2 = shortlist.select(
+        F.col("query_id").alias("q2"), F.col("doc_id").alias("db")
+    )
+    pairs = (
+        shortlist.select("query_id", F.col("doc_id").alias("da"))
+        .join(s2, (F.col("q2") == F.col("query_id")) & (F.col("db") != F.col("da")))
+        .join(F.broadcast(na), "da")
+        .join(F.broadcast(nb), "db")
+        .select(
+            "query_id",
+            "da",
+            "db",
+            cosine_exact(
+                F.col("a_emb"), F.col("b_emb"),
+                F.col("a_nrm"), F.col("b_nrm"),
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam = F.lit(MMR_LAMBDA)
+    sel = (
+        shortlist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    (lam * F.col("rel") - (F.lit(1.0) - lam) * F.lit(0.0)).desc(),
+                    "doc_id",
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            "rel",
+            F.lit(0.0).alias("ms"),
+            F.lit(1).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, MMR_K + 1):
+        rem = shortlist.join(
+            sel.select("query_id", "doc_id"), ["query_id", "doc_id"],
+            "left_anti",
+        )
+        sel_keys = sel.select(
+            "query_id", F.col("doc_id").alias("sel_doc")
+        )
+        ms = (
+            rem.select("query_id", "doc_id")
+            .join(
+                pairs.select(
+                    "query_id",
+                    F.col("da").alias("doc_id"),
+                    F.col("db").alias("sel_doc"),
+                    "cos",
+                ),
+                ["query_id", "doc_id"],
+            )
+            .join(sel_keys, ["query_id", "sel_doc"])
+            .groupBy("query_id", "doc_id")
+            .agg(F.max("cos").alias("ms"))
+        )
+        cand = rem.join(ms, ["query_id", "doc_id"], "left").select(
+            "query_id",
+            "doc_id",
+            "rel",
+            F.coalesce(F.col("ms"), F.lit(0.0)).alias("ms"),
+        )
+        pick = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        (
+                            lam * F.col("rel")
+                            - (F.lit(1.0) - lam) * F.col("ms")
+                        ).desc(),
+                        "doc_id",
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "doc_id", "rel", "ms", F.lit(i).alias("rank")
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        "rel",
+        (lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("ms")).alias(
+            "mmr_score"
         ),
     )

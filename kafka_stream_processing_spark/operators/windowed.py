@@ -8504,3 +8504,210 @@ def window_higuchi_fd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         *out_cols,
         (-F.expr(_higuchi_slope_expr())).alias("higuchi_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recurrence quantification analysis (RQA) on daily revenue
+# ---------------------------------------------------------------------------
+
+#: Minimum diagonal-line length that counts as "deterministic
+#: structure" (the standard RQA l_min).
+RQA_LMIN = 2
+
+
+@register(
+    "window_rqa_determinism_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT xm, day,
+               row_number() OVER (ORDER BY day) - 1 AS t,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    moves AS (
+        SELECT abs(lead(xm) OVER (ORDER BY day) - xm) AS mv, day
+        FROM idx QUALIFY mv IS NOT NULL
+    ),
+    tol AS (
+        SELECT mv AS r_tol FROM (
+            SELECT mv, row_number() OVER (ORDER BY mv, day) AS rk,
+                   count(*) OVER () AS nm
+            FROM moves
+        ) WHERE rk = (nm * {SAMPEN_TOL_RANK_NUM}
+                      + {SAMPEN_TOL_RANK_DEN} - 1)
+                     // {SAMPEN_TOL_RANK_DEN}
+    ),
+    rec AS MATERIALIZED (
+        SELECT b.t - a.t AS d, a.t AS i
+        FROM idx a JOIN idx b ON a.t < b.t, tol
+        WHERE abs(a.xm - b.xm) <= tol.r_tol
+    ),
+    runs AS (
+        SELECT d, count(*) AS len FROM (
+            SELECT d, i,
+                   i - row_number() OVER (PARTITION BY d ORDER BY i)
+                       AS grp
+            FROM rec
+        ) GROUP BY d, grp
+    ),
+    agg AS (
+        SELECT CAST(SUM(len) AS BIGINT) AS n_rec,
+               CAST(SUM(CASE WHEN len >= {RQA_LMIN}
+                        THEN len ELSE 0 END) AS BIGINT) AS pts_det,
+               CAST(max(len) AS BIGINT) AS l_max,
+               CAST(SUM(CASE WHEN len >= {RQA_LMIN}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_lines
+        FROM runs
+    )
+    SELECT (SELECT max(n) FROM idx) AS n_days,
+           t.r_tol,
+           a.n_rec, a.pts_det, a.l_max, a.n_lines,
+           CAST(2 * a.n_rec AS DOUBLE)
+               / ((SELECT max(n) FROM idx)
+                  * ((SELECT max(n) FROM idx) - 1)) AS recurrence_rate,
+           CASE WHEN a.n_rec > 0
+                THEN CAST(a.pts_det AS DOUBLE) / a.n_rec END
+               AS determinism,
+           CASE WHEN a.n_lines > 0
+                THEN CAST(a.pts_det AS DOUBLE) / a.n_lines END
+               AS l_mean
+    FROM agg a, tol t
+    """,
+    tags=("windowed", "timeseries", "complexity"),
+)
+def window_rqa_determinism_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recurrence quantification analysis (Webber & Zbilut; Marwan) of
+    the daily revenue series — the STRUCTURE member of the complexity
+    family (SampEn/ApEn count how often patterns repeat; RQA asks how
+    repeats ORGANIZE: isolated recurrences = stochastic, diagonal
+    lines = deterministic rule revisiting trajectories): over the
+    upper-triangle recurrence set {{(i,j): |x_i − x_j| ≤ r, i<j}},
+    the recurrence rate, the DET fraction of recurrent points lying on
+    diagonal lines of length ≥ 2, the longest line, and the mean line
+    length.
+
+    Exactness: the tolerance is the SampEn op's rank-selected integer
+    (shared constants — ceil(0.8·(n−1))-th smallest absolute move);
+    recurrence tests are integer comparisons on micro-int revenue;
+    diagonal lines are gaps-and-islands integer grouping
+    (i − row_number per diagonal — the house islands kernel); the
+    three output ratios are single mirrored IEEE divisions of exact
+    integers.
+
+    Scale: the pair stage is grid² on CALENDAR DAYS (the SampEn/BDS
+    precedent — bounded by the date domain, not the corpus); the
+    islands window partitions by diagonal (≤ n partitions, rows =
+    recurrent pairs only).  One corpus scan builds the day grid."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("xm")
+    )
+    idx = daily.select(
+        "xm",
+        "day",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    ).localCheckpoint(eager=True)
+    n_days = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    moves = (
+        idx.select(
+            (
+                F.abs(
+                    F.lead("xm").over(Window.orderBy("day")) - F.col("xm")
+                )
+            ).alias("mv"),
+            "day",
+        )
+        .filter(F.col("mv").isNotNull())
+    )
+    ranked = moves.select(
+        "mv",
+        F.row_number().over(Window.orderBy("mv", "day")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nm"),
+    )
+    tol = ranked.filter(
+        F.col("rk")
+        == F.expr(
+            f"(nm * {SAMPEN_TOL_RANK_NUM} + {SAMPEN_TOL_RANK_DEN} - 1)"
+            f" div {SAMPEN_TOL_RANK_DEN}"
+        )
+    ).select(F.col("mv").alias("r_tol"))
+    a = idx.select(F.col("t").alias("ta"), F.col("xm").alias("xa"))
+    b = idx.select(F.col("t").alias("tb"), F.col("xm").alias("xb"))
+    rec = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .crossJoin(F.broadcast(tol))
+        .filter(F.abs(F.col("xa") - F.col("xb")) <= F.col("r_tol"))
+        .select(
+            (F.col("tb") - F.col("ta")).alias("d"),
+            F.col("ta").alias("i"),
+        )
+    )
+    runs = (
+        rec.select(
+            "d",
+            "i",
+            (
+                F.col("i")
+                - F.row_number().over(
+                    Window.partitionBy("d").orderBy("i")
+                )
+            ).alias("grp"),
+        )
+        .groupBy("d", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    agg = runs.agg(
+        F.sum("len").cast("bigint").alias("n_rec"),
+        F.sum(
+            F.when(F.col("len") >= RQA_LMIN, F.col("len")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("pts_det"),
+        F.max("len").cast("bigint").alias("l_max"),
+        F.sum(
+            F.when(F.col("len") >= RQA_LMIN, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_lines"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tol))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("n").alias("n_days"),
+            "r_tol",
+            "n_rec",
+            "pts_det",
+            "l_max",
+            "n_lines",
+            (
+                (F.lit(2) * F.col("n_rec")).cast("double")
+                / (F.col("n") * (F.col("n") - 1))
+            ).alias("recurrence_rate"),
+            F.when(
+                F.col("n_rec") > 0,
+                F.col("pts_det").cast("double") / F.col("n_rec"),
+            ).alias("determinism"),
+            F.when(
+                F.col("n_lines") > 0,
+                F.col("pts_det").cast("double") / F.col("n_lines"),
+            ).alias("l_mean"),
+        )
+    )

@@ -261,6 +261,11 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "retrieval_known_item_recall_eval",
     "window_higuchi_fd_daily",
     "graph_ktruss_peeling",
+    "retrieval_rm3_expansion",
+    "retrieval_mmr_rerank",
+    "graph_ppr_single_source",
+    "quality_pr_auc_length_classifier",
+    "window_rqa_determinism_daily",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -184,6 +184,117 @@ def test_ktruss_fixed_point_and_necessity(spark, sf_small):
         assert sup >= g.TRUSS_K - 2, (a, b, sup)
 
 
+def test_rm3_expansion_is_a_probability_model(spark, sf_small):
+    """Per query: original weights sum to exactly lambda (uniform over
+    in-vocab terms), expansion weights to ~(1-lambda); expansion terms
+    never duplicate original terms; all weights positive."""
+    from kafka_stream_processing_spark.operators import retrieval as r
+
+    out = r.retrieval_rm3_expansion(spark, sf_small).toPandas()
+    assert (out["weight"] > 0).all()
+    for qid, grp in out.groupby("query_id"):
+        orig = grp[grp["is_original"]]
+        exp = grp[~grp["is_original"]]
+        assert abs(orig["weight"].sum() - r.RM3_LAMBDA) < 1e-9
+        if len(exp):
+            assert abs(exp["weight"].sum() - (1 - r.RM3_LAMBDA)) < 1e-9
+            assert len(exp) <= r.RM3_EXP_TERMS
+        assert not (set(orig["term"]) & set(exp["term"]))
+
+
+def test_mmr_greedy_invariants(spark, sf_small):
+    """Per query: exactly MMR_K distinct picks; rank 1 is the pure
+    top-relevance doc; mmr_score is non-increasing in rank only for
+    the FIRST two picks in general — but the greedy guarantee that
+    DOES hold is: pick i maximizes its round's score, so no later
+    pick's (rel, ms at its round) could have beaten an earlier pick at
+    that earlier round.  We pin the cheap invariants: distinctness,
+    rank-1 = argmax rel, ms = 0 at rank 1 and ms > 0 afterwards
+    (shortlist neighbors of the same query always share similarity)."""
+    from kafka_stream_processing_spark.operators import retrieval as r
+
+    out = r.retrieval_mmr_rerank(spark, sf_small).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        assert len(grp) == r.MMR_K
+        assert grp["doc_id"].nunique() == r.MMR_K
+        first = grp[grp["rank"] == 1].iloc[0]
+        assert first["rel"] == grp["rel"].max()
+        assert first["mmr_score"] == pytest.approx(
+            r.MMR_LAMBDA * first["rel"]
+        )
+
+
+def test_ppr_mass_concentrates_at_source(spark, sf_small):
+    """The source must carry the maximum PPR mass (teleport returns
+    there every step), every score is positive where reachable, and
+    total mass is <= 1 (dangling leak only ever removes mass)."""
+    from kafka_stream_processing_spark.operators import graph as g
+
+    out = g.graph_ppr_single_source(spark, sf_small).toPandas()
+    src = out[out["is_source"]]
+    assert len(src) == 1
+    assert src.iloc[0]["ppr"] == out["ppr"].max()
+    assert (out["ppr"] >= 0).all()
+    assert out["ppr"].sum() <= 1.0 + 1e-6
+
+
+def test_pr_auc_curve_invariants(spark, sf_small):
+    """Recall is non-decreasing as the threshold drops, precision stays
+    in (0,1], AP in (0,1], and AP >= prevalence would hold for a
+    better-than-random ranker — we pin the weaker structural facts plus
+    the final-row identities tp=n_pos, recall=1."""
+    from kafka_stream_processing_spark.operators import (
+        quality_calibration as qc,
+    )
+
+    out = (
+        qc.quality_pr_auc_length_classifier(spark, sf_small)
+        .toPandas()
+        .sort_values("score", ascending=False)
+    )
+    assert (out["recall_at"].diff().dropna() >= -1e-12).all()
+    assert ((out["precision_at"] > 0) & (out["precision_at"] <= 1)).all()
+    ap = out["average_precision"].iloc[0]
+    assert 0 < ap <= 1
+    assert (out["average_precision"] == ap).all()
+    last = out.iloc[-1]
+    assert last["tp"] == last["n_pos"]
+    assert abs(last["recall_at"] - 1.0) < 1e-12
+
+
+def test_rqa_identities(spark, sf_small):
+    """n_rec must equal the brute-force recurrent-pair count at the
+    op's own tolerance; DET in [0,1]; l_max >= RQA_LMIN implies
+    n_lines >= 1; pts_det <= n_rec."""
+    from kafka_stream_processing_spark.operators import windowed as wd
+
+    row = wd.window_rqa_determinism_daily(spark, sf_small).toPandas().iloc[0]
+    assert row["pts_det"] <= row["n_rec"]
+    if row["n_rec"]:
+        assert 0.0 <= row["determinism"] <= 1.0
+    if row["l_max"] >= wd.RQA_LMIN:
+        assert row["n_lines"] >= 1
+    # brute-force replay of the pair count
+    import duckdb
+
+    con = duckdb.connect()
+    series = con.execute(
+        f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                   AS BIGINT) AS xm
+            FROM '{sf_small}/orders.parquet'
+            GROUP BY o_orderdate ORDER BY o_orderdate"""
+    ).fetchall()
+    xs = [r[0] for r in series]
+    r_tol = int(row["r_tol"])
+    brute = sum(
+        1
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+        if abs(xs[i] - xs[j]) <= r_tol
+    )
+    assert brute == row["n_rec"]
+
+
 def test_known_item_eval_metric_consistency(spark, sf_small):
     """rr must be 1/first_hit_rank when a partner was found and 0
     otherwise; recall_at_10 in [0,1]; every query is a truth doc."""
