@@ -1378,3 +1378,148 @@ def corpus_ngram_novelty_curve(
             F.col("n_novel").cast("double") / F.col("n_shingles"),
         ).alias("novelty_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Tug-of-War) F2 sketch as relational algebra
+# ---------------------------------------------------------------------------
+
+#: AMS geometry: AMS_GROUPS groups x AMS_PER_GROUP sign-estimators,
+#: median-of-means combined.  Variance of one estimator <= 2*F2^2; the
+#: mean of 4 quarters it; the median of 4 group means gives the
+#: standard (eps, delta) control.  State is AMS_R integers whatever the
+#: stream size — the linear-sketch property shared with Count-Min.
+AMS_GROUPS = 4
+AMS_PER_GROUP = 4
+AMS_R = AMS_GROUPS * AMS_PER_GROUP
+
+
+def _ams_sign_sql(item: str, r: str) -> str:
+    """±1 four-wise-ish sign from the house md5 hash (one hex digit's
+    parity; salt '#s' decorrelates from the Count-Min bucket hash)."""
+    return (
+        f"(1 - 2 * (CAST(('0x' || substr(md5({item} || '#s' || {r}), 1, 1))"
+        f" AS BIGINT) % 2))"
+    )
+
+
+@register(
+    "sketch_ams_f2_estimate",
+    oracle=f"""
+    WITH items AS (
+        SELECT {_CM_ITEM_SQL} AS item FROM events
+    ),
+    z AS (
+        SELECT u.r AS r,
+               CAST(SUM({_ams_sign_sql("item", "u.r")}) AS BIGINT) AS zr
+        FROM items, unnest(generate_series(0, {AMS_R - 1})) u(r)
+        GROUP BY 1
+    ),
+    groups AS (
+        SELECT r // {AMS_PER_GROUP} AS g,
+               CAST(SUM(zr * zr) AS BIGINT) AS gsum
+        FROM z GROUP BY 1
+    ),
+    ranked AS (
+        SELECT gsum, row_number() OVER (ORDER BY gsum, g) AS rk
+        FROM groups
+    ),
+    med AS (
+        SELECT CAST(SUM(gsum) AS BIGINT) AS med2
+        FROM ranked WHERE rk IN (2, 3)
+    ),
+    truth AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2_true,
+               CAST(SUM(c) AS BIGINT) AS n_items
+        FROM (SELECT count(*) AS c FROM items GROUP BY item)
+    )
+    SELECT t.n_items, t.f2_true,
+           CAST(m.med2 AS DOUBLE) / {2 * AMS_PER_GROUP} AS f2_est,
+           CAST(m.med2 AS DOUBLE) / {2 * AMS_PER_GROUP} / t.f2_true - 1.0E0
+               AS rel_err
+    FROM truth t, med m
+    """,
+    tags=("sketch", "frequency"),
+)
+def sketch_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS Tug-of-War second-moment sketch (Alon, Matias & Szegedy,
+    STOC 1996) as PURE relational algebra — the F2 member of the
+    sketch family (Count-Min answers point frequencies; bottom-k
+    answers distinct counts; AMS answers Σf² — the self-join size /
+    skew statistic that drives salting and skew-join planning
+    decisions): 16 ±1-sign estimators Z_r = Σ_x s_r(x), combined
+    median-of-means (4 groups × 4), audited against the exact
+    F2 = Σ_item count².
+
+    Exactness: signs are md5-parity integers (the house cross-engine
+    hash), every Z_r and Z_r² is BIGINT, group sums stay scaled
+    integers, and the 4-group median is the exact (2nd+3rd)-order-stat
+    sum — ONE division by the literal 2·4 at the end, so both engines
+    agree bit-for-bit on estimate AND error.
+
+    Scale: the sketch IS 16 integers — one explode(16) + map-side
+    combined SUM over the stream, mergeable across shards/days by
+    plain addition (linear sketch, the Count-Min argument verbatim);
+    the exact-F2 audit side is one groupBy(item), which is the thing
+    the sketch exists to avoid at 100 TB — it rides along here as the
+    oracle-checkable truth column."""
+    ev = table(spark, sf_dir, "events")
+    items = ev.select(cm_item_col().alias("item"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r")
+    sign = F.lit(1) - F.lit(2) * (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("item"), F.lit("#s"), F.col("r").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    z = (
+        items.select("item", rows)
+        .select("r", sign.alias("s"))
+        .groupBy("r")
+        .agg(F.sum("s").cast("bigint").alias("zr"))
+    )
+    groups = (
+        z.select(
+            (F.col("r") / AMS_PER_GROUP).cast("bigint").alias("g"),
+            (F.col("zr") * F.col("zr")).alias("z2"),
+        )
+        .groupBy("g")
+        .agg(F.sum("z2").cast("bigint").alias("gsum"))
+    )
+    from pyspark.sql import Window
+
+    ranked = groups.select(
+        "gsum",
+        F.row_number().over(Window.orderBy("gsum", "g")).alias("rk"),
+    )
+    med = ranked.filter(F.col("rk").isin(2, 3)).agg(
+        F.sum("gsum").cast("bigint").alias("med2")
+    )
+    truth = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_true"),
+            F.sum("c").cast("bigint").alias("n_items"),
+        )
+    )
+    den = float(2 * AMS_PER_GROUP)
+    return truth.crossJoin(F.broadcast(med)).select(
+        "n_items",
+        "f2_true",
+        (F.col("med2").cast("double") / F.lit(den)).alias("f2_est"),
+        (
+            F.col("med2").cast("double") / F.lit(den) / F.col("f2_true")
+            - F.lit(1.0)
+        ).alias("rel_err"),
+    )

@@ -2262,3 +2262,147 @@ def graph_ppr_single_source(
         F.round("r", 9).alias("ppr"),
         (F.col("node") == F.col("hub")).alias("is_source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs and authorities
+# ---------------------------------------------------------------------------
+
+#: Fixed HITS rounds (Kleinberg 1999).  Max-normalization per half-step
+#: (one division by a broadcast scalar) instead of L2 — converges to
+#: the same principal directions without a sqrt, and both engines
+#: unroll the identical schedule so even pre-convergence values match.
+HITS_ITERATIONS = 6
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h = "h0"
+    for i in range(1, HITS_ITERATIONS + 1):
+        steps.append(f"""
+    araw{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(coalesce(SUM(CAST(p.val AS DECIMAL(18,12))), 0)
+                    AS DOUBLE) AS raw
+        FROM nodes n
+        LEFT JOIN dedges e ON e.dst = n.node
+        LEFT JOIN {prev_h} p ON p.node = e.src
+        GROUP BY n.node
+    ),
+    amax{i} AS (SELECT max(raw) AS m FROM araw{i}),
+    a{i} AS MATERIALIZED (
+        SELECT r.node, r.raw / x.m AS val FROM araw{i} r, amax{i} x
+    ),
+    hraw{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(coalesce(SUM(CAST(p.val AS DECIMAL(18,12))), 0)
+                    AS DOUBLE) AS raw
+        FROM nodes n
+        LEFT JOIN dedges e ON e.src = n.node
+        LEFT JOIN a{i} p ON p.node = e.dst
+        GROUP BY n.node
+    ),
+    hmax{i} AS (SELECT max(raw) AS m FROM hraw{i}),
+    h{i} AS MATERIALIZED (
+        SELECT r.node, r.raw / x.m AS val FROM hraw{i} r, hmax{i} x
+    )""")
+        prev_h = f"h{i}"
+    return f"""
+    WITH edges AS (
+        {_edges_sql()}
+    ),
+    dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+    nodes AS (SELECT n_name AS node FROM nation),
+    h0 AS (SELECT node, 1.0E0 AS val FROM nodes),{",".join(steps)}
+    SELECT h.node AS nation,
+           round(h.val, 9) AS hub,
+           round(a.val, 9) AS authority
+    FROM h{HITS_ITERATIONS} h
+    JOIN a{HITS_ITERATIONS} a ON a.node = h.node
+    """
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg, JACM 1999) on the directed
+    trade graph — the BIPARTITE-role member of the power-iteration
+    family (PageRank assigns one score; HITS separates "ships to the
+    important" (hub) from "shipped to by the important" (authority),
+    the asymmetric-role readout reciprocity only summarizes): 6
+    alternating fixed rounds of a ← Σ_{{u→v}} h(u), h ← Σ_{{u→v}} a(v),
+    each half-step max-normalized.
+
+    Exactness: the PageRank discipline per half-step — contributions
+    quantized DECIMAL(18,12) BEFORE the per-node sum (order-independent
+    reduction), then ONE division by the broadcast max (deterministic
+    scalar, no sqrt); both engines unroll the identical 6 rounds;
+    initial vector is the E-notation literal 1.0.
+
+    Scale: per half-step one hash join of the (distinct) edge list
+    against a one-row-per-node score table + a map-side combined sum +
+    one scalar max — the PageRank cost shape exactly; 12 such
+    half-steps, edge fractions not even needed (HITS is unweighted)."""
+    frac_src = _trade_frac_df(spark, sf_dir)
+    dedges = frac_src.select("src", "dst").distinct().localCheckpoint(
+        eager=True
+    )
+    nodes = table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("node")
+    )
+    h = nodes.withColumn("val", F.lit(1.0))
+    a = None
+    for _ in range(HITS_ITERATIONS):
+        araw = (
+            dedges.join(h, dedges.src == h.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.col("val").cast("decimal(18,12)").alias("term"),
+            )
+            .groupBy("node")
+            .agg(F.sum("term").alias("s"))
+        )
+        araw = nodes.join(araw, "node", "left").select(
+            "node",
+            F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("raw"),
+        )
+        amax = araw.agg(F.max("raw").alias("m"))
+        a = (
+            araw.crossJoin(F.broadcast(amax))
+            .select("node", (F.col("raw") / F.col("m")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            dedges.join(a, dedges.dst == a.node)
+            .select(
+                F.col("src").alias("node"),
+                F.col("val").cast("decimal(18,12)").alias("term"),
+            )
+            .groupBy("node")
+            .agg(F.sum("term").alias("s"))
+        )
+        hraw = nodes.join(hraw, "node", "left").select(
+            "node",
+            F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("raw"),
+        )
+        hmax = hraw.agg(F.max("raw").alias("m"))
+        h = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select("node", (F.col("raw") / F.col("m")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        h.select(F.col("node").alias("nation"), F.round("val", 9).alias("hub"))
+        .join(
+            a.select(
+                F.col("node").alias("nation"),
+                F.round("val", 9).alias("authority"),
+            ),
+            "nation",
+        )
+    )

@@ -266,6 +266,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "graph_ppr_single_source",
     "quality_pr_auc_length_classifier",
     "window_rqa_determinism_daily",
+    "sketch_ams_f2_estimate",
+    "graph_hits_hubs_authorities",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

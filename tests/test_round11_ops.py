@@ -295,6 +295,51 @@ def test_rqa_identities(spark, sf_small):
     assert brute == row["n_rec"]
 
 
+def test_ams_f2_sketch_error_bound_and_truth(spark, sf_small):
+    """f2_true must equal the brute-force self-join size; the
+    median-of-means estimate is unbiased with variance <= 2*F2^2 per
+    estimator — pin the loose-but-meaningful band |rel_err| < 1.5
+    (a broken sign hash typically misses by orders of magnitude)."""
+    import duckdb
+
+    from kafka_stream_processing_spark.operators import corpus as cp
+
+    row = cp.sketch_ams_f2_estimate(spark, sf_small).toPandas().iloc[0]
+    con = duckdb.connect()
+    (truth,) = con.execute(
+        f"""SELECT SUM(c * c) FROM (
+               SELECT CASE WHEN user_id < 36
+                      THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+                      ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS i,
+                      count(*) AS c
+               FROM '{sf_small}/events.parquet' GROUP BY 1)"""
+    ).fetchone()
+    assert row["f2_true"] == truth
+    assert abs(row["rel_err"]) < 1.5
+
+
+def test_hits_normalization_and_roles(spark, sf_small):
+    """Max-normalization fixes max(hub)=max(authority)=1; all scores in
+    [0,1]; a node with no out-edges must have hub 0 and no in-edges
+    authority 0 (checked against the distinct edge list)."""
+    from kafka_stream_processing_spark.operators import graph as g
+
+    out = g.graph_hits_hubs_authorities(spark, sf_small).toPandas()
+    assert abs(out["hub"].max() - 1.0) < 1e-9
+    assert abs(out["authority"].max() - 1.0) < 1e-9
+    assert ((out["hub"] >= 0) & (out["hub"] <= 1.0 + 1e-12)).all()
+    assert (
+        (out["authority"] >= 0) & (out["authority"] <= 1.0 + 1e-12)
+    ).all()
+    edges = g._trade_frac_df(spark, sf_small).select("src", "dst").toPandas()
+    srcs, dsts = set(edges["src"]), set(edges["dst"])
+    for _, r in out.iterrows():
+        if r["nation"] not in srcs:
+            assert r["hub"] == 0.0
+        if r["nation"] not in dsts:
+            assert r["authority"] == 0.0
+
+
 def test_known_item_eval_metric_consistency(spark, sf_small):
     """rr must be 1/first_hit_rank when a partner was found and 0
     otherwise; recall_at_10 in [0,1]; every query is a truth doc."""
