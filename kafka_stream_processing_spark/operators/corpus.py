@@ -1403,9 +1403,11 @@ def _ams_sign_sql(item: str, r: str) -> str:
     )
 
 
-@register(
-    "sketch_ams_f2_estimate",
-    oracle=f"""
+#: Full AMS audit oracle — module-level so the streaming incremental
+#: variant (streaming/joins.py) registers the SAME oracle: the Z_r
+#: vector is linear in the stream, so a correctly merged stream-built
+#: sketch must equal the batch-built one integer for integer.
+AMS_F2_ORACLE = f"""
     WITH items AS (
         SELECT {_CM_ITEM_SQL} AS item FROM events
     ),
@@ -1438,35 +1440,12 @@ def _ams_sign_sql(item: str, r: str) -> str:
            CAST(m.med2 AS DOUBLE) / {2 * AMS_PER_GROUP} / t.f2_true - 1.0E0
                AS rel_err
     FROM truth t, med m
-    """,
-    tags=("sketch", "frequency"),
-)
-def sketch_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AMS Tug-of-War second-moment sketch (Alon, Matias & Szegedy,
-    STOC 1996) as PURE relational algebra — the F2 member of the
-    sketch family (Count-Min answers point frequencies; bottom-k
-    answers distinct counts; AMS answers Σf² — the self-join size /
-    skew statistic that drives salting and skew-join planning
-    decisions): 16 ±1-sign estimators Z_r = Σ_x s_r(x), combined
-    median-of-means (4 groups × 4), audited against the exact
-    F2 = Σ_item count².
+    """
 
-    Exactness: signs are md5-parity integers (the house cross-engine
-    hash), every Z_r and Z_r² is BIGINT, group sums stay scaled
-    integers, and the 4-group median is the exact (2nd+3rd)-order-stat
-    sum — ONE division by the literal 2·4 at the end, so both engines
-    agree bit-for-bit on estimate AND error.
 
-    Scale: the sketch IS 16 integers — one explode(16) + map-side
-    combined SUM over the stream, mergeable across shards/days by
-    plain addition (linear sketch, the Count-Min argument verbatim);
-    the exact-F2 audit side is one groupBy(item), which is the thing
-    the sketch exists to avoid at 100 TB — it rides along here as the
-    oracle-checkable truth column."""
-    ev = table(spark, sf_dir, "events")
-    items = ev.select(cm_item_col().alias("item"))
-    rows = F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r")
-    sign = F.lit(1) - F.lit(2) * (
+def ams_sign_col() -> Column:
+    """Spark mirror of ``_ams_sign_sql`` over columns item, r."""
+    return F.lit(1) - F.lit(2) * (
         F.conv(
             F.substring(
                 F.md5(
@@ -1482,12 +1461,25 @@ def sketch_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 2
     )
-    z = (
+
+
+def ams_z(items: DataFrame) -> DataFrame:
+    """Fold an item frame (column ``item``) into the 16-row Z vector —
+    the sketch itself.  Linear, hence mergeable by element-wise sum."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r")
+    return (
         items.select("item", rows)
-        .select("r", sign.alias("s"))
+        .select("r", ams_sign_col().alias("s"))
         .groupBy("r")
         .agg(F.sum("s").cast("bigint").alias("zr"))
     )
+
+
+def ams_report(
+    spark: SparkSession, z: DataFrame, items: DataFrame
+) -> DataFrame:
+    """Median-of-means F2 estimate from a Z vector, audited against the
+    exact F2 from ``items`` (shared by batch and streaming variants)."""
     groups = (
         z.select(
             (F.col("r") / AMS_PER_GROUP).cast("bigint").alias("g"),
@@ -1523,3 +1515,35 @@ def sketch_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1.0)
         ).alias("rel_err"),
     )
+
+
+@register(
+    "sketch_ams_f2_estimate",
+    oracle=AMS_F2_ORACLE,
+    tags=("sketch", "frequency"),
+)
+def sketch_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS Tug-of-War second-moment sketch (Alon, Matias & Szegedy,
+    STOC 1996) as PURE relational algebra — the F2 member of the
+    sketch family (Count-Min answers point frequencies; bottom-k
+    answers distinct counts; AMS answers Σf² — the self-join size /
+    skew statistic that drives salting and skew-join planning
+    decisions): 16 ±1-sign estimators Z_r = Σ_x s_r(x), combined
+    median-of-means (4 groups × 4), audited against the exact
+    F2 = Σ_item count².
+
+    Exactness: signs are md5-parity integers (the house cross-engine
+    hash), every Z_r and Z_r² is BIGINT, group sums stay scaled
+    integers, and the 4-group median is the exact (2nd+3rd)-order-stat
+    sum — ONE division by the literal 2·4 at the end, so both engines
+    agree bit-for-bit on estimate AND error.
+
+    Scale: the sketch IS 16 integers — one explode(16) + map-side
+    combined SUM over the stream, mergeable across shards/days by
+    plain addition (linear sketch, the Count-Min argument verbatim);
+    the exact-F2 audit side is one groupBy(item), which is the thing
+    the sketch exists to avoid at 100 TB — it rides along here as the
+    oracle-checkable truth column."""
+    ev = table(spark, sf_dir, "events")
+    items = ev.select(cm_item_col().alias("item"))
+    return ams_report(spark, ams_z(items), items)

@@ -8711,3 +8711,216 @@ def window_rqa_determinism_daily(
             ).alias("l_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-method forecast (Assimakopoulos & Nikolopoulos)
+# ---------------------------------------------------------------------------
+
+#: Forecast horizon (days ahead) reported per series.
+THETA_HORIZON = 7
+
+
+def _theta_ses_fold(pdf):
+    """Per-series SES fold (α = 1/2) over the θ=2 line, sequential by
+    construction — one series per applyInPandas task.  Rounding is the
+    C-style half-away-from-zero at 6 decimals matching DuckDB round()
+    (the _holt_fold convention); s₁ = y₁ exact."""
+    import math
+
+    import pandas as pd
+
+    def r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    pdf = pdf.sort_values("i").reset_index(drop=True)
+    if len(pdf) < 2:
+        return pd.DataFrame(
+            columns=["event_type", "n_days", "slope", "intercept", "ses"]
+        )
+    ys = list(pdf["y"])
+    s = ys[0]
+    for t in range(2, len(ys) + 1):
+        s = r6(0.5 * ys[t - 1] + 0.5 * s)
+    return pd.DataFrame(
+        [
+            (
+                pdf["event_type"].iloc[0],
+                len(ys),
+                pdf["b"].iloc[0],
+                pdf["a"].iloc[0],
+                s,
+            )
+        ],
+        columns=["event_type", "n_days", "slope", "intercept", "ses"],
+    )
+
+
+#: Shared fixed-order OLS texts over the per-series sums
+#: (n, si, sii, siy, sy) — both engines evaluate the identical string.
+_THETA_B_SQL = (
+    "((n * CAST(siy AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (n * CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)))"
+)
+_THETA_A_SQL = "((CAST(sy AS DOUBLE) - b * CAST(si AS DOUBLE)) / n)"
+
+
+@register(
+    "window_theta_forecast_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS i
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(i) AS BIGINT) AS si,
+               CAST(SUM(i * i) AS BIGINT) AS sii,
+               SUM(CAST(round(i * x, 6) AS DECIMAL(28,6))) AS siy,
+               SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS sy
+        FROM idx GROUP BY 1
+        HAVING count(*) >= 2
+    ),
+    bline AS (
+        SELECT event_type, n, si, sy, {_THETA_B_SQL} AS b
+        FROM sums
+    ),
+    ab AS MATERIALIZED (
+        SELECT event_type, n, b, {_THETA_A_SQL} AS a FROM bline
+    ),
+    theta2 AS MATERIALIZED (
+        SELECT d.event_type, d.i,
+               2.0E0 * d.x - (ab.a + ab.b * d.i) AS y
+        FROM idx d JOIN ab ON ab.event_type = d.event_type
+    ),
+    rec(event_type, i, s) AS (
+        SELECT event_type, CAST(1 AS BIGINT), y FROM theta2 WHERE i = 1
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               round(0.5 * d.y + 0.5 * r.s, 6)
+        FROM rec r JOIN theta2 d
+          ON d.event_type = r.event_type AND d.i = r.i + 1
+    ),
+    ses AS (
+        SELECT r.event_type, r.s
+        FROM rec r JOIN ab ON ab.event_type = r.event_type
+        WHERE r.i = ab.n
+    ),
+    hs AS (SELECT unnest(generate_series(1, {THETA_HORIZON})) AS h)
+    SELECT ab.event_type, CAST(hs.h AS INT) AS h,
+           CAST(ab.n AS BIGINT) AS n_days,
+           ab.b AS slope, ab.a AS intercept, s.s AS ses_level,
+           ab.a + ab.b * (ab.n + hs.h) AS line_forecast,
+           5.0E-1 * (ab.a + ab.b * (ab.n + hs.h)) + 5.0E-1 * s.s
+               AS theta_forecast
+    FROM ab JOIN ses s ON s.event_type = ab.event_type
+    CROSS JOIN hs
+    """,
+    tags=("windowed", "timeseries", "forecast", "stateful"),
+)
+def window_theta_forecast_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos, IJF 2000
+    — the M3-competition winner; Hyndman & Billah showed it is SES
+    with drift) of per-event-type daily revenue, horizon 7: the series
+    decomposes into the θ=0 line (the OLS trend, capturing long-run
+    drift) and the θ=2 line (2x − trend, double-curvature, capturing
+    local dynamics); the forecast averages the extrapolated line with
+    the SES (α = ½) level of the θ=2 line.
+
+    Exactness: OLS sums are exact (integer Σi/Σi², round-6 decimal
+    Σxy/Σx — x is a 6-decimal value by construction, so round(x,6) is
+    the identity and the quantization loses nothing); slope/intercept
+    are ONE shared fixed-order float text; the θ=2 series is a
+    mirrored double expression; the SES recursion applies the Holt-op
+    convention (per-step half-away round-6, s₁ exact) as an
+    applyInPandas fold per series against a state-threading RECURSIVE
+    CTE oracle; horizon extrapolation is a mirrored linear expression.
+
+    Scale: one map-side-combined groupBy to the (series × calendar)
+    table; the OLS sums are a second groupBy of the same grid; the
+    fold is O(days) per series with O(1) state — a million series
+    parallelize perfectly (the Holt argument verbatim); output is
+    series × 7 rows."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+    )
+    idx = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    sums = (
+        idx.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("i").cast("bigint").alias("si"),
+            F.sum(F.col("i") * F.col("i")).cast("bigint").alias("sii"),
+            F.sum(
+                F.round(F.col("i") * F.col("x"), 6).cast("decimal(28,6)")
+            ).alias("siy"),
+            F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).alias(
+                "sy"
+            ),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    bline = sums.select(
+        "event_type", "n", "si", "sy", F.expr(_THETA_B_SQL).alias("b")
+    )
+    ab = bline.select(
+        "event_type", "n", "b", F.expr(_THETA_A_SQL).alias("a")
+    )
+    theta2 = idx.join(F.broadcast(ab), "event_type").select(
+        "event_type",
+        "i",
+        "n",
+        "a",
+        "b",
+        (
+            F.lit(2.0) * F.col("x") - (F.col("a") + F.col("b") * F.col("i"))
+        ).alias("y"),
+    )
+    folded = theta2.groupBy("event_type").applyInPandas(
+        _theta_ses_fold,
+        schema=(
+            "event_type string, n_days bigint, slope double, "
+            "intercept double, ses double"
+        ),
+    )
+    hs = spark.createDataFrame(
+        [(h,) for h in range(1, THETA_HORIZON + 1)], "h int"
+    )
+    line = F.col("intercept") + F.col("slope") * (
+        F.col("n_days") + F.col("h")
+    )
+    return folded.crossJoin(F.broadcast(hs)).select(
+        "event_type",
+        F.col("h").cast("int").alias("h"),
+        "n_days",
+        "slope",
+        "intercept",
+        F.col("ses").alias("ses_level"),
+        line.alias("line_forecast"),
+        (F.lit(0.5) * line + F.lit(0.5) * F.col("ses")).alias(
+            "theta_forecast"
+        ),
+    )

@@ -268,6 +268,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_rqa_determinism_daily",
     "sketch_ams_f2_estimate",
     "graph_hits_hubs_authorities",
+    "stream_ams_f2_incremental",
+    "window_theta_forecast_daily",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.operators.corpus import (
+    AMS_F2_ORACLE,
     CM_AUDIT_ORACLE,
     CONTAMINATION_ORACLE,
 )
@@ -5090,3 +5091,78 @@ def stream_permutation_entropy_monitor(
             "perm_entropy_norm"
         ),
     )
+
+
+@register(
+    "stream_ams_f2_incremental",
+    # SAME oracle as the batch sketch_ams_f2_estimate: the Z vector is
+    # linear in the stream, so a correctly merged stream-built sketch
+    # must equal the batch-built one INTEGER FOR INTEGER — the
+    # comparison pins the merge, not just the estimate.
+    oracle=AMS_F2_ORACLE,
+    tags=("streaming", "sketch"),
+)
+def stream_ams_f2_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental AMS F2 maintenance over a real 3-micro-batch stream:
+    each ``foreachBatch`` folds its batch's 16-row Z vector into a
+    driver-held accumulator by ELEMENT-WISE SUM — the linear-sketch
+    mergeability that makes AMS the skew statistic you can maintain
+    per day/shard/topic and union later (the F2 twin of
+    stream_countmin_incremental).  The merged sketch answers the same
+    audit as the batch operator, against the same oracle: stream and
+    batch sketches are provably IDENTICAL, not merely close.
+
+    Scale: per-batch driver traffic is exactly AMS_R = 16 integers
+    (collecting a SKETCH is the legal form of driver folding — the
+    Count-Min contract verbatim); per-batch executor work is one
+    explode(16) + map-side-combined SUM.  Restart recovery is
+    re-folding from the last persisted Z vector."""
+    from kafka_stream_processing_spark.operators.corpus import (
+        AMS_R,
+        ams_report,
+        ams_z,
+        cm_item_col,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+    from kafka_stream_processing_spark.streaming.unique_users import (
+        _stream_chunked_source_dir,
+    )
+
+    path = _stream_chunked_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    acc: dict[int, int] = {}
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        z = ams_z(
+            batch_df.select(cm_item_col().alias("item"))
+        ).collect()  # exactly AMS_R = 16 rows per batch
+        for row in z:
+            acc[row["r"]] = acc.get(row["r"], 0) + row["zr"]
+
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    if not acc:
+        raise RuntimeError(
+            "stream_ams_f2_incremental: zero micro-batches delivered "
+            f"from {path} — no sketch to report"
+        )
+    merged = spark.createDataFrame(
+        [(r, z) for r, z in sorted(acc.items())],
+        schema="r int, zr bigint",
+    )
+    items = table(spark, sf_dir, "events").select(
+        cm_item_col().alias("item")
+    )
+    return ams_report(spark, merged, items)

@@ -340,6 +340,59 @@ def test_hits_normalization_and_roles(spark, sf_small):
             assert r["authority"] == 0.0
 
 
+def test_stream_ams_equals_batch_sketch(spark, sf_small):
+    """Linearity pin: the stream-built merged Z sketch must produce the
+    IDENTICAL report row as the batch-built sketch (not merely a close
+    estimate) — integer-for-integer merge equality."""
+    from kafka_stream_processing_spark.operators import corpus as cp
+    from kafka_stream_processing_spark.streaming import joins as sj
+
+    batch = cp.sketch_ams_f2_estimate(spark, sf_small).toPandas()
+    stream = sj.stream_ams_f2_incremental(spark, sf_small).toPandas()
+    assert batch.to_dict("records") == stream.to_dict("records")
+
+
+def test_theta_forecast_structure(spark, sf_small):
+    """Per series: exactly THETA_HORIZON rows; line_forecast advances
+    by exactly slope per step; theta_forecast is the exact midpoint of
+    line and SES level; OLS slope replayed in pure python to 1e-9."""
+    from kafka_stream_processing_spark.operators import windowed as wd
+
+    out = wd.window_theta_forecast_daily(spark, sf_small).toPandas()
+    for et, grp in out.groupby("event_type"):
+        grp = grp.sort_values("h")
+        assert list(grp["h"]) == list(range(1, wd.THETA_HORIZON + 1))
+        diffs = grp["line_forecast"].diff().dropna()
+        slope = grp["slope"].iloc[0]
+        assert (abs(diffs - slope) < 1e-6).all()
+        mid = 0.5 * grp["line_forecast"] + 0.5 * grp["ses_level"]
+        assert (abs(grp["theta_forecast"] - mid) < 1e-12).all()
+    # python OLS replay for one series
+    import duckdb
+
+    et = out["event_type"].iloc[0]
+    xs = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                FROM '{sf_small}/events.parquet'
+                WHERE event_type = '{et}'
+                GROUP BY CAST(date_trunc('day', ts) AS DATE)
+                ORDER BY CAST(date_trunc('day', ts) AS DATE)"""
+        )
+        .fetchall()
+    ]
+    n = len(xs)
+    si = n * (n + 1) // 2
+    sii = sum(i * i for i in range(1, n + 1))
+    siy = sum(round(i * x, 6) for i, x in enumerate(xs, 1))
+    sy = sum(round(x, 6) for x in xs)
+    b = (n * siy - si * sy) / (n * sii - si * si)
+    got = out[out["event_type"] == et]["slope"].iloc[0]
+    assert abs(b - got) < 1e-9
+
+
 def test_known_item_eval_metric_consistency(spark, sf_small):
     """rr must be 1/first_hit_rank when a partner was found and 0
     otherwise; recall_at_10 in [0,1]; every query is a truth doc."""
