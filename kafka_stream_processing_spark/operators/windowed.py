@@ -8924,3 +8924,218 @@ def window_theta_forecast_daily(
             "theta_forecast"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest Lyapunov exponent (Rosenstein) on daily revenue
+# ---------------------------------------------------------------------------
+
+#: Rosenstein configuration: embedding dimension 2 (delay 1), Theiler
+#: exclusion window (nearest neighbors must be > this many days apart,
+#: killing trivial temporal correlation), divergence horizons 0..5.
+LYAP_THEILER = 7
+LYAP_HORIZONS = (0, 1, 2, 3, 4, 5)
+
+
+def _lyap_slope_expr() -> str:
+    """Closed-form OLS slope of y(k) on k over the literal horizon set
+    — the Higuchi/DFA fixed-order text with y-columns y_<k>."""
+    ks = LYAP_HORIZONS
+    n = len(ks)
+    su = " + ".join(str(k) for k in ks)
+    suu = " + ".join(f"{k} * {k}" for k in ks)
+    sv = " + ".join(f"y_{k}" for k in ks)
+    suv = " + ".join(f"{k} * y_{k}" for k in ks)
+    return (
+        f"(({n} * ({suv}) - ({su}) * ({sv}))"
+        f" / ({n} * ({suu}) - ({su}) * ({su})))"
+    )
+
+
+def _lyap_oracle() -> str:
+    pivots = ", ".join(
+        f"MAX(CASE WHEN k = {k} THEN n_k END) AS n_{k},"
+        f" MAX(CASE WHEN k = {k} THEN y_k END) AS y_{k}"
+        for k in LYAP_HORIZONS
+    )
+    outs = ", ".join(
+        f"CAST(n_{k} AS BIGINT) AS n_{k}, y_{k}" for k in LYAP_HORIZONS
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+                    AS BIGINT) AS xm
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT xm, row_number() OVER (ORDER BY day) - 1 AS t FROM daily
+    ),
+    emb AS MATERIALIZED (
+        SELECT a.t AS i, a.xm AS a0, b.xm AS a1
+        FROM idx a JOIN idx b ON b.t = a.t + 1
+    ),
+    nn AS MATERIALIZED (
+        SELECT i, j FROM (
+            SELECT a.i, b.i AS j,
+                   row_number() OVER (
+                       PARTITION BY a.i
+                       ORDER BY greatest(abs(a.a0 - b.a0),
+                                         abs(a.a1 - b.a1)), b.i) AS rn
+            FROM emb a JOIN emb b ON abs(a.i - b.i) > {LYAP_THEILER}
+        ) WHERE rn = 1
+    ),
+    ks AS (SELECT unnest(ARRAY{list(LYAP_HORIZONS)}) AS k),
+    div AS (
+        SELECT ks.k,
+               greatest(abs(ea.a0 - eb.a0), abs(ea.a1 - eb.a1)) AS d
+        FROM nn CROSS JOIN ks
+        JOIN emb ea ON ea.i = nn.i + ks.k
+        JOIN emb eb ON eb.i = nn.j + ks.k
+    ),
+    ys AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_k,
+               CAST(SUM(CAST(round(ln(d), 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) / count(*) AS y_k
+        FROM div WHERE d > 0 GROUP BY k
+    ),
+    pivoted AS (SELECT {pivots} FROM ys)
+    SELECT {outs},
+           {_lyap_slope_expr()} AS lyapunov_slope
+    FROM pivoted
+    """
+
+
+@register(
+    "window_lyapunov_rosenstein_daily",
+    oracle=_lyap_oracle(),
+    tags=("windowed", "timeseries", "complexity"),
+)
+def window_lyapunov_rosenstein_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-Lyapunov-exponent estimate (Rosenstein et al., Physica D
+    1993) of the daily revenue series — the SENSITIVITY member of the
+    complexity family (SampEn/ApEn count pattern repeats, RQA reads
+    their organization, DFA/Hurst read scaling; the Lyapunov slope
+    reads how fast NEARBY trajectories diverge — positive slope =
+    chaos-like sensitive dependence, ~zero = stochastic or periodic):
+    each m=2-embedded point takes its nearest neighbor beyond a 7-day
+    Theiler window, and y(k) = ⟨ln d_k⟩ tracks the mean log divergence
+    over horizons k = 0..5; the OLS slope of y(k) is the exponent
+    estimate (per day, in ln units of micro-int revenue).
+
+    Exactness: distances are CHEBYSHEV (max-abs) on micro-int revenue —
+    pure BIGINT, so the nearest-neighbor argmin is an exact integer
+    comparison with a deterministic index tie-break (no float sqrt of
+    the Euclidean norm anywhere); ln over positive integers is the
+    bit-stable house pattern, round-12 decimal before the
+    order-independent per-horizon mean; zero divergences are excluded
+    on BOTH engines (ln 0 undefined — the standard Rosenstein
+    exclusion); the slope is one shared fixed-order text.
+
+    Scale: the neighbor search is grid² on CALENDAR DAYS (the
+    SampEn/BDS/RQA precedent — bounded by the date domain, never the
+    corpus); the argmin is one window partitioned by point; horizon
+    tracking is |K| self-equi-joins on the day index.  One corpus scan
+    builds the grid."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("xm")
+    )
+    idx = daily.select(
+        "xm",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    ).localCheckpoint(eager=True)
+    ia = idx.select(F.col("t").alias("ta"), F.col("xm").alias("x0"))
+    ib = idx.select(F.col("t").alias("tb"), F.col("xm").alias("x1"))
+    emb = ia.join(ib, F.col("tb") == F.col("ta") + 1).select(
+        F.col("ta").alias("i"), F.col("x0").alias("a0"),
+        F.col("x1").alias("a1"),
+    ).localCheckpoint(eager=True)
+    ea = emb.select(
+        F.col("i").alias("ai"), F.col("a0").alias("aa0"),
+        F.col("a1").alias("aa1"),
+    )
+    eb = emb.select(
+        F.col("i").alias("bi"), F.col("a0").alias("ba0"),
+        F.col("a1").alias("ba1"),
+    )
+    dist = F.greatest(
+        F.abs(F.col("aa0") - F.col("ba0")),
+        F.abs(F.col("aa1") - F.col("ba1")),
+    )
+    nn = (
+        ea.join(
+            eb, F.abs(F.col("ai") - F.col("bi")) > LYAP_THEILER
+        )
+        .select("ai", "bi", dist.alias("d0"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ai").orderBy("d0", "bi")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("ai").alias("i"), F.col("bi").alias("j"))
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in LYAP_HORIZONS], "k int"
+    )
+    fa = emb.select(
+        F.col("i").alias("fi"), F.col("a0").alias("fa0"),
+        F.col("a1").alias("fa1"),
+    )
+    fb = emb.select(
+        F.col("i").alias("gi"), F.col("a0").alias("ga0"),
+        F.col("a1").alias("ga1"),
+    )
+    div = (
+        nn.crossJoin(F.broadcast(ks))
+        .join(fa, F.col("fi") == F.col("i") + F.col("k"))
+        .join(fb, F.col("gi") == F.col("j") + F.col("k"))
+        .select(
+            "k",
+            F.greatest(
+                F.abs(F.col("fa0") - F.col("ga0")),
+                F.abs(F.col("fa1") - F.col("ga1")),
+            ).alias("d"),
+        )
+    )
+    ys = (
+        div.filter(F.col("d") > 0)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_k"),
+            (
+                F.sum(
+                    F.round(F.log(F.col("d")), 12).cast("decimal(38,12)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y_k"),
+        )
+    )
+    pivot_cols = []
+    for k in LYAP_HORIZONS:
+        pivot_cols.append(
+            F.max(F.when(F.col("k") == k, F.col("n_k")))
+            .cast("bigint")
+            .alias(f"n_{k}")
+        )
+        pivot_cols.append(
+            F.max(F.when(F.col("k") == k, F.col("y_k"))).alias(f"y_{k}")
+        )
+    pivoted = ys.agg(*pivot_cols)
+    out_cols = []
+    for k in LYAP_HORIZONS:
+        out_cols.extend([f"n_{k}", f"y_{k}"])
+    return pivoted.select(
+        *out_cols, F.expr(_lyap_slope_expr()).alias("lyapunov_slope")
+    )

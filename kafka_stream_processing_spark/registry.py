@@ -270,6 +270,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "graph_hits_hubs_authorities",
     "stream_ams_f2_incremental",
     "window_theta_forecast_daily",
+    "window_lyapunov_rosenstein_daily",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -570,3 +570,20 @@ def test_hoeffding_kernel_never_touches_observation_pairs(spark, sf_small):
     # FileScans directly under the join operators
     assert rep.text.count("FileScan") <= 2  # events scan reused per branch
     assert "HashAggregate" in rep.text
+
+
+def test_known_item_query_sample_is_take_ordered(spark, sf_small):
+    """retrieval_known_item_recall_eval's KNOWN_ITEM_MAX_QUERIES bound
+    is load-bearing at scale (r11: the ×10 replica-clique staging makes
+    every doc a truth doc, and without the bound the postings join goes
+    quadratic).  The bound must plan as TakeOrderedAndProject (per-task
+    heaps + driver merge of 200 ids), NEVER a global sort, and the
+    query-side joins must broadcast."""
+    rep = plan_report(
+        registry.all_specs()["retrieval_known_item_recall_eval"].fn(
+            spark, sf_small
+        )
+    )
+    assert "TakeOrderedAndProject" in rep.text, rep.text[:4000]
+    assert "BroadcastHashJoin" in rep.text, rep.text[:4000]
+    assert "CartesianProduct" not in rep.text, rep.text[:4000]

@@ -393,6 +393,54 @@ def test_theta_forecast_structure(spark, sf_small):
     assert abs(b - got) < 1e-9
 
 
+def test_lyapunov_nn_replay_and_structure(spark, sf_small):
+    """Horizon-0 mean log divergence replayed in pure python (embed,
+    Chebyshev nearest neighbor beyond the Theiler window, mean ln d
+    over d>0) to 1e-9; per-horizon counts bounded by n_points."""
+    import math
+
+    import duckdb
+
+    from kafka_stream_processing_spark.operators import windowed as wd
+
+    row = (
+        wd.window_lyapunov_rosenstein_daily(spark, sf_small)
+        .toPandas()
+        .iloc[0]
+    )
+    xs = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                       * 1000000 AS BIGINT)
+                FROM '{sf_small}/orders.parquet'
+                GROUP BY o_orderdate ORDER BY o_orderdate"""
+        )
+        .fetchall()
+    ]
+    pts = [(xs[i], xs[i + 1]) for i in range(len(xs) - 1)]
+    n = len(pts)
+    terms = []
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if abs(i - j) <= wd.LYAP_THEILER:
+                continue
+            d = max(
+                abs(pts[i][0] - pts[j][0]), abs(pts[i][1] - pts[j][1])
+            )
+            if best is None or (d, j) < best:
+                best = (d, j)
+        if best and best[0] > 0:
+            terms.append(round(math.log(best[0]), 12))
+    y0 = sum(terms) / len(terms)
+    assert row["n_0"] == len(terms)
+    assert abs(row["y_0"] - y0) < 1e-9
+    for k in wd.LYAP_HORIZONS:
+        assert row[f"n_{k}"] <= n
+
+
 def test_known_item_eval_metric_consistency(spark, sf_small):
     """rr must be 1/first_hit_rank when a partner was found and 0
     otherwise; recall_at_10 in [0,1]; every query is a truth doc."""
