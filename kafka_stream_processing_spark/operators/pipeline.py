@@ -2016,3 +2016,162 @@ def sample_token_budget_waterfill(
         .otherwise(F.col("level") / F.col("s").cast("double"))
         .alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (Madow) with a distributed prefix sum
+# ---------------------------------------------------------------------------
+
+#: Sample size (selection points) and the prefix-sum bucket count for
+#: the distributed cumulative sum (see the op docstring).
+PPS_K = 100
+PPS_BUCKETS = 32
+
+#: Closed-form hit count per document — the number of systematic
+#: selection points p_k = (2k+1)·T/(2K), k ∈ [0, K), falling in the
+#: doc's cumulative-size interval [c, c+size).  Pure BIGINT:
+#: #{k: (2k+1)T ≥ 2K·c} has smallest k = ceil((2K·c − T)/(2T)) =
+#: (2K·c + T − 1) div (2T) (numerator always positive, so floor =
+#: truncate and both engines' integer division agree), and the strict
+#: upper end uses the same formula with c+size; the difference IS the
+#: hit count, and it telescopes to exactly K over the corpus.
+_PPS_HITS_SQL = (
+    "((2 * {k} * cum + t - 1) {div} (2 * t)"
+    " - (2 * {k} * cstart + t - 1) {div} (2 * t))"
+)
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS size
+        FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(size) AS BIGINT) AS t FROM d),
+    cums AS (
+        SELECT doc_id, size,
+               CAST(coalesce(SUM(size) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cstart
+        FROM d
+    ),
+    hits AS (
+        SELECT c.doc_id, c.size, c.cstart,
+               CAST(c.cstart + c.size AS BIGINT) AS cum,
+               tot.t
+        FROM cums c, tot
+    )
+    SELECT doc_id, size, cstart,
+           CAST({_PPS_HITS_SQL.format(k=PPS_K, div="//")} AS BIGINT)
+               AS n_hits,
+           CAST({PPS_K} AS BIGINT) * size / CAST(t AS DOUBLE)
+               AS expected_hits
+    FROM hits
+    WHERE {_PPS_HITS_SQL.format(k=PPS_K, div="//")} >= 1
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling (Madow
+    1949) of documents by token count — the PPS member of the sampling
+    family (hash-split is uniform, stratified fixes per-group counts,
+    the ES reservoir is weighted-without-replacement; PPS systematic
+    is the census/audit standard when inclusion probability must be
+    EXACTLY proportional to size with minimal variance): K = 100
+    equally-spaced selection points at midpoint offset — p_k =
+    (2k+1)·T/(2K) — walk the cumulative token sizes in doc_id order;
+    a document is hit once per point inside its interval (docs larger
+    than the step get multiplicities, the standard PPS behavior), and
+    hit counts telescope to exactly K.
+
+    Exactness: NO randomness (the midpoint offset is the
+    deterministic textbook choice when reproducibility is required)
+    and NO floats in selection — the point-in-interval test is
+    cross-multiplied to BIGINT and collapsed to a closed-form integer
+    division per document (numerators are always positive, so DuckDB
+    floor-div and Spark div agree); expected_hits = K·size/T is the
+    one mirrored float column (the Horvitz-Thompson weight feed).
+
+    Scale — the real content of this op: the global cumulative sum is
+    computed WITHOUT a global window (a single-task total-order sort
+    is the engine's banned funnel): doc_ids bucket by integer floor
+    division on a broadcast max-id (the house novelty-curve pattern),
+    per-bucket sums roll up to PPS_BUCKETS rows whose running offsets
+    broadcast back, and the within-bucket cumulative window partitions
+    by bucket — two map-side-combined aggregates plus a window over
+    bounded partitions, the standard distributed prefix-sum.  The
+    oracle uses the plain global window (DuckDB is single-node; the
+    VALUES must match, not the plan)."""
+    d = fanout(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("size"),
+    )
+    mx = d.agg(F.max("doc_id").alias("m"))
+    bucketed = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "size",
+        F.expr(f"doc_id * {PPS_BUCKETS} div (m + 1)").alias("bucket"),
+    )
+    bsum = bucketed.groupBy("bucket").agg(
+        F.sum("size").cast("bigint").alias("bsize")
+    )
+    offsets = bsum.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bsize").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("offset"),
+    )
+    within = bucketed.select(
+        "doc_id",
+        "size",
+        "bucket",
+        F.coalesce(
+            F.sum("size").over(
+                Window.partitionBy("bucket")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("wcum"),
+    )
+    tot = d.agg(F.sum("size").cast("bigint").alias("t"))
+    hits = (
+        within.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "size",
+            (F.col("offset") + F.col("wcum")).alias("cstart"),
+            (F.col("offset") + F.col("wcum") + F.col("size")).alias(
+                "cum"
+            ),
+            "t",
+        )
+    )
+    n_hits = F.expr(_PPS_HITS_SQL.format(k=PPS_K, div="div"))
+    return (
+        hits.withColumn("n_hits", n_hits.cast("bigint"))
+        .filter(F.col("n_hits") >= 1)
+        .select(
+            "doc_id",
+            "size",
+            "cstart",
+            "n_hits",
+            (
+                F.lit(PPS_K).cast("bigint")
+                * F.col("size")
+                / F.col("t").cast("double")
+            ).alias("expected_hits"),
+        )
+    )

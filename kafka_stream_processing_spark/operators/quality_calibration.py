@@ -984,3 +984,149 @@ def quality_pr_auc_length_classifier(
             "average_precision",
         )
     )
+
+
+#: Shared fixed-order MCC denominator text over the confusion counts
+#: (tp, fp, tn, fn) — four separate float sqrts multiplied, so the
+#: intermediate products never leave DOUBLE range (the all-BIGINT
+#: product (tp+fp)(tp+fn)(tn+fp)(tn+fn) overflows at n ~ 1e5).
+_MCC_SQL = (
+    "(CAST(tp * tn - fp * fn AS DOUBLE)"
+    " / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))"
+    " * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))))"
+)
+
+
+@register(
+    "quality_mcc_youden_threshold_sweep",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT n_chars AS score,
+               CASE WHEN len(string_split(text, ' '))
+                        > {ISO_TOKEN_THRESHOLD} THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    hist AS (
+        SELECT score, SUM(y) AS pos, count(*) - SUM(y) AS neg
+        FROM labeled GROUP BY score
+    ),
+    tot AS (SELECT SUM(pos) AS n1, SUM(neg) AS n0 FROM hist),
+    cum AS (
+        SELECT score,
+               CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+               CAST(SUM(neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+        FROM hist
+    ),
+    conf AS (
+        SELECT c.score, c.tp, c.fp,
+               CAST(t.n0 - c.fp AS BIGINT) AS tn,
+               CAST(t.n1 - c.tp AS BIGINT) AS fn,
+               CAST(c.tp AS DOUBLE) / t.n1
+                   - CAST(c.fp AS DOUBLE) / t.n0 AS youden_j
+        FROM cum c, tot t
+    ),
+    scored AS (
+        SELECT score, tp, fp, tn, fn, youden_j,
+               CASE WHEN (tp + fp) * (tn + fn) = 0
+                         OR (tp + fn) * (tn + fp) = 0
+                    THEN NULL ELSE {_MCC_SQL} END AS mcc
+        FROM conf
+    ),
+    best AS (
+        SELECT score AS best_youden_score FROM (
+            SELECT score, row_number() OVER (
+                ORDER BY youden_j DESC, score) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+    SELECT s.score, s.tp, s.fp, s.tn, s.fn, s.youden_j, s.mcc,
+           b.best_youden_score
+    FROM scored s, best b
+    """,
+    tags=("quality", "calibration", "statistics"),
+)
+def quality_mcc_youden_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matthews correlation and Youden's J across every decision
+    threshold of the length classifier — the THRESHOLD-CHOICE member
+    of the classifier-eval family (ROC-AUC and AP score the ranking;
+    calibration scores the probabilities; this table says WHERE to cut,
+    with the two standard prevalence-robust criteria), plus the argmax-
+    Youden threshold attached to every row (the operating point a
+    filter pipeline would deploy).
+
+    Exactness: the confusion matrix is cumulative integers on the
+    score-distinct histogram (one descending window — the ROC/PR cost
+    class); the MCC numerator tp·tn − fp·fn is BIGINT-exact; the
+    denominator multiplies FOUR separate float sqrts (one shared
+    fixed-order text) so no integer product can overflow at any n;
+    degenerate thresholds (an empty margin row/column) are NULL on
+    both engines; Youden is two mirrored divisions.
+
+    Scale: histogram-sized state; identical bound to the ROC-AUC op."""
+    docs = table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(
+            F.size(F.split("text", " ")) > ISO_TOKEN_THRESHOLD,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    hist = labeled.groupBy("score").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    tot = hist.agg(F.sum("pos").alias("n1"), F.sum("neg").alias("n0"))
+    from pyspark.sql import Window
+
+    desc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "score",
+        F.sum("pos").over(desc).cast("bigint").alias("tp"),
+        F.sum("neg").over(desc).cast("bigint").alias("fp"),
+    )
+    conf = cum.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "tp",
+        "fp",
+        (F.col("n0") - F.col("fp")).cast("bigint").alias("tn"),
+        (F.col("n1") - F.col("tp")).cast("bigint").alias("fn"),
+        (
+            F.col("tp").cast("double") / F.col("n1")
+            - F.col("fp").cast("double") / F.col("n0")
+        ).alias("youden_j"),
+    )
+    scored = conf.select(
+        "score",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        "youden_j",
+        F.when(
+            ((F.col("tp") + F.col("fp")) * (F.col("tn") + F.col("fn")) == 0)
+            | (
+                (F.col("tp") + F.col("fn")) * (F.col("tn") + F.col("fp"))
+                == 0
+            ),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.expr(_MCC_SQL))
+        .alias("mcc"),
+    )
+    best = (
+        scored.select(
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.col("youden_j").desc(), "score"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(F.col("score").alias("best_youden_score"))
+    )
+    return scored.crossJoin(F.broadcast(best))

@@ -271,6 +271,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_ams_f2_incremental",
     "window_theta_forecast_daily",
     "window_lyapunov_rosenstein_daily",
+    "quality_mcc_youden_threshold_sweep",
+    "sample_pps_systematic",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

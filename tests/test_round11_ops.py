@@ -441,6 +441,66 @@ def test_lyapunov_nn_replay_and_structure(spark, sf_small):
         assert row[f"n_{k}"] <= n
 
 
+def test_mcc_youden_confusion_identities(spark, sf_small):
+    """tp+fn = n_pos and fp+tn = n_neg on every row; Youden at the
+    attached best threshold is the column max; MCC in [-1, 1]; the
+    MCC numerator sign agrees with Youden's sign (both measure the
+    same association direction)."""
+    from kafka_stream_processing_spark.operators import (
+        quality_calibration as qc,
+    )
+
+    out = qc.quality_mcc_youden_threshold_sweep(spark, sf_small).toPandas()
+    n_pos = out["tp"] + out["fn"]
+    n_neg = out["fp"] + out["tn"]
+    assert n_pos.nunique() == 1 and n_neg.nunique() == 1
+    best_score = out["best_youden_score"].iloc[0]
+    best_j = out[out["score"] == best_score]["youden_j"].iloc[0]
+    assert abs(best_j - out["youden_j"].max()) < 1e-12
+    mcc = out["mcc"].dropna()
+    assert ((mcc >= -1 - 1e-12) & (mcc <= 1 + 1e-12)).all()
+    both = out.dropna(subset=["mcc"])
+    num_sign = (
+        both["tp"] * both["tn"] - both["fp"] * both["fn"]
+    ).apply(lambda v: (v > 0) - (v < 0))
+    j_sign = both["youden_j"].apply(
+        lambda v: (v > 1e-15) - (v < -1e-15)
+    )
+    assert ((num_sign == j_sign) | (j_sign == 0) | (num_sign == 0)).all()
+
+
+def test_pps_systematic_telescopes_to_k(spark, sf_small):
+    """Hit counts must sum to EXACTLY PPS_K (every selection point
+    lands in exactly one interval — the telescoping identity); each
+    doc's hits stay within the PPS multiplicity bound; and the
+    distributed prefix sum must agree with a python cumsum replay."""
+    import duckdb
+
+    from kafka_stream_processing_spark.operators import pipeline as pl
+
+    out = pl.sample_pps_systematic(spark, sf_small).toPandas()
+    assert out["n_hits"].sum() == pl.PPS_K
+    rows = duckdb.connect().execute(
+        f"""SELECT doc_id, len(string_split(text, ' ')) AS size
+            FROM '{sf_small}/documents.parquet' ORDER BY doc_id"""
+    ).fetchall()
+    t = sum(r[1] for r in rows)
+    # python replay of the closed form over the true cumsum
+    c = 0
+    hits = {}
+    for doc_id, size in rows:
+        lo = (2 * pl.PPS_K * c + t - 1) // (2 * t)
+        hi = (2 * pl.PPS_K * (c + size) + t - 1) // (2 * t)
+        if hi - lo >= 1:
+            hits[doc_id] = hi - lo
+        c += size
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == hits
+    # expected_hits is the HT inclusion weight K*size/T
+    for _, r in out.iterrows():
+        assert abs(r["expected_hits"] - pl.PPS_K * r["size"] / t) < 1e-12
+
+
 def test_known_item_eval_metric_consistency(spark, sf_small):
     """rr must be 1/first_hit_rank when a partner was found and 0
     otherwise; recall_at_10 in [0,1]; every query is a truth doc."""
