@@ -2041,6 +2041,58 @@ _PPS_HITS_SQL = (
 )
 
 
+def distributed_prefix_sum(d: DataFrame) -> DataFrame:
+    """Exclusive cumulative sum of ``size`` in doc_id order WITHOUT a
+    global window: doc_ids bucket by integer floor division on a
+    broadcast max-id (the house novelty-curve pattern), per-bucket sums
+    roll up to PPS_BUCKETS broadcast running offsets, and the
+    within-bucket cumulative window partitions by bucket — the standard
+    distributed prefix-sum.  Input (doc_id, size); output adds cstart.
+    Shared by PPS systematic sampling and the corpus STTR chunking."""
+    mx = d.agg(F.max("doc_id").alias("m"))
+    bucketed = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "size",
+        F.expr(f"doc_id * {PPS_BUCKETS} div (m + 1)").alias("bucket"),
+    )
+    bsum = bucketed.groupBy("bucket").agg(
+        F.sum("size").cast("bigint").alias("bsize")
+    )
+    offsets = bsum.select(
+        "bucket",
+        F.coalesce(
+            F.sum("bsize").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("offset"),
+    )
+    within = bucketed.select(
+        "doc_id",
+        "size",
+        "bucket",
+        F.coalesce(
+            F.sum("size").over(
+                Window.partitionBy("bucket")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("wcum"),
+    )
+    return within.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "size",
+        (F.col("offset") + F.col("wcum")).cast("bigint").alias("cstart"),
+    )
+
+
 @register(
     "sample_pps_systematic",
     oracle=f"""
@@ -2108,56 +2160,13 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("size"),
     )
-    mx = d.agg(F.max("doc_id").alias("m"))
-    bucketed = d.crossJoin(F.broadcast(mx)).select(
-        "doc_id",
-        "size",
-        F.expr(f"doc_id * {PPS_BUCKETS} div (m + 1)").alias("bucket"),
-    )
-    bsum = bucketed.groupBy("bucket").agg(
-        F.sum("size").cast("bigint").alias("bsize")
-    )
-    offsets = bsum.select(
-        "bucket",
-        F.coalesce(
-            F.sum("bsize").over(
-                Window.orderBy("bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("offset"),
-    )
-    within = bucketed.select(
-        "doc_id",
-        "size",
-        "bucket",
-        F.coalesce(
-            F.sum("size").over(
-                Window.partitionBy("bucket")
-                .orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("wcum"),
-    )
     tot = d.agg(F.sum("size").cast("bigint").alias("t"))
-    hits = (
-        within.join(F.broadcast(offsets), "bucket")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            "size",
-            (F.col("offset") + F.col("wcum")).alias("cstart"),
-            (F.col("offset") + F.col("wcum") + F.col("size")).alias(
-                "cum"
-            ),
-            "t",
-        )
+    hits = distributed_prefix_sum(d).crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "size",
+        "cstart",
+        (F.col("cstart") + F.col("size")).alias("cum"),
+        "t",
     )
     n_hits = F.expr(_PPS_HITS_SQL.format(k=PPS_K, div="div"))
     return (

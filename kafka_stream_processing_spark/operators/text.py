@@ -2373,3 +2373,125 @@ def text_repetition_gopher_rules(
         dup_frac.alias("dup_trigram_frac"),
         repetition_flag().alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Standardized type-token ratio (STTR) over fixed corpus chunks
+# ---------------------------------------------------------------------------
+
+#: STTR chunk size in tokens (the corpus-linguistics standard is
+#: 1000-token windows — Kubát & Milička 2013).  Partial tail chunks
+#: are excluded, the standard convention.
+STTR_CHUNK = 1000
+
+
+@register(
+    "text_sttr_chunked",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS size
+        FROM documents
+    ),
+    cums AS (
+        SELECT doc_id, toks,
+               CAST(coalesce(SUM(size) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cstart
+        FROM d
+    ),
+    tot AS (
+        SELECT CAST(SUM(len(toks)) AS BIGINT) AS t FROM d
+    ),
+    pos AS (
+        SELECT (c.cstart + u.i - 1) // {STTR_CHUNK} AS chunk,
+               c.toks[u.i] AS term
+        FROM cums c,
+             unnest(generate_series(1, len(c.toks))) u(i)
+    ),
+    full_chunks AS (
+        SELECT p.chunk,
+               CAST(count(DISTINCT p.term) AS BIGINT) AS n_types
+        FROM pos p, tot
+        WHERE p.chunk < tot.t // {STTR_CHUNK}
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(n_types) AS BIGINT) AS sum_types
+        FROM full_chunks
+    )
+    SELECT f.chunk, f.n_types,
+           CAST(f.n_types AS DOUBLE) / {STTR_CHUNK} AS ttr,
+           CAST(a.sum_types AS DOUBLE) / ({STTR_CHUNK} * a.n_chunks)
+               AS sttr,
+           a.n_chunks
+    FROM full_chunks f, agg a
+    """,
+    tags=("text", "statistics"),
+)
+def text_sttr_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized type-token ratio (STTR, Kubát & Milička JQL 2013)
+    over fixed 1000-token corpus chunks — the SIZE-ROBUST lexical-
+    diversity member of the text family (raw TTR falls with corpus
+    size by Heaps' law, so corpora of different sizes can't be
+    compared on it; Yule's K is frequency-spectrum-based; STTR fixes
+    the window so the mean IS comparable): the corpus token stream in
+    doc_id order splits into ⌊T/1000⌋ full chunks; each chunk's
+    distinct-type count, its TTR, and the corpus STTR (mean TTR =
+    Σ types / (1000·n_chunks), one exact-integer division).
+
+    Exactness: the chunk id of every token is pure integer arithmetic
+    on (document token offset + in-document position); type counts are
+    exact distincts; both ratios are single mirrored IEEE divisions of
+    BIGINTs.  Partial tail chunks are excluded on both engines.
+
+    Scale: the document offsets ride `distributed_prefix_sum` (shared
+    with PPS sampling — reuse guard-tested), so there is NO global
+    window anywhere; tokens explode once and aggregate by
+    (chunk, term) with map-side combine — the TF-IDF cost shape; the
+    chunk table is T/1000 rows, output-bounded."""
+    from kafka_stream_processing_spark.operators.pipeline import (
+        distributed_prefix_sum,
+    )
+
+    d = fanout(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("bigint").alias("size"),
+    )
+    offs = distributed_prefix_sum(d.select("doc_id", "size"))
+    tot = d.agg(F.sum("size").cast("bigint").alias("t"))
+    pos = (
+        d.join(offs.select("doc_id", "cstart"), "doc_id")
+        .select(
+            "cstart",
+            F.posexplode("toks").alias("i", "term"),
+        )
+        .select(
+            F.expr(f"(cstart + i) div {STTR_CHUNK}").alias("chunk"),
+            "term",
+        )
+    )
+    full_chunks = (
+        pos.crossJoin(F.broadcast(tot))
+        .filter(F.col("chunk") < F.expr(f"t div {STTR_CHUNK}"))
+        .groupBy("chunk")
+        .agg(F.countDistinct("term").cast("bigint").alias("n_types"))
+    )
+    agg = full_chunks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_types").cast("bigint").alias("sum_types"),
+    )
+    return full_chunks.crossJoin(F.broadcast(agg)).select(
+        "chunk",
+        "n_types",
+        (F.col("n_types").cast("double") / F.lit(STTR_CHUNK)).alias(
+            "ttr"
+        ),
+        (
+            F.col("sum_types").cast("double")
+            / (F.lit(STTR_CHUNK) * F.col("n_chunks"))
+        ).alias("sttr"),
+        "n_chunks",
+    )

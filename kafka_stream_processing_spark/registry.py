@@ -273,6 +273,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_lyapunov_rosenstein_daily",
     "quality_mcc_youden_threshold_sweep",
     "sample_pps_systematic",
+    "text_sttr_chunked",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

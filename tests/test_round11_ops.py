@@ -501,6 +501,26 @@ def test_pps_systematic_telescopes_to_k(spark, sf_small):
         assert abs(r["expected_hits"] - pl.PPS_K * r["size"] / t) < 1e-12
 
 
+def test_sttr_chunk_accounting(spark, sf_small):
+    """Chunk count must equal floor(total_tokens / STTR_CHUNK); chunk
+    ids are exactly 0..n_chunks-1 (no gaps — the prefix sum is exact);
+    ttr in (0, 1]; sttr equals the mean of the per-chunk ttrs."""
+    import duckdb
+
+    from kafka_stream_processing_spark.operators import text as tx
+
+    out = tx.text_sttr_chunked(spark, sf_small).toPandas()
+    (t,) = duckdb.connect().execute(
+        f"""SELECT SUM(len(string_split(text, ' ')))
+            FROM '{sf_small}/documents.parquet'"""
+    ).fetchone()
+    n_chunks = t // tx.STTR_CHUNK
+    assert len(out) == n_chunks
+    assert sorted(out["chunk"]) == list(range(n_chunks))
+    assert ((out["ttr"] > 0) & (out["ttr"] <= 1)).all()
+    assert abs(out["sttr"].iloc[0] - out["ttr"].mean()) < 1e-9
+
+
 def test_known_item_eval_metric_consistency(spark, sf_small):
     """rr must be 1/first_hit_rank when a partner was found and 0
     otherwise; recall_at_10 in [0,1]; every query is a truth doc."""
