@@ -1944,7 +1944,7 @@ def graph_katz_centrality_bounded(
     SELECT src AS node,
            CAST(count(*) - 1 AS BIGINT) AS n_reached,
            CAST(SUM(CASE WHEN d > 0 THEN
-               CAST(round(1.0 / d, 12) AS DECIMAL(18,12))
+               CAST(round(1.0E0 / d, 12) AS DECIMAL(18,12))
                ELSE CAST(0 AS DECIMAL(18,12)) END) AS DOUBLE)
                AS harmonic
     FROM dist GROUP BY src

@@ -1131,12 +1131,23 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rel")
         .localCheckpoint(eager=True)
     )
-    na = n.select(
+    # Reduce the corpus frame to shortlist members BEFORE any broadcast:
+    # the full corpus is never broadcast (repo discipline — only the
+    # ≤ queries × MMR_SHORTLIST id list and the reduced embedding frame
+    # it selects are small by construction).  The semi-join broadcasts
+    # the tiny id side, so the corpus scan stays shuffle-free here too.
+    short_ids = shortlist.select("doc_id").distinct()
+    short_emb = n.join(
+        F.broadcast(short_ids),
+        n["vec_id"] == short_ids["doc_id"],
+        "left_semi",
+    )
+    na = short_emb.select(
         F.col("vec_id").alias("da"),
         F.col("emb").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
-    nb = n.select(
+    nb = short_emb.select(
         F.col("vec_id").alias("db"),
         F.col("emb").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),

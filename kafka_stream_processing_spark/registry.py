@@ -124,80 +124,32 @@ def _load() -> None:
 #: which queries get fresh evidence — the safety net is that
 #: tests/test_oracle_parity.py sweeps ALL registered queries with the
 #: identical differential check every round regardless.
-#: Round-11 table (VERDICT r10 item 1).  Two ledger counters, kept
-#: SEPARATE (both reproduce from the union over
-#: CORRECTNESS_r01..r10.json — see tools/coverage_ledger.py):
-#:   driver-CHECKED entering r11:    316/400  (includes 6 rows-only)
-#:   driver-HASH-GREEN entering r11: 310/400  (the rotation currency)
-#: This table pins the 12 reference-parity (§2) slots, then the next 38
-#: never-hash-green names in backlog order (graph_rich_club_coefficient
-#: .. text_mcnemar_langid_vs_majority) — all 38 were pre-checked green
-#: at sf0.01 on the final r10 tree (HANDOFF.md r11 plan) and
-#: re-confirmed on this tree before commit.  Target hash-green after
-#: r11: 348/400 (87%); the remaining 52 backlog names follow below
-#: rank 50 so r12 finishes the registry.  Names that went hash-green in
-#: r10 drop out of the table (they fall back to registration order; the
-#: per-round differential in tests/test_oracle_parity.py still sweeps
-#: them).  New registrations stay CAPPED below ~20/round; r11 additions
-#: append at the very END of this table.
+#: Round-12 table (VERDICT r11 item 1 — the rotation arithmetic fix).
+#: Ledger counters entering r12 (tools/coverage_ledger.py over
+#: CORRECTNESS_r01..r11.json — never hand-computed):
+#:   driver-CHECKED entering r12:    354/419  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r12: 348/419  (the rotation currency)
+#:   backlog (never hash-green):     71 names
+#: 71 backlog names do not fit behind 12 §2 pins in the driver's
+#: 50-row window, so per the r11 verdict the §2 pins are SLIMMED for
+#: r12–r13 to the flagship plus three rotating §2 names (every §2
+#: query is multi-round hash-green and still swept locally by
+#: tests/test_oracle_parity.py each round); the other 46 slots take
+#: the backlog head (text_langid_char_ngram_profile ..
+#: window_variance_ratio_daily) in ledger order.  Target hash-green
+#: after r12: 394/419.  The remaining 25 backlog names sit at ranks
+#: 51–75 and form the r13 slice together with the restored 12 §2
+#: pins (25 + 12 = 37 rows, leaving 13 re-confirm slots — the
+#: arithmetic ADDS UP this time).  New registrations stay CAPPED
+#: below ~20/round; r12 additions append at the very END.
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- pinned: reference-parity §2 (flagship first) --
+    # -- pinned (slimmed for r12–r13): flagship + 3 rotating §2 --
     "unique_users_per_minute",
-    "events_per_minute",
-    "unique_users_per_minute_approx",
-    "unique_user_set_per_minute",
-    "unique_users_sliding_window",
-    "session_windows_per_user",
-    "unique_users_daily_by_type",
-    "scalar_json_event_props",
-    "scalar_json_schema_parse",
-    "filter_project_events",
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
-    # -- 38 never-hash-green (ranks 13-50): the r11 backlog slice,
-    # -- pre-checked green at sf0.01 on the final r10 tree --
-    "graph_rich_club_coefficient",
-    "window_intraday_seasonal_profile",
-    "window_user_growth_curve",
-    "window_dau_wau_mau",
-    "quality_roc_auc_length_classifier",
-    "window_ljung_box_residuals",
-    "window_cohort_ltv_curve",
-    "similarity_ndcg_eval",
-    "embedding_calinski_harabasz",
-    "dedup_threshold_sweep_cosine",
-    "sketch_bottomk_distinct",
-    "sketch_bottomk_jaccard",
-    "graph_local_clustering_coefficient",
-    "graph_widest_path_from_hub",
-    "graph_closeness_centrality",
-    "graph_eccentricity_diameter",
-    "quality_cliffs_delta_effect",
-    "quality_kruskal_wallis_drift",
-    "quality_welch_ttest_drift",
-    "quality_expected_calibration_error",
-    "quality_anderson_darling_drift",
-    "quality_hellinger_tv_drift",
-    "quality_friedman_daily_mix",
-    "quality_cochran_armitage_trend",
-    "quality_anova_f_drift",
-    "quality_l_diversity_audit",
-    "quality_ab_minimum_detectable_effect",
-    "quality_welch_anova_drift",
-    "quality_bartlett_homoscedasticity",
-    "quality_mw_drift_fdr",
-    "quality_tukey_fences_outliers",
-    "quality_wasserstein_drift",
-    "quality_energy_distance_drift",
-    "sample_temperature_sweep",
-    "quality_filter_interaction_matrix",
-    "agg_apriori_frequent_triples",
-    "text_readability_ari_cli",
-    "text_mcnemar_langid_vs_majority",
-    # ---------------------------------------------------------------
-    # entries below rank 50 get no driver row this round: the 52
-    # remaining never-hash-green names (backlog order, r10 additions
-    # last); r12 takes the final slice from here.
+    "session_windows_per_user",
+    # -- 46 never-hash-green (ranks 5-50): the r12 backlog slice,
+    # -- ledger order, pre-checked green at sf0.01 on this tree --
     "text_langid_char_ngram_profile",
     "text_source_vocab_overlap",
     "window_nelson_aalen_hazard",
@@ -234,8 +186,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_frequent_triples_stateful",
     "stream_repetition_monitor",
     "sample_token_budget_waterfill",
-    # -- new in r10 (targeted differential green at sf0.001+sf0.01;
-    # -- driver rows queue behind the coverage backlog) --
     "window_multiscale_permutation_entropy",
     "quality_dcor_tokens_violations",
     "corpus_ngram_novelty_curve",
@@ -245,16 +195,17 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_jonckheere_terpstra_trend",
     "dedup_containment_keep_policy",
     "window_hurst_rs_daily",
-    # -- new in r10 session 2 (same targeted-differential gate) --
     "window_variance_ratio_daily",
+    # ---------------------------------------------------------------
+    # entries below rank 50 get no driver row this round: the 25
+    # remaining never-hash-green names (ledger order — the r13 slice),
+    # then the 8 §2 names unpinned for r12 (restored as pins in r13).
     "window_multiscale_sample_entropy",
     "dedup_semdedup_k_sweep",
     "window_approximate_entropy_daily",
     "window_dfa_alpha_daily",
     "window_variance_ratio_joint",
     "window_bds_test_daily",
-    # -- new in r11 (targeted differential green at sf0.001+sf0.01;
-    # -- driver rows queue behind the coverage backlog) --
     "graph_katz_centrality_bounded",
     "graph_harmonic_centrality",
     "retrieval_query_likelihood_dirichlet",
@@ -274,6 +225,23 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_mcc_youden_threshold_sweep",
     "sample_pps_systematic",
     "text_sttr_chunked",
+    # -- new in r12 (targeted differential green at sf0.001+sf0.01;
+    # -- driver rows queue behind the coverage backlog) --
+    "corpus_term_dispersion_gries_dp",
+    "quality_simpson_reversal_audit",
+    "embedding_anisotropy_common_direction",
+    "dedup_fellegi_sunter_linkage",
+    "tokenizer_unigram_em",
+    # -- §2 reference-parity names unpinned for r12 only (all
+    # -- multi-round hash-green; re-pinned in r13) --
+    "events_per_minute",
+    "unique_users_per_minute_approx",
+    "unique_user_set_per_minute",
+    "unique_users_sliding_window",
+    "unique_users_daily_by_type",
+    "scalar_json_event_props",
+    "scalar_json_schema_parse",
+    "filter_project_events",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

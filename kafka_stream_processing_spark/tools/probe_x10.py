@@ -62,7 +62,9 @@ def parse_argv(argv: list[str]) -> tuple[list[str], str]:
     it = iter(argv)
     for a in it:
         if a == "--x10-dir":
-            x10 = next(it)
+            x10 = next(it, None)
+            if x10 is None:
+                raise SystemExit("--x10-dir requires a value")
         elif a.startswith("--"):
             raise SystemExit(f"unknown flag {a!r}")
         else:
