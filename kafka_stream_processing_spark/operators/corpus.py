@@ -1547,3 +1547,129 @@ def sketch_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     items = ev.select(cm_item_col().alias("item"))
     return ams_report(spark, ams_z(items), items)
+
+
+DP_ORACLE = """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT term, source, count(*) AS f FROM toks GROUP BY 1, 2
+),
+parts AS (
+    SELECT source, count(*) AS toks_i FROM toks GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(toks_i) AS BIGINT) AS t_total,
+           CAST(MIN(toks_i) AS BIGINT) AS toks_min
+    FROM parts
+),
+j AS (
+    SELECT tf.term, tf.f, parts.toks_i, tot.t_total, tot.toks_min,
+           SUM(tf.f) OVER (PARTITION BY tf.term) AS ft
+    FROM tf JOIN parts USING (source) CROSS JOIN tot
+),
+agg AS (
+    SELECT term,
+           MAX(ft) AS ft,
+           count(*) AS n_parts,
+           MAX(t_total) AS t_total,
+           MAX(toks_min) AS toks_min,
+           SUM(ABS(f * t_total - toks_i * ft) - toks_i * ft)
+               + MAX(t_total) * MAX(ft) AS num
+    FROM j GROUP BY term
+)
+SELECT term,
+       CAST(ft AS BIGINT) AS tf,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(num AS DOUBLE) / CAST(2 * ft * t_total AS DOUBLE) AS dp,
+       CAST(num AS DOUBLE)
+           / CAST(2 * ft * (t_total - toks_min) AS DOUBLE) AS dp_norm
+FROM agg
+"""
+
+
+@register(
+    "corpus_term_dispersion_gries_dp",
+    oracle=DP_ORACLE,
+    tags=("corpus", "text"),
+)
+def corpus_term_dispersion_gries_dp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gries' deviation-of-proportions (DP) dispersion per term across
+    corpus parts (sources) — the corpus-linguistics standard for "is
+    this term EVENLY used or does it live in one slice of the data?"
+    (Gries 2008; Lijffijt & Gries 2012 for DP_norm).  A term's raw
+    frequency says nothing about concentration: a training-mix audit
+    wants to know whether 'function' is corpus-wide vocabulary or one
+    crawl shard's boilerplate.  DP = Σ_i |v_i − s_i| / 2 where s_i is
+    part i's token share and v_i the term's occurrence share in part i;
+    DP_norm rescales by (1 − min_i s_i) so the maximum is 1 regardless
+    of part sizing.
+
+    Exactness: both proportions are ratios of BIGINT counts, so the
+    fold runs on the common denominator — per present part the term
+    contributes |f_ti·T − toks_i·f_t| (BIGINT), absent parts contribute
+    toks_i·f_t, and Σ_absent toks_i·f_t = T·f_t − Σ_present toks_i·f_t
+    closes the sum WITHOUT materializing absent (term, part) rows.
+    Exactly ONE float division per output column, of integers < 2^53
+    (exactly representable doubles), so both engines emit identical
+    bits.  Integer-exactness bound: f_t·T < 2^63 (and < 2^53 for the
+    float tail) — at corpus scales beyond that, normalize counts to
+    per-million BEFORE the fold (float path, documented trade).
+
+    Scale: token explode → (term, source) map-side-combined count;
+    part sizes are a ≤|sources| frame broadcast onto the term
+    postings; f_t rides a hash-partitioned window ON TERM (never a
+    global window); output is vocab-sized.  No corpus-side broadcast,
+    no skew funnel (stop-word heavy hitters spread across the
+    (term, source) composite key before the per-term rollup)."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("term", "source").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    parts = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("toks_i")
+    )
+    tot = parts.agg(
+        F.sum("toks_i").cast("bigint").alias("t_total"),
+        F.min("toks_i").cast("bigint").alias("toks_min"),
+    )
+    j = (
+        tf.join(F.broadcast(parts), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("ft", F.sum("f").over(Window.partitionBy("term")))
+    )
+    present = (
+        F.abs(F.col("f") * F.col("t_total") - F.col("toks_i") * F.col("ft"))
+        - F.col("toks_i") * F.col("ft")
+    )
+    agg = j.groupBy("term").agg(
+        F.max("ft").alias("ft"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max("t_total").alias("t_total"),
+        F.max("toks_min").alias("toks_min"),
+        (
+            F.sum(present) + F.max("t_total") * F.max("ft")
+        ).alias("num"),
+    )
+    two = F.lit(2).cast("bigint")
+    return agg.select(
+        "term",
+        F.col("ft").cast("bigint").alias("tf"),
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        (
+            F.col("num").cast("double")
+            / (two * F.col("ft") * F.col("t_total")).cast("double")
+        ).alias("dp"),
+        (
+            F.col("num").cast("double")
+            / (
+                two * F.col("ft") * (F.col("t_total") - F.col("toks_min"))
+            ).cast("double")
+        ).alias("dp_norm"),
+    )

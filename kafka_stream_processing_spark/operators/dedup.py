@@ -1821,3 +1821,224 @@ def dedup_threshold_sweep_cosine(
             ).alias("dup_doc_rate"),
         )
     )
+
+
+#: Fellegi–Sunter sorted-neighborhood knobs: window width (candidates
+#: per record, the linear-candidate guarantee) and the hard-EM
+#: posterior table by agreement count a = γ1+γ2+γ3, precomputed from
+#: the literal init (p=0.1, m_k=0.9, u_k=0.1) and embedded as identical
+#: 12-decimal literals in both engines (the NDCG discount-table
+#: precedent) — no float pow in either plan.
+FS_WINDOW = 5
+FS_W_BY_AGREE = {
+    0: "0.000152392563",
+    1: "0.012195121951",
+    2: "0.500000000000",
+    3: "0.987804878049",
+}
+_FS_DEC = "DECIMAL(18,12)"
+
+
+def _fs_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN {a} THEN CAST({w} AS {_FS_DEC})"
+        for a, w in FS_W_BY_AGREE.items()
+    )
+    return f"""
+    WITH ranked AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY c_nationkey ORDER BY c_custkey
+               ) AS rn
+        FROM customer
+    ),
+    pairs AS (
+        SELECT
+            CASE WHEN a.c_mktsegment = b.c_mktsegment
+                 THEN 1 ELSE 0 END AS g1,
+            CASE WHEN floor(a.cents / 100000.0) = floor(b.cents / 100000.0)
+                 THEN 1 ELSE 0 END AS g2,
+            CASE WHEN (a.cents % 100) = (b.cents % 100)
+                 THEN 1 ELSE 0 END AS g3
+        FROM ranked a JOIN ranked b
+          ON a.c_nationkey = b.c_nationkey
+         AND b.rn > a.rn AND b.rn <= a.rn + {FS_WINDOW}
+    ),
+    weighted AS (
+        SELECT g1, g2, g3,
+               CASE (g1 + g2 + g3) {w_case} END AS w
+        FROM pairs
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               SUM(w) AS sw,
+               SUM(CASE WHEN g1 = 1 THEN w
+                        ELSE CAST(0 AS {_FS_DEC}) END) AS sw1,
+               SUM(CASE WHEN g2 = 1 THEN w
+                        ELSE CAST(0 AS {_FS_DEC}) END) AS sw2,
+               SUM(CASE WHEN g3 = 1 THEN w
+                        ELSE CAST(0 AS {_FS_DEC}) END) AS sw3,
+               CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(SUM(g2) AS BIGINT) AS c2,
+               CAST(SUM(g3) AS BIGINT) AS c3
+        FROM weighted
+    ),
+    muv AS (
+        SELECT 'mktsegment' AS field,
+               round(CAST(sw1 AS DOUBLE) / CAST(sw AS DOUBLE), 12) AS m,
+               round(CAST(c1 - sw1 AS DOUBLE)
+                     / CAST(n - sw AS DOUBLE), 12) AS u,
+               round(CAST(sw AS DOUBLE) / n, 12) AS est_match_share
+        FROM agg
+        UNION ALL
+        SELECT 'acctbal_bucket' AS field,
+               round(CAST(sw2 AS DOUBLE) / CAST(sw AS DOUBLE), 12) AS m,
+               round(CAST(c2 - sw2 AS DOUBLE)
+                     / CAST(n - sw AS DOUBLE), 12) AS u,
+               round(CAST(sw AS DOUBLE) / n, 12) AS est_match_share
+        FROM agg
+        UNION ALL
+        SELECT 'acctbal_cents' AS field,
+               round(CAST(sw3 AS DOUBLE) / CAST(sw AS DOUBLE), 12) AS m,
+               round(CAST(c3 - sw3 AS DOUBLE)
+                     / CAST(n - sw AS DOUBLE), 12) AS u,
+               round(CAST(sw AS DOUBLE) / n, 12) AS est_match_share
+        FROM agg
+    )
+    SELECT field, m, u,
+           round(ln(m / u), 12) AS w_agree,
+           round(ln((1.0E0 - m) / (1.0E0 - u)), 12) AS w_disagree,
+           est_match_share
+    FROM muv
+    """
+
+
+@register(
+    "dedup_fellegi_sunter_linkage",
+    oracle=_fs_oracle(),
+    tags=("dedup", "linkage"),
+)
+def dedup_fellegi_sunter_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage parameter estimation
+    (Fellegi & Sunter, JASA 1969) over sorted-neighborhood candidates
+    (Hernández & Stolfo, SIGMOD 1995): per comparison field the match /
+    unmatch agreement probabilities (m, u) after ONE hard-EM round from
+    a literal init, plus the log agreement / disagreement weights
+    ln(m/u) and ln((1−m)/(1−u)) that score any pair — the entity-
+    resolution counterpart of the similarity-threshold dedup family
+    (match decisions from AGREEMENT PATTERNS over fields rather than
+    content distance).
+
+    Comparison vector on customer: mktsegment equality, acctbal
+    thousand-bucket equality, acctbal cents equality (a stand-in for a
+    phone-suffix field); blocking key nationkey; candidates = each
+    record against its next FS_WINDOW neighbors in custkey order
+    WITHIN the block — LINEAR in records (n·W pairs), never the
+    quadratic all-pairs-per-block join (the eval-bound rule from
+    SCALE.md's r12 audit, applied at design time).
+
+    Exactness: the E-step posterior depends only on the agreement
+    count under the symmetric literal init, so it is a 4-entry
+    12-decimal literal table identical in both engines (no float pow
+    in either plan); every M-step numerator/denominator is an exact
+    DECIMAL(18,12)·{{0,1}} conditional sum; the final m, u, weights are
+    round-12 floats with identical expression nesting.
+
+    Scale: one window rank per block (hash-partitioned by nationkey,
+    never global), one equi-join on the block key with a rank-range
+    filter, map-side-combined sums to ONE driver row, 3 output rows.
+    At 100 TB the sort key becomes a real field (name/phone) and the
+    same topology holds; the posterior table generalizes to
+    field-specific (m,u) by swapping the CASE on the full pattern
+    (2^K literals)."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    ranked = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        ),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    bucket = lambda side: F.floor(F.col(f"{side}.cents") / F.lit(100000.0))  # noqa: E731
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + FS_WINDOW),
+    ).select(
+        F.when(
+            F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 1
+        ).otherwise(0).alias("g1"),
+        F.when(bucket("a") == bucket("b"), 1).otherwise(0).alias("g2"),
+        F.when(
+            (F.col("a.cents") % 100) == (F.col("b.cents") % 100), 1
+        ).otherwise(0).alias("g3"),
+    )
+    w_col = F.col("g1") + F.col("g2") + F.col("g3")
+    w = None
+    for cnt, lit in FS_W_BY_AGREE.items():
+        branch = F.lit(lit).cast(_FS_DEC.lower())
+        w = (
+            F.when(w_col == cnt, branch)
+            if w is None
+            else w.when(w_col == cnt, branch)
+        )
+    zero = F.lit(0).cast(_FS_DEC.lower())
+    weighted = pairs.select("g1", "g2", "g3", w.alias("w"))
+    agg = weighted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").alias("sw"),
+        *[
+            F.sum(
+                F.when(F.col(f"g{k}") == 1, F.col("w")).otherwise(zero)
+            ).alias(f"sw{k}")
+            for k in (1, 2, 3)
+        ],
+        *[
+            F.sum(f"g{k}").cast("bigint").alias(f"c{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    fields = [
+        ("mktsegment", 1),
+        ("acctbal_bucket", 2),
+        ("acctbal_cents", 3),
+    ]
+    rows = None
+    for fname, k in fields:
+        r = agg.select(
+            F.lit(fname).alias("field"),
+            F.round(
+                F.col(f"sw{k}").cast("double") / F.col("sw").cast("double"),
+                12,
+            ).alias("m"),
+            F.round(
+                (F.col(f"c{k}") - F.col(f"sw{k}")).cast("double")
+                / (F.col("n") - F.col("sw")).cast("double"),
+                12,
+            ).alias("u"),
+            F.round(F.col("sw").cast("double") / F.col("n"), 12).alias(
+                "est_match_share"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.select(
+        "field",
+        "m",
+        "u",
+        F.round(F.log(F.col("m") / F.col("u")), 12).alias("w_agree"),
+        F.round(
+            F.log((F.lit(1.0) - F.col("m")) / (F.lit(1.0) - F.col("u"))), 12
+        ).alias("w_disagree"),
+        "est_match_share",
+    )

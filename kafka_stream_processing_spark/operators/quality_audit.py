@@ -1212,3 +1212,129 @@ def quality_tukey_fences_outliers(
         ),
     )
 
+
+
+#: Simpson-reversal audit knobs: the two compared event cohorts, the
+#: binary-success threshold on `value`, and the stratum count.  All
+#: literals so both engines see the identical rule.
+SIMPSON_GROUP_A = "click"
+SIMPSON_GROUP_B = "view"
+SIMPSON_SUCCESS_VALUE = 50.0
+SIMPSON_N_STRATA = 4
+
+SIMPSON_ORACLE = f"""
+WITH base AS (
+    SELECT user_id % {SIMPSON_N_STRATA} AS stratum,
+           event_type,
+           CASE WHEN value >= {SIMPSON_SUCCESS_VALUE} THEN 1 ELSE 0 END AS s
+    FROM events
+    WHERE event_type IN ('{SIMPSON_GROUP_A}', '{SIMPSON_GROUP_B}')
+),
+per AS (
+    SELECT stratum,
+           CAST(SUM(CASE WHEN event_type = '{SIMPSON_GROUP_A}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN event_type = '{SIMPSON_GROUP_A}'
+                    THEN s ELSE 0 END) AS BIGINT) AS s_a,
+           CAST(SUM(CASE WHEN event_type = '{SIMPSON_GROUP_B}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN event_type = '{SIMPSON_GROUP_B}'
+                    THEN s ELSE 0 END) AS BIGINT) AS s_b
+    FROM base GROUP BY stratum
+),
+tot AS (
+    SELECT CAST(-1 AS BIGINT) AS stratum,
+           CAST(SUM(n_a) AS BIGINT) AS n_a, CAST(SUM(s_a) AS BIGINT) AS s_a,
+           CAST(SUM(n_b) AS BIGINT) AS n_b, CAST(SUM(s_b) AS BIGINT) AS s_b
+    FROM per
+),
+uni AS (
+    SELECT * FROM per UNION ALL SELECT * FROM tot
+),
+signed AS (
+    SELECT uni.*,
+           CAST(sign(s_a * n_b - s_b * n_a) AS INTEGER) AS assoc_sign
+    FROM uni
+)
+SELECT signed.*,
+       (signed.stratum >= 0 AND signed.assoc_sign <> 0
+        AND o.osign <> 0 AND signed.assoc_sign <> o.osign) AS reversed
+FROM signed
+CROSS JOIN (
+    SELECT CAST(sign(s_a * n_b - s_b * n_a) AS INTEGER) AS osign FROM tot
+) o
+"""
+
+
+@register(
+    "quality_simpson_reversal_audit",
+    oracle=SIMPSON_ORACLE,
+    tags=("quality", "audit"),
+)
+def quality_simpson_reversal_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's-paradox detector for cohorted A/B comparisons: per
+    stratum (user cohort = user_id mod {N}) the success-rate association
+    between two event cohorts, next to the aggregated association, with
+    a per-stratum ``reversed`` flag when the stratified sign contradicts
+    the pooled sign — the audit that catches a data mix whose pooled
+    metric says A>B while every cohort says B>A (the textbook
+    aggregation hazard for training-mix and experiment readouts).
+
+    Exactness: rate comparison s_a/n_a vs s_b/n_b is decided on the
+    BIGINT cross-product s_a·n_b − s_b·n_a (no division anywhere), so
+    sign, flag, and all counts are integer-exact cross-engine; the
+    pooled row rides stratum = −1 with reversed pinned false.
+
+    Scale: ONE scan — conditional aggregates to a |strata|-row table
+    (map-side combined), pooled row derived from the stratum table (no
+    second scan), pooled sign broadcast back as a 1-row cross join.
+    Stratum count is a literal; no global windows, no skew exposure."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(SIMPSON_GROUP_A, SIMPSON_GROUP_B)
+    )
+    s = F.when(
+        F.col("value") >= F.lit(SIMPSON_SUCCESS_VALUE), F.lit(1)
+    ).otherwise(F.lit(0))
+    is_a = F.col("event_type") == SIMPSON_GROUP_A
+    is_b = F.col("event_type") == SIMPSON_GROUP_B
+    per = (
+        ev.select(
+            (F.col("user_id") % SIMPSON_N_STRATA).alias("stratum"),
+            F.when(is_a, 1).otherwise(0).alias("a"),
+            F.when(is_a, s).otherwise(0).alias("sa"),
+            F.when(is_b, 1).otherwise(0).alias("b"),
+            F.when(is_b, s).otherwise(0).alias("sb"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum("a").cast("bigint").alias("n_a"),
+            F.sum("sa").cast("bigint").alias("s_a"),
+            F.sum("b").cast("bigint").alias("n_b"),
+            F.sum("sb").cast("bigint").alias("s_b"),
+        )
+    )
+    tot = per.agg(
+        F.lit(-1).cast("bigint").alias("stratum"),
+        F.sum("n_a").cast("bigint").alias("n_a"),
+        F.sum("s_a").cast("bigint").alias("s_a"),
+        F.sum("n_b").cast("bigint").alias("n_b"),
+        F.sum("s_b").cast("bigint").alias("s_b"),
+    )
+    cross = F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    signed = per.unionByName(tot).withColumn(
+        "assoc_sign", F.signum(cross.cast("double")).cast("int")
+    )
+    osign = tot.select(
+        F.signum(cross.cast("double")).cast("int").alias("osign")
+    )
+    return signed.crossJoin(F.broadcast(osign)).select(
+        "stratum", "n_a", "s_a", "n_b", "s_b", "assoc_sign",
+        (
+            (F.col("stratum") >= 0)
+            & (F.col("assoc_sign") != 0)
+            & (F.col("osign") != 0)
+            & (F.col("assoc_sign") != F.col("osign"))
+        ).alias("reversed"),
+    )

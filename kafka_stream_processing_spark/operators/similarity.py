@@ -3465,3 +3465,104 @@ def embedding_twonn_ivf_shortlist(
             / F.col("s").cast("double")
         ).alias("twonn_dim"),
     )
+
+
+ANISOTROPY_ORACLE = """
+WITH flat AS (
+    SELECT t.i AS dim,
+           CAST(embedding[t.i] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+per AS (
+    SELECT dim, count(*) AS n,
+           SUM(CAST(x AS DECIMAL(18,12))) AS s,
+           SUM(CAST(x * x AS DECIMAL(18,12))) AS ss
+    FROM flat GROUP BY dim
+),
+d1 AS (
+    SELECT n, ss, CAST(s AS DOUBLE) / n AS mu FROM per
+),
+d2 AS (
+    SELECT n, ss,
+           CAST(mu * mu AS DECIMAL(18,12)) AS mu2,
+           CAST(CAST(ss AS DOUBLE) / n - mu * mu
+                AS DECIMAL(18,12)) AS vr
+    FROM d1
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS dim,
+       CAST(SUM(ss) AS DOUBLE) / MAX(n) AS mean_sq_norm,
+       CAST(SUM(mu2) AS DOUBLE) AS mu_sq_norm,
+       CAST(SUM(mu2) AS DOUBLE)
+           / (CAST(SUM(ss) AS DOUBLE) / MAX(n))
+           AS common_direction_energy,
+       CAST(SUM(vr) AS DOUBLE) AS var_total,
+       CAST(MAX(vr) AS DOUBLE) / CAST(SUM(vr) AS DOUBLE)
+           AS var_max_share
+FROM d2
+"""
+
+
+@register(
+    "embedding_anisotropy_common_direction",
+    oracle=ANISOTROPY_ORACLE,
+    tags=("similarity", "statistics"),
+)
+def embedding_anisotropy_common_direction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Anisotropy audit of the embedding space: the common-direction
+    energy ‖μ‖² / E[‖x‖²] (the share of total vector energy sitting in
+    the single mean direction — the quantity "All-but-the-top" (Mu &
+    Viswanath, ICLR 2018) shows dominates trained embeddings and hurts
+    cosine retrieval) plus the per-dimension variance concentration
+    (max-dim share of total variance).  High common-direction energy ⇒
+    cosines are inflated toward 1 and the ANN/semdedup thresholds in
+    this module need recalibration or mean-centering first — this is
+    the one-row go/no-go that decides it.
+
+    Exactness: per-dim Σx and Σx² ride the DECIMAL(18,12) quantized
+    sums (order-independent); every division is float-on-exact-
+    decimal-operands with the IDENTICAL nesting in both engines; the
+    64-row final fold re-quantizes μ² and variance to decimal before
+    summing, so the one output row is bit-identical cross-engine.
+
+    Scale: one 64× pipelined row expansion (no shuffle) → 64-group
+    map-side-combined aggregate → 64-row driver-sized fold.  Nothing
+    here depends on corpus size except the one linear scan; the mean
+    vector this flags for removal is exactly what the PCA family
+    (embedding_top_pc_power_iteration) then extracts."""
+    emb = fanout(table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        F.posexplode(_as_double_array("embedding")).alias("dim", "x")
+    )
+    per = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("ss"),
+    )
+    d1 = per.select(
+        "n", "ss", (F.col("s").cast("double") / F.col("n")).alias("mu")
+    )
+    d2 = d1.select(
+        "n",
+        "ss",
+        (F.col("mu") * F.col("mu")).cast(_DEC).alias("mu2"),
+        (F.col("ss").cast("double") / F.col("n") - F.col("mu") * F.col("mu"))
+        .cast(_DEC)
+        .alias("vr"),
+    )
+    return d2.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+        (F.sum("ss").cast("double") / F.max("n")).alias("mean_sq_norm"),
+        F.sum("mu2").cast("double").alias("mu_sq_norm"),
+        (
+            F.sum("mu2").cast("double")
+            / (F.sum("ss").cast("double") / F.max("n"))
+        ).alias("common_direction_energy"),
+        F.sum("vr").cast("double").alias("var_total"),
+        (F.max("vr").cast("double") / F.sum("vr").cast("double")).alias(
+            "var_max_share"
+        ),
+    )

@@ -214,3 +214,210 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_per_100_chars"
         ),
     )
+
+
+#: Unigram-LM (SentencePiece-style) hard-EM knobs: candidate piece
+#: lengths are 1-2 chars (seed vocab = every corpus char uni/bigram),
+#: words longer than this cap are excluded IN BOTH ENGINES (bounds the
+#: DP recursion depth; nothing in the test corpus approaches it), and
+#: log-probs are scaled to integer micro-units so the Viterbi DP runs
+#: on exact BIGINT arithmetic in both engines.
+UNIGRAM_WORD_MAX_LEN = 32
+UNIGRAM_SCORE_SCALE = "1000000000000.0"  # 1e12, identical literal
+
+UNIGRAM_EM_ORACLE = f"""
+WITH RECURSIVE toks AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+words AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           length(word) AS L
+    FROM toks
+    WHERE length(word) BETWEEN 1 AND {UNIGRAM_WORD_MAX_LEN}
+    GROUP BY 1
+),
+subs AS (
+    SELECT substr(word, t.i, 1) AS piece, freq
+    FROM words, unnest(range(1, L + 1)) AS t(i)
+    UNION ALL
+    SELECT substr(word, t.i, 2) AS piece, freq
+    FROM words, unnest(range(1, L)) AS t(i)
+),
+seeds AS MATERIALIZED (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM subs GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM seeds),
+scores AS MATERIALIZED (
+    SELECT piece,
+           CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                      * {UNIGRAM_SCORE_SCALE}) AS BIGINT) AS s
+    FROM seeds CROSS JOIN tot
+),
+dp AS (
+    SELECT w.word, w.freq, w.L, 1 AS i,
+           s.s AS best, CAST('1' AS VARCHAR) AS path,
+           CAST(0 AS BIGINT) AS best_prev, CAST('' AS VARCHAR) AS path_prev
+    FROM words w JOIN scores s ON s.piece = substr(w.word, 1, 1)
+    UNION ALL
+    SELECT dp.word, dp.freq, dp.L, dp.i + 1,
+           CASE WHEN dp.best_prev + s2.s >= dp.best + s1.s
+                THEN dp.best_prev + s2.s ELSE dp.best + s1.s END,
+           CASE WHEN dp.best_prev + s2.s >= dp.best + s1.s
+                THEN dp.path_prev || '2' ELSE dp.path || '1' END,
+           dp.best, dp.path
+    FROM dp
+    JOIN scores s1 ON s1.piece = substr(dp.word, dp.i + 1, 1)
+    JOIN scores s2 ON s2.piece = substr(dp.word, dp.i, 2)
+    WHERE dp.i < dp.L
+),
+fin AS MATERIALIZED (
+    SELECT word, freq, path FROM dp WHERE i = L
+),
+walk AS (
+    SELECT word, freq, path, 1 AS idx, 1 AS pos,
+           substr(word, 1, CAST(substr(path, 1, 1) AS INT)) AS piece
+    FROM fin
+    UNION ALL
+    SELECT word, freq, path, idx + 1,
+           pos + CAST(substr(path, idx, 1) AS INT),
+           substr(word, pos + CAST(substr(path, idx, 1) AS INT),
+                  CAST(substr(path, idx + 1, 1) AS INT))
+    FROM walk WHERE idx < length(path)
+),
+newcnt AS MATERIALIZED (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM walk GROUP BY 1
+),
+tot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM newcnt)
+SELECT piece,
+       CAST(length(piece) AS BIGINT) AS piece_len,
+       cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 12) AS prob,
+       round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 12)
+           AS new_score
+FROM newcnt CROSS JOIN tot2
+"""
+
+
+@register(
+    "tokenizer_unigram_em",
+    oracle=UNIGRAM_EM_ORACLE,
+    tags=("tokenizer", "corpus"),
+)
+def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword tokenizer training, one hard-EM round
+    (Kudo, ACL 2018 — the SentencePiece unigram model; the EM
+    counterpart of this module's merge-table BPE): seed the piece
+    vocabulary with every corpus character uni/bigram scored by
+    ln(count/total), Viterbi-segment every distinct word under those
+    scores (the hard E-step), then re-estimate piece probabilities
+    from the segmentation counts (the M-step).  Output: the re-
+    estimated piece table (piece, length, count, probability, new
+    log-score) — round 2 of real training iterates exactly this.
+
+    Exactness: seed log-probs are computed ONCE in Spark SQL, scaled
+    by 1e12 and rounded to BIGINT micro-units, so the Viterbi DP is
+    pure INTEGER arithmetic — identical in the Arrow-batched pandas
+    segmenter and the oracle's recursive-CTE DP (state carries
+    (best_i, path_i, best_{{i-1}}, path_{{i-1}}), the two-term
+    recurrence for piece lengths ≤ 2; ties prefer the bigram branch
+    via the same >= in both engines).  Path reconstruction is a
+    digit-string walk, not a float in sight; the final probabilities
+    are single round-12 divisions of BIGINTs.  Both per-round CTE
+    chains are MATERIALIZED (the r11 multiplicative-inlining gotcha).
+
+    Scale: seed counting is explode → map-side-combined (piece) sums;
+    the score table is bounded by |charset| + |charset|² — a
+    broadcast-sized dict shipped into one mapInPandas over DISTINCT
+    words (embarrassingly parallel, Arrow-batched, no shuffle); the
+    M-step is one more hashed aggregation.  Nothing scales with raw
+    corpus size except the two linear scans; at 100 TB the distinct-
+    word frame is the working set, exactly as in SentencePiece's own
+    corpus-frequency input format."""
+    import pandas as pd  # noqa: F401
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(F.split("text", " ")).alias("word"))
+    words = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(
+            (F.length("word") >= 1)
+            & (F.length("word") <= UNIGRAM_WORD_MAX_LEN)
+        )
+        .withColumn("L", F.length("word"))
+    )
+    subs1 = words.select(
+        F.explode(F.expr("sequence(1, L)")).alias("i"), "word", "freq"
+    ).select(F.expr("substring(word, i, 1)").alias("piece"), "freq")
+    subs2 = (
+        words.filter(F.col("L") >= 2)
+        .select(
+            F.explode(F.expr("sequence(1, L - 1)")).alias("i"),
+            "word",
+            "freq",
+        )
+        .select(F.expr("substring(word, i, 2)").alias("piece"), "freq")
+    )
+    seeds = (
+        subs1.unionByName(subs2)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    tot = seeds.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scores = seeds.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * F.lit(float(UNIGRAM_SCORE_SCALE)),
+            0,
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    # The score table is charset-bounded (sketch-sized) by construction:
+    # collect once, ship as a closure dict into the Arrow segmenter.
+    score_map = {r["piece"]: int(r["s"]) for r in scores.collect()}
+
+    def _segment(batches):
+        for pdf in batches:
+            agg: dict[str, int] = {}
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                L = len(word)
+                best_prev, path_prev = 0, ""
+                best, path = score_map[word[0]], "1"
+                for i in range(1, L):
+                    s1 = score_map[word[i]]
+                    s2 = score_map[word[i - 1 : i + 1]]
+                    cand_bi = best_prev + s2
+                    cand_uni = best + s1
+                    if cand_bi >= cand_uni:
+                        nbest, npath = cand_bi, path_prev + "2"
+                    else:
+                        nbest, npath = cand_uni, path + "1"
+                    best_prev, path_prev = best, path
+                    best, path = nbest, npath
+                pos = 0
+                for ch in path:
+                    ln_p = int(ch)
+                    piece = word[pos : pos + ln_p]
+                    pos += ln_p
+                    agg[piece] = agg.get(piece, 0) + int(freq)
+            yield pd.DataFrame(
+                {"piece": list(agg.keys()), "wcnt": list(agg.values())}
+            )
+
+    newcnt = (
+        words.select("word", "freq")
+        .mapInPandas(_segment, "piece string, wcnt long")
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("bigint").alias("cnt"))
+    )
+    tot2 = newcnt.agg(F.sum("cnt").cast("bigint").alias("total"))
+    prob = F.col("cnt").cast("double") / F.col("total").cast("double")
+    return newcnt.crossJoin(F.broadcast(tot2)).select(
+        "piece",
+        F.length("piece").cast("bigint").alias("piece_len"),
+        "cnt",
+        F.round(prob, 12).alias("prob"),
+        F.round(F.log(prob), 12).alias("new_score"),
+    )

