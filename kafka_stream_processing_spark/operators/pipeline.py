@@ -2184,3 +2184,80 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_hits"),
         )
     )
+
+
+#: Number of leakage-free group folds.
+GROUP_KFOLD_K = 5
+
+GROUP_KFOLD_ORACLE = f"""
+WITH assign AS (
+    SELECT source,
+           CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+               % {GROUP_KFOLD_K} AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM assign)
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(n_docs) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 12)
+           AS doc_share
+FROM assign CROSS JOIN tot
+GROUP BY fold
+"""
+
+
+@register(
+    "sample_group_kfold_hash",
+    oracle=GROUP_KFOLD_ORACLE,
+    tags=("sample", "pipeline"),
+)
+def sample_group_kfold_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free group k-fold assignment: every document's fold is a
+    deterministic hash of its SOURCE, so all documents sharing a source
+    land in the same fold — the split discipline that keeps near-
+    duplicate documents from one crawl domain out of both train and
+    held-out folds (random per-document splits leak shared boilerplate
+    and inflate eval; cf. group k-fold in scikit-learn, here hash-
+    assigned so the split is stable under corpus growth: adding a new
+    source never moves an existing one).  Output is the fold-level
+    audit: source/doc/token counts and the doc share per fold — the
+    imbalance table that decides whether K or the grouping key needs
+    revisiting.
+
+    Exactness: fold = md5-derived 60-bit hash64(source) mod K (the
+    house cross-engine hash, both operands nonnegative so both engines'
+    % agree); all counts BIGINT; one round-12 division for the share.
+
+    Scale: ONE map-side-combined groupBy(source, fold) — fold is a
+    function of the group key so it adds nothing to the shuffle — then
+    a K-row rollup.  Assignment of the full corpus (doc_id → fold) is
+    the same expression as a narrow projection, no shuffle at all;
+    this query materializes only the audit."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    assign = d.groupBy(
+        "source",
+        (hash64(F.col("source")) % GROUP_KFOLD_K).alias("fold"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = assign.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    return (
+        assign.crossJoin(F.broadcast(tot))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_docs").cast("double") / F.max("n").cast("double"),
+                12,
+            ).alias("doc_share"),
+        )
+    )

@@ -1338,3 +1338,229 @@ def quality_simpson_reversal_audit(
             & (F.col("assoc_sign") != F.col("osign"))
         ).alias("reversed"),
     )
+
+
+#: t-closeness release threshold (Li, Li & Venkatasubramanian, ICDE
+#: 2007): a QI group violates when TVD(group, global) > 1/5.  The
+#: comparison is done on the BIGINT cross-product num·5 > 2·k·N so the
+#: flag is integer-exact.
+T_CLOSENESS_DEN = 5
+
+T_CLOSENESS_ORACLE = f"""
+WITH cells AS (
+    SELECT lang, n_chars // {KANON_BUCKET_CHARS} AS len_bucket,
+           source, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2, 3
+),
+gsrc AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS cv FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n FROM gsrc),
+j AS (
+    SELECT cells.lang, cells.len_bucket, cells.c, gsrc.cv, tot.n,
+           SUM(cells.c) OVER (
+               PARTITION BY cells.lang, cells.len_bucket
+           ) AS k
+    FROM cells JOIN gsrc USING (source) CROSS JOIN tot
+),
+agg AS (
+    SELECT lang, len_bucket,
+           MAX(k) AS k, MAX(n) AS n,
+           SUM(ABS(c * n - k * cv) - k * cv) + MAX(k) * MAX(n) AS num
+    FROM j GROUP BY lang, len_bucket
+)
+SELECT lang,
+       CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(k AS BIGINT) AS k,
+       CAST(num AS DOUBLE) / CAST(2 * k * n AS DOUBLE) AS tvd,
+       (num * {T_CLOSENESS_DEN} > 2 * k * n) AS violates_t
+FROM agg
+"""
+
+
+@register(
+    "quality_t_closeness_audit",
+    oracle=T_CLOSENESS_ORACLE,
+    tags=("quality", "privacy"),
+)
+def quality_t_closeness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t-closeness audit — the third leg of the privacy triad after
+    k-anonymity (re-identification) and l-diversity (attribute
+    diversity): a group can be k-anonymous AND l-diverse while its
+    sensitive-value DISTRIBUTION still leaks (90/10 where the corpus
+    is 50/50 tells an attacker plenty).  Li et al. (ICDE 2007): flag
+    QI groups whose distance to the global sensitive distribution
+    exceeds t; for categorical attributes the EMD reduces to total
+    variation distance TVD = ½ Σ_v |p_v − q_v|.  Same QI convention
+    as the sibling audits (lang, KANON_BUCKET_CHARS length bucket),
+    sensitive = source.
+
+    Exactness: the same common-denominator BIGINT fold as
+    corpus_term_dispersion_gries_dp — per present value the group
+    contributes |c_v·N − k·C_v|, absent values close algebraically as
+    k·N − Σ_present k·C_v, ONE float division per group for the
+    reported TVD, and the violates_t flag never divides (num·5 >
+    2·k·N cross-product).
+
+    Scale: one map-side-combined groupBy over (QI, sensitive) cells
+    (attribute-domain bounded), global value counts broadcast, group
+    size via a hash-partitioned window on the QI key — the l-diversity
+    cost shape exactly."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    cells = d.groupBy(
+        "lang",
+        F.expr(f"n_chars div {KANON_BUCKET_CHARS}").alias("len_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    glob = cells.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("cv")
+    )
+    tot = glob.agg(F.sum("cv").cast("bigint").alias("n"))
+    j = (
+        cells.join(F.broadcast(glob), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "k",
+            F.sum("c").over(Window.partitionBy("lang", "len_bucket")),
+        )
+    )
+    present = (
+        F.abs(F.col("c") * F.col("n") - F.col("k") * F.col("cv"))
+        - F.col("k") * F.col("cv")
+    )
+    agg = j.groupBy("lang", "len_bucket").agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        (F.sum(present) + F.max("k") * F.max("n")).alias("num"),
+    )
+    two = F.lit(2).cast("bigint")
+    return agg.select(
+        "lang",
+        F.col("len_bucket").cast("bigint").alias("len_bucket"),
+        F.col("k").cast("bigint").alias("k"),
+        (
+            F.col("num").cast("double")
+            / (two * F.col("k") * F.col("n")).cast("double")
+        ).alias("tvd"),
+        (
+            F.col("num") * T_CLOSENESS_DEN > two * F.col("k") * F.col("n")
+        ).alias("violates_t"),
+    )
+
+
+JACKKNIFE_ORACLE = """
+WITH per AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_i,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s_i
+    FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS g,
+           CAST(SUM(n_i) AS BIGINT) AS n,
+           CAST(SUM(s_i) AS BIGINT) AS s
+    FROM per
+),
+th AS (
+    SELECT g, n, s,
+           round(CAST(s - s_i AS DOUBLE) / CAST(n - n_i AS DOUBLE), 12)
+               AS ti
+    FROM per CROSS JOIN tot
+),
+bar AS (
+    SELECT CAST(SUM(CAST(ti AS DECIMAL(38,12))) AS DOUBLE) / MAX(g)
+               AS tbar
+    FROM th
+),
+sq AS (
+    SELECT th.g, th.n, th.s, th.ti, bar.tbar FROM th CROSS JOIN bar
+)
+SELECT CAST(MAX(g) AS BIGINT) AS g,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       round(CAST(MAX(s) AS DOUBLE) / MAX(n), 12) AS theta_hat,
+       round(sqrt(CAST(MAX(g) - 1 AS DOUBLE) / MAX(g)
+                  * CAST(SUM(CAST(round((ti - tbar) * (ti - tbar), 12)
+                                  AS DECIMAL(38,12))) AS DOUBLE)), 12)
+           AS jk_se
+FROM sq
+"""
+
+
+@register(
+    "quality_jackknife_source_variance",
+    oracle=JACKKNIFE_ORACLE,
+    tags=("quality", "statistics"),
+)
+def quality_jackknife_source_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-one-group jackknife standard error (Quenouille/Tukey;
+    delete-a-group form per Kott 2001) for the corpus mean tokens-per-
+    document, grouped by source — DETERMINISTIC resampling-based
+    uncertainty with no RNG anywhere: θ̂_(i) recomputes the mean with
+    source i deleted, and the jackknife variance (g−1)/g · Σ(θ̂_(i) −
+    θ̄)² prices how much any single source swings the corpus statistic
+    (the question a data-mix owner actually asks before adding or
+    dropping a crawl shard).  Complements the drift tests (which
+    compare two fixed slices) by quantifying estimator stability.
+
+    Exactness: every θ̂_(i) is one round-12 division of BIGINT sums
+    (closed form from per-source totals — the statistic is never
+    recomputed by re-scanning); θ̄ and the squared deviations ride the
+    DECIMAL(38,12) quantized-sum discipline; one sqrt at the end,
+    round-12.
+
+    Scale: one map-side-combined groupBy(source) is the only corpus
+    pass; everything after runs on the |sources|-row frame (broadcast
+    cross joins of 1-row totals).  Generalizes to delete-a-group
+    jackknife over hash buckets when |sources| is too small or too
+    large — same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("s_i"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s_i").cast("bigint").alias("s"),
+    )
+    th = per.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n",
+        "s",
+        F.round(
+            (F.col("s") - F.col("s_i")).cast("double")
+            / (F.col("n") - F.col("n_i")).cast("double"),
+            12,
+        ).alias("ti"),
+    )
+    bar = th.agg(
+        (
+            F.sum(F.col("ti").cast("decimal(38,12)")).cast("double")
+            / F.max("g")
+        ).alias("tbar")
+    )
+    sq = th.crossJoin(F.broadcast(bar))
+    dev = (F.col("ti") - F.col("tbar")) * (F.col("ti") - F.col("tbar"))
+    return sq.agg(
+        F.max("g").cast("bigint").alias("g"),
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.round(F.max("s").cast("double") / F.max("n"), 12).alias(
+            "theta_hat"
+        ),
+        F.round(
+            F.sqrt(
+                (F.max("g") - 1).cast("double")
+                / F.max("g")
+                * F.sum(
+                    F.round(dev, 12).cast("decimal(38,12)")
+                ).cast("double")
+            ),
+            12,
+        ).alias("jk_se"),
+    )

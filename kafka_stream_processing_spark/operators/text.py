@@ -2495,3 +2495,92 @@ def text_sttr_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sttr"),
         "n_chunks",
     )
+
+
+#: Unicode script classes for the script-mix profile: each maps to a
+#: single-char regex character class; endpoints are LITERAL characters
+#: (not engine-specific escapes) so Java regex and DuckDB RE2 see the
+#: identical pattern.
+SCRIPT_CLASSES = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "space": "[ ]",
+    "thai": "[฀-๿]",
+    "cjk": "[一-鿿]",
+}
+
+
+def _script_count(cls_pattern: str) -> Column:
+    """Chars of a class = length lost when the class is deleted."""
+    return (
+        F.length("text")
+        - F.length(F.regexp_replace("text", cls_pattern, ""))
+    ).cast("bigint")
+
+
+def _script_oracle() -> str:
+    cnt = {
+        k: (
+            "CAST(length(text) - length(regexp_replace(text, '"
+            + pat.replace("'", "''")
+            + "', '', 'g')) AS BIGINT)"
+        )
+        for k, pat in SCRIPT_CLASSES.items()
+    }
+    cols = ",\n           ".join(
+        f"{expr} AS n_{k}" for k, expr in cnt.items()
+    )
+    rest = " - ".join(f"n_{k}" for k in SCRIPT_CLASSES)
+    return f"""
+    WITH counted AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {cols}
+        FROM documents
+    )
+    SELECT counted.*,
+           CAST(n_chars - {rest} AS BIGINT) AS n_other
+    FROM counted
+    """
+
+
+@register(
+    "text_script_mix_profile",
+    oracle=_script_oracle(),
+    tags=("text", "multilingual"),
+)
+def text_script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script composition: character counts by
+    script class (basic-Latin letters, ASCII digits, spaces, Thai,
+    CJK unified ideographs, other) — the language-routing signal a
+    multilingual curation pipeline reads BEFORE language-ID (a doc
+    that is 40% CJK and 40% Latin goes to a different pipeline than
+    either pure stream, and char-n-gram langid over such a mix is
+    garbage-in).  Complements text_langid_char_ngram_profile (which
+    assumes a dominant script) and quality_oov_rate_by_source.
+
+    Exactness: every count is `length(text) − length(text with the
+    class deleted)` — pure BIGINT, zero floats; the class patterns are
+    single-char character classes with LITERAL endpoint characters so
+    Java regex and DuckDB RE2 compile the identical automaton; `other`
+    closes the partition by subtraction.
+
+    Scale: narrow per-document expression chain (regexp_replace +
+    length inside whole-stage codegen), zero shuffle, zero Python —
+    divides by executor count; the class list extends to the full
+    Unicode script table without changing the plan shape."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    counts = [
+        _script_count(pat).alias(f"n_{k}")
+        for k, pat in SCRIPT_CLASSES.items()
+    ]
+    counted = d.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars"), *counts
+    )
+    rest = None
+    for k in SCRIPT_CLASSES:
+        c = F.col(f"n_{k}")
+        rest = c if rest is None else rest + c
+    return counted.withColumn(
+        "n_other", (F.col("n_chars") - rest).cast("bigint")
+    )

@@ -232,6 +232,10 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "embedding_anisotropy_common_direction",
     "dedup_fellegi_sunter_linkage",
     "tokenizer_unigram_em",
+    "text_script_mix_profile",
+    "quality_t_closeness_audit",
+    "quality_jackknife_source_variance",
+    "sample_group_kfold_hash",
     # -- §2 reference-parity names unpinned for r12 only (all
     # -- multi-round hash-green; re-pinned in r13) --
     "events_per_minute",

@@ -143,3 +143,98 @@ def test_unigram_em_segmentation_accounting(spark, sf_small):
     for _, r in out.iterrows():
         want = round(math.log(int(r["cnt"]) / total), 12)
         assert abs(r["new_score"] - want) < 1e-11
+
+
+def test_script_mix_partition(spark, sf_small):
+    """Class counts partition the character count: all nonnegative and
+    Σ class counts + n_other = n_chars; n_chars matches length(text)."""
+    from kafka_stream_processing_spark.operators.text import (
+        SCRIPT_CLASSES,
+        text_script_mix_profile,
+    )
+
+    out = text_script_mix_profile(spark, sf_small).toPandas()
+    cols = [f"n_{k}" for k in SCRIPT_CLASSES] + ["n_other"]
+    for c in cols:
+        assert (out[c] >= 0).all(), c
+    assert (out[cols].sum(axis=1) == out["n_chars"]).all()
+
+
+def test_t_closeness_bounds_and_flag(spark, sf_small):
+    """TVD ∈ [0, 1]; violates_t agrees with tvd > 0.2 recomputed in
+    pandas; group sizes sum to corpus size."""
+    from kafka_stream_processing_spark.operators.quality_audit import (
+        quality_t_closeness_audit,
+    )
+
+    out = quality_t_closeness_audit(spark, sf_small).toPandas()
+    assert ((out["tvd"] >= 0) & (out["tvd"] <= 1)).all()
+    for _, r in out.iterrows():
+        assert bool(r["violates_t"]) == (r["tvd"] > 0.2)
+    n_docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    assert int(out["k"].sum()) == n_docs
+
+
+def test_jackknife_matches_numpy_replay(spark, sf_small):
+    """The jackknife SE must match a pandas/numpy replay of the same
+    formula from the same per-source totals (round-12 tolerances)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.operators.quality_audit import (
+        quality_jackknife_source_variance,
+    )
+
+    out = quality_jackknife_source_variance(spark, sf_small).toPandas()
+    assert len(out) == 1
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(F.size(F.split("text", " "))).alias("s_i"),
+        )
+        .toPandas()
+    )
+    g = len(per)
+    n, s = per["n_i"].sum(), per["s_i"].sum()
+    ti = [
+        round((s - si) / (n - ni), 12)
+        for si, ni in zip(per["s_i"], per["n_i"])
+    ]
+    tbar = sum(ti) / g
+    var = (g - 1) / g * sum(round((t - tbar) ** 2, 12) for t in ti)
+    r = out.iloc[0]
+    assert int(r["g"]) == g and int(r["n_docs"]) == n
+    assert abs(r["theta_hat"] - round(s / n, 12)) < 1e-9
+    assert abs(r["jk_se"] - round(math.sqrt(var), 12)) < 1e-9
+
+
+def test_group_kfold_leakage_free_and_complete(spark, sf_small):
+    """Fold shares sum to 1; doc/source counts sum to corpus totals;
+    re-deriving the assignment per document confirms every doc of a
+    source shares its fold (structural, since fold is a function of
+    source — this guards the hash mirror)."""
+    from kafka_stream_processing_spark.operators.dedup import hash64
+    from kafka_stream_processing_spark.operators.pipeline import (
+        GROUP_KFOLD_K,
+        sample_group_kfold_hash,
+    )
+    from pyspark.sql import functions as F
+
+    out = sample_group_kfold_hash(spark, sf_small).toPandas()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assert int(out["n_docs"].sum()) == docs.count()
+    assert abs(out["doc_share"].sum() - 1.0) < 1e-9
+    assert set(out["fold"]) <= set(range(GROUP_KFOLD_K))
+    per_doc = docs.select(
+        (hash64(F.col("source")) % GROUP_KFOLD_K).alias("fold"), "source"
+    )
+    assert (
+        per_doc.groupBy("source")
+        .agg(F.countDistinct("fold").alias("d"))
+        .filter(F.col("d") > 1)
+        .count()
+        == 0
+    )
