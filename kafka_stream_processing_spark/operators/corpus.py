@@ -1673,3 +1673,135 @@ def corpus_term_dispersion_gries_dp(
             ).cast("double")
         ).alias("dp_norm"),
     )
+
+
+AMS_JOIN_ORACLE = f"""
+    WITH a_items AS (
+        SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        WHERE event_type = 'click'
+    ),
+    b_items AS (
+        SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        WHERE event_type = 'purchase'
+    ),
+    za AS (
+        SELECT u.r AS r,
+               CAST(SUM({_ams_sign_sql("item", "u.r")}) AS BIGINT) AS zr
+        FROM a_items, unnest(generate_series(0, {AMS_R - 1})) u(r)
+        GROUP BY 1
+    ),
+    zb AS (
+        SELECT u.r AS r,
+               CAST(SUM({_ams_sign_sql("item", "u.r")}) AS BIGINT) AS zr
+        FROM b_items, unnest(generate_series(0, {AMS_R - 1})) u(r)
+        GROUP BY 1
+    ),
+    groups AS (
+        SELECT za.r // {AMS_PER_GROUP} AS g,
+               CAST(SUM(za.zr * zb.zr) AS BIGINT) AS gsum
+        FROM za JOIN zb ON za.r = zb.r
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT gsum, row_number() OVER (ORDER BY gsum, g) AS rk
+        FROM groups
+    ),
+    med AS (
+        SELECT CAST(SUM(gsum) AS BIGINT) AS med2
+        FROM ranked WHERE rk IN (2, 3)
+    ),
+    truth AS (
+        SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_true,
+               CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b
+        FROM (
+            SELECT item, count(*) AS ca FROM a_items GROUP BY 1
+        ) a
+        JOIN (
+            SELECT item, count(*) AS cb FROM b_items GROUP BY 1
+        ) b USING (item)
+    )
+    SELECT t.n_a, t.n_b, t.join_true,
+           CAST(m.med2 AS DOUBLE) / {2 * AMS_PER_GROUP} AS join_est,
+           CAST(m.med2 AS DOUBLE) / {2 * AMS_PER_GROUP} / t.join_true
+               - 1.0E0 AS rel_err
+    FROM truth t, med m
+    """
+
+
+@register(
+    "sketch_ams_join_size_estimate",
+    oracle=AMS_JOIN_ORACLE,
+    tags=("sketch", "frequency", "planning"),
+)
+def sketch_ams_join_size_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AMS join-size estimation (Alon, Gibbons, Matias & Szegedy, PODS
+    1999): the inner product Σ_k f_A(k)·f_B(k) — the equi-join output
+    cardinality — estimated from two INDEPENDENTLY BUILT Tug-of-War
+    sketches sharing one sign function: E[Z_A,r·Z_B,r] = |A ⋈ B|.
+    This is the query-planning use of the AMS kernel (the F2 sketch
+    prices self-join skew; this one prices the click ⋈ purchase
+    attribution join before running it — the number a cost-based
+    optimizer or a salting decision actually consumes), demonstrated
+    on the per-user click/purchase frequency vectors.
+
+    Exactness: both Z vectors ride the shared md5-parity sign kernel
+    (``ams_sign_col`` / ``_ams_sign_sql``); products, group sums and
+    the (2nd+3rd)-order-stat median are BIGINT; ONE division by the
+    literal 2·AMS_PER_GROUP; truth Σ c_a·c_b is an exact BIGINT join
+    audit.
+
+    Scale: each side folds to AMS_R integers with one explode +
+    map-side-combined SUM and NEVER sees the other side — the two
+    sketches meet in a 16-row join.  That is the whole point: at
+    100 TB the planner gets the join cardinality without shuffling
+    either table; the sketches are linear, so per-shard/per-day
+    Z vectors merge by addition.  The exact-truth audit side is the
+    groupBy-join the sketch replaces."""
+    ev = table(spark, sf_dir, "events")
+    a_items = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    b_items = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    za = ams_z(a_items).withColumnRenamed("zr", "za")
+    zb = ams_z(b_items).withColumnRenamed("zr", "zb")
+    groups = (
+        za.join(zb, "r")
+        .select(
+            (F.col("r") / AMS_PER_GROUP).cast("bigint").alias("g"),
+            (F.col("za") * F.col("zb")).alias("p"),
+        )
+        .groupBy("g")
+        .agg(F.sum("p").cast("bigint").alias("gsum"))
+    )
+    from pyspark.sql import Window
+
+    ranked = groups.select(
+        "gsum",
+        F.row_number().over(Window.orderBy("gsum", "g")).alias("rk"),
+    )
+    med = ranked.filter(F.col("rk").isin(2, 3)).agg(
+        F.sum("gsum").cast("bigint").alias("med2")
+    )
+    ca = a_items.groupBy("item").agg(F.count(F.lit(1)).alias("ca"))
+    cb = b_items.groupBy("item").agg(F.count(F.lit(1)).alias("cb"))
+    truth = ca.join(cb, "item").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("join_true"),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    den = float(2 * AMS_PER_GROUP)
+    return truth.crossJoin(F.broadcast(med)).select(
+        "n_a",
+        "n_b",
+        "join_true",
+        (F.col("med2").cast("double") / F.lit(den)).alias("join_est"),
+        (
+            F.col("med2").cast("double") / F.lit(den) / F.col("join_true")
+            - F.lit(1.0)
+        ).alias("rel_err"),
+    )

@@ -236,6 +236,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_t_closeness_audit",
     "quality_jackknife_source_variance",
     "sample_group_kfold_hash",
+    "sketch_ams_join_size_estimate",
     # -- §2 reference-parity names unpinned for r12 only (all
     # -- multi-round hash-green; re-pinned in r13) --
     "events_per_minute",

@@ -238,3 +238,43 @@ def test_group_kfold_leakage_free_and_complete(spark, sf_small):
         .count()
         == 0
     )
+
+
+def test_ams_join_size_truth_and_linearity(spark, sf_small):
+    """join_true must equal the exact pandas recomputation; the sketch
+    estimate must be within the AMS error envelope for this geometry
+    (generous bound — the pinned cross-engine value is what the oracle
+    checks); sketches built on split halves of A must sum to the full
+    sketch (linearity)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.operators.corpus import (
+        ams_z,
+        sketch_ams_join_size_estimate,
+    )
+
+    out = sketch_ams_join_size_estimate(spark, sf_small).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").toPandas()
+    ca = ev[ev.event_type == "click"].groupby("user_id").size()
+    cb = ev[ev.event_type == "purchase"].groupby("user_id").size()
+    want = int((ca * cb).dropna().sum())
+    assert int(r["join_true"]) == want
+    assert abs(r["rel_err"]) < 5.0  # envelope, not precision, at tiny sf
+    # linearity: Z(first half) + Z(second half) == Z(all)
+    a = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").cast("string").alias("item"),
+                "event_id")
+    )
+    z_all = ams_z(a.select("item")).toPandas().set_index("r")["zr"]
+    z1 = ams_z(
+        a.filter(F.col("event_id") % 2 == 0).select("item")
+    ).toPandas().set_index("r")["zr"]
+    z2 = ams_z(
+        a.filter(F.col("event_id") % 2 == 1).select("item")
+    ).toPandas().set_index("r")["zr"]
+    merged = z1.add(z2, fill_value=0)
+    assert (merged.sort_index() == z_all.sort_index()).all()
