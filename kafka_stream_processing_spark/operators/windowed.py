@@ -9139,3 +9139,153 @@ def window_lyapunov_rosenstein_daily(
     return pivoted.select(
         *out_cols, F.expr(_lyap_slope_expr()).alias("lyapunov_slope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram of the daily series (frequency-domain seasonality)
+# ---------------------------------------------------------------------------
+
+#: Candidate periods (days) the periodogram is evaluated at.
+PERIODOGRAM_PERIODS = tuple(range(2, 11))
+#: 2π as one shared literal so both engines feed trig identical args.
+TWO_PI_LITERAL = "6.283185307179586"
+
+
+@register(
+    "window_periodogram_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01' AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS n,
+               CAST(SUM(x) AS DOUBLE) / count(*) AS mu,
+               MIN(d) AS dmin
+        FROM daily
+    ),
+    dev AS (
+        SELECT d - dmin AS t, CAST(x AS DOUBLE) - mu AS e, n
+        FROM daily, tot
+    ),
+    ps AS (
+        SELECT unnest(generate_series({PERIODOGRAM_PERIODS[0]},
+                                      {PERIODOGRAM_PERIODS[-1]})) AS p
+    ),
+    terms AS (
+        SELECT ps.p, dev.n,
+               CAST(round(e * round(cos({TWO_PI_LITERAL} * t / ps.p), 12),
+                          6) AS DECIMAL(18,6)) AS ec,
+               CAST(round(e * round(sin({TWO_PI_LITERAL} * t / ps.p), 12),
+                          6) AS DECIMAL(18,6)) AS es
+        FROM ps JOIN dev ON TRUE
+    ),
+    spec AS (
+        SELECT p, MAX(n) AS n_days,
+               CAST(SUM(ec) AS DOUBLE) AS re,
+               CAST(SUM(es) AS DOUBLE) AS im
+        FROM terms GROUP BY p
+    ),
+    powr AS (
+        SELECT p, n_days, (re * re + im * im) / n_days AS power
+        FROM spec
+    ),
+    ranked AS (
+        SELECT powr.*,
+               row_number() OVER (ORDER BY power DESC, p) AS rk
+        FROM powr
+    )
+    SELECT CAST(p AS INT) AS period,
+           CAST(n_days AS BIGINT) AS n_days,
+           power,
+           (rk = 1) AS is_dominant
+    FROM ranked
+    """,
+    tags=("windowed", "timeseries", "statistics"),
+)
+def window_periodogram_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Periodogram of total daily revenue at candidate periods 2..10
+    days — the FREQUENCY-domain seasonality detector beside the
+    time-domain ACF (ACF(7) says 'lag-7 correlation exists';
+    P(p) = (Σe_t cos(2πt/p))² + (Σe_t sin(2πt/p))² / n says which
+    period carries the most energy even when phase drifts or several
+    cycles overlap — the Schuster periodogram at a literal period
+    grid).  The argmax row is flagged is_dominant, tie-broken to the
+    shortest period.
+
+    Exactness: the demeaned series rides the ACF kernel's exact
+    decimal daily sums; trig factors are round-12 of cos/sin on the
+    IDENTICAL double argument (one shared 2π literal, day index t
+    relative to the series start); each product re-quantizes round-6
+    DECIMAL before the order-independent sum; the power is the
+    identical square-and-add nesting in both engines, so the argmax
+    compares identical doubles.
+
+    Scale: events collapse to the calendar-sized daily table in one
+    map-side-combined pass; the period sweep is a |periods| × days
+    broadcast fan-out (both literal-bounded); the ranked window runs
+    on |periods| rows.  Per-key spectra at 100 TB: partition dev by
+    series key, same plan."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(dec("value")).alias("x"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias("d"),
+            "x",
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.min("d").alias("dmin"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        (F.col("d") - F.col("dmin")).alias("t"),
+        (F.col("x").cast("double") - F.col("mu")).alias("e"),
+        "n",
+    )
+    ps = spark.range(
+        PERIODOGRAM_PERIODS[0], PERIODOGRAM_PERIODS[-1] + 1
+    ).select(F.col("id").cast("bigint").alias("p"))
+    two_pi = F.lit(float(TWO_PI_LITERAL))
+    ang = two_pi * F.col("t") / F.col("p")
+    terms = F.broadcast(ps).crossJoin(dev).select(
+        "p",
+        "n",
+        F.round(F.col("e") * F.round(F.cos(ang), 12), 6)
+        .cast("decimal(18,6)")
+        .alias("ec"),
+        F.round(F.col("e") * F.round(F.sin(ang), 12), 6)
+        .cast("decimal(18,6)")
+        .alias("es"),
+    )
+    spec = terms.groupBy("p").agg(
+        F.max("n").alias("n_days"),
+        F.sum("ec").cast("double").alias("re"),
+        F.sum("es").cast("double").alias("im"),
+    )
+    powr = spec.select(
+        "p",
+        "n_days",
+        (
+            (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+            / F.col("n_days")
+        ).alias("power"),
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = powr.withColumn(
+        "rk",
+        F.row_number().over(_W.orderBy(F.col("power").desc(), "p")),
+    )
+    return ranked.select(
+        F.col("p").cast("int").alias("period"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "power",
+        (F.col("rk") == 1).alias("is_dominant"),
+    )

@@ -237,6 +237,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_jackknife_source_variance",
     "sample_group_kfold_hash",
     "sketch_ams_join_size_estimate",
+    "window_periodogram_daily",
     # -- §2 reference-parity names unpinned for r12 only (all
     # -- multi-round hash-green; re-pinned in r13) --
     "events_per_minute",

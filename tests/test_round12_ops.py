@@ -278,3 +278,21 @@ def test_ams_join_size_truth_and_linearity(spark, sf_small):
     ).toPandas().set_index("r")["zr"]
     merged = z1.add(z2, fill_value=0)
     assert (merged.sort_index() == z_all.sort_index()).all()
+
+
+def test_periodogram_parseval_and_dominance(spark, sf_small):
+    """Exactly one dominant row; power ≥ 0 everywhere; the dominant
+    period has max power with smallest-period tie-break; n_days
+    constant across rows."""
+    from kafka_stream_processing_spark.operators.windowed import (
+        window_periodogram_daily,
+    )
+
+    out = window_periodogram_daily(spark, sf_small).toPandas()
+    assert (out["power"] >= 0).all()
+    assert len(set(out["n_days"])) == 1
+    dom = out[out["is_dominant"]]
+    assert len(dom) == 1
+    pmax = out["power"].max()
+    best = out[out["power"] == pmax].sort_values("period").iloc[0]
+    assert int(dom.iloc[0]["period"]) == int(best["period"])
