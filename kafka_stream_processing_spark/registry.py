@@ -142,6 +142,24 @@ def _load() -> None:
 #: pins (25 + 12 = 37 rows, leaving 13 re-confirm slots — the
 #: arithmetic ADDS UP this time).  New registrations stay CAPPED
 #: below ~20/round; r12 additions append at the very END.
+#: The full reference-parity (§2) pin set, restored as ranks 1-12 when
+#: the rotation has slack (tools/coverage_ledger.py --next emits the
+#: next round's slice from this constant — never hand-write it).
+REFERENCE_PARITY_PINS: tuple[str, ...] = (
+    "unique_users_per_minute",
+    "events_per_minute",
+    "unique_users_per_minute_approx",
+    "unique_user_set_per_minute",
+    "unique_users_sliding_window",
+    "session_windows_per_user",
+    "unique_users_daily_by_type",
+    "scalar_json_event_props",
+    "scalar_json_schema_parse",
+    "filter_project_events",
+    "stream_unique_users_per_minute",
+    "stream_eos_transactional_roundtrip",
+)
+
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
     # -- pinned (slimmed for r12–r13): flagship + 3 rotating §2 --
     "unique_users_per_minute",

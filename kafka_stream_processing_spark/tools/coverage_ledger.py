@@ -51,8 +51,13 @@ def compute(repo_root: str = ".") -> dict:
     }
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
+    import sys
+
     from kafka_stream_processing_spark import registry
+
+    argv = sys.argv[1:] if argv is None else argv
+    project_next = "--next" in argv
 
     ledger = compute()
     specs = registry.all_specs()
@@ -71,6 +76,27 @@ def main() -> None:
     print(f"backlog (never hash-green, rotation order): {len(backlog)}")
     for n in backlog:
         print(f"  {n}")
+
+    if project_next:
+        # Project the NEXT round's rotation slice, assuming the current
+        # first-50 window's oracle rows land green (VERDICT r11 item 7:
+        # the slice is emitted by this tool, never hand-written).
+        first50 = list(specs)[:50]
+        projected = green | {n for n in first50 if n in set(with_oracle)}
+        nxt = [n for n in with_oracle if n not in projected]
+        pins = list(registry.REFERENCE_PARITY_PINS)
+        slice_rows = pins + [n for n in nxt if n not in pins]
+        free = 50 - len(slice_rows)
+        print()
+        print(f"projected hash-green after this round: "
+              f"{len(projected)}/{len(with_oracle)}")
+        print(f"next-round slice: {len(pins)} §2 pins + {len(nxt)} backlog "
+              f"+ {free} free re-confirm slots")
+        for n in slice_rows:
+            print(f"  {n}")
+        if free < 0:
+            print(f"  WARNING: slice OVERFLOWS the 50-row window by "
+                  f"{-free} — slim the pins (the r11 arithmetic lesson)")
 
 
 if __name__ == "__main__":
