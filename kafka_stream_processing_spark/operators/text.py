@@ -2584,3 +2584,114 @@ def text_script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn(
         "n_other", (F.col("n_chars") - rest).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa across three language raters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_fleiss_kappa_langid",
+    oracle=f"""
+    WITH preds AS ({_LANGID_ORACLE}),
+    per_item AS (
+        SELECT 3 + 2 * (
+                   (CASE WHEN labeled_lang = predicted_lang
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN labeled_lang = 'en' THEN 1 ELSE 0 END)
+                 + (CASE WHEN predicted_lang = 'en' THEN 1 ELSE 0 END)
+               ) AS s_i
+        FROM preds
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(s_i) AS BIGINT) AS s
+        FROM per_item
+    ),
+    assigns AS (
+        SELECT labeled_lang AS cls FROM preds
+        UNION ALL SELECT predicted_lang FROM preds
+        UNION ALL SELECT 'en' FROM preds
+    ),
+    cats AS (
+        SELECT CAST(SUM(cj * cj) AS BIGINT) AS e FROM (
+            SELECT count(*) AS cj FROM assigns GROUP BY cls
+        )
+    )
+    SELECT n_docs,
+           CAST(3 AS BIGINT) AS n_raters,
+           CAST(s - 3 * n_docs AS DOUBLE)
+               / CAST(6 * n_docs AS DOUBLE) AS pbar,
+           CAST(e AS DOUBLE)
+               / (CAST(3 * n_docs AS DOUBLE) * CAST(3 * n_docs AS DOUBLE))
+               AS pe,
+           (CAST(s - 3 * n_docs AS DOUBLE) / CAST(6 * n_docs AS DOUBLE)
+            - CAST(e AS DOUBLE) / (CAST(3 * n_docs AS DOUBLE)
+                                   * CAST(3 * n_docs AS DOUBLE)))
+           / (1.0E0 - CAST(e AS DOUBLE) / (CAST(3 * n_docs AS DOUBLE)
+                                           * CAST(3 * n_docs AS DOUBLE)))
+               AS kappa
+    FROM tot, cats
+    """,
+    tags=("quality", "statistics", "text"),
+)
+def quality_fleiss_kappa_langid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) across THREE language raters — the
+    multi-rater generalization of the Cohen's-kappa op (which compares
+    exactly two): rater 1 = the labeled lang column, rater 2 = the
+    marker-token classifier (kernel reuse: the text_language_id
+    predictions), rater 3 = the majority-class baseline (always 'en' —
+    the same baseline text_mcnemar_langid_vs_majority tests against).
+    One number answers "do the label, the classifier, and the skew
+    baseline tell one coherent story, beyond chance?" — the agreement
+    audit run before trusting ANY single rater as corpus truth.
+
+    Exactness: with n = 3 raters, Σ_j n_ij² per item collapses to
+    3 + 2·(pairwise-equality count) — a pure integer CASE sum; P̄ =
+    (S − 3N)/(6N) and P̄_e = Σc_j²/(9N²) are single divisions of
+    BIGINTs; κ nests identically in both engines.  Overflow bound:
+    Σc_j² < 2^63 to ~1.7·10⁹ docs; DECIMAL(38,0) past that.
+
+    Scale: the prediction scan + one groupBy over 3N category
+    assignments; the statistic is computed on two 1-row frames.  More
+    raters = more UNION ALL branches of the same scan, same shape."""
+    preds = text_language_id(spark, sf_dir)
+    eq = lambda a, b: F.when(a == b, 1).otherwise(0)  # noqa: E731
+    l_, p_ = F.col("labeled_lang"), F.col("predicted_lang")
+    per_item = preds.select(
+        (
+            F.lit(3)
+            + F.lit(2)
+            * (eq(l_, p_) + eq(l_, F.lit("en")) + eq(p_, F.lit("en")))
+        ).alias("s_i")
+    )
+    tot = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("s_i").cast("bigint").alias("s"),
+    )
+    assigns = (
+        preds.select(l_.alias("cls"))
+        .unionAll(preds.select(p_.alias("cls")))
+        .unionAll(preds.select(F.lit("en").alias("cls")))
+    )
+    cats = (
+        assigns.groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("bigint").alias("e"))
+    )
+    out = tot.crossJoin(F.broadcast(cats))
+    n3 = (F.lit(3) * F.col("n_docs")).cast("double")
+    pbar = (F.col("s") - 3 * F.col("n_docs")).cast("double") / (
+        F.lit(6) * F.col("n_docs")
+    ).cast("double")
+    pe = F.col("e").cast("double") / (n3 * n3)
+    return out.select(
+        "n_docs",
+        F.lit(3).cast("bigint").alias("n_raters"),
+        pbar.alias("pbar"),
+        pe.alias("pe"),
+        ((pbar - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

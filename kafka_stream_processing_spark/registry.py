@@ -256,6 +256,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "sample_group_kfold_hash",
     "sketch_ams_join_size_estimate",
     "window_periodogram_daily",
+    "quality_fleiss_kappa_langid",
     # -- §2 reference-parity names unpinned for r12 only (all
     # -- multi-round hash-green; re-pinned in r13) --
     "events_per_minute",

@@ -296,3 +296,39 @@ def test_periodogram_parseval_and_dominance(spark, sf_small):
     pmax = out["power"].max()
     best = out[out["power"] == pmax].sort_values("period").iloc[0]
     assert int(dom.iloc[0]["period"]) == int(best["period"])
+
+
+def test_fleiss_kappa_replay(spark, sf_small):
+    """Replay Fleiss' kappa in pandas from the same three raters and
+    compare; kappa ≤ 1 always; pbar/pe in [0,1]."""
+    from kafka_stream_processing_spark.operators.text import (
+        quality_fleiss_kappa_langid,
+        text_language_id,
+    )
+
+    out = quality_fleiss_kappa_langid(spark, sf_small).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    preds = text_language_id(spark, sf_small).toPandas()
+    rows = list(zip(preds["labeled_lang"], preds["predicted_lang"]))
+    n = len(rows)
+    s = sum(
+        3 + 2 * ((a == b) + (a == "en") + (b == "en")) for a, b in rows
+    )
+    from collections import Counter
+
+    cats = Counter()
+    for a, b in rows:
+        cats[a] += 1
+        cats[b] += 1
+        cats["en"] += 1
+    e = sum(c * c for c in cats.values())
+    pbar = (s - 3 * n) / (6 * n)
+    pe = e / (3 * n) ** 2
+    kappa = (pbar - pe) / (1 - pe)
+    assert int(r["n_docs"]) == n
+    assert 0.0 <= r["pbar"] <= 1.0 and 0.0 <= r["pe"] <= 1.0
+    assert r["kappa"] <= 1.0
+    assert abs(r["pbar"] - pbar) < 1e-12
+    assert abs(r["pe"] - pe) < 1e-12
+    assert abs(r["kappa"] - kappa) < 1e-12
