@@ -1584,7 +1584,8 @@ SELECT term,
        CAST(n_parts AS BIGINT) AS n_parts,
        CAST(num AS DOUBLE) / CAST(2 * ft * t_total AS DOUBLE) AS dp,
        CAST(num AS DOUBLE)
-           / CAST(2 * ft * (t_total - toks_min) AS DOUBLE) AS dp_norm
+           / CAST(NULLIF(2 * ft * (t_total - toks_min), 0) AS DOUBLE)
+           AS dp_norm
 FROM agg
 """
 
@@ -1668,8 +1669,12 @@ def corpus_term_dispersion_gries_dp(
         ).alias("dp"),
         (
             F.col("num").cast("double")
-            / (
-                two * F.col("ft") * (F.col("t_total") - F.col("toks_min"))
+            # NULLIF guard (r13 ADVICE): with a single source
+            # t_total == toks_min and the normalizer is 0 — NULL in
+            # both engines instead of engine-dependent inf semantics.
+            / F.nullif(
+                two * F.col("ft") * (F.col("t_total") - F.col("toks_min")),
+                F.lit(0),
             ).cast("double")
         ).alias("dp_norm"),
     )

@@ -1467,7 +1467,8 @@ tot AS (
 ),
 th AS (
     SELECT g, n, s,
-           round(CAST(s - s_i AS DOUBLE) / CAST(n - n_i AS DOUBLE), 12)
+           round(CAST(s - s_i AS DOUBLE)
+                 / CAST(NULLIF(n - n_i, 0) AS DOUBLE), 12)
                AS ti
     FROM per CROSS JOIN tot
 ),
@@ -1535,7 +1536,9 @@ def quality_jackknife_source_variance(
         "s",
         F.round(
             (F.col("s") - F.col("s_i")).cast("double")
-            / (F.col("n") - F.col("n_i")).cast("double"),
+            # NULLIF guard (r13 ADVICE): delete-one of a single source
+            # leaves n == n_i — NULL in both engines, not div-by-zero.
+            / F.nullif(F.col("n") - F.col("n_i"), F.lit(0)).cast("double"),
             12,
         ).alias("ti"),
     )

@@ -24,6 +24,8 @@ shuffle on the shard key serves the window and the final aggregate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -224,6 +226,35 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on exact BIGINT arithmetic in both engines.
 UNIGRAM_WORD_MAX_LEN = 32
 UNIGRAM_SCORE_SCALE = "1000000000000.0"  # 1e12, identical literal
+#: Fractional bits extracted by the repeated-squaring log2 (below).
+UNIGRAM_LOG2_BITS = 40
+
+
+def _log2_micro_units(cnt: int, total: int) -> int:
+    """floor(log2(cnt/total) * 1e12) via exact double arithmetic.
+
+    Mirrors the oracle's ``snorm``/``sbits`` recursive CTEs operation
+    for operation: one correctly-rounded double division, exact *2.0
+    normalization into [1, 2), then ``UNIGRAM_LOG2_BITS`` repeated
+    squarings (each m*m correctly rounded, each /2.0 exact).  Because
+    every step is an IEEE-754 basic operation — never libm — the
+    resulting double, and hence the floored BIGINT, is bit-identical
+    in CPython, the JVM, and DuckDB.  Requires cnt, total < 2^53
+    (exact as doubles; documented corpus bound)."""
+    m = cnt / total
+    e = 0
+    while m < 1.0:
+        m *= 2.0
+        e -= 1
+    frac = 0.0
+    sc = 0.5
+    for _ in range(UNIGRAM_LOG2_BITS):
+        m = m * m
+        if m >= 2.0:
+            frac += sc
+            m = m / 2.0
+        sc *= 0.5
+    return math.floor((float(e) + frac) * float(UNIGRAM_SCORE_SCALE))
 
 UNIGRAM_EM_ORACLE = f"""
 WITH RECURSIVE toks AS (
@@ -247,11 +278,38 @@ seeds AS MATERIALIZED (
     SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM subs GROUP BY 1
 ),
 tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM seeds),
+-- Bit-deterministic log2 micro-unit score (see the engine docstring):
+-- normalize r = cnt/total to m*2^e with m in [1,2) by exact *2.0
+-- doublings, then extract {UNIGRAM_LOG2_BITS} fractional bits of
+-- log2(m) by repeated squaring.  Every operation is +,*,/ on IEEE
+-- doubles (correctly rounded, hence bit-identical across engines) or
+-- an exact power-of-two scaling — no libm ln anywhere in this path.
+snorm AS (
+    SELECT piece, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS m,
+           0 AS e
+    FROM seeds CROSS JOIN tot
+    UNION ALL
+    SELECT piece, m * 2.0, e - 1 FROM snorm WHERE m < 1.0
+),
+snormed AS MATERIALIZED (
+    SELECT piece, m, e FROM snorm WHERE m >= 1.0
+),
+sbits AS (
+    SELECT piece, e, m, CAST(0 AS DOUBLE) AS frac,
+           CAST(0.5 AS DOUBLE) AS sc, 0 AS it
+    FROM snormed
+    UNION ALL
+    SELECT piece, e,
+           CASE WHEN m * m >= 2.0 THEN (m * m) / 2.0 ELSE m * m END,
+           CASE WHEN m * m >= 2.0 THEN frac + sc ELSE frac END,
+           sc * 0.5, it + 1
+    FROM sbits WHERE it < {UNIGRAM_LOG2_BITS}
+),
 scores AS MATERIALIZED (
     SELECT piece,
-           CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+           CAST(floor((CAST(e AS DOUBLE) + frac)
                       * {UNIGRAM_SCORE_SCALE}) AS BIGINT) AS s
-    FROM seeds CROSS JOIN tot
+    FROM sbits WHERE it = {UNIGRAM_LOG2_BITS}
 ),
 dp AS (
     SELECT w.word, w.freq, w.L, 1 AS i,
@@ -314,16 +372,27 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated piece table (piece, length, count, probability, new
     log-score) — round 2 of real training iterates exactly this.
 
-    Exactness: seed log-probs are computed ONCE in Spark SQL, scaled
-    by 1e12 and rounded to BIGINT micro-units, so the Viterbi DP is
-    pure INTEGER arithmetic — identical in the Arrow-batched pandas
-    segmenter and the oracle's recursive-CTE DP (state carries
-    (best_i, path_i, best_{{i-1}}, path_{{i-1}}), the two-term
-    recurrence for piece lengths ≤ 2; ties prefer the bigram branch
-    via the same >= in both engines).  Path reconstruction is a
-    digit-string walk, not a float in sight; the final probabilities
-    are single round-12 divisions of BIGINTs.  Both per-round CTE
-    chains are MATERIALIZED (the r11 multiplicative-inlining gotcha).
+    Exactness: seed log-probs are BIT-DETERMINISTIC by construction
+    (r13 ADVICE fix — libm ln is only ~1-ulp accurate and NOT
+    guaranteed identical between the JVM, DuckDB, and CPython, so a
+    value near a .5 micro-unit boundary could round differently and
+    flip a Viterbi path).  Each score is floor(log2(cnt/total)·1e12)
+    where log2 is computed by exact power-of-two normalization plus
+    40 repeated-squaring bit extractions — a formula using ONLY
+    +,*,/ on IEEE doubles (correctly rounded, hence bit-identical in
+    every conforming engine) and exact *2.0 / /2.0 scalings.  The
+    engine side runs it in CPython over the collected charset-bounded
+    seed table; the oracle side runs the identical recursion in SQL;
+    floor (not round) avoids the half-even-vs-half-away rule split.
+    log2 vs ln is a positive constant factor, so Viterbi argmax
+    order is preserved.  The DP itself is pure INTEGER arithmetic —
+    identical in the Arrow-batched pandas segmenter and the oracle's
+    recursive-CTE DP (state carries (best_i, path_i, best_{{i-1}},
+    path_{{i-1}}), the two-term recurrence for piece lengths ≤ 2;
+    ties prefer the bigram branch via the same >= in both engines).
+    Path reconstruction is a digit-string walk; the final
+    probabilities are single round-12 divisions of BIGINTs.  Both
+    per-round CTE chains are MATERIALIZED (the r11 gotcha).
 
     Scale: seed counting is explode → map-side-combined (piece) sums;
     the score table is bounded by |charset| + |charset|² — a
@@ -363,20 +432,16 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
     )
-    tot = seeds.agg(F.sum("cnt").cast("bigint").alias("total"))
-    scores = seeds.crossJoin(F.broadcast(tot)).select(
-        "piece",
-        F.round(
-            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
-            * F.lit(float(UNIGRAM_SCORE_SCALE)),
-            0,
-        )
-        .cast("bigint")
-        .alias("s"),
-    )
-    # The score table is charset-bounded (sketch-sized) by construction:
-    # collect once, ship as a closure dict into the Arrow segmenter.
-    score_map = {r["piece"]: int(r["s"]) for r in scores.collect()}
+    # The seed table is charset-bounded (sketch-sized) by construction:
+    # collect the exact BIGINT counts once, quantize driver-side with
+    # the bit-deterministic log2 (mirrors the oracle's snorm/sbits
+    # CTEs operation-for-operation), ship as a closure dict.
+    seed_rows = seeds.collect()
+    total = sum(int(r["cnt"]) for r in seed_rows)
+    score_map = {
+        r["piece"]: _log2_micro_units(int(r["cnt"]), total)
+        for r in seed_rows
+    }
 
     def _segment(batches):
         for pdf in batches:

@@ -108,8 +108,28 @@ def test_fellegi_sunter_properties(spark, sf_small):
     shares = set(out["est_match_share"])
     assert len(shares) == 1
     assert 0.0 < out["est_match_share"].iloc[0] < 1.0
-    n_cust = spark.read.parquet(f"{sf_small}/customer.parquet").count()
-    assert FS_WINDOW * n_cust >= n_cust  # linearity bound is structural
+    # Recompute the sorted-neighborhood candidate count and assert the
+    # actual n·W linearity bound (each record pairs with at most its
+    # next FS_WINDOW in-block neighbors) — not a structural tautology.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_small}/customer.parquet")
+    n_cust = cust.count()
+    ranked = cust.select("c_custkey", "c_nationkey").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        ),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    n_pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + FS_WINDOW),
+    ).count()
+    assert 0 < n_pairs <= n_cust * FS_WINDOW
 
 
 def test_unigram_em_segmentation_accounting(spark, sf_small):
