@@ -1866,16 +1866,286 @@ MARKOV_START = "__START__"
 MARKOV_CONV = "__CONV__"
 MARKOV_NULL = "__NULL__"
 
+#: The oracle's literal channel set (the testdata's non-purchase event
+#: types, sorted — matches the engine's data-derived ``channels``).
+#: The ENGINE stays fully dynamic; only the SQL oracle fixes the set,
+#: the same way the AMS/attribution oracles literal 'click'/'purchase'.
+MARKOV_ORACLE_CHANNELS: tuple[str, ...] = (
+    "click",
+    "error",
+    "signup",
+    "view",
+)
+
+
+def _gauss_solve_no_pivot(a: list[list[float]], rhs: list[float]) -> list[float]:
+    """Gaussian elimination WITHOUT pivoting, fixed loop order.
+
+    The generated oracle SQL (``_markov_oracle_sql``) performs this
+    exact sequence of IEEE-754 +,-,*,/ operations, so engine and
+    oracle produce bit-identical doubles (basic double ops are
+    correctly rounded in CPython and DuckDB alike; no libm call is
+    involved).  No pivoting is safe here: the system is I - Q for a
+    substochastic Q (an M-matrix — diagonals stay positive through
+    elimination)."""
+    n = len(rhs)
+    for k in range(n - 1):
+        for i in range(k + 1, n):
+            f = a[i][k] / a[k][k]
+            for j in range(k + 1, n):
+                a[i][j] = a[i][j] - f * a[k][j]
+            rhs[i] = rhs[i] - f * rhs[k]
+    x = [0.0] * n
+    for i in range(n - 1, -1, -1):
+        s = rhs[i]
+        for j in range(i + 1, n):
+            s = s - a[i][j] * x[j]
+        x[i] = s / a[i][i]
+    return x
+
+
+def _markov_journey_cells_sql() -> str:
+    """CTE chunk producing ``cells(from_state, to_state, n)`` — the
+    SQL mirror of the engine's journey/transition derivation."""
+    return f"""
+evs AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type
+    FROM events
+),
+fp1 AS (
+    SELECT *,
+           min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id, day) AS fp_ts
+    FROM evs
+),
+fp2 AS MATERIALIZED (
+    SELECT *,
+           min(CASE WHEN event_type = 'purchase' AND ts = fp_ts
+                    THEN event_id END)
+               OVER (PARTITION BY user_id, day) AS fp_id
+    FROM fp1
+),
+touches AS (
+    SELECT user_id, day, ts, event_id, event_type,
+           fp_ts IS NOT NULL AS converted
+    FROM fp2
+    WHERE event_type <> 'purchase'
+      AND (fp_ts IS NULL OR ts < fp_ts
+           OR (ts = fp_ts AND event_id < fp_id))
+),
+seq AS MATERIALIZED (
+    SELECT converted, event_type AS to_state,
+           COALESCE(lag(event_type) OVER
+                        (PARTITION BY user_id, day ORDER BY ts, event_id),
+                    '{MARKOV_START}') AS from_state,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) AS rn_last
+    FROM touches
+),
+trans AS (
+    SELECT from_state, to_state FROM seq
+    UNION ALL
+    SELECT to_state AS from_state,
+           CASE WHEN converted THEN '{MARKOV_CONV}'
+                ELSE '{MARKOV_NULL}' END AS to_state
+    FROM seq WHERE rn_last = 1
+    UNION ALL
+    SELECT '{MARKOV_START}' AS from_state, '{MARKOV_CONV}' AS to_state
+    FROM (
+        SELECT user_id, day,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_p,
+               sum(CASE WHEN event_type <> 'purchase'
+                        AND (fp_ts IS NULL OR ts < fp_ts
+                             OR (ts = fp_ts AND event_id < fp_id))
+                        THEN 1 ELSE 0 END) AS n_touch
+        FROM fp2 GROUP BY 1, 2
+    ) WHERE has_p = 1 AND n_touch = 0
+),
+cells AS MATERIALIZED (
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+    FROM trans GROUP BY 1, 2
+)"""
+
+
+def _markov_oracle_sql() -> str:
+    """Generate the full removal-effect oracle for the literal channel
+    set: transition cells -> q entries -> five 5x5 no-pivot Gaussian
+    eliminations (full chain + one per removed channel), each CTE
+    stage MATERIALIZED (the r11 multiplicative-inlining gotcha), each
+    arithmetic expression nested exactly as ``_gauss_solve_no_pivot``
+    executes it so the doubles are bit-identical."""
+    ch = MARKOV_ORACLE_CHANNELS
+    states = (MARKOV_START,) + ch
+    n = len(states)
+
+    # -- one-row cell matrix: n_{i}_{j} (j>=1), n_{i}_c, n_{i}_x --
+    cell_cols = []
+    for i, s in enumerate(states):
+        for j, t in enumerate(states[1:], start=1):
+            cell_cols.append(
+                f"SUM(CASE WHEN from_state = '{s}' AND to_state = '{t}'"
+                f" THEN n ELSE 0 END) AS n_{i}_{j}"
+            )
+        cell_cols.append(
+            f"SUM(CASE WHEN from_state = '{s}' AND to_state ="
+            f" '{MARKOV_CONV}' THEN n ELSE 0 END) AS n_{i}_c"
+        )
+        cell_cols.append(
+            f"SUM(CASE WHEN from_state = '{s}' AND to_state ="
+            f" '{MARKOV_NULL}' THEN n ELSE 0 END) AS n_{i}_x"
+        )
+    m_cte = "m AS MATERIALIZED (\n    SELECT " + ",\n           ".join(
+        cell_cols
+    ) + "\n    FROM cells\n)"
+
+    # -- q stage: full outdegree + transition/absorption probabilities --
+    q_cols = []
+    for i in range(n):
+        out = " + ".join(
+            [f"n_{i}_{j}" for j in range(1, n)] + [f"n_{i}_c", f"n_{i}_x"]
+        )
+        q_cols.append(f"({out}) AS out_{i}")
+    for i in range(n):
+        for j in range(1, n):
+            q_cols.append(
+                f"CAST(n_{i}_{j} AS DOUBLE) / CAST(out_{i} AS DOUBLE)"
+                f" AS q_{i}_{j}"
+            )
+        q_cols.append(
+            f"CAST(n_{i}_c AS DOUBLE) / CAST(out_{i} AS DOUBLE) AS rr_{i}"
+        )
+    nconv = " + ".join(f"n_{i}_c" for i in range(n))
+    q_cte = (
+        "qm AS MATERIALIZED (\n    SELECT "
+        + ",\n           ".join(q_cols)
+        + f",\n           CAST({nconv} AS BIGINT) AS n_conv"
+        + "\n    FROM m\n)"
+    )
+    # NOTE on out_i referencing: DuckDB lateral column aliases let
+    # q_{i}_{j} reference out_{i} defined earlier in the same SELECT.
+
+    ctes = [m_cte, q_cte]
+
+    # -- five solve chains: v0 = full, v{r} = channel r removed --
+    p_names = []
+    for v in range(n):  # v == 0 -> no removal; v == r -> remove state r
+        rm = None if v == 0 else v
+        tag = f"v{v}"
+        # init stage
+        init_cols = []
+        for i in range(n):
+            for j in range(n):
+                base = "1.0" if i == j else "0.0"
+                if rm is not None and i == rm:
+                    expr = base
+                elif j == 0 or (rm is not None and j == rm):
+                    expr = base
+                else:
+                    expr = f"{base} - q_{i}_{j}"
+                init_cols.append(f"{expr} AS a_{i}_{j}")
+            if rm is not None and i == rm:
+                init_cols.append(f"0.0 AS r_{i}")
+            else:
+                init_cols.append(f"rr_{i} AS r_{i}")
+        ctes.append(
+            f"{tag}s0 AS MATERIALIZED (\n    SELECT "
+            + ",\n           ".join(init_cols)
+            + "\n    FROM qm\n)"
+        )
+        # elimination stages k = 0..n-2
+        prev = f"{tag}s0"
+        for k in range(n - 1):
+            cols = []
+            for i in range(n):
+                for j in range(n):
+                    if i > k and j > k:
+                        cols.append(
+                            f"a_{i}_{j} - a_{i}_{k} / a_{k}_{k}"
+                            f" * a_{k}_{j} AS a_{i}_{j}"
+                        )
+                    else:
+                        cols.append(f"a_{i}_{j}")
+                if i > k:
+                    cols.append(
+                        f"r_{i} - a_{i}_{k} / a_{k}_{k} * r_{k} AS r_{i}"
+                    )
+                else:
+                    cols.append(f"r_{i}")
+            cur = f"{tag}s{k + 1}"
+            ctes.append(
+                f"{cur} AS MATERIALIZED (\n    SELECT "
+                + ",\n           ".join(cols)
+                + f"\n    FROM {prev}\n)"
+            )
+            prev = cur
+        # back substitution (lateral column aliases, high->low)
+        back_cols = []
+        for i in range(n - 1, -1, -1):
+            s_expr = f"r_{i}"
+            for j in range(i + 1, n):
+                s_expr = f"({s_expr} - a_{i}_{j} * x{j})"
+            back_cols.append(f"{s_expr} / a_{i}_{i} AS x{i}")
+        p_name = f"p_{tag}"
+        ctes.append(
+            f"{tag}p AS MATERIALIZED (\n    SELECT "
+            + ",\n           ".join(back_cols)
+            + f",\n           x0 AS {p_name}\n    FROM {prev}\n)"
+        )
+        p_names.append(p_name)
+
+    # -- removal effects + credit shares --
+    fin_cols = [f"{p_names[0]} AS p_full", "n_conv"]
+    for v in range(1, n):
+        fin_cols.append(
+            f"CASE WHEN {p_names[0]} > 0"
+            f" THEN 1.0 - {p_names[v]} / {p_names[0]}"
+            f" ELSE 0.0 END AS re_{v}"
+        )
+    tot = " + ".join(f"re_{v}" for v in range(1, n))
+    fin_cols.append(f"{tot} AS tot_re")
+    joins = " CROSS JOIN ".join([f"v{v}p" for v in range(n)] + ["qm"])
+    ctes.append(
+        "fin AS MATERIALIZED (\n    SELECT "
+        + ",\n           ".join(fin_cols)
+        + f"\n    FROM {joins}\n)"
+    )
+
+    rows = []
+    for v, c in enumerate(ch, start=1):
+        rows.append(
+            f"SELECT '{c}' AS channel,\n"
+            f"       re_{v} AS removal_effect,\n"
+            f"       CASE WHEN tot_re > 0 THEN re_{v} / tot_re END"
+            f" AS attribution_share,\n"
+            f"       CASE WHEN tot_re > 0 THEN"
+            f" CAST(n_conv AS DOUBLE) * re_{v} / tot_re END"
+            f" AS attributed_conversions,\n"
+            f"       p_full AS p_conversion,\n"
+            f"       n_conv AS n_conversions\nFROM fin"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return (
+        "WITH "
+        + _markov_journey_cells_sql().lstrip()
+        + ",\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + body
+    )
+
 
 @register(
     "join_attribution_markov_removal",
-    # No SQL oracle: the removal-effect computation solves an absorbing
-    # Markov chain ((I-Q)x = r, once per removed channel) — matrix
-    # inversion is not expressible as a single ANSI-SQL statement.  The
-    # driver records the rows-only check; correctness is pinned by a
-    # pure-python Gaussian-elimination replay over raw journeys in
-    # tests/test_round7k_ops.py (same evidence class as the three
-    # power-iteration PCA ops).
+    # Exact DuckDB oracle since r13 (the r12 verdict's "weakest
+    # evidence" item): the absorbing-chain solves are mirrored as five
+    # generated, MATERIALIZED CTE chains performing the engine's
+    # no-pivot Gaussian elimination operation-for-operation — only
+    # IEEE basic ops (correctly rounded, bit-identical across
+    # engines), no libm, no rounding tolerance needed.  The oracle
+    # fixes the channel set to the testdata's literal 4 non-purchase
+    # event types; the engine remains data-driven.
+    oracle=_markov_oracle_sql(),
     tags=("joins", "behavioral", "iterative"),
 )
 def join_attribution_markov_removal(
@@ -1903,12 +2173,16 @@ def join_attribution_markov_removal(
     lag-over-(user, day) shuffle every sequence op shares, one
     groupBy to <= (k+1)x(k+2) integer cells); ONLY the k^2-cell
     transition matrix is collected — the registry's legal sketch-sized
-    driver state — and the (k+1)-dimensional linear solves run in
-    numpy on the driver, exactly like the trained-quantizer collects
-    in the ANN family.  At 100 TB the count stage dominates and
-    scales; the solve is O(k^3) for k ~ dozens of channels."""
-    import numpy as np
-
+    driver state — and the (k+1)-dimensional linear solves run on the
+    driver via a FIXED-ORDER no-pivot Gaussian elimination
+    (``_gauss_solve_no_pivot``) whose operation sequence the generated
+    DuckDB oracle reproduces exactly, so both engines emit
+    bit-identical doubles (r13: this replaced the numpy solve — LAPACK
+    op order is not mirrorable in SQL).  At 100 TB the count stage
+    dominates and scales; the solve is O(k^3) for k ~ dozens of
+    channels.  The oracle assumes the testdata's literal channel set
+    (``MARKOV_ORACLE_CHANNELS``); the engine derives channels from the
+    data."""
     evs = table(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").cast("date").alias("day"),
@@ -2004,24 +2278,36 @@ def join_attribution_markov_removal(
     transient = [MARKOV_START] + channels
     t_idx = {s: i for i, s in enumerate(transient)}
 
+    out_by_state = {
+        s: sum(nn for (ss, _), nn in counts.items() if ss == s)
+        for s in transient
+    }
+
     def conv_prob(removed: str | None) -> float:
+        # Build I - Q and r with the EXACT expression shapes the
+        # generated oracle uses (base literal minus n/out; removed
+        # state -> unit row, zeroed column, zero rhs), then solve with
+        # the mirrored no-pivot elimination.
         k = len(transient)
-        q = np.zeros((k, k))
-        r = np.zeros(k)
-        for (s, t), n in counts.items():
+        a: list[list[float]] = []
+        rhs: list[float] = []
+        for i, s in enumerate(transient):
             if s == removed:
+                a.append([1.0 if j == i else 0.0 for j in range(k)])
+                rhs.append(0.0)
                 continue
-            out = sum(
-                nn for (ss, _), nn in counts.items() if ss == s
-            )
-            p = n / out
-            tt = MARKOV_NULL if t == removed else t
-            if tt == MARKOV_CONV:
-                r[t_idx[s]] += p
-            elif tt in t_idx:
-                q[t_idx[s], t_idx[tt]] += p
-        x = np.linalg.solve(np.eye(k) - q, r)
-        return float(x[t_idx[MARKOV_START]])
+            out = out_by_state[s]
+            row = []
+            for j, t in enumerate(transient):
+                base = 1.0 if i == j else 0.0
+                if j == 0 or t == removed or (s, t) not in counts:
+                    row.append(base)
+                else:
+                    row.append(base - counts[(s, t)] / out)
+            a.append(row)
+            rhs.append(counts.get((s, MARKOV_CONV), 0) / out)
+        x = _gauss_solve_no_pivot(a, rhs)
+        return x[t_idx[MARKOV_START]]
 
     p_full = conv_prob(None)
     n_conv = sum(
