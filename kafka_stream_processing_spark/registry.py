@@ -100,6 +100,7 @@ def _load() -> None:
         tokenizer,
         sql_surface,
         subqueries,
+        tail_scoring,
         text,
         tpch_extra,
         tpch_extra2,
@@ -124,24 +125,25 @@ def _load() -> None:
 #: which queries get fresh evidence — the safety net is that
 #: tests/test_oracle_parity.py sweeps ALL registered queries with the
 #: identical differential check every round regardless.
-#: Round-12 table (VERDICT r11 item 1 — the rotation arithmetic fix).
-#: Ledger counters entering r12 (tools/coverage_ledger.py over
-#: CORRECTNESS_r01..r11.json — never hand-computed):
-#:   driver-CHECKED entering r12:    354/419  (includes 6 rows-only)
-#:   driver-HASH-GREEN entering r12: 348/419  (the rotation currency)
-#:   backlog (never hash-green):     71 names
-#: 71 backlog names do not fit behind 12 §2 pins in the driver's
-#: 50-row window, so per the r11 verdict the §2 pins are SLIMMED for
-#: r12–r13 to the flagship plus three rotating §2 names (every §2
-#: query is multi-round hash-green and still swept locally by
-#: tests/test_oracle_parity.py each round); the other 46 slots take
-#: the backlog head (text_langid_char_ngram_profile ..
-#: window_variance_ratio_daily) in ledger order.  Target hash-green
-#: after r12: 394/419.  The remaining 25 backlog names sit at ranks
-#: 51–75 and form the r13 slice together with the restored 12 §2
-#: pins (25 + 12 = 37 rows, leaving 13 re-confirm slots — the
-#: arithmetic ADDS UP this time).  New registrations stay CAPPED
-#: below ~20/round; r12 additions append at the very END.
+#: Round-13 table (VERDICT r12 item 1 — the registry-closing slice,
+#: emitted by tools/coverage_ledger.py --next on the r12 ledger; never
+#: hand-written).  Ledger counters entering r13 (tool-computed over
+#: CORRECTNESS_r01..r12.json):
+#:   driver-CHECKED entering r13:    400/431  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r13: 394/432  (the rotation currency)
+#:   backlog (never hash-green):     38 names (25 carried pre-r12 +
+#:                                   12 r12 registrations +
+#:                                   join_attribution_markov_removal,
+#:                                   which GAINED its exact oracle in
+#:                                   r13 — the r12 verdict item 4)
+#: The r13 slice is 12 restored §2 pins + 38 backlog = exactly 50
+#: (the free slot went to the markov op's brand-new oracle instead of
+#: a re-confirm).  Target hash-green after r13: 426/432 + 6 rows-only
+#: checked = EVERY oracle-bearing query driver-confirmed (the registry
+#: closes).  From r14 onward the window is 12 §2 pins + new-op rows +
+#: oldest-green re-confirms, always emitted by coverage_ledger --next.
+#: New registrations stay CAPPED below ~20/round; r13 additions append
+#: at the very END and queue for their driver rows in r14.
 #: The full reference-parity (§2) pin set, restored as ranks 1-12 when
 #: the rotation has slack (tools/coverage_ledger.py --next emits the
 #: next round's slice from this constant — never hand-write it).
@@ -161,63 +163,23 @@ REFERENCE_PARITY_PINS: tuple[str, ...] = (
 )
 
 DRIVER_CHECK_ORDER: tuple[str, ...] = (
-    # -- pinned (slimmed for r12–r13): flagship + 3 rotating §2 --
+    # -- ranks 1-12: the full §2 reference-parity pin set, restored
+    # -- (REFERENCE_PARITY_PINS order; pinned from r13 onward) --
     "unique_users_per_minute",
+    "events_per_minute",
+    "unique_users_per_minute_approx",
+    "unique_user_set_per_minute",
+    "unique_users_sliding_window",
+    "session_windows_per_user",
+    "unique_users_daily_by_type",
+    "scalar_json_event_props",
+    "scalar_json_schema_parse",
+    "filter_project_events",
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
-    "session_windows_per_user",
-    # -- 46 never-hash-green (ranks 5-50): the r12 backlog slice,
-    # -- ledger order, pre-checked green at sf0.01 on this tree --
-    "text_langid_char_ngram_profile",
-    "text_source_vocab_overlap",
-    "window_nelson_aalen_hazard",
-    "window_logrank_test_cohorts",
-    "window_holt_winters_multiplicative",
-    "window_croston_intermittent",
-    "window_seasonal_mann_kendall",
-    "window_theil_inequality_decomposition",
-    "window_holt_damped_trend",
-    "window_shewhart_imr_chart",
-    "stream_attribution_monitor",
-    "stream_ece_monitor",
-    "stream_quantile_monitor",
-    "stream_filter_yield_monitor",
-    "stream_scd2_incremental",
-    "stream_bottomk_maintenance",
-    "stream_l_diversity_monitor",
-    "stream_wasserstein_monitor",
-    "quality_distance_correlation_hourly",
-    "quality_hoeffding_d_hourly",
-    "quality_kuiper_drift",
-    "quality_blomqvist_beta_hourly",
-    "stream_frequent_pairs_stateful",
-    "quality_watson_u2_drift",
-    "quality_circadian_drift_clicks_purchases",
-    "stream_circadian_monitor",
-    "quality_cucconi_drift",
-    "quality_mood_scale_drift",
-    "quality_lm_train_heldout_gap",
-    "quality_ansari_bradley_drift",
-    "quality_dcor_length_vocab",
-    "text_repetition_gopher_rules",
-    "window_permutation_entropy_daily",
-    "stream_frequent_triples_stateful",
-    "stream_repetition_monitor",
-    "sample_token_budget_waterfill",
-    "window_multiscale_permutation_entropy",
-    "quality_dcor_tokens_violations",
-    "corpus_ngram_novelty_curve",
-    "stream_permutation_entropy_monitor",
-    "window_sample_entropy_daily",
-    "dedup_simhash_recall_eval",
-    "quality_jonckheere_terpstra_trend",
-    "dedup_containment_keep_policy",
-    "window_hurst_rs_daily",
-    "window_variance_ratio_daily",
-    # ---------------------------------------------------------------
-    # entries below rank 50 get no driver row this round: the 25
-    # remaining never-hash-green names (ledger order — the r13 slice),
-    # then the 8 §2 names unpinned for r12 (restored as pins in r13).
+    # -- ranks 13-50: the 38-name backlog (25 carried + 12 r12
+    # -- registrations + the markov op's new r13 oracle at rank 50),
+    # -- ledger order — closes the registry --
     "window_multiscale_sample_entropy",
     "dedup_semdedup_k_sweep",
     "window_approximate_entropy_daily",
@@ -243,8 +205,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_mcc_youden_threshold_sweep",
     "sample_pps_systematic",
     "text_sttr_chunked",
-    # -- new in r12 (targeted differential green at sf0.001+sf0.01;
-    # -- driver rows queue behind the coverage backlog) --
     "corpus_term_dispersion_gries_dp",
     "quality_simpson_reversal_audit",
     "embedding_anisotropy_common_direction",
@@ -257,16 +217,19 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "sketch_ams_join_size_estimate",
     "window_periodogram_daily",
     "quality_fleiss_kappa_langid",
-    # -- §2 reference-parity names unpinned for r12 only (all
-    # -- multi-round hash-green; re-pinned in r13) --
-    "events_per_minute",
-    "unique_users_per_minute_approx",
-    "unique_user_set_per_minute",
-    "unique_users_sliding_window",
-    "unique_users_daily_by_type",
-    "scalar_json_event_props",
-    "scalar_json_schema_parse",
-    "filter_project_events",
+    # -- rank 50: backlog #38 — first driver row for the markov op's
+    # -- new exact oracle (rows-only before r13) --
+    "join_attribution_markov_removal",
+    # -- new in r13 (targeted differential green at sf0.001+sf0.01;
+    # -- below rank 50, driver rows queue for the r14 window) --
+    "quality_hill_tail_index",
+    "window_l_moments_daily",
+    "window_pinball_loss_daily",
+    "window_crps_empirical_daily",
+    "quality_conformal_coverage_audit",
+    "window_expected_shortfall_daily",
+    "window_extremal_index_runs",
+    "window_winkler_interval_score",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new
