@@ -844,7 +844,7 @@ def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "statistics"),
 )
 def text_zipf_rank_frequency(
-    spark: SparkSession, sf_dir: str, rank_mode: str = "exact"
+    spark: SparkSession, sf_dir: str, rank_mode: str = "distributed"
 ) -> DataFrame:
     """Zipf's-law fit — the rank-frequency power law that pairs with the
     Heaps vocabulary-growth curve (the two are mathematically linked;
@@ -862,11 +862,13 @@ def text_zipf_rank_frequency(
     Scale: one groupBy(word) (map-side combined, Heaps-sublinear
     output), one rank over the vocabulary — never the corpus — and a
     single scalar aggregate of four moments.  The OLS consumes EVERY
-    rank (a top-k cut can't replace it), so the billion-type path is
-    ``rank_mode="distributed"``: operators.frontier.global_rank
-    range-partitions on (freq desc, word) and composes per-partition
-    row_numbers with broadcast prefix offsets — bit-identical ranks,
-    no single-task sort (pinned in tests/test_frontier.py)."""
+    rank (a top-k cut can't replace it), so the DEFAULT (driver-
+    checked) path is ``rank_mode="distributed"`` since r13:
+    operators.frontier.global_rank range-partitions on (freq desc,
+    word) and composes per-partition row_numbers with broadcast prefix
+    offsets — bit-identical ranks (the oracle still hashes green), no
+    single-task sort (pinned in tests/test_frontier.py); the
+    single-window form stays available as ``rank_mode="exact"``."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")

@@ -3738,12 +3738,13 @@ def window_abc_classification(
     exact-decimal prefix sum divided once by the exact total, so every
     class boundary is bit-stable cross-engine.
 
-    Scale: the oracle-checked form uses the exact single-window prefix
-    sum; the production path is frontier.global_prefix_sum(
-    mode="distributed") — range-partition on the sort key,
-    per-partition cumulative windows, broadcast partition-total
-    offsets (bit-identical, no task sorts more than one partition;
-    tests/test_frontier.py pins the equivalence).  The per-customer
+    Scale: the default (driver-checked) path IS the distributed form
+    since r13 — frontier.global_prefix_sum(mode="distributed"):
+    range-partition on the sort key, per-partition cumulative windows,
+    broadcast partition-total offsets (bit-identical to the
+    single-window sort, so the oracle still hashes green; no task
+    sorts more than one partition; tests/test_frontier.py pins the
+    equivalence).  The per-customer
     collapse before ranking is map-side combined, so the ranked table
     is customer-sized, not order-sized."""
     from kafka_stream_processing_spark.operators.frontier import (
@@ -3760,7 +3761,11 @@ def window_abc_classification(
         rev,
         [F.col("revenue").desc(), F.col("o_custkey")],
         "revenue",
-        mode="exact",
+        # r13 soft-spot burn-down: the distributed two-phase form is
+        # BIT-IDENTICAL to the single-window sort (test_frontier.py
+        # pins it), so it is now the default/driver-checked path too —
+        # no single-task total sort anywhere in this op.
+        mode="distributed",
         sum_name="cumrev",
     )
     share = F.col("cumrev").cast("double") / F.col("total").cast(

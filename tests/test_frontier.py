@@ -224,10 +224,12 @@ def test_zipf_distributed_bit_identical(spark, sf_small):
         text_zipf_rank_frequency,
     )
 
-    exact = text_zipf_rank_frequency(spark, sf_small).collect()[0]
-    dist = text_zipf_rank_frequency(
-        spark, sf_small, rank_mode="distributed"
+    # r13: the DEFAULT is the distributed form; request the exact
+    # single-window form explicitly for the bit-identity pin.
+    exact = text_zipf_rank_frequency(
+        spark, sf_small, rank_mode="exact"
     ).collect()[0]
+    dist = text_zipf_rank_frequency(spark, sf_small).collect()[0]
     assert exact.asDict() == dist.asDict()
 
 
@@ -252,15 +254,14 @@ def test_zipf_distributed_rank_window_is_partitioned(spark, sf_small):
         text_zipf_rank_frequency,
     )
 
-    exact = text_zipf_rank_frequency(spark, sf_small)
+    exact = text_zipf_rank_frequency(spark, sf_small, rank_mode="exact")
     exact.collect()
     p_exact = exact._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(c#" in p_exact.replace("\n", " ") or (
         "windowspecdefinition(" in p_exact
     )
-    dist = text_zipf_rank_frequency(
-        spark, sf_small, rank_mode="distributed"
-    )
+    # r13: distributed is now the DEFAULT (driver-checked) path.
+    dist = text_zipf_rank_frequency(spark, sf_small)
     dist.collect()
     p_dist = dist._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(_pid" in p_dist
