@@ -1327,3 +1327,306 @@ def window_winkler_interval_score(
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# GEV shape from weekly block maxima (L-moment / Hosking approximation)
+# ---------------------------------------------------------------------------
+
+#: Calendar block length in days for the block-maxima sample.
+GEV_BLOCK_DAYS = 7
+
+#: ln2/ln3 as ONE correctly-rounded double literal shared by both
+#: engines (no libm log call at query time anywhere in this op).
+_GEV_LN2_OVER_LN3 = "0.6309297535714574e0"
+
+#: Shared fixed-order texts over (n, s0, s1, s2 -> b0, b1, b2):
+#: t3, then the Hosking-Wallis GEV shape approximation
+#: k = 7.8590 c + 2.9554 c**2 with c = 2/(3 + t3) - ln2/ln3
+#: (Hosking, Wallis & Wood, Technometrics 1985, eq. 14 — quoted
+#: accuracy |err| < 9e-4 for -0.5 <= k <= 0.5).
+_GEV_T3_SQL = "((6.0e0 * b2 - 6.0e0 * b1 + b0) / (2.0e0 * b1 - b0))"
+_GEV_C_SQL = f"(2.0e0 / (3.0e0 + t3) - {_GEV_LN2_OVER_LN3})"
+_GEV_K_SQL = "(7.8590e0 * c + 2.9554e0 * c * c)"
+
+GEV_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE)
+               - DATE '1970-01-01' AS d,
+           SUM(CAST(value AS DECIMAL(18,6))) AS x
+    FROM events GROUP BY 1
+),
+blocks AS (
+    SELECT d // {GEV_BLOCK_DAYS} AS blk,
+           CAST(count(*) AS BIGINT) AS n_days,
+           MAX(x) AS mx
+    FROM daily GROUP BY 1
+    HAVING count(*) = {GEV_BLOCK_DAYS}
+),
+idx AS (
+    SELECT mx,
+           row_number() OVER (ORDER BY mx, blk) AS i
+    FROM blocks
+),
+sums AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(mx AS DECIMAL(38,6))) AS s0,
+           SUM(CAST(mx * (i - 1) AS DECIMAL(38,6))) AS s1,
+           SUM(CAST(mx * (((i - 1) * (i - 2)) // 2)
+                    AS DECIMAL(38,6))) AS s2
+    FROM idx HAVING count(*) >= 3
+),
+bs AS MATERIALIZED (
+    SELECT n,
+           CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+           CAST(s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS b1,
+           CAST(s2 AS DOUBLE)
+               / CAST((n * (n - 1) * (n - 2)) // 2 AS DOUBLE) AS b2
+    FROM sums
+),
+ts AS MATERIALIZED (
+    SELECT n, b0, b1, b2, {_GEV_T3_SQL} AS t3 FROM bs
+),
+cs AS MATERIALIZED (
+    SELECT n, b0, b1, b2, t3, {_GEV_C_SQL} AS c FROM ts
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       b0 AS l1,
+       (2.0e0 * b1 - b0) AS l2,
+       t3,
+       {_GEV_K_SQL} AS gev_shape
+FROM cs
+"""
+
+
+@register(
+    "window_gev_blockmax_shape",
+    oracle=GEV_ORACLE,
+    tags=("windowed", "timeseries", "tails", "statistics"),
+)
+def window_gev_blockmax_shape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GEV shape parameter of weekly block maxima of total daily
+    revenue, estimated from sample L-moments via the Hosking-Wallis-
+    Wood approximation k = 7.8590c + 2.9554c^2, c = 2/(3+t3) -
+    ln2/ln3 (Technometrics 1985) — the extreme-value-theory readout
+    that classifies the load distribution's domain of attraction:
+    k < 0 Frechet-like heavy tail (pairs with a finite Hill alpha),
+    k ~ 0 Gumbel, k > 0 bounded tail.
+
+    Exactness: block maxima are MAX of exact DECIMAL daily totals
+    (exact); only COMPLETE {GEV_BLOCK_DAYS}-day calendar blocks enter
+    (count(*) = {GEV_BLOCK_DAYS} in both engines); L-moment b_r come
+    from integer-binomial-weighted DECIMAL(38,6) sums (the
+    window_l_moments_daily pattern); t3, c, and k are ONE shared
+    fixed-order expression chain per stage (each stage MATERIALIZED
+    in the oracle — the r11 inlining gotcha), and ln2/ln3 enters as a
+    single correctly-rounded double LITERAL, so no libm call exists
+    at query time in either engine.
+
+    Scale: the block-max frame is calendar-bounded (n_days/7 rows at
+    ANY corpus size), so its rank window is structurally tiny; the
+    only corpus-scale stage is the map-side-combined daily rollup."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(dec("value")).alias("x"))
+        .select(
+            F.datediff(
+                "day", F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            "x",
+        )
+    )
+    blocks = (
+        daily.groupBy(
+            F.expr(f"d div {GEV_BLOCK_DAYS}").alias("blk")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("x").alias("mx"),
+        )
+        .filter(F.col("n_days") == GEV_BLOCK_DAYS)
+    )
+    idx = blocks.select(
+        "mx",
+        F.row_number()
+        .over(Window.orderBy("mx", "blk"))
+        .alias("i"),
+    )
+    i1 = F.col("i") - 1
+    sums = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("mx").cast("decimal(38,6)")).alias("s0"),
+        F.sum((F.col("mx") * i1).cast("decimal(38,6)")).alias("s1"),
+        F.sum(
+            (
+                F.col("mx") * F.expr("((i - 1) * (i - 2)) div 2")
+            ).cast("decimal(38,6)")
+        ).alias("s2"),
+    ).filter(F.col("n") >= 3)
+    bs = sums.select(
+        "n",
+        (F.col("s0").cast("double") / F.col("n").cast("double")).alias(
+            "b0"
+        ),
+        (
+            F.col("s1").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        ).alias("b1"),
+        (
+            F.col("s2").cast("double")
+            / F.expr("(n * (n - 1) * (n - 2)) div 2").cast("double")
+        ).alias("b2"),
+    )
+    ts = bs.select("n", "b0", "b1", "b2", F.expr(_GEV_T3_SQL).alias("t3"))
+    cs = ts.select(
+        "n", "b0", "b1", "b2", "t3", F.expr(_GEV_C_SQL).alias("c")
+    )
+    return cs.select(
+        F.col("n").alias("n_blocks"),
+        F.col("b0").alias("l1"),
+        F.expr("(2.0e0 * b1 - b0)").alias("l2"),
+        "t3",
+        F.expr(_GEV_K_SQL).alias("gev_shape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diebold-Mariano test: seasonal-naive vs lag-1 naive
+# ---------------------------------------------------------------------------
+
+#: Shared fixed-order texts over (n, sd, sd2): mean loss differential,
+#: population autocovariance-0, DM statistic (h = 1, no long-run
+#: variance correction needed for one-step forecasts), and the
+#: Harvey-Leybourne-Newbold small-sample factor sqrt((n-1)/n) at h=1.
+_DM_DBAR_SQL = "(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))"
+_DM_G0_SQL = (
+    "(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) - dbar * dbar)"
+)
+_DM_STAT_SQL = "(dbar / sqrt(g0 / CAST(n AS DOUBLE)))"
+_DM_HLN_SQL = (
+    "(dm_stat * sqrt(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+)
+
+DM_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE)
+               - DATE '1970-01-01' AS d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+),
+joined AS (
+    SELECT c.d, c.x, l1.x AS f1, l7.x AS f7
+    FROM daily c
+    JOIN daily l1 ON l1.d = c.d - 1
+    JOIN daily l7 ON l7.d = c.d - 7
+),
+diffs AS (
+    SELECT CAST(CAST(round(abs(x - f7), 6) AS DECIMAL(18,6))
+                - CAST(round(abs(x - f1), 6) AS DECIMAL(18,6))
+                AS DECIMAL(19,6)) AS dd
+    FROM joined
+),
+sums AS MATERIALIZED (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(dd AS DECIMAL(38,6))) AS sd,
+           -- dd capped at DECIMAL(19,6) so the exact product is
+           -- representable: 19+19 = 38, scale 12 in both engines.
+           SUM(dd * dd) AS sd2
+    FROM diffs HAVING count(*) >= 2
+),
+m AS MATERIALIZED (
+    SELECT n, sd, sd2, {_DM_DBAR_SQL} AS dbar FROM sums
+),
+g AS MATERIALIZED (
+    SELECT n, dbar, {_DM_G0_SQL} AS g0 FROM m
+),
+s AS MATERIALIZED (
+    SELECT n, dbar, g0, {_DM_STAT_SQL} AS dm_stat FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       dbar AS mean_loss_diff,
+       g0 AS var_loss_diff,
+       dm_stat,
+       {_DM_HLN_SQL} AS dm_hln
+FROM s
+"""
+
+
+@register(
+    "window_diebold_mariano_naive",
+    oracle=DM_ORACLE,
+    tags=("windowed", "timeseries", "forecast", "statistics"),
+)
+def window_diebold_mariano_naive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Diebold-Mariano equal-predictive-accuracy test between the
+    seasonal-naive (lag-7) and lag-1 naive forecasters on total daily
+    revenue (Diebold & Mariano, JBES 1995), with the
+    Harvey-Leybourne-Newbold small-sample correction at h=1 —
+    window_forecast_skill_scores reports the MASE/U2 point ratios;
+    this op adds the SIGNIFICANCE statistic for the same comparison
+    (dm < 0: seasonal model's absolute loss is smaller).
+
+    Exactness: the loss differential d_t = |e7| - |e1| is a
+    difference of round-6 DECIMALs (exact, the forecast-skill
+    convention); Sum(d) and Sum(d^2) accumulate as DECIMAL(38,6) /
+    DECIMAL(38,12); dbar, the population autocovariance gamma_0, the
+    DM ratio and the HLN factor are ONE shared fixed-order expression
+    chain (stage-MATERIALIZED in the oracle), using only IEEE basic
+    ops and sqrt (correctly rounded per IEEE-754, hence
+    bit-identical).  h=1 one-step losses need no long-run variance
+    window, so the statistic is closed-form.
+
+    Scale: two calendar self-joins on the day grid plus one scalar
+    aggregate; only the daily rollup sees raw events."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(dec("value")).cast("double").alias("x"))
+        .select(
+            F.datediff(
+                "day", F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            "x",
+        )
+    )
+    c, l1, l7 = daily.alias("c"), daily.alias("l1"), daily.alias("l7")
+    joined = (
+        c.join(l1, F.col("l1.d") == F.col("c.d") - 1)
+        .join(l7, F.col("l7.d") == F.col("c.d") - 7)
+        .select(
+            F.col("c.x").alias("x"),
+            F.col("l1.x").alias("f1"),
+            F.col("l7.x").alias("f7"),
+        )
+    )
+    dd = (
+        F.round(F.abs(F.col("x") - F.col("f7")), 6).cast("decimal(18,6)")
+        - F.round(F.abs(F.col("x") - F.col("f1")), 6).cast(
+            "decimal(18,6)"
+        )
+    ).cast("decimal(19,6)")
+    diffs = joined.select(dd.alias("dd"))
+    sums = diffs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("dd").cast("decimal(38,6)")).alias("sd"),
+        # dd capped at DECIMAL(19,6): the product is exact at
+        # DECIMAL(38,12) in both engines (19+19 = 38).
+        F.sum(
+            (F.col("dd") * F.col("dd")).cast("decimal(38,12)")
+        ).alias("sd2"),
+    ).filter(F.col("n") >= 2)
+    m = sums.select("n", "sd", "sd2", F.expr(_DM_DBAR_SQL).alias("dbar"))
+    g = m.select("n", "dbar", F.expr(_DM_G0_SQL).alias("g0"))
+    s = g.select("n", "dbar", "g0", F.expr(_DM_STAT_SQL).alias("dm_stat"))
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("dbar").alias("mean_loss_diff"),
+        F.col("g0").alias("var_loss_diff"),
+        "dm_stat",
+        F.expr(_DM_HLN_SQL).alias("dm_hln"),
+    )

@@ -230,6 +230,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_expected_shortfall_daily",
     "window_extremal_index_runs",
     "window_winkler_interval_score",
+    "window_gev_blockmax_shape",
+    "window_diebold_mariano_naive",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -336,6 +336,78 @@ def test_winkler_score_dominates_width_and_nesting(spark, sf_small):
     assert ((out["coverage"] >= 0) & (out["coverage"] <= 1)).all()
 
 
+def test_gev_shape_bruteforce_replay(spark, sf_small):
+    """Replay weekly block maxima -> L-moments -> Hosking-Wallis-Wood
+    shape in pandas; |t3| < 1, l2 >= 0."""
+    from kafka_stream_processing_spark.operators.tail_scoring import (
+        GEV_BLOCK_DAYS,
+        window_gev_blockmax_shape,
+    )
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.functions.exact import dec
+    from kafka_stream_processing_spark.sources.tables import table
+
+    out = window_gev_blockmax_shape(spark, sf_small).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    daily = (
+        table(spark, sf_small, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(dec("value")).alias("x"))
+        .toPandas()
+    )
+    daily["d"] = (
+        pd.to_datetime(daily["day"]) - pd.Timestamp("1970-01-01")
+    ).dt.days
+    daily["blk"] = daily["d"] // GEV_BLOCK_DAYS
+    grp = daily.groupby("blk").agg(n=("d", "size"), mx=("x", "max"))
+    mxs = sorted(float(v) for v in grp[grp["n"] == GEV_BLOCK_DAYS]["mx"])
+    n = len(mxs)
+    assert n == int(row["n_blocks"]) >= 3
+    b = [0.0] * 3
+    for r in range(3):
+        num = sum(x * math.comb(i, r) for i, x in enumerate(mxs))
+        b[r] = num / (n * math.comb(n - 1, r))
+    l2 = 2 * b[1] - b[0]
+    t3 = (6 * b[2] - 6 * b[1] + b[0]) / l2
+    c = 2.0 / (3.0 + t3) - math.log(2.0) / math.log(3.0)
+    k = 7.8590 * c + 2.9554 * c * c
+    assert abs(row["l1"] - b[0]) < 1e-6 * max(1.0, abs(b[0]))
+    assert abs(row["l2"] - l2) < 1e-6 * max(1.0, abs(l2))
+    assert abs(row["t3"] - t3) < 1e-9
+    assert abs(row["gev_shape"] - k) < 1e-9
+    assert row["l2"] >= 0
+    assert abs(row["t3"]) < 1.0
+
+
+def test_diebold_mariano_replay_and_mase_sign(spark, sf_small):
+    """Replay the DM statistic in pandas; its sign must agree with the
+    forecast-skill MASE (mase < 1 iff mean loss differential < 0 —
+    both are built from the same sae7/sae1 sums); HLN factor
+    identity."""
+    from kafka_stream_processing_spark.operators.tail_scoring import (
+        window_diebold_mariano_naive,
+    )
+    from kafka_stream_processing_spark.operators.windowed import (
+        window_forecast_skill_scores,
+    )
+
+    out = window_diebold_mariano_naive(spark, sf_small).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    n = int(row["n_days"])
+    assert abs(
+        row["dm_hln"] - row["dm_stat"] * math.sqrt((n - 1) / n)
+    ) < 1e-9
+    assert row["var_loss_diff"] >= 0
+    skill = window_forecast_skill_scores(spark, sf_small).toPandas()
+    mase = float(skill.iloc[0]["mase_seasonal"])
+    assert int(skill.iloc[0]["n_days"]) == n
+    if abs(mase - 1.0) > 1e-9:
+        assert (mase < 1.0) == (row["mean_loss_diff"] < 0)
+
+
 def test_conformal_distributed_rank_matches_exact(spark, sf_small):
     """The conformal radius comes from frontier.global_rank(
     mode="distributed"); pin bit-identity against the exact
