@@ -1630,3 +1630,183 @@ def window_diebold_mariano_naive(
         "dm_stat",
         F.expr(_DM_HLN_SQL).alias("dm_hln"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta effect size: each source's doc-length shift vs rest
+# ---------------------------------------------------------------------------
+
+#: Romano et al. (2006) magnitude thresholds on |delta| — literal
+#: doubles, identical CASE ladder in both engines.
+CLIFF_THRESHOLDS = ("0.147", "0.33", "0.474")
+
+CLIFF_DELTA_ORACLE = f"""
+WITH hist AS (
+    SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+    SELECT n_chars, CAST(SUM(c) AS BIGINT) AS ct,
+           COALESCE(SUM(SUM(c)) OVER (ORDER BY n_chars
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS cum_t
+    FROM hist GROUP BY 1
+),
+cums AS MATERIALIZED (
+    SELECT h.source, h.n_chars, h.c,
+           COALESCE(SUM(h.c) OVER (PARTITION BY h.source
+                                   ORDER BY h.n_chars
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cum_s,
+           t.ct,
+           t.cum_t,
+           SUM(h.c) OVER (PARTITION BY h.source) AS n_s_all
+    FROM hist h JOIN tot t ON t.n_chars = h.n_chars
+),
+grand AS (SELECT CAST(SUM(ct) AS BIGINT) AS g FROM tot),
+sums AS MATERIALIZED (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_s,
+           CAST(SUM(c * (cum_t - cum_s)) AS BIGINT) AS p_below,
+           CAST(SUM(c * (g - (cum_t + ct)
+                         - (n_s_all - cum_s - c))) AS BIGINT)
+               AS p_above,
+           CAST(MAX(g) AS BIGINT) AS g
+    FROM cums CROSS JOIN grand GROUP BY source
+),
+fin AS MATERIALIZED (
+    SELECT source, n_s,
+           g - n_s AS n_o,
+           p_below, p_above,
+           CAST(p_below - p_above AS DOUBLE)
+               / (CAST(n_s AS DOUBLE) * CAST(g - n_s AS DOUBLE))
+               AS delta
+    FROM sums
+)
+SELECT source, n_s, n_o,
+       p_below AS n_pairs_greater,
+       p_above AS n_pairs_less,
+       delta,
+       CASE WHEN abs(delta) < {CLIFF_THRESHOLDS[0]} THEN 'negligible'
+            WHEN abs(delta) < {CLIFF_THRESHOLDS[1]} THEN 'small'
+            WHEN abs(delta) < {CLIFF_THRESHOLDS[2]} THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM fin
+"""
+
+
+@register(
+    "quality_cliff_delta_source_length",
+    oracle=CLIFF_DELTA_ORACLE,
+    tags=("quality", "statistics", "effect-size"),
+)
+def quality_cliff_delta_source_length(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta effect size of each source's document-length
+    distribution against the REST of the corpus (Cliff, Psych. Bull.
+    1993; magnitude labels per Romano et al. 2006) — the
+    distribution-free effect-size readout that the drift-test family
+    (p-value-shaped statistics) lacks: delta = P(X > Y) - P(X < Y)
+    for X a source's doc, Y any other source's doc.  A source whose
+    delta is 'large' feeds systematically longer/shorter documents
+    and will dominate token budgets even when a location test is
+    inconclusive.
+
+    Exactness: pure INTEGER pair counting without materializing
+    pairs — the (source, n_chars) histogram joined to the global
+    value histogram, strictly-below cumulative counts from
+    ROWS-bounded windows, P = Sum c_s(v) * (#others < v) and
+    Q = Sum c_s(v) * (#others > v) as exact BIGINT dot products, one
+    final double division, literal-threshold CASE for the magnitude.
+
+    Scale: the windows run over the VALUE HISTOGRAM (bounded by the
+    n_chars domain, the cvm/histogram-sized precedent), partitioned
+    by source; raw documents are only seen by the first
+    map-side-combined groupBy.  No pair set ever exists."""
+    d = table(spark, sf_dir, "documents")
+    hist = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # Global strictly-below cumulative on the VALUE HISTOGRAM (one
+    # unpartitioned window over the bounded n_chars domain — the
+    # cvm/histogram-sized precedent); computed on tot, NOT per-source,
+    # so values absent from a source still count into cum_t.
+    w_t = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = (
+        hist.groupBy("n_chars")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+        .withColumn(
+            "cum_t", F.coalesce(F.sum("ct").over(w_t), F.lit(0))
+        )
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cums = hist.join(tot, "n_chars").withColumn(
+        "cum_s", F.coalesce(F.sum("c").over(w_s), F.lit(0))
+    )
+    grand = tot.agg(F.sum("ct").cast("bigint").alias("g"))
+    w_src = Window.partitionBy("source")
+    cums = cums.withColumn("n_s_all", F.sum("c").over(w_src))
+    sums = (
+        cums.crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_s"),
+            F.sum(
+                F.col("c") * (F.col("cum_t") - F.col("cum_s"))
+            )
+            .cast("bigint")
+            .alias("p_below"),
+            F.sum(
+                F.col("c")
+                * (
+                    F.col("g")
+                    - (F.col("cum_t") + F.col("ct"))
+                    - (
+                        F.col("n_s_all")
+                        - F.col("cum_s")
+                        - F.col("c")
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("p_above"),
+            F.max("g").alias("g"),
+        )
+    )
+    delta = (F.col("p_below") - F.col("p_above")).cast("double") / (
+        F.col("n_s").cast("double")
+        * (F.col("g") - F.col("n_s")).cast("double")
+    )
+    mag = (
+        F.when(
+            F.abs(F.col("delta")) < float(CLIFF_THRESHOLDS[0]),
+            F.lit("negligible"),
+        )
+        .when(
+            F.abs(F.col("delta")) < float(CLIFF_THRESHOLDS[1]),
+            F.lit("small"),
+        )
+        .when(
+            F.abs(F.col("delta")) < float(CLIFF_THRESHOLDS[2]),
+            F.lit("medium"),
+        )
+        .otherwise(F.lit("large"))
+    )
+    return (
+        sums.select(
+            "source",
+            "n_s",
+            (F.col("g") - F.col("n_s")).cast("bigint").alias("n_o"),
+            F.col("p_below").alias("n_pairs_greater"),
+            F.col("p_above").alias("n_pairs_less"),
+            delta.alias("delta"),
+        )
+        .withColumn("magnitude", mag)
+    )

@@ -587,3 +587,57 @@ def test_known_item_query_sample_is_take_ordered(spark, sf_small):
     assert "TakeOrderedAndProject" in rep.text, rep.text[:4000]
     assert "BroadcastHashJoin" in rep.text, rep.text[:4000]
     assert "CartesianProduct" not in rep.text, rep.text[:4000]
+
+
+def test_hill_rank_windows_are_source_partitioned(spark, sf_small):
+    """r13 tail family: the Hill top-K rank must be a per-source window
+    (classic top-K), never an unpartitioned corpus sort, and the plan
+    joins the two aggregate branches without a cartesian."""
+    from kafka_stream_processing_spark.operators.tail_scoring import (
+        quality_hill_tail_index,
+    )
+    import re
+
+    df = quality_hill_tail_index(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^,]+)", plan)
+    assert specs and all(s.startswith("source#") for s in specs), specs
+    assert "CartesianProduct" not in plan
+
+
+def test_pinball_day_grid_join_is_bounded_not_cartesian(spark, sf_small):
+    """The trailing-window ensemble join is a range-predicate join on
+    two CALENDAR-sized day frames — BroadcastNestedLoopJoin is the
+    expected (bounded) shape; a CartesianProduct would mean the W-day
+    band predicate was lost."""
+    from kafka_stream_processing_spark.operators.tail_scoring import (
+        window_pinball_loss_daily,
+    )
+
+    df = window_pinball_loss_daily(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_conformal_rank_has_no_unpartitioned_window(spark, sf_small):
+    """The conformal radius rank must come from the distributed
+    two-phase form: every window in the executed plan is partitioned
+    (by _pid or another key) — no single-task total sort."""
+    from kafka_stream_processing_spark.operators.tail_scoring import (
+        quality_conformal_coverage_audit,
+    )
+    import re
+
+    df = quality_conformal_coverage_audit(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]+)\)", plan):
+        # first element of the spec is the partition key list; an
+        # unpartitioned window starts directly with the order column
+        # followed by ASC/DESC — reject specs with no partition key.
+        assert "_pid" in spec or not spec.strip().startswith("resid"), (
+            spec
+        )

@@ -408,6 +408,49 @@ def test_diebold_mariano_replay_and_mase_sign(spark, sf_small):
         assert (mase < 1.0) == (row["mean_loss_diff"] < 0)
 
 
+def test_cliff_delta_pair_accounting_and_bruteforce(spark, sf_small):
+    """P + Q + ties = n_s * n_o for every source; delta in [-1, 1];
+    brute-force O(n^2) pair count replay for the two smallest
+    sources."""
+    from kafka_stream_processing_spark.operators.tail_scoring import (
+        quality_cliff_delta_source_length,
+    )
+
+    out = quality_cliff_delta_source_length(spark, sf_small).toPandas()
+    assert len(out) > 0
+    assert ((out["delta"] >= -1) & (out["delta"] <= 1)).all()
+    assert (
+        out["n_pairs_greater"] + out["n_pairs_less"]
+        <= out["n_s"] * out["n_o"]
+    ).all()
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("source", "n_chars")
+        .toPandas()
+    )
+    assert (out["n_s"] + out["n_o"] == len(docs)).all()
+    for _, row in out.nsmallest(2, "n_s").iterrows():
+        xs = docs[docs["source"] == row["source"]]["n_chars"].to_numpy()
+        ys = docs[docs["source"] != row["source"]]["n_chars"].to_numpy()
+        p = sum(int((x > ys).sum()) for x in xs)
+        q = sum(int((x < ys).sum()) for x in xs)
+        assert int(row["n_pairs_greater"]) == p
+        assert int(row["n_pairs_less"]) == q
+        want = (p - q) / (len(xs) * len(ys))
+        assert abs(row["delta"] - want) < 1e-12
+        thr = [0.147, 0.33, 0.474]
+        lab = (
+            "negligible"
+            if abs(want) < thr[0]
+            else "small"
+            if abs(want) < thr[1]
+            else "medium"
+            if abs(want) < thr[2]
+            else "large"
+        )
+        assert row["magnitude"] == lab
+
+
 def test_conformal_distributed_rank_matches_exact(spark, sf_small):
     """The conformal radius comes from frontier.global_rank(
     mode="distributed"); pin bit-identity against the exact
