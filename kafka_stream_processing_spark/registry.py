@@ -233,6 +233,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "window_gev_blockmax_shape",
     "window_diebold_mariano_naive",
     "quality_cliff_delta_source_length",
+    "stream_tail_es_monitor",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

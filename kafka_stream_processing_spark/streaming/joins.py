@@ -5166,3 +5166,188 @@ def stream_ams_f2_incremental(
         cm_item_col().alias("item")
     )
     return ams_report(spark, merged, items)
+
+
+# ---------------------------------------------------------------------------
+# Streaming tail monitor: per-batch exact VaR + expected shortfall
+# ---------------------------------------------------------------------------
+
+#: Tail level: VaR rank = ceil(alpha * n_batch) with alpha = NUM/DEN.
+TAIL_MONITOR_NUM, TAIL_MONITOR_DEN = 9, 10
+
+_TAIL_MONITOR_ORACLE = f"""
+    WITH train AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, n_chars AS v, rn // ((n + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM chunked GROUP BY chunk_id
+    ),
+    hist AS (
+        SELECT chunk_id, v, CAST(count(*) AS BIGINT) AS c
+        FROM chunked GROUP BY 1, 2
+    ),
+    cum_t AS (
+        SELECT chunk_id, v, c,
+               SUM(c) OVER (PARTITION BY chunk_id ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    j AS (
+        SELECT c.chunk_id, c.v, c.c, c.cum, k.nb,
+               (k.nb * {TAIL_MONITOR_NUM} + {TAIL_MONITOR_DEN} - 1)
+                   // {TAIL_MONITOR_DEN} AS k
+        FROM cum_t c JOIN keys k USING (chunk_id)
+    ),
+    agg AS (
+        SELECT chunk_id,
+               MAX(CASE WHEN cum >= k AND cum - c < k THEN v END)
+                   AS var_v,
+               CAST(SUM(CASE WHEN cum >= k
+                             THEN v * LEAST(c, cum - k + 1)
+                             ELSE 0 END) AS BIGINT) AS tail_sum,
+               CAST(MAX(nb - k + 1) AS BIGINT) AS n_tail
+        FROM j GROUP BY chunk_id
+    )
+    SELECT k.chunk_min_doc_id,
+           k.nb AS n_batch,
+           CAST(a.var_v AS BIGINT) AS var90,
+           CAST(a.tail_sum AS DOUBLE) / CAST(a.n_tail AS DOUBLE)
+               AS es90,
+           a.n_tail
+    FROM agg a JOIN keys k USING (chunk_id)
+    """
+
+
+@register(
+    "stream_tail_es_monitor",
+    oracle=_TAIL_MONITOR_ORACLE,
+    tags=("streaming", "quality", "tails", "statistics"),
+)
+def stream_tail_es_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch EXACT upper-tail VaR(0.9) and expected
+    shortfall of document lengths on the ingest stream — the
+    streaming twin of window_expected_shortfall_daily, and the
+    monitor a pipeline trends to catch boilerplate floods by their
+    TAIL MASS, not just the p99 point (stream_quantile_monitor):
+    ES rises before the quantile moves when a batch's tail fattens.
+
+    Exactness: each trigger folds to the integer (value, count)
+    histogram (n_chars is domain-bounded, so per-trigger state is
+    histogram-sized regardless of batch size — the
+    stream_quantile_monitor pattern); post-stream, the VaR rank
+    k = ceil(0.9 * n) is exact integer arithmetic, the straddling
+    bucket contributes LEAST(c, cum - k + 1) rows, and ES is an
+    exact BIGINT tail dot product with ONE final double division.
+    Batches key by min doc_id (order-independent verdicts; the
+    oracle rebuilds the same ingest slices relationally).
+
+    Scale: one map-side-combined histogram groupBy per trigger; the
+    post-stream math runs on histogram-sized frames.  For
+    unbounded-domain value columns the documented swap is the
+    approx_percentile sketch, same table shape."""
+    from pyspark.sql import Window
+
+    rows: list[tuple[int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        key = batch_df.agg(F.min("doc_id").alias("k")).collect()[0]["k"]
+        if key is None:
+            return
+        hist = (
+            batch_df.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # value-domain-sized per trigger
+        )
+        for r in hist:
+            rows.append((int(key), int(r["v"]), int(r["c"])))
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    hist = spark.createDataFrame(
+        rows, "chunk_min_doc_id bigint, v bigint, c bigint"
+    )
+    keys = hist.groupBy("chunk_min_doc_id").agg(
+        F.sum("c").cast("bigint").alias("nb")
+    )
+    w_cum = (
+        Window.partitionBy("chunk_min_doc_id")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = (
+        hist.select(
+            "chunk_min_doc_id",
+            "v",
+            "c",
+            F.sum("c").over(w_cum).alias("cum"),
+        )
+        .join(keys, "chunk_min_doc_id")
+        .withColumn(
+            "k",
+            F.expr(
+                f"(nb * {TAIL_MONITOR_NUM} + {TAIL_MONITOR_DEN} - 1)"
+                f" div {TAIL_MONITOR_DEN}"
+            ),
+        )
+    )
+    in_tail = F.col("cum") >= F.col("k")
+    agg = j.groupBy("chunk_min_doc_id").agg(
+        F.max(
+            F.when(
+                in_tail & (F.col("cum") - F.col("c") < F.col("k")),
+                F.col("v"),
+            )
+        )
+        .cast("bigint")
+        .alias("var90"),
+        F.sum(
+            F.when(
+                in_tail,
+                F.col("v")
+                * F.least(
+                    F.col("c"), F.col("cum") - F.col("k") + 1
+                ),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tail_sum"),
+        F.max(F.col("nb") - F.col("k") + 1)
+        .cast("bigint")
+        .alias("n_tail"),
+    )
+    return agg.join(keys, "chunk_min_doc_id").select(
+        "chunk_min_doc_id",
+        F.col("nb").alias("n_batch"),
+        "var90",
+        (
+            F.col("tail_sum").cast("double")
+            / F.col("n_tail").cast("double")
+        ).alias("es90"),
+        "n_tail",
+    )

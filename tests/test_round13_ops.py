@@ -451,6 +451,49 @@ def test_cliff_delta_pair_accounting_and_bruteforce(spark, sf_small):
         assert row["magnitude"] == lab
 
 
+def test_stream_tail_monitor_replays_batch_es(spark, sf_small):
+    """The streaming monitor's per-chunk VaR/ES must equal a pandas
+    replay of the same deterministic 3-chunk slicing; ES >= VaR;
+    chunk sizes sum to the train-slice size."""
+    from kafka_stream_processing_spark.streaming.joins import (
+        TAIL_MONITOR_DEN,
+        TAIL_MONITOR_NUM,
+        stream_tail_es_monitor,
+    )
+
+    out = (
+        stream_tail_es_monitor(spark, sf_small)
+        .toPandas()
+        .sort_values("chunk_min_doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert (out["es90"] >= out["var90"] - 1e-9).all()
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter("source <> 'src0'")
+        .select("doc_id", "n_chars")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(docs)
+    assert int(out["n_batch"].sum()) == n
+    docs["chunk"] = docs.index // ((n + 2) // 3)
+    for cid, grp in docs.groupby("chunk"):
+        xs = sorted(int(v) for v in grp["n_chars"])
+        nb = len(xs)
+        k = (nb * TAIL_MONITOR_NUM + TAIL_MONITOR_DEN - 1) // (
+            TAIL_MONITOR_DEN
+        )
+        row = out[out["chunk_min_doc_id"] == grp["doc_id"].min()].iloc[0]
+        assert int(row["n_batch"]) == nb
+        assert int(row["var90"]) == xs[k - 1]
+        tail = xs[k - 1 :]
+        assert int(row["n_tail"]) == len(tail)
+        assert abs(row["es90"] - sum(tail) / len(tail)) < 1e-9
+
+
 def test_conformal_distributed_rank_matches_exact(spark, sf_small):
     """The conformal radius comes from frontier.global_rank(
     mode="distributed"); pin bit-identity against the exact
