@@ -127,23 +127,29 @@ def _load() -> None:
 #: identical differential check every round regardless.
 #: Round-13 table (VERDICT r12 item 1 — the registry-closing slice,
 #: emitted by tools/coverage_ledger.py --next on the r12 ledger; never
-#: hand-written).  Ledger counters entering r13 (tool-computed over
-#: CORRECTNESS_r01..r12.json):
-#:   driver-CHECKED entering r13:    400/431  (includes 6 rows-only)
-#:   driver-HASH-GREEN entering r13: 394/432  (the rotation currency)
-#:   backlog (never hash-green):     38 names (25 carried pre-r12 +
+#: hand-written).  Ledger counters entering r13, tool-computed over
+#: CORRECTNESS_r01..r12.json AGAINST THE FINAL r13 REGISTRY of 449
+#: queries / 443 with-oracle (the denominator includes the 12 r13
+#: additions and markov's new oracle):
+#:   driver-CHECKED entering r13:    400/437  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r13: 394/437  (the rotation currency)
+#:   backlog (never hash-green):     38 names in the 50-row window
+#:                                   (25 carried pre-r12 +
 #:                                   12 r12 registrations +
 #:                                   join_attribution_markov_removal,
 #:                                   which GAINED its exact oracle in
-#:                                   r13 — the r12 verdict item 4)
+#:                                   r13 — the r12 verdict item 4),
+#:                                   plus the 12 r13 additions BELOW
+#:                                   rank 50 (they queue for r14)
 #: The r13 slice is 12 restored §2 pins + 38 backlog = exactly 50
 #: (the free slot went to the markov op's brand-new oracle instead of
-#: a re-confirm).  Target hash-green after r13: 426/432 + 6 rows-only
-#: checked = EVERY oracle-bearing query driver-confirmed (the registry
-#: closes).  From r14 onward the window is 12 §2 pins + new-op rows +
-#: oldest-green re-confirms, always emitted by coverage_ledger --next.
+#: a re-confirm).  Target hash-green after r13: 432/443 + 6 rows-only
+#: checked = every oracle-bearing query THAT EXISTED ENTERING r13
+#: driver-confirmed; the 12 r13 additions then form the whole r14
+#: backlog (r14 slice: 12 pins + 12 + 26 re-confirms, emitted by
+#: coverage_ledger --next — never hand-write it).
 #: New registrations stay CAPPED below ~20/round; r13 additions append
-#: at the very END and queue for their driver rows in r14.
+#: at the very END.
 #: The full reference-parity (§2) pin set, restored as ranks 1-12 when
 #: the rotation has slack (tools/coverage_ledger.py --next emits the
 #: next round's slice from this constant — never hand-write it).
