@@ -51,8 +51,18 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables, sf_small):
         _run_bucketed_assertions(spark, orders_b, lineitem_b, sf_small)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        if prev_aqe:
-            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        # A previously-UNSET conf must be unset again, not left at -1:
+        # `if prev_aqe:` leaked the adaptive threshold to every later
+        # test in the session (observed: degraded a bounded range join
+        # to CartesianProduct in a test_plans pin, r13).
+        if prev_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
 
 
 def _run_bucketed_assertions(spark, orders_b, lineitem_b, sf_small):

@@ -615,11 +615,32 @@ def test_pinball_day_grid_join_is_bounded_not_cartesian(spark, sf_small):
         window_pinball_loss_daily,
     )
 
-    df = window_pinball_loss_daily(spark, sf_small)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    # Pin the engine-default broadcast thresholds for this assertion:
+    # the pin is about the plan under the ENGINE's confs, and the
+    # session-scoped fixture can carry state from earlier conf-matrix
+    # tests (observed: a leaked -1 threshold degrades the range join
+    # to CartesianProduct and flakes this test in full-suite order).
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(
+            32 * 1024 * 1024
+        ),
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = window_pinball_loss_daily(spark, sf_small)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_conformal_rank_has_no_unpartitioned_window(spark, sf_small):

@@ -56,7 +56,13 @@ def test_flagship_streaming_on_rocksdb_state_store(spark, sf_small):
         }
         assert got == truth
     finally:
-        if prev:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        # unset when previously unset — `if prev:` leaked RocksDB as
+        # the provider for every later streaming test (r13 fix).
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
         else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
