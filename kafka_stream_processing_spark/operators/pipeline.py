@@ -2261,3 +2261,178 @@ def sample_group_kfold_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_share"),
         )
     )
+
+
+HT_EVAL_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS size,
+           CAST(n_chars AS BIGINT) AS y
+    FROM documents
+),
+tot AS (
+    SELECT CAST(SUM(size) AS BIGINT) AS t,
+           CAST(SUM(y) AS BIGINT) AS true_chars,
+           CAST(count(*) AS BIGINT) AS true_docs
+    FROM d
+),
+cums AS (
+    SELECT doc_id, size, y,
+           CAST(coalesce(SUM(size) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cstart
+    FROM d
+),
+hits AS (
+    SELECT c.doc_id, c.size, c.y, c.cstart,
+           CAST(c.cstart + c.size AS BIGINT) AS cum, tot.t
+    FROM cums c, tot
+),
+sel AS MATERIALIZED (
+    SELECT doc_id, size, y,
+           CAST({_PPS_HITS_SQL.format(k=PPS_K, div="//")} AS BIGINT)
+               AS n_hits
+    FROM hits
+    WHERE {_PPS_HITS_SQL.format(k=PPS_K, div="//")} >= 1
+),
+est AS MATERIALIZED (
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_hits) AS BIGINT) AS k_check,
+           SUM(CAST(round(CAST(n_hits * y AS DOUBLE)
+                          / CAST(size AS DOUBLE), 12)
+                    AS DECIMAL(38,12))) AS s_chars,
+           SUM(CAST(round(CAST(n_hits AS DOUBLE)
+                          / CAST(size AS DOUBLE), 12)
+                    AS DECIMAL(38,12))) AS s_docs
+    FROM sel
+)
+SELECT 'total_chars' AS quantity,
+       CAST(t.true_chars AS DOUBLE) AS truth,
+       CAST(e.s_chars AS DOUBLE) * CAST(t.t AS DOUBLE) / {PPS_K}.0
+           AS ht_estimate,
+       (CAST(e.s_chars AS DOUBLE) * CAST(t.t AS DOUBLE) / {PPS_K}.0
+        - CAST(t.true_chars AS DOUBLE)) / CAST(t.true_chars AS DOUBLE)
+           AS rel_error,
+       e.n_sampled, e.k_check
+FROM est e CROSS JOIN tot t
+UNION ALL
+SELECT 'n_docs' AS quantity,
+       CAST(t.true_docs AS DOUBLE) AS truth,
+       CAST(e.s_docs AS DOUBLE) * CAST(t.t AS DOUBLE) / {PPS_K}.0
+           AS ht_estimate,
+       (CAST(e.s_docs AS DOUBLE) * CAST(t.t AS DOUBLE) / {PPS_K}.0
+        - CAST(t.true_docs AS DOUBLE)) / CAST(t.true_docs AS DOUBLE)
+           AS rel_error,
+       e.n_sampled, e.k_check
+FROM est e CROSS JOIN tot t
+"""
+
+
+@register(
+    "sample_pps_hansen_hurwitz_eval",
+    oracle=HT_EVAL_ORACLE,
+    tags=("sample", "pipeline", "evaluation"),
+)
+def sample_pps_hansen_hurwitz_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hansen-Hurwitz / Horvitz-Thompson estimator audit of the PPS
+    systematic sample (Hansen & Hurwitz 1943; the with-multiplicity
+    estimator matching Madow systematic selection): estimate the
+    corpus's total characters and document COUNT from only the
+    sampled rows — est = (T/K) * Sum n_hits_i * y_i / size_i — and
+    report relative error against the exact truth.  This is the
+    audit that justifies trusting statistics computed on the
+    downsampled corpus: the sampling family produces samples, this
+    op closes the loop on whether they REWEIGHT correctly (rel_error
+    for total_chars should be small because chars correlate with the
+    token-size measure; n_docs has higher design variance -- both
+    rows carry it so the drift is trended, not assumed).
+
+    Exactness: selection reuses the PPS op's closed-form BIGINT
+    point-in-interval division verbatim (no randomness, no floats in
+    selection); per-doc estimator terms are round-12 doubles summed
+    as DECIMAL(38,12) (the house weighted-term convention); the
+    (T/K) blow-up and the relative errors are mirrored fixed-order
+    double expressions.  Sum(n_hits) = K rides along as a structural
+    check column.
+
+    Scale: the sample stage is the PPS op's distributed prefix-sum
+    (no global window); the estimator is one map-side-combined
+    aggregate over the K-row-bounded sample joined back to nothing —
+    the y values ride the selection frame."""
+    d = fanout(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("size"),
+        F.col("n_chars").cast("bigint").alias("y"),
+    )
+    tot = d.agg(
+        F.sum("size").cast("bigint").alias("t"),
+        F.sum("y").cast("bigint").alias("true_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("true_docs"),
+    )
+    hits = (
+        distributed_prefix_sum(d.select("doc_id", "size"))
+        .join(d.select("doc_id", "y"), "doc_id")
+        .crossJoin(F.broadcast(tot.select("t")))
+        .select(
+            "doc_id",
+            "size",
+            "y",
+            "cstart",
+            (F.col("cstart") + F.col("size")).alias("cum"),
+            "t",
+        )
+    )
+    n_hits = F.expr(_PPS_HITS_SQL.format(k=PPS_K, div="div"))
+    sel = (
+        hits.withColumn("n_hits", n_hits.cast("bigint"))
+        .filter(F.col("n_hits") >= 1)
+        .select("doc_id", "size", "y", "n_hits")
+    )
+    est = sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("n_hits").cast("bigint").alias("k_check"),
+        F.sum(
+            F.round(
+                (F.col("n_hits") * F.col("y")).cast("double")
+                / F.col("size").cast("double"),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("s_chars"),
+        F.sum(
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("size").cast("double"),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("s_docs"),
+    )
+    j = est.crossJoin(F.broadcast(tot))
+    rows = []
+    for qty, s_col, truth_col in (
+        ("total_chars", "s_chars", "true_chars"),
+        ("n_docs", "s_docs", "true_docs"),
+    ):
+        ht = (
+            F.col(s_col).cast("double")
+            * F.col("t").cast("double")
+            / F.lit(float(PPS_K))
+        )
+        rows.append(
+            j.select(
+                F.lit(qty).alias("quantity"),
+                F.col(truth_col).cast("double").alias("truth"),
+                ht.alias("ht_estimate"),
+                (
+                    (ht - F.col(truth_col).cast("double"))
+                    / F.col(truth_col).cast("double")
+                ).alias("rel_error"),
+                "n_sampled",
+                "k_check",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -494,6 +494,49 @@ def test_stream_tail_monitor_replays_batch_es(spark, sf_small):
         assert abs(row["es90"] - sum(tail) / len(tail)) < 1e-9
 
 
+def test_hansen_hurwitz_structural_checks_and_replay(spark, sf_small):
+    """Sum(n_hits) telescopes to exactly K; the chars estimator lands
+    near truth (chars correlate with the token-size measure — assert
+    a loose 25% envelope, it is a design-variance bound, not a
+    tolerance); pandas replay of the estimator from the PPS sample."""
+    from kafka_stream_processing_spark.operators.pipeline import (
+        PPS_K,
+        sample_pps_hansen_hurwitz_eval,
+        sample_pps_systematic,
+    )
+
+    out = sample_pps_hansen_hurwitz_eval(spark, sf_small).toPandas()
+    assert len(out) == 2
+    assert (out["k_check"] == PPS_K).all()
+    chars = out[out["quantity"] == "total_chars"].iloc[0]
+    assert abs(chars["rel_error"]) < 0.25
+    assert abs(
+        chars["ht_estimate"] / chars["truth"] - 1.0 - chars["rel_error"]
+    ) < 1e-9
+    # replay from the registered PPS sample + raw docs
+    sel = sample_pps_systematic(spark, sf_small).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "size(split(text, ' ')) as size",
+        )
+        .toPandas()
+    )
+    m = sel.merge(docs, on="doc_id")
+    t = int(docs["size"].sum())
+    est = (
+        sum(
+            round(int(r["n_hits"]) * int(r["n_chars"]) / int(r["size_x"]), 12)
+            for _, r in m.iterrows()
+        )
+        * t
+        / PPS_K
+    )
+    assert abs(chars["ht_estimate"] - est) < 1e-6 * max(1.0, abs(est))
+
+
 def test_conformal_distributed_rank_matches_exact(spark, sf_small):
     """The conformal radius comes from frontier.global_rank(
     mode="distributed"); pin bit-identity against the exact
