@@ -3566,3 +3566,181 @@ def embedding_anisotropy_common_direction(
             "var_max_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm tail audit: VaR/ES + Hill index of squared L2 norms
+# ---------------------------------------------------------------------------
+
+#: Upper-tail level for the norm VaR/ES: ceil(alpha * n), alpha = 19/20.
+NORM_TAIL_NUM, NORM_TAIL_DEN = 19, 20
+#: Hill order-statistic count over the largest squared norms.
+NORM_HILL_K = 25
+#: Near-zero squared-norm threshold (exact decimal literal — a vector
+#: this small is a collapsed/zero embedding).
+NORM_ZERO_SQ = "0.000001"
+
+NORM_TAIL_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id,
+           list_aggregate(list_transform(range(1, 65),
+               i -> CAST(CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)
+                         AS DECIMAL(18,12))), 'sum') AS n2
+    FROM embeddings
+),
+idx AS MATERIALIZED (
+    SELECT vec_id, n2,
+           row_number() OVER (ORDER BY n2, vec_id) AS r,
+           count(*) OVER () AS n
+    FROM v
+),
+tail AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+           MAX(CASE WHEN r = (n * {NORM_TAIL_NUM} + {NORM_TAIL_DEN} - 1)
+                             // {NORM_TAIL_DEN}
+                    THEN CAST(n2 AS DOUBLE) END) AS var95,
+           CAST(SUM(CASE WHEN r >= (n * {NORM_TAIL_NUM}
+                                    + {NORM_TAIL_DEN} - 1)
+                                   // {NORM_TAIL_DEN}
+                         THEN CAST(n2 AS DECIMAL(38,12)) END)
+                AS DOUBLE)
+               / CAST(SUM(CASE WHEN r >= (n * {NORM_TAIL_NUM}
+                                          + {NORM_TAIL_DEN} - 1)
+                                         // {NORM_TAIL_DEN}
+                               THEN 1 ELSE 0 END) AS DOUBLE) AS es95,
+           CAST(SUM(CASE WHEN n2 < CAST({NORM_ZERO_SQ}
+                                        AS DECIMAL(18,12))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero
+    FROM idx
+),
+hill AS (
+    SELECT SUM(CASE WHEN n - r + 1 <= {NORM_HILL_K}
+                    THEN CAST(round(ln(CAST(n2 AS DOUBLE)), 12)
+                              AS DECIMAL(28,12)) END) AS sum_ln_top,
+           MAX(CASE WHEN n - r + 1 = {NORM_HILL_K} + 1
+                    THEN round(ln(CAST(n2 AS DOUBLE)), 12)
+               END) AS ln_xk1
+    FROM idx WHERE CAST(n2 AS DOUBLE) > 0
+)
+SELECT t.n_vecs, t.var95, t.es95, t.n_near_zero,
+       CAST(t.n_near_zero AS DOUBLE) / CAST(t.n_vecs AS DOUBLE)
+           AS near_zero_share,
+       CAST(h.sum_ln_top AS DOUBLE) / {NORM_HILL_K} - h.ln_xk1
+           AS hill_h,
+       1.0 / (CAST(h.sum_ln_top AS DOUBLE) / {NORM_HILL_K} - h.ln_xk1)
+           AS hill_alpha
+FROM tail t CROSS JOIN hill h
+"""
+
+
+@register(
+    "embedding_norm_tail_audit",
+    oracle=NORM_TAIL_ORACLE,
+    tags=("similarity", "embedding", "tails", "quality"),
+)
+def embedding_norm_tail_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tail audit of the embedding squared-L2-norm distribution:
+    upper-tail VaR(0.95)/expected shortfall, the Hill index over the
+    {NORM_HILL_K} largest norms, and the collapsed-vector share
+    (||x||^2 below an exact decimal epsilon).  Norm outliers are the
+    embedding-space failure modes that break cosine ANN — huge-norm
+    vectors dominate inner-product retrieval and near-zero vectors
+    make cosine undefined — so the tail readout belongs beside the
+    hubness and anisotropy audits.  Working on SQUARED norms avoids
+    any sqrt: the statistics are order-isomorphic (Hill alpha of n2
+    is exactly half the alpha of the norm — stated so readers don't
+    misread the scale).
+
+    Exactness: n2 is the house per-term DECIMAL(18,12) quantized sum
+    (the ``dist2_exact`` kernel applied to the vector with itself);
+    VaR/Hill ranks are exact integer ceil-ranks over the (n2, vec_id)
+    total order; ES averages an exact DECIMAL(38,12) tail sum with
+    one final double division; ln enters only through the round-12
+    double convention.
+
+    Scale: the engine-side rank is frontier.global_rank(
+    mode="distributed") — range-partitioned two-phase, no single-task
+    sort (the frontier rule); both aggregates are map-side combined;
+    the output is one row."""
+    from kafka_stream_processing_spark.operators.frontier import (
+        global_rank,
+    )
+
+    v = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        dist2_exact(
+            F.col("embedding").cast("array<double>"),
+            F.array([F.lit(0.0)] * 64),
+        ).alias("n2"),
+    )
+    ranked = global_rank(
+        v, [F.col("n2"), F.col("vec_id")], mode="distributed",
+        rank_name="r",
+    )
+    n_df = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    idx = ranked.crossJoin(F.broadcast(n_df))
+    k = F.expr(
+        f"(n * {NORM_TAIL_NUM} + {NORM_TAIL_DEN} - 1)"
+        f" div {NORM_TAIL_DEN}"
+    )
+    in_tail = F.col("r") >= k
+    tail = idx.agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.max(
+            F.when(F.col("r") == k, F.col("n2").cast("double"))
+        ).alias("var95"),
+        (
+            F.sum(
+                F.when(in_tail, F.col("n2").cast("decimal(38,12)"))
+            ).cast("double")
+            / F.sum(F.when(in_tail, 1).otherwise(0)).cast("double")
+        ).alias("es95"),
+        F.sum(
+            F.when(
+                F.col("n2")
+                < F.expr(
+                    f"CAST({NORM_ZERO_SQ} AS DECIMAL(18,12))"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_near_zero"),
+    )
+    ln12 = F.round(F.log(F.col("n2").cast("double")), 12)
+    hill = (
+        idx.filter(F.col("n2").cast("double") > 0)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n") - F.col("r") + 1 <= NORM_HILL_K,
+                    ln12.cast("decimal(28,12)"),
+                )
+            ).alias("sum_ln_top"),
+            F.max(
+                F.when(
+                    F.col("n") - F.col("r") + 1 == NORM_HILL_K + 1,
+                    ln12,
+                )
+            ).alias("ln_xk1"),
+        )
+    )
+    h = (
+        F.col("sum_ln_top").cast("double") / F.lit(NORM_HILL_K)
+        - F.col("ln_xk1")
+    )
+    return tail.crossJoin(F.broadcast(hill)).select(
+        "n_vecs",
+        "var95",
+        "es95",
+        "n_near_zero",
+        (
+            F.col("n_near_zero").cast("double")
+            / F.col("n_vecs").cast("double")
+        ).alias("near_zero_share"),
+        h.alias("hill_h"),
+        (F.lit(1.0) / h).alias("hill_alpha"),
+    )

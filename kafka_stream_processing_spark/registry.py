@@ -128,25 +128,25 @@ def _load() -> None:
 #: Round-13 table (VERDICT r12 item 1 — the registry-closing slice,
 #: emitted by tools/coverage_ledger.py --next on the r12 ledger; never
 #: hand-written).  Ledger counters entering r13, tool-computed over
-#: CORRECTNESS_r01..r12.json AGAINST THE FINAL r13 REGISTRY of 451
-#: queries / 445 with-oracle (the denominator includes the 13 r13
+#: CORRECTNESS_r01..r12.json AGAINST THE FINAL r13 REGISTRY of 452
+#: queries / 446 with-oracle (the denominator includes the 14 r13
 #: additions and markov's new oracle):
-#:   driver-CHECKED entering r13:    400/445  (includes 6 rows-only)
-#:   driver-HASH-GREEN entering r13: 394/445  (the rotation currency)
+#:   driver-CHECKED entering r13:    400/446  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r13: 394/446  (the rotation currency)
 #:   backlog (never hash-green):     38 names in the 50-row window
 #:                                   (25 carried pre-r12 +
 #:                                   12 r12 registrations +
 #:                                   join_attribution_markov_removal,
 #:                                   which GAINED its exact oracle in
 #:                                   r13 — the r12 verdict item 4),
-#:                                   plus the 13 r13 additions BELOW
+#:                                   plus the 14 r13 additions BELOW
 #:                                   rank 50 (they queue for r14)
 #: The r13 slice is 12 restored §2 pins + 38 backlog = exactly 50
 #: (the free slot went to the markov op's brand-new oracle instead of
-#: a re-confirm).  Target hash-green after r13: 432/445 + 6 rows-only
+#: a re-confirm).  Target hash-green after r13: 432/446 + 6 rows-only
 #: checked = every oracle-bearing query THAT EXISTED ENTERING r13
-#: driver-confirmed; the 13 r13 additions then form the whole r14
-#: backlog (r14 slice: 12 pins + 13 + 25 re-confirms, emitted by
+#: driver-confirmed; the 14 r13 additions then form the whole r14
+#: backlog (r14 slice: 12 pins + 14 + 24 re-confirms, emitted by
 #: coverage_ledger --next — never hand-write it).
 #: New registrations stay CAPPED below ~20/round; r13 additions append
 #: at the very END.
@@ -241,6 +241,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "quality_cliff_delta_source_length",
     "stream_tail_es_monitor",
     "sample_pps_hansen_hurwitz_eval",
+    "embedding_norm_tail_audit",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -537,6 +537,55 @@ def test_hansen_hurwitz_structural_checks_and_replay(spark, sf_small):
     assert abs(chars["ht_estimate"] - est) < 1e-6 * max(1.0, abs(est))
 
 
+def test_norm_tail_audit_replay(spark, sf_small):
+    """Pandas replay of VaR/ES/Hill/near-zero-share from the quantized
+    squared norms; ES >= VaR; alpha consistency."""
+    from kafka_stream_processing_spark.operators.similarity import (
+        NORM_HILL_K,
+        NORM_TAIL_DEN,
+        NORM_TAIL_NUM,
+        embedding_norm_tail_audit,
+    )
+    from decimal import Decimal, ROUND_HALF_UP
+
+    out = embedding_norm_tail_audit(spark, sf_small).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["es95"] >= row["var95"] - 1e-12
+    assert abs(row["hill_alpha"] * row["hill_h"] - 1.0) < 1e-9
+    assert 0.0 <= row["near_zero_share"] <= 1.0
+
+    embs = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) e")
+        .toPandas()
+    )
+    q = Decimal("0.000000000001")
+
+    def n2(vec):
+        s = Decimal(0)
+        for x in vec:
+            s += Decimal(x * x).quantize(q, rounding=ROUND_HALF_UP)
+        return s
+
+    vals = sorted(
+        (n2(r["e"]), r["vec_id"]) for _, r in embs.iterrows()
+    )
+    n = len(vals)
+    assert n == int(row["n_vecs"])
+    k = (n * NORM_TAIL_NUM + NORM_TAIL_DEN - 1) // NORM_TAIL_DEN
+    assert abs(row["var95"] - float(vals[k - 1][0])) < 1e-12
+    tail = [v for v, _ in vals[k - 1 :]]
+    assert abs(
+        row["es95"] - float(sum(tail)) / len(tail)
+    ) < 1e-9
+    top = [float(v) for v, _ in vals[-(NORM_HILL_K + 1):]]
+    hh = sum(
+        round(math.log(x), 12) for x in top[1:]
+    ) / NORM_HILL_K - round(math.log(top[0]), 12)
+    assert abs(row["hill_h"] - hh) < 1e-9
+
+
 def test_conformal_distributed_rank_matches_exact(spark, sf_small):
     """The conformal radius comes from frontier.global_rank(
     mode="distributed"); pin bit-identity against the exact
