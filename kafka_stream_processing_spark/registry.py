@@ -125,31 +125,20 @@ def _load() -> None:
 #: which queries get fresh evidence — the safety net is that
 #: tests/test_oracle_parity.py sweeps ALL registered queries with the
 #: identical differential check every round regardless.
-#: Round-13 table (VERDICT r12 item 1 — the registry-closing slice,
-#: emitted by tools/coverage_ledger.py --next on the r12 ledger; never
-#: hand-written).  Ledger counters entering r13, tool-computed over
-#: CORRECTNESS_r01..r12.json AGAINST THE FINAL r13 REGISTRY of 452
-#: queries / 446 with-oracle (the denominator includes the 14 r13
-#: additions and markov's new oracle):
-#:   driver-CHECKED entering r13:    400/446  (includes 6 rows-only)
-#:   driver-HASH-GREEN entering r13: 394/446  (the rotation currency)
-#:   backlog (never hash-green):     38 names in the 50-row window
-#:                                   (25 carried pre-r12 +
-#:                                   12 r12 registrations +
-#:                                   join_attribution_markov_removal,
-#:                                   which GAINED its exact oracle in
-#:                                   r13 — the r12 verdict item 4),
-#:                                   plus the 14 r13 additions BELOW
-#:                                   rank 50 (they queue for r14)
-#: The r13 slice is 12 restored §2 pins + 38 backlog = exactly 50
-#: (the free slot went to the markov op's brand-new oracle instead of
-#: a re-confirm).  Target hash-green after r13: 432/446 + 6 rows-only
-#: checked = every oracle-bearing query THAT EXISTED ENTERING r13
-#: driver-confirmed; the 14 r13 additions then form the whole r14
-#: backlog (r14 slice: 12 pins + 14 + 24 re-confirms, emitted by
-#: coverage_ledger --next — never hand-write it).
-#: New registrations stay CAPPED below ~20/round; r13 additions append
-#: at the very END.
+#: Round-14 table (VERDICT r13 item 1 — the ledger-closing slice,
+#: emitted by tools/coverage_ledger.py --next on the r13 ledger; never
+#: hand-written).  Ledger counters entering r14, tool-computed over
+#: CORRECTNESS_r01..r13.json against the 452-query / 446-with-oracle
+#: registry:
+#:   driver-CHECKED entering r14:    438/446  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r14: 432/446  (the rotation currency)
+#:   backlog (never hash-green):     exactly the 14 r13 registrations
+#: The r14 slice is 12 §2 pins + 14 backlog + 24 oldest-green
+#: re-confirms (all last green r03) = exactly 50.  Target after r14:
+#: hash-green 446/446 — every oracle-bearing query in the registry
+#: driver-confirmed.
+#: New registrations stay CAPPED below ~20/round; additions append at
+#: the very END (driver rows queue for the next window).
 #: The full reference-parity (§2) pin set, restored as ranks 1-12 when
 #: the rotation has slack (tools/coverage_ledger.py --next emits the
 #: next round's slice from this constant — never hand-write it).
@@ -183,51 +172,8 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "filter_project_events",
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
-    # -- ranks 13-50: the 38-name backlog (25 carried + 12 r12
-    # -- registrations + the markov op's new r13 oracle at rank 50),
-    # -- ledger order — closes the registry --
-    "window_multiscale_sample_entropy",
-    "dedup_semdedup_k_sweep",
-    "window_approximate_entropy_daily",
-    "window_dfa_alpha_daily",
-    "window_variance_ratio_joint",
-    "window_bds_test_daily",
-    "graph_katz_centrality_bounded",
-    "graph_harmonic_centrality",
-    "retrieval_query_likelihood_dirichlet",
-    "retrieval_known_item_recall_eval",
-    "window_higuchi_fd_daily",
-    "graph_ktruss_peeling",
-    "retrieval_rm3_expansion",
-    "retrieval_mmr_rerank",
-    "graph_ppr_single_source",
-    "quality_pr_auc_length_classifier",
-    "window_rqa_determinism_daily",
-    "sketch_ams_f2_estimate",
-    "graph_hits_hubs_authorities",
-    "stream_ams_f2_incremental",
-    "window_theta_forecast_daily",
-    "window_lyapunov_rosenstein_daily",
-    "quality_mcc_youden_threshold_sweep",
-    "sample_pps_systematic",
-    "text_sttr_chunked",
-    "corpus_term_dispersion_gries_dp",
-    "quality_simpson_reversal_audit",
-    "embedding_anisotropy_common_direction",
-    "dedup_fellegi_sunter_linkage",
-    "tokenizer_unigram_em",
-    "text_script_mix_profile",
-    "quality_t_closeness_audit",
-    "quality_jackknife_source_variance",
-    "sample_group_kfold_hash",
-    "sketch_ams_join_size_estimate",
-    "window_periodogram_daily",
-    "quality_fleiss_kappa_langid",
-    # -- rank 50: backlog #38 — first driver row for the markov op's
-    # -- new exact oracle (rows-only before r13) --
-    "join_attribution_markov_removal",
-    # -- new in r13 (targeted differential green at sf0.001+sf0.01;
-    # -- below rank 50, driver rows queue for the r14 window) --
+    # -- ranks 13-26: the 14-name backlog (the r13 registrations),
+    # -- ledger order — closes the ledger at 446/446 --
     "quality_hill_tail_index",
     "window_l_moments_daily",
     "window_pinball_loss_daily",
@@ -242,6 +188,32 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_tail_es_monitor",
     "sample_pps_hansen_hurwitz_eval",
     "embedding_norm_tail_audit",
+    # -- ranks 27-50: 24 oldest-green re-confirms (all last green
+    # -- r03; coverage_ledger --next order — tool-emitted) --
+    "dedup_embedding_cosine_allpairs",
+    "dedup_fuzzy_blocked_names",
+    "dedup_pipeline_keep_stats",
+    "connector_orc_roundtrip",
+    "connector_dynamic_partition_overwrite",
+    "connector_compact_small_files",
+    "connector_write_audit_publish",
+    "graph_pagerank_trade",
+    "sample_hash_split",
+    "sample_stratified_topn",
+    "quality_gopher_filters",
+    "text_pii_scrub",
+    "sample_mixture_weights",
+    "pandas_grouped_agg_value_sum",
+    "udtf_word_positions",
+    "quality_exact_percentiles",
+    "quality_referential_integrity",
+    "quality_snapshot_diff",
+    "join_null_safe_equality",
+    "funnel_click_to_purchase",
+    "scalar_try_error_policy",
+    "scalar_map_functions",
+    "sql_lateral_topk_per_customer",
+    "sql_recursive_user_chain",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

@@ -30,17 +30,21 @@ def compute(repo_root: str = ".") -> dict:
     hash_green: set[str] = set()
     rows_only: set[str] = set()
     errored: dict[str, str] = {}
+    last_green: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     for f in files:
+        base = os.path.basename(f)
+        rnd = int(base.replace("CORRECTNESS_r", "").replace(".json", ""))
         with open(f) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
             if row.get("hash_match") is True:
                 hash_green.add(name)
+                last_green[name] = max(last_green.get(name, 0), rnd)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 rows_only.add(name)
             elif row.get("err"):
-                errored[name] = f"{os.path.basename(f)}: {row['err']}"
+                errored[name] = f"{base}: {row['err']}"
     rows_only -= hash_green
     return {
         "files": [os.path.basename(f) for f in files],
@@ -48,6 +52,7 @@ def compute(repo_root: str = ".") -> dict:
         "rows_only": sorted(rows_only),
         "checked": len(hash_green) + len(rows_only),
         "errored": errored,
+        "last_green": last_green,
     }
 
 
@@ -87,13 +92,35 @@ def main(argv: list[str] | None = None) -> None:
         pins = list(registry.REFERENCE_PARITY_PINS)
         slice_rows = pins + [n for n in nxt if n not in pins]
         free = 50 - len(slice_rows)
+        # Fill the free slots with the OLDEST hash-green rows (smallest
+        # last-green round; ties broken by current all_specs() order) —
+        # the rotation policy's re-confirm rule, emitted here so the
+        # slice is never hand-written (VERDICT r13 item 1).  Names whose
+        # last green row will be refreshed by the CURRENT first-50
+        # window are treated as this-round fresh.
+        last_green = dict(ledger["last_green"])
+        cur_round = len(ledger["files"])
+        for n in first50:
+            if n in last_green:
+                last_green[n] = max(last_green[n], cur_round + 1)
+        taken = set(slice_rows)
+        reconfirm_pool = [n for n in with_oracle
+                          if n in last_green and n not in taken]
+        order = {n: i for i, n in enumerate(specs)}
+        reconfirm_pool.sort(key=lambda n: (last_green[n], order[n]))
+        reconfirms = reconfirm_pool[:max(free, 0)]
+        slice_rows = slice_rows + reconfirms
         print()
         print(f"projected hash-green after this round: "
               f"{len(projected)}/{len(with_oracle)}")
         print(f"next-round slice: {len(pins)} §2 pins + {len(nxt)} backlog "
-              f"+ {free} free re-confirm slots")
+              f"+ {len(reconfirms)} oldest-green re-confirms "
+              f"(free slots: {free})")
         for n in slice_rows:
-            print(f"  {n}")
+            tag = ""
+            if n in reconfirms:
+                tag = f"   # re-confirm (last green r{ledger['last_green'][n]:02d})"
+            print(f"  {n}{tag}")
         if free < 0:
             print(f"  WARNING: slice OVERFLOWS the 50-row window by "
                   f"{-free} — slim the pins (the r11 arithmetic lesson)")

@@ -655,10 +655,17 @@ def test_conformal_rank_has_no_unpartitioned_window(spark, sf_small):
     df = quality_conformal_coverage_audit(spark, sf_small)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    for spec in re.findall(r"windowspecdefinition\(([^)]+)\)", plan):
-        # first element of the spec is the partition key list; an
-        # unpartitioned window starts directly with the order column
-        # followed by ASC/DESC — reject specs with no partition key.
-        assert "_pid" in spec or not spec.strip().startswith("resid"), (
-            spec
+    specs = re.findall(r"windowspecdefinition\(([^)]+)\)", plan)
+    assert specs, "expected at least one window in the conformal plan"
+    for spec in specs:
+        # ADVICE r13: reject ANY unpartitioned window, not just ones
+        # ordered by a 'resid*' column.  A windowspecdefinition's
+        # elements are: partition cols..., order cols (each carrying
+        # 'ASC'/'DESC'), then the frame.  If the FIRST comma-separated
+        # element already carries a sort direction, the partition-key
+        # list is empty — a single-task total sort.
+        first = spec.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned window (no partition key before order "
+            f"column): windowspecdefinition({spec})"
         )

@@ -138,6 +138,37 @@ def test_markov_attribution_pure_python_replay(spark, sf_small):
     )
 
 
+def test_markov_oracle_channel_literal_matches_data():
+    """ADVICE r13: the generated markov oracle hard-codes
+    MARKOV_ORACLE_CHANNELS while the engine derives channels from the
+    data.  If testdata ever adds/removes a non-purchase event type the
+    differential would fail with an opaque row-count or 0/0-NULL
+    mismatch — this assertion fails FIRST with a clear message.  Checks
+    both driver SFs (the differential runs at both)."""
+    from kafka_stream_processing_spark.operators.relational import (
+        MARKOV_ORACLE_CHANNELS,
+    )
+
+    con = duckdb.connect()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        derived = tuple(
+            r[0]
+            for r in con.execute(
+                f"""SELECT DISTINCT event_type
+                    FROM '{sf_dir}/events.parquet'
+                    WHERE event_type <> 'purchase' ORDER BY 1"""
+            ).fetchall()
+        )
+        assert derived == MARKOV_ORACLE_CHANNELS, (
+            f"{sf_dir}: testdata channel set {derived} no longer matches "
+            f"the oracle literal MARKOV_ORACLE_CHANNELS="
+            f"{MARKOV_ORACLE_CHANNELS} — regenerate the literal in "
+            "operators/relational.py before trusting the markov "
+            "differential (its failure mode is an opaque hash/NULL "
+            "mismatch, not this clear message)."
+        )
+
+
 def test_markov_attribution_removal_effects_positive(spark, sf_small):
     """Every channel that appears on some converting path must have a
     strictly positive removal effect (cutting it can only lose
