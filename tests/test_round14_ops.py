@@ -1,0 +1,122 @@
+"""Round-14 guards: graph scale-probe tooling and kernel factoring.
+
+The r14 feature work is mostly verification infrastructure (VERDICT
+r13 items 1/4/6); these tests pin the pieces that could silently rot:
+the synthetic graph staging, the probe's argv contract, and the
+equivalence of the factored iteration kernels with the registered
+ops' outputs (the registered ops themselves stay oracle-checked by
+test_oracle_parity.py — this guards the FACTORING seam the probe
+depends on).
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from kafka_stream_processing_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_stage_graph_is_deterministic_and_triangle_rich(tmp_path):
+    """Two stagings of the same n produce byte-identical edge sets
+    (hash-deterministic — no RNG); edges satisfy a < b with no dups;
+    the community construction yields triangles (k-truss needs them)
+    and cross-community bridges (the zero-support negative class)."""
+    from kafka_stream_processing_spark.tools.stage_graph import stage
+
+    d1, d2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    stage(600, d1)
+    stage(600, d2)
+    con = duckdb.connect()
+    e1 = con.execute(
+        f"SELECT a, b, w FROM '{d1}/graph_edges.parquet' ORDER BY a, b"
+    ).fetchall()
+    e2 = con.execute(
+        f"SELECT a, b, w FROM '{d2}/graph_edges.parquet' ORDER BY a, b"
+    ).fetchall()
+    assert e1 == e2 and len(e1) > 0
+    assert all(a < b for a, b, _ in e1)
+    assert len(set((a, b) for a, b, _ in e1)) == len(e1)
+    n_tri = con.execute(
+        f"""WITH e AS (SELECT a, b FROM '{d1}/graph_edges.parquet')
+            SELECT count(*) FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
+    ).fetchone()[0]
+    assert n_tri > 0
+    bridges = con.execute(
+        f"""SELECT count(*) FROM '{d1}/graph_edges.parquet'
+            WHERE CAST(substr(a, 2) AS INT) // 100
+                  <> CAST(substr(b, 2) AS INT) // 100"""
+    ).fetchone()[0]
+    assert bridges > 0
+
+
+def test_probe_graph_parse_argv():
+    from kafka_stream_processing_spark.tools.probe_graph import parse_argv
+
+    assert parse_argv([]) == ("/tmp/kssp_graph", "/root/testdata/sf0.1")
+    assert parse_argv(["--graph-dir", "/x", "--sf-dir", "/y"]) == (
+        "/x",
+        "/y",
+    )
+
+
+def test_ktruss_kernel_matches_registered_op(spark, sf_small):
+    """graph_ktruss_peeling == _ktruss_decompose(_sig_adj_df(...)) —
+    the r14 factoring seam the graph probe drives; if the registered
+    op ever diverges from the kernel, the probe measures the wrong
+    thing."""
+    from kafka_stream_processing_spark.operators.graph import (
+        _ktruss_decompose,
+        _sig_adj_df,
+    )
+
+    via_op = sorted(
+        map(tuple, SPECS["graph_ktruss_peeling"].fn(spark, sf_small).collect())
+    )
+    via_kernel = sorted(
+        map(
+            tuple,
+            _ktruss_decompose(
+                _sig_adj_df(spark, sf_small).localCheckpoint(eager=True)
+            ).collect(),
+        )
+    )
+    assert via_op == via_kernel and len(via_op) > 0
+
+
+def test_ppr_kernel_matches_registered_op(spark, sf_small):
+    """graph_ppr_single_source == select over _ppr_power_iterate(...)
+    — same factoring-seam guard as the truss twin (values compared
+    exactly: both paths run the identical fixed schedule)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_processing_spark.operators.graph import (
+        _ppr_power_iterate,
+        _trade_frac_df,
+    )
+    from kafka_stream_processing_spark.sources.tables import table
+
+    via_op = sorted(
+        map(
+            tuple,
+            SPECS["graph_ppr_single_source"].fn(spark, sf_small).collect(),
+        )
+    )
+    nodes = table(spark, sf_small, "nation").select(
+        F.col("n_name").alias("node")
+    )
+    ranks = _ppr_power_iterate(nodes, _trade_frac_df(spark, sf_small))
+    via_kernel = sorted(
+        map(
+            tuple,
+            ranks.select(
+                F.col("node").alias("nation"),
+                F.round("r", 9).alias("ppr"),
+                (F.col("node") == F.col("hub")).alias("is_source"),
+            ).collect(),
+        )
+    )
+    assert via_op == via_kernel and len(via_op) == 25
