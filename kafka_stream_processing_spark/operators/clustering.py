@@ -20,6 +20,8 @@ graph at all (at 100 TB that's a small fraction of the corpus).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -855,13 +857,20 @@ def _pca_load_centered(spark: SparkSession, sf_dir: str):
     sums = (
         emb.select(F.posexplode("x").alias("dim", "val"))
         .groupBy("dim")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        # r14: exact DECIMAL sum (order-independent), so mu is the
+        # identical double in any engine that replays CAST(val AS
+        # DECIMAL(18,6)) — the float-sum form had nondeterministic low
+        # bits, which blocked the top-PC op's exact SQL oracle.
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()
     )
     n = sums[0]["n"]
     mu = [0.0] * PCA_DIM
     for r in sums:
-        mu[r["dim"]] = r["s"] / r["n"]
+        mu[r["dim"]] = float(r["s"]) / r["n"]
     return emb, mu, n
 
 
@@ -887,10 +896,18 @@ def _pca_matvec_pass(emb, mu: list[float], v: list[float]) -> list[float]:
     # keeps the expression tree linear in DIM (a 64-term dot inlined
     # into each of 64 aggregates is a 4096-node tree that chokes
     # codegen) and avoids a 64×N explode shuffle.
+    # Plain DECIMAL cast, NOT round()+cast: the cast rounds the EXACT
+    # binary value at scale 6 in both engines, and no double can be an
+    # exact .5 tie at scale 6 (it would need a 5^6 denominator), so
+    # the cast is rounding-mode-proof cross-engine.  round(x, 6) is
+    # not: DuckDB rounds the scaled float x*1e6, whose own rounding
+    # error flips near-tie rows vs Spark's exact BigDecimal rounding
+    # (measured: 64/64 eigenvalue mismatches at 1e-7 before r14
+    # dropped the round).
     projected = emb.select(
-        F.round(dot, 6).cast("decimal(18,6)").alias("dot"),
+        dot.cast("decimal(18,6)").alias("dot"),
         F.transform(
-            d_arr, lambda c: F.round(c, 6).cast("decimal(18,6)")
+            d_arr, lambda c: c.cast("decimal(18,6)")
         ).alias("dd"),
     )
     row = projected.agg(
@@ -902,15 +919,115 @@ def _pca_matvec_pass(emb, mu: list[float], v: list[float]) -> list[float]:
     return [float(row[f"w{i}"] or 0.0) for i in range(PCA_DIM)]
 
 
+def _top_pc_oracle() -> str:
+    """Generate the exact SQL replay of the power iteration (VERDICT
+    r13 item 6 — the markov pattern applied to PCA): PCA_ITERATIONS
+    materialized CTE passes, each performing the IDENTICAL IEEE-754
+    operation sequence as the engine —
+
+    - per-row ``dot`` accumulated left-to-right over dims (SQL ``+``
+      is left-associative, matching F.aggregate's fold), rounded to 6
+      decimals, cast DECIMAL(18,6);
+    - per-dimension deviations rounded/cast the same way;
+    - 64 exact DECIMAL sums (order-independent on both engines);
+    - norm via ``sqrt`` of the left-to-right sum of squares (sqrt is
+      correctly rounded per IEEE-754, unlike ln/exp — no libm risk);
+    - the iterate re-quantized by ``floor(x*1e6 + 0.5)/1e6`` (only
+      exact/correctly-rounded ops: *, +, floor, / — the engine uses
+      the same formula instead of Python's half-even round()).
+
+    Every double on both sides is therefore bit-identical; the
+    differential runs with NO tolerance beyond the repo-standard
+    1e-12."""
+    dims = range(PCA_DIM)
+    # float → DOUBLE → DECIMAL, never float → DECIMAL directly: DuckDB
+    # scales a FLOAT cast in float precision (measured: 158/32000
+    # values off by one quantum at sf0.001), while the engine always
+    # casts the element to double first.
+    mu_cols = ",\n               ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(*) AS mu{i}"
+        for i in dims
+    )
+    it0 = ", ".join(
+        f"{'1.0E0' if i == 0 else '0.0E0'} AS v{i}" for i in dims
+    )
+    passes = []
+    prev = "it0"
+    for k in range(1, PCA_ITERATIONS + 1):
+        dot_terms = " + ".join(
+            f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - m.mu{i}) * p.v{i}"
+            for i in dims
+        )
+        dd_cols = ",\n                   ".join(
+            f"CAST((CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            f" - m.mu{i}) AS DECIMAL(18,6)) AS dd{i}"
+            for i in dims
+        )
+        w_cols = ",\n               ".join(
+            f"SUM(dot * dd{i}) AS w{i}" for i in dims
+        )
+        f_cols = ", ".join(f"CAST(w{i} AS DOUBLE) AS f{i}" for i in dims)
+        sq = " + ".join(f"f{i}*f{i}" for i in dims)
+        v_cols = ",\n               ".join(
+            f"floor(f{i} / nrm * 1000000.0E0 + 0.5E0) / 1000000.0E0"
+            f" AS v{i}"
+            for i in dims
+        )
+        passes.append(f"""
+    w{k} AS MATERIALIZED (
+        SELECT {w_cols}
+        FROM (
+            SELECT CAST({dot_terms} AS DECIMAL(18,6)) AS dot,
+                   {dd_cols}
+            FROM embeddings e, mu m, {prev} p
+        )
+    ),
+    wf{k} AS MATERIALIZED (SELECT {f_cols} FROM w{k}),
+    n{k} AS MATERIALIZED (SELECT sqrt({sq}) AS nrm FROM wf{k}),
+    it{k} AS MATERIALIZED (
+        SELECT {v_cols}
+        FROM wf{k}, n{k}
+    )""")
+        prev = f"it{k}"
+    sign_branches = " ".join(
+        f"WHEN v{i} <> 0 THEN (CASE WHEN v{i} < 0"
+        f" THEN -1.0E0 ELSE 1.0E0 END)"
+        for i in dims
+    )
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT {i} AS dim, m.mu{i} AS mu, g.s * i.v{i} AS pc,"
+        f" l.lam AS eigenvalue"
+        f" FROM mu m, {prev} i, sgn g, lamc l"
+        for i in dims
+    )
+    return f"""
+    WITH mu AS MATERIALIZED (
+        SELECT {mu_cols},
+               COUNT(*) AS n
+        FROM embeddings
+    ),
+    it0 AS (SELECT {it0}),{",".join(passes)},
+    lamc AS (SELECT n.nrm / m.n AS lam FROM n{PCA_ITERATIONS} n, mu m),
+    sgn AS (SELECT CASE {sign_branches} ELSE 1.0E0 END AS s
+            FROM {prev}),
+    final AS (
+    {unpivot}
+    )
+    SELECT dim, mu, pc, eigenvalue FROM final ORDER BY dim
+    """
+
+
 @register(
     "embedding_top_pc_power_iteration",
-    # No SQL oracle: the iteration's literals (the current iterate v)
-    # change between passes, which a single oracle statement cannot
-    # express.  tests/test_round7b_ops.py pins the result against
-    # numpy's exact eigendecomposition of the same covariance instead
-    # (cosine alignment + eigenvalue agreement); the driver records a
-    # rows-only check.
-    oracle=None,
+    # r14 (VERDICT r13 item 6): EXACT SQL oracle — the generated CTE
+    # chain replays the identical IEEE sequence (the markov pattern),
+    # so the op leaves the rows-only set with no tolerance hacks.
+    # tests/test_round7b_ops.py still pins the result against numpy's
+    # exact eigendecomposition (cosine alignment + eigenvalue
+    # agreement) as the independent replay.
+    oracle=_top_pc_oracle(),
     tags=("similarity", "linear-algebra", "scale"),
 )
 def embedding_top_pc_power_iteration(
@@ -951,11 +1068,17 @@ def embedding_top_pc_power_iteration(
     lam = 0.0
     for _ in range(PCA_ITERATIONS):
         w = _pca_matvec_pass(emb, mu, v)
-        norm = sum(c * c for c in w) ** 0.5
+        # math.sqrt of a left-to-right sum of squares, and a floor-
+        # based 6-decimal quantizer: every op here is exact or IEEE
+        # correctly rounded, so the generated SQL oracle
+        # (_top_pc_oracle) replays bit-identical doubles.  Python's
+        # round() (half-even) and **0.5 (libm pow) were the two
+        # non-portable steps — r14 swapped both.
+        norm = math.sqrt(sum(c * c for c in w))
         if norm == 0.0:
             break
         lam = norm / n  # covariance eigenvalue: ||Σ d(d·v)|| / n, ||v||=1
-        v = [round(c / norm, 6) for c in w]
+        v = [math.floor(c / norm * 1e6 + 0.5) / 1e6 for c in w]
     # sign convention: first nonzero coordinate positive
     for c in v:
         if c != 0.0:

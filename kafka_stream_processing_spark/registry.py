@@ -130,13 +130,16 @@ def _load() -> None:
 #: hand-written).  Ledger counters entering r14, tool-computed over
 #: CORRECTNESS_r01..r13.json against the 452-query / 446-with-oracle
 #: registry:
-#:   driver-CHECKED entering r14:    438/446  (includes 6 rows-only)
-#:   driver-HASH-GREEN entering r14: 432/446  (the rotation currency)
-#:   backlog (never hash-green):     exactly the 14 r13 registrations
-#: The r14 slice is 12 §2 pins + 14 backlog + 24 oldest-green
-#: re-confirms (all last green r03) = exactly 50.  Target after r14:
-#: hash-green 446/446 — every oracle-bearing query in the registry
-#: driver-confirmed.
+#:   driver-CHECKED entering r14:    438/447  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r14: 432/447  (the rotation currency)
+#:   backlog (never hash-green):     the 14 r13 registrations + the
+#:                                   top-PC op (gained its exact SQL
+#:                                   oracle mid-r14)
+#: The r14 slice is 12 §2 pins + 15 backlog + 23 oldest-green
+#: re-confirms (all last green r03) = exactly 50 (re-emitted with
+#: coverage_ledger --current after the oracle landed).  Target after
+#: r14: hash-green 447/447 — every oracle-bearing query in the
+#: registry driver-confirmed.
 #: New registrations stay CAPPED below ~20/round; additions append at
 #: the very END (driver rows queue for the next window).
 #: The full reference-parity (§2) pin set, restored as ranks 1-12 when
@@ -173,7 +176,7 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_unique_users_per_minute",
     "stream_eos_transactional_roundtrip",
     # -- ranks 13-26: the 14-name backlog (the r13 registrations),
-    # -- ledger order — closes the ledger at 446/446 --
+    # -- ledger order --
     "quality_hill_tail_index",
     "window_l_moments_daily",
     "window_pinball_loss_daily",
@@ -188,8 +191,13 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_tail_es_monitor",
     "sample_pps_hansen_hurwitz_eval",
     "embedding_norm_tail_audit",
-    # -- ranks 27-50: 24 oldest-green re-confirms (all last green
-    # -- r03; coverage_ledger --next order — tool-emitted) --
+    # -- rank 27: embedding_top_pc_power_iteration gained its exact
+    # -- SQL oracle mid-r14 (left the rows-only set) and displaces the
+    # -- newest re-confirm — the markov r13 precedent; slice re-emitted
+    # -- by coverage_ledger --current --
+    "embedding_top_pc_power_iteration",
+    # -- ranks 28-50: 23 oldest-green re-confirms (all last green
+    # -- r03; coverage_ledger --current order — tool-emitted) --
     "dedup_embedding_cosine_allpairs",
     "dedup_fuzzy_blocked_names",
     "dedup_pipeline_keep_stats",
@@ -213,7 +221,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "scalar_try_error_policy",
     "scalar_map_functions",
     "sql_lateral_topk_per_customer",
-    "sql_recursive_user_chain",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new

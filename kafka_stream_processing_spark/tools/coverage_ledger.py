@@ -63,6 +63,15 @@ def main(argv: list[str] | None = None) -> None:
 
     argv = sys.argv[1:] if argv is None else argv
     project_next = "--next" in argv
+    # --current: emit the slice for THIS round from the live ledger
+    # (no first-50 green projection) — used when a registry change
+    # mid-round (e.g. an op gaining an oracle) invalidates the slice
+    # emitted at round start (r14: embedding_top_pc_power_iteration
+    # left the rows-only set and must displace one re-confirm, the
+    # markov r13 precedent).
+    current = "--current" in argv
+    if current:
+        project_next = True
 
     ledger = compute()
     specs = registry.all_specs()
@@ -86,7 +95,7 @@ def main(argv: list[str] | None = None) -> None:
         # Project the NEXT round's rotation slice, assuming the current
         # first-50 window's oracle rows land green (VERDICT r11 item 7:
         # the slice is emitted by this tool, never hand-written).
-        first50 = list(specs)[:50]
+        first50 = [] if current else list(specs)[:50]
         projected = green | {n for n in first50 if n in set(with_oracle)}
         nxt = [n for n in with_oracle if n not in projected]
         pins = list(registry.REFERENCE_PARITY_PINS)

@@ -63,7 +63,9 @@ def test_power_iteration_pca_vs_numpy(spark, sf_small):
     D = X - X.mean(0)
     C = D.T @ D / len(X)
     wvals, wvecs = np.linalg.eigh(C)
-    assert np.allclose(mu, X.mean(0), atol=1e-9)
+    # r14: mu is the exact-decimal(18,6) mean (oracle-replayable),
+    # within the 5e-7 quantization bound of the float mean
+    assert np.allclose(mu, X.mean(0), atol=1e-6)
     # eigenvalue estimate within the power-iteration guarantee
     assert lam >= 0.97 * wvals[-1]
     assert lam <= wvals[-1] * 1.001

@@ -163,9 +163,28 @@ def test_pca_deflation_top3_numpy_reference(spark, sf_small):
     # the 3 directions capture >= 95% of the true top-3 variance
     rayleigh = sum(float(V[j] @ C @ V[j]) for j in range(3))
     assert rayleigh >= 0.95 * evals[:3].sum()
-    # mu column matches the true mean
+    # mu column matches the exact-decimal mean convention (r14:
+    # _pca_load_centered sums DECIMAL(18,6)-quantized values so mu is
+    # order-independent and oracle-replayable; replay it here with
+    # Decimal HALF_UP quantization — the true float mean agrees only
+    # to the 5e-7/n quantization bound, so pin the EXACT convention)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    mu_exact = [
+        float(
+            sum(
+                Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP)
+                for x in X[:, i]
+            )
+        )
+        / len(X)
+        for i in range(64)
+    ]
     mus = {r.dim: r.mu for r in rows}
-    assert max(abs(mus[i] - mu[i]) for i in range(64)) < 1e-12
+    assert max(abs(mus[i] - mu_exact[i]) for i in range(64)) == 0.0
+    # and stays within the quantization bound of the true float mean
+    assert max(abs(mus[i] - mu[i]) for i in range(64)) < 1e-6
 
 
 def test_pca_deflation_rerun_bit_identical(spark, sf_small):

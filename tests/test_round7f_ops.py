@@ -1096,7 +1096,9 @@ def test_pca_block_iteration_numpy_reference(spark, sf_small):
     rayleigh = sum(float(V[j] @ C @ V[j]) for j in range(3))
     assert rayleigh >= 0.95 * evals[:3].sum()
     mus = {r.dim: r.mu for r in rows}
-    assert max(abs(mus[i] - mu[i]) for i in range(64)) < 1e-12
+    # r14: mu is the exact-decimal(18,6) mean (oracle-replayable),
+    # within the 5e-7 quantization bound of the float mean
+    assert max(abs(mus[i] - mu[i]) for i in range(64)) < 1e-6
 
 
 def test_pca_block_agrees_with_deflation_subspace(spark, sf_small):
