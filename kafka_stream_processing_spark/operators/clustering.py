@@ -919,6 +919,61 @@ def _pca_matvec_pass(emb, mu: list[float], v: list[float]) -> list[float]:
     return [float(row[f"w{i}"] or 0.0) for i in range(PCA_DIM)]
 
 
+def _pca_mu_cols_sql() -> str:
+    """The exact-decimal mean columns shared by every generated PCA
+    oracle.  float → DOUBLE → DECIMAL, never float → DECIMAL directly:
+    DuckDB scales a FLOAT cast in float precision (measured: 158/32000
+    values off by one quantum at sf0.001), while the engine always
+    casts the element to double first."""
+    return ",\n               ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(*) AS mu{i}"
+        for i in range(PCA_DIM)
+    )
+
+
+def _pca_matvec_ctes(tag: str, prev_it: str) -> str:
+    """One matvec pass as SQL: ``w{tag}`` (64 exact DECIMAL sums over
+    embeddings × mu × the previous iterate) and ``wf{tag}`` (the sums
+    cast DOUBLE as columns x0..x63) — the SQL twin of
+    ``_pca_matvec_pass`` + the driver's float() conversion."""
+    dims = range(PCA_DIM)
+    dot_terms = " + ".join(
+        f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - m.mu{i}) * p.v{i}"
+        for i in dims
+    )
+    dd_cols = ",\n                   ".join(
+        f"CAST((CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        f" - m.mu{i}) AS DECIMAL(18,6)) AS dd{i}"
+        for i in dims
+    )
+    w_cols = ",\n               ".join(
+        f"SUM(dot * dd{i}) AS w{i}" for i in dims
+    )
+    f_cols = ", ".join(f"CAST(w{i} AS DOUBLE) AS x{i}" for i in dims)
+    return f"""
+    w{tag} AS MATERIALIZED (
+        SELECT {w_cols}
+        FROM (
+            SELECT CAST({dot_terms} AS DECIMAL(18,6)) AS dot,
+                   {dd_cols}
+            FROM embeddings e, mu m, {prev_it} p
+        )
+    ),
+    wf{tag} AS MATERIALIZED (SELECT {f_cols} FROM w{tag})"""
+
+
+def _pca_sign_case_sql(src_cols: str = "v") -> str:
+    """The first-nonzero-coordinate-positive sign convention as a CASE
+    chain over columns ``{src_cols}0..{src_cols}63``."""
+    return " ".join(
+        f"WHEN {src_cols}{i} <> 0 THEN (CASE WHEN {src_cols}{i} < 0"
+        f" THEN -1.0E0 ELSE 1.0E0 END)"
+        for i in range(PCA_DIM)
+    )
+
+
 def _top_pc_oracle() -> str:
     """Generate the exact SQL replay of the power iteration (VERDICT
     r13 item 6 — the markov pattern applied to PCA): PCA_ITERATIONS
@@ -1095,14 +1150,131 @@ def embedding_top_pc_power_iteration(
 PCA_DEFLATION_COMPONENTS = 3
 
 
+def _sql_deflect(
+    ctes: list[str], cur: str, tag: str, pcs: list[str], pcol: str = "p"
+) -> str:
+    """Append sequential Gram-Schmidt projection CTEs of frame `cur`
+    (cols x0..x63) against each CTE in `pcs` (cols {pcol}0..{pcol}63),
+    mirroring the engine's order exactly: c computed once as a
+    left-to-right dot, then x_i − c·u_i per dimension.  Returns the
+    final frame name."""
+    dims = range(PCA_DIM)
+    for t, pc in enumerate(pcs):
+        dot = " + ".join(f"q.x{i} * u.{pcol}{i}" for i in dims)
+        sub = ", ".join(
+            f"q.x{i} - q.c * u.{pcol}{i} AS x{i}" for i in dims
+        )
+        ctes.append(
+            f"{tag}c{t} AS (SELECT ({dot}) AS c, q.*"
+            f" FROM {cur} q, {pc} u)"
+        )
+        ctes.append(
+            f"{tag}d{t} AS (SELECT {sub} FROM {tag}c{t} q, {pc} u)"
+        )
+        cur = f"{tag}d{t}"
+    return cur
+
+
+def _sql_norm_quant(
+    ctes: list[str], cur: str, ntag: str, ittag: str
+) -> None:
+    """Append the norm (sqrt of the left-to-right sum of squares) and
+    floor-quantized-iterate CTEs for frame `cur` (cols x0..x63)."""
+    dims = range(PCA_DIM)
+    sq = " + ".join(f"x{i}*x{i}" for i in dims)
+    vq = ",\n               ".join(
+        f"floor(q.x{i} / r.nrm * 1000000.0E0 + 0.5E0)"
+        f" / 1000000.0E0 AS v{i}"
+        for i in dims
+    )
+    ctes.append(
+        f"{ntag} AS MATERIALIZED (SELECT sqrt({sq}) AS nrm FROM {cur})"
+    )
+    ctes.append(
+        f"{ittag} AS MATERIALIZED (\n        SELECT {vq}\n"
+        f"        FROM {cur} q, {ntag} r)"
+    )
+
+
+def _deflation_oracle() -> str:
+    """Generate the exact SQL replay of the DEFLATED power iteration
+    (r14, extending the top-PC pattern): for each of the
+    PCA_DEFLATION_COMPONENTS components, an init-iterate CTE chain
+    (e_j, sequential Gram-Schmidt projections against the previously
+    extracted sign-fixed components, norm, floor-quantize) followed by
+    PCA_ITERATIONS matvec passes, each deflected against the same
+    components with the engine's exact operation order (c computed
+    once as a left-to-right dot, then x_i − c·p_i per dimension).
+    Only exact DECIMAL sums and correctly-rounded IEEE +,−,×,/,sqrt,
+    floor appear, so every double matches the engine bit-for-bit."""
+    dims = range(PCA_DIM)
+    ctes: list[str] = [
+        f"""mu AS MATERIALIZED (
+        SELECT {_pca_mu_cols_sql()},
+               COUNT(*) AS n
+        FROM embeddings
+    )"""
+    ]
+
+    def deflect(cur: str, tag: str, pcs: list[str]) -> str:
+        return _sql_deflect(ctes, cur, tag, pcs)
+
+    def norm_quant(cur: str, ntag: str, ittag: str) -> None:
+        _sql_norm_quant(ctes, cur, ntag, ittag)
+
+    pcs: list[str] = []
+    for j in range(PCA_DEFLATION_COMPONENTS):
+        init = ", ".join(
+            f"{'1.0E0' if i == j else '0.0E0'} AS x{i}" for i in dims
+        )
+        ctes.append(f"i{j}s AS (SELECT {init})")
+        cur = deflect(f"i{j}s", f"i{j}", pcs)
+        norm_quant(cur, f"i{j}n", f"it{j}_0")
+        prev = f"it{j}_0"
+        for k in range(1, PCA_ITERATIONS + 1):
+            ctes.append(_pca_matvec_ctes(f"{j}_{k}", prev).lstrip(" \n").rstrip())
+            cur = deflect(f"wf{j}_{k}", f"g{j}_{k}", pcs)
+            norm_quant(cur, f"n{j}_{k}", f"it{j}_{k}")
+            prev = f"it{j}_{k}"
+        p_cols = ", ".join(f"g.s * i.v{i} AS p{i}" for i in dims)
+        ctes.append(
+            f"sg{j} AS (SELECT CASE {_pca_sign_case_sql('v')}"
+            f" ELSE 1.0E0 END AS s FROM {prev})"
+        )
+        ctes.append(
+            f"pc{j} AS MATERIALIZED (SELECT {p_cols} FROM {prev} i, sg{j} g)"
+        )
+        ctes.append(
+            f"lm{j} AS (SELECT r.nrm / m.n AS lam"
+            f" FROM n{j}_{PCA_ITERATIONS} r, mu m)"
+        )
+        pcs.append(f"pc{j}")
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT {j} AS component, {i} AS dim, m.mu{i} AS mu,"
+        f" p.p{i} AS pc, l.lam AS eigenvalue"
+        f" FROM mu m, pc{j} p, lm{j} l"
+        for j in range(PCA_DEFLATION_COMPONENTS)
+        for i in dims
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    final AS (
+    {unpivot}
+    )
+    SELECT component, dim, mu, pc, eigenvalue FROM final
+    ORDER BY component, dim
+    """
+
+
 @register(
     "embedding_pca_deflation_top3",
-    # No SQL oracle, same reason as the top-PC op: the per-pass iterate
-    # literals change between passes.  tests/test_round7e_ops.py pins
-    # orthonormality, eigenvalue ordering/bounds vs numpy's exact
-    # eigendecomposition, captured-variance share, and bit-identical
-    # reruns; the driver records a rows-only check.
-    oracle=None,
+    # r14: EXACT SQL oracle — the generated CTE chain replays every
+    # deflected pass bit-identically (see _deflation_oracle), so the
+    # op leaves the rows-only set.  tests/test_round7e_ops.py keeps
+    # the independent numpy replay (orthonormality, eigenvalue
+    # brackets, captured variance, bit-identical reruns).
+    oracle=_deflation_oracle(),
     tags=("similarity", "linear-algebra", "scale"),
 )
 def embedding_pca_deflation_top3(
@@ -1142,22 +1314,27 @@ def embedding_pca_deflation_top3(
         # target subspace; e_j with prior components projected out is
         # the deterministic choice (no randomness allowed — reruns must
         # be bit-identical).
+        # Portable-exact driver arithmetic (r14, matching the top-PC
+        # op): math.sqrt + the floor-based 6-decimal quantizer, so the
+        # generated SQL oracle (_deflation_oracle) replays bit-identical
+        # doubles — Python round() (half-even) and **0.5 (libm pow)
+        # were the non-portable steps.
         for u in comps:
             c = sum(a * b for a, b in zip(v, u))
             v = [a - c * b for a, b in zip(v, u)]
-        norm = sum(c * c for c in v) ** 0.5
-        v = [round(c / norm, 6) for c in v]
+        norm = math.sqrt(sum(c * c for c in v))
+        v = [math.floor(c / norm * 1e6 + 0.5) / 1e6 for c in v]
         lam = 0.0
         for _ in range(PCA_ITERATIONS):
             w = _pca_matvec_pass(emb, mu, v)
             for u in comps:
                 c = sum(a * b for a, b in zip(w, u))
                 w = [a - c * b for a, b in zip(w, u)]
-            norm = sum(c * c for c in w) ** 0.5
+            norm = math.sqrt(sum(c * c for c in w))
             if norm == 0.0:
                 break
             lam = norm / n
-            v = [round(c / norm, 6) for c in w]
+            v = [math.floor(c / norm * 1e6 + 0.5) / 1e6 for c in w]
         for c in v:
             if c != 0.0:
                 if c < 0.0:
@@ -1187,14 +1364,13 @@ def _pca_block_matvec_pass(
     deflation); state is k·DIM decimal cells, map-side combined."""
     k = len(vs)
     d_arr = F.zip_with("x", _pca_lit_arr(mu), lambda a, b: a - b)
+    # Plain DECIMAL cast, not round()+cast — same cross-engine
+    # rounding-mode-proof convention as _pca_matvec_pass (r14).
     dots = [
-        F.round(
-            F.aggregate(
-                F.zip_with(d_arr, _pca_lit_arr(v), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-            6,
+        F.aggregate(
+            F.zip_with(d_arr, _pca_lit_arr(v), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         )
         .cast("decimal(18,6)")
         .alias(f"dot{j}")
@@ -1203,7 +1379,7 @@ def _pca_block_matvec_pass(
     projected = emb.select(
         *dots,
         F.transform(
-            d_arr, lambda c: F.round(c, 6).cast("decimal(18,6)")
+            d_arr, lambda c: c.cast("decimal(18,6)")
         ).alias("dd"),
     )
     row = projected.agg(
@@ -1219,14 +1395,125 @@ def _pca_block_matvec_pass(
     ]
 
 
+def _block_oracle() -> str:
+    """Generate the exact SQL replay of the BLOCK orthogonal
+    iteration (r14, completing the PCA family's move out of the
+    rows-only set): PCA_ITERATIONS materialized passes, each ONE
+    aggregate CTE carrying all k covariance matvecs (k·DIM exact
+    DECIMAL sums, mirroring _pca_block_matvec_pass), followed by the
+    per-pass Gram-Schmidt QR replayed column-for-column with the
+    engine's operation order; sign fix and rdiag/n eigenvalues at the
+    end.  Same portable-op inventory as the other two PCA oracles —
+    bit-identical doubles, no tolerance."""
+    k = PCA_DEFLATION_COMPONENTS
+    dims = range(PCA_DIM)
+    ctes: list[str] = [
+        f"""mu AS MATERIALIZED (
+        SELECT {_pca_mu_cols_sql()},
+               COUNT(*) AS n
+        FROM embeddings
+    )"""
+    ]
+    # init block: replay orthonormalize([e0..e_{k-1}]) — with exact
+    # arithmetic it reproduces the unit basis, but replay it anyway so
+    # the oracle cannot drift from the engine's init path.
+    prev_its: list[str] = []
+    for j in range(k):
+        init = ", ".join(
+            f"{'1.0E0' if i == j else '0.0E0'} AS x{i}" for i in dims
+        )
+        ctes.append(f"b0s{j} AS (SELECT {init})")
+        cur = _sql_deflect(ctes, f"b0s{j}", f"b0g{j}", prev_its, "v")
+        _sql_norm_quant(ctes, cur, f"b0n{j}", f"b0v{j}")
+        prev_its.append(f"b0v{j}")
+    for p in range(1, PCA_ITERATIONS + 1):
+        aliases = ", ".join(
+            f"{prev_its[j]} p{j}" for j in range(k)
+        )
+        dot_defs = ",\n                   ".join(
+            "CAST("
+            + " + ".join(
+                f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - m.mu{i})"
+                f" * p{j}.v{i}"
+                for i in dims
+            )
+            + f" AS DECIMAL(18,6)) AS dot{j}"
+            for j in range(k)
+        )
+        dd_cols = ",\n                   ".join(
+            f"CAST((CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            f" - m.mu{i}) AS DECIMAL(18,6)) AS dd{i}"
+            for i in dims
+        )
+        w_cols = ",\n               ".join(
+            f"SUM(dot{j} * dd{i}) AS w{j}_{i}"
+            for j in range(k)
+            for i in dims
+        )
+        ctes.append(f"""bw{p} AS MATERIALIZED (
+        SELECT {w_cols}
+        FROM (
+            SELECT {dot_defs},
+                   {dd_cols}
+            FROM embeddings e, mu m, {aliases}
+        )
+    )""")
+        new_its: list[str] = []
+        for j in range(k):
+            f_cols = ", ".join(
+                f"CAST(w{j}_{i} AS DOUBLE) AS x{i}" for i in dims
+            )
+            ctes.append(
+                f"b{p}f{j} AS (SELECT {f_cols} FROM bw{p})"
+            )
+            cur = _sql_deflect(
+                ctes, f"b{p}f{j}", f"b{p}g{j}", new_its, "v"
+            )
+            _sql_norm_quant(ctes, cur, f"b{p}n{j}", f"b{p}v{j}")
+            new_its.append(f"b{p}v{j}")
+        prev_its = new_its
+    last = PCA_ITERATIONS
+    for j in range(k):
+        ctes.append(
+            f"sg{j} AS (SELECT CASE {_pca_sign_case_sql('v')}"
+            f" ELSE 1.0E0 END AS s FROM b{last}v{j})"
+        )
+        p_cols = ", ".join(f"g.s * i.v{i} AS p{i}" for i in dims)
+        ctes.append(
+            f"pc{j} AS MATERIALIZED (SELECT {p_cols}"
+            f" FROM b{last}v{j} i, sg{j} g)"
+        )
+        ctes.append(
+            f"lm{j} AS (SELECT r.nrm / m.n AS lam"
+            f" FROM b{last}n{j} r, mu m)"
+        )
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT {j} AS component, {i} AS dim, m.mu{i} AS mu,"
+        f" p.p{i} AS pc, l.lam AS eigenvalue"
+        f" FROM mu m, pc{j} p, lm{j} l"
+        for j in range(k)
+        for i in dims
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    final AS (
+    {unpivot}
+    )
+    SELECT component, dim, mu, pc, eigenvalue FROM final
+    ORDER BY component, dim
+    """
+
+
 @register(
     "embedding_pca_block_iteration_top3",
-    # Rows-only for the same reason as the other power-iteration ops:
-    # each pass's literals are the previous orthonormal block.
-    # tests/test_round7f_ops.py pins orthonormality, eigenvalue
-    # brackets vs numpy, captured top-3 variance, bit-identical
-    # reruns, and subspace agreement with the sequential-deflation op.
-    oracle=None,
+    # r14: EXACT SQL oracle — the generated CTE chain replays every
+    # block pass and its Gram-Schmidt QR bit-identically (see
+    # _block_oracle); the whole PCA iteration family is now
+    # oracle-checked.  tests/test_round7f_ops.py keeps the numpy
+    # replay (orthonormality, brackets, variance, reruns, deflation
+    # subspace agreement).
+    oracle=_block_oracle(),
     tags=("similarity", "linear-algebra", "scale"),
 )
 def embedding_pca_block_iteration_top3(
@@ -1264,12 +1551,20 @@ def embedding_pca_block_iteration_top3(
             for u in out:
                 c = sum(a * b for a, b in zip(w, u))
                 w = [a - c * b for a, b in zip(w, u)]
-            norm = sum(c * c for c in w) ** 0.5
+            # Portable-exact arithmetic (r14): math.sqrt + the
+            # floor-based quantizer, so _block_oracle replays
+            # bit-identical doubles (same swap as top-PC/deflation).
+            norm = math.sqrt(sum(c * c for c in w))
             rdiag.append(norm)
             if norm == 0.0:
                 out.append([0.0] * PCA_DIM)
             else:
-                out.append([round(c / norm, 6) for c in w])
+                out.append(
+                    [
+                        math.floor(c / norm * 1e6 + 0.5) / 1e6
+                        for c in w
+                    ]
+                )
         return out, rdiag
 
     block = []

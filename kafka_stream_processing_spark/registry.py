@@ -130,16 +130,17 @@ def _load() -> None:
 #: hand-written).  Ledger counters entering r14, tool-computed over
 #: CORRECTNESS_r01..r13.json against the 452-query / 446-with-oracle
 #: registry:
-#:   driver-CHECKED entering r14:    438/447  (includes 6 rows-only)
-#:   driver-HASH-GREEN entering r14: 432/447  (the rotation currency)
+#:   driver-CHECKED entering r14:    438/449  (includes 6 rows-only)
+#:   driver-HASH-GREEN entering r14: 432/449  (the rotation currency)
 #:   backlog (never hash-green):     the 14 r13 registrations + the
-#:                                   top-PC op (gained its exact SQL
-#:                                   oracle mid-r14)
-#: The r14 slice is 12 §2 pins + 15 backlog + 23 oldest-green
+#:                                   3 PCA iteration ops (gained exact
+#:                                   SQL oracles mid-r14)
+#: The r14 slice is 12 §2 pins + 17 backlog + 21 oldest-green
 #: re-confirms (all last green r03) = exactly 50 (re-emitted with
-#: coverage_ledger --current after the oracle landed).  Target after
-#: r14: hash-green 447/447 — every oracle-bearing query in the
-#: registry driver-confirmed.
+#: coverage_ledger --current after the oracles landed).  Target after
+#: r14: hash-green 449/449 — every oracle-bearing query in the
+#: registry driver-confirmed; rows-only shrinks to the 3 by-design
+#: sketch ops (approx flagship, approx-quantiles, HLL merge).
 #: New registrations stay CAPPED below ~20/round; additions append at
 #: the very END (driver rows queue for the next window).
 #: The full reference-parity (§2) pin set, restored as ranks 1-12 when
@@ -191,12 +192,14 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "stream_tail_es_monitor",
     "sample_pps_hansen_hurwitz_eval",
     "embedding_norm_tail_audit",
-    # -- rank 27: embedding_top_pc_power_iteration gained its exact
-    # -- SQL oracle mid-r14 (left the rows-only set) and displaces the
-    # -- newest re-confirm — the markov r13 precedent; slice re-emitted
-    # -- by coverage_ledger --current --
+    # -- ranks 27-29: the three PCA iteration ops gained exact SQL
+    # -- oracles mid-r14 (left the rows-only set) and displace the
+    # -- newest re-confirms — the markov r13 precedent; slice
+    # -- re-emitted by coverage_ledger --current --
     "embedding_top_pc_power_iteration",
-    # -- ranks 28-50: 23 oldest-green re-confirms (all last green
+    "embedding_pca_deflation_top3",
+    "embedding_pca_block_iteration_top3",
+    # -- ranks 30-50: 21 oldest-green re-confirms (all last green
     # -- r03; coverage_ledger --current order — tool-emitted) --
     "dedup_embedding_cosine_allpairs",
     "dedup_fuzzy_blocked_names",
@@ -219,8 +222,6 @@ DRIVER_CHECK_ORDER: tuple[str, ...] = (
     "join_null_safe_equality",
     "funnel_click_to_purchase",
     "scalar_try_error_policy",
-    "scalar_map_functions",
-    "sql_lateral_topk_per_customer",
 )
 #: Rotation policy: flagship + §2 reference parity stay pinned;
 #: remaining slots go first to queries with NO driver row, then to new
