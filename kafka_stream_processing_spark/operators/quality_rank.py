@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from kafka_stream_processing_spark.functions.exact import dec
 from kafka_stream_processing_spark.registry import register
-from kafka_stream_processing_spark.sources.tables import table
+from kafka_stream_processing_spark.sources.tables import fanout, table
 
 
 from kafka_stream_processing_spark.operators.quality_kernel import (  # noqa: E501
@@ -2770,4 +2770,196 @@ def quality_jonckheere_terpstra_trend(
         F.expr(_JT_VAR_EXPR).alias("var_j"),
         F.expr(_JT_Z_EXPR).alias("z_stat"),
         F.expr(f"abs({_JT_Z_EXPR}) > {Z_CRIT_005}").alias("trend_005"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W: concordance among document rankers
+# ---------------------------------------------------------------------------
+
+#: The three deterministic document rankers whose agreement W measures
+#: (Kendall & Babington Smith 1939, tie-corrected form): character
+#: length, whitespace token count, distinct token count — the three
+#: cheap "document size" proxies a pipeline might substitute for one
+#: another; W answers whether they actually induce the same ordering.
+KENDALL_W_RANKERS = 3
+
+
+@register(
+    "quality_kendall_w_concordance",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id,
+               length(text) AS v1,
+               len(string_split(text, ' ')) AS v2,
+               len(list_distinct(string_split(text, ' '))) AS v3
+        FROM documents
+    ),
+    h1 AS (
+        SELECT v1 AS v, COUNT(*) AS m,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY v1
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS sb
+        FROM d GROUP BY v1
+    ),
+    h2 AS (
+        SELECT v2 AS v, COUNT(*) AS m,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY v2
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS sb
+        FROM d GROUP BY v2
+    ),
+    h3 AS (
+        SELECT v3 AS v, COUNT(*) AS m,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY v3
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS sb
+        FROM d GROUP BY v3
+    ),
+    r AS (
+        SELECT d.doc_id,
+               (2 * a.sb + a.m + 1)
+               + (2 * b.sb + b.m + 1)
+               + (2 * c.sb + c.m + 1) AS r2
+        FROM d
+        JOIN h1 a ON a.v = d.v1
+        JOIN h2 b ON b.v = d.v2
+        JOIN h3 c ON c.v = d.v3
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(r2 AS DECIMAL(19,0))
+                   * CAST(r2 AS DECIMAL(19,0))) AS s2
+        FROM r
+    ),
+    tie AS (
+        SELECT (SELECT SUM(m * m * m - m) FROM h1)
+             + (SELECT SUM(m * m * m - m) FROM h2)
+             + (SELECT SUM(m * m * m - m) FROM h3) AS t
+    )
+    SELECT s.n AS n_docs,
+           CAST(tie.t AS BIGINT) AS tie_t,
+           CAST(3 * (s.s2 - CAST(9 * s.n * (s.n + 1) * (s.n + 1)
+                                 AS DECIMAL(38,0))) AS DOUBLE)
+           / CAST(9 * (s.n * s.n * s.n - s.n) - 3 * tie.t AS DOUBLE)
+               AS w,
+           CAST(3 * (s.n - 1) AS DOUBLE)
+           * (CAST(3 * (s.s2 - CAST(9 * s.n * (s.n + 1) * (s.n + 1)
+                                    AS DECIMAL(38,0))) AS DOUBLE)
+              / CAST(9 * (s.n * s.n * s.n - s.n) - 3 * tie.t AS DOUBLE))
+               AS chi2
+    FROM s, tie
+    """,
+    tags=("quality", "rank"),
+)
+def quality_kendall_w_concordance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's coefficient of concordance W among the three
+    document-size rankers (chars / tokens / distinct tokens) — the
+    m-ranker generalization of the pairwise tau already in the
+    registry: W = 1 means the rankers agree on one ordering, W = 0
+    means no agreement beyond chance; chi2 = m(n−1)W is the Friedman
+    statistic for the H0 of no concordance.
+
+    Exactness discipline (the module's doubled-midrank convention):
+    each ranker's average ranks come off its count-of-counts histogram
+    as exact integers on the DOUBLED grid (2·below + ties + 1); the
+    per-document rank sum R2 is a 3-term integer; Σ R2² runs as
+    DECIMAL(19,0)² → DECIMAL(38,0) exact sums; the tie correction
+    Σ(t³−t) is BIGINT; ONE final IEEE division (and one multiply for
+    chi2) mirrors textually in the oracle.  The tie-corrected W
+    identity on the doubled grid: W = 3(ΣR2² − 9n(n+1)²) /
+    (9(n³−n) − 3T), since 12·ΣR² = 3·ΣR2².
+
+    Scale: three histogram groupBys (map-side combined) + three
+    histogram-sized broadcast joins back onto ONE document scan; the
+    cumulative windows run over distinct VALUES only (the KS/Kruskal
+    bounded-domain exception, never corpus-sized).  BIGINT holds n³
+    to n ≈ 2M; beyond that the denominator moves to DECIMAL — the
+    documented swap."""
+    from pyspark.sql import Window
+
+    d = fanout(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.length("text").alias("v1"),
+        F.size(F.split(F.col("text"), " ")).alias("v2"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "v3"
+        ),
+    )
+    d = d.localCheckpoint(eager=True)
+
+    def hist(col: str) -> DataFrame:
+        w_prev = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            d.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("m"))
+            .select(
+                "v",
+                "m",
+                F.coalesce(F.sum("m").over(w_prev), F.lit(0)).alias(
+                    "sb"
+                ),
+            )
+        )
+
+    h1, h2, h3 = hist("v1"), hist("v2"), hist("v3")
+    dbl = lambda: 2 * F.col("sb") + F.col("m") + 1  # noqa: E731
+    r = (
+        d.join(
+            F.broadcast(h1.select(F.col("v").alias("v1"),
+                                  dbl().alias("d1"))),
+            "v1",
+        )
+        .join(
+            F.broadcast(h2.select(F.col("v").alias("v2"),
+                                  dbl().alias("d2"))),
+            "v2",
+        )
+        .join(
+            F.broadcast(h3.select(F.col("v").alias("v3"),
+                                  dbl().alias("d3"))),
+            "v3",
+        )
+        .select(
+            (F.col("d1") + F.col("d2") + F.col("d3")).alias("r2")
+        )
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("r2").cast("decimal(19,0)")
+            * F.col("r2").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    tsum = (
+        h1.select("m")
+        .unionByName(h2.select("m"))
+        .unionByName(h3.select("m"))
+        .agg(
+            F.sum(
+                F.col("m") * F.col("m") * F.col("m") - F.col("m")
+            ).alias("t")
+        )
+    )
+    n, s2, t = F.col("n"), F.col("s2"), F.col("t")
+    num = (
+        F.lit(3)
+        * (
+            s2
+            - (F.lit(9) * n * (n + 1) * (n + 1)).cast("decimal(38,0)")
+        )
+    ).cast("double")
+    den = (
+        F.lit(9) * (n * n * n - n) - F.lit(3) * t
+    ).cast("double")
+    w_expr = num / den
+    return s.crossJoin(F.broadcast(tsum)).select(
+        n.cast("bigint").alias("n_docs"),
+        t.cast("bigint").alias("tie_t"),
+        w_expr.alias("w"),
+        ((F.lit(3) * (n - 1)).cast("double") * w_expr).alias("chi2"),
     )

@@ -122,9 +122,9 @@ def cosine_ge_two_tier(
     )
 
 
-@register(
-    "similarity_bruteforce_topk",
-    oracle=f"""
+#: Brute-force top-10 oracle — module constant so composing evals
+#: (similarity_rank_distance_ann_eval) can embed it as a subquery.
+BF_TOPK_ORACLE = f"""
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -157,7 +157,12 @@ def cosine_ge_two_tier(
         FROM pairs
     )
     WHERE rn <= 10
-    """,
+    """
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=BF_TOPK_ORACLE,
     headline=True,
     tags=("similarity",),
 )
@@ -455,9 +460,8 @@ def _probe_cells_sql(nprobe: int = IVF_NPROBE) -> str:
     )
 
 
-@register(
-    "similarity_ivf_probed_topk",
-    oracle=f"""
+#: IVF-probed top-10 oracle — module constant for the same reason.
+IVF_TOPK_ORACLE = f"""
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -495,7 +499,12 @@ def _probe_cells_sql(nprobe: int = IVF_NPROBE) -> str:
         FROM pairs
     )
     WHERE rn <= 10
-    """,
+    """
+
+
+@register(
+    "similarity_ivf_probed_topk",
+    oracle=IVF_TOPK_ORACLE,
     tags=("similarity", "scale"),
 )
 def similarity_ivf_probed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3743,4 +3752,120 @@ def embedding_norm_tail_audit(
         ).alias("near_zero_share"),
         h.alias("hill_h"),
         (F.lit(1.0) / h).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN ranking quality by rank distance (Fagin's top-k footrule)
+# ---------------------------------------------------------------------------
+
+#: Top-k list length shared by the exact and IVF rankers, and the
+#: "missing" placement rank (k+1) of Fagin/Kumar/Sivakumar's F^(k+1)
+#: footrule extension for comparing top-k lists that need not contain
+#: the same items (Comparing Top k Lists, SIAM J. Discrete Math 2003).
+ANN_RANK_K = 10
+#: Max footrule distance between two disjoint top-k lists:
+#: 2·Σ_{i=1..k}(k+1−i) = k(k+1).
+ANN_RANK_MAXF = ANN_RANK_K * (ANN_RANK_K + 1)
+
+
+@register(
+    "similarity_rank_distance_ann_eval",
+    oracle=f"""
+    WITH exact_l AS (
+        SELECT * FROM ({BF_TOPK_ORACLE})
+    ),
+    approx_l AS (
+        SELECT * FROM ({IVF_TOPK_ORACLE})
+    ),
+    er AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS re
+        FROM exact_l
+    ),
+    ar AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS ra
+        FROM approx_l
+    ),
+    j AS (
+        SELECT COALESCE(e.query_id, a.query_id) AS query_id,
+               e.re AS re, a.ra AS ra
+        FROM er e FULL OUTER JOIN ar a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN re IS NOT NULL AND ra IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(SUM(abs(COALESCE(re, {ANN_RANK_K + 1})
+                        - COALESCE(ra, {ANN_RANK_K + 1}))) AS BIGINT)
+               AS footrule,
+           CAST(SUM(abs(COALESCE(re, {ANN_RANK_K + 1})
+                        - COALESCE(ra, {ANN_RANK_K + 1}))) AS DOUBLE)
+               / {ANN_RANK_MAXF}.0E0 AS nfd
+    FROM j
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+    tags=("similarity", "eval"),
+)
+def similarity_rank_distance_ann_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RANK-distance quality of the IVF index vs exact search — the
+    ordering-sensitive complement of the recall@k harness
+    (similarity_recall_vs_nprobe measures SET overlap; two indexes
+    with identical recall can still order survivors very differently,
+    which is what a reranker or a user actually sees).  Per query:
+    Fagin's F^(k+1) footrule between the exact brute-force top-10 and
+    the IVF-probed top-10 — each list ranked by (cosine DESC,
+    neighbor_id), items absent from the other list placed at rank
+    k+1 — plus the raw overlap count and the footrule normalized by
+    its disjoint-lists maximum k(k+1).
+
+    Exactness: ranks are integers from the same deterministic
+    (cosine, neighbor_id) orderings both base ops pin; the footrule
+    sum is pure BIGINT; nfd divides by a small integer constant —
+    nothing float-fragile anywhere.
+
+    Scale: reuses both registered ANN kernels (broadcast query side —
+    the corpus never shuffles); the rank join touches 2·|Q|·k rows —
+    driver-trivial at any corpus size since |Q| is the eval query set,
+    not the corpus."""
+    exact = similarity_bruteforce_topk(spark, sf_dir)
+    approx = similarity_ivf_probed_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    er = exact.withColumn("re", F.row_number().over(w)).select(
+        "query_id", "neighbor_id", "re"
+    )
+    ar = approx.withColumn("ra", F.row_number().over(w)).select(
+        "query_id", "neighbor_id", "ra"
+    )
+    miss = F.lit(ANN_RANK_K + 1)
+    j = er.join(ar, ["query_id", "neighbor_id"], "full_outer")
+    dist = F.abs(
+        F.coalesce(F.col("re"), miss) - F.coalesce(F.col("ra"), miss)
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("re").isNotNull() & F.col("ra").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.sum(dist).cast("bigint").alias("footrule"),
+            (
+                F.sum(dist).cast("double") / F.lit(float(ANN_RANK_MAXF))
+            ).alias("nfd"),
+        )
+        .orderBy("query_id")
     )

@@ -669,3 +669,46 @@ def test_conformal_rank_has_no_unpartitioned_window(spark, sf_small):
             f"unpartitioned window (no partition key before order "
             f"column): windowspecdefinition({spec})"
         )
+
+
+def test_footrule_eval_reuses_broadcast_query_plans(spark, sf_small):
+    """r14 footrule eval: the two ANN kernels keep their pinned
+    shapes inside the composed plan — the corpus never shuffles (the
+    query side is broadcast: BroadcastNestedLoopJoin for brute force),
+    and no CartesianProduct appears anywhere."""
+    from kafka_stream_processing_spark.operators.similarity import (
+        similarity_rank_distance_ann_eval,
+    )
+
+    df = similarity_rank_distance_ann_eval(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kendall_w_windows_are_histogram_sized(spark, sf_small):
+    """r14 Kendall's W: the only windows in the plan are the three
+    per-ranker cumulative sums over count-of-counts HISTOGRAMS (the
+    KS/Kruskal bounded-domain exception) — each is fed by a groupBy,
+    never by the raw document scan — and the rank maps join back to
+    the single doc scan as broadcasts; no CartesianProduct."""
+    import re
+
+    from kafka_stream_processing_spark.operators.quality_rank import (
+        quality_kendall_w_concordance,
+    )
+
+    df = quality_kendall_w_concordance(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    wspecs = re.findall(r"windowspecdefinition\(([^)]+)\)", plan)
+    # the three cumulative sums (each spec may render twice in the
+    # executed-plan text); every one must order by the histogram's
+    # aggregated value column `v#...` — a corpus-sized window would
+    # order by a raw doc column (v1/v2/v3 or doc_id)
+    assert wspecs and len(wspecs) <= 6, wspecs
+    for spec in wspecs:
+        assert spec.strip().startswith("v#"), spec
+    assert plan.count("BroadcastHashJoin") >= 3

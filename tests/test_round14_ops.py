@@ -120,3 +120,97 @@ def test_ppr_kernel_matches_registered_op(spark, sf_small):
         )
     )
     assert via_op == via_kernel and len(via_op) == 25
+
+
+def test_footrule_ann_eval_pure_python_replay(spark, sf_small):
+    """Independent replay (the r13 Cliff's-delta lesson: oracle parity
+    can agree on the same wrong formula): recompute Fagin's F^(k+1)
+    footrule in plain python dicts from the two registered top-k
+    results and compare every output cell."""
+    exact = SPECS["similarity_bruteforce_topk"].fn(spark, sf_small).collect()
+    approx = SPECS["similarity_ivf_probed_topk"].fn(spark, sf_small).collect()
+    got = {
+        r.query_id: r
+        for r in SPECS["similarity_rank_distance_ann_eval"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+
+    def ranks(rows):
+        out: dict[int, dict[int, int]] = {}
+        for q in {r.query_id for r in rows}:
+            lst = sorted(
+                (r for r in rows if r.query_id == q),
+                key=lambda r: (-r.cosine, r.neighbor_id),
+            )
+            out[q] = {r.neighbor_id: i + 1 for i, r in enumerate(lst)}
+        return out
+
+    re_, ra_ = ranks(exact), ranks(approx)
+    assert set(got) == set(re_) == set(ra_)
+    for q in re_:
+        ids = set(re_[q]) | set(ra_[q])
+        foot = sum(
+            abs(re_[q].get(i, 11) - ra_[q].get(i, 11)) for i in ids
+        )
+        overlap = len(set(re_[q]) & set(ra_[q]))
+        assert got[q].footrule == foot
+        assert got[q].n_overlap == overlap
+        assert abs(got[q].nfd - foot / 110.0) < 1e-15
+        assert 0 <= got[q].nfd <= 1.0
+        # footrule 0 iff the two rankings are identical
+        assert (got[q].footrule == 0) == (re_[q] == ra_[q])
+
+
+def test_kendall_w_pure_python_replay(spark, sf_small):
+    """Brute-force Kendall's W replay: average ranks by sorting in
+    python (no histograms), the textbook tie-corrected formula in
+    floats — must agree with the engine's exact-integer form to float
+    tolerance, and sit in [0, 1]."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT length(text),
+                   len(string_split(text, ' ')),
+                   len(list_distinct(string_split(text, ' ')))
+            FROM '{sf_small}/documents.parquet' ORDER BY doc_id"""
+    ).fetchall()
+    n = len(rows)
+    m = 3
+
+    def avg_ranks(vals):
+        order = sorted(range(n), key=lambda i: vals[i])
+        ranks = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j + 2) / 2.0
+            for t in range(i, j + 1):
+                ranks[order[t]] = avg
+            i = j + 1
+        return ranks
+
+    cols = list(zip(*rows))
+    rks = [avg_ranks(list(c)) for c in cols]
+    R = [sum(rks[k][i] for k in range(m)) for i in range(n)]
+    S = sum(r * r for r in R)
+    T = 0
+    for c in cols:
+        cnt: dict[int, int] = {}
+        for v in c:
+            cnt[v] = cnt.get(v, 0) + 1
+        T += sum(t**3 - t for t in cnt.values())
+    w_ref = (12 * S - 3 * m * m * n * (n + 1) ** 2) / (
+        m * m * (n**3 - n) - m * T
+    )
+    row = (
+        SPECS["quality_kendall_w_concordance"]
+        .fn(spark, sf_small)
+        .collect()[0]
+    )
+    assert row.n_docs == n
+    assert row.tie_t == T
+    assert abs(row.w - w_ref) < 1e-9
+    assert 0.0 <= row.w <= 1.0
+    assert abs(row.chi2 - m * (n - 1) * row.w) < 1e-9
