@@ -17,6 +17,12 @@ from kafka_stream_processing_spark.operators.corpus import (
     CM_AUDIT_ORACLE,
     CONTAMINATION_ORACLE,
 )
+from kafka_stream_processing_spark.operators.tail_scoring import (
+    _FS_THETA_V1_SQL,
+    _FS_THETA_V2_SQL,
+    EXT_Q_DEN,
+    EXT_Q_NUM,
+)
 from kafka_stream_processing_spark.operators.text import (
     DUP_TRIGRAM_FRAC_MAX,
     TOP_BIGRAM_FRAC_MAX,
@@ -5350,4 +5356,211 @@ def stream_tail_es_monitor(
             / F.col("n_tail").cast("double")
         ).alias("es90"),
         "n_tail",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming extremal-index monitor (Ferro-Segers per micro-batch)
+# ---------------------------------------------------------------------------
+
+_STREAM_EXTREMAL_ORACLE = f"""
+    WITH train AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM documents WHERE source <> 'src0'
+    ),
+    chunked AS (
+        SELECT doc_id, n_chars AS v, rn // ((n + 2) // 3) AS chunk_id
+        FROM train
+    ),
+    keys AS (
+        SELECT chunk_id, min(doc_id) AS chunk_min_doc_id,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM chunked GROUP BY chunk_id
+    ),
+    idx AS MATERIALIZED (
+        SELECT chunk_id, doc_id, v,
+               row_number() OVER (PARTITION BY chunk_id
+                                  ORDER BY v, doc_id) AS r,
+               count(*) OVER (PARTITION BY chunk_id) AS n
+        FROM chunked
+    ),
+    thr AS (
+        SELECT chunk_id,
+               MAX(CASE WHEN r = (n * {EXT_Q_NUM} + {EXT_Q_DEN} - 1)
+                                 // {EXT_Q_DEN}
+                        THEN v END) AS u
+        FROM idx GROUP BY 1
+    ),
+    exc AS MATERIALIZED (
+        SELECT i.chunk_id, i.doc_id,
+               lag(i.doc_id) OVER (PARTITION BY i.chunk_id
+                                   ORDER BY i.doc_id) AS prev_id
+        FROM idx i JOIN thr t ON t.chunk_id = i.chunk_id
+        WHERE i.v > t.u
+    ),
+    gaps AS (
+        SELECT chunk_id, CAST(doc_id - prev_id AS BIGINT) AS g
+        FROM exc WHERE prev_id IS NOT NULL
+    ),
+    sums AS MATERIALIZED (
+        SELECT chunk_id,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(MAX(g) AS BIGINT) AS gmax,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               CAST(SUM(g * g) AS BIGINT) AS sg2,
+               CAST(SUM(g - 1) AS BIGINT) AS sg1,
+               CAST(SUM((g - 1) * (g - 2)) AS BIGINT) AS sg12
+        FROM gaps GROUP BY 1
+        HAVING count(*) >= 2
+    )
+    SELECT k.chunk_min_doc_id,
+           k.nb AS n_batch,
+           CAST(s.ng + 1 AS BIGINT) AS n_exceed,
+           s.gmax AS max_gap,
+           CAST(t.u AS BIGINT) AS threshold,
+           LEAST(1.0, CASE WHEN s.gmax <= 2 THEN {_FS_THETA_V1_SQL}
+                           ELSE {_FS_THETA_V2_SQL} END) AS theta
+    FROM sums s
+    JOIN thr t ON t.chunk_id = s.chunk_id
+    JOIN keys k ON k.chunk_id = s.chunk_id
+    """
+
+
+@register(
+    "stream_extremal_index_monitor",
+    oracle=_STREAM_EXTREMAL_ORACLE,
+    tags=("streaming", "quality", "tails", "statistics"),
+)
+def stream_extremal_index_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-micro-batch extremal index (Ferro-Segers intervals
+    estimator, JRSS-B 2003) of the document-length exceedance process
+    on the ingest stream — the streaming twin of
+    window_extremal_index_runs, and the clustering counterpart of
+    stream_tail_es_monitor: ES says how FAT a batch's tail is, theta
+    says whether its extremes arrive in CLUSTERS (theta << 1 — e.g.
+    a crawler dumping one site's boilerplate run) or independently
+    (theta ~ 1).  A tail monitor alone cannot tell those apart.
+
+    Per trigger: the exceedance threshold is the batch's exact
+    integer-rank {EXT_Q_NUM}/{EXT_Q_DEN} quantile of n_chars (derived
+    from the collected value histogram — domain-bounded, the
+    stream_quantile_monitor pattern); exceedance doc_id gaps are then
+    computed DISTRIBUTED inside the batch via frontier.global_rank
+    (mode="distributed": range-partitioned two-phase rank — no
+    batch-sized single-task window, the r13 frontier rule) and fold
+    to SIX BIGINT scalars (count, max, Σg, Σg², Σ(g−1), Σ(g−1)(g−2))
+    — O(1) collected state per trigger, tighter than the histogram
+    monitors.  Both Ferro-Segers variants evaluate post-stream from
+    ONE shared fixed-order expression text over the exact sums
+    (_FS_THETA_V1_SQL/_FS_THETA_V2_SQL, imported from the batch op),
+    capped by LEAST(1, ·) on identical doubles in both engines.
+    Batches key by min doc_id; chunks with fewer than 2 gaps emit no
+    row (mirrored by the oracle's HAVING).
+
+    Scale: per trigger ONE histogram groupBy + one filter + the
+    two-phase rank + a 1-row aggregate; nothing batch-sized ever
+    reaches the driver."""
+    from kafka_stream_processing_spark.operators.frontier import (
+        global_rank,
+    )
+
+    rows: list[tuple[int, int, int, int, int, int, int, int, int]] = []
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        head = batch_df.agg(
+            F.min("doc_id").alias("k"),
+            F.count(F.lit(1)).alias("nb"),
+        ).collect()[0]
+        if head["k"] is None:
+            return
+        nb = int(head["nb"])
+        hist = sorted(
+            (int(r["v"]), int(r["c"]))
+            for r in batch_df.groupBy(
+                F.col("n_chars").alias("v")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # value-domain-sized per trigger
+        )
+        k = (nb * EXT_Q_NUM + EXT_Q_DEN - 1) // EXT_Q_DEN
+        cum, u = 0, None
+        for v, c in hist:
+            cum += c
+            if cum >= k:
+                u = v
+                break
+        exc = batch_df.filter(F.col("n_chars") > u).select("doc_id")
+        ranked = global_rank(
+            exc, [F.col("doc_id")], mode="distributed", rank_name="r"
+        )
+        a, b = ranked.alias("a"), ranked.alias("b")
+        gaps = a.join(
+            b, F.col("b.r") == F.col("a.r") + 1
+        ).select(
+            (F.col("b.doc_id") - F.col("a.doc_id"))
+            .cast("bigint")
+            .alias("g")
+        )
+        s = gaps.agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.max("g").alias("gmax"),
+            F.sum("g").cast("bigint").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("sg2"),
+            F.sum(F.col("g") - 1).cast("bigint").alias("sg1"),
+            F.sum((F.col("g") - 1) * (F.col("g") - 2))
+            .cast("bigint")
+            .alias("sg12"),
+        ).collect()[0]
+        if s["ng"] is None or int(s["ng"]) < 2:
+            return
+        rows.append(
+            (
+                int(head["k"]),
+                nb,
+                int(u),
+                int(s["ng"]),
+                int(s["gmax"]),
+                int(s["sg"]),
+                int(s["sg2"]),
+                int(s["sg1"]),
+                int(s["sg12"]),
+            )
+        )
+
+    path = _stream_train_docs_source_dir(sf_dir)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("doc_id", "n_chars")
+    )
+    with scoped_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    sums = spark.createDataFrame(
+        rows,
+        "chunk_min_doc_id bigint, nb bigint, u bigint, ng bigint,"
+        " gmax bigint, sg bigint, sg2 bigint, sg1 bigint, sg12 bigint",
+    )
+    theta = F.expr(
+        f"LEAST(1.0, CASE WHEN gmax <= 2 THEN {_FS_THETA_V1_SQL}"
+        f" ELSE {_FS_THETA_V2_SQL} END)"
+    )
+    return sums.select(
+        "chunk_min_doc_id",
+        F.col("nb").alias("n_batch"),
+        (F.col("ng") + 1).cast("bigint").alias("n_exceed"),
+        F.col("gmax").alias("max_gap"),
+        F.col("u").alias("threshold"),
+        theta.alias("theta"),
     )

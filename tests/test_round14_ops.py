@@ -214,3 +214,47 @@ def test_kendall_w_pure_python_replay(spark, sf_small):
     assert abs(row.w - w_ref) < 1e-9
     assert 0.0 <= row.w <= 1.0
     assert abs(row.chi2 - m * (n - 1) * row.w) < 1e-9
+
+
+def test_stream_extremal_monitor_first_chunk_replay(spark, sf_small):
+    """Pure-python replay of chunk 0 (first ceil(n/3) train docs by
+    doc_id): threshold at the exact ceil(4n/5) rank, doc_id gaps
+    between exceedances, both Ferro-Segers variants — must match the
+    streamed row exactly (ints) / to float tolerance (theta)."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"""SELECT doc_id, n_chars
+            FROM '{sf_small}/documents.parquet'
+            WHERE source <> 'src0' ORDER BY doc_id"""
+    ).fetchall()
+    n = len(docs)
+    chunk = docs[: (n + 2) // 3]
+    nb = len(chunk)
+    vals = sorted(v for _, v in chunk)
+    k = (nb * 4 + 5 - 1) // 5
+    u = vals[k - 1]
+    exc = [d for d, v in chunk if v > u]
+    gaps = [b - a for a, b in zip(exc, exc[1:])]
+    assert len(gaps) >= 2, "fixture must produce >= 2 gaps"
+    ng = len(gaps)
+    sg, sg2 = sum(gaps), sum(g * g for g in gaps)
+    sg1 = sum(g - 1 for g in gaps)
+    sg12 = sum((g - 1) * (g - 2) for g in gaps)
+    if max(gaps) <= 2:
+        theta = min(1.0, 2.0 * sg * sg / (ng * sg2))
+    else:
+        theta = min(1.0, 2.0 * sg1 * sg1 / (ng * sg12))
+    rows = sorted(
+        SPECS["stream_extremal_index_monitor"]
+        .fn(spark, sf_small)
+        .collect(),
+        key=lambda r: r.chunk_min_doc_id,
+    )
+    r0 = rows[0]
+    assert r0.chunk_min_doc_id == chunk[0][0]
+    assert r0.n_batch == nb
+    assert r0.threshold == u
+    assert r0.n_exceed == len(exc)
+    assert r0.max_gap == max(gaps)
+    assert abs(r0.theta - theta) < 1e-12
+    assert 0.0 < r0.theta <= 1.0
