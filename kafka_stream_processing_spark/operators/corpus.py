@@ -39,7 +39,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_processing_spark.operators.dedup import _word_shingles
+from kafka_stream_processing_spark.operators.dedup import (
+    _word_shingles,
+    split_words,
+)
 from kafka_stream_processing_spark.registry import register
 from kafka_stream_processing_spark.sources.tables import fanout, table
 
@@ -207,10 +210,10 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a broadcast bench array), which is why it wins at any
     contamination ratio."""
     d = fanout(table(spark, sf_dir, "documents"))
-    docs = d.select(
+    docs = split_words(d, "doc_id", "source").select(
         "doc_id",
         "source",
-        _word_shingles(F.split("text", " ")).alias("sh_arr"),
+        _word_shingles(F.col("words")).alias("sh_arr"),
     )
     bench = (
         docs.filter(F.col("source") == "src0")
@@ -273,9 +276,8 @@ def quality_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-size keys, the right trade once per-doc distinct counts grow;
     both formulations ship deliberately, pick by corpus shape."""
     d = fanout(table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    grams = d.select(
-        "doc_id", F.explode(_word_grams_all(toks)).alias("gram")
+    grams = split_words(d, "doc_id").select(
+        "doc_id", F.explode(_word_grams_all(F.col("words"))).alias("gram")
     )
     counted = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     dup_occ = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
@@ -1333,9 +1335,9 @@ def corpus_ngram_novelty_curve(
     from pyspark.sql import Window
 
     d = fanout(table(spark, sf_dir, "documents"))
-    sh = d.select(
+    sh = split_words(d, "doc_id").select(
         "doc_id",
-        F.explode(_word_shingles(F.split("text", " "))).alias("sh"),
+        F.explode(_word_shingles(F.col("words"))).alias("sh"),
     )
     marked = sh.withColumn(
         "first_doc", F.min("doc_id").over(Window.partitionBy("sh"))

@@ -837,7 +837,8 @@ def pipeline_attrition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = (
         d.filter(F.col("source") == "src0")
-        .select(F.explode(_word_shingles(toks)).alias("sh"))
+        .select(toks.alias("t"))
+        .select(F.explode(_word_shingles(F.col("t"))).alias("sh"))
         .distinct()
     )
     tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

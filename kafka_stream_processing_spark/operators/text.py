@@ -315,8 +315,10 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the string; the top-50 is TakeOrderedAndProject either
     way."""
     d = fanout(table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    bigrams = d.select(
+    # Pre-project the split once: Generate is not codegen'd, so an
+    # inlined split(text) re-tokenizes per textual occurrence (~4x here).
+    toks = F.col("words")
+    bigrams = d.select(F.split("text", " ").alias("words")).select(
         F.explode(
             F.when(
                 F.size(toks) >= 2,
@@ -401,7 +403,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_processing_spark.operators.dedup import hash64
 
     d = fanout(table(spark, sf_dir, "documents"))
-    h = F.transform(_word_grams_all(F.split("text", " ")), hash64)
+    h = F.transform(_word_grams_all(F.col("words")), hash64)
     # Filter on the RAW word count, not size(h): a predicate on the
     # computed column would inline the whole md5+transform chain and
     # Catalyst pushes filters below the fanout exchange — the heavy
@@ -410,7 +412,9 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_grams = words - 2, so size(h) >= W  <=>  words >= W + 2.
     grams = d.filter(
         F.size(F.split("text", " ")) >= _WINNOW_W + 2
-    ).select("doc_id", h.alias("h"))
+    ).select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", h.alias("h")
+    )
     # Sliding-window minimum by log-doubling (sparse-table rows): level k
     # holds pairwise mins at stride 2^(k-1), so each level is one O(n)
     # transform of O(1) element_at lookups — no per-position
@@ -1411,15 +1415,16 @@ def text_bigram_pmi_collocations(
     Products overflow exact-double range only past ~10¹⁵ tokens —
     switch the rational to DECIMAL(38,0) there."""
     d = fanout(table(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
+    words = d.select(F.split("text", " ").alias("words"))
+    toks = F.col("words")
     uni = (
-        d.select(F.explode(toks).alias("word"))
+        words.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     nu = uni.agg(F.sum("c").alias("nu"))
     bi = (
-        d.select(
+        words.select(
             F.explode(
                 F.when(
                     F.size(toks) >= 2,

@@ -490,7 +490,8 @@ def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_row = (
         table(spark, sf_dir, "documents")
         .filter(F.col("source") == "src0")
-        .select(F.explode(_word_shingles(F.split("text", " "))).alias("sh"))
+        .select(F.split("text", " ").alias("words"))
+        .select(F.explode(_word_shingles(F.col("words"))).alias("sh"))
         .agg(F.collect_set("sh").alias("bench_set"))
         .persist()
     )
@@ -509,8 +510,9 @@ def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
         .repartition(default_parallelism())
+        .select("doc_id", F.split("text", " ").alias("words"))
         .select(
-            "doc_id", _word_shingles(F.split("text", " ")).alias("sh_arr")
+            "doc_id", _word_shingles(F.col("words")).alias("sh_arr")
         )
         .crossJoin(F.broadcast(bench_row))
         .select(

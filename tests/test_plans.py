@@ -712,3 +712,50 @@ def test_kendall_w_windows_are_histogram_sized(spark, sf_small):
     for spec in wspecs:
         assert spec.strip().startswith("v#"), spec
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_shingle_pipelines_split_text_once(spark, sf_small):
+    """r14 optimization pin: the whitespace split feeding shingle/gram
+    builders is projected ONCE (dedup.split_words) before the explode.
+    Generate and interpreted higher-order lambdas are not subexpression-
+    eliminated, so an inline F.split("text") inside _word_shingles is
+    re-tokenized for each of its ~5 textual occurrences per row
+    (measured: minhash signature stage 1.71 s → 1.16 s at sf0.1; the
+    winnowing gram projection 2.12 s → 1.42 s).  Pin: each kernel's
+    optimized plan evaluates split(text ...) at most once per scan
+    branch."""
+    from kafka_stream_processing_spark.operators.dedup import (
+        minhash_band_rows,
+        _simhash64_band_values,
+    )
+    from kafka_stream_processing_spark.operators.text import (
+        text_winnowing_fingerprints,
+    )
+    from kafka_stream_processing_spark.sources.tables import fanout, table
+
+    # allowed split(text...) occurrences: the signature kernels project
+    # words once (1); winnowing additionally keeps the DELIBERATE cheap
+    # size(split)>=W+2 pre-filter (its own docstring), which renders in
+    # the Filter node and again in the scan's pushdown text (3 total).
+    checks = {
+        "minhash_band_rows": (
+            minhash_band_rows(fanout(table(spark, sf_small, "documents"))),
+            1,
+        ),
+        "simhash64_band_values": (
+            _simhash64_band_values(spark, sf_small),
+            1,
+        ),
+        "text_winnowing_fingerprints": (
+            text_winnowing_fingerprints(spark, sf_small),
+            3,
+        ),
+    }
+    for name, (df, allowed) in checks.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_split = plan.count("split(text")
+        assert n_split <= allowed, (
+            f"{name}: split(text...) appears {n_split}x in the physical "
+            f"plan (allowed {allowed}) - the pre-projection regressed to "
+            "inline re-evaluation"
+        )
