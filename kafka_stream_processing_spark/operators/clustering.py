@@ -878,6 +878,44 @@ def _pca_lit_arr(vals: list[float]):
     return F.array(*[F.lit(c) for c in vals])
 
 
+def _pca_sql_arr(vals: list[float]) -> str:
+    """SQL text for a double-array literal, exact through the text
+    round-trip: repr() emits the shortest decimal that parses back to
+    the identical IEEE double (Java Double.parseDouble is correctly
+    rounded, same as Python's parser), so the engine's arithmetic is
+    bit-for-bit the one the generated oracles replay.  String CAST
+    rather than a bare numeric literal because Spark types undecorated
+    decimals as DECIMAL, not DOUBLE."""
+    return "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in vals) + ")"
+
+
+def _pca_projected(emb, mu: list[float], vs: list[list[float]]):
+    """The per-pass (dot0..dot{k-1}, dd) projection shared by the single
+    and block matvec passes, built as ONE selectExpr call.
+
+    r14 optimization-round finding: constructing the 64-wide Column
+    trees through py4j cost ~1.1 s PER PASS in driver round-trips (the
+    execution itself is ~0.2 s on the checkpointed corpus), so the
+    16–48-pass iteration loops were dominated by expression-building
+    overhead.  Building the identical expressions as SQL text parsed
+    JVM-side (one py4j call) measured 5.97 s → 3.22 s over 4 passes,
+    with bit-identical results (asserted in the A/B and re-proven by
+    the oracle differentials).  The EXPRESSIONS are unchanged — same
+    zip_with/aggregate/transform chain, same DECIMAL(18,6) casts, same
+    0.0 double seed — only where they are parsed differs."""
+    d_arr = f"zip_with(x, {_pca_sql_arr(mu)}, (a, b) -> a - b)"
+    dots = [
+        f"CAST(aggregate(zip_with({d_arr}, {_pca_sql_arr(v)}, "
+        f"(a, b) -> a * b), CAST('0.0' AS DOUBLE), (acc, t) -> acc + t) "
+        f"AS DECIMAL(18,6)) AS dot{j}"
+        for j, v in enumerate(vs)
+    ]
+    return emb.selectExpr(
+        *dots,
+        f"transform({d_arr}, c -> CAST(c AS DECIMAL(18,6))) AS dd",
+    )
+
+
 def _pca_matvec_pass(emb, mu: list[float], v: list[float]) -> list[float]:
     """ONE distributed covariance matvec: w = Σⱼ (xⱼ−μ)·((xⱼ−μ)·v)
     (= n·Cv), with the round-6-decimal per-row discipline that makes the
@@ -885,12 +923,6 @@ def _pca_matvec_pass(emb, mu: list[float], v: list[float]) -> list[float]:
     embedding_top_pc_power_iteration's docstring).  Returns the 64
     partial-sum doubles; everything else (normalize, deflate, round)
     is driver-side arithmetic on this sketch-sized vector."""
-    d_arr = F.zip_with("x", _pca_lit_arr(mu), lambda a, b: a - b)
-    dot = F.aggregate(
-        F.zip_with(d_arr, _pca_lit_arr(v), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
     # Project dot + the rounded-decimal deviation array ONCE, then
     # run 64 tiny per-dimension sums over the projected columns —
     # keeps the expression tree linear in DIM (a 64-term dot inlined
@@ -904,17 +936,11 @@ def _pca_matvec_pass(emb, mu: list[float], v: list[float]) -> list[float]:
     # error flips near-tie rows vs Spark's exact BigDecimal rounding
     # (measured: 64/64 eigenvalue mismatches at 1e-7 before r14
     # dropped the round).
-    projected = emb.select(
-        dot.cast("decimal(18,6)").alias("dot"),
-        F.transform(
-            d_arr, lambda c: c.cast("decimal(18,6)")
-        ).alias("dd"),
-    )
-    row = projected.agg(
-        *[
-            F.sum(F.col("dot") * F.col("dd")[i]).alias(f"w{i}")
-            for i in range(PCA_DIM)
-        ]
+    # Expression text parsed JVM-side (see _pca_projected) — the py4j
+    # Column-building overhead dominated these driver-sequential loops.
+    projected = _pca_projected(emb, mu, [v])
+    row = projected.selectExpr(
+        *[f"sum(dot0 * dd[{i}]) AS w{i}" for i in range(PCA_DIM)]
     ).collect()[0]
     return [float(row[f"w{i}"] or 0.0) for i in range(PCA_DIM)]
 
@@ -1363,28 +1389,15 @@ def _pca_block_matvec_pass(
     is ONE scan regardless of k (vs k scans for sequential
     deflation); state is k·DIM decimal cells, map-side combined."""
     k = len(vs)
-    d_arr = F.zip_with("x", _pca_lit_arr(mu), lambda a, b: a - b)
     # Plain DECIMAL cast, not round()+cast — same cross-engine
     # rounding-mode-proof convention as _pca_matvec_pass (r14).
-    dots = [
-        F.aggregate(
-            F.zip_with(d_arr, _pca_lit_arr(v), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        .cast("decimal(18,6)")
-        .alias(f"dot{j}")
-        for j, v in enumerate(vs)
-    ]
-    projected = emb.select(
-        *dots,
-        F.transform(
-            d_arr, lambda c: c.cast("decimal(18,6)")
-        ).alias("dd"),
-    )
-    row = projected.agg(
+    # Expression text parsed JVM-side (see _pca_projected): the block
+    # pass builds k·64 aggregate expressions, so the py4j overhead the
+    # optimization round measured was ~3× the single-vector pass's.
+    projected = _pca_projected(emb, mu, vs)
+    row = projected.selectExpr(
         *[
-            F.sum(F.col(f"dot{j}") * F.col("dd")[i]).alias(f"w{j}_{i}")
+            f"sum(dot{j} * dd[{i}]) AS w{j}_{i}"
             for j in range(k)
             for i in range(PCA_DIM)
         ]
