@@ -724,6 +724,8 @@ def test_shingle_pipelines_split_text_once(spark, sf_small):
     winnowing gram projection 2.12 s → 1.42 s).  Pin: each kernel's
     optimized plan evaluates split(text ...) at most once per scan
     branch."""
+    import re
+
     from kafka_stream_processing_spark.operators.dedup import (
         minhash_band_rows,
         _simhash64_band_values,
@@ -733,29 +735,42 @@ def test_shingle_pipelines_split_text_once(spark, sf_small):
     )
     from kafka_stream_processing_spark.sources.tables import fanout, table
 
-    # allowed split(text...) occurrences: the signature kernels project
-    # words once (1); winnowing additionally keeps the DELIBERATE cheap
-    # size(split)>=W+2 pre-filter (its own docstring), which renders in
-    # the Filter node and again in the scan's pushdown text (3 total).
+    # The signature kernels project words once (<=1 split(text...) in
+    # the whole plan).  Winnowing additionally keeps the DELIBERATE
+    # cheap size(split)>=W+2 pre-filter (its own docstring), which may
+    # render in the Filter node and again in the scan's pushdown text —
+    # so its bound is counted on the Project nodes ALONE (ADVICE r14:
+    # a total-count bound would bake in how this Spark version renders
+    # the pushed filter and could mask an inlined regression).
     checks = {
         "minhash_band_rows": (
             minhash_band_rows(fanout(table(spark, sf_small, "documents"))),
-            1,
+            False,
         ),
         "simhash64_band_values": (
             _simhash64_band_values(spark, sf_small),
-            1,
+            False,
         ),
         "text_winnowing_fingerprints": (
             text_winnowing_fingerprints(spark, sf_small),
-            3,
+            True,
         ),
     }
-    for name, (df, allowed) in checks.items():
+    for name, (df, project_only) in checks.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
-        n_split = plan.count("split(text")
-        assert n_split <= allowed, (
-            f"{name}: split(text...) appears {n_split}x in the physical "
-            f"plan (allowed {allowed}) - the pre-projection regressed to "
+        if project_only:
+            lines = [
+                ln
+                for ln in plan.splitlines()
+                if re.search(r"\bProject\b", ln)
+            ]
+            n_split = sum(ln.count("split(text") for ln in lines)
+            where = "Project nodes"
+        else:
+            n_split = plan.count("split(text")
+            where = "physical plan"
+        assert n_split <= 1, (
+            f"{name}: split(text...) appears {n_split}x in the {where} "
+            "(allowed 1) - the pre-projection regressed to "
             "inline re-evaluation"
         )
